@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the `noop` sink (measures scan+compute+shuffle,
+not driver collect). One warm-up query amortizes JVM/codegen startup the
+way a long-lived server session would (the reference keeps one hot
+DataFusion context; we keep one hot SparkSession).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from seafowl_spark.queries import load_all
+from seafowl_spark.session import DEFAULT_SF_DIR, build_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_window_topk",
+    "q_sessionize",
+    "q_time_window",
+    "t_exact_dedup",
+    "t_token_stats",
+    "s_minhash_lsh_pairs",
+    "s_simhash_candidates",
+    "s_ann_cosine_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry = load_all()
+    spark = build_session("seafowl_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (JVM/codegen/parquet footer caches), not counted
+    registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Testdata table access (TESTDATA.md).
+
+Tables are one parquet file each under ``{sf_dir}/{name}.parquet``; at real
+scale each would be a partitioned directory — every reader here goes through
+``spark.read.parquet`` so the same code handles both layouts, and Catalyst
+gets filter pushdown + column pruning on the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# dimensions small enough to always broadcast in joins (at any realistic SF)
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime-settable; makes this loader work in sessions we did not
+        # build (e.g. the driver's own smoke session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    # reader rejects; session conf spark.sql.legacy.parquet.nanosAsLong
+    # (set in session.py) surfaces it as a BIGINT of nanos — convert to a
+    # microsecond timestamp (truncating, same as DuckDB/Arrow ns->us).
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so spark.sql() queries can refer to bare names.
+
+    Mirrors the reference's per-query catalog reload (reference
+    src/context/mod.rs:89-112) — cheap in Spark because temp views are
+    just plan aliases.
+    """
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,962 @@
+"""Relational operator coverage (SURVEY.md §2.B).
+
+Each query exercises one family of the operator surface the reference exposes
+through DataFusion (reference src/context/logical.rs:104-117 — seafowl adds no
+per-operator code; neither do we: everything here is the Spark DataFrame/SQL
+API, so Catalyst owns pushdown, pruning, join strategy selection and AQE owns
+runtime re-planning).
+
+Determinism rules (driver hash-compares against DuckDB):
+* aggregates over doubles go through decimal casts (see functions.dec_sum),
+* every LIMIT is preceded by a total order including a unique key,
+* timestamps are projected as DATE or exact integers where feasible.
+
+Scale notes are inline per query — broadcast hints on dimension tables keep
+the big fact tables shuffle-free on the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dec_avg, dec_sum
+from ..io import table
+from . import register
+
+_D = "decimal(25,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)                                         AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)                                    AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity)                     AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice)           AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount)                     AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+
+    Scale: the filter and the two grouping columns push into the parquet scan
+    (PushedFilters / ReadSchema); partial aggregation happens map-side so the
+    shuffle carries only |returnflag x linestatus| rows per partition.
+    """
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dec_sum(disc_price).alias("sum_disc_price"),
+        dec_sum(charge).alias("sum_charge"),
+        dec_avg(F.col("l_quantity")).alias("avg_qty"),
+        dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+        dec_avg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24.0
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: highly selective conjunctive filter + global agg.
+
+    Scale: all four predicates push down to parquet row-group stats; the
+    global aggregate is a two-stage partial/final with a single-row shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase distinct aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q_approx_distinct", oracle=None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch differs from DuckDB's,
+    so this is a rows-only check; the exact variant is q_distinct_agg.
+
+    Scale: HLL sketches merge map-side; the shuffle carries fixed-size
+    sketches instead of per-key sets — this is the 100 TB path for
+    cardinality estimation.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-k.
+
+    Scale: customer (filtered) broadcasts to the orders scan; orders->lineitem
+    is the only shuffle join and AQE can convert it too if the filtered side
+    is small. Top-k executes as TakeOrderedAndProject (no global sort).
+    """
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join.
+
+    Scale: region/nation/customer/supplier all broadcast (BROADCAST_TABLES);
+    the only shuffle exchange is orders<->lineitem on orderkey. Join order is
+    declared smallest-first but Catalyst/AQE may reorder freely.
+    """
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(_D)), F.lit(0).cast(_D)
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS decorrelation — Catalyst
+    RewritePredicateSubquery produces exactly this plan from SQL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sc AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cc.nk, sc.nk) AS nationkey,
+           COALESCE(cc.n_cust, 0) AS n_cust,
+           COALESCE(sc.n_supp, 0) AS n_supp
+    FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the same shape the reference's CDC sync planner uses
+    to align old/new primary keys (reference src/sync/planner.rs:266-273)."""
+    cc = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sc = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cc.join(sc, cc.nk == sc.nk, "full_outer").select(
+        F.coalesce(cc.nk, sc.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q_join_non_equi",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.bucket
+    FROM part p JOIN (VALUES ('small', 0, 17), ('medium', 17, 34), ('large', 34, 51))
+         AS b(bucket, lo, hi)
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+    """,
+)
+def q_join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join against an inline VALUES relation.
+
+    Scale: the bucket side is tiny -> BroadcastNestedLoopJoin, which is the
+    right physical plan; a shuffled theta join would be the scale hazard.
+    """
+    p = _t(spark, sf_dir, "part")
+    b = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0, 17), ("medium", 17, 34), ("large", 34, 51)],
+            "bucket string, lo int, hi int",
+        )
+    )
+    return p.join(b, (p.p_size >= b.lo) & (p.p_size < b.hi)).select(
+        "p_partkey", "p_size", "bucket"
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@register(
+    "q_window_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER (unique tie-break on orderkey).
+
+    Scale: Spark pushes a per-partition WindowGroupLimit before the shuffle,
+    so only k rows per group per mapper reach the exchange.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) AS running_total,
+           LAG(o_orderkey) OVER w  AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals, LAG/LEAD, RANK, NTILE over one shared sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_D)).over(w).cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(wo).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(wo).alias("next_orderkey"),
+        F.rank().over(wr).alias("price_rank"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+@register(
+    "q_window_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER w1 AS DOUBLE) AS qty_moving_sum,
+           CAST(MIN(l_extendedprice) OVER w2 AS DOUBLE) AS min_price_ahead
+    FROM lineitem
+    WINDOW w1 AS (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                           l_extendedprice, l_discount, l_tax, l_returnflag,
+                           l_linestatus, l_shipdate
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                           l_extendedprice, l_discount, l_tax, l_returnflag,
+                           l_linestatus, l_shipdate
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames (moving sum, bounded-following min).
+
+    (l_orderkey, l_linenumber) is NOT unique in the testdata, so the sort
+    covers every column — ROWS frames are only deterministic under a total
+    order (fully identical rows are interchangeable).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    total_order = [
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+    w1 = Window.partitionBy("l_orderkey").orderBy(*total_order).rowsBetween(-2, 0)
+    w2 = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*total_order)
+        .rowsBetween(Window.unboundedPreceding, 1)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(_D)).over(w1).cast("double").alias("qty_moving_sum"),
+        F.min("l_extendedprice").over(w2).cast("double").alias("min_price_ahead"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# --------------------------------------------------------------------------
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_A,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_N,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on return flag (DuckDB mirror uses FILTERed aggregates)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dec_sum(F.col("l_quantity")))
+        .withColumnsRenamed({"A": "qty_A", "N": "qty_N", "R": "qty_R"})
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / sort / limit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_setops",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         high   AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+         lo     AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT 'both'        AS tag, o_custkey FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
+    UNION ALL
+    SELECT 'urgent_only' AS tag, o_custkey FROM (SELECT * FROM urgent EXCEPT SELECT * FROM lo)
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT — the same shapes the reference's
+    time-travel diff tests exercise (reference tests/statements/time_travel.rs:111-140)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def keys(prio: str) -> DataFrame:
+        return o.where(F.col("o_orderpriority") == prio).select("o_custkey").distinct()
+
+    urgent, high, lo = keys("1-URGENT"), keys("2-HIGH"), keys("5-LOW")
+    both = urgent.intersect(high).select(F.lit("both").alias("tag"), "o_custkey")
+    only = urgent.exceptAll(lo).select(F.lit("urgent_only").alias("tag"), "o_custkey")
+    return both.unionAll(only)
+
+
+@register(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY + LIMIT -> TakeOrderedAndProject (top-k without a
+    global sort; each partition keeps 15 rows, the driver merges)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Subqueries / CTEs
+# --------------------------------------------------------------------------
+
+@register(
+    "q_cte_scalar_subquery",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS n_above_avg
+    FROM orders, stats
+    WHERE o_totalprice > stats.avg_price
+    GROUP BY o_orderpriority
+    """,
+)
+def q_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + scalar subquery (orders above global average price)."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(dec_avg(F.col("o_totalprice")).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+@register(
+    "q_exists_correlated",
+    oracle="""
+    WITH nation_avg AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS nation_avg_bal
+      FROM supplier GROUP BY s_nationkey)
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, na.nation_avg_bal
+    FROM supplier s JOIN nation_avg na ON s.s_nationkey = na.s_nationkey
+    WHERE s.s_acctbal > na.nation_avg_bal
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated comparison against a per-group aggregate (the decorrelated
+    form Catalyst produces for correlated scalar subqueries)."""
+    s = _t(spark, sf_dir, "supplier")
+    na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
+    return (
+        s.join(F.broadcast(na.withColumnRenamed("s_nationkey", "nk")), s.s_nationkey == F.col("nk"))
+        .where(F.col("s_acctbal") > F.col("nation_avg_bal"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation_avg_bal")
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_size FROM part
+    WHERE p_size IN (SELECT DISTINCT p_size FROM part ORDER BY p_size DESC LIMIT 3)
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery -> LEFT SEMI join on the top-3 distinct sizes."""
+    p = _t(spark, sf_dir, "part")
+    top_sizes = (
+        p.select("p_size").distinct().orderBy(F.desc("p_size")).limit(3)
+    )
+    return p.join(
+        F.broadcast(top_sizes.withColumnRenamed("p_size", "sz")),
+        p.p_size == F.col("sz"),
+        "left_semi",
+    ).select("p_partkey", "p_name", "p_size")
+
+
+@register(
+    "q_values_inline",
+    oracle="""
+    SELECT r.r_name, v.hemisphere
+    FROM region r JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
+                               (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
+      ON r.r_regionkey = v.rk
+    """,
+)
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined to a stored table (reference supports
+    VALUES scans via DataFusion; src/context/logical.rs tests:408-409)."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r.r_name, v.hemisphere
+        FROM region r JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
+                                   (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
+          ON r.r_regionkey = v.rk
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar expressions / datetime / strings
+# --------------------------------------------------------------------------
+
+@register(
+    "q_case_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + min/max (exact on raw doubles)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_datetime_parts",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           EXTRACT(month FROM o_orderdate) AS m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT(year/quarter/month) aggregation (reference README.md:98 shows
+    EXTRACT in its dialect)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           length(p_name) AS name_len,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           concat(p_type, ':', p_brand) AS type_brand,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/substr/length/regexp_extract/concat/replace."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.concat_ws(":", "p_type", "p_brand").alias("type_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (rounded to absorb
+    final-step float noise; the sorted-order interpolation itself is
+    deterministic in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: JSON, sessionization, time windows
+# --------------------------------------------------------------------------
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a field from the JSON props column and aggregate on it.
+
+    Spark side uses the native JSON path function (get_json_object); the
+    oracle mirrors it with a regexp since DuckDB's json extension may not be
+    loadable offline — same value either way for this payload shape.
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM deltas),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000 AS duration_s
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): LAG -> flag -> running
+    SUM -> per-session agg. The batch analogue of a session window; the
+    streaming variant lives in seafowl_spark.streaming.
+
+    Scale: one shuffle on user_id shared by both window specs, then the
+    groupBy reuses the same partitioning (no second exchange).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(wr).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "q_time_window",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           EXTRACT(hour FROM ts) AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour time-window aggregation (batch form; the streaming
+    variant uses F.window + watermark in seafowl_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_explode_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest (LATERAL VIEW) — word frequency over documents.
+
+    The reference uses unnest only inside its sync planner
+    (src/sync/planner.rs:403-411); here it's first-class.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )

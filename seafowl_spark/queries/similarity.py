@@ -1,0 +1,584 @@
+"""Similarity search + sketch-based near-dup operators.
+
+MinHash+LSH, SimHash, and embedding ANN (brute-force cosine + random
+hyperplane LSH). Everything is built from deterministic, engine-portable
+primitives so the DuckDB oracle hash-matches bit-for-bit:
+
+* hashes are md5-derived integers (functions.md5_int) — identical text in,
+  identical 32/60-bit int out, on both engines;
+* permutation / hyperplane constants are Python literals baked into BOTH the
+  Spark expression tree and the generated oracle SQL;
+* floating-point reductions are left-fold chains starting at 0.0 on both
+  sides (0.0 + x == x exactly, and both engines evaluate `a+b+c` and
+  `aggregate(..., 0.0, +)` left-associatively), so dot products, norms and
+  cosines are bit-identical without rounding.
+
+Scale design: candidate generation is always O(n) (band/bucket keys +
+hash-partitioned self-join on the key), never O(n^2); the pairwise verify
+stage only ever sees candidates. That is the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from . import register
+
+# ---------------------------------------------------------------- constants
+
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+MINHASH_P = 4294967311  # prime > 2^32
+
+_rng = random.Random(42)
+# a < 2^30 keeps a*h below 2^62 (h < 2^32): no signed-64 overflow on either engine
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(MINHASH_PERMS)]
+MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_PERMS)]
+
+EMB_DIM = 64
+N_PLANES = 8
+_rng2 = random.Random(7)
+# literals rounded so the SQL text parses to the exact same double
+HYPERPLANES = [
+    [round(_rng2.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
+]
+
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+ANN_TOP_K = 10
+SIMHASH_MAX_HAMMING = 8
+
+
+# ---------------------------------------------------------------- helpers
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _shingles_col():
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_SHINGLES = f"""
+      CASE WHEN len({_SQL_TOKENS}) >= 3 THEN
+        list_distinct(list_transform(range(1, len({_SQL_TOKENS}) - 1),
+          i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1] || ' ' || {_SQL_TOKENS}[i+2]))
+      ELSE [] END
+"""
+
+
+def _h8(col):
+    """Portable 32-bit shingle/token hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _h8_at(col, start: int):
+    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
+
+
+def _sql_h8(expr: str, start: int = 1) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), {start}, 8)) AS BIGINT)"
+
+
+# ==========================================================================
+# MinHash + LSH dedup
+# ==========================================================================
+
+def _minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # hash every shingle ONCE (md5 dominates; the 16 affine permutations then
+    # run over a plain array<long> — ~16x fewer md5 evaluations)
+    hashed = d.select("doc_id", F.transform(_shingles_col(), _h8).alias("hh"))
+
+    def _perm(a: int, b: int):
+        # single-arg closure (extra default args would confuse Spark's
+        # higher-order-function arity detection)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("hh"), _perm(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return hashed.select("doc_id", sigs.alias("sigs"))
+
+
+_SQL_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_SQL_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+_SQL_MINHASH_SIGS = f"""
+    WITH sh AS (
+      SELECT doc_id, list_transform({_SQL_SHINGLES}, s -> {_sql_h8('s')}) AS hh
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(1, {MINHASH_PERMS + 1}),
+               i -> list_min(list_transform(hh,
+                      h -> ({_SQL_A}[i] * h + {_SQL_B}[i]) % {MINHASH_P}))) AS sigs
+      FROM sh)
+"""
+
+
+@register(
+    "s_minhash_signatures",
+    oracle=_SQL_MINHASH_SIGS
+    + """
+    SELECT doc_id, sigs FROM sig
+    """,
+)
+def s_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (16 permutations over 3-word shingles).
+
+    Scale: signatures are computed row-local from the shingle array (no
+    explode, no shuffle) and are 16x8 bytes regardless of document size —
+    the downstream LSH join shuffles only (band_key, doc_id).
+    """
+    return _minhash_sigs_df(spark, sf_dir)
+
+
+@register(
+    "s_minhash_lsh_pairs",
+    oracle=_SQL_MINHASH_SIGS
+    + f"""
+    , banded AS (
+      SELECT doc_id, sigs, unnest(list_transform(range(0, {MINHASH_BANDS}),
+               j -> j || ':' || array_to_string(sigs[{MINHASH_ROWS}*j+1:{MINHASH_ROWS}*j+{MINHASH_ROWS}], '_'))) AS band
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           len(list_filter(list_zip(sa.sigs, sb.sigs), p -> p[1] = p[2])) AS n_equal_sigs,
+           len(list_filter(list_zip(sa.sigs, sb.sigs), p -> p[1] = p[2])) / {MINHASH_PERMS}.0 AS est_jaccard
+    FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                JOIN sig sb ON c.doc_b = sb.doc_id
+    """,
+)
+def s_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: band signatures (4 bands x 4 rows),
+    hash-join docs sharing a band, score by signature agreement.
+
+    Scale: the classic shingle->minhash->band->bucket-join pipeline; the
+    self-join key is the band string so work is proportional to bucket
+    sizes, not n^2. Skew guard: genuinely identical docs all land in one
+    bucket — AQE skew-join splits that bucket's partitions.
+    """
+    sig = _minhash_sigs_df(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(j),
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(F.col("sigs"), j * MINHASH_ROWS + 1, MINHASH_ROWS),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sigs_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sigs_b"))
+    n_eq = F.size(
+        F.filter(F.zip_with("sigs_a", "sigs_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.alias("n_equal_sigs"),
+            (n_eq / F.lit(float(MINHASH_PERMS))).alias("est_jaccard"),
+        )
+    )
+
+
+# ==========================================================================
+# SimHash
+# ==========================================================================
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (lo from md5 hex[1:8], hi from
+    md5 hex[9:16]), computed by explode -> 64 partial-aggregating sums."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        _h8_at(F.col("tok"), 1).alias("h_lo"),
+        _h8_at(F.col("tok"), 9).alias("h_hi"),
+    )
+    aggs = []
+    for half, col in (("lo", "h_lo"), ("hi", "h_hi")):
+        for bit in range(32):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(col), bit).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"s_{half}_{bit}")
+            )
+    sums = tok.groupBy("doc_id").agg(*aggs)
+
+    def sig(half: str):
+        return reduce(
+            lambda acc, bit: acc
+            + F.when(F.col(f"s_{half}_{bit}") >= 0, F.lit(1 << bit)).otherwise(0),
+            range(32),
+            F.lit(0).cast("long"),
+        )
+
+    return sums.select(
+        "doc_id", sig("lo").alias("simhash_lo"), sig("hi").alias("simhash_hi")
+    )
+
+
+def _sql_simhash() -> str:
+    sums = []
+    for half, start in (("lo", 1), ("hi", 9)):
+        h = _sql_h8("tok", start)
+        for bit in range(32):
+            sums.append(
+                f"SUM(CASE WHEN (({h} >> {bit}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{half}_{bit}"
+            )
+    sig_lo = " + ".join(
+        f"(CASE WHEN s_lo_{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    sig_hi = " + ".join(
+        f"(CASE WHEN s_hi_{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    sums AS (
+      SELECT doc_id, {', '.join(sums)} FROM tok GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, CAST({sig_lo} AS BIGINT) AS simhash_lo,
+                     CAST({sig_hi} AS BIGINT) AS simhash_hi
+      FROM sums)
+"""
+
+
+@register(
+    "s_simhash",
+    oracle=_sql_simhash() + "\n    SELECT doc_id, simhash_lo, simhash_hi FROM sig",
+)
+def s_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash (two 32-bit halves).
+
+    Scale: the 64 per-bit sums partial-aggregate map-side, so the shuffle
+    carries one 64-int row per (mapper, doc) — token volume never crosses
+    the network.
+    """
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "s_simhash_candidates",
+    oracle=_sql_simhash()
+    + f"""
+    , chunked AS (
+      SELECT doc_id, simhash_lo, simhash_hi,
+             unnest([ 0 || ':' || (simhash_lo & 65535),
+                      1 || ':' || ((simhash_lo >> 16) & 65535),
+                      2 || ':' || (simhash_hi & 65535),
+                      3 || ':' || ((simhash_hi >> 16) & 65535) ]) AS chunk
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+             + bit_count(xor(sa.simhash_hi, sb.simhash_hi)) AS hamming
+    FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                JOIN sig sb ON c.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+            + bit_count(xor(sa.simhash_hi, sb.simhash_hi)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def s_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit chunk banding (pigeonhole: hamming<=3
+    guarantees a matching chunk; we keep pairs up to hamming 8 that share
+    any chunk) then exact hamming verify on candidates only."""
+    sig = _simhash_df(spark, sf_dir)
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.shiftright(F.col(col), sh).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+            )
+            for i, (col, sh) in enumerate(
+                [("simhash_lo", 0), ("simhash_lo", 16), ("simhash_hi", 0), ("simhash_hi", 16)]
+            )
+        ]
+    )
+    chunked = sig.select("doc_id", F.explode(chunks).alias("chunk"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# ==========================================================================
+# Embedding ANN
+# ==========================================================================
+
+def _fold_sum(arr):
+    """Left-fold sum starting at 0.0 — bit-identical to an explicit
+    left-associative `x1 + x2 + ...` chain (0.0 + x1 == x1 exactly)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, EMB_DIM + 1))
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({' + '.join(f'({a}[{i}] * {a}[{i}])' for i in range(1, EMB_DIM + 1))})"
+
+
+_SQL_EMB = "CAST(embedding AS DOUBLE[])"
+
+
+@register(
+    "s_ann_cosine_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_SQL_EMB} AS emb, {_sql_norm(_SQL_EMB)} AS nrm FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id IN {ANN_QUERY_IDS}),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ({_sql_dot('q.emb', 'v.emb')}) / (q.nrm * v.nrm) AS cos_sim
+      FROM q JOIN v ON q.vec_id <> v.vec_id)
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {ANN_TOP_K}
+    """,
+)
+def s_ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    full corpus; all arithmetic is JVM-side array folds (no UDF).
+
+    Scale: O(n_queries * n_vectors) but embarrassingly parallel — the
+    corpus never shuffles; only (query_id, neighbor_id, score) rows move,
+    and the per-query top-k is a WindowGroupLimit. This is the exact
+    baseline the LSH variant (s_ann_lsh_topk) approximates.
+    """
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x))))
+    )
+    q = F.broadcast(
+        v.where(F.col("vec_id").isin(list(ANN_QUERY_IDS))).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = _fold_sum(F.zip_with("q_emb", "emb", lambda x, y: x * y))
+    scored = (
+        q.join(v, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANN_TOP_K)
+        .drop("rn")
+    )
+
+
+def _sql_planes_literal() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(w) for w in plane) + "]" for plane in HYPERPLANES
+    )
+    return f"[{rows}]"
+
+
+def _bucket_col(emb_col):
+    """Random-hyperplane LSH bucket id (sign bit per plane)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(HYPERPLANES):
+        dot = _fold_sum(
+            F.zip_with(emb_col, F.array(*[F.lit(w) for w in plane]), lambda x, y: x * y)
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(0)
+    return bucket
+
+
+def _sql_bucket(emb: str) -> str:
+    planes = _sql_planes_literal()
+    terms = []
+    for j in range(N_PLANES):
+        dot = " + ".join(f"({emb}[{i}] * {planes}[{j + 1}][{i}])" for i in range(1, EMB_DIM + 1))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "s_ann_lsh_buckets",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_SQL_EMB} AS emb FROM embeddings)
+    SELECT vec_id, label, {_sql_bucket('emb')} AS bucket
+    FROM v
+    """,
+)
+def s_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes -> 256 buckets).
+
+    Scale: bucket id is row-local; the downstream join shuffles on the
+    8-bit bucket key. More planes / multiple tables tune recall vs bucket
+    size without changing the shape.
+    """
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return v.select("vec_id", "label", _bucket_col(F.col("emb")).alias("bucket"))
+
+
+@register(
+    "s_ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_SQL_EMB} AS emb, {_sql_norm(_SQL_EMB)} AS nrm,
+                      {_sql_bucket(_SQL_EMB)} AS bucket
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ({_sql_dot('a.emb', 'b.emb')}) / (a.nrm * b.nrm) AS cos_sim
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= 1
+    """,
+)
+def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor per vector: exact cosine within the
+    vector's LSH bucket only — the scale path for all-pairs similarity
+    (bucket join instead of cross join)."""
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x))))
+        .withColumn("bucket", _bucket_col(F.col("emb")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    dot = _fold_sum(F.zip_with("emb_a", "emb_b", lambda x, y: x * y))
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "s_embedding_stats",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_SQL_EMB} AS emb FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST({_sql_norm('emb')} AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           CAST(MIN({_sql_norm('emb')}) AS DOUBLE) AS min_norm,
+           CAST(MAX({_sql_norm('emb')}) AS DOUBLE) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics (decimal-cast sum keeps the
+    cross-row aggregation order-independent)."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x)))
+    return (
+        v.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(F.col("nrm").cast("decimal(25,12)")).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )

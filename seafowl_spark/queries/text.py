@@ -1,0 +1,293 @@
+"""Text analysis + deduplication operators over the `documents` table.
+
+These are the training-data-pipeline operators (language ID, quality scoring,
+token stats, fingerprinting, exact + n-gram dedup). All of them are pure
+`pyspark.sql.functions` column expressions — no Python UDFs — so they run
+JVM-side inside whole-stage codegen and scale linearly with input splits.
+
+Cross-engine hashing uses md5-derived integers (see functions.md5_int); all
+ratios divide integers (exact in both engines) and only multiply/compare
+doubles with identical expression trees, so results hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import table
+from . import register
+
+# language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "y", "es", "los"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def _sql_tokens(expr: str) -> str:
+    return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+
+@register(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_sql_tokens('text')}) AS n_tokens,
+           len(list_distinct({_sql_tokens('text')})) AS n_distinct,
+           len(list_distinct({_sql_tokens('text')})) / len({_sql_tokens('text')}) AS type_token_ratio,
+           length(text) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, type/token ratio."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("type_token_ratio"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter({_sql_tokens('text')}, t -> t IN ({markers})))"
+
+
+@register(
+    "t_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word (stopword n-gram) scoring with a
+    deterministic argmax precedence (en > de > es > fr)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def score(lang: str):
+        markers = list(LANG_MARKERS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(markers))).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+    )
+    s = {k: F.col(f"s_{k}") for k in ("en", "de", "es", "fr")}
+    predicted = (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0), "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "t_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             len({_sql_tokens('text')}) AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             len(list_filter({_sql_tokens('text')},
+                 t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens, n_punct, n_upper, n_stop,
+           n_stop / n_tokens AS stopword_ratio,
+           n_punct / n_chars AS punct_ratio,
+           (n_tokens >= 20 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.01) AS passes_filter
+    FROM base
+    """,
+)
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation density, stopword ratio, and a
+    boolean keep/drop gate — the standard pre-training corpus filter shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"))).cast("long").alias("n_punct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Z]"))).cast("long").alias("n_upper"),
+        F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("long").alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        "n_upper",
+        "n_stop",
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_punct") / F.col("n_chars")).alias("punct_ratio"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 1000)
+            & (stop_ratio >= 0.01)
+        ).alias("passes_filter"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct({_sql_tokens('lower(text)')})), ' ')) AS bag_fp,
+           CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fp_int
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5, order-insensitive
+    bag-of-words md5, and a 60-bit integer fingerprint for compact joins."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.lower(F.col("text"))))))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(bag).alias("bag_fp"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )
+
+
+@register(
+    "t_exact_dedup",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER w AS canonical_id,
+           COUNT(*) OVER w AS group_size,
+           (doc_id = MIN(doc_id) OVER w) AS is_canonical
+    FROM documents
+    WINDOW w AS (PARTITION BY md5(text))
+    """,
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: canonical row = min doc_id per md5 group.
+
+    Scale: this is a single hash shuffle on a 128-bit key; at 100 TB the key
+    is the md5 (never the text itself), so shuffle volume is rows x ~40 bytes.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+@register(
+    "t_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_sql_tokens('text')} AS toks
+      FROM documents WHERE doc_id % 20 = 0),
+    sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [] END AS shingles
+      FROM tok),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS n_inter,
+             len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / (n_a + n_b - n_inter) AS jaccard
+    FROM pairs WHERE n_inter > 0
+    """,
+)
+def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word-shingle) Jaccard near-dup scoring over blocked pairs.
+
+    Blocking on `lang` (plus the doc_id sample gate) bounds the pair space;
+    the full-scale variant swaps the block key for an LSH band (see
+    s_minhash_lsh) so candidate generation is O(n) not O(n^2) — this query
+    is the verify stage of that pipeline.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(
+        F.filter(
+            F.col("a.shingles"), lambda s: F.array_contains(F.col("b.shingles"), s)
+        )
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_inter"),
+            (
+                inter
+                / (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter)
+            ).alias("jaccard"),
+        )
+        .where(F.col("n_inter") > 0)
+    )
