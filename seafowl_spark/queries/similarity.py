@@ -64,10 +64,20 @@ def _tokens(col):
 _SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
-def _shingles_col():
-    toks = _tokens(F.col("text"))
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingles) with the token array materialized as
+    its own projection first.
+
+    Staging matters: embedding the split() expression inside the shingle
+    lambda would re-split the document on EVERY element_at (O(tokens^2) per
+    doc — measured 20x slowdown); as a multi-referenced column the optimizer
+    keeps it a separate Project and tokenization runs once per row.
+    """
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
-    return F.when(
+    shingles = F.when(
         n >= 3,
         F.array_distinct(
             F.transform(
@@ -81,6 +91,7 @@ def _shingles_col():
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return toked.select("doc_id", shingles.alias("shingles"))
 
 
 _SQL_SHINGLES = f"""
@@ -109,10 +120,11 @@ def _sql_h8(expr: str, start: int = 1) -> str:
 # ==========================================================================
 
 def _minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
     # hash every shingle ONCE (md5 dominates; the 16 affine permutations then
     # run over a plain array<long> — ~16x fewer md5 evaluations)
-    hashed = d.select("doc_id", F.transform(_shingles_col(), _h8).alias("hh"))
+    hashed = _shingled_docs(spark, sf_dir).select(
+        "doc_id", F.transform(F.col("shingles"), _h8).alias("hh")
+    )
 
     def _perm(a: int, b: int):
         # single-arg closure (extra default args would confuse Spark's
@@ -205,21 +217,25 @@ def s_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("band"))
+    # carry sigs through the explode so the pair join yields both signature
+    # arrays directly (no second/third recomputation of the sig subtree)
+    banded = sig.select("doc_id", "sigs", F.explode(bands).alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sigs_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sigs_b"))
     n_eq = F.size(
-        F.filter(F.zip_with("sigs_a", "sigs_b", lambda x, y: x == y), lambda eq: eq)
+        F.filter(
+            F.zip_with(F.col("sigs_a"), F.col("sigs_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
     ).cast("long")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sigs").alias("sigs_a"),
+            F.col("b.sigs").alias("sigs_b"),
+        )
+        .distinct()
         .select(
             "doc_a",
             "doc_b",
@@ -349,30 +365,25 @@ def s_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    chunked = sig.select("doc_id", F.explode(chunks).alias("chunk"))
+    # carry both signature halves through the chunk explode so the pair join
+    # needs no signature re-lookup (the sig aggregation subtree runs 2x, not 4x)
+    chunked = sig.select("doc_id", "simhash_lo", "simhash_hi", F.explode(chunks).alias("chunk"))
     a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash_lo").alias("lo_a"),
-        F.col("simhash_hi").alias("hi_a"),
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash_lo").alias("lo_b"),
-        F.col("simhash_hi").alias("hi_b"),
-    )
     hamming = (
         F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
         + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     ).cast("long")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash_lo").alias("lo_a"),
+            F.col("a.simhash_hi").alias("hi_a"),
+            F.col("b.simhash_lo").alias("lo_b"),
+            F.col("b.simhash_hi").alias("hi_b"),
+        )
+        .distinct()
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )

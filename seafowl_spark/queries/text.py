@@ -53,8 +53,10 @@ def _sql_tokens(expr: str) -> str:
 )
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, type/token ratio."""
-    d = table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -94,8 +96,10 @@ def _lang_score_sql(lang: str) -> str:
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via marker-word (stopword n-gram) scoring with a
     deterministic argmax precedence (en > de > es > fr)."""
-    d = table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
 
     def score(lang: str):
         markers = list(LANG_MARKERS[lang])
@@ -141,8 +145,10 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation density, stopword ratio, and a
     boolean keep/drop gate — the standard pre-training corpus filter shape."""
-    d = table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     base = d.select(
         "doc_id",
         "n_chars",
@@ -250,8 +256,12 @@ def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_minhash_lsh) so candidate generation is O(n) not O(n^2) — this query
     is the verify stage of that pipeline.
     """
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    toks = _tokens(F.col("text"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     shingles = F.when(
         n >= 3,
