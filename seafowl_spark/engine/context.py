@@ -1,0 +1,446 @@
+"""SeafowlContext — the statement executor binding Spark, the metastore
+catalog and deltalite storage.
+
+Query lifecycle mirrors the reference (SURVEY.md §3.1): per statement we
+(a) refresh the visible catalog into temp views (reference reload_schema,
+src/context/mod.rs:89-112 — cheap here because temp views are plan
+aliases), (b) rewrite time-travel sugar, (c) hand reads to `spark.sql`
+(Catalyst = DataFusion's role), and (d) interpret DDL/DML ourselves,
+eagerly, returning row-count style results (reference executes DML during
+physical planning, physical.rs:68-73).
+
+Name resolution: Spark temp views are single-part, so qualified references
+`schema.table` (and `db.schema.table`) are rewritten to mangled view names
+before parsing — same effect as the reference's schema providers.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import re
+from dataclasses import dataclass
+from hashlib import sha256
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+from . import parser
+from .catalog import (
+    DEFAULT_DB,
+    DEFAULT_SCHEMA,
+    STAGING_SCHEMA,
+    SYSTEM_SCHEMA,
+    Catalog,
+    CatalogError,
+    TableEntry,
+)
+from .deltalite import DeltaLiteTable, DeltaLiteError
+from .types import columns_to_schema
+
+
+class ExecutionError(Exception):
+    pass
+
+
+def _mangle(schema: str, name: str) -> str:
+    return f"__sfs__{schema}__{name}"
+
+
+@dataclass
+class StatementResult:
+    """Non-query statements return a one-row summary (count-style)."""
+
+    operation: str
+    rows_affected: int | None = None
+
+
+class SeafowlContext:
+    def __init__(self, spark: SparkSession, data_dir: str, catalog_path: str | None = None):
+        self.spark = spark
+        self.data_dir = data_dir.rstrip("/")
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.catalog = Catalog(catalog_path or os.path.join(self.data_dir, "catalog.sqlite"))
+        self.database = DEFAULT_DB
+        self.search_schema = DEFAULT_SCHEMA
+        # staging schema: session-scoped external tables (reference
+        # src/provider.rs:25-54 keeps these in-memory, never persisted)
+        self.staging: dict[str, DataFrame] = {}
+        self._registered_views: set[str] = set()
+
+    # ------------------------------------------------------------ resolution
+
+    def set_database(self, name: str) -> None:
+        if name not in self.catalog.databases():
+            raise ExecutionError(f"database {name} does not exist")
+        self.database = name
+
+    def table_root(self, entry: TableEntry) -> str:
+        return os.path.join(self.data_dir, entry.uuid)
+
+    def _resolve(self, name: str) -> TableEntry:
+        db, schema, table = parser.parse_qualified(name)
+        db = db or self.database
+        if schema == STAGING_SCHEMA:
+            raise ExecutionError("staging tables are read-only external tables")
+        schema = schema or self.search_schema
+        entry = self.catalog.get_table(db, schema, table)
+        if entry is None:
+            raise ExecutionError(f"table {db}.{schema}.{table} does not exist")
+        return entry
+
+    def delta_table(self, name: str) -> DeltaLiteTable:
+        return DeltaLiteTable(self.spark, self.table_root(self._resolve(name)))
+
+    # ------------------------------------------------------------ view refresh
+
+    def _system_tables(self) -> dict[str, DataFrame]:
+        """system.table_versions / system.dropped_tables (A21; reference
+        src/system_tables.rs:21-292)."""
+        ent = {
+            e.uuid: e for e in self.catalog.tables(self.database)
+        }
+        tv_rows = [
+            Row(
+                table_schema=ent[u].schema if u in ent else None,
+                table_name=ent[u].name if u in ent else None,
+                table_uuid=u,
+                version=v,
+                creation_time=ts // 1000,
+                operation=op,
+            )
+            for (u, v, ts, op) in self.catalog.table_versions()
+            if u in ent
+        ]
+        tv_schema = T.StructType.fromDDL(
+            "table_schema string, table_name string, table_uuid string, "
+            "version bigint, creation_time bigint, operation string"
+        )
+        dt_rows = [
+            Row(uuid=u, database=d, schema=s, name=n, drop_time=ms // 1000)
+            for (u, d, s, n, ms) in self.catalog.dropped_tables()
+        ]
+        dt_schema = T.StructType.fromDDL(
+            "uuid string, database string, schema string, name string, drop_time bigint"
+        )
+        return {
+            "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
+            "dropped_tables": self.spark.createDataFrame(dt_rows, dt_schema),
+        }
+
+    def reload_views(self) -> dict[str, str]:
+        """Register every visible table as temp view(s); returns the mapping
+        qualified-name -> view-name used for query rewriting.
+
+        Views registered on a previous reload that are no longer visible
+        (dropped tables, database switch) are deregistered — the same
+        always-fresh-catalog semantics as the reference's reload_schema.
+        """
+        mapping: dict[str, str] = {}
+        for e in self.catalog.tables(self.database):
+            df = DeltaLiteTable(self.spark, self.table_root(e)).to_df()
+            mangled = _mangle(e.schema, e.name)
+            df.createOrReplaceTempView(mangled)
+            mapping[f"{e.schema}.{e.name}"] = mangled
+            mapping[f"{e.database}.{e.schema}.{e.name}"] = mangled
+            if e.schema == self.search_schema:
+                df.createOrReplaceTempView(e.name)
+        for name, df in self.staging.items():
+            df.createOrReplaceTempView(name)
+            mapping[f"{STAGING_SCHEMA}.{name}"] = name
+        for name, df in self._system_tables().items():
+            mangled = _mangle(SYSTEM_SCHEMA, name)
+            df.createOrReplaceTempView(mangled)
+            mapping[f"{SYSTEM_SCHEMA}.{name}"] = mangled
+        registered = set(mapping.values()) | {
+            e.name for e in self.catalog.tables(self.database) if e.schema == self.search_schema
+        }
+        for stale in self._registered_views - registered:
+            self.spark.catalog.dropTempView(stale)
+        self._registered_views = registered
+        self._register_functions()
+        return mapping
+
+    def _rewrite_names(self, sql: str, mapping: dict[str, str]) -> str:
+        """Replace qualified table references with mangled view names,
+        outside string literals, longest-first."""
+        parts = re.split(r"('(?:[^']|'')*')", sql)  # keep literals intact
+        keys = sorted(mapping, key=len, reverse=True)
+        for i in range(0, len(parts), 2):
+            seg = parts[i]
+            for k in keys:
+                seg = re.sub(
+                    rf"(?<![A-Za-z0-9_.`]){re.escape(k)}(?![A-Za-z0-9_.`])",
+                    f"`{mapping[k]}`",
+                    seg,
+                    flags=re.IGNORECASE,
+                )
+            parts[i] = seg
+        return "".join(parts)
+
+    # ------------------------------------------------------------ functions
+
+    def _register_functions(self) -> None:
+        """Re-register persisted UDFs on the session (reference re-registers
+        from catalog in reload_schema, src/context/mod.rs:101-112)."""
+        from .udf import register_udf
+
+        for name, spec in self.catalog.functions(self.database).items():
+            register_udf(self.spark, name, spec)
+
+    # ------------------------------------------------------------ execution
+
+    def execute(self, sql: str) -> DataFrame | None:
+        """Execute one or more ;-separated statements; only the last may be
+        a read (reference frontend/http.rs:174-204); returns its DataFrame."""
+        stmts = parser.split_statements(sql)
+        if not stmts:
+            raise ExecutionError("empty statement")
+        for i, s in enumerate(stmts[:-1]):
+            if parser.is_read_only(s):
+                raise ExecutionError(
+                    "only the last statement in a multi-statement request may be a query"
+                )
+            self.execute_statement(s)
+        return self.execute_statement(stmts[-1])
+
+    def execute_statement(self, sql: str) -> DataFrame | None:
+        stmt = parser.parse_statement(sql)
+        handler = getattr(self, f"_exec_{stmt.kind}", None)
+        if handler is None:
+            raise ExecutionError(f"no handler for {stmt.kind}")
+        return handler(stmt)
+
+    def query(self, sql: str) -> DataFrame:
+        return self._exec_query(parser.Statement("query", sql))
+
+    # ---- reads
+
+    def _exec_query(self, stmt) -> DataFrame:
+        sql, travels = parser.extract_time_travel(stmt.text)
+        for alias, name, ts in travels:
+            t = self.delta_table(name)
+            t.to_df(timestamp=ts).createOrReplaceTempView(alias)
+        mapping = self.reload_views()
+        return self.spark.sql(self._rewrite_names(sql, mapping))
+
+    # ---- DDL
+
+    def _exec_create_database(self, stmt) -> None:
+        self.catalog.create_database(stmt.name, stmt.if_not_exists)
+
+    def _exec_create_schema(self, stmt) -> None:
+        db, _, name = parser.parse_qualified(stmt.name)
+        self.catalog.create_schema(db or self.database, name, stmt.if_not_exists)
+
+    def _exec_create_table(self, stmt) -> None:
+        db, schema, name = parser.parse_qualified(stmt.name)
+        db, schema = db or self.database, schema or self.search_schema
+        if stmt.if_not_exists and self.catalog.get_table(db, schema, name):
+            return
+        spark_schema = columns_to_schema(stmt.columns)
+        entry = self.catalog.create_table(
+            db, schema, name,
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in spark_schema.fields),
+        )
+        t = DeltaLiteTable.create(self.spark, self.table_root(entry), spark_schema)
+        self._record(entry, t)
+
+    def _exec_ctas(self, stmt) -> None:
+        db, schema, name = parser.parse_qualified(stmt.name)
+        db, schema = db or self.database, schema or self.search_schema
+        if stmt.if_not_exists and self.catalog.get_table(db, schema, name):
+            return
+        df = self._exec_query(parser.Statement("query", stmt.query))
+        entry = self.catalog.create_table(
+            db, schema, name,
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields),
+        )
+        t = DeltaLiteTable.create(self.spark, self.table_root(entry), df.schema)
+        t.append(df, operation="CTAS")
+        self._record(entry, t)
+
+    def _exec_create_external_table(self, stmt) -> None:
+        from ..sources.external import read_external
+
+        if stmt.name in self.staging:
+            if stmt.if_not_exists:
+                return
+            raise ExecutionError(f"external table {stmt.name} already exists")
+        df = read_external(
+            self.spark,
+            stmt.format,
+            stmt.location,
+            columns=stmt.columns,
+            options=stmt.options,
+        )
+        self.staging[stmt.name] = df
+
+    def _exec_convert_to_delta(self, stmt) -> None:
+        db, schema, name = parser.parse_qualified(stmt.name)
+        db, schema = db or self.database, schema or self.search_schema
+        t = DeltaLiteTable.convert_from_parquet(self.spark, stmt.path)
+        # conversion registers the existing directory; catalog points at it
+        # via a dedicated uuid row whose root IS that path: store relative
+        # link in schema_ddl metadata? Simplest: create entry then symlink.
+        entry = self.catalog.create_table(db, schema, name, t.snapshot().schema_ddl)
+        os.symlink(os.path.abspath(stmt.path), self.table_root(entry))
+        self._record(entry, t)
+
+    def _exec_create_function(self, stmt) -> None:
+        import json
+
+        from .udf import validate_spec
+
+        try:
+            spec = json.loads(stmt.spec)
+        except json.JSONDecodeError as exc:
+            raise ExecutionError(f"CREATE FUNCTION body is not valid JSON: {exc}") from exc
+        validate_spec(spec)
+        self.catalog.create_function(self.database, stmt.name, spec, stmt.or_replace)
+
+    def _exec_drop_function(self, stmt) -> None:
+        for n in stmt.names:
+            self.catalog.drop_function(self.database, n, stmt.if_exists)
+
+    def _exec_rename_table(self, stmt) -> None:
+        db, schema, name = parser.parse_qualified(stmt.name)
+        db2, schema2, name2 = parser.parse_qualified(stmt.new_name)
+        db, schema = db or self.database, schema or self.search_schema
+        db2, schema2 = db2 or self.database, schema2 or schema
+        if db != db2:
+            raise ExecutionError("cannot move tables across databases")  # reference parity
+        self.catalog.rename_table(db, schema, name, schema2, name2)
+
+    def _exec_drop_table(self, stmt) -> None:
+        db, schema, name = parser.parse_qualified(stmt.name)
+        db, schema = db or self.database, schema or self.search_schema
+        try:
+            entry = self.catalog.drop_table(db, schema, name)
+        except CatalogError:
+            if stmt.if_exists:
+                return
+            raise
+        DeltaLiteTable(self.spark, self.table_root(entry)).drop_data()
+        self.spark.catalog.dropTempView(name)
+
+    def _exec_drop_schema(self, stmt) -> None:
+        db, _, name = parser.parse_qualified(stmt.name)
+        try:
+            dropped = self.catalog.drop_schema(db or self.database, name)
+        except CatalogError:
+            if stmt.if_exists:
+                return
+            raise
+        for e in dropped:
+            DeltaLiteTable(self.spark, self.table_root(e)).drop_data()
+
+    def _exec_drop_database(self, stmt) -> None:
+        try:
+            dropped = self.catalog.drop_database(stmt.name)
+        except CatalogError:
+            if stmt.if_exists:
+                return
+            raise
+        for e in dropped:
+            DeltaLiteTable(self.spark, self.table_root(e)).drop_data()
+        if self.database == stmt.name:
+            self.database = DEFAULT_DB
+
+    # ---- DML
+
+    def _record(self, entry: TableEntry, t: DeltaLiteTable) -> None:
+        c = t.read_commit(t.latest_version())
+        self.catalog.record_version(entry.uuid, c.version, c.timestamp_ms, c.operation)
+
+    def _exec_insert(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        df = self._exec_query(parser.Statement("query", stmt.query))
+        target_cols = [f.name for f in t.schema().fields]
+        if stmt.columns:
+            if len(stmt.columns) != len(df.columns):
+                raise ExecutionError(
+                    f"INSERT column list has {len(stmt.columns)} names but query produces {len(df.columns)}"
+                )
+            unknown = [c for c in stmt.columns if c not in target_cols]
+            if unknown:
+                raise ExecutionError(f"unknown INSERT columns: {unknown}")
+            df = df.toDF(*stmt.columns)
+        elif set(df.columns) != set(target_cols):
+            # unnamed/positional source (e.g. VALUES): map by position
+            if len(df.columns) > len(target_cols):
+                raise ExecutionError("INSERT has more expressions than target columns")
+            df = df.toDF(*target_cols[: len(df.columns)])
+        t.append(df)
+        self._record(entry, t)
+
+    def _exec_update(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.update(stmt.sets, stmt.where)
+        self._record(entry, t)
+
+    def _exec_delete(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.delete(stmt.where)
+        self._record(entry, t)
+
+    def _exec_truncate(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.truncate()
+        self._record(entry, t)
+
+    def _exec_vacuum_table(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.vacuum(retention_ms=0)
+        self.catalog.prune_versions(entry.uuid, t.latest_version())
+
+    def _exec_vacuum_database(self, stmt) -> None:
+        """GC dropped tables' storage + catalog rows (reference
+        utils.rs:50 gc_databases)."""
+        gone = []
+        for (u, _db, _s, _n, _ms) in self.catalog.dropped_tables():
+            root = os.path.join(self.data_dir, u)
+            DeltaLiteTable(self.spark, root).drop_data()
+            gone.append(u)
+        self.catalog.clear_dropped(gone)
+
+    def _exec_copy_to(self, stmt) -> None:
+        if stmt.table:
+            df = self.delta_table(stmt.table).to_df()
+        else:
+            df = self._exec_query(parser.Statement("query", stmt.query))
+        fmt = {"csv": "csv", "parquet": "parquet", "ndjson": "json", "json": "json"}.get(
+            stmt.format
+        )
+        if fmt is None:
+            raise ExecutionError(f"COPY TO format {stmt.format} not supported")
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", stmt.options.get("header", "true"))
+        writer.format(fmt).save(stmt.path)
+
+    # ------------------------------------------------------------ ETag
+
+    def etag_for_query(self, sql: str) -> str:
+        """SHA-256 over the (uuid, version) of every catalog table the query
+        references — the reference hashes scanned Delta table URIs+versions
+        (src/frontend/http.rs:63-105). Text-level reference detection is a
+        conservative superset of the plan walk."""
+        sql2, travels = parser.extract_time_travel(sql)
+        touched: list[tuple[str, int]] = []
+        for e in self.catalog.tables(self.database):
+            pats = [rf"\b{e.schema}\.{e.name}\b", rf"\b{e.database}\.{e.schema}\.{e.name}\b"]
+            if e.schema == self.search_schema:
+                pats.append(rf"(?<![A-Za-z0-9_.]){e.name}(?![A-Za-z0-9_.])")
+            if any(re.search(p, sql2, re.IGNORECASE) for p in pats):
+                t = DeltaLiteTable(self.spark, self.table_root(e))
+                touched.append((e.uuid, t.latest_version()))
+        h = sha256()
+        for u, v in sorted(touched):
+            h.update(f"{u}@{v};".encode())
+        return h.hexdigest()

@@ -1,0 +1,537 @@
+"""deltalite — a minimal Delta-protocol-style versioned Parquet table.
+
+The reference stores every table as Parquet files under the Delta Lake
+protocol via delta-rs (reference src/context/delta.rs:275-380). delta-spark
+is not available in this environment, so this module provides the same
+storage contract natively on PySpark + a JSON commit log:
+
+* one directory per table (UUID-named by the catalog, reference
+  src/context/delta.rs:294-318 — renames never move data, A11),
+* `_log/<version>.json` commits with Add/Remove actions,
+* per-file column min/max/null-count stats harvested from parquet footers
+  (reference delta.rs:248-255 stores the same stats on Add actions),
+* snapshot reads + time travel by version or timestamp (A16),
+* copy-on-write UPDATE / DELETE / MERGE that prune files by stats before
+  rewriting (reference physical.rs:216-485 hand-rolls exactly this),
+* VACUUM removing unreferenced files (A15).
+
+Scale notes: the log is O(commits) JSON — at 100 TB the data plane is
+untouched (Spark scans an explicit file list, so partition parallelism,
+predicate pushdown and column pruning all work normally); stats pruning
+bounds rewrite cost for selective DML by file count, not table size.
+Writes re-chunk to `max_rows_per_file` (default 1 Mi rows, reference
+src/config/schema.rs:283) with zstd parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_ROWS_PER_FILE = 1_048_576  # reference src/config/schema.rs:283
+LOG_DIR = "_log"
+
+
+class DeltaLiteError(Exception):
+    pass
+
+
+class ConcurrentCommitError(DeltaLiteError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# log + snapshot
+# --------------------------------------------------------------------------
+
+@dataclass
+class AddFile:
+    path: str  # relative to table root
+    rows: int
+    size_bytes: int
+    stats: dict[str, dict[str, Any]]  # col -> {min, max, nulls}
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "rows": self.rows, "size_bytes": self.size_bytes, "stats": self.stats}
+
+    @staticmethod
+    def from_json(d: dict) -> "AddFile":
+        return AddFile(d["path"], d["rows"], d["size_bytes"], d.get("stats", {}))
+
+
+@dataclass
+class Commit:
+    version: int
+    timestamp_ms: int
+    operation: str
+    adds: list[AddFile] = field(default_factory=list)
+    removes: list[str] = field(default_factory=list)
+    metadata: dict | None = None  # schema_ddl etc. (first commit at minimum)
+    app_txn: dict | None = None  # {"app_id": ..., "version": ...} for idempotent sync
+
+
+@dataclass
+class Snapshot:
+    version: int
+    timestamp_ms: int
+    schema_ddl: str
+    files: list[AddFile]
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+
+class DeltaLiteTable:
+    """Handle to one versioned table directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.log_dir = os.path.join(self.root, LOG_DIR)
+
+    # ----------------------------------------------------------- log I/O
+
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:010d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json"):
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    def exists(self) -> bool:
+        return bool(self.versions())
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise DeltaLiteError(f"not a deltalite table: {self.root}")
+        return vs[-1]
+
+    def read_commit(self, version: int) -> Commit:
+        with open(self._version_path(version)) as f:
+            d = json.load(f)
+        return Commit(
+            version=d["version"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            adds=[AddFile.from_json(a) for a in d.get("adds", [])],
+            removes=d.get("removes", []),
+            metadata=d.get("metadata"),
+            app_txn=d.get("app_txn"),
+        )
+
+    def _write_commit(self, commit: Commit) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        path = self._version_path(commit.version)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        body = {
+            "version": commit.version,
+            "timestamp_ms": commit.timestamp_ms,
+            "operation": commit.operation,
+            "adds": [a.to_json() for a in commit.adds],
+            "removes": commit.removes,
+            "metadata": commit.metadata,
+            "app_txn": commit.app_txn,
+        }
+        with open(tmp, "w") as f:
+            json.dump(body, f)
+        # single-writer optimistic concurrency: version file must not exist
+        # (reference delta.rs:429-440 relies on the same object-store put-if-absent)
+        if os.path.exists(path):
+            os.unlink(tmp)
+            raise ConcurrentCommitError(f"version {commit.version} already committed")
+        os.rename(tmp, path)
+
+    # ----------------------------------------------------------- snapshots
+
+    def snapshot(self, version: int | None = None, timestamp: str | None = None) -> Snapshot:
+        vs = self.versions()
+        if not vs:
+            raise DeltaLiteError(f"not a deltalite table: {self.root}")
+        if timestamp is not None:
+            # time travel: last version committed at or before `timestamp`
+            # (reference src/version.rs:13-106 resolves datetimes the same way)
+            import datetime as _dt
+
+            ts = timestamp.replace("Z", "+00:00")
+            target_ms = int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+            chosen = None
+            for v in vs:
+                c = self.read_commit(v)
+                if c.timestamp_ms <= target_ms:
+                    chosen = v
+            if chosen is None:
+                raise DeltaLiteError(
+                    f"no version of {self.root} at or before {timestamp}"
+                )
+            version = chosen
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise DeltaLiteError(f"unknown version {version} for {self.root}")
+
+        files: dict[str, AddFile] = {}
+        schema_ddl = ""
+        ts_ms = 0
+        for v in vs:
+            if v > version:
+                break
+            c = self.read_commit(v)
+            ts_ms = c.timestamp_ms
+            if c.metadata and c.metadata.get("schema_ddl"):
+                schema_ddl = c.metadata["schema_ddl"]
+            for r in c.removes:
+                files.pop(r, None)
+            for a in c.adds:
+                files[a.path] = a
+        return Snapshot(version, ts_ms, schema_ddl, list(files.values()))
+
+    def history(self) -> list[Commit]:
+        return [self.read_commit(v) for v in self.versions()]
+
+    def schema(self) -> T.StructType:
+        ddl = self.snapshot().schema_ddl
+        return T.StructType.fromDDL(ddl)
+
+    def last_app_txn_version(self, app_id: str) -> int | None:
+        """Highest committed txn version for an app id (exactly-once CDC
+        resume; reference src/sync/writer.rs:583-683 durable sequences)."""
+        latest = None
+        for c in self.history():
+            if c.app_txn and c.app_txn.get("app_id") == app_id:
+                latest = c.app_txn.get("version")
+        return latest
+
+    # ----------------------------------------------------------- reads
+
+    def to_df(self, version: int | None = None, timestamp: str | None = None) -> DataFrame:
+        snap = self.snapshot(version, timestamp)
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        if not snap.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f.path) for f in snap.files]
+        # explicit schema: empty-file-set and add-order independence
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ----------------------------------------------------------- writes
+
+    def _harvest_adds(self, data_dir_rel: str) -> list[AddFile]:
+        """Collect Add actions (+footer stats) for parquet files Spark just
+        wrote under root/data_dir_rel. Footer-only: no data re-scan."""
+        adds = []
+        absdir = os.path.join(self.root, data_dir_rel)
+        for name in sorted(os.listdir(absdir)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(data_dir_rel, name)
+            full = os.path.join(absdir, name)
+            md = pq.ParquetFile(full).metadata
+            stats: dict[str, dict[str, Any]] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    cname = col.path_in_schema
+                    if "." in cname:  # nested: keep top-level only
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if hasattr(mn, "isoformat"):
+                        mn, mx = mn.isoformat(), mx.isoformat()
+                    cur = stats.get(cname)
+                    nulls = st.null_count if st.null_count is not None else 0
+                    if cur is None:
+                        stats[cname] = {"min": mn, "max": mx, "nulls": nulls}
+                    else:
+                        cur["min"] = min(cur["min"], mn)
+                        cur["max"] = max(cur["max"], mx)
+                        cur["nulls"] += nulls
+            adds.append(
+                AddFile(rel, md.num_rows, os.path.getsize(full), stats)
+            )
+        return adds
+
+    def _write_data(self, df: DataFrame) -> list[AddFile]:
+        txn = f"data/txn-{uuid.uuid4().hex}"
+        out = os.path.join(self.root, txn)
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            # VALUES/local relations: one file, not one per parallelism slot
+            if "LocalRelation" in plan and "FileScan" not in plan and " parquet" not in plan:
+                df = df.coalesce(1)
+        except Exception:  # noqa: BLE001 - sizing heuristic only
+            pass
+        (
+            df.write.option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
+            .option("compression", "zstd")
+            .parquet(out, mode="overwrite")
+        )
+        # drop Spark's _SUCCESS marker; log is the source of truth
+        marker = os.path.join(out, "_SUCCESS")
+        if os.path.exists(marker):
+            os.unlink(marker)
+        return self._harvest_adds(txn)
+
+    def _next_commit(
+        self,
+        operation: str,
+        adds: list[AddFile],
+        removes: list[str],
+        metadata: dict | None = None,
+        app_txn: dict | None = None,
+    ) -> Commit:
+        vs = self.versions()
+        commit = Commit(
+            version=(vs[-1] + 1) if vs else 0,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            adds=adds,
+            removes=removes,
+            metadata=metadata,
+            app_txn=app_txn,
+        )
+        self._write_commit(commit)
+        return commit
+
+    @staticmethod
+    def create(
+        spark: SparkSession, root: str, schema: T.StructType, operation: str = "CREATE TABLE"
+    ) -> "DeltaLiteTable":
+        t = DeltaLiteTable(spark, root)
+        os.makedirs(t.root, exist_ok=True)
+        if t.exists():
+            raise DeltaLiteError(f"table already exists at {root}")
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        t._next_commit(operation, [], [], metadata={"schema_ddl": ddl})
+        return t
+
+    def append(self, df: DataFrame, operation: str = "INSERT", app_txn: dict | None = None) -> Commit:
+        df = self._align(df)
+        adds = self._write_data(df)
+        return self._next_commit(operation, adds, [], app_txn=app_txn)
+
+    def overwrite(self, df: DataFrame, operation: str = "OVERWRITE") -> Commit:
+        df = self._align(df)
+        snap = self.snapshot()
+        adds = self._write_data(df)
+        return self._next_commit(operation, adds, [f.path for f in snap.files])
+
+    def _align(self, df: DataFrame) -> DataFrame:
+        """byName projection: pad missing columns with NULL, reorder, cast —
+        the reference does the same for INSERT (logical.rs:118-122,
+        tests/statements/dml.rs:3-46)."""
+        target = self.schema()
+        cols = []
+        for f in target.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    # ----------------------------------------------------------- DML
+
+    def _prune(self, snap: Snapshot, predicate_sql: str | None) -> list[AddFile]:
+        """File-level pruning by footer stats. Conservative: a file is kept
+        unless the predicate provably excludes it (mirrors PruningPredicate
+        use in reference physical.rs:274-299)."""
+        from .pruning import prune_files
+
+        return prune_files(snap.files, predicate_sql)
+
+    def update(self, set_exprs: dict[str, str], predicate_sql: str | None) -> Commit:
+        """Copy-on-write UPDATE (A4): rewrite only files the predicate can
+        touch; within them, CASE WHEN predicate THEN expr ELSE old.
+
+        `set_exprs` maps column -> SQL expression text; `predicate_sql` is
+        the WHERE text (also used for stats pruning).
+        """
+        snap = self.snapshot()
+        hit = self._prune(snap, predicate_sql)
+        if not hit:
+            return self._next_commit("UPDATE", [], [])
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f.path) for f in hit]
+        )
+        cond = F.expr(predicate_sql) if predicate_sql else F.lit(True)
+        projected = df.select(
+            *[
+                (
+                    F.when(cond, F.expr(set_exprs[c]).cast(schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+        adds = self._write_data(projected)
+        return self._next_commit("UPDATE", adds, [f.path for f in hit])
+
+    def delete(self, predicate_sql: str | None) -> Commit:
+        """Copy-on-write DELETE (A5); no predicate = remove all files
+        without scanning (reference physical.rs:370-485)."""
+        snap = self.snapshot()
+        if predicate_sql is None:
+            return self._next_commit("DELETE", [], [f.path for f in snap.files])
+        hit = self._prune(snap, predicate_sql)
+        if not hit:
+            return self._next_commit("DELETE", [], [])
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f.path) for f in hit]
+        )
+        predicate = F.expr(predicate_sql)
+        kept = df.where(~predicate | predicate.isNull())
+        adds = self._write_data(kept)
+        return self._next_commit("DELETE", adds, [f.path for f in hit])
+
+    def truncate(self) -> Commit:
+        """A14: new commit removing every file."""
+        snap = self.snapshot()
+        return self._next_commit("TRUNCATE", [], [f.path for f in snap.files])
+
+    def merge(
+        self,
+        changes: DataFrame,
+        pk_cols: list[str],
+        delete_col: str | None = None,
+        app_txn: dict | None = None,
+    ) -> Commit:
+        """Upsert/delete merge — the apply step of the reference's CDC sync
+        (reference src/sync/planner.rs:449-548): prune target files by the
+        change-set's PK range, FULL OUTER JOIN base<->changes on PK, take
+        changed values where present, drop deletes, rewrite pruned files.
+
+        `changes` must contain the PK columns plus any subset of value
+        columns; rows with delete_col=true are deletes.
+
+        Scale: only files whose PK stats intersect the change set rewrite;
+        the join shuffles on the PK, which both sides hash-partition.
+        """
+        snap = self.snapshot()
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        # coarse prune: min/max qualifier over the change-set PKs
+        # (reference planner.rs:552-628 does coarse + fine-grained)
+        bounds = changes.agg(
+            *[F.min(c).alias(f"min_{c}") for c in pk_cols],
+            *[F.max(c).alias(f"max_{c}") for c in pk_cols],
+        ).collect()[0]
+        parts = []
+        for c in pk_cols:
+            mn, mx = bounds[f"min_{c}"], bounds[f"max_{c}"]
+            if mn is None or not isinstance(mn, (int, float)):
+                continue
+            parts.append(f"{c} >= {mn} AND {c} <= {mx}")
+        hit = self._prune(snap, " AND ".join(parts) if parts else None)
+        hit_paths = [f.path for f in hit]
+        if hit:
+            base = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f.path) for f in hit]
+            )
+        else:
+            base = self.spark.createDataFrame([], schema)
+
+        ch = changes
+        if delete_col is None:
+            delete_col = "__delete__"
+            ch = ch.withColumn(delete_col, F.lit(False))
+        ch = ch.alias("c")
+        base = base.alias("b")
+        cond = None
+        for c in pk_cols:
+            p = F.col(f"b.{c}") == F.col(f"c.{c}")
+            cond = p if cond is None else (cond & p)
+        joined = base.join(ch, cond, "full_outer")
+        has_change = F.col(f"c.{pk_cols[0]}").isNotNull()
+        out_cols = []
+        for fobj in schema.fields:
+            c = fobj.name
+            if c in pk_cols:
+                # PK: change-side wins when present (it IS the join key)
+                out_cols.append(
+                    F.coalesce(F.col(f"c.{c}"), F.col(f"b.{c}")).alias(c)
+                )
+            elif c in ch.columns and c != delete_col:
+                take = has_change
+                flag = f"__set_{c}"
+                if flag in ch.columns:
+                    # per-column CHANGED mask (reference CASE projection per
+                    # column honoring CHANGED flags, planner.rs:449-548)
+                    take = take & F.coalesce(F.col(f"c.{flag}"), F.lit(False))
+                out_cols.append(
+                    F.when(take, F.col(f"c.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"b.{c}").alias(c))
+        is_delete = has_change & F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
+        result = joined.where(~is_delete).select(*out_cols)
+        adds = self._write_data(result)
+        return self._next_commit("MERGE", adds, hit_paths, app_txn=app_txn)
+
+    # ----------------------------------------------------------- maintenance
+
+    def vacuum(self, retention_ms: int = 0) -> list[str]:
+        """A15: delete data files no longer referenced by the latest
+        snapshot (retention on commit age), mirror of delta-rs
+        VacuumBuilder with retention 0 (reference physical.rs:703-766)."""
+        live = {f.path for f in self.snapshot().files}
+        now = int(time.time() * 1000)
+        dead: list[str] = []
+        for c in self.history():
+            for r in c.removes:
+                if r not in live and now - c.timestamp_ms >= retention_ms:
+                    full = os.path.join(self.root, r)
+                    if os.path.exists(full):
+                        os.unlink(full)
+                        dead.append(r)
+        return dead
+
+    def drop_data(self) -> None:
+        """Remove the whole table directory (A12 eager object deletion)."""
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    @staticmethod
+    def convert_from_parquet(spark: SparkSession, root: str, operation: str = "CONVERT") -> "DeltaLiteTable":
+        """A8 `CONVERT 'path' TO DELTA`: build a log over parquet files
+        already sitting in a directory, in place (reference delta.rs:319-358)."""
+        t = DeltaLiteTable(spark, root)
+        if t.exists():
+            raise DeltaLiteError(f"already a deltalite table: {root}")
+        names = [n for n in sorted(os.listdir(root)) if n.endswith(".parquet")]
+        if not names:
+            raise DeltaLiteError(f"no parquet files to convert in {root}")
+        df = spark.read.parquet(os.path.join(root, names[0]))
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        adds = []
+        for n in names:
+            full = os.path.join(root, n)
+            md = pq.ParquetFile(full).metadata
+            adds.append(AddFile(n, md.num_rows, os.path.getsize(full), {}))
+        t._next_commit(operation, adds, [], metadata={"schema_ddl": ddl})
+        return t

@@ -1,0 +1,329 @@
+"""Statement splitting, classification and parsing for the DDL/DML surface
+the engine implements itself (SURVEY.md §2.A; reference src/datafusion/
+parser.rs:147-186 does the same dispatch in its sqlparser wrapper).
+
+Queries (SELECT / WITH / VALUES / EXPLAIN / SHOW / DESCRIBE) pass through to
+`spark.sql` untouched except for the time-travel sugar rewrite
+(`t('<timestamp>')` -> versioned temp view, reference src/version.rs:61-106).
+Everything else parses into a Statement the executor (context.py) interprets.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+READ_PREFIXES = ("select", "with", "values", "explain", "show", "describe", "table")
+
+
+class ParseError(Exception):
+    pass
+
+
+@dataclass
+class Statement:
+    kind: str
+    text: str
+    fields: dict[str, Any] = field(default_factory=dict)
+
+    def __getattr__(self, item):
+        try:
+            return self.fields[item]
+        except KeyError as exc:
+            raise AttributeError(item) from exc
+
+
+# --------------------------------------------------------------------------
+# statement splitting (respects quotes)
+# --------------------------------------------------------------------------
+
+def split_statements(sql: str) -> list[str]:
+    out, buf, i, n = [], [], 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def is_read_only(stmt: str) -> bool:
+    """Read-only detection for the multi-statement / cached-GET rules
+    (reference src/context/logical.rs:36-58)."""
+    return stmt.strip().lower().startswith(READ_PREFIXES)
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_QNAME = rf"{_IDENT}(?:\.{_IDENT}){{0,2}}"
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0, respecting quotes."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    last = "".join(buf).strip()
+    if last:
+        out.append(last)
+    return out
+
+
+def parse_qualified(name: str) -> tuple[str | None, str | None, str]:
+    parts = name.split(".")
+    if len(parts) == 1:
+        return None, None, parts[0]
+    if len(parts) == 2:
+        return None, parts[0], parts[1]
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    raise ParseError(f"too many name parts: {name}")
+
+
+# --------------------------------------------------------------------------
+# time-travel sugar:  FROM t('2022-01-01T20:01:01Z')  (A16)
+# --------------------------------------------------------------------------
+
+_TT = re.compile(
+    rf"(?i)\b(FROM|JOIN)\s+({_QNAME})\s*\(\s*'([^']+)'\s*\)", re.DOTALL
+)
+
+
+def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """Rewrite `FROM t('<ts>')` references to sanitized versioned view
+    aliases and return [(alias, table_name, timestamp)] so the executor can
+    register each snapshot as a temp view (reference src/version.rs:28-106
+    registers `name:version` aliases the same way)."""
+    found: list[tuple[str, str, str]] = []
+
+    def sub(m: re.Match) -> str:
+        name, ts = m.group(2), m.group(3)
+        alias = f"__sfs_tt_{len(found)}_{name.replace('.', '_')}"
+        found.append((alias, name, ts))
+        return f"{m.group(1)} `{alias}`"
+
+    return _TT.sub(sub, sql), found
+
+
+# --------------------------------------------------------------------------
+# statement parsing
+# --------------------------------------------------------------------------
+
+def parse_statement(sql: str) -> Statement:
+    s = sql.strip()
+    low = re.sub(r"\s+", " ", s.lower())
+
+    if is_read_only(s):
+        return Statement("query", s)
+
+    m = re.match(r"(?i)^create\s+database\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*$", s)
+    if m:
+        return Statement("create_database", s, {"name": m.group(2), "if_not_exists": bool(m.group(1))})
+
+    m = re.match(r"(?i)^create\s+schema\s+(if\s+not\s+exists\s+)?(" + _QNAME + r")\s*$", s)
+    if m:
+        return Statement("create_schema", s, {"name": m.group(2), "if_not_exists": bool(m.group(1))})
+
+    m = re.match(
+        rf"(?i)^create\s+external\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*"
+        rf"(\((.*?)\))?\s*stored\s+as\s+({_IDENT})\s*(?:options\s*\((.*?)\)\s*)?location\s+'([^']+)'\s*$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        cols = _parse_columns(m.group(4)) if m.group(4) else None
+        return Statement(
+            "create_external_table",
+            s,
+            {
+                "if_not_exists": bool(m.group(1)),
+                "name": m.group(2),
+                "columns": cols,
+                "format": m.group(5).lower(),
+                "options": _parse_options(m.group(6)),
+                "location": m.group(7),
+            },
+        )
+
+    m = re.match(
+        rf"(?i)^create\s+(or\s+replace\s+)?function\s+({_IDENT})\s+as\s+'((?:[^']|'')*)'\s*$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        return Statement(
+            "create_function",
+            s,
+            {"or_replace": bool(m.group(1)), "name": m.group(2), "spec": m.group(3).replace("''", "'")},
+        )
+
+    m = re.match(
+        rf"(?i)^drop\s+function\s+(if\s+exists\s+)?({_IDENT}(?:\s*,\s*{_IDENT})*)\s*$", s
+    )
+    if m:
+        names = [n.strip() for n in m.group(2).split(",")]
+        return Statement("drop_function", s, {"if_exists": bool(m.group(1)), "names": names})
+
+    m = re.match(
+        rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s+as\s+(.*)$", s, re.DOTALL
+    )
+    if m:
+        return Statement(
+            "ctas", s, {"if_not_exists": bool(m.group(1)), "name": m.group(2), "query": m.group(3)}
+        )
+
+    m = re.match(
+        rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s*\((.*)\)\s*$", s, re.DOTALL
+    )
+    if m:
+        return Statement(
+            "create_table",
+            s,
+            {"if_not_exists": bool(m.group(1)), "name": m.group(2), "columns": _parse_columns(m.group(3))},
+        )
+
+    m = re.match(
+        rf"(?i)^insert\s+into\s+({_QNAME})\s*(\(([^)]*)\))?\s*(values\s*\(.*|select\s+.*|with\s+.*|table\s+.*)$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        return Statement("insert", s, {"name": m.group(1), "columns": cols, "query": m.group(4)})
+
+    m = re.match(
+        rf"(?i)^update\s+({_QNAME})\s+set\s+(.*?)(?:\s+where\s+(.*))?$", s, re.DOTALL
+    )
+    if m:
+        sets = {}
+        for item in _split_top(m.group(2)):
+            k, _, v = item.partition("=")
+            if not v:
+                raise ParseError(f"bad SET clause: {item}")
+            sets[k.strip()] = v.strip()
+        return Statement("update", s, {"name": m.group(1), "sets": sets, "where": m.group(3)})
+
+    m = re.match(rf"(?i)^delete\s+from\s+({_QNAME})(?:\s+where\s+(.*))?$", s, re.DOTALL)
+    if m:
+        return Statement("delete", s, {"name": m.group(1), "where": m.group(2)})
+
+    m = re.match(rf"(?i)^truncate\s+(?:table\s+)?({_QNAME})\s*$", s)
+    if m:
+        return Statement("truncate", s, {"name": m.group(1)})
+
+    m = re.match(rf"(?i)^vacuum\s+table\s+({_QNAME})\s*$", s)
+    if m:
+        return Statement("vacuum_table", s, {"name": m.group(1)})
+    m = re.match(rf"(?i)^vacuum\s+database\s+({_IDENT})\s*$", s)
+    if m:
+        return Statement("vacuum_database", s, {"name": m.group(1)})
+
+    m = re.match(
+        rf"(?i)^alter\s+table\s+({_QNAME})\s+rename\s+to\s+({_QNAME})\s*$", s
+    )
+    if m:
+        return Statement("rename_table", s, {"name": m.group(1), "new_name": m.group(2)})
+
+    m = re.match(rf"(?i)^drop\s+table\s+(if\s+exists\s+)?({_QNAME})\s*$", s)
+    if m:
+        return Statement("drop_table", s, {"if_exists": bool(m.group(1)), "name": m.group(2)})
+
+    m = re.match(rf"(?i)^drop\s+schema\s+(if\s+exists\s+)?({_QNAME})\s*$", s)
+    if m:
+        return Statement("drop_schema", s, {"if_exists": bool(m.group(1)), "name": m.group(2)})
+
+    m = re.match(rf"(?i)^drop\s+database\s+(if\s+exists\s+)?({_IDENT})\s*$", s)
+    if m:
+        return Statement("drop_database", s, {"if_exists": bool(m.group(1)), "name": m.group(2)})
+
+    m = re.match(
+        rf"(?i)^copy\s+(\((.*)\)|{_QNAME})\s+to\s+'([^']+)'\s*(?:stored\s+as\s+({_IDENT}))?\s*(?:options\s*\((.*?)\))?\s*$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        return Statement(
+            "copy_to",
+            s,
+            {
+                "query": m.group(2),
+                "table": None if m.group(2) else m.group(1),
+                "path": m.group(3),
+                "format": (m.group(4) or "parquet").lower(),
+                "options": _parse_options(m.group(5)),
+            },
+        )
+
+    m = re.match(rf"(?i)^convert\s+'([^']+)'\s+to\s+delta\s+({_QNAME})\s*$", s)
+    if m:
+        return Statement("convert_to_delta", s, {"path": m.group(1), "name": m.group(2)})
+
+    raise ParseError(f"unsupported statement: {s[:120]}")
+
+
+def _parse_columns(body: str) -> list[tuple[str, str]]:
+    cols = []
+    for item in _split_top(body):
+        m = re.match(rf"^({_IDENT}|\"[^\"]+\")\s+(.+)$", item.strip(), re.DOTALL)
+        if not m:
+            raise ParseError(f"bad column definition: {item!r}")
+        name = m.group(1).strip('"')
+        cols.append((name, m.group(2).strip()))
+    return cols
+
+
+def _parse_options(body: str | None) -> dict[str, str]:
+    if not body:
+        return {}
+    out = {}
+    for item in _split_top(body):
+        m = re.match(r"^'?([A-Za-z_][A-Za-z0-9_.]*)'?\s*(?:=|\s)\s*'((?:[^']|'')*)'$", item.strip())
+        if not m:
+            raise ParseError(f"bad option: {item!r}")
+        out[m.group(1)] = m.group(2).replace("''", "'")
+    return out

@@ -1,0 +1,109 @@
+"""CREATE EXTERNAL TABLE readers (A7; reference src/datafusion/
+parser.rs:601-745, src/context/physical.rs:108-121, 952-988).
+
+Formats: PARQUET, CSV, NDJSON/JSON, ARROW, DELTATABLE (deltalite dirs).
+Locations: local paths and http(s) URLs. Schema is inferred when no column
+list is given (reference infers via ListingOptions::infer_schema,
+physical.rs:970-979).
+
+HTTP: Spark has no https:// Hadoop filesystem by default, so remote files
+are fetched once into a local cache keyed by URL hash (the reference
+instead implements a range-request ObjectStore, object_store/http.rs — at
+cluster scale the fetch would land on shared storage; the 1 GiB on-disk
+chunk cache in the reference plays the same role).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.request
+from hashlib import sha256
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.types import columns_to_schema
+
+_CACHE_DIR = os.path.join(tempfile.gettempdir(), "seafowl_spark_http_cache")
+
+
+class ExternalTableError(Exception):
+    pass
+
+
+def fetch_url(url: str) -> str:
+    """Download (once) to the local cache; returns the local path."""
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    suffix = os.path.splitext(url.split("?")[0])[1] or ".bin"
+    local = os.path.join(_CACHE_DIR, sha256(url.encode()).hexdigest() + suffix)
+    if not os.path.exists(local):
+        tmp = local + ".tmp"
+        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:  # noqa: S310
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.rename(tmp, local)
+    return local
+
+
+def read_external(
+    spark: SparkSession,
+    fmt: str,
+    location: str,
+    columns: list[tuple[str, str]] | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    options = dict(options or {})
+    if location.startswith(("http://", "https://")):
+        location = fetch_url(location)
+
+    schema = columns_to_schema(columns) if columns else None
+    fmt = fmt.lower()
+
+    if fmt == "parquet":
+        r = spark.read
+        if schema:
+            r = r.schema(schema)
+        return r.parquet(location)
+
+    if fmt == "csv":
+        r = spark.read.option("header", options.pop("has_header", "true"))
+        if "delimiter" in options:
+            r = r.option("sep", options.pop("delimiter"))
+        if schema:
+            r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", "true")
+        return r.options(**options).csv(location)
+
+    if fmt in ("ndjson", "json"):
+        r = spark.read
+        if schema:
+            r = r.schema(schema)
+        return r.options(**options).json(location)
+
+    if fmt == "arrow":
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        with pa.memory_map(location) as source:
+            try:
+                tbl = pa.ipc.open_file(source).read_all()
+            except pa.ArrowInvalid:
+                tbl = pa.ipc.open_stream(source).read_all()
+        return spark.createDataFrame(tbl.to_pandas())
+
+    if fmt in ("deltatable", "delta"):
+        from ..engine.deltalite import DeltaLiteTable
+
+        return DeltaLiteTable(spark, location).to_df()
+
+    if fmt == "iceberg":
+        raise ExternalTableError(
+            "ICEBERG external tables require the iceberg-spark runtime jar, "
+            "which is not available in this environment"
+        )
+
+    raise ExternalTableError(f"unsupported external table format: {fmt}")

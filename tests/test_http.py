@@ -1,0 +1,160 @@
+"""HTTP frontend tests (reference tests/http/ + http.rs in-module tests):
+routes, multi-statement rule, ETag/304 transparent caching, auth, upload."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+from hashlib import sha256
+
+import pytest
+
+from seafowl_spark.engine.server import AccessPolicy, SeafowlServer
+
+
+@pytest.fixture()
+def server(ctx):
+    srv = SeafowlServer(ctx).start()
+    yield srv
+    srv.stop()
+
+
+def _post_q(port, query, token=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/q",
+        data=json.dumps({"query": query}).encode(),
+        headers={"Content-Type": "application/json"}
+        | ({"Authorization": f"Bearer {token}"} if token else {}),
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read().decode(), dict(resp.headers)
+
+
+def _get_q(port, query, etag=None, token=None):
+    h = sha256(query.encode()).hexdigest()
+    headers = {"X-Seafowl-Query": urllib.parse.quote(query)}
+    if etag:
+        headers["If-None-Match"] = etag
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/q/{h}", headers=headers)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode(), dict(e.headers)
+
+
+import urllib.parse  # noqa: E402
+
+
+class TestHttp:
+    def test_post_multi_statement_jsonlines(self, server):
+        code, body, headers = _post_q(
+            server.port,
+            "CREATE TABLE h (x int, s varchar); "
+            "INSERT INTO h VALUES (1, 'a'), (2, 'b'); "
+            "SELECT * FROM h ORDER BY x",
+        )
+        assert code == 200
+        lines = [json.loads(l) for l in body.strip().split("\n")]
+        assert lines == [{"x": 1, "s": "a"}, {"x": 2, "s": "b"}]
+        assert "arrow-schema=" in headers["Content-Type"]
+        assert "X-Seafowl-Query-Time" in headers
+
+    def test_post_read_not_last_is_400(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/q",
+            data=json.dumps({"query": "SELECT 1; CREATE TABLE z (x int)"}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+    def test_get_hash_mismatch_rejected(self, server):
+        _post_q(server.port, "CREATE TABLE g (x int)")
+        q = "SELECT * FROM g"
+        bad_hash = "0" * 64
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/q/{bad_hash}",
+            headers={"X-Seafowl-Query": urllib.parse.quote(q)},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+    def test_get_write_rejected(self, server):
+        code, body, _ = _get_q(server.port, "CREATE TABLE w (x int)")
+        assert code == 405
+
+    def test_etag_304_cycle(self, server):
+        """The signature seafowl behavior: second GET with If-None-Match
+        returns 304 without executing; a write invalidates the ETag."""
+        _post_q(server.port, "CREATE TABLE e (x int); INSERT INTO e VALUES (1)")
+        q = "SELECT * FROM e"
+        code, body, headers = _get_q(server.port, q)
+        assert code == 200
+        assert json.loads(body.strip()) == {"x": 1}
+        etag = headers["ETag"]
+        assert headers["Cache-Control"] == "max-age=43200, public"
+
+        code2, body2, headers2 = _get_q(server.port, q, etag=etag)
+        assert code2 == 304
+        assert body2 == ""
+
+        _post_q(server.port, "INSERT INTO e VALUES (2)")
+        code3, body3, headers3 = _get_q(server.port, q, etag=etag)
+        assert code3 == 200
+        assert headers3["ETag"] != etag
+        assert len(body3.strip().split("\n")) == 2
+
+    def test_auth_policies(self, ctx):
+        token = "secret-token"
+        policy = AccessPolicy(read="any", write=sha256(token.encode()).hexdigest())
+        srv = SeafowlServer(ctx, policy=policy).start()
+        try:
+            # write without token -> 403
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/q",
+                data=json.dumps({"query": "CREATE TABLE a1 (x int)"}).encode(),
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 403
+            # write with token -> ok
+            code, _, _ = _post_q(srv.port, "CREATE TABLE a1 (x int)", token=token)
+            assert code == 200
+            # read without token still fine (read=any)
+            code, body, _ = _post_q(srv.port, "SELECT count(*) AS n FROM a1")
+            assert code == 200
+        finally:
+            srv.stop()
+
+    def test_upload_csv_creates_and_appends(self, server):
+        boundary = "XBOUNDARYX"
+        csv_payload = "a,b\n1,x\n2,y\n"
+        body = (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="data.csv"\r\n'
+            f"Content-Type: text/csv\r\n\r\n"
+            f"{csv_payload}\r\n"
+            f"--{boundary}--\r\n"
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/upload/public/uploaded",
+            data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        code, out, _ = _post_q(server.port, "SELECT count(*) AS n FROM uploaded")
+        assert json.loads(out.strip()) == {"n": 2}
+        # second upload appends
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        code, out, _ = _post_q(server.port, "SELECT count(*) AS n FROM uploaded")
+        assert json.loads(out.strip()) == {"n": 4}
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/healthz") as r:
+            assert r.status == 200

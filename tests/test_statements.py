@@ -1,0 +1,398 @@
+"""Statement corpus — golden-output tests per statement family, mirroring
+the reference's tests/statements/{ddl,dml,query,time_travel,convert,vacuum,
+truncate}.rs structure (SURVEY.md §5)."""
+
+import base64
+import json
+import os
+import time
+
+import pytest
+
+from seafowl_spark.engine.context import ExecutionError
+from seafowl_spark.engine.deltalite import DeltaLiteTable
+from tests.conftest import rows
+
+FIXTURE = (
+    "CREATE TABLE t (c_int int, c_big bigint, c_text varchar, c_float double, c_ts timestamp)"
+)
+
+
+def seed(ctx):
+    ctx.execute(FIXTURE)
+    ctx.execute(
+        "INSERT INTO t VALUES "
+        "(1, 10, 'one', 1.5, TIMESTAMP '2024-01-01 00:00:00'), "
+        "(2, 20, 'two', 2.5, TIMESTAMP '2024-01-02 00:00:00'), "
+        "(3, 30, 'three', 3.5, TIMESTAMP '2024-01-03 00:00:00')"
+    )
+
+
+# ----------------------------------------------------------------- DDL
+
+
+class TestDDL:
+    def test_create_insert_select(self, ctx):
+        seed(ctx)
+        out = ctx.execute("SELECT c_int, c_text FROM t ORDER BY c_int")
+        assert rows(out) == [(1, "one"), (2, "two"), (3, "three")]
+
+    def test_create_if_not_exists(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE TABLE IF NOT EXISTS t (x int)")  # no error
+        with pytest.raises(Exception, match="already exists"):
+            ctx.execute("CREATE TABLE t (x int)")
+
+    def test_schema_qualified(self, ctx):
+        ctx.execute("CREATE SCHEMA s2")
+        ctx.execute("CREATE TABLE s2.t2 (x int)")
+        ctx.execute("INSERT INTO s2.t2 VALUES (42)")
+        assert rows(ctx.execute("SELECT * FROM s2.t2")) == [(42,)]
+
+    def test_create_database_and_use(self, ctx):
+        ctx.execute("CREATE DATABASE db2")
+        assert "db2" in ctx.catalog.databases()
+        ctx.set_database("db2")
+        ctx.execute("CREATE TABLE u (x int)")
+        ctx.execute("INSERT INTO u VALUES (7)")
+        assert rows(ctx.execute("SELECT * FROM u")) == [(7,)]
+        ctx.set_database("default")
+        with pytest.raises(Exception, match="cannot be found|does not exist"):
+            ctx.execute("SELECT * FROM u")
+
+    def test_rename_table(self, ctx):
+        seed(ctx)
+        uuid_before = ctx.catalog.get_table("default", "public", "t").uuid
+        ctx.execute("ALTER TABLE t RENAME TO t_new")
+        assert ctx.catalog.get_table("default", "public", "t") is None
+        # data did not move: same uuid dir (A11 catalog-only rename)
+        assert ctx.catalog.get_table("default", "public", "t_new").uuid == uuid_before
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t_new")) == [(3,)]
+
+    def test_rename_into_schema(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE SCHEMA other")
+        ctx.execute("ALTER TABLE t RENAME TO other.t")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM other.t")) == [(3,)]
+
+    def test_drop_table(self, ctx):
+        seed(ctx)
+        root = ctx.table_root(ctx.catalog.get_table("default", "public", "t"))
+        ctx.execute("DROP TABLE t")
+        assert not os.path.exists(root)
+        with pytest.raises(Exception, match="cannot be found|does not exist"):
+            ctx.execute("SELECT * FROM t")
+        ctx.execute("DROP TABLE IF EXISTS t")  # no error
+
+    def test_drop_schema(self, ctx):
+        ctx.execute("CREATE SCHEMA s3")
+        ctx.execute("CREATE TABLE s3.a (x int)")
+        ctx.execute("DROP SCHEMA s3")
+        assert "s3" not in ctx.catalog.schemas("default")
+
+    def test_ctas(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE TABLE t2 AS SELECT c_int * 2 AS d FROM t")
+        assert rows(ctx.execute("SELECT * FROM t2")) == [(2,), (4,), (6,)]
+
+    def test_reserved_schema_names(self, ctx):
+        with pytest.raises(Exception, match="reserved"):
+            ctx.execute("CREATE SCHEMA staging")
+
+
+# ----------------------------------------------------------------- DML
+
+
+class TestDML:
+    def test_insert_column_subset_pads_null(self, ctx):
+        seed(ctx)
+        ctx.execute("INSERT INTO t (c_int, c_text) VALUES (4, 'four')")
+        out = ctx.execute("SELECT c_int, c_big, c_text FROM t WHERE c_int = 4")
+        assert rows(out) == [(4, None, "four")]
+
+    def test_insert_select(self, ctx):
+        seed(ctx)
+        ctx.execute("INSERT INTO t SELECT c_int + 10, c_big, c_text, c_float, c_ts FROM t")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(6,)]
+
+    def test_insert_implicit_cast(self, ctx):
+        seed(ctx)
+        ctx.execute("INSERT INTO t (c_big) VALUES (99)")  # int literal -> bigint
+        assert (99,) in rows(ctx.execute("SELECT c_big FROM t"))
+
+    def test_update_with_predicate(self, ctx):
+        seed(ctx)
+        ctx.execute("UPDATE t SET c_text = 'TWO', c_float = c_float * 10 WHERE c_int = 2")
+        out = ctx.execute("SELECT c_int, c_text, c_float FROM t ORDER BY c_int")
+        assert rows(out) == [(1, "one", 1.5), (2, "TWO", 25.0), (3, "three", 3.5)]
+
+    def test_update_no_predicate(self, ctx):
+        seed(ctx)
+        ctx.execute("UPDATE t SET c_int = 0")
+        assert rows(ctx.execute("SELECT DISTINCT c_int FROM t")) == [(0,)]
+
+    def test_delete_with_predicate(self, ctx):
+        seed(ctx)
+        ctx.execute("DELETE FROM t WHERE c_int >= 2")
+        assert rows(ctx.execute("SELECT c_int FROM t")) == [(1,)]
+
+    def test_delete_all_removes_files_without_scan(self, ctx):
+        seed(ctx)
+        ctx.execute("DELETE FROM t")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(0,)]
+        t = ctx.delta_table("t")
+        assert t.read_commit(t.latest_version()).adds == []  # pure remove commit
+
+    def test_truncate(self, ctx):
+        seed(ctx)
+        ctx.execute("TRUNCATE TABLE t")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(0,)]
+        # schema survives
+        ctx.execute("INSERT INTO t (c_int) VALUES (9)")
+        assert rows(ctx.execute("SELECT c_int FROM t")) == [(9,)]
+
+    def test_update_prunes_files(self, ctx):
+        """Copy-on-write UPDATE must not rewrite files the predicate
+        provably misses (reference physical.rs:274-299)."""
+        ctx.execute("CREATE TABLE p (k bigint, v varchar)")
+        ctx.execute("INSERT INTO p VALUES (1, 'a'), (2, 'b')")
+        ctx.execute("INSERT INTO p VALUES (100, 'x'), (200, 'y')")
+        t = ctx.delta_table("p")
+        before = {f.path for f in t.snapshot().files}
+        assert len(before) == 2
+        ctx.execute("UPDATE p SET v = 'Z' WHERE k > 150")
+        t = ctx.delta_table("p")
+        commit = t.read_commit(t.latest_version())
+        assert len(commit.removes) == 1  # only the second file rewritten
+        out = ctx.execute("SELECT k, v FROM p ORDER BY k")
+        assert rows(out) == [(1, "a"), (2, "b"), (100, "x"), (200, "Z")]
+
+
+# ----------------------------------------------------------------- queries
+
+
+class TestQuery:
+    def test_multi_statement_last_read(self, ctx):
+        out = ctx.execute(
+            "CREATE TABLE m (x int); INSERT INTO m VALUES (1), (2); SELECT sum(x) AS s FROM m"
+        )
+        assert rows(out) == [(3,)]
+
+    def test_multi_statement_read_not_last_rejected(self, ctx):
+        with pytest.raises(Exception, match="last statement"):
+            ctx.execute("SELECT 1; CREATE TABLE z (x int)")
+
+    def test_aggregates_and_joins(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE TABLE dim (c_int int, label varchar)")
+        ctx.execute("INSERT INTO dim VALUES (1, 'lo'), (2, 'lo'), (3, 'hi')")
+        out = ctx.execute(
+            "SELECT d.label, sum(t.c_big) AS s FROM t JOIN dim d ON t.c_int = d.c_int "
+            "GROUP BY d.label ORDER BY d.label"
+        )
+        assert rows(out) == [("hi", 30), ("lo", 30)]
+
+    def test_values_and_case(self, ctx):
+        out = ctx.execute(
+            "SELECT CASE WHEN x > 1 THEN 'big' ELSE 'small' END AS b "
+            "FROM VALUES (1), (2) AS v(x) ORDER BY x"
+        )
+        assert rows(out) == [("big",), ("small",)]
+
+    def test_system_table_versions(self, ctx):
+        seed(ctx)
+        out = ctx.execute(
+            "SELECT table_name, version, operation FROM system.table_versions ORDER BY version"
+        )
+        assert rows(out) == [("t", 0, "CREATE TABLE"), ("t", 1, "INSERT")]
+
+    def test_system_dropped_tables(self, ctx):
+        seed(ctx)
+        ctx.execute("DROP TABLE t")
+        out = ctx.execute("SELECT name FROM system.dropped_tables")
+        assert rows(out) == [("t",)]
+
+
+# ----------------------------------------------------------------- time travel
+
+
+class TestTimeTravel:
+    def test_version_query(self, ctx):
+        seed(ctx)
+        t = ctx.delta_table("t")
+        v1_commit = t.read_commit(1)
+        # readable ISO timestamp of version 1 (the INSERT)
+        import datetime as dt
+
+        ts = dt.datetime.fromtimestamp(
+            v1_commit.timestamp_ms / 1000, dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        time.sleep(0.01)
+        ctx.execute("INSERT INTO t (c_int) VALUES (4)")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(4,)]
+        out = ctx.execute(f"SELECT count(*) AS n FROM t('{ts}+00:00')")
+        assert rows(out) == [(3,)]
+
+    def test_time_travel_join_with_current(self, ctx):
+        seed(ctx)
+        t = ctx.delta_table("t")
+        import datetime as dt
+
+        ts = dt.datetime.fromtimestamp(
+            t.read_commit(1).timestamp_ms / 1000, dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+        time.sleep(0.01)
+        ctx.execute("DELETE FROM t WHERE c_int = 1")
+        # diff old vs new via EXCEPT (reference time_travel.rs:111-140 pattern)
+        out = ctx.execute(
+            f"SELECT c_int FROM t('{ts}') EXCEPT SELECT c_int FROM t"
+        )
+        assert rows(out) == [(1,)]
+
+    def test_too_early_timestamp_errors(self, ctx):
+        seed(ctx)
+        with pytest.raises(Exception, match="no version"):
+            ctx.execute("SELECT * FROM t('2000-01-01T00:00:00+00:00')")
+
+
+# ----------------------------------------------------------------- vacuum
+
+
+class TestVacuum:
+    def test_vacuum_table_removes_dead_files(self, ctx):
+        seed(ctx)
+        ctx.execute("UPDATE t SET c_int = c_int + 1")  # rewrites all files
+        t = ctx.delta_table("t")
+        dead = [r for c in t.history() for r in c.removes]
+        assert dead
+        live_before = {f.path for f in t.snapshot().files}
+        ctx.execute("VACUUM TABLE t")
+        for r in dead:
+            assert not os.path.exists(os.path.join(t.root, r))
+        assert {f.path for f in t.snapshot().files} == live_before
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(3,)]
+
+    def test_vacuum_database_gcs_dropped(self, ctx):
+        seed(ctx)
+        uuid = ctx.catalog.get_table("default", "public", "t").uuid
+        ctx.execute("DROP TABLE t")
+        assert ctx.catalog.dropped_tables()
+        ctx.execute("VACUUM DATABASE default")
+        assert ctx.catalog.dropped_tables() == []
+        assert not os.path.exists(os.path.join(ctx.data_dir, uuid))
+
+
+# ----------------------------------------------------------------- convert / copy
+
+
+class TestConvertCopy:
+    def test_copy_to_parquet_and_back(self, ctx, tmp_path):
+        seed(ctx)
+        dest = str(tmp_path / "export")
+        ctx.execute(f"COPY t TO '{dest}'")
+        back = ctx.spark.read.parquet(dest)
+        assert back.count() == 3
+
+    def test_copy_query_to_csv(self, ctx, tmp_path):
+        seed(ctx)
+        dest = str(tmp_path / "export_csv")
+        ctx.execute(f"COPY (SELECT c_int, c_text FROM t) TO '{dest}' STORED AS CSV")
+        back = ctx.spark.read.option("header", "true").csv(dest)
+        assert back.count() == 3
+
+    def test_convert_to_delta(self, ctx, tmp_path):
+        seed(ctx)
+        plain = str(tmp_path / "plain")
+        os.makedirs(plain)
+        df = ctx.execute("SELECT c_int, c_text FROM t")
+        pdf = df.toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(plain, "part0.parquet"))
+        ctx.execute(f"CONVERT '{plain}' TO DELTA converted")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM converted")) == [(3,)]
+
+
+# ----------------------------------------------------------------- external tables
+
+
+class TestExternalTables:
+    def test_external_csv(self, ctx, tmp_path):
+        p = tmp_path / "ext.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        ctx.execute(f"CREATE EXTERNAL TABLE ext STORED AS CSV LOCATION '{p}'")
+        out = ctx.execute("SELECT * FROM staging.ext ORDER BY a")
+        assert rows(out) == [(1, "x"), (2, "y")]
+        # bare name resolves too (staging is in the search path)
+        assert rows(ctx.execute("SELECT count(*) AS n FROM ext")) == [(2,)]
+
+    def test_external_parquet_with_schema(self, ctx, tmp_path):
+        seed(ctx)
+        dest = str(tmp_path / "pq")
+        ctx.execute(f"COPY (SELECT c_int FROM t) TO '{dest}'")
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE extp (c_int int) STORED AS PARQUET LOCATION '{dest}'"
+        )
+        assert rows(ctx.execute("SELECT count(*) AS n FROM extp")) == [(3,)]
+
+
+# ----------------------------------------------------------------- functions
+
+
+class TestFunctions:
+    def _spec(self, source: str, entrypoint: str, inputs, ret):
+        return json.dumps(
+            {
+                "entrypoint": entrypoint,
+                "language": "python",
+                "input_types": inputs,
+                "return_type": ret,
+                "data": base64.b64encode(source.encode()).decode(),
+                "volatility": "immutable",
+            }
+        )
+
+    def test_create_and_call_function(self, ctx):
+        seed(ctx)
+        spec = self._spec("def add_one(x):\n    return x + 1\n", "add_one", ["bigint"], "bigint")
+        ctx.execute(f"CREATE FUNCTION add_one AS '{spec}'")
+        out = ctx.execute("SELECT add_one(c_big) AS r FROM t ORDER BY c_big")
+        assert rows(out) == [(11,), (21,), (31,)]
+
+    def test_or_replace_and_drop(self, ctx):
+        seed(ctx)
+        spec1 = self._spec("def f(x):\n    return x * 2\n", "f", ["bigint"], "bigint")
+        ctx.execute(f"CREATE FUNCTION dbl AS '{spec1}'")
+        with pytest.raises(Exception, match="already exists"):
+            ctx.execute(f"CREATE FUNCTION dbl AS '{spec1}'")
+        spec2 = self._spec("def f(x):\n    return x * 3\n", "f", ["bigint"], "bigint")
+        ctx.execute(f"CREATE OR REPLACE FUNCTION dbl AS '{spec2}'")
+        assert rows(ctx.execute("SELECT dbl(2) AS r")) == [(6,)]
+        ctx.execute("DROP FUNCTION dbl")
+        assert ctx.catalog.functions("default") == {}
+        ctx.execute("DROP FUNCTION IF EXISTS dbl")  # no error
+
+    def test_bad_spec_rejected(self, ctx):
+        with pytest.raises(Exception, match="missing"):
+            ctx.execute("CREATE FUNCTION broken AS '{\"language\": \"python\"}'")
+
+
+# ----------------------------------------------------------------- ETag
+
+
+class TestETag:
+    def test_etag_changes_on_write(self, ctx):
+        seed(ctx)
+        e1 = ctx.etag_for_query("SELECT * FROM t")
+        e2 = ctx.etag_for_query("SELECT * FROM t")
+        assert e1 == e2
+        ctx.execute("INSERT INTO t (c_int) VALUES (99)")
+        assert ctx.etag_for_query("SELECT * FROM t") != e1
+
+    def test_etag_ignores_untouched_tables(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE TABLE other (x int)")
+        e1 = ctx.etag_for_query("SELECT * FROM t")
+        ctx.execute("INSERT INTO other VALUES (1)")
+        assert ctx.etag_for_query("SELECT * FROM t") == e1
