@@ -39,5 +39,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,98 @@
+"""Multimodal operator queries over the documents table (payload = UTF-8
+bytes of `text`; ops are payload-agnostic, see sources/multimodal.py).
+
+Oracle parity: md5 of the UTF-8 payload equals DuckDB's md5 of the text
+string; byte length equals strlen for this ASCII corpus (asserted via
+octet_length(encode(...))); fake-decode dims are md5-derived integers, so
+identical in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import table
+from ..sources.multimodal import (
+    decode_image,
+    extract_metadata,
+    sample_frames,
+    with_text_payload,
+)
+from . import register
+
+
+@register(
+    "m_payload_metadata",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def m_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata extraction via Arrow-batched mapInPandas:
+    magic-byte sniff + size + content hash (text payloads sniff as
+    octet-stream; real container formats are covered in tests)."""
+    d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return extract_metadata(d).select("doc_id", "media_type", "n_bytes", "payload_md5")
+
+
+@register(
+    "m_image_fake_decode",
+    oracle="""
+    SELECT doc_id,
+           64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1857 AS width,
+           64 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1017 AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def m_image_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode pipeline with the codec step stubbed deterministically
+    (dims from payload md5) — exercises the real mapInPandas plumbing and
+    output schema a PIL-based decoder would use."""
+    d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", "payload"
+    )
+    out = decode_image(d, fake=True)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lit(3).cast("int").alias("channels"),
+    )
+
+
+@register(
+    "m_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+    frames AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(least(8, greatest(1, nb // 256)) AS BIGINT))) AS frame_idx,
+             nb
+      FROM base)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           frame_idx * 256 AS frame_offset
+    FROM frames
+    """,
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling shape: explode each payload into byte-offset
+    pseudo-frames (one row per frame) via mapInPandas — the oracle checks
+    the frame fan-out arithmetic; frame bytes themselves are binary and
+    covered in tests."""
+    d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", "payload"
+    )
+    out = sample_frames(d, every_n_bytes=256, max_frames=8)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "doc_id", "frame_idx", F.col("frame_offset").alias("frame_offset")
+    )

@@ -1,0 +1,86 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB must
+hold in the plans Catalyst actually produces — filter/column pushdown into
+parquet scans, broadcast joins for dims, top-k without global sort,
+map-side partial aggregation. These are assertions on .explain output, so
+a regression that silently de-optimizes a query fails CI."""
+
+import re
+
+import pytest
+
+from seafowl_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdown:
+    def test_q06_filters_reach_parquet_scan(self, spark, registry):
+        df = registry["q06_forecast_revenue"].fn(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedFilters:" in formatted
+        m = re.search(r"PushedFilters: \[(.*?)\]", formatted)
+        assert m and "l_discount" in m.group(1) and "l_quantity" in m.group(1)
+
+    def test_q01_reads_only_needed_columns(self, spark, registry):
+        df = registry["q01_pricing_summary"].fn(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        m = re.search(r"ReadSchema: struct<([^>]*)>", formatted)
+        assert m, formatted
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        # 11-column table; the query needs only 7
+        assert "l_orderkey" not in cols and "l_partkey" not in cols
+        assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+class TestJoinStrategy:
+    def test_q05_dims_broadcast(self, spark, registry):
+        plan = plan_of(spark, registry, "q05_region_revenue")
+        # every dim side broadcasts; the only shuffle join key is orderkey
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+
+    def test_q03_no_cartesian(self, spark, registry):
+        plan = plan_of(spark, registry, "q03_shipping_priority")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_ann_bruteforce_broadcasts_queries(self, spark, registry):
+        plan = plan_of(spark, registry, "s_ann_cosine_bruteforce")
+        assert "BroadcastNestedLoopJoin" in plan  # tiny query side x corpus
+
+
+class TestTopKAndAggs:
+    def test_topk_uses_take_ordered(self, spark, registry):
+        plan = plan_of(spark, registry, "q_topk_orders")
+        assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
+
+    def test_window_topk_group_limit_pushdown(self, spark, registry):
+        plan = plan_of(spark, registry, "q_window_topk")
+        assert "WindowGroupLimit" in plan  # per-mapper k rows pre-shuffle
+
+    def test_q01_partial_aggregation(self, spark, registry):
+        plan = plan_of(spark, registry, "q01_pricing_summary")
+        # two-phase hash agg: partial before the exchange, final after
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_" in plan
+
+
+class TestSessionDefaults:
+    def test_aqe_and_zstd(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

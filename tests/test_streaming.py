@@ -1,0 +1,88 @@
+"""Structured Streaming: micro-batch CDC merge via foreachBatch (the
+streaming face of the sync path) and a watermarked windowed aggregation —
+the operators SURVEY.md §2.D maps onto Spark's streaming engine."""
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from seafowl_spark.streaming.sync import foreach_batch_merge
+from tests.conftest import rows
+
+
+class TestForeachBatchMerge:
+    def test_stream_merges_into_deltalite(self, ctx, tmp_path):
+        ctx.execute("CREATE TABLE tgt (pk bigint, v string)")
+        ctx.execute("INSERT INTO tgt VALUES (1, 'old'), (2, 'keep')")
+        root = ctx.table_root(ctx.catalog.get_table("default", "public", "tgt"))
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        (src / "batch0.json").write_text(
+            json.dumps({"pk": 1, "v": "new"}) + "\n" + json.dumps({"pk": 3, "v": "ins"}) + "\n"
+        )
+
+        stream = (
+            ctx.spark.readStream.schema("pk bigint, v string").json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_merge(root, ["pk"]))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = ctx.execute("SELECT pk, v FROM tgt ORDER BY pk")
+        assert rows(out) == [(1, "new"), (2, "keep"), (3, "ins")]
+
+        # second micro-batch from a new file; checkpoint resumes cleanly
+        (src / "batch1.json").write_text(json.dumps({"pk": 2, "v": "upd"}) + "\n")
+        q2 = (
+            stream.writeStream.foreachBatch(foreach_batch_merge(root, ["pk"]))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        out = ctx.execute("SELECT pk, v FROM tgt ORDER BY pk")
+        assert rows(out) == [(1, "new"), (2, "upd"), (3, "ins")]
+
+
+class TestWindowedStream:
+    def test_watermarked_tumbling_window(self, spark, tmp_path):
+        """Event-time tumbling window with watermark over a file stream —
+        late-data handling identical at any scale (state keyed by window)."""
+        src = tmp_path / "events_src"
+        src.mkdir()
+        lines = [
+            {"ts": "2024-01-01 00:05:00", "user": 1, "v": 10.0},
+            {"ts": "2024-01-01 00:20:00", "user": 2, "v": 5.0},
+            {"ts": "2024-01-01 01:10:00", "user": 1, "v": 2.0},
+        ]
+        (src / "b0.json").write_text("\n".join(json.dumps(l) for l in lines))
+
+        stream = (
+            spark.readStream.schema("ts string, user bigint, v double")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .select(F.col("w.start").cast("string").alias("start"), "n", "total")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("win_out")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = rows(spark.sql("SELECT * FROM win_out"))
+        assert got == [
+            ("2024-01-01 00:00:00", 2, 15.0),
+            ("2024-01-01 01:00:00", 1, 2.0),
+        ]
