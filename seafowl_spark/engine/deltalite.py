@@ -234,6 +234,9 @@ class DeltaLiteTable:
     def _harvest_adds(self, data_dir_rel: str) -> list[AddFile]:
         """Collect Add actions (+footer stats) for parquet files Spark just
         wrote under root/data_dir_rel. Footer-only: no data re-scan."""
+        import math
+        from decimal import Decimal
+
         adds = []
         absdir = os.path.join(self.root, data_dir_rel)
         for name in sorted(os.listdir(absdir)):
@@ -242,6 +245,11 @@ class DeltaLiteTable:
             rel = os.path.join(data_dir_rel, name)
             full = os.path.join(absdir, name)
             md = pq.ParquetFile(full).metadata
+            if md.num_rows == 0:
+                # fully-filtered rewrites: drop the file instead of adding
+                # an empty one (reference DELETE commits pure removes)
+                os.unlink(full)
+                continue
             stats: dict[str, dict[str, Any]] = {}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
@@ -261,6 +269,10 @@ class DeltaLiteTable:
                             continue
                     if hasattr(mn, "isoformat"):
                         mn, mx = mn.isoformat(), mx.isoformat()
+                    elif isinstance(mn, Decimal):
+                        # JSON-able and prune-safe: widen by one ulp each way
+                        mn = math.nextafter(float(mn), -math.inf)
+                        mx = math.nextafter(float(mx), math.inf)
                     cur = stats.get(cname)
                     nulls = st.null_count if st.null_count is not None else 0
                     if cur is None:

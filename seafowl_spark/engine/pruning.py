@@ -54,6 +54,7 @@ _TOKEN = re.compile(
         (?P<kw>(?i:AND|OR|NOT|IS|NULL|TRUE|FALSE|TIMESTAMP|DATE|BETWEEN|IN|LIKE))\b|
         (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)|
         (?P<str>'(?:[^']|'')*')|
+        (?P<comma>,)|
         (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -69,7 +70,7 @@ def _tokenize(s: str) -> list[tuple[str, str]] | None:
                 break
             return None  # unknown syntax -> no pruning
         pos = m.end()
-        for kind in ("lpar", "rpar", "op", "kw", "num", "str", "ident"):
+        for kind in ("lpar", "rpar", "op", "kw", "num", "str", "comma", "ident"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v.upper() if kind == "kw" else v))
@@ -166,6 +167,22 @@ class _Parser:
                     negated = True
                 self.expect("kw", "NULL")
                 return IsNull(col, negated)
+            if (nk, nv) == ("kw", "IN"):
+                self.next()
+                self.expect("lpar")
+                vals = [self.parse_literal()]
+                while self.peek()[0] != "rpar":
+                    if self.peek()[0] == "comma":
+                        self.next()
+                    vals.append(self.parse_literal())
+                self.expect("rpar")
+                return BoolOp("or", [Cmp(col, "=", x) for x in vals])
+            if (nk, nv) == ("kw", "BETWEEN"):
+                self.next()
+                lo = self.parse_literal()
+                self.expect("kw", "AND")
+                hi = self.parse_literal()
+                return BoolOp("and", [Cmp(col, ">=", lo), Cmp(col, "<=", hi)])
             op = self.expect("op")
             val = self.parse_literal()
             return Cmp(col, "<>" if op == "!=" else op, val)

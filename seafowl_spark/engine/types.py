@@ -69,8 +69,10 @@ def parse_sql_type(sql_type: str) -> T.DataType:
         return T.StringType()
     m = re.match(r"^(numeric|decimal)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$", s)
     if m:
+        # bare NUMERIC defaults to (38, 10) like the reference
+        # (DECIMAL_DEFAULT_SCALE, reference utils.rs:195)
         p = int(m.group(2)) if m.group(2) else 38
-        sc = int(m.group(3)) if m.group(3) else 0
+        sc = int(m.group(3)) if m.group(3) else (0 if m.group(2) else 10)
         if p > 38:
             raise TypeError_(f"decimal precision {p} exceeds 38")  # same cap as reference
         return T.DecimalType(p, sc)

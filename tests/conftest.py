@@ -25,5 +25,20 @@ def ctx(spark, tmp_path):
 
 
 def rows(df):
-    """Sorted list-of-tuples normalization for golden assertions."""
-    return sorted(tuple(r) for r in df.collect())
+    """Sorted list-of-tuples normalization for golden assertions
+    (None-safe, type-ranked sort key so mixed/NULL columns compare)."""
+    import datetime
+    from decimal import Decimal
+
+    def key_elem(v):
+        if v is None:
+            return (1, 0, "")
+        if isinstance(v, bool):
+            return (0, 1, str(v))
+        if isinstance(v, (int, float, Decimal)):
+            return (0, 0, float(v))
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return (0, 2, v.isoformat())
+        return (0, 3, str(v))
+
+    return sorted((tuple(r) for r in df.collect()), key=lambda t: tuple(key_elem(v) for v in t))
