@@ -217,12 +217,44 @@ class SeafowlContext:
     # ---- reads
 
     def _exec_query(self, stmt) -> DataFrame:
+        meta = self._meta_query(stmt.text)
+        if meta is not None:
+            return meta
         sql, travels = parser.extract_time_travel(stmt.text)
         for alias, name, ts in travels:
             t = self.delta_table(name)
             t.to_df(timestamp=ts).createOrReplaceTempView(alias)
         mapping = self.reload_views()
         return self.spark.sql(self._rewrite_names(sql, mapping))
+
+    def _meta_query(self, sql: str) -> DataFrame | None:
+        """SHOW TABLES / SHOW COLUMNS / DESCRIBE against our catalog (A20;
+        the reference delegates these to DataFusion's information_schema,
+        logical.rs:109-117 — ours answer from the metastore)."""
+        s = re.sub(r"\s+", " ", sql.strip()).rstrip(";")
+        if re.fullmatch(r"(?i)show tables", s):
+            rows = [
+                Row(table_schema=e.schema, table_name=e.name)
+                for e in self.catalog.tables(self.database)
+            ] + [
+                Row(table_schema=SYSTEM_SCHEMA, table_name=n)
+                for n in ("table_versions", "dropped_tables")
+            ] + [Row(table_schema=STAGING_SCHEMA, table_name=n) for n in self.staging]
+            return self.spark.createDataFrame(
+                rows, "table_schema string, table_name string"
+            )
+        m = re.fullmatch(r"(?i)(?:show columns (?:from|in)|describe(?: table)?) ([\w.]+)", s)
+        if m:
+            entry = self._resolve(m.group(1))
+            schema = T.StructType.fromDDL(entry.schema_ddl)
+            rows = [
+                Row(column_name=f.name, data_type=f.dataType.simpleString(), nullable=True)
+                for f in schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "column_name string, data_type string, nullable boolean"
+            )
+        return None
 
     # ---- DDL
 

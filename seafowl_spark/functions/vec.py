@@ -1,0 +1,45 @@
+"""Vectorized (Arrow-batched) vector math UDFs.
+
+NOTE: no `from __future__ import annotations` here — pandas_udf resolves
+real type hints, and postponed (string) annotations break its signature
+inspection.
+
+Bit-exactness contract: every reduction is a fixed-order loop over
+dimensions with float64 elementwise ops — identical results to a SQL
+left-fold chain `0.0 + x1 + x2 + ...` (no BLAS reduction-order
+nondeterminism), so outputs can be compared across engines and runs.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def dot_exact_udf():
+    """(array<double>, array<double>) -> double, left-fold order."""
+
+    @pandas_udf("double")
+    def dot_exact(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = np.stack(a.values), np.stack(b.values)
+        acc = np.zeros(len(A), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return dot_exact
+
+
+def nearest_centroid_udf(centroids: np.ndarray):
+    """array<double> -> long: index of the max-dot-product centroid
+    (first max wins ties; fixed-order accumulation per dimension)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("long")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)
+        acc = np.zeros((len(X), len(cents)), dtype=np.float64)
+        for i in range(X.shape[1]):
+            acc += X[:, i : i + 1] * cents[:, i][None, :]
+        return pd.Series(np.argmax(acc, axis=1))
+
+    return cell_of

@@ -1,0 +1,260 @@
+"""Extended operator coverage: scalar-function breadth (math, date
+arithmetic, null handling), HAVING, UNION DISTINCT, cross join, combined
+filter pushdown, BPE-ish regex tokenization, and an IVF-style ANN variant.
+Same determinism rules as relational.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dec_sum
+from ..io import table
+from . import register
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — dedup across inputs, vs q_setops' UNION ALL."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spent
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS DECIMAL(25,6))) > 500000
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING on aggregate expressions."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_spent_dec"),
+    )
+    return (
+        g.where((F.col("n_orders") >= 12) & (F.col("_spent_dec") > 500000))
+        .select("o_custkey", "n_orders", F.col("_spent_dec").cast("double").alias("spent"))
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.cnt, 0) AS n_orders,
+           NULLIF(COALESCE(o.cnt, 0), 0) AS n_or_null,
+           (o.cnt IS NULL) AS never_ordered,
+           CASE WHEN o.cnt IS NULL THEN 'none'
+                WHEN o.cnt < 10 THEN 'few' ELSE 'many' END AS bucket
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / IS NULL over outer-join nulls."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    n = F.coalesce(F.col("cnt"), F.lit(0))
+    return j.select(
+        "c_custkey",
+        n.alias("n_orders"),
+        F.nullif(n, F.lit(0)).alias("n_or_null"),
+        F.col("cnt").isNull().alias("never_ordered"),
+        F.when(F.col("cnt").isNull(), "none")
+        .when(F.col("cnt") < 10, "few")
+        .otherwise("many")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0) AS dist,
+           CAST(ceil(p_retailprice) AS BIGINT) AS c,
+           CAST(floor(p_retailprice) AS BIGINT) AS f,
+           round(sqrt(p_retailprice), 6) AS sq,
+           round(ln(p_retailprice), 6) AS lg,
+           round(power(p_size, 2), 1) AS sz2,
+           p_size % 7 AS szmod
+    FROM part
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface: abs/ceil/floor/sqrt/ln/power/mod (rounded
+    where the final libm step could differ in the last bit)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist"),
+        F.ceil("p_retailprice").cast("long").alias("c"),
+        F.floor("p_retailprice").cast("long").alias("f"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sq"),
+        F.round(F.log("p_retailprice"), 6).alias("lg"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("sz2"),
+        (F.col("p_size") % 7).alias("szmod"),
+    )
+
+
+@register(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           EXTRACT(dow FROM o_orderdate) AS dow
+    FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: interval add, datediff, truncation, day-of-week
+    (DuckDB dow: Sunday=0 == Spark dayofweek-1)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    )
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny x tiny; anything larger must be banded)."""
+    r = table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r1"), F.col("r_regionkey").alias("k1"))
+    b = r.select(F.col("r_name").alias("r2"), F.col("r_regionkey").alias("k2"))
+    return a.crossJoin(b).where(F.col("k1") < F.col("k2")).select("r1", "r2")
+
+
+@register(
+    "q_combined_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE (l_shipdate > TIMESTAMP '2000-06-01' OR l_returnflag = 'R')
+      AND (l_quantity > 45.0 OR l_discount < 0.01)
+      AND l_linestatus = 'F'
+    """,
+)
+def q_combined_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type disjunctive filter (the reference's remote-table pushdown
+    test shape, query.rs:276-295) — all four predicates reach the scan."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.where(
+        (
+            (F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp"))
+            | (F.col("l_returnflag") == "R")
+        )
+        & ((F.col("l_quantity") > 45.0) | (F.col("l_discount") < 0.01))
+        & (F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "t_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct_tokens
+    FROM documents
+    """,
+)
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word pieces + standalone punctuation) —
+    the pre-tokenizer count used for corpus sizing."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]"), 0))
+        .cast("long")
+        .alias("n_punct_tokens"),
+    )
+
+
+@register("s_ann_ivf", oracle=None)
+def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = 16 deterministic centroids (the
+    16 lowest-id vectors), assign every vector to its nearest centroid by
+    dot product, then search only within the probed cell (nprobe=1).
+
+    Rows-only check: centroids are data-derived (collected to the driver,
+    shipped in the UDF closure), so no static SQL mirror; determinism is
+    covered by tests. Cell assignment and pair scoring run as vectorized
+    Arrow-batched pandas UDFs whose loop-accumulate order is bit-identical
+    to a left-fold chain (no BLAS reduction-order nondeterminism).
+
+    Scale: the standard IVF shape — train a codebook on a sample, ship the
+    (tiny) codebook to executors, assignment is row-local, search is a
+    hash join on cell id. At 100 TB only codebook training changes
+    (sampled k-means instead of first-k).
+    """
+    import numpy as np
+
+    from ..functions.vec import dot_exact_udf, nearest_centroid_udf
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = np.array(
+        [r.emb for r in v.orderBy("vec_id").limit(16).collect()], dtype=np.float64
+    )
+    cell_of = nearest_centroid_udf(cents)
+    dot_exact = dot_exact_udf()
+
+    assigned = v.select("vec_id", "emb", cell_of("emb").alias("cell"))
+    a = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_a"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", dot_exact("emb_a", "emb_b").alias("dot"), "cell")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

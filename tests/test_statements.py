@@ -396,3 +396,22 @@ class TestETag:
         e1 = ctx.etag_for_query("SELECT * FROM t")
         ctx.execute("INSERT INTO other VALUES (1)")
         assert ctx.etag_for_query("SELECT * FROM t") == e1
+
+
+# ----------------------------------------------------------------- metadata
+
+
+class TestMetadata:
+    def test_show_tables(self, ctx):
+        seed(ctx)
+        out = ctx.execute("SHOW TABLES")
+        got = rows(out)
+        assert ("public", "t") in got
+        assert ("system", "table_versions") in got
+
+    def test_show_columns(self, ctx):
+        seed(ctx)
+        out = ctx.execute("SHOW COLUMNS FROM t")
+        assert ("c_int", "int", True) in rows(out)
+        out2 = ctx.execute("DESCRIBE t")
+        assert rows(out) == rows(out2)
