@@ -511,17 +511,39 @@ class DeltaLiteTable:
     def vacuum(self, retention_ms: int = 0) -> list[str]:
         """A15: delete data files no longer referenced by the latest
         snapshot (retention on commit age), mirror of delta-rs
-        VacuumBuilder with retention 0 (reference physical.rs:703-766)."""
+        VacuumBuilder with retention 0 (reference physical.rs:703-766).
+        Also collects orphans — files a failed write left behind that no
+        commit ever referenced."""
+        history = self.history()
         live = {f.path for f in self.snapshot().files}
         now = int(time.time() * 1000)
         dead: list[str] = []
-        for c in self.history():
+        for c in history:
             for r in c.removes:
                 if r not in live and now - c.timestamp_ms >= retention_ms:
                     full = os.path.join(self.root, r)
                     if os.path.exists(full):
                         os.unlink(full)
                         dead.append(r)
+        # orphan scan: anything under data/ that no commit ever added
+        ever_referenced = {a.path for c in history for a in c.adds}
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for dirpath, _dirs, names in os.walk(data_dir):
+                for n in names:
+                    full = os.path.join(dirpath, n)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in ever_referenced or rel in live:
+                        continue
+                    # float math: int-ms truncation of `now` would make a
+                    # just-written orphan look newer than now and survive
+                    if (time.time() - os.path.getmtime(full)) * 1000 >= retention_ms:
+                        os.unlink(full)
+                        dead.append(rel)
+            # drop now-empty txn dirs
+            for dirpath, dirs, names in list(os.walk(data_dir, topdown=False)):
+                if not dirs and not names and dirpath != data_dir:
+                    os.rmdir(dirpath)
         return dead
 
     def drop_data(self) -> None:

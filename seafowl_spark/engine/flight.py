@@ -1,0 +1,129 @@
+"""Arrow Flight frontend (SURVEY.md §3.2; reference src/frontend/flight/).
+
+Same control flow as the reference's Flight SQL handler:
+
+* ``get_flight_info`` with a JSON command ``{"query": ...}`` plans the query
+  and parks the result under a ticket id (reference parks the stream in a
+  DashMap keyed by query id, handler.rs:124-134); ``do_get`` drains it as
+  Arrow record batches.
+* **Inline metastore** (reference InlineMetastoreCommandStatementQuery,
+  flight/sql.rs:109-150): the command may carry ``{"tables": {name: path}}``
+  mapping view names to deltalite table roots — stateless serving over
+  arbitrary tables without catalog registration.
+* ``search_path`` in the command scopes unqualified names to a schema
+  (reference search-path header).
+* ``do_put`` with a command ``{"path", "origin", "sequence_number",
+  "pk": [...], "descriptors": [...]}`` ingests CDC change batches into the
+  sync writer (reference DataSyncCommand over do_put, handler.rs:136-237);
+  the ``flush`` action forces a merge.
+
+Scale note: results materialize driver-side as Arrow before streaming
+(fine for serving-layer result sets); a partition-streaming do_get is the
+future path for bulk exports.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from ..streaming.sync import ColumnDescriptor, SyncSchema, SyncWriter
+from .context import SeafowlContext
+
+
+class SeafowlFlightServer(flight.FlightServerBase):
+    def __init__(self, ctx: SeafowlContext, location: str = "grpc://127.0.0.1:0"):
+        super().__init__(location)
+        self.ctx = ctx
+        self.sync_writer = SyncWriter(ctx.spark)
+        self._results: dict[str, pa.Table] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ queries
+
+    def _execute_to_arrow(self, command: dict) -> pa.Table:
+        query = command["query"]
+        old_schema = self.ctx.search_schema
+        try:
+            if command.get("search_path"):
+                self.ctx.search_schema = command["search_path"]
+            inline = command.get("tables") or {}
+            if inline:
+                # inline metastore: register the shipped tables as views
+                from .deltalite import DeltaLiteTable
+
+                for name, path in inline.items():
+                    DeltaLiteTable(self.ctx.spark, path).to_df().createOrReplaceTempView(name)
+            df = self.ctx.execute(query)
+            return df.toArrow()
+        finally:
+            self.ctx.search_schema = old_schema
+
+    def get_flight_info(self, context, descriptor):
+        command = json.loads(descriptor.command.decode())
+        table = self._execute_to_arrow(command)
+        ticket_id = uuid.uuid4().hex
+        with self._lock:
+            self._results[ticket_id] = table
+        endpoint = flight.FlightEndpoint(ticket_id.encode(), [])
+        return flight.FlightInfo(
+            table.schema, descriptor, [endpoint], table.num_rows, -1
+        )
+
+    def do_get(self, context, ticket):
+        with self._lock:
+            table = self._results.pop(ticket.ticket.decode(), None)
+        if table is None:
+            raise flight.FlightServerError("unknown or already-consumed ticket")
+        return flight.RecordBatchStream(table)
+
+    # ------------------------------------------------------------ CDC sync
+
+    def do_put(self, context, descriptor, reader, writer):
+        cmd = json.loads(descriptor.command.decode())
+        schema = SyncSchema(
+            [ColumnDescriptor(d["name"], d["role"], d["target"]) for d in cmd["descriptors"]]
+        )
+        batch = reader.read_all().to_pandas()
+        entry = None
+        if "." in cmd.get("table", "") or cmd.get("table"):
+            entry = self.ctx._resolve(cmd["table"])
+            root = self.ctx.table_root(entry)
+        else:
+            root = cmd["path"]
+        self.sync_writer.enqueue(
+            root,
+            schema,
+            batch,
+            origin=cmd.get("origin", "flight"),
+            sequence=int(cmd.get("sequence_number", 0)),
+        )
+        if entry is not None:
+            from .deltalite import DeltaLiteTable
+
+            # record the version if a flush happened during enqueue
+            t = DeltaLiteTable(self.ctx.spark, root)
+            self.ctx.catalog.record_version(
+                entry.uuid, t.latest_version(),
+                t.read_commit(t.latest_version()).timestamp_ms,
+                t.read_commit(t.latest_version()).operation,
+            )
+
+    def do_action(self, context, action):
+        if action.type == "flush":
+            self.sync_writer.flush_all()
+            return [flight.Result(b"ok")]
+        if action.type == "healthz":
+            return [flight.Result(b"ok")]
+        raise flight.FlightServerError(f"unknown action {action.type}")
+
+
+def start_flight_server(ctx: SeafowlContext, port: int = 0) -> SeafowlFlightServer:
+    server = SeafowlFlightServer(ctx, f"grpc://127.0.0.1:{port}")
+    thread = threading.Thread(target=server.serve, daemon=True)
+    thread.start()
+    return server

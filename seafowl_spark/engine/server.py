@@ -87,6 +87,38 @@ def _arrow_schema_param(df: DataFrame) -> str:
     return urllib.parse.quote(df.schema.json())
 
 
+class Metrics:
+    """Process-wide serving counters, exposed at GET /metrics in Prometheus
+    text format (reference exposes HTTP/gRPC/memory metrics the same way,
+    config/context.rs setup_metrics)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.counters = {
+            "queries_total": 0,
+            "query_errors_total": 0,
+            "cache_hits_total": 0,
+            "uploads_total": 0,
+            "query_seconds_total": 0.0,
+        }
+
+    def inc(self, name: str, amount: float = 1):
+        with self._lock:
+            self.counters[name] += amount
+
+    def render(self) -> bytes:
+        lines = []
+        for k, v in sorted(self.counters.items()):
+            lines.append(f"# TYPE seafowl_{k} counter")
+            lines.append(f"seafowl_{k} {v}")
+        return ("\n".join(lines) + "\n").encode()
+
+
+METRICS = Metrics()
+
+
 class SeafowlHandler(BaseHTTPRequestHandler):
     server_version = "seafowl-spark/0.1"
     ctx: SeafowlContext
@@ -127,6 +159,9 @@ class SeafowlHandler(BaseHTTPRequestHandler):
         path = urllib.parse.urlparse(self.path).path
         if path == "/healthz":
             self._send(200, b"ok\n", {"Content-Type": "text/plain"})
+            return
+        if path == "/metrics":
+            self._send(200, METRICS.render(), {"Content-Type": "text/plain"})
             return
         m = re.match(r"^/q/([0-9a-f]{64})$", path)
         if m:
@@ -179,6 +214,7 @@ class SeafowlHandler(BaseHTTPRequestHandler):
             etag = self.ctx.etag_for_query(stmts[0])
             if self.headers.get("If-None-Match") == etag:
                 # cache hit: no execution at all (reference http.rs:349-360)
+                METRICS.inc("cache_hits_total")
                 self._send(304, b"", {"ETag": etag, "Cache-Control": self.cache_control})
                 return
             t0 = time.perf_counter()
@@ -215,10 +251,12 @@ class SeafowlHandler(BaseHTTPRequestHandler):
         try:
             t0 = time.perf_counter()
             df = self.ctx.execute(query)
+            METRICS.inc("queries_total")
             if df is None:
                 self._send(200, b"", {"Content-Type": "application/json"})
                 return
             body = _rows_to_jsonlines(df)
+            METRICS.inc("query_seconds_total", time.perf_counter() - t0)
             self._send(
                 200,
                 body,
@@ -228,6 +266,7 @@ class SeafowlHandler(BaseHTTPRequestHandler):
                 },
             )
         except Exception as exc:  # noqa: BLE001
+            METRICS.inc("query_errors_total")
             self._error(400, str(exc)[:2000])
 
     def _upload(self, schema: str, table: str):
@@ -280,6 +319,7 @@ class SeafowlHandler(BaseHTTPRequestHandler):
                 entry = existing
             t.append(df, operation="UPLOAD")
             self.ctx._record(entry, t)
+            METRICS.inc("uploads_total")
             self._send(200, f"done: {qualified}\n".encode(), {"Content-Type": "text/plain"})
         except Exception as exc:  # noqa: BLE001
             self._error(400, str(exc)[:2000])

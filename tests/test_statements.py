@@ -415,3 +415,15 @@ class TestMetadata:
         assert ("c_int", "int", True) in rows(out)
         out2 = ctx.execute("DESCRIBE t")
         assert rows(out) == rows(out2)
+
+    def test_vacuum_collects_orphans(self, ctx):
+        """Files left by failed writes (never committed) are GC'd."""
+        seed(ctx)
+        t = ctx.delta_table("t")
+        orphan_dir = os.path.join(t.root, "data", "txn-orphan")
+        os.makedirs(orphan_dir)
+        orphan = os.path.join(orphan_dir, "stray.parquet")
+        open(orphan, "wb").write(b"junk")
+        ctx.execute("VACUUM TABLE t")
+        assert not os.path.exists(orphan)
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(3,)]
