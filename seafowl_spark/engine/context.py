@@ -425,6 +425,12 @@ class SeafowlContext:
         t.truncate()
         self._record(entry, t)
 
+    def _exec_optimize(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.optimize()
+        self._record(entry, t)
+
     def _exec_vacuum_table(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))

@@ -508,6 +508,28 @@ class DeltaLiteTable:
 
     # ----------------------------------------------------------- maintenance
 
+    def optimize(self, target_rows: int = MAX_ROWS_PER_FILE) -> Commit:
+        """Compact small files into ~target_rows files (the OPTIMIZE
+        equivalent of Delta; the reference instead re-chunks on write,
+        delta.rs:106-148 — under frequent small appends both need this).
+
+        Scale: only files below half the target participate, so a steady
+        state of large files makes this a no-op; the rewrite is one Spark
+        job over just the small files.
+        """
+        snap = self.snapshot()
+        small = [f for f in snap.files if f.rows < target_rows // 2]
+        if len(small) <= 1:
+            return self._next_commit("OPTIMIZE", [], [])
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f.path) for f in small]
+        )
+        total = sum(f.rows for f in small)
+        n_out = max(1, (total + target_rows - 1) // target_rows)
+        adds = self._write_data(df.coalesce(n_out))
+        return self._next_commit("OPTIMIZE", adds, [f.path for f in small])
+
     def vacuum(self, retention_ms: int = 0) -> list[str]:
         """A15: delete data files no longer referenced by the latest
         snapshot (retention on commit age), mirror of delta-rs

@@ -256,6 +256,10 @@ def parse_statement(sql: str) -> Statement:
     if m:
         return Statement("truncate", s, {"name": m.group(1)})
 
+    m = re.match(rf"(?i)^optimize\s+(?:table\s+)?({_QNAME})\s*$", s)
+    if m:
+        return Statement("optimize", s, {"name": m.group(1)})
+
     m = re.match(rf"(?i)^vacuum\s+table\s+({_QNAME})\s*$", s)
     if m:
         return Statement("vacuum_table", s, {"name": m.group(1)})

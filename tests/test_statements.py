@@ -427,3 +427,24 @@ class TestMetadata:
         ctx.execute("VACUUM TABLE t")
         assert not os.path.exists(orphan)
         assert rows(ctx.execute("SELECT count(*) AS n FROM t")) == [(3,)]
+
+
+# ----------------------------------------------------------------- optimize
+
+
+class TestOptimize:
+    def test_optimize_compacts_small_files(self, ctx):
+        ctx.execute("CREATE TABLE o (x bigint)")
+        for i in range(4):
+            ctx.execute(f"INSERT INTO o VALUES ({i * 10}), ({i * 10 + 1})")
+        t = ctx.delta_table("o")
+        assert len(t.snapshot().files) == 4
+        ctx.execute("OPTIMIZE TABLE o")
+        t = ctx.delta_table("o")
+        assert len(t.snapshot().files) == 1
+        assert rows(ctx.execute("SELECT count(*) AS n, sum(x) AS s FROM o")) == [(8, 124)]
+        # second optimize is a no-op commit
+        ctx.execute("OPTIMIZE o")
+        t = ctx.delta_table("o")
+        c = t.read_commit(t.latest_version())
+        assert c.adds == [] and c.removes == []

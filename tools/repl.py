@@ -1,0 +1,58 @@
+"""Interactive SQL REPL (reference src/cli/: `\\d`, `\\d name`, `\\q`).
+
+Usage: python tools/repl.py [data_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from seafowl_spark.engine.context import SeafowlContext
+    from seafowl_spark.session import build_session
+
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.expanduser("~/.seafowl_spark")
+    spark = build_session("seafowl_spark_repl")
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = SeafowlContext(spark, data_dir)
+    print(f"seafowl_spark REPL — data at {data_dir}; \\d lists tables, \\q quits")
+
+    buf: list[str] = []
+    while True:
+        try:
+            line = input("... " if buf else "sql> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        cmd = line.strip()
+        if not buf and cmd in (r"\q", "exit", "quit"):
+            break
+        if not buf and cmd == r"\d":
+            ctx.execute("SHOW TABLES").show(100, truncate=False)
+            continue
+        if not buf and cmd.startswith(r"\d "):
+            ctx.execute(f"DESCRIBE {cmd[3:].strip()}").show(100, truncate=False)
+            continue
+        buf.append(line)
+        if not cmd.endswith(";") and cmd != "":
+            continue
+        sql = "\n".join(buf).strip().rstrip(";")
+        buf = []
+        if not sql:
+            continue
+        try:
+            df = ctx.execute(sql)
+            if df is not None:
+                df.show(100, truncate=False)
+            else:
+                print("ok")
+        except Exception as exc:  # noqa: BLE001
+            print(f"error: {exc}")
+
+
+if __name__ == "__main__":
+    main()
