@@ -128,6 +128,45 @@ class SeafowlContext:
             "dropped_tables": self.spark.createDataFrame(dt_rows, dt_schema),
         }
 
+    def _information_schema(self) -> dict[str, DataFrame]:
+        """information_schema.{tables,columns} over the metastore (A20; the
+        reference inherits DataFusion's information_schema provider)."""
+        entries = self.catalog.tables(self.database)
+        t_rows = [
+            Row(
+                table_catalog=e.database,
+                table_schema=e.schema,
+                table_name=e.name,
+                table_type="BASE TABLE",
+            )
+            for e in entries
+        ]
+        c_rows = []
+        for e in entries:
+            for pos, f in enumerate(T.StructType.fromDDL(e.schema_ddl).fields, 1):
+                c_rows.append(
+                    Row(
+                        table_catalog=e.database,
+                        table_schema=e.schema,
+                        table_name=e.name,
+                        column_name=f.name,
+                        ordinal_position=pos,
+                        data_type=f.dataType.simpleString(),
+                        is_nullable="YES",
+                    )
+                )
+        return {
+            "tables": self.spark.createDataFrame(
+                t_rows,
+                "table_catalog string, table_schema string, table_name string, table_type string",
+            ),
+            "columns": self.spark.createDataFrame(
+                c_rows,
+                "table_catalog string, table_schema string, table_name string, "
+                "column_name string, ordinal_position int, data_type string, is_nullable string",
+            ),
+        }
+
     def reload_views(self) -> dict[str, str]:
         """Register every visible table as temp view(s); returns the mapping
         qualified-name -> view-name used for query rewriting.
@@ -152,6 +191,10 @@ class SeafowlContext:
             mangled = _mangle(SYSTEM_SCHEMA, name)
             df.createOrReplaceTempView(mangled)
             mapping[f"{SYSTEM_SCHEMA}.{name}"] = mangled
+        for name, df in self._information_schema().items():
+            mangled = _mangle("information_schema", name)
+            df.createOrReplaceTempView(mangled)
+            mapping[f"information_schema.{name}"] = mangled
         registered = set(mapping.values()) | {
             e.name for e in self.catalog.tables(self.database) if e.schema == self.search_schema
         }

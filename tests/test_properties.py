@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis) for the engine's custom logic.
+
+These don't need Spark: pruning and squash are pure Python, so hundreds of
+randomized cases run in seconds.
+
+1. Pruning soundness: a file dropped by prune_files must contain NO row
+   matching the predicate (conservativeness is the correctness contract —
+   rewrites re-apply the predicate, so over-keeping is fine, over-pruning
+   is data corruption).
+2. Sync squash equivalence: squashing a random change sequence must yield
+   the same final table state as applying every change one at a time to a
+   naive dict model.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from seafowl_spark.engine.deltalite import AddFile
+from seafowl_spark.engine.pruning import parse_predicate, prune_files
+from seafowl_spark.streaming.sync import ColumnDescriptor, SyncSchema, SyncWriter
+
+# --------------------------------------------------------------------------
+# 1. pruning soundness
+# --------------------------------------------------------------------------
+
+_vals = st.integers(min_value=-50, max_value=50)
+
+
+@st.composite
+def _file_rows(draw):
+    return draw(st.lists(_vals, min_size=1, max_size=6))
+
+
+@st.composite
+def _predicate(draw):
+    depth = draw(st.integers(0, 2))
+
+    def atom():
+        op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "<>"]))
+        lit = draw(_vals)
+        return f"k {op} {lit}"
+
+    def build(d):
+        if d == 0:
+            return atom()
+        kind = draw(st.sampled_from(["and", "or", "not", "atom", "in", "between"]))
+        if kind == "atom":
+            return atom()
+        if kind == "not":
+            return f"NOT ({build(d - 1)})"
+        if kind == "in":
+            vs = draw(st.lists(_vals, min_size=1, max_size=4))
+            return f"k IN ({', '.join(map(str, vs))})"
+        if kind == "between":
+            a, b = sorted((draw(_vals), draw(_vals)))
+            return f"k BETWEEN {a} AND {b}"
+        return f"({build(d - 1)}) {kind.upper()} ({build(d - 1)})"
+
+    return build(depth)
+
+
+def _matches(pred_sql: str, value: int) -> bool:
+    """Ground truth via DuckDB evaluation of the same predicate text."""
+    import duckdb
+
+    out = duckdb.sql(f"SELECT ({pred_sql}) FROM (SELECT {value} AS k)").fetchone()[0]
+    return bool(out)
+
+
+@given(files=st.lists(_file_rows(), min_size=1, max_size=5), pred=_predicate())
+@settings(max_examples=200, deadline=None)
+def test_pruning_never_drops_matching_rows(files, pred):
+    adds = []
+    for i, rows_ in enumerate(files):
+        adds.append(
+            AddFile(
+                path=f"f{i}.parquet",
+                rows=len(rows_),
+                size_bytes=0,
+                stats={"k": {"min": min(rows_), "max": max(rows_), "nulls": 0}},
+            )
+        )
+    kept = {f.path for f in prune_files(adds, pred)}
+    ast = parse_predicate(pred)
+    if ast is None:
+        assert kept == {f.path for f in adds}  # unparseable -> keep all
+        return
+    for add, rows_ in zip(adds, files):
+        if add.path not in kept:
+            assert not any(_matches(pred, v) for v in rows_), (
+                f"pruned file {add.path} with rows {rows_} matching {pred!r}"
+            )
+
+
+# --------------------------------------------------------------------------
+# 2. sync squash equivalence
+# --------------------------------------------------------------------------
+
+_SCHEMA = SyncSchema(
+    [
+        ColumnDescriptor("old_pk", "old_pk", "pk"),
+        ColumnDescriptor("new_pk", "new_pk", "pk"),
+        ColumnDescriptor("v", "value", "v"),
+    ]
+)
+
+_pk = st.integers(min_value=0, max_value=6)
+
+
+@st.composite
+def _change(draw):
+    kind = draw(st.sampled_from(["insert", "update", "move", "delete"]))
+    if kind == "insert":
+        return (None, draw(_pk), draw(st.integers(0, 99)))
+    if kind == "delete":
+        return (draw(_pk), None, None)
+    if kind == "move":
+        return (draw(_pk), draw(_pk), draw(st.integers(0, 99)))
+    pk = draw(_pk)
+    return (pk, pk, draw(st.integers(0, 99)))
+
+
+def _naive_apply(changes):
+    state: dict[int, int] = {}
+    for old, new, v in changes:
+        if old is not None and new is None:
+            state.pop(old, None)
+        elif new is not None:
+            if old is not None and old in state:
+                prev = state.pop(old)
+                state[new] = v if v is not None else prev
+            else:
+                state[new] = v
+    return state
+
+
+@given(changes=st.lists(_change(), min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_squash_equals_sequential_apply(changes):
+    """Squash(upserts+deletes) applied to an EMPTY base must equal naive
+    one-at-a-time application to an empty dict."""
+    pdf = pd.DataFrame(changes, columns=["old_pk", "new_pk", "v"], dtype="object")
+    upserts, deletes, pk_cols, value_cols = SyncWriter._squash([(_SCHEMA, pdf)])
+
+    expected = _naive_apply(changes)
+    got = {pk[0]: vals.get("v") for pk, vals in upserts.items()}
+    assert got == expected
+    # deletes may over-approximate (deleting absent keys is harmless) but
+    # must never contain a key that survives
+    for pk in deletes:
+        assert pk[0] not in expected or pk in upserts

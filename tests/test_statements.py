@@ -448,3 +448,17 @@ class TestOptimize:
         t = ctx.delta_table("o")
         c = t.read_commit(t.latest_version())
         assert c.adds == [] and c.removes == []
+
+    def test_information_schema(self, ctx):
+        seed(ctx)
+        out = ctx.execute(
+            "SELECT table_schema, table_name FROM information_schema.tables"
+        )
+        assert ("public", "t") in rows(out)
+        cols = ctx.execute(
+            "SELECT column_name, data_type, ordinal_position "
+            "FROM information_schema.columns WHERE table_name = 't' ORDER BY ordinal_position"
+        )
+        got = [tuple(r) for r in cols.collect()]
+        assert got[0] == ("c_int", "int", 1)
+        assert len(got) == 5
