@@ -43,3 +43,41 @@ def nearest_centroid_udf(centroids: np.ndarray):
         return pd.Series(np.argmax(acc, axis=1))
 
     return cell_of
+
+
+def hyperplane_bucket_udf(planes):
+    """array<double> -> long LSH bucket: bit j set iff dot(emb, plane_j) >= 0.
+
+    Per-plane dots use fixed-order accumulation, so the sign decisions are
+    bit-identical to the SQL chain `e[1]*w1 + e[2]*w2 + ...` the oracle
+    evaluates.
+    """
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+
+    @pandas_udf("long")
+    def bucket_of(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)  # (n, dim)
+        out = np.zeros(len(X), dtype=np.int64)
+        for j in range(P.shape[0]):
+            acc = np.zeros(len(X), dtype=np.float64)
+            for i in range(X.shape[1]):
+                acc = acc + X[:, i] * P[j, i]
+            out |= (acc >= 0).astype(np.int64) << j
+        return pd.Series(out)
+
+    return bucket_of
+
+
+def norm_exact_udf():
+    """array<double> -> double L2 norm, fixed-order accumulation + IEEE sqrt
+    (bit-identical to sqrt of the SQL square-sum chain)."""
+
+    @pandas_udf("double")
+    def norm_of(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)
+        acc = np.zeros(len(X), dtype=np.float64)
+        for i in range(X.shape[1]):
+            acc = acc + X[:, i] * X[:, i]
+        return pd.Series(np.sqrt(acc))
+
+    return norm_of

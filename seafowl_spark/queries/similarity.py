@@ -466,29 +466,14 @@ def s_ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_planes_literal() -> str:
-    rows = ", ".join(
-        "[" + ", ".join(repr(w) for w in plane) + "]" for plane in HYPERPLANES
-    )
-    return f"[{rows}]"
-
-
-def _bucket_col(emb_col):
-    """Random-hyperplane LSH bucket id (sign bit per plane)."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(HYPERPLANES):
-        dot = _fold_sum(
-            F.zip_with(emb_col, F.array(*[F.lit(w) for w in plane]), lambda x, y: x * y)
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(0)
-    return bucket
-
-
 def _sql_bucket(emb: str) -> str:
-    planes = _sql_planes_literal()
+    # scalar literals inline (indexing a big nested-array literal per term
+    # made the generated SQL ~1.5 MB; this keeps it a few KB)
     terms = []
     for j in range(N_PLANES):
-        dot = " + ".join(f"({emb}[{i}] * {planes}[{j + 1}][{i}])" for i in range(1, EMB_DIM + 1))
+        dot = " + ".join(
+            f"({emb}[{i}] * {HYPERPLANES[j][i - 1]!r})" for i in range(1, EMB_DIM + 1)
+        )
         terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -504,14 +489,21 @@ def _sql_bucket(emb: str) -> str:
 def s_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (8 planes -> 256 buckets).
 
+    Bucket bits come from an Arrow-batched pandas UDF whose fixed-order
+    accumulation is bit-identical to the oracle's unrolled SQL chains
+    (interpreted JVM folds gave the same values ~20x slower).
+
     Scale: bucket id is row-local; the downstream join shuffles on the
     8-bit bucket key. More planes / multiple tables tune recall vs bucket
     size without changing the shape.
     """
+    from ..functions.vec import hyperplane_bucket_udf
+
+    bucket_of = hyperplane_bucket_udf(HYPERPLANES)
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return v.select("vec_id", "label", _bucket_col(F.col("emb")).alias("bucket"))
+    return v.select("vec_id", "label", bucket_of("emb").alias("bucket"))
 
 
 @register(
@@ -534,11 +526,16 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor per vector: exact cosine within the
     vector's LSH bucket only — the scale path for all-pairs similarity
     (bucket join instead of cross join)."""
+    from ..functions.vec import dot_exact_udf, hyperplane_bucket_udf, norm_exact_udf
+
+    bucket_of = hyperplane_bucket_udf(HYPERPLANES)
+    norm_of = norm_exact_udf()
+    dot_exact = dot_exact_udf()
     v = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x))))
-        .withColumn("bucket", _bucket_col(F.col("emb")))
+        .withColumn("nrm", norm_of("emb"))
+        .withColumn("bucket", bucket_of("emb"))
     )
     a = v.select(
         F.col("vec_id").alias("query_id"),
@@ -552,10 +549,13 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    dot = _fold_sum(F.zip_with("emb_a", "emb_b", lambda x, y: x * y))
     scored = (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
