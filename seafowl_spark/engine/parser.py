@@ -132,6 +132,11 @@ def parse_qualified(name: str) -> tuple[str | None, str | None, str]:
 _TT = re.compile(
     rf"(?i)\b(FROM|JOIN)\s+({_QNAME})\s*\(\s*'([^']+)'\s*\)", re.DOTALL
 )
+# standard syntax: FROM t FOR TIMESTAMP AS OF '<ts>'
+_TT_STD = re.compile(
+    rf"(?i)\b(FROM|JOIN)\s+({_QNAME})\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+    re.DOTALL,
+)
 
 
 def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
@@ -147,7 +152,7 @@ def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
         found.append((alias, name, ts))
         return f"{m.group(1)} `{alias}`"
 
-    return _TT.sub(sub, sql), found
+    return _TT_STD.sub(sub, _TT.sub(sub, sql)), found
 
 
 # --------------------------------------------------------------------------

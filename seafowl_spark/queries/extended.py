@@ -258,3 +258,53 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks ASOF JOIN; DuckDB's native
+    one is the oracle): each event joined to the user's most recent order
+    at or before the event time. Orders deduped to max orderkey per
+    (custkey, date) so the as-of match is unambiguous.
+
+    Scale: operators/asof.py union-and-carry — one shuffle on the key, one
+    sort, no range explosion (see module docstring).
+    """
+    from ..operators.asof import asof_join
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumn("__key", F.col("user_id"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("__key"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        e,
+        o,
+        on="__key",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )

@@ -462,3 +462,18 @@ class TestOptimize:
         got = [tuple(r) for r in cols.collect()]
         assert got[0] == ("c_int", "int", 1)
         assert len(got) == 5
+
+
+class TestTimeTravelStdSyntax:
+    def test_for_timestamp_as_of(self, ctx):
+        seed(ctx)
+        t = ctx.delta_table("t")
+        import datetime as dt
+
+        ts = dt.datetime.fromtimestamp(
+            t.read_commit(1).timestamp_ms / 1000, dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+        time.sleep(0.01)
+        ctx.execute("INSERT INTO t (c_int) VALUES (99)")
+        out = ctx.execute(f"SELECT count(*) AS n FROM t FOR TIMESTAMP AS OF '{ts}'")
+        assert rows(out) == [(3,)]

@@ -86,3 +86,65 @@ class TestWindowedStream:
             ("2024-01-01 00:00:00", 2, 15.0),
             ("2024-01-01 01:00:00", 1, 2.0),
         ]
+
+
+class TestStatefulSessionize:
+    def test_state_survives_micro_batches(self, spark, tmp_path):
+        """applyInPandasWithState: session counters continue across
+        micro-batches through the state store."""
+        import json as _json
+
+        from seafowl_spark.streaming.stateful import sessionize_stream
+
+        src = tmp_path / "sess_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "sess_ckpt")
+        # batch 0: user 1 has two events 10s apart (one session)
+        (src / "b0.json").write_text(
+            "\n".join(
+                _json.dumps(x)
+                for x in [
+                    {"user_id": 1, "ts_sec": 100.0},
+                    {"user_id": 1, "ts_sec": 110.0},
+                    {"user_id": 2, "ts_sec": 50.0},
+                ]
+            )
+        )
+
+        captured: list = []
+
+        def run_batch():
+            stream = spark.readStream.schema("user_id bigint, ts_sec double").json(str(src))
+            q = (
+                sessionize_stream(stream, gap_seconds=60.0)
+                .writeStream.foreachBatch(
+                    lambda df, _id: captured.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_batch()
+        got = {r.user_id: (r.session_id, r.n_events) for r in captured}
+        assert got[1] == (1, 2) and got[2] == (1, 1)
+
+        # batch 1: user 1 event within gap (extends session 1), then one far
+        # beyond the gap (opens session 2); user 2 silent (state retained)
+        (src / "b1.json").write_text(
+            "\n".join(
+                _json.dumps(x)
+                for x in [
+                    {"user_id": 1, "ts_sec": 150.0},
+                    {"user_id": 1, "ts_sec": 10000.0},
+                ]
+            )
+        )
+        captured.clear()
+        run_batch()
+        latest = {r.user_id: (r.session_id, r.n_events) for r in captured}
+        # user 1 is now in session 2 with 1 event (150.0 extended session 1
+        # to 3 events, then 10000.0 opened session 2)
+        assert latest[1] == (2, 1)
