@@ -35,6 +35,10 @@ HEADLINE = [
     "s_minhash_lsh_pairs",
     "s_simhash_candidates",
     "s_ann_cosine_bruteforce",
+    "s_ann_lsh_topk",
+    "q_asof_join",
+    "q_combined_pushdown",
+    "m_payload_metadata",
 ]
 
 
