@@ -29,6 +29,10 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics must match the DuckDB oracle's naive-UTC reads
+    # even when the hosting session (e.g. the driver's) wasn't built by us
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # runtime-settable; makes this loader work in sessions we did not
         # build (e.g. the driver's own smoke session)
