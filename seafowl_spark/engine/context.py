@@ -19,6 +19,7 @@ from __future__ import annotations
 import base64
 import os
 import re
+import threading
 from dataclasses import dataclass
 from hashlib import sha256
 
@@ -56,17 +57,31 @@ class StatementResult:
 
 
 class SeafowlContext:
-    def __init__(self, spark: SparkSession, data_dir: str, catalog_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        catalog_path: str | None = None,
+        allow_python_udfs: bool = True,
+    ):
         self.spark = spark
         self.data_dir = data_dir.rstrip("/")
         os.makedirs(self.data_dir, exist_ok=True)
         self.catalog = Catalog(catalog_path or os.path.join(self.data_dir, "catalog.sqlite"))
         self.database = DEFAULT_DB
         self.search_schema = DEFAULT_SCHEMA
+        # python UDFs run arbitrary source via exec(); embedders get them by
+        # default, network frontends must opt in explicitly (tools/serve.py)
+        self.allow_python_udfs = allow_python_udfs
         # staging schema: session-scoped external tables (reference
         # src/provider.rs:25-54 keeps these in-memory, never persisted)
         self.staging: dict[str, DataFrame] = {}
         self._registered_views: set[str] = set()
+        # Statement execution is serialized: the threaded frontends share one
+        # context, and view refresh / search-path / catalog writes are shared
+        # state. Heavy work stays parallel — execute() only ANALYZES (plans
+        # are lazy); actions (toLocalIterator/toArrow) run outside the lock.
+        self._exec_lock = threading.RLock()
 
     # ------------------------------------------------------------ resolution
 
@@ -226,33 +241,51 @@ class SeafowlContext:
     def _register_functions(self) -> None:
         """Re-register persisted UDFs on the session (reference re-registers
         from catalog in reload_schema, src/context/mod.rs:101-112)."""
-        from .udf import register_udf
+        from .udf import UdfError, register_udf
 
         for name, spec in self.catalog.functions(self.database).items():
-            register_udf(self.spark, name, spec)
+            try:
+                register_udf(self.spark, name, spec, allow_python=self.allow_python_udfs)
+            except UdfError:
+                # persisted function whose language is disabled/unavailable in
+                # this session: skip registration; using it errors at analysis
+                continue
 
     # ------------------------------------------------------------ execution
 
-    def execute(self, sql: str) -> DataFrame | None:
+    def execute(self, sql: str, search_path: str | None = None) -> DataFrame | None:
         """Execute one or more ;-separated statements; only the last may be
-        a read (reference frontend/http.rs:174-204); returns its DataFrame."""
-        stmts = parser.split_statements(sql)
-        if not stmts:
-            raise ExecutionError("empty statement")
-        for i, s in enumerate(stmts[:-1]):
-            if parser.is_read_only(s):
-                raise ExecutionError(
-                    "only the last statement in a multi-statement request may be a query"
-                )
-            self.execute_statement(s)
-        return self.execute_statement(stmts[-1])
+        a read (reference frontend/http.rs:174-204); returns its DataFrame.
+
+        ``search_path`` scopes unqualified names for this call only (the
+        Flight frontend's per-command search_path); it is applied under the
+        execution lock so concurrent callers never see each other's value.
+        """
+        with self._exec_lock:
+            old = self.search_schema
+            try:
+                if search_path:
+                    self.search_schema = search_path
+                stmts = parser.split_statements(sql)
+                if not stmts:
+                    raise ExecutionError("empty statement")
+                for s in stmts[:-1]:
+                    if parser.is_read_only(s):
+                        raise ExecutionError(
+                            "only the last statement in a multi-statement request may be a query"
+                        )
+                    self.execute_statement(s)
+                return self.execute_statement(stmts[-1])
+            finally:
+                self.search_schema = old
 
     def execute_statement(self, sql: str) -> DataFrame | None:
-        stmt = parser.parse_statement(sql)
-        handler = getattr(self, f"_exec_{stmt.kind}", None)
-        if handler is None:
-            raise ExecutionError(f"no handler for {stmt.kind}")
-        return handler(stmt)
+        with self._exec_lock:
+            stmt = parser.parse_statement(sql)
+            handler = getattr(self, f"_exec_{stmt.kind}", None)
+            if handler is None:
+                raise ExecutionError(f"no handler for {stmt.kind}")
+            return handler(stmt)
 
     def query(self, sql: str) -> DataFrame:
         return self._exec_query(parser.Statement("query", sql))
@@ -268,7 +301,13 @@ class SeafowlContext:
             t = self.delta_table(name)
             t.to_df(timestamp=ts).createOrReplaceTempView(alias)
         mapping = self.reload_views()
-        return self.spark.sql(self._rewrite_names(sql, mapping))
+        try:
+            # spark.sql analyzes eagerly: the returned plan holds resolved
+            # relations, so the per-query snapshot views can be dropped here
+            return self.spark.sql(self._rewrite_names(sql, mapping))
+        finally:
+            for alias, _, _ in travels:
+                self.spark.catalog.dropTempView(alias)
 
     def _meta_query(self, sql: str) -> DataFrame | None:
         """SHOW TABLES / SHOW COLUMNS / DESCRIBE against our catalog (A20;
@@ -372,6 +411,11 @@ class SeafowlContext:
         except json.JSONDecodeError as exc:
             raise ExecutionError(f"CREATE FUNCTION body is not valid JSON: {exc}") from exc
         validate_spec(spec)
+        if spec["language"] == "python" and not self.allow_python_udfs:
+            raise ExecutionError(
+                "python UDFs are disabled on this server (unsandboxed exec); "
+                "pass --enable-python-udfs / allow_python_udfs=True to opt in"
+            )
         self.catalog.create_function(self.database, stmt.name, spec, stmt.or_replace)
 
     def _exec_drop_function(self, stmt) -> None:

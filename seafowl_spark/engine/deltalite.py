@@ -170,7 +170,12 @@ class DeltaLiteTable:
             import datetime as _dt
 
             ts = timestamp.replace("Z", "+00:00")
-            target_ms = int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+            dt = _dt.datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                # commit timestamps are epoch-UTC; a naive literal parsed as
+                # host-local time would resolve the wrong version off-UTC
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            target_ms = int(dt.timestamp() * 1000)
             chosen = None
             for v in vs:
                 c = self.read_commit(v)

@@ -33,12 +33,19 @@ import pyarrow.flight as flight
 
 from ..streaming.sync import ColumnDescriptor, SyncSchema, SyncWriter
 from .context import SeafowlContext
+from .server import AccessPolicy
 
 
 class SeafowlFlightServer(flight.FlightServerBase):
-    def __init__(self, ctx: SeafowlContext, location: str = "grpc://127.0.0.1:0"):
+    def __init__(
+        self,
+        ctx: SeafowlContext,
+        location: str = "grpc://127.0.0.1:0",
+        policy: AccessPolicy | None = None,
+    ):
         super().__init__(location)
         self.ctx = ctx
+        self.policy = policy or AccessPolicy()
         self.sync_writer = SyncWriter(ctx.spark)
         self._results: dict[str, pa.Table] = {}
         self._lock = threading.Lock()
@@ -46,22 +53,28 @@ class SeafowlFlightServer(flight.FlightServerBase):
     # ------------------------------------------------------------ queries
 
     def _execute_to_arrow(self, command: dict) -> pa.Table:
-        query = command["query"]
-        old_schema = self.ctx.search_schema
-        try:
-            if command.get("search_path"):
-                self.ctx.search_schema = command["search_path"]
-            inline = command.get("tables") or {}
-            if inline:
-                # inline metastore: register the shipped tables as views
-                from .deltalite import DeltaLiteTable
+        from . import parser
 
-                for name, path in inline.items():
-                    DeltaLiteTable(self.ctx.spark, path).to_df().createOrReplaceTempView(name)
-            df = self.ctx.execute(query)
-            return df.toArrow()
-        finally:
-            self.ctx.search_schema = old_schema
+        query = command["query"]
+        token = command.get("token")
+        writes = any(
+            not parser.is_read_only(s) for s in parser.split_statements(query)
+        )
+        if writes and not self.policy.can_write(token):
+            raise flight.FlightUnauthorizedError("write access denied")
+        if not writes and not self.policy.can_read(token):
+            raise flight.FlightUnauthorizedError("read access denied")
+        inline = command.get("tables") or {}
+        if inline:
+            # inline metastore: register the shipped tables as views
+            from .deltalite import DeltaLiteTable
+
+            for name, path in inline.items():
+                DeltaLiteTable(self.ctx.spark, path).to_df().createOrReplaceTempView(name)
+        # search_path rides the call (applied under the context's execution
+        # lock) instead of mutating shared ctx state across threads
+        df = self.ctx.execute(query, search_path=command.get("search_path"))
+        return df.toArrow()
 
     def get_flight_info(self, context, descriptor):
         command = json.loads(descriptor.command.decode())
@@ -85,6 +98,8 @@ class SeafowlFlightServer(flight.FlightServerBase):
 
     def do_put(self, context, descriptor, reader, writer):
         cmd = json.loads(descriptor.command.decode())
+        if not self.policy.can_write(cmd.get("token")):
+            raise flight.FlightUnauthorizedError("write access denied")
         schema = SyncSchema(
             [ColumnDescriptor(d["name"], d["role"], d["target"]) for d in cmd["descriptors"]]
         )
@@ -122,8 +137,10 @@ class SeafowlFlightServer(flight.FlightServerBase):
         raise flight.FlightServerError(f"unknown action {action.type}")
 
 
-def start_flight_server(ctx: SeafowlContext, port: int = 0) -> SeafowlFlightServer:
-    server = SeafowlFlightServer(ctx, f"grpc://127.0.0.1:{port}")
+def start_flight_server(
+    ctx: SeafowlContext, port: int = 0, policy: AccessPolicy | None = None
+) -> SeafowlFlightServer:
+    server = SeafowlFlightServer(ctx, f"grpc://127.0.0.1:{port}", policy=policy)
     thread = threading.Thread(target=server.serve, daemon=True)
     thread.start()
     return server

@@ -11,6 +11,7 @@ Everything else parses into a Statement the executor (context.py) interprets.
 from __future__ import annotations
 
 import re
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -145,10 +146,13 @@ def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
     register each snapshot as a temp view (reference src/version.rs:28-106
     registers `name:version` aliases the same way)."""
     found: list[tuple[str, str, str]] = []
+    # unique per call: deterministic aliases would let two concurrent
+    # time-travel reads of the same table clobber each other's temp view
+    tok = uuid.uuid4().hex[:8]
 
     def sub(m: re.Match) -> str:
         name, ts = m.group(2), m.group(3)
-        alias = f"__sfs_tt_{len(found)}_{name.replace('.', '_')}"
+        alias = f"__sfs_tt_{len(found)}_{tok}_{name.replace('.', '_')}"
         found.append((alias, name, ts))
         return f"{m.group(1)} `{alias}`"
 

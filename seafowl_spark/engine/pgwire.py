@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from . import parser
 from .context import SeafowlContext
+from .server import AccessPolicy
 
 # PostgreSQL type OIDs for the text-format row description
 _OID = {
@@ -61,6 +62,8 @@ def _cstr(s: str) -> bytes:
 
 class _Handler(socketserver.BaseRequestHandler):
     ctx: SeafowlContext
+    policy: AccessPolicy
+    _token: str | None = None
 
     def handle(self):
         sock: socket.socket = self.request
@@ -103,7 +106,23 @@ class _Handler(socketserver.BaseRequestHandler):
             return self._startup(sock)
         if code == 80877102:  # CancelRequest: nothing to cancel
             return False
-        # StartupMessage: accept any user/database
+        # StartupMessage; if any policy needs a credential, run cleartext
+        # password auth (reference checks AccessPolicy sha256 the same way)
+        if self.policy.read != "any" or self.policy.write != "any":
+            sock.sendall(_msg(b"R", struct.pack("!I", 3)))  # CleartextPassword
+            hdr = self._recv_exact(sock, 5)
+            if hdr is None or hdr[0:1] != b"p":
+                return False
+            (plen,) = struct.unpack("!I", hdr[1:5])
+            pw = self._recv_exact(sock, plen - 4)
+            if pw is None:
+                return False
+            self._token = pw.rstrip(b"\x00").decode()
+            if not self.policy.can_read(self._token) and not self.policy.can_write(
+                self._token
+            ):
+                self._send_error(sock, "password authentication failed")
+                return False
         sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
         for k, v in (
             ("server_version", "15.0 (seafowl_spark)"),
@@ -134,6 +153,13 @@ class _Handler(socketserver.BaseRequestHandler):
         try:
             if not sql.strip():
                 sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
+                return
+            writes = any(not parser.is_read_only(s) for s in parser.split_statements(sql))
+            if writes and not self.policy.can_write(self._token):
+                self._send_error(sock, "write access denied")
+                return
+            if not writes and not self.policy.can_read(self._token):
+                self._send_error(sock, "read access denied")
                 return
             df = self.ctx.execute(sql)
             if df is None or not parser.is_read_only(parser.split_statements(sql)[-1]):
@@ -170,8 +196,16 @@ class _Handler(socketserver.BaseRequestHandler):
 class PgWireServer:
     """Threaded PG-wire server bound to one SeafowlContext."""
 
-    def __init__(self, ctx: SeafowlContext, host: str = "127.0.0.1", port: int = 0):
-        handler = type("BoundPgHandler", (_Handler,), {"ctx": ctx})
+    def __init__(
+        self,
+        ctx: SeafowlContext,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        policy: AccessPolicy | None = None,
+    ):
+        handler = type(
+            "BoundPgHandler", (_Handler,), {"ctx": ctx, "policy": policy or AccessPolicy()}
+        )
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

@@ -53,7 +53,7 @@ def validate_spec(spec: dict) -> None:
 def _python_callable(spec: dict):
     src = base64.b64decode(spec["data"]).decode()
     ns: dict = {}
-    exec(src, ns)  # noqa: S102 - trusted via catalog write access, like WASM in reference
+    exec(src, ns)  # noqa: S102 - reachable only when allow_python is opted in
     fn = ns.get(spec["entrypoint"])
     if fn is None:
         raise UdfError(f"entrypoint {spec['entrypoint']!r} not defined by function body")
@@ -71,12 +71,26 @@ def _wasm_callable(spec: dict):
     raise UdfError("WASM execution path not yet implemented")
 
 
-def register_udf(spark: SparkSession, name: str, spec: dict) -> None:
+def register_udf(
+    spark: SparkSession, name: str, spec: dict, allow_python: bool = True
+) -> None:
     ret: T.DataType = parse_sql_type(spec["return_type"])
     if spec["language"] == "python":
+        if not allow_python:
+            raise UdfError(
+                "python UDFs are disabled on this server (unsandboxed exec); "
+                "start with python UDFs explicitly enabled or use WASM"
+            )
         fn = _python_callable(spec)
     else:
         fn = _wasm_callable(spec)
-    udf = spark.udf.register(name, fn, ret)
+    # Mark nondeterminism BEFORE registration: calling asNondeterministic()
+    # on the return of spark.udf.register is a no-op for the SQL-registered
+    # function (the JVM UDF was already created deterministic) and Catalyst
+    # would CSE/collapse 'volatile' calls.
+    from pyspark.sql.functions import udf as _make_udf
+
+    u = _make_udf(fn, ret)
     if spec.get("volatility") == "volatile":
-        udf.asNondeterministic()
+        u = u.asNondeterministic()
+    spark.udf.register(name, u)

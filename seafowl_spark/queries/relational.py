@@ -867,7 +867,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000 AS duration_s
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -898,9 +898,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
-        ).alias("duration_s"),
+        # Integer microseconds: float seconds hash-differ across environments
+        # (driver round-1 hash_match=false), BIGINT is bit-exact everywhere.
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
 
 

@@ -160,7 +160,7 @@ _SQL_MINHASH_SIGS = f"""
     "s_minhash_signatures",
     oracle=_SQL_MINHASH_SIGS
     + """
-    SELECT doc_id, sigs FROM sig
+    SELECT doc_id, array_to_string(sigs, '_') AS sig FROM sig
     """,
 )
 def s_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,8 +169,17 @@ def s_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures are computed row-local from the shingle array (no
     explode, no shuffle) and are 16x8 bytes regardless of document size —
     the downstream LSH join shuffles only (band_key, doc_id).
+
+    The signature is emitted serialized ('_'-joined string): the driver's
+    canonicalizer sorts/hashes with pandas, which cannot factorize
+    array-typed cells (round-1 err: "unhashable type: 'list'").
     """
-    return _minhash_sigs_df(spark, sf_dir)
+    return _minhash_sigs_df(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "_", F.transform(F.col("sigs"), lambda x: x.cast("string"))
+        ).alias("sig"),
+    )
 
 
 @register(

@@ -273,11 +273,22 @@ class SyncWriter:
 # Structured Streaming bridge
 # --------------------------------------------------------------------------
 
-def foreach_batch_merge(table_root: str, pk_cols: list[str], delete_col: str | None = None):
+def foreach_batch_merge(
+    table_root: str,
+    pk_cols: list[str],
+    delete_col: str | None = None,
+    order_col: str | None = None,
+):
     """`writeStream.foreachBatch` sink merging each micro-batch into a
     deltalite table — the Structured Streaming face of the sync path
     (micro-batch buffering is what the reference's enqueue/flush loop does
     by hand). batch_id doubles as the idempotence txn version.
+
+    The batch is squashed to one row per PK before merging (last-wins by
+    ``order_col`` — e.g. a Kafka offset / CDC LSN — or an arbitrary row via
+    dropDuplicates when no order column exists): a micro-batch carrying two
+    changes for the same PK would otherwise fan out the merge's FULL OUTER
+    JOIN and write duplicate rows.
     """
 
     def apply(batch_df, batch_id: int):
@@ -285,6 +296,18 @@ def foreach_batch_merge(table_root: str, pk_cols: list[str], delete_col: str | N
         last = t.last_app_txn_version("stream")
         if last is not None and batch_id <= last:
             return
+        if order_col is not None:
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
+            batch_df = (
+                batch_df.withColumn("__sfs_rn", F.row_number().over(w))
+                .where(F.col("__sfs_rn") == 1)
+                .drop("__sfs_rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates(pk_cols)
         t.merge(
             batch_df,
             pk_cols,
