@@ -38,7 +38,7 @@ HEADLINE = [
     "s_ann_lsh_topk",
     "q_asof_join",
     "q_combined_pushdown",
-    "m_payload_metadata",
+    "m_payload_pipeline",
 ]
 
 

@@ -5,6 +5,11 @@ TESTDATA tables gets a ``QuerySpec`` here: a Spark callable plus (where
 SQL-expressible) the equivalent DuckDB oracle SQL. The driver runs both at
 sf0.01 and hash-compares values; ``__spark_entry__.py`` re-exports this
 registry.
+
+HARD CAP: the driver grades only the FIRST 50 registry entries (in
+registration order — import order in ``load_all`` below). Keep the total
+at <= 50; consolidate related operators into one query rather than letting
+entries fall off the graded window.
 """
 
 from __future__ import annotations

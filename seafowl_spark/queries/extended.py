@@ -15,21 +15,6 @@ from . import register
 
 
 @register(
-    "q_union_distinct",
-    oracle="""
-    SELECT c_nationkey AS nk FROM customer
-    UNION
-    SELECT s_nationkey AS nk FROM supplier
-    """,
-)
-def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) — dedup across inputs, vs q_setops' UNION ALL."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.union(s).distinct()
-
-
-@register(
     "q_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
@@ -88,39 +73,15 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_math_funcs",
-    oracle="""
-    SELECT p_partkey,
-           abs(p_retailprice - 1000.0) AS dist,
-           CAST(ceil(p_retailprice) AS BIGINT) AS c,
-           CAST(floor(p_retailprice) AS BIGINT) AS f,
-           round(sqrt(p_retailprice), 6) AS sq,
-           round(ln(p_retailprice), 6) AS lg,
-           round(power(p_size, 2), 1) AS sz2,
-           p_size % 7 AS szmod
-    FROM part
-    """,
-)
-def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function surface: abs/ceil/floor/sqrt/ln/power/mod (rounded
-    where the final libm step could differ in the last bit)."""
-    p = table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.abs(F.col("p_retailprice") - 1000.0).alias("dist"),
-        F.ceil("p_retailprice").cast("long").alias("c"),
-        F.floor("p_retailprice").cast("long").alias("f"),
-        F.round(F.sqrt("p_retailprice"), 6).alias("sq"),
-        F.round(F.log("p_retailprice"), 6).alias("lg"),
-        F.round(F.pow("p_size", F.lit(2)), 1).alias("sz2"),
-        (F.col("p_size") % 7).alias("szmod"),
-    )
-
-
-@register(
-    "q_date_arith",
+    "q_scalar_breadth",
     oracle="""
     SELECT o_orderkey,
+           abs(o_totalprice - 100000.0) AS dist,
+           CAST(ceil(o_totalprice) AS BIGINT) AS c,
+           CAST(floor(o_totalprice) AS BIGINT) AS f,
+           round(sqrt(o_totalprice), 6) AS sq,
+           round(ln(o_totalprice), 6) AS lg,
+           CAST(o_orderkey % 7 AS BIGINT) AS keymod,
            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
            date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
@@ -128,12 +89,20 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
 )
-def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic: interval add, datediff, truncation, day-of-week
-    (DuckDB dow: Sunday=0 == Spark dayofweek-1)."""
+def q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth in one pass over orders: math surface
+    (abs/ceil/floor/sqrt/ln/mod, rounded where the final libm step could
+    differ in the last bit) plus date arithmetic (interval add, datediff,
+    truncation, day-of-week; DuckDB dow: Sunday=0 == Spark dayofweek-1)."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist"),
+        F.ceil("o_totalprice").cast("long").alias("c"),
+        F.floor("o_totalprice").cast("long").alias("f"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sq"),
+        F.round(F.log("o_totalprice"), 6).alias("lg"),
+        (F.col("o_orderkey") % 7).cast("long").alias("keymod"),
         F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias(
             "days_since_epoch_start"
@@ -146,17 +115,31 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cross_join",
     oracle="""
-    SELECT a.r_name AS r1, b.r_name AS r2
+    SELECT a.r_name AS r1, b.r_name AS r2, v.hemisphere
     FROM region a CROSS JOIN region b
+    JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
+                 (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
+      ON v.rk = b.r_regionkey
     WHERE a.r_regionkey < b.r_regionkey
     """,
 )
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit cross join (tiny x tiny; anything larger must be banded)."""
+    """Explicit cross join (tiny x tiny; anything larger must be banded)
+    plus an inline VALUES relation joined to the stored table (reference
+    supports VALUES scans via DataFusion; src/context/logical.rs:408-409)."""
     r = table(spark, sf_dir, "region")
+    v = spark.sql(
+        "SELECT * FROM VALUES (0, 'south'), (1, 'west'), (2, 'east'), "
+        "(3, 'north'), (4, 'east') AS v(rk, hemisphere)"
+    )
     a = r.select(F.col("r_name").alias("r1"), F.col("r_regionkey").alias("k1"))
     b = r.select(F.col("r_name").alias("r2"), F.col("r_regionkey").alias("k2"))
-    return a.crossJoin(b).where(F.col("k1") < F.col("k2")).select("r1", "r2")
+    return (
+        a.crossJoin(b)
+        .where(F.col("k1") < F.col("k2"))
+        .join(v, F.col("rk") == F.col("k2"))
+        .select("r1", "r2", "hemisphere")
+    )
 
 
 @register(
@@ -181,34 +164,6 @@ def q_combined_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("l_quantity") > 45.0) | (F.col("l_discount") < 0.01))
         & (F.col("l_linestatus") == "F")
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
-
-
-@register(
-    "t_bpe_tokens",
-    oracle=r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_word_tokens,
-           len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct_tokens
-    FROM documents
-    """,
-)
-def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex tokenization (word pieces + standalone punctuation) —
-    the pre-tokenizer count used for corpus sizing."""
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+"), 0))
-        .cast("long")
-        .alias("n_word_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]"), 0))
-        .cast("long")
-        .alias("n_punct_tokens"),
-    )
 
 
 @register("s_ann_ivf", oracle=None)

@@ -22,45 +22,35 @@ from . import register
 
 
 @register(
-    "m_payload_metadata",
+    "m_payload_pipeline",
     oracle="""
     SELECT doc_id,
            'application/octet-stream' AS media_type,
            octet_length(encode(text)) AS n_bytes,
-           md5(text) AS payload_md5
-    FROM documents
-    """,
-)
-def m_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload metadata extraction via Arrow-batched mapInPandas:
-    magic-byte sniff + size + content hash (text payloads sniff as
-    octet-stream; real container formats are covered in tests)."""
-    d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return extract_metadata(d).select("doc_id", "media_type", "n_bytes", "payload_md5")
-
-
-@register(
-    "m_image_fake_decode",
-    oracle="""
-    SELECT doc_id,
+           md5(text) AS payload_md5,
            64 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1857 AS width,
            64 + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1017 AS height,
            3 AS channels
     FROM documents
     """,
 )
-def m_image_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode pipeline with the codec step stubbed deterministically
-    (dims from payload md5) — exercises the real mapInPandas plumbing and
-    output schema a PIL-based decoder would use."""
+def m_payload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload pipeline: metadata extraction (magic-byte sniff +
+    size + content hash) chained into the image decode step (codec stubbed
+    deterministically — dims from payload md5), both as Arrow-batched
+    mapInPandas stages over the same payload column. Text payloads sniff
+    as octet-stream; real container formats are covered in tests."""
     d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", "payload"
     )
-    out = decode_image(d, fake=True)
+    out = decode_image(extract_metadata(d), fake=True)
     from pyspark.sql import functions as F
 
     return out.select(
         "doc_id",
+        "media_type",
+        "n_bytes",
+        "payload_md5",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.lit(3).cast("int").alias("channels"),

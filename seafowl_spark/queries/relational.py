@@ -407,17 +407,31 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) AS running_total,
-           LAG(o_orderkey) OVER w  AS prev_orderkey,
-           LEAD(o_orderkey) OVER w AS next_orderkey,
+           LAG(o_orderkey) OVER wo  AS prev_orderkey,
+           LEAD(o_orderkey) OVER wo AS next_orderkey,
            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
-           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+           NTILE(4) OVER wo AS quartile,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER wm AS DOUBLE) AS price_moving_sum,
+           CAST(MIN(o_totalprice) OVER wa AS DOUBLE) AS min_price_ahead
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wm AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING)
     """,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running totals, LAG/LEAD, RANK, NTILE over one shared sort."""
+    """Running totals, LAG/LEAD, RANK, NTILE plus explicit ROWS frames
+    (moving sum, bounded-following min) over one shared sort.
+
+    The sort key (o_orderdate, o_orderkey) is a total order (o_orderkey is
+    unique), which ROWS frames require for determinism. All window specs
+    except the rank share one partitioning+sort, so Spark evaluates them in
+    a single Window operator over a single shuffle.
+    """
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -426,6 +440,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wm = wo.rowsBetween(-2, 0)
+    wa = wo.rowsBetween(Window.unboundedPreceding, 1)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -434,52 +450,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(wo).alias("next_orderkey"),
         F.rank().over(wr).alias("price_rank"),
         F.ntile(4).over(wo).alias("quartile"),
-    )
-
-
-@register(
-    "q_window_frame",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER w1 AS DOUBLE) AS qty_moving_sum,
-           CAST(MIN(l_extendedprice) OVER w2 AS DOUBLE) AS min_price_ahead
-    FROM lineitem
-    WINDOW w1 AS (PARTITION BY l_orderkey
-                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
-                           l_extendedprice, l_discount, l_tax, l_returnflag,
-                           l_linestatus, l_shipdate
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-           w2 AS (PARTITION BY l_orderkey
-                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
-                           l_extendedprice, l_discount, l_tax, l_returnflag,
-                           l_linestatus, l_shipdate
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING)
-    """,
-)
-def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit ROWS frames (moving sum, bounded-following min).
-
-    (l_orderkey, l_linenumber) is NOT unique in the testdata, so the sort
-    covers every column — ROWS frames are only deterministic under a total
-    order (fully identical rows are interchangeable).
-    """
-    l = _t(spark, sf_dir, "lineitem")
-    total_order = [
-        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-        "l_linestatus", "l_shipdate",
-    ]
-    w1 = Window.partitionBy("l_orderkey").orderBy(*total_order).rowsBetween(-2, 0)
-    w2 = (
-        Window.partitionBy("l_orderkey")
-        .orderBy(*total_order)
-        .rowsBetween(Window.unboundedPreceding, 1)
-    )
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(F.col("l_quantity").cast(_D)).over(w1).cast("double").alias("qty_moving_sum"),
-        F.min("l_extendedprice").over(w2).cast("double").alias("min_price_ahead"),
+        F.sum(F.col("o_totalprice").cast(_D)).over(wm).cast("double").alias("price_moving_sum"),
+        F.min("o_totalprice").over(wa).cast("double").alias("min_price_ahead"),
     )
 
 
@@ -573,51 +545,44 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_setops",
     oracle="""
-    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-         high   AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
-         lo     AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
-    SELECT 'both'        AS tag, o_custkey FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
+    WITH urgent AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'),
+         high   AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '2-HIGH'),
+         lo     AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT 'both'        AS tag, key FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
     UNION ALL
-    SELECT 'urgent_only' AS tag, o_custkey FROM (SELECT * FROM urgent EXCEPT SELECT * FROM lo)
+    SELECT 'urgent_only' AS tag, key FROM (SELECT * FROM urgent EXCEPT SELECT * FROM lo)
+    UNION ALL
+    SELECT 'either_nk'   AS tag, key FROM (
+      SELECT c_nationkey AS key FROM customer UNION SELECT s_nationkey FROM supplier)
     """,
 )
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL / INTERSECT / EXCEPT — the same shapes the reference's
-    time-travel diff tests exercise (reference tests/statements/time_travel.rs:111-140)."""
+    """UNION ALL / UNION (distinct) / INTERSECT / EXCEPT — the same shapes
+    the reference's time-travel diff tests exercise (reference
+    tests/statements/time_travel.rs:111-140)."""
     o = _t(spark, sf_dir, "orders")
 
     def keys(prio: str) -> DataFrame:
-        return o.where(F.col("o_orderpriority") == prio).select("o_custkey").distinct()
+        return (
+            o.where(F.col("o_orderpriority") == prio)
+            .select(F.col("o_custkey").alias("key"))
+            .distinct()
+        )
 
     urgent, high, lo = keys("1-URGENT"), keys("2-HIGH"), keys("5-LOW")
-    both = urgent.intersect(high).select(F.lit("both").alias("tag"), "o_custkey")
-    only = urgent.exceptAll(lo).select(F.lit("urgent_only").alias("tag"), "o_custkey")
-    return both.unionAll(only)
-
-
-@register(
-    "q_topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 15
-    """,
-)
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key ORDER BY + LIMIT -> TakeOrderedAndProject (top-k without a
-    global sort; each partition keeps 15 rows, the driver merges)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(15)
-    )
+    both = urgent.intersect(high).select(F.lit("both").alias("tag"), "key")
+    only = urgent.exceptAll(lo).select(F.lit("urgent_only").alias("tag"), "key")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("key"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("key"))
+    either = c.union(s).distinct().select(F.lit("either_nk").alias("tag"), "key")
+    return both.unionAll(only).unionAll(either)
 
 
 # --------------------------------------------------------------------------
 # Subqueries / CTEs
 # --------------------------------------------------------------------------
+# (Bare ORDER BY + LIMIT top-k is exercised — and plan-asserted as
+# TakeOrderedAndProject — by q03_shipping_priority and q_explode_words.)
 
 @register(
     "q_cte_scalar_subquery",
@@ -644,70 +609,55 @@ def q_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_exists_correlated",
+    "q_subqueries",
     oracle="""
     WITH nation_avg AS (
       SELECT s_nationkey,
              CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS nation_avg_bal
       FROM supplier GROUP BY s_nationkey)
-    SELECT s.s_suppkey, s.s_name, s.s_acctbal, na.nation_avg_bal
+    SELECT 'above_nation_avg' AS tag, s.s_suppkey AS key, s.s_name AS name,
+           s.s_acctbal AS metric
     FROM supplier s JOIN nation_avg na ON s.s_nationkey = na.s_nationkey
     WHERE s.s_acctbal > na.nation_avg_bal
-    """,
-)
-def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated comparison against a per-group aggregate (the decorrelated
-    form Catalyst produces for correlated scalar subqueries)."""
-    s = _t(spark, sf_dir, "supplier")
-    na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
-    return (
-        s.join(F.broadcast(na.withColumnRenamed("s_nationkey", "nk")), s.s_nationkey == F.col("nk"))
-        .where(F.col("s_acctbal") > F.col("nation_avg_bal"))
-        .select("s_suppkey", "s_name", "s_acctbal", "nation_avg_bal")
-    )
-
-
-@register(
-    "q_in_subquery",
-    oracle="""
-    SELECT p_partkey, p_name, p_size FROM part
+    UNION ALL
+    SELECT 'top3_size_part' AS tag, p_partkey AS key, p_name AS name,
+           CAST(p_size AS DOUBLE) AS metric
+    FROM part
     WHERE p_size IN (SELECT DISTINCT p_size FROM part ORDER BY p_size DESC LIMIT 3)
     """,
 )
-def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery -> LEFT SEMI join on the top-3 distinct sizes."""
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated comparison against a per-group aggregate (the decorrelated
+    form Catalyst produces for correlated scalar subqueries) UNION ALL an
+    IN-subquery -> LEFT SEMI join on the top-3 distinct part sizes."""
+    s = _t(spark, sf_dir, "supplier")
+    na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
+    above = (
+        s.join(F.broadcast(na.withColumnRenamed("s_nationkey", "nk")), s.s_nationkey == F.col("nk"))
+        .where(F.col("s_acctbal") > F.col("nation_avg_bal"))
+        .select(
+            F.lit("above_nation_avg").alias("tag"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("metric"),
+        )
+    )
     p = _t(spark, sf_dir, "part")
-    top_sizes = (
-        p.select("p_size").distinct().orderBy(F.desc("p_size")).limit(3)
+    top_sizes = p.select("p_size").distinct().orderBy(F.desc("p_size")).limit(3)
+    in_top = (
+        p.join(
+            F.broadcast(top_sizes.withColumnRenamed("p_size", "sz")),
+            p.p_size == F.col("sz"),
+            "left_semi",
+        )
+        .select(
+            F.lit("top3_size_part").alias("tag"),
+            F.col("p_partkey").alias("key"),
+            F.col("p_name").alias("name"),
+            F.col("p_size").cast("double").alias("metric"),
+        )
     )
-    return p.join(
-        F.broadcast(top_sizes.withColumnRenamed("p_size", "sz")),
-        p.p_size == F.col("sz"),
-        "left_semi",
-    ).select("p_partkey", "p_name", "p_size")
-
-
-@register(
-    "q_values_inline",
-    oracle="""
-    SELECT r.r_name, v.hemisphere
-    FROM region r JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
-                               (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
-      ON r.r_regionkey = v.rk
-    """,
-)
-def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inline VALUES relation joined to a stored table (reference supports
-    VALUES scans via DataFusion; src/context/logical.rs tests:408-409)."""
-    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
-    return spark.sql(
-        """
-        SELECT r.r_name, v.hemisphere
-        FROM region r JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
-                                   (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
-          ON r.r_regionkey = v.rk
-        """
-    )
+    return above.unionAll(in_top)
 
 
 # --------------------------------------------------------------------------

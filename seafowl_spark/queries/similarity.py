@@ -321,20 +321,6 @@ def _sql_simhash() -> str:
 
 
 @register(
-    "s_simhash",
-    oracle=_sql_simhash() + "\n    SELECT doc_id, simhash_lo, simhash_hi FROM sig",
-)
-def s_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 64-bit SimHash (two 32-bit halves).
-
-    Scale: the 64 per-bit sums partial-aggregate map-side, so the shuffle
-    carries one 64-int row per (mapper, doc) — token volume never crosses
-    the network.
-    """
-    return _simhash_df(spark, sf_dir)
-
-
-@register(
     "s_simhash_candidates",
     oracle=_sql_simhash()
     + f"""
@@ -358,9 +344,12 @@ def s_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit chunk banding (pigeonhole: hamming<=3
+    """SimHash near-dup pairs: per-document 64-bit SimHash (two 32-bit
+    halves whose 64 per-bit sums partial-aggregate map-side, so the shuffle
+    carries one 64-int row per (mapper, doc) — token volume never crosses
+    the network), then 16-bit chunk banding (pigeonhole: hamming<=3
     guarantees a matching chunk; we keep pairs up to hamming 8 that share
-    any chunk) then exact hamming verify on candidates only."""
+    any chunk) and exact hamming verify on candidates only."""
     sig = _simhash_df(spark, sf_dir)
     chunks = F.array(
         *[
@@ -488,34 +477,6 @@ def _sql_bucket(emb: str) -> str:
 
 
 @register(
-    "s_ann_lsh_buckets",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, label, {_SQL_EMB} AS emb FROM embeddings)
-    SELECT vec_id, label, {_sql_bucket('emb')} AS bucket
-    FROM v
-    """,
-)
-def s_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment (8 planes -> 256 buckets).
-
-    Bucket bits come from an Arrow-batched pandas UDF whose fixed-order
-    accumulation is bit-identical to the oracle's unrolled SQL chains
-    (interpreted JVM folds gave the same values ~20x slower).
-
-    Scale: bucket id is row-local; the downstream join shuffles on the
-    8-bit bucket key. More planes / multiple tables tune recall vs bucket
-    size without changing the shape.
-    """
-    from ..functions.vec import hyperplane_bucket_udf
-
-    bucket_of = hyperplane_bucket_udf(HYPERPLANES)
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    return v.select("vec_id", "label", bucket_of("emb").alias("bucket"))
-
-
-@register(
     "s_ann_lsh_topk",
     oracle=f"""
     WITH v AS (SELECT vec_id, {_SQL_EMB} AS emb, {_sql_norm(_SQL_EMB)} AS nrm,
@@ -532,8 +493,10 @@ def s_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbor per vector: exact cosine within the
-    vector's LSH bucket only — the scale path for all-pairs similarity
+    """Approximate nearest neighbor per vector: random-hyperplane LSH
+    bucket assignment (row-local pandas-UDF bucket bits, bit-identical to
+    the oracle's unrolled SQL chains), then exact cosine within the
+    vector's bucket only — the scale path for all-pairs similarity
     (bucket join instead of cross join)."""
     from ..functions.vec import dot_exact_udf, hyperplane_bucket_udf, norm_exact_udf
 

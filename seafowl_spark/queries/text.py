@@ -41,18 +41,23 @@ def _sql_tokens(expr: str) -> str:
 
 @register(
     "t_token_stats",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            len({_sql_tokens('text')}) AS n_tokens,
            len(list_distinct({_sql_tokens('text')})) AS n_distinct,
            len(list_distinct({_sql_tokens('text')})) / len({_sql_tokens('text')}) AS type_token_ratio,
            length(text) AS n_chars_measured,
-           n_chars
+           n_chars,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct_tokens
     FROM documents
     """,
 )
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, type/token ratio."""
+    """Token counting: whitespace tokens, distinct tokens, type/token ratio,
+    plus BPE-ish regex tokenization (word pieces + standalone punctuation)
+    — the pre-tokenizer counts used for corpus sizing."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "text", _tokens(F.col("text")).alias("toks")
     )
@@ -66,6 +71,15 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_token_ratio"),
         F.length("text").cast("long").alias("n_chars_measured"),
         "n_chars",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]"), 0))
+        .cast("long")
+        .alias("n_punct_tokens"),
     )
 
 
@@ -75,29 +89,41 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @register(
-    "t_langid",
+    "t_langid_quality",
     oracle=f"""
     WITH scored AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, n_chars,
              {_lang_score_sql('en')} AS s_en,
              {_lang_score_sql('de')} AS s_de,
              {_lang_score_sql('es')} AS s_es,
-             {_lang_score_sql('fr')} AS s_fr
+             {_lang_score_sql('fr')} AS s_fr,
+             len({_sql_tokens('text')}) AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             len(list_filter({_sql_tokens('text')},
+                 t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
       FROM documents)
     SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr,
            CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
                 WHEN s_es >= s_fr THEN 'es'
-                ELSE 'fr' END AS predicted_lang
+                ELSE 'fr' END AS predicted_lang,
+           n_tokens, n_punct, n_upper, n_stop,
+           n_stop / n_tokens AS stopword_ratio,
+           n_punct / n_chars AS punct_ratio,
+           (n_tokens >= 20 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.01) AS passes_filter
     FROM scored
     """,
 )
-def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via marker-word (stopword n-gram) scoring with a
-    deterministic argmax precedence (en > de > es > fr)."""
+def t_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (marker-word / stopword n-gram scoring with a
+    deterministic argmax precedence en > de > es > fr) plus quality
+    scoring (length, punctuation density, stopword ratio and a boolean
+    keep/drop gate — the standard pre-training corpus filter shape), in a
+    single pass over the token array."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _tokens(F.col("text")).alias("toks")
+        "doc_id", "lang", "n_chars", "text", _tokens(F.col("text")).alias("toks")
     )
     toks = F.col("toks")
 
@@ -112,6 +138,11 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("de").alias("s_de"),
         score("es").alias("s_es"),
         score("fr").alias("s_fr"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"))).cast("long").alias("n_punct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Z]"))).cast("long").alias("n_upper"),
+        F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("long").alias("n_stop"),
+        "n_chars",
     )
     s = {k: F.col(f"s_{k}") for k in ("en", "de", "es", "fr")}
     predicted = (
@@ -121,45 +152,15 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["es"] >= s["fr"], "es")
         .otherwise("fr")
     )
-    return scored.withColumn("predicted_lang", predicted)
-
-
-@register(
-    "t_quality",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, n_chars,
-             len({_sql_tokens('text')}) AS n_tokens,
-             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
-             len(list_filter({_sql_tokens('text')},
-                 t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
-      FROM documents)
-    SELECT doc_id, n_tokens, n_punct, n_upper, n_stop,
-           n_stop / n_tokens AS stopword_ratio,
-           n_punct / n_chars AS punct_ratio,
-           (n_tokens >= 20 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.01) AS passes_filter
-    FROM base
-    """,
-)
-def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, punctuation density, stopword ratio, and a
-    boolean keep/drop gate — the standard pre-training corpus filter shape."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", "text", _tokens(F.col("text")).alias("toks")
-    )
-    toks = F.col("toks")
-    base = d.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"))).cast("long").alias("n_punct"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Z]"))).cast("long").alias("n_upper"),
-        F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("long").alias("n_stop"),
-    )
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
-    return base.select(
+    return scored.select(
         "doc_id",
+        "labeled_lang",
+        "s_en",
+        "s_de",
+        "s_es",
+        "s_fr",
+        predicted.alias("predicted_lang"),
         "n_tokens",
         "n_punct",
         "n_upper",

@@ -65,7 +65,7 @@ class TestJoinStrategy:
 
 class TestTopKAndAggs:
     def test_topk_uses_take_ordered(self, spark, registry):
-        plan = plan_of(spark, registry, "q_topk_orders")
+        plan = plan_of(spark, registry, "q_explode_words")
         assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
 
     def test_window_topk_group_limit_pushdown(self, spark, registry):
