@@ -215,6 +215,76 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seed_remote_sqlite(sf_dir: str) -> str:
+    """Materialize customer.parquet as a SQLite database (once per sf_dir)
+    so the remote-table path is exercised against real testdata; the oracle
+    reads the same rows straight from parquet."""
+    import os
+    import sqlite3
+    import tempfile
+    from hashlib import sha256
+
+    import pyarrow.parquet as pq
+
+    key = sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    db = os.path.join(tempfile.gettempdir(), f"sfs_remote_{key}.db")
+    if not os.path.exists(db):
+        tmp = f"{db}.tmp{os.getpid()}"
+        con = sqlite3.connect(tmp)
+        con.execute(
+            "CREATE TABLE customer (c_custkey INTEGER, c_name TEXT, "
+            "c_nationkey INTEGER, c_acctbal REAL, c_mktsegment TEXT)"
+        )
+        t = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+        rows = zip(*[t.column(c).to_pylist() for c in
+                     ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")])
+        con.executemany("INSERT INTO customer VALUES (?,?,?,?,?)", rows)
+        con.commit()
+        con.close()
+        os.replace(tmp, db)  # atomic: concurrent seeders converge
+    return db
+
+
+@register(
+    "q_remote_sqlite",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+      AND c_nationkey IN (1, 5, 9, 13, 17, 21)
+    """,
+)
+def q_remote_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-table federation (reference datafusion_remote_tables/src/
+    provider.rs:121-235): customer seeded into SQLite, read through the
+    seafowl_remote Python DataSource; every conjunct (equality, comparison,
+    IN-list) ships to the remote database as SQL via pushFilters, so the
+    executor-side scan fetches only matching rows — the oracle reads the
+    same parquet directly.
+
+    Scale: reads run on executors with per-partition connections and
+    optional range partitioning (JDBC shape); the remote engine does the
+    row filtering, Spark does everything after.
+    """
+    from ..sources.remote import read_remote_table
+
+    db = _seed_remote_sqlite(sf_dir)
+    df = read_remote_table(spark, f"sqlite://{db}", "customer")
+    return (
+        df.where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 1000.0)
+            & F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21)
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_acctbal",
+        )
+    )
+
+
 @register(
     "q_asof_join",
     oracle="""

@@ -100,6 +100,18 @@ def read_external(
 
         return DeltaLiteTable(spark, location).to_df()
 
+    if fmt == "table":
+        # remote table federation (reference datafusion_remote_tables/):
+        # STORED AS TABLE OPTIONS('name' '<remote table>') LOCATION '<dsn>'
+        from .remote import read_remote_table
+
+        name = options.pop("name", None)
+        if not name:
+            raise ExternalTableError(
+                "STORED AS TABLE requires OPTIONS ('name' '<remote table name>')"
+            )
+        return read_remote_table(spark, location, name, schema=schema, options=options)
+
     if fmt == "iceberg":
         raise ExternalTableError(
             "ICEBERG external tables require the iceberg-spark runtime jar, "
