@@ -285,6 +285,67 @@ def q_remote_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seed_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize nation.parquet as an Iceberg table (once per sf_dir);
+    returns the current metadata.json path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    from hashlib import sha256
+
+    from ..sources.iceberg import write_iceberg_table
+
+    key = sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"sfs_iceberg_{key}")
+    marker = os.path.join(d, "metadata")
+    if not os.path.isdir(marker):
+        stage = f"{d}.stage{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        nation = table(spark, sf_dir, "nation")
+        write_iceberg_table(spark, nation, stage)
+        try:
+            os.rename(stage, d)  # atomic publish; loser keeps its stage
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    metas = sorted(
+        glob.glob(os.path.join(d, "metadata", "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    return metas[-1]
+
+
+@register(
+    "q_iceberg_read",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name, MAX(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg external table read (reference src/context/iceberg.rs; test
+    shape tests/statements/query.rs:372-410): nation written as an Iceberg
+    v2 table (parquet data files + Avro manifests + metadata.json), read
+    back by resolving the current snapshot's live file list and handing
+    the parquet paths to Spark's native scan; the oracle reads the source
+    parquet directly.
+
+    Scale: manifest walking is metadata-proportional (bytes ~ #files);
+    the data path stays Catalyst's vectorized parquet reader with
+    pushdown/pruning intact.
+    """
+    from ..sources.iceberg import read_iceberg
+
+    meta = _seed_iceberg(spark, sf_dir)
+    n = read_iceberg(spark, meta)
+    return n.groupBy(F.col("n_regionkey").cast("int").alias("n_regionkey")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
 @register(
     "q_asof_join",
     oracle="""

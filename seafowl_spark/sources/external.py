@@ -113,9 +113,11 @@ def read_external(
         return read_remote_table(spark, location, name, schema=schema, options=options)
 
     if fmt == "iceberg":
-        raise ExternalTableError(
-            "ICEBERG external tables require the iceberg-spark runtime jar, "
-            "which is not available in this environment"
-        )
+        # LOCATION points at the table's metadata.json (reference test
+        # shape, tests/statements/query.rs:372-410); snapshot pinning via
+        # OPTIONS ('snapshot-id' ...) / ('as-of-timestamp' <ms>)
+        from .iceberg import read_iceberg
+
+        return read_iceberg(spark, location, options)
 
     raise ExternalTableError(f"unsupported external table format: {fmt}")

@@ -1,0 +1,237 @@
+"""Iceberg read path (STORED AS ICEBERG) + the minimal Avro codec it rides
+on. Parity target: src/context/iceberg.rs and the read shape in
+tests/statements/query.rs:372-410 (LOCATION = metadata.json)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from seafowl_spark.sources.avro import read_avro, write_avro
+from seafowl_spark.sources.iceberg import (
+    IcebergError,
+    read_iceberg,
+    snapshot_data_files,
+    write_iceberg_table,
+)
+
+
+class TestAvro:
+    def test_roundtrip_all_types(self, tmp_path):
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "i", "type": "long"},
+                {"name": "neg", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "d", "type": "double"},
+                {"name": "b", "type": "boolean"},
+                {"name": "by", "type": "bytes"},
+                {"name": "opt", "type": ["null", "string"], "default": None},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+                {
+                    "name": "nested",
+                    "type": {
+                        "type": "record",
+                        "name": "inner",
+                        "fields": [{"name": "x", "type": "int"}],
+                    },
+                },
+            ],
+        }
+        rows = [
+            {
+                "i": 1 << 40,
+                "neg": -12345,
+                "s": "héllo",
+                "d": 1.5,
+                "b": True,
+                "by": b"\x00\xff",
+                "opt": None,
+                "arr": [1, 2, 3],
+                "m": {"k": "v"},
+                "nested": {"x": 7},
+            },
+            {
+                "i": 0,
+                "neg": 0,
+                "s": "",
+                "d": -0.25,
+                "b": False,
+                "by": b"",
+                "opt": "there",
+                "arr": [],
+                "m": {},
+                "nested": {"x": -1},
+            },
+        ]
+        p = str(tmp_path / "t.avro")
+        write_avro(p, schema, rows)
+        meta, got = read_avro(p)
+        assert got == rows
+        assert meta["avro.codec"] == b"null"
+
+    def test_deflate_codec(self, tmp_path):
+        # hand-build a deflate block by recompressing a null-codec file
+        import json
+        import zlib
+
+        schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+        p = str(tmp_path / "n.avro")
+        write_avro(p, schema, [{"a": 5}, {"a": -5}])
+        raw = open(p, "rb").read()
+        # the payload for two zigzag longs is the last bytes before sync
+        sync = raw[-16 - 2 - 2 :][-18:-2]  # not robust; rebuild instead
+        from seafowl_spark.sources import avro as A
+
+        w = A._Writer()
+        A._encode(w, schema, {"a": 5}, {})
+        A._encode(w, schema, {"a": -5}, {})
+        payload = w.buf.getvalue()
+        comp = zlib.compress(payload)[2:-4]  # raw deflate
+        out = bytearray()
+        out += b"Obj\x01"
+        hw = A._Writer()
+        metadata = {
+            "avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"deflate",
+        }
+        hw.long(len(metadata))
+        for k, v in metadata.items():
+            kb = k.encode()
+            hw.long(len(kb))
+            hw.write(kb)
+            hw.long(len(v))
+            hw.write(v)
+        hw.long(0)
+        out += hw.buf.getvalue()
+        sync = b"0123456789abcdef"
+        out += sync
+        bw = A._Writer()
+        bw.long(2)
+        bw.long(len(comp))
+        out += bw.buf.getvalue() + comp + sync
+        p2 = str(tmp_path / "d.avro")
+        open(p2, "wb").write(bytes(out))
+        _, rows = read_avro(p2)
+        assert rows == [{"a": 5}, {"a": -5}]
+
+
+@pytest.fixture(scope="module")
+def iceberg_table(spark, tmp_path_factory):
+    """Two-snapshot table: snapshot 1 = rows 1-2, snapshot 2 appends 3-4."""
+    d = str(tmp_path_factory.mktemp("iceberg") / "tbl")
+    df1 = spark.createDataFrame([Row(key=1, value="one"), Row(key=2, value="two")])
+    m1 = write_iceberg_table(spark, df1, d)
+    df2 = spark.createDataFrame([Row(key=3, value="three"), Row(key=4, value="four")])
+    m2 = write_iceberg_table(spark, df2, d)
+    return d, m1, m2
+
+
+class TestIcebergRead:
+    def test_current_snapshot(self, spark, iceberg_table):
+        d, m1, m2 = iceberg_table
+        out = read_iceberg(spark, m2).orderBy("key").collect()
+        assert [(r["key"], r["value"]) for r in out] == [
+            (1, "one"), (2, "two"), (3, "three"), (4, "four"),
+        ]
+
+    def test_older_metadata_version(self, spark, iceberg_table):
+        d, m1, m2 = iceberg_table
+        out = read_iceberg(spark, m1).orderBy("key").collect()
+        assert [r["key"] for r in out] == [1, 2]
+
+    def test_snapshot_id_pin(self, spark, iceberg_table):
+        import json
+
+        d, m1, m2 = iceberg_table
+        first = json.load(open(m1))["current-snapshot-id"]
+        out = read_iceberg(spark, m2, {"snapshot-id": str(first)}).collect()
+        assert sorted(r["key"] for r in out) == [1, 2]
+
+    def test_as_of_timestamp(self, spark, iceberg_table):
+        import json
+
+        d, m1, m2 = iceberg_table
+        ts1 = json.load(open(m1))["snapshots"][0]["timestamp-ms"]
+        out = read_iceberg(spark, m2, {"as-of-timestamp": str(ts1)}).collect()
+        assert sorted(r["key"] for r in out) == [1, 2]
+
+    def test_file_count(self, iceberg_table):
+        d, m1, m2 = iceberg_table
+        assert len(snapshot_data_files(m1)) < len(snapshot_data_files(m2))
+
+    def test_delete_manifests_rejected(self, spark, iceberg_table, tmp_path):
+        import json
+
+        d, m1, m2 = iceberg_table
+        meta = json.load(open(m2))
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        from seafowl_spark.sources.avro import read_avro as ra, write_avro as wa
+        from seafowl_spark.sources.iceberg import _MANIFEST_FILE_SCHEMA
+
+        _, manifests = ra(snap["manifest-list"])
+        manifests[0]["content"] = 1  # pretend it's a delete manifest
+        bad_list = str(tmp_path / "bad-list.avro")
+        wa(bad_list, _MANIFEST_FILE_SCHEMA, manifests)
+        snap["manifest-list"] = bad_list
+        bad_meta = str(tmp_path / "bad.metadata.json")
+        json.dump(meta, open(bad_meta, "w"))
+        with pytest.raises(IcebergError, match="delete manifests"):
+            snapshot_data_files(bad_meta)
+
+    def test_stored_as_iceberg_via_context(self, ctx, iceberg_table):
+        d, m1, m2 = iceberg_table
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE test_iceberg STORED AS ICEBERG LOCATION '{m2}'"
+        )
+        out = ctx.execute("SELECT * FROM staging.test_iceberg ORDER BY key")
+        assert [(r["key"], r["value"]) for r in out.collect()] == [
+            (1, "one"), (2, "two"), (3, "three"), (4, "four"),
+        ]
+
+    def test_relocated_table(self, spark, iceberg_table, tmp_path):
+        """Paths under the original location re-root after a directory copy
+        (the FileIO-style resolution in _localize)."""
+        import json
+        import shutil
+
+        d, m1, m2 = iceberg_table
+        moved = str(tmp_path / "moved")
+        shutil.copytree(d, moved)
+        # metadata still references the ORIGINAL absolute paths; point the
+        # location at the old dir and delete nothing — now read the copy
+        meta_path = os.path.join(moved, "metadata", os.path.basename(m2))
+        meta = json.load(open(meta_path))
+        # rewrite absolute references to simulate a table whose files moved
+        def reroot(p: str) -> str:
+            return p.replace(d, moved)
+
+        for s in meta["snapshots"]:
+            s["manifest-list"] = reroot(s["manifest-list"])
+        json.dump(meta, open(meta_path, "w"))
+        for s in meta["snapshots"]:
+            _, manifests = read_avro(s["manifest-list"])
+            new = []
+            for m in manifests:
+                m["manifest_path"] = reroot(m["manifest_path"])
+                _, entries = read_avro(m["manifest_path"])
+                for e in entries:
+                    e["data_file"]["file_path"] = reroot(e["data_file"]["file_path"])
+                from seafowl_spark.sources.iceberg import (
+                    _MANIFEST_ENTRY_SCHEMA,
+                    _MANIFEST_FILE_SCHEMA,
+                )
+
+                write_avro(m["manifest_path"], _MANIFEST_ENTRY_SCHEMA, entries)
+                new.append(m)
+            write_avro(s["manifest-list"], _MANIFEST_FILE_SCHEMA, new)
+        out = read_iceberg(spark, meta_path).collect()
+        assert sorted(r["key"] for r in out) == [1, 2, 3, 4]
