@@ -41,9 +41,20 @@ def validate_spec(spec: dict) -> None:
         )
     if spec.get("volatility", "volatile") not in VALID_VOLATILITY:
         raise UdfError(f"bad volatility {spec['volatility']!r}")
-    parse_sql_type(spec["return_type"])
-    for t in spec["input_types"]:
-        parse_sql_type(t)
+    if spec["language"] in ("wasm", "wasmMessagePack"):
+        # the WASM ABI supports exactly the data_types.rs:43-63 table
+        from .wasm_abi import WasmAbiError, parse_udf_type
+
+        try:
+            parse_udf_type(spec["return_type"])
+            for t in spec["input_types"]:
+                parse_udf_type(t)
+        except WasmAbiError as exc:
+            raise UdfError(str(exc)) from exc
+    else:
+        parse_sql_type(spec["return_type"])
+        for t in spec["input_types"]:
+            parse_sql_type(t)
     try:
         base64.b64decode(spec["data"])
     except Exception as exc:  # noqa: BLE001
@@ -61,14 +72,25 @@ def _python_callable(spec: dict):
 
 
 def _wasm_callable(spec: dict):
-    try:
-        import wasmtime  # noqa: F401
-    except ImportError as exc:
+    """wasmMessagePack execution: the full MessagePack ABI + type
+    marshalling lives in wasm_abi.py (reference src/wasm_udf/wasm.rs) and
+    is executable/tested; only the bytecode interpreter itself needs
+    wasmtime, which gates here."""
+    from .wasm_abi import WasmAbiError, WasmtimeExecutor, make_row_callable
+
+    if spec["language"] != "wasmMessagePack":
         raise UdfError(
-            "WASM UDFs require the wasmtime package, which is not installed; "
-            "use language='python' instead"
-        ) from exc
-    raise UdfError("WASM execution path not yet implemented")
+            "legacy language='wasm' (raw i32/i64/f32/f64 exports) is not "
+            "supported; use 'wasmMessagePack' (the reference's current ABI)"
+        )
+    module_bytes = base64.b64decode(spec["data"])
+    try:
+        executor = WasmtimeExecutor(module_bytes, spec["entrypoint"])
+        return make_row_callable(
+            executor, spec["input_types"], spec["return_type"]
+        )
+    except WasmAbiError as exc:
+        raise UdfError(str(exc)) from exc
 
 
 def register_udf(
