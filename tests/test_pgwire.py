@@ -70,6 +70,79 @@ class MiniPgClient:
                 errors.append(payload)
         return cols, rows, errors
 
+    # ---------------------------------------------------- extended protocol
+
+    def _send(self, tag: bytes, body: bytes):
+        self.sock.sendall(tag + struct.pack("!I", len(body) + 4) + body)
+
+    def parse(self, name: str, sql: str, oids: list[int] | None = None):
+        oids = oids or []
+        body = name.encode() + b"\x00" + sql.encode() + b"\x00"
+        body += struct.pack("!H", len(oids))
+        for o in oids:
+            body += struct.pack("!I", o)
+        self._send(b"P", body)
+
+    def bind(
+        self,
+        portal: str,
+        stmt: str,
+        params: list[bytes | None],
+        fmts: list[int] | None = None,
+    ):
+        body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        fmts = fmts or []
+        body += struct.pack("!H", len(fmts))
+        for f in fmts:
+            body += struct.pack("!H", f)
+        body += struct.pack("!H", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!i", len(p)) + p
+        self._send(b"B", body)
+
+    def describe(self, kind: bytes, name: str):
+        self._send(b"D", kind + name.encode() + b"\x00")
+
+    def execute(self, portal: str, max_rows: int = 0):
+        self._send(b"E", portal.encode() + b"\x00" + struct.pack("!i", max_rows))
+
+    def sync(self):
+        self._send(b"S", b"")
+        return self._drain_until_ready()
+
+    @staticmethod
+    def collect(msgs):
+        """Split a message batch into (tags, cols, rows, errors)."""
+        tags, cols, rows, errors = [], [], [], []
+        for tag, payload in msgs:
+            tags.append(tag)
+            if tag == b"T":
+                (n,) = struct.unpack("!H", payload[:2])
+                off = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", off)
+                    cols.append(payload[off:end].decode())
+                    off = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack("!H", payload[:2])
+                off = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(payload[off : off + ln].decode())
+                        off += ln
+                rows.append(tuple(row))
+            elif tag == b"E":
+                errors.append(payload)
+        return tags, cols, rows, errors
+
     def close(self):
         self.sock.sendall(b"X" + struct.pack("!I", 4))
         self.sock.close()
@@ -106,3 +179,111 @@ class TestPgWire:
         ctx, client = pg
         _, rows, _ = client.query("SELECT true AS t, false AS f")
         assert rows == [("t", "f")]
+
+
+class TestPgWireExtended:
+    """Parse/Bind/Describe/Execute two-phase flow (reference
+    src/frontend/postgres.rs:41-77 prepare + portal)."""
+
+    def _seed(self, client):
+        client.query("CREATE TABLE ext (x int, s text)")
+        client.query("INSERT INTO ext VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    def test_prepared_statement_text_params(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("st", "SELECT x, s FROM ext WHERE x > $1 ORDER BY x", [23])
+        client.bind("", "st", [b"1"])
+        client.describe(b"P", "")
+        client.execute("")
+        tags, cols, rows, errors = client.collect(client.sync())
+        assert not errors
+        assert b"1" in tags and b"2" in tags  # ParseComplete + BindComplete
+        assert cols == ["x", "s"]
+        assert rows == [("2", "b"), ("3", "c")]
+
+    def test_rebind_same_statement(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("st2", "SELECT count(*) AS n FROM ext WHERE s = $1")
+        client.bind("", "st2", [b"a"])
+        client.execute("")
+        _, _, rows, errors = client.collect(client.sync())
+        assert not errors and rows == [("1",)]
+        client.bind("", "st2", [b"zzz"])
+        client.execute("")
+        _, _, rows2, errors2 = client.collect(client.sync())
+        assert not errors2 and rows2 == [("0",)]
+
+    def test_binary_params(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("stb", "SELECT x FROM ext WHERE x = $1", [23])
+        client.bind("", "stb", [struct.pack("!i", 2)], fmts=[1])
+        client.execute("")
+        _, _, rows, errors = client.collect(client.sync())
+        assert not errors and rows == [("2",)]
+
+    def test_null_param(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("stn", "SELECT count(*) AS n FROM ext WHERE s = $1")
+        client.bind("", "stn", [None])
+        client.execute("")
+        _, _, rows, errors = client.collect(client.sync())
+        assert not errors and rows == [("0",)]  # = NULL matches nothing
+
+    def test_describe_statement(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("std", "SELECT x, s FROM ext WHERE x > $1", [23])
+        client.describe(b"S", "std")
+        msgs = client.sync()
+        tags = [t for t, _ in msgs]
+        assert b"t" in tags  # ParameterDescription
+        _, cols, _, errors = client.collect(msgs)
+        assert not errors and cols == ["x", "s"]
+
+    def test_execute_row_limit(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("stl", "SELECT x FROM ext ORDER BY x")
+        client.bind("", "stl", [])
+        client.execute("", max_rows=2)
+        _, _, rows, errors = client.collect(client.sync())
+        assert not errors and rows == [("1",), ("2",)]
+
+    def test_error_aborts_until_sync(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("bad", "SELECT * FROM nowhere")
+        client.bind("", "bad", [])
+        client.execute("")  # fails
+        client.execute("")  # must be discarded (aborted state)
+        msgs = client.sync()
+        _, _, _, errors = client.collect(msgs)
+        assert len(errors) == 1  # one error, second Execute skipped
+        # session still alive for the next cycle
+        client.parse("ok", "SELECT 1 AS one")
+        client.bind("", "ok", [])
+        client.execute("")
+        _, _, rows, errors2 = client.collect(client.sync())
+        assert not errors2 and rows == [("1",)]
+
+    def test_close_statement(self, pg):
+        ctx, client = pg
+        self._seed(client)
+        client.parse("stc", "SELECT 1 AS one")
+        client._send(b"C", b"S" + b"stc\x00")
+        client.bind("", "stc", [])
+        msgs = client.sync()
+        _, _, _, errors = client.collect(msgs)
+        assert errors  # bind after close: unknown statement
+
+    def test_string_literal_dollar_untouched(self, pg):
+        ctx, client = pg
+        client.parse("stq", "SELECT '$1' AS lit, $1 AS val")
+        client.bind("", "stq", [b"7"])
+        client.execute("")
+        _, _, rows, errors = client.collect(client.sync())
+        assert not errors and rows == [("$1", "7")]
