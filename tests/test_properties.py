@@ -151,3 +151,80 @@ def test_squash_equals_sequential_apply(changes):
     # must never contain a key that survives
     for pk in deletes:
         assert pk[0] not in expected or pk in upserts
+
+
+# --------------------------------------------------------------------------
+# LSH scale parameterization (similarity.py): plane counts grow with the
+# corpus, hyperplanes are prefix-stable, and bucket sizes are hard-capped.
+# --------------------------------------------------------------------------
+
+from seafowl_spark.queries.similarity import (  # noqa: E402
+    HYPERPLANES,
+    MAX_BUCKET_ROWS,
+    MAX_PLANES,
+    N_PLANES,
+    TARGET_BUCKET_ROWS,
+    hyperplanes,
+    minhash_bands_for_corpus,
+    planes_for_corpus,
+)
+
+
+@given(n=st.integers(min_value=0, max_value=10**13))
+@settings(max_examples=300, deadline=None)
+def test_planes_bound_expected_bucket_size(n):
+    p = planes_for_corpus(n)
+    assert N_PLANES <= p <= MAX_PLANES
+    # within the representable range, the expected bucket size is bounded
+    if p < MAX_PLANES:
+        assert n / (1 << p) <= TARGET_BUCKET_ROWS
+
+
+@given(a=st.integers(min_value=1, max_value=10**12), b=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_planes_monotone_in_corpus(a, b):
+    lo, hi = sorted((a, b))
+    assert planes_for_corpus(lo) <= planes_for_corpus(hi)
+
+
+def test_hyperplanes_prefix_stable_and_oracle_constant():
+    # oracle SQL is generated from HYPERPLANES: the generator must
+    # reproduce it exactly at the floor plane count
+    assert hyperplanes(N_PLANES) == HYPERPLANES
+    # growing the plane count only appends planes (buckets split, never
+    # reshuffle) — the property that keeps recall comparable across sizes
+    assert hyperplanes(16)[:N_PLANES] == HYPERPLANES
+
+
+@given(n=st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_minhash_bands_bounded_monotone(n):
+    b = minhash_bands_for_corpus(n)
+    assert 4 <= b <= 16
+    assert b <= minhash_bands_for_corpus(n * 10 + 1)
+
+
+def test_bucket_cap_bounds_hot_bucket(spark):
+    """60 identical vectors all hash to one bucket; with the cap the
+    within-bucket join is at most cap^2 pairs, not 60^2."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cap = 10
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"), F.lit(7).alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    capped = (
+        df.withColumn("brn", F.row_number().over(w))
+        .where(F.col("brn") <= cap)
+        .drop("brn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).count()
+    assert pairs == cap * (cap - 1) // 2
+    assert MAX_BUCKET_ROWS == 1024  # registry queries use the real cap
