@@ -40,6 +40,13 @@ from pyspark.sql import types as T
 
 MAX_ROWS_PER_FILE = 1_048_576  # reference src/config/schema.rs:283
 LOG_DIR = "_log"
+# engage per-file PK-membership pruning above this many coarse-hit rows
+# (reference FINE_GRAINED_PRUNING_ROW_CRITERIA, sync/planner.rs:612)
+FINE_GRAINED_PRUNING_ROWS = 3_000_000
+# give up on fine-grained pruning if the change set has more distinct PKs
+# than this (the membership probe is driver-side, bounded like the
+# reference's in-memory sync buffer)
+FINE_GRAINED_MAX_PK_VALUES = 250_000
 
 
 class DeltaLiteError(Exception):
@@ -433,12 +440,54 @@ class DeltaLiteTable:
         snap = self.snapshot()
         return self._next_commit("TRUNCATE", [], [f.path for f in snap.files])
 
+    def _fine_prune(
+        self, hit: list[AddFile], changes: DataFrame, pk_cols: list[str]
+    ) -> list[AddFile]:
+        """Per-file PK-membership pruning (reference get_prune_map,
+        sync/utils.rs:321+, engaged by planner.rs:612 above the row
+        criteria): a file survives only if, for every PK column with
+        stats, at least one ACTUAL change-set value falls inside that
+        file's [min, max] — the coarse global range keeps files that sit
+        between change clusters; this drops them."""
+        import bisect
+
+        rows = (
+            changes.select(*pk_cols)
+            .distinct()
+            .limit(FINE_GRAINED_MAX_PK_VALUES + 1)
+            .collect()
+        )
+        if len(rows) > FINE_GRAINED_MAX_PK_VALUES:
+            return hit  # too many PKs to probe cheaply; keep coarse result
+        vals: dict[str, list] = {}
+        for c in pk_cols:
+            try:
+                vals[c] = sorted({r[c] for r in rows if r[c] is not None})
+            except TypeError:
+                vals[c] = []  # unorderable type: skip this column's probe
+        kept = []
+        for f in hit:
+            keep = True
+            for c in pk_cols:
+                st = f.stats.get(c) or {}
+                vs = vals.get(c) or []
+                if st.get("min") is None or st.get("max") is None or not vs:
+                    continue  # no stats / no values: stay conservative
+                i = bisect.bisect_left(vs, st["min"])
+                if i >= len(vs) or vs[i] > st["max"]:
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        return kept
+
     def merge(
         self,
         changes: DataFrame,
         pk_cols: list[str],
         delete_col: str | None = None,
         app_txn: dict | None = None,
+        fine_grained_rows: int = FINE_GRAINED_PRUNING_ROWS,
     ) -> Commit:
         """Upsert/delete merge — the apply step of the reference's CDC sync
         (reference src/sync/planner.rs:449-548): prune target files by the
@@ -449,7 +498,10 @@ class DeltaLiteTable:
         columns; rows with delete_col=true are deletes.
 
         Scale: only files whose PK stats intersect the change set rewrite;
-        the join shuffles on the PK, which both sides hash-partition.
+        when the coarse min/max hit still covers > ``fine_grained_rows``
+        rows, per-file PK membership is probed so files between change
+        clusters drop too (planner.rs:552-628 two-stage pruning). The
+        join shuffles on the PK, which both sides hash-partition.
         """
         snap = self.snapshot()
         schema = T.StructType.fromDDL(snap.schema_ddl)
@@ -466,6 +518,8 @@ class DeltaLiteTable:
                 continue
             parts.append(f"{c} >= {mn} AND {c} <= {mx}")
         hit = self._prune(snap, " AND ".join(parts) if parts else None)
+        if hit and sum(f.rows for f in hit) > fine_grained_rows:
+            hit = self._fine_prune(hit, changes, pk_cols)
         hit_paths = [f.path for f in hit]
         if hit:
             base = self.spark.read.schema(schema).parquet(

@@ -96,6 +96,12 @@ class _Buffer:
     origin: str | None = None
 
 
+# buffers at or above this many rows squash as a Spark job instead of a
+# driver-side pandas pass (the pandas path stays for small flushes, where
+# job-scheduling overhead would dominate)
+SPARK_SQUASH_MIN_ROWS = 100_000
+
+
 class SyncWriter:
     """Buffers change batches per table URL and merges on flush."""
 
@@ -106,12 +112,14 @@ class SyncWriter:
         max_lag_s: float = MAX_REPLICATION_LAG_S,
         max_syncs: int = MAX_SYNCS_PER_TABLE,
         max_rows: int = MAX_ROWS_PER_SYNC,
+        spark_squash_min_rows: int = SPARK_SQUASH_MIN_ROWS,
     ):
         self.spark = spark
         self.max_bytes = max_bytes
         self.max_lag_s = max_lag_s
         self.max_syncs = max_syncs
         self.max_rows = max_rows
+        self.spark_squash_min_rows = spark_squash_min_rows
         self._buffers: dict[str, _Buffer] = {}
 
     # --------------------------------------------------------------- ingest
@@ -212,11 +220,157 @@ class SyncWriter:
                 state[new_pk] = vals
         return state, deletes, pk_cols, value_cols
 
+    # ------------------------------------------------------- spark squash
+
+    @staticmethod
+    def _has_pk_chains(batches: list[tuple[SyncSchema, pd.DataFrame]]) -> bool:
+        """True if any row renames its PK (old != new, both present) —
+        chain resolution is inherently sequential, so those buffers take
+        the arrival-order pandas path (same envelope as the reference's
+        single-node squash plans)."""
+        for schema, pdf in batches:
+            old_cols = {d.target: d.name for d in schema.cols(ROLE_OLD_PK)}
+            new_cols = {d.target: d.name for d in schema.cols(ROLE_NEW_PK)}
+            for tgt in schema.pk_targets:
+                o, n = pdf[old_cols[tgt]], pdf[new_cols[tgt]]
+                if bool((o.notna() & n.notna() & (o != n)).any()):
+                    return True
+        return False
+
+    def _flush_spark(self, table_root: str, buf: _Buffer) -> None:
+        """Distributed last-change-per-PK squash (SURVEY Phase 7 / VERDICT
+        r1 flag: the pandas squash is a driver pass; above the row
+        threshold this expresses the same semantics as one Spark window +
+        aggregate job, then merges).
+
+        Semantics identical to ``_squash`` for chain-free buffers: per
+        final PK, the last operation decides delete-vs-upsert, and each
+        CHANGED value column takes its most recent post-delete assignment.
+        """
+        import numpy as np
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        from pyspark.sql.window import Window
+
+        t = DeltaLiteTable(self.spark, table_root)
+        target_schema = t.schema()
+        pk_cols = buf.batches[0][0].pk_targets
+        value_cols: list[str] = []
+        for schema, _ in buf.batches:
+            for d in schema.cols(ROLE_VALUE):
+                if d.target not in value_cols and d.target in target_schema.names:
+                    value_cols.append(d.target)
+
+        # normalize every batch to one canonical frame driver-side (cheap
+        # column relabeling; the data already lives here) with a global
+        # arrival sequence — the heavy squash runs in Spark
+        frames = []
+        seq0 = 0
+        for schema, pdf in buf.batches:
+            old_cols = {d.target: d.name for d in schema.cols(ROLE_OLD_PK)}
+            new_cols = {d.target: d.name for d in schema.cols(ROLE_NEW_PK)}
+            val_cols = {d.target: d.name for d in schema.cols(ROLE_VALUE)}
+            chg_cols = {d.target: d.name for d in schema.cols(ROLE_CHANGED)}
+            out = pd.DataFrame()
+            out["__seq"] = np.arange(seq0, seq0 + len(pdf), dtype="int64")
+            seq0 += len(pdf)
+            # positional (.to_numpy) extraction: batch slices may carry a
+            # non-zero-based index and pandas column assignment aligns on it
+            for c in pk_cols:
+                out[f"__old_{c}"] = pdf[old_cols[c]].to_numpy(dtype=object)
+                out[f"__new_{c}"] = pdf[new_cols[c]].to_numpy(dtype=object)
+            for c in value_cols:
+                if c in val_cols:
+                    out[f"__val_{c}"] = pdf[val_cols[c]].to_numpy(dtype=object)
+                    flag = chg_cols.get(c)
+                    out[f"__set_{c}"] = (
+                        pdf[flag].astype(bool).to_numpy() if flag is not None else True
+                    )
+                else:
+                    out[f"__val_{c}"] = None
+                    out[f"__set_{c}"] = False
+            frames.append(out)
+        pdf_all = pd.concat(frames, ignore_index=True)
+
+        fields = [T.StructField("__seq", T.LongType(), False)]
+        for c in pk_cols:
+            dt = target_schema[c].dataType
+            fields += [T.StructField(f"__old_{c}", dt), T.StructField(f"__new_{c}", dt)]
+        for c in value_cols:
+            fields += [
+                T.StructField(f"__val_{c}", target_schema[c].dataType),
+                T.StructField(f"__set_{c}", T.BooleanType(), False),
+            ]
+        df = self.spark.createDataFrame(
+            pdf_all.where(pdf_all.notna(), None), T.StructType(fields)
+        )
+
+        has_old = None
+        has_new = None
+        for c in pk_cols:
+            o, n = F.col(f"__old_{c}").isNotNull(), F.col(f"__new_{c}").isNotNull()
+            has_old = o if has_old is None else (has_old & o)
+            has_new = n if has_new is None else (has_new & n)
+        df = df.where(has_new | has_old)  # drop malformed rows (neither)
+        df = df.select(
+            "__seq",
+            (has_old & ~has_new).alias("__is_del"),
+            *[
+                F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c)
+                for c in pk_cols
+            ],
+            *[F.col(f"__val_{c}") for c in value_cols],
+            *[F.col(f"__set_{c}") for c in value_cols],
+        )
+        # one shuffle on the PK; the window and the aggregate reuse it
+        w = Window.partitionBy(*pk_cols)
+        df = df.withColumn(
+            "__last_del",
+            F.coalesce(
+                F.max(F.when(F.col("__is_del"), F.col("__seq"))).over(w), F.lit(-1)
+            ),
+        )
+
+        def _post_del(c: str):
+            return F.col(f"__set_{c}") & (F.col("__seq") > F.col("__last_del"))
+
+        agg = df.groupBy(*pk_cols).agg(
+            F.max_by("__is_del", "__seq").alias("__delete__"),
+            *[
+                F.max_by(
+                    F.col(f"__val_{c}"), F.when(_post_del(c), F.col("__seq"))
+                ).alias(c)
+                for c in value_cols
+            ],
+            *[
+                F.coalesce(F.max(F.when(_post_del(c), F.lit(True))), F.lit(False)).alias(
+                    f"__set_{c}"
+                )
+                for c in value_cols
+            ],
+        )
+        t.merge(
+            agg,
+            pk_cols,
+            delete_col="__delete__",
+            app_txn=(
+                {"app_id": buf.origin, "version": buf.last_sequence}
+                if buf.origin is not None
+                else None
+            ),
+        )
+
     # --------------------------------------------------------------- flush
 
     def flush(self, table_root: str) -> None:
         buf = self._buffers.pop(table_root, None)
         if buf is None or not buf.batches:
+            return
+        total_rows = sum(len(b) for _, b in buf.batches)
+        if total_rows >= self.spark_squash_min_rows and not self._has_pk_chains(
+            buf.batches
+        ):
+            self._flush_spark(table_root, buf)
             return
         upserts, deletes, pk_cols, value_cols = self._squash(buf.batches)
 

@@ -155,3 +155,181 @@ class TestSyncApply:
         assert w.enqueue(self._root(ctx), full_schema(), b2, origin="o1", sequence=2) is True
         out = ctx.execute("SELECT count(*) AS n FROM s")
         assert rows(out) == [(4,)]
+
+
+class TestSparkSquash:
+    """The distributed flush path (spark_squash_min_rows=0 forces it):
+    identical semantics to the pandas squash for chain-free buffers, and
+    automatic fallback to the arrival-order pandas pass for PK chains."""
+
+    def _root(self, ctx):
+        return ctx.table_root(ctx.catalog.get_table("default", "public", "s"))
+
+    def _writer(self, ctx):
+        return SyncWriter(ctx.spark, max_rows=10_000, spark_squash_min_rows=0)
+
+    def test_insert_update_delete_spark_path(self, target):
+        ctx = target
+        w = self._writer(ctx)
+        batch = pd.DataFrame(
+            {
+                "old_pk": [None, 1, 2],
+                "new_pk": [3, 1, None],
+                "a": ["three", "ONE", None],
+                "b": [3.0, 1.5, None],
+            }
+        )
+        w.enqueue(self._root(ctx), full_schema(), batch, origin="o1", sequence=1)
+        w.flush_all()
+        out = ctx.execute("SELECT pk, a, b FROM s ORDER BY pk")
+        assert rows(out) == [(1, "ONE", 1.5), (3, "three", 3.0)]
+
+    def test_changed_flag_spark_path(self, target):
+        ctx = target
+        w = self._writer(ctx)
+        schema = SyncSchema(
+            [
+                CD("old_pk", "old_pk", "pk"),
+                CD("new_pk", "new_pk", "pk"),
+                CD("a", "value", "a"),
+                CD("a_changed", "changed", "a"),
+                CD("b", "value", "b"),
+                CD("b_changed", "changed", "b"),
+            ]
+        )
+        batch = pd.DataFrame(
+            {
+                "old_pk": [1],
+                "new_pk": [1],
+                "a": [None],
+                "a_changed": [False],
+                "b": [42.0],
+                "b_changed": [True],
+            }
+        )
+        w.enqueue(self._root(ctx), schema, batch, origin="o1", sequence=1)
+        w.flush_all()
+        out = ctx.execute("SELECT pk, a, b FROM s WHERE pk = 1")
+        assert rows(out) == [(1, "one", 42.0)]
+
+    def test_last_write_wins_across_batches(self, target):
+        """Two updates to the same PK in separate batches: the later one
+        wins, exactly as arrival-order application would have it."""
+        ctx = target
+        w = self._writer(ctx)
+        b1 = pd.DataFrame({"old_pk": [1], "new_pk": [1], "a": ["first"], "b": [1.1]})
+        b2 = pd.DataFrame({"old_pk": [1], "new_pk": [1], "a": ["second"], "b": [2.2]})
+        root = self._root(ctx)
+        w.enqueue(root, full_schema(), b1, origin="o1", sequence=1)
+        w.enqueue(root, full_schema(), b2, origin="o1", sequence=2)
+        w.flush_all()
+        out = ctx.execute("SELECT a, b FROM s WHERE pk = 1")
+        assert rows(out) == [("second", 2.2)]
+
+    def test_delete_then_reinsert(self, target):
+        """delete(1) then insert(1) within one buffer: values from before
+        the delete must not leak into the re-inserted row."""
+        ctx = target
+        w = self._writer(ctx)
+        b = pd.DataFrame(
+            {
+                "old_pk": [1, 1, None],
+                "new_pk": [1, None, 1],
+                "a": ["stale", None, "fresh"],
+                "b": [9.9, None, 7.0],
+            }
+        )
+        w.enqueue(self._root(ctx), full_schema(), b, origin="o1", sequence=1)
+        w.flush_all()
+        out = ctx.execute("SELECT pk, a, b FROM s WHERE pk = 1")
+        assert rows(out) == [(1, "fresh", 7.0)]
+
+    def test_pk_chain_falls_back_to_pandas(self, target):
+        """Renames force the sequential path even at threshold 0; the
+        result matches the chain-squash semantics."""
+        ctx = target
+        w = self._writer(ctx)
+        b1 = pd.DataFrame({"old_pk": [1], "new_pk": [10], "a": ["moved"], "b": [1.0]})
+        b2 = pd.DataFrame({"old_pk": [10], "new_pk": [10], "a": ["moved2"], "b": [9.9]})
+        root = self._root(ctx)
+        w.enqueue(root, full_schema(), b1, origin="o1", sequence=1)
+        w.enqueue(root, full_schema(), b2, origin="o1", sequence=2)
+        w.flush_all()
+        out = ctx.execute("SELECT pk, a, b FROM s ORDER BY pk")
+        assert rows(out) == [(2, "two", 2.0), (10, "moved2", 9.9)]
+
+    def test_equivalent_to_pandas_squash(self, ctx):
+        """Randomized chain-free buffers produce identical tables through
+        both flush paths."""
+        import random as _random
+
+        rng = _random.Random(123)
+        ops = []
+        for _ in range(60):
+            pk = rng.randrange(0, 12)
+            kind = rng.choice(["ins", "upd", "del"])
+            if kind == "del":
+                ops.append((pk, None, None, None))
+            elif kind == "ins":
+                ops.append((None, pk, f"v{rng.randrange(100)}", rng.random()))
+            else:
+                ops.append((pk, pk, f"u{rng.randrange(100)}", rng.random()))
+        pdf = pd.DataFrame(ops, columns=["old_pk", "new_pk", "a", "b"])
+
+        outs = {}
+        for mode, threshold in (("pandas", 10**9), ("spark", 0)):
+            ctx.execute(f"DROP TABLE IF EXISTS sq_{mode}")
+            ctx.execute(f"CREATE TABLE sq_{mode} (pk bigint, a varchar, b double)")
+            ctx.execute(f"INSERT INTO sq_{mode} VALUES (0, 'base', 0.0), (5, 'five', 5.0)")
+            w = SyncWriter(ctx.spark, max_rows=10_000, spark_squash_min_rows=threshold)
+            root = ctx.table_root(ctx.catalog.get_table("default", "public", f"sq_{mode}"))
+            half = len(pdf) // 2
+            w.enqueue(root, full_schema(), pdf.iloc[:half], origin="o1", sequence=1)
+            w.enqueue(root, full_schema(), pdf.iloc[half:], origin="o1", sequence=2)
+            w.flush_all()
+            outs[mode] = rows(ctx.execute(f"SELECT pk, a, b FROM sq_{mode} ORDER BY pk"))
+        assert outs["pandas"] == outs["spark"]
+
+
+class TestFineGrainedPruning:
+    def test_file_between_clusters_dropped(self, ctx):
+        """Coarse [min,max] keeps a file that sits between two change
+        clusters; fine-grained PK membership drops it (reference
+        planner.rs:552-628 two-stage pruning), with identical results."""
+        ctx.execute("CREATE TABLE fg (pk bigint, v varchar)")
+        # three files with disjoint PK ranges
+        ctx.execute("INSERT INTO fg VALUES (1, 'lo'), (5, 'lo2')")
+        ctx.execute("INSERT INTO fg VALUES (50, 'mid')")
+        ctx.execute("INSERT INTO fg VALUES (95, 'hi'), (100, 'hi2')")
+        root = ctx.table_root(ctx.catalog.get_table("default", "public", "fg"))
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        t = DeltaLiteTable(ctx.spark, root)
+        changes = ctx.spark.createDataFrame(
+            [(1, "LO", False), (95, "HI", False)],
+            "pk bigint, v string, __delete__ boolean",
+        )
+        # force the fine-grained stage (threshold 0)
+        commit = t.merge(changes, ["pk"], delete_col="__delete__", fine_grained_rows=0)
+        # coarse range [1,95] would rewrite all 3 files; fine-grained
+        # drops the middle one (50 is not in the change set)
+        assert len(commit.removes) == 2
+        out = ctx.execute("SELECT pk, v FROM fg ORDER BY pk")
+        assert rows(out) == [
+            (1, "LO"), (5, "lo2"), (50, "mid"), (95, "HI"), (100, "hi2"),
+        ]
+
+    def test_fine_grained_keeps_results_identical(self, ctx):
+        ctx.execute("CREATE TABLE fg2 (pk bigint, v double)")
+        ctx.execute("INSERT INTO fg2 SELECT id, id * 1.0 FROM range(0, 200)")
+        root = ctx.table_root(ctx.catalog.get_table("default", "public", "fg2"))
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        t = DeltaLiteTable(ctx.spark, root)
+        changes = ctx.spark.createDataFrame(
+            [(10, -1.0, False), (190, -2.0, False), (500, -3.0, False)],
+            "pk bigint, v double, __delete__ boolean",
+        )
+        t.merge(changes, ["pk"], delete_col="__delete__", fine_grained_rows=0)
+        out = rows(ctx.execute("SELECT pk, v FROM fg2 WHERE pk IN (10, 190, 500)"))
+        assert out == [(10, -1.0), (190, -2.0), (500, -3.0)]
