@@ -7,44 +7,51 @@ list is given (reference infers via ListingOptions::infer_schema,
 physical.rs:970-979).
 
 HTTP: Spark has no https:// Hadoop filesystem by default, so remote files
-are fetched once into a local cache keyed by URL hash (the reference
-instead implements a range-request ObjectStore, object_store/http.rs — at
-cluster scale the fetch would land on shared storage; the 1 GiB on-disk
-chunk cache in the reference plays the same role).
+are assembled through the chunked byte-range cache (object_cache.py,
+mirroring the reference's CachingObjectStore, object_store/cache.rs) into
+a local file Spark can scan. Chunks are fetched with Range requests, so
+re-reading a table after remote appends only downloads new bytes.
 """
 
 from __future__ import annotations
 
 import os
 import tempfile
-import urllib.request
 from hashlib import sha256
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..engine.types import columns_to_schema
+from .object_cache import CachingObjectStore
 
 _CACHE_DIR = os.path.join(tempfile.gettempdir(), "seafowl_spark_http_cache")
+
+# one shared chunk cache per process, as the reference shares one between
+# its HTTP and HTTPS stores (cache.rs:399-420 new_from_sibling)
+_CHUNK_CACHE: CachingObjectStore | None = None
 
 
 class ExternalTableError(Exception):
     pass
 
 
+def _chunk_cache() -> CachingObjectStore:
+    global _CHUNK_CACHE
+    if _CHUNK_CACHE is None:
+        _CHUNK_CACHE = CachingObjectStore(
+            cache_dir=os.path.join(_CACHE_DIR, "chunks")
+        )
+    return _CHUNK_CACHE
+
+
 def fetch_url(url: str) -> str:
-    """Download (once) to the local cache; returns the local path."""
+    """Assemble the object into the local cache via chunked Range reads;
+    returns the local path Spark reads."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
     suffix = os.path.splitext(url.split("?")[0])[1] or ".bin"
     local = os.path.join(_CACHE_DIR, sha256(url.encode()).hexdigest() + suffix)
     if not os.path.exists(local):
-        tmp = local + ".tmp"
-        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:  # noqa: S310
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                out.write(chunk)
-        os.rename(tmp, local)
+        _chunk_cache().fetch_to_file(url, local)
     return local
 
 
