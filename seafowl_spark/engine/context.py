@@ -357,7 +357,12 @@ class SeafowlContext:
             db, schema, name,
             ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in spark_schema.fields),
         )
-        t = DeltaLiteTable.create(self.spark, self.table_root(entry), spark_schema)
+        t = DeltaLiteTable.create(
+            self.spark,
+            self.table_root(entry),
+            spark_schema,
+            properties=stmt.fields.get("properties") or None,
+        )
         self._record(entry, t)
 
     def _exec_ctas(self, stmt) -> None:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -67,13 +68,19 @@ class AddFile:
     rows: int
     size_bytes: int
     stats: dict[str, dict[str, Any]]  # col -> {min, max, nulls}
+    bucket: int | None = None  # hash bucket id for bucketed tables
 
     def to_json(self) -> dict:
-        return {"path": self.path, "rows": self.rows, "size_bytes": self.size_bytes, "stats": self.stats}
+        d = {"path": self.path, "rows": self.rows, "size_bytes": self.size_bytes, "stats": self.stats}
+        if self.bucket is not None:
+            d["bucket"] = self.bucket
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "AddFile":
-        return AddFile(d["path"], d["rows"], d["size_bytes"], d.get("stats", {}))
+        return AddFile(
+            d["path"], d["rows"], d["size_bytes"], d.get("stats", {}), d.get("bucket")
+        )
 
 
 @dataclass
@@ -93,10 +100,21 @@ class Snapshot:
     timestamp_ms: int
     schema_ddl: str
     files: list[AddFile]
+    properties: dict = field(default_factory=dict)  # e.g. bucket_by/buckets
 
     @property
     def num_rows(self) -> int:
         return sum(f.rows for f in self.files)
+
+    @property
+    def bucket_spec(self) -> tuple[list[str], int] | None:
+        """(bucket columns, bucket count) for bucketed tables, else None."""
+        by = self.properties.get("bucket_by")
+        n = self.properties.get("buckets")
+        if not by or not n:
+            return None
+        cols = [c.strip() for c in by.split(",")] if isinstance(by, str) else list(by)
+        return cols, int(n)
 
 
 class DeltaLiteTable:
@@ -200,6 +218,7 @@ class DeltaLiteTable:
 
         files: dict[str, AddFile] = {}
         schema_ddl = ""
+        properties: dict = {}
         ts_ms = 0
         for v in vs:
             if v > version:
@@ -208,11 +227,13 @@ class DeltaLiteTable:
             ts_ms = c.timestamp_ms
             if c.metadata and c.metadata.get("schema_ddl"):
                 schema_ddl = c.metadata["schema_ddl"]
+            if c.metadata and c.metadata.get("properties"):
+                properties = c.metadata["properties"]
             for r in c.removes:
                 files.pop(r, None)
             for a in c.adds:
                 files[a.path] = a
-        return Snapshot(version, ts_ms, schema_ddl, list(files.values()))
+        return Snapshot(version, ts_ms, schema_ddl, list(files.values()), properties)
 
     def history(self) -> list[Commit]:
         return [self.read_commit(v) for v in self.versions()]
@@ -301,6 +322,9 @@ class DeltaLiteTable:
     def _write_data(self, df: DataFrame) -> list[AddFile]:
         txn = f"data/txn-{uuid.uuid4().hex}"
         out = os.path.join(self.root, txn)
+        spec = self.snapshot().bucket_spec if self.exists() else None
+        if spec is not None:
+            return self._write_bucketed(df, txn, out, spec)
         try:
             plan = df._jdf.queryExecution().optimizedPlan().toString()
             # VALUES/local relations: one file, not one per parallelism slot
@@ -318,6 +342,56 @@ class DeltaLiteTable:
         if os.path.exists(marker):
             os.unlink(marker)
         return self._harvest_adds(txn)
+
+    def _write_bucketed(
+        self, df: DataFrame, txn: str, out: str, spec: tuple[list[str], int]
+    ) -> list[AddFile]:
+        """Hash-bucketed layout: every file holds rows of exactly one
+        ``pmod(xxhash64(bucket_by), buckets)`` bucket, so DML/merge prune by
+        EXACT bucket membership instead of min/max ranges, and a change set
+        touching k buckets rewrites at most k/N of the table. Spark's
+        ``partitionBy`` splits the files; the bucket id moves from the
+        directory name into the Add entry so the read path stays a flat
+        list of plain parquet files."""
+        cols, n = spec
+        # pin the hash input types to the table schema: xxhash64(int) !=
+        # xxhash64(bigint) for the same value, and writers arrive with
+        # whatever types the plan inferred
+        schema = self.schema()
+        bucket_col = F.pmod(
+            F.xxhash64(*[F.col(c).cast(schema[c].dataType) for c in cols]), F.lit(n)
+        ).cast("int")
+        (
+            df.withColumn("__sfs_bucket", bucket_col)
+            .repartition(n, "__sfs_bucket")
+            .write.option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
+            .option("compression", "zstd")
+            .partitionBy("__sfs_bucket")
+            .parquet(out, mode="overwrite")
+        )
+        marker = os.path.join(out, "_SUCCESS")
+        if os.path.exists(marker):
+            os.unlink(marker)
+        # flatten __sfs_bucket=k/ dirs: bucket id belongs in the log, not
+        # the path (partition discovery must not resurrect the column)
+        buckets: dict[str, int] = {}
+        for entry in sorted(os.listdir(out)):
+            sub = os.path.join(out, entry)
+            if not (os.path.isdir(sub) and entry.startswith("__sfs_bucket=")):
+                continue
+            b = int(entry.split("=", 1)[1])
+            for name in sorted(os.listdir(sub)):
+                if name.endswith(".parquet"):
+                    flat = f"b{b:05d}-{name}"
+                    os.rename(os.path.join(sub, name), os.path.join(out, flat))
+                    buckets[flat] = b
+                else:  # hadoop .crc checksums etc.
+                    os.unlink(os.path.join(sub, name))
+            os.rmdir(sub)
+        adds = self._harvest_adds(txn)
+        for a in adds:
+            a.bucket = buckets.get(os.path.basename(a.path))
+        return adds
 
     def _next_commit(
         self,
@@ -342,14 +416,31 @@ class DeltaLiteTable:
 
     @staticmethod
     def create(
-        spark: SparkSession, root: str, schema: T.StructType, operation: str = "CREATE TABLE"
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        operation: str = "CREATE TABLE",
+        properties: dict | None = None,
     ) -> "DeltaLiteTable":
         t = DeltaLiteTable(spark, root)
         os.makedirs(t.root, exist_ok=True)
         if t.exists():
             raise DeltaLiteError(f"table already exists at {root}")
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        t._next_commit(operation, [], [], metadata={"schema_ddl": ddl})
+        meta: dict = {"schema_ddl": ddl}
+        if properties:
+            by = properties.get("bucket_by")
+            if by:
+                cols = [c.strip() for c in str(by).split(",")]
+                missing = [c for c in cols if c not in schema.names]
+                if missing:
+                    raise DeltaLiteError(f"bucket_by columns not in schema: {missing}")
+                n = int(properties.get("buckets", 16))
+                if n < 1:
+                    raise DeltaLiteError(f"buckets must be >= 1, got {n}")
+                properties = dict(properties, bucket_by=cols, buckets=n)
+            meta["properties"] = properties
+        t._next_commit(operation, [], [], metadata=meta)
         return t
 
     def append(self, df: DataFrame, operation: str = "INSERT", app_txn: dict | None = None) -> Commit:
@@ -386,6 +477,39 @@ class DeltaLiteTable:
 
         return prune_files(snap.files, predicate_sql)
 
+    def _bucket_hits(self, snap: Snapshot, predicate_sql: str | None) -> set[int] | None:
+        """For bucketed tables, resolve a conjunctive predicate that pins
+        every bucket column with an equality literal to the single bucket
+        it can touch; None = not resolvable, prune conservatively. This is
+        the point-lookup payoff of hash bucketing: min/max stats are
+        useless on hashed layouts, exact membership is cheap."""
+        spec = snap.bucket_spec
+        if spec is None or not predicate_sql:
+            return None
+        if re.search(r"(?i)\b(or|not)\b", predicate_sql):
+            return None  # only plain conjunctions are safely narrowing
+        cols, n = spec
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        lits = []
+        for c in cols:
+            m = re.search(
+                rf"(?i)(?<![\w.]){re.escape(c)}\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
+                predicate_sql,
+            )
+            if m is None:
+                return None
+            lits.append(f"CAST({m.group(1)} AS {schema[c].dataType.simpleString()})")
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(*[F.expr(e) for e in lits]), F.lit(n))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        )
+        return {row[0]["b"]}
+
     def update(self, set_exprs: dict[str, str], predicate_sql: str | None) -> Commit:
         """Copy-on-write UPDATE (A4): rewrite only files the predicate can
         touch; within them, CASE WHEN predicate THEN expr ELSE old.
@@ -395,6 +519,9 @@ class DeltaLiteTable:
         """
         snap = self.snapshot()
         hit = self._prune(snap, predicate_sql)
+        hot = self._bucket_hits(snap, predicate_sql)
+        if hot is not None:
+            hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if not hit:
             return self._next_commit("UPDATE", [], [])
         schema = T.StructType.fromDDL(snap.schema_ddl)
@@ -424,6 +551,9 @@ class DeltaLiteTable:
         if predicate_sql is None:
             return self._next_commit("DELETE", [], [f.path for f in snap.files])
         hit = self._prune(snap, predicate_sql)
+        hot = self._bucket_hits(snap, predicate_sql)
+        if hot is not None:
+            hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if not hit:
             return self._next_commit("DELETE", [], [])
         schema = T.StructType.fromDDL(snap.schema_ddl)
@@ -518,6 +648,29 @@ class DeltaLiteTable:
                 continue
             parts.append(f"{c} >= {mn} AND {c} <= {mx}")
         hit = self._prune(snap, " AND ".join(parts) if parts else None)
+        spec = snap.bucket_spec
+        if hit and spec is not None and all(c in changes.columns for c in spec[0]):
+            # exact bucket membership: hashing spreads PKs across each
+            # file's full range, so min/max is powerless here — but every
+            # file belongs to one bucket, and only buckets the change set
+            # hashes into can contain matching rows
+            bcols, n = spec
+            hot = {
+                r["b"]
+                for r in changes.select(
+                    F.pmod(
+                        F.xxhash64(
+                            *[F.col(c).cast(schema[c].dataType) for c in bcols]
+                        ),
+                        F.lit(n),
+                    )
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if hit and sum(f.rows for f in hit) > fine_grained_rows:
             hit = self._fine_prune(hit, changes, pk_cols)
         hit_paths = [f.path for f in hit]

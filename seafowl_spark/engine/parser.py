@@ -227,13 +227,23 @@ def parse_statement(sql: str) -> Statement:
         )
 
     m = re.match(
-        rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s*\((.*)\)\s*$", s, re.DOTALL
+        rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s*\((.*?)\)\s*"
+        r"(?:with\s*\((.*?)\)\s*)?$",
+        s,
+        re.DOTALL,
     )
     if m:
         return Statement(
             "create_table",
             s,
-            {"if_not_exists": bool(m.group(1)), "name": m.group(2), "columns": _parse_columns(m.group(3))},
+            {
+                "if_not_exists": bool(m.group(1)),
+                "name": m.group(2),
+                "columns": _parse_columns(m.group(3)),
+                # WITH ('bucket_by' = 'pk', 'buckets' = '16') — storage
+                # layout properties (hash-bucketed writes)
+                "properties": _parse_options(m.group(4)),
+            },
         )
 
     m = re.match(
