@@ -72,11 +72,17 @@ def _python_callable(spec: dict):
 
 
 def _wasm_callable(spec: dict):
-    """wasmMessagePack execution: the full MessagePack ABI + type
-    marshalling lives in wasm_abi.py (reference src/wasm_udf/wasm.rs) and
-    is executable/tested; only the bytecode interpreter itself needs
-    wasmtime, which gates here."""
-    from .wasm_abi import WasmAbiError, WasmtimeExecutor, make_row_callable
+    """wasmMessagePack execution: the MessagePack ABI + type marshalling
+    lives in wasm_abi.py (reference src/wasm_udf/wasm.rs). Bytecode runs
+    through wasmtime when installed (the reference's engine), else the
+    pure-Python interpreter (wasm_interp.py) — same protocol, verified
+    against the reference's own fixture module."""
+    from .wasm_abi import (
+        InterpExecutor,
+        WasmAbiError,
+        WasmtimeExecutor,
+        make_row_callable,
+    )
 
     if spec["language"] != "wasmMessagePack":
         raise UdfError(
@@ -85,7 +91,10 @@ def _wasm_callable(spec: dict):
         )
     module_bytes = base64.b64decode(spec["data"])
     try:
-        executor = WasmtimeExecutor(module_bytes, spec["entrypoint"])
+        try:
+            executor = WasmtimeExecutor(module_bytes, spec["entrypoint"])
+        except WasmAbiError:  # wasmtime not installed
+            executor = InterpExecutor(module_bytes, spec["entrypoint"])
         return make_row_callable(
             executor, spec["input_types"], spec["return_type"]
         )

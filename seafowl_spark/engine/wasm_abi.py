@@ -150,7 +150,16 @@ def _enc(o: Any, out: bytearray) -> None:
 
 
 def mp_decode(data: bytes) -> Any:
-    v, pos = _dec(data, 0)
+    try:
+        v, pos = _dec(data, 0)
+    except (IndexError, struct.error) as exc:
+        # reference surface: wasm.rs maps rmp decode failures to
+        # "Error messagepack decoding output buffer" (tested in
+        # context/mod.rs write_garbage_output e2e)
+        raise WasmAbiError(
+            "Error messagepack decoding output buffer: truncated or "
+            "malformed value"
+        ) from exc
     if pos != len(data):
         raise WasmAbiError(f"trailing bytes after msgpack value ({len(data)-pos})")
     return v
@@ -408,8 +417,9 @@ class InProcessExecutor:
         self.live.pop(ptr, None)
 
     def _udf(self, in_ptr: int) -> int:
-        size = self.live[in_ptr]
-        payload = bytes(self.memory[in_ptr : in_ptr + size])
+        (size,) = struct.unpack_from("=i", self.memory, in_ptr)
+        start = in_ptr + SIZE_BYTE_COUNT
+        payload = bytes(self.memory[start : start + size])
         out = self.fn(payload)
         out_ptr = self.alloc(SIZE_BYTE_COUNT + len(out))
         self.memory[out_ptr : out_ptr + SIZE_BYTE_COUNT] = struct.pack("=i", len(out))
@@ -419,15 +429,22 @@ class InProcessExecutor:
         return out_ptr
 
     def call(self, params: list[Any]) -> Any:
-        """wasm.rs WasmMessagePackUDFInstance::call, line for line."""
+        """wasm.rs WasmMessagePackUDFInstance::call, line for line: the
+        input buffer is size-prefixed exactly like the output
+        (wasm.rs:168-207 write_udf_input allocs len+4 and writes the i32
+        length first)."""
         encoded = mp_encode(list(params))
-        in_ptr = self.alloc(len(encoded))
-        self.memory[in_ptr : in_ptr + len(encoded)] = encoded
+        in_size = len(encoded) + SIZE_BYTE_COUNT
+        in_ptr = self.alloc(in_size)
+        self.memory[in_ptr : in_ptr + SIZE_BYTE_COUNT] = struct.pack(
+            "=i", len(encoded)
+        )
+        self.memory[in_ptr + SIZE_BYTE_COUNT : in_ptr + in_size] = encoded
         out_ptr = self._udf(in_ptr)
         (out_size,) = struct.unpack_from("=i", self.memory, out_ptr)
         start = out_ptr + SIZE_BYTE_COUNT
         result = mp_decode(bytes(self.memory[start : start + out_size]))
-        self.dealloc(in_ptr, len(encoded))
+        self.dealloc(in_ptr, in_size)
         self.dealloc(out_ptr, SIZE_BYTE_COUNT + out_size)
         return result
 
@@ -460,16 +477,86 @@ class WasmtimeExecutor:
 
     def call(self, params: list[Any]) -> Any:
         encoded = mp_encode(list(params))
-        in_ptr = self._alloc(self.store, len(encoded))
-        self._memory.write(self.store, encoded, in_ptr)
+        in_size = len(encoded) + SIZE_BYTE_COUNT
+        in_ptr = self._alloc(self.store, in_size)
+        self._memory.write(self.store, struct.pack("=i", len(encoded)), in_ptr)
+        self._memory.write(self.store, encoded, in_ptr + SIZE_BYTE_COUNT)
         out_ptr = self._udf(self.store, in_ptr)
         size_raw = self._memory.read(self.store, out_ptr, out_ptr + SIZE_BYTE_COUNT)
         (out_size,) = struct.unpack("=i", bytes(size_raw))
         start = out_ptr + SIZE_BYTE_COUNT
         result = mp_decode(bytes(self._memory.read(self.store, start, start + out_size)))
-        self._dealloc(self.store, in_ptr, len(encoded))
+        self._dealloc(self.store, in_ptr, in_size)
         self._dealloc(self.store, out_ptr, SIZE_BYTE_COUNT + out_size)
         return result
+
+
+class InterpExecutor:
+    """Same protocol over the pure-Python interpreter (wasm_interp.py) —
+    the no-dependency fallback when wasmtime is absent. Instantiates
+    lazily so the callable pickles cheaply to Spark workers (only the
+    module bytes travel; each worker decodes once)."""
+
+    def __init__(self, module_bytes: bytes, entrypoint: str):
+        from . import wasm_interp  # parse eagerly: surface bad modules now
+
+        self._module_bytes = module_bytes
+        self._entrypoint = entrypoint
+        try:
+            module = wasm_interp.parse_module(module_bytes)
+        except (wasm_interp.WasmError, IndexError, struct.error) as exc:
+            raise WasmAbiError(f"invalid WASM module: {exc}") from exc
+        ent = module.exports.get(entrypoint)
+        if ent is None or ent[0] != 0:
+            raise WasmAbiError(
+                f"entrypoint {entrypoint!r} is not a function export"
+            )
+        for req in ("alloc", "dealloc", "memory"):
+            if req not in module.exports:
+                raise WasmAbiError(f"module does not export {req!r}")
+        self._inst = None
+
+    def _instance(self):
+        if self._inst is None:
+            from . import wasm_interp
+
+            self._inst = wasm_interp.Instance(
+                wasm_interp.parse_module(self._module_bytes)
+            )
+        return self._inst
+
+    def call(self, params: list[Any]) -> Any:
+        from .wasm_interp import WasmTrap
+
+        inst = self._instance()
+        encoded = mp_encode(list(params))
+        in_size = len(encoded) + SIZE_BYTE_COUNT
+        try:
+            in_ptr = inst.invoke("alloc", in_size)
+            inst.memory[in_ptr : in_ptr + SIZE_BYTE_COUNT] = struct.pack(
+                "=i", len(encoded)
+            )
+            inst.memory[in_ptr + SIZE_BYTE_COUNT : in_ptr + in_size] = encoded
+            out_ptr = inst.invoke(self._entrypoint, in_ptr)
+            (out_size,) = struct.unpack_from("=i", inst.memory, out_ptr)
+            start = out_ptr + SIZE_BYTE_COUNT
+            result = mp_decode(bytes(inst.memory[start : start + out_size]))
+            inst.invoke("dealloc", in_ptr, in_size)
+            inst.invoke("dealloc", out_ptr, SIZE_BYTE_COUNT + out_size)
+        except WasmTrap as exc:
+            self._inst = None  # trapped instances may hold poisoned state
+            raise WasmAbiError(f"Error invoking WASM UDF: {exc}") from exc
+        return result
+
+    def __getstate__(self):
+        return {
+            "_module_bytes": self._module_bytes,
+            "_entrypoint": self._entrypoint,
+        }
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._inst = None
 
 
 def make_row_callable(

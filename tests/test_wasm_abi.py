@@ -192,6 +192,121 @@ class TestExecutorProtocol:
             WasmtimeExecutor(b"\x00asm", "f")
 
 
+FIXTURE = "/root/reference/resources/test/messagepack_rust.wasm"
+needs_fixture = pytest.mark.skipif(
+    not __import__("os").path.exists(FIXTURE),
+    reason="reference wasm fixture not present",
+)
+
+
+@needs_fixture
+class TestInterpreterFixture:
+    """Runs the reference's OWN 230 KB rustc test module through the
+    pure-Python interpreter (wasm_interp.py) and asserts the exact values
+    the reference's e2e suite asserts (wasm.rs:1184-1500)."""
+
+    @pytest.fixture(scope="class")
+    def module_bytes(self):
+        with open(FIXTURE, "rb") as f:
+            return f.read()
+
+    def _fn(self, module_bytes, entry, ins, ret):
+        from seafowl_spark.engine.wasm_abi import InterpExecutor
+
+        return make_row_callable(InterpExecutor(module_bytes, entry), ins, ret)
+
+    def test_add_integers(self, module_bytes):
+        # wasm.rs:1184-1246 (add_i64/add_i32/add_i16 over (1,2)..(9,10))
+        for entry, t in (("add_i64", "bigint"), ("add_i32", "int"), ("add_i16", "smallint")):
+            f = self._fn(module_bytes, entry, [t, t], t)
+            assert [f(a, a + 1) for a in (1, 3, 5, 7, 9)] == [3, 7, 11, 15, 19]
+
+    def test_mul_floats(self, module_bytes):
+        # wasm.rs:1249-1307: round(mul(v1,v2)) over the fixture pairs
+        for entry, t in (("mul_f32", "real"), ("mul_f64", "double")):
+            f = self._fn(module_bytes, entry, [t, t], t)
+            got = [round(f(a, b)) for a, b in
+                   ((0.5, 2.0), (3.5, 4.1), (5.4, 6.2), (7.0, 8.9), (9.1, 10.2))]
+            assert got == [1, 14, 33, 62, 93]
+
+    def test_timestamp_add_hours(self, module_bytes):
+        # wasm.rs:1309-1355
+        f = self._fn(module_bytes, "add_hours", ["timestamp", "int"], "timestamp")
+        ts = dt.datetime(2022, 11, 22, 14, 38, 40, 543717)
+        assert f(ts, 2) == dt.datetime(2022, 11, 22, 16, 38, 40, 543717)
+        assert f(dt.datetime(1970, 1, 1), 6) == dt.datetime(1970, 1, 1, 6)
+
+    def test_date_add_days(self, module_bytes):
+        # wasm.rs:1357-1400
+        f = self._fn(module_bytes, "add_days", ["date", "int"], "date")
+        assert f(dt.date(1970, 1, 1), 2) == dt.date(1970, 1, 3)
+        assert f(dt.date(2022, 11, 22), 0) == dt.date(2022, 11, 22)
+        assert f(dt.date(2022, 11, 22), 1) == dt.date(2022, 11, 23)
+
+    def test_bool_xor(self, module_bytes):
+        # wasm.rs:1402-1450
+        f = self._fn(module_bytes, "xor2", ["boolean", "boolean"], "boolean")
+        assert [f(a, b) for a, b in ((True, True), (True, False), (False, True), (False, False))] \
+            == [False, True, True, False]
+
+    def test_increment_decimal(self, module_bytes):
+        # wasm.rs:1452-1500
+        f = self._fn(module_bytes, "increment_decimal", ["decimal(20,2)"], "decimal(20,2)")
+        assert f(Decimal("0.01")) == Decimal("1.01")
+        assert f(Decimal("16691927.02")) == Decimal("16691928.02")
+
+    def test_text_funcs(self, module_bytes):
+        assert self._fn(module_bytes, "concat2", ["text", "text"], "text")("ab", "cd") == "abcd"
+        assert self._fn(module_bytes, "upper2", ["text"], "text")("hello") == "HELLO"
+        assert self._fn(module_bytes, "lower2", ["text"], "text")("HeLLo") == "hello"
+
+    def test_panic_surfaces_rust_message(self, module_bytes):
+        # unreachable after the module writes its panic to WASI fd_write
+        f = self._fn(module_bytes, "panic_if_negative", ["int"], "int")
+        assert f(5) == 5
+        with pytest.raises(WasmAbiError, match="disapprove of being negative"):
+            f(-1)
+
+    def test_garbage_output_decode_error(self, module_bytes):
+        # reference surface: "Error messagepack decoding output buffer"
+        # (context/mod.rs write_garbage_output e2e)
+        f = self._fn(module_bytes, "write_garbage_output", ["int"], "int")
+        with pytest.raises(WasmAbiError, match="decoding output buffer"):
+            f(1)
+
+    def test_executor_pickles_for_spark_workers(self, module_bytes):
+        import pickle
+
+        from seafowl_spark.engine.wasm_abi import InterpExecutor
+
+        ex = InterpExecutor(module_bytes, "add_i64")
+        assert ex.call([2, 3]) == 5
+        ex2 = pickle.loads(pickle.dumps(ex))
+        assert ex2.call([20, 22]) == 42
+
+    def test_end_to_end_sql(self, ctx, module_bytes):
+        """CREATE FUNCTION with the real module, then call it from SQL —
+        the reference's full e2e loop (context/mod.rs:295-468) minus
+        wasmtime."""
+        import base64
+        import json
+
+        spec = {
+            "entrypoint": "add_i64",
+            "language": "wasmMessagePack",
+            "input_types": ["BIGINT", "BIGINT"],
+            "return_type": "BIGINT",
+            "data": base64.b64encode(module_bytes).decode(),
+            "volatility": "immutable",
+        }
+        ctx.execute(f"CREATE FUNCTION wasm_add AS '{json.dumps(spec)}'")
+        df = ctx.execute(
+            "SELECT wasm_add(v1, v2) AS s FROM (VALUES (1, 2), (40, 2), (NULL, 9)) AS t(v1, v2)"
+        )
+        got = sorted((r.s for r in df.collect()), key=lambda v: (v is None, v))
+        assert got == [3, 42, None]
+
+
 class TestCreateFunctionValidation:
     def test_wasm_spec_type_table(self, ctx):
         import base64
