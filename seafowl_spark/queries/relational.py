@@ -664,20 +664,15 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scalar expressions / datetime / strings
 # --------------------------------------------------------------------------
 
-@register(
-    "q_case_bucket",
-    oracle="""
-    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
-                WHEN o_totalprice < 150000 THEN 'mid'
-                ELSE 'high' END AS bucket,
-           COUNT(*) AS n_orders,
-           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
-    FROM orders GROUP BY 1
-    """,
-)
 def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN bucketing + min/max (exact on raw doubles)."""
+    """CASE WHEN bucketing + min/max (exact on raw doubles).
+
+    Unregistered in round 2 to keep the registry inside the driver's
+    50-entry grading window while adding s_embedding_neardup (the brief's
+    fifth dedup family). CASE semantics stay oracle-graded through
+    q_null_handling, q_scalar_breadth and q_pivot; this function remains
+    pytest-covered (tests/test_neardup.py::test_case_bucket_oracle_parity)
+    so the operator itself is still verified."""
     o = _t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") < 50000, "low")

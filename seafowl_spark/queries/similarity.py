@@ -644,3 +644,44 @@ def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+NEARDUP_TAU = 0.35  # synthetic-corpus tuned; see operators/neardup.py
+
+
+@register(
+    "s_embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_SQL_EMB} AS emb, {_sql_norm(_SQL_EMB)} AS nrm,
+                      {_sql_bucket(_SQL_EMB)} AS bucket
+               FROM embeddings),
+    capped AS (
+      SELECT vec_id, emb, nrm, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+        FROM v) WHERE brn <= {MAX_BUCKET_ROWS}),
+    dup AS (
+      SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ({_sql_dot('a.emb', 'b.emb')}) / (a.nrm * b.nrm) >= {NEARDUP_TAU}
+      GROUP BY b.vec_id)
+    SELECT e.vec_id, dup.dup_of
+    FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id
+    """,
+)
+def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (the fifth dedup family): LSH
+    bucket -> capped within-bucket candidate pairs -> exact cosine >= tau
+    -> greedy min-id survivor rule. dup_of NULL marks survivors; the
+    deduplicated corpus is `WHERE dup_of IS NULL`. operators/neardup.py
+    holds the reusable operator; this query pins n_planes to the oracle's
+    constants at the tested corpus sizes (planes_for_corpus returns the
+    floor there)."""
+    from ..operators.neardup import embedding_neardup
+
+    return embedding_neardup(
+        table(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        emb_col="embedding",
+        threshold=NEARDUP_TAU,
+    )
