@@ -55,6 +55,19 @@ def main() -> None:
     registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    # also pre-spawn one Python worker per core (pandas/numpy imports,
+    # ~4s once) — a long-lived server session keeps these hot exactly like
+    # the JVM; without this the first pandas-UDF query absorbs the spawn
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop_py(s):
+        return s
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 100, 1, cores).select(
+        _noop_py("id")
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -81,3 +81,61 @@ def norm_exact_udf():
         return pd.Series(np.sqrt(acc))
 
     return norm_of
+
+
+def simhash64_udf():
+    """string -> struct<simhash_lo long, simhash_hi long>: row-local 64-bit
+    SimHash (two 32-bit halves from md5 bytes [0:4) / [4:8), +/-1 majority
+    vote per bit over single-space tokens, ties set the bit).
+
+    Bit-identical to the explode -> 64-partial-sums construction (and to
+    the oracle's unnest/sum SQL): the vote is integer counting, and the
+    token hash int.from_bytes(md5[0:4]) == conv(substr(md5_hex,1,8),16,10).
+    Token-less documents yield NULL halves (the aggregate construction
+    emits no row for them); callers filter NULLs to match.
+
+    Scale: the signature never shuffles — it is computed where the
+    document lives, Arrow batch in, two longs out. The batch is processed
+    as ONE flat token array (bit matrix + add.reduceat over per-doc
+    segments), not per-document numpy calls — tiny-array overhead, not
+    md5, dominates otherwise.
+    """
+    import hashlib
+
+    @pandas_udf("simhash_lo long, simhash_hi long")
+    def simhash64(text: pd.Series) -> pd.DataFrame:
+        md5 = hashlib.md5
+        n = len(text)
+        # flatten: token hashes for all docs, contiguous per doc
+        offsets, lo_flat, hi_flat, doc_pos = [], [], [], []
+        for i, t in enumerate(text):
+            toks = t.split(" ") if t is not None else []
+            k0 = len(lo_flat)
+            for x in toks:
+                if x:
+                    d = md5(x.encode()).digest()
+                    lo_flat.append(int.from_bytes(d[0:4], "big"))
+                    hi_flat.append(int.from_bytes(d[4:8], "big"))
+            if len(lo_flat) > k0:
+                offsets.append(k0)
+                doc_pos.append(i)
+        out_lo = np.full(n, np.nan)
+        out_hi = np.full(n, np.nan)
+        if doc_pos:
+            offs = np.asarray(offsets, dtype=np.intp)
+            pos = np.asarray(doc_pos, dtype=np.intp)
+            ends = np.append(offs[1:], len(lo_flat))
+            n_toks = (ends - offs).astype(np.int64)
+            weights = (1 << np.arange(32, dtype=np.int64))
+            for flat, out in ((lo_flat, out_lo), (hi_flat, out_hi)):
+                hv = np.asarray(flat, dtype=np.int64)
+                bits = (hv[:, None] >> np.arange(32)) & 1  # (T, 32)
+                cnt = np.add.reduceat(bits, offs, axis=0)  # (docs, 32)
+                sig = ((2 * cnt >= n_toks[:, None]) * weights).sum(axis=1)
+                out[pos] = sig
+        return pd.DataFrame(
+            {"simhash_lo": pd.array(out_lo, dtype="Int64"),
+             "simhash_hi": pd.array(out_hi, dtype="Int64")}
+        )
+
+    return simhash64

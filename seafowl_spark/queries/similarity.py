@@ -21,8 +21,6 @@ stage only ever sees candidates. That is the shape that survives 100 TB.
 from __future__ import annotations
 
 import random
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -155,10 +153,6 @@ def _h8(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def _h8_at(col, start: int):
-    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
-
-
 def _sql_h8(expr: str, start: int = 1) -> str:
     return f"CAST(('0x' || substr(md5({expr}), {start}, 8)) AS BIGINT)"
 
@@ -169,8 +163,15 @@ def _sql_h8(expr: str, start: int = 1) -> str:
 
 def _minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash every shingle ONCE (md5 dominates; the 16 affine permutations then
-    # run over a plain array<long> — ~16x fewer md5 evaluations)
-    hashed = _shingled_docs(spark, sf_dir).select(
+    # run over a plain array<long> — ~16x fewer md5 evaluations). Same two
+    # local-mode accommodations as _simhash_df: widen a too-narrow scan so
+    # the md5 work parallelizes, persist the (doc_id, sigs) result because
+    # the banding self-join evaluates its input subtree twice.
+    shingled = _shingled_docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if shingled.rdd.getNumPartitions() < par:
+        shingled = shingled.repartition(par)
+    hashed = shingled.select(
         "doc_id", F.transform(F.col("shingles"), _h8).alias("hh")
     )
 
@@ -185,7 +186,7 @@ def _minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in zip(MINHASH_A, MINHASH_B)
         ]
     )
-    return hashed.select("doc_id", sigs.alias("sigs"))
+    return hashed.select("doc_id", sigs.alias("sigs")).persist()
 
 
 _SQL_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
@@ -321,37 +322,34 @@ def s_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash as two 32-bit halves (lo from md5 hex[1:8], hi from
-    md5 hex[9:16]), computed by explode -> 64 partial-aggregating sums."""
+    md5 hex[9:16]), computed row-locally (Arrow-batched pandas UDF).
+
+    The signature is a pure function of the document, so it is computed
+    where the document lives and never shuffles — one Arrow batch in, two
+    longs out. (Round 1 built this as explode -> 64 partial-aggregating
+    sums; bit-identical, but it paid an exchange carrying 64-int rows per
+    (mapper, doc). The oracle SQL keeps the unnest/sum construction —
+    integer majority votes make the two formulations exactly equal.)
+    Token-less documents produce no aggregate row / NULL halves on the two
+    paths respectively; the filter aligns them.
+
+    Two local-mode accommodations, both no-ops on a real cluster: the scan
+    is widened to the session's parallelism when the (tiny) local parquet
+    yields fewer splits, and the 3-column result is persisted because the
+    downstream banding self-join evaluates its input subtree twice — at
+    cluster scale the signature table is doc_id + two longs, the cheapest
+    possible thing to cache."""
+    from ..functions.vec import simhash64_udf
+
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).select(
-        "doc_id",
-        _h8_at(F.col("tok"), 1).alias("h_lo"),
-        _h8_at(F.col("tok"), 9).alias("h_hi"),
-    )
-    aggs = []
-    for half, col in (("lo", "h_lo"), ("hi", "h_hi")):
-        for bit in range(32):
-            aggs.append(
-                F.sum(
-                    F.when(
-                        F.shiftright(F.col(col), bit).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                ).alias(f"s_{half}_{bit}")
-            )
-    sums = tok.groupBy("doc_id").agg(*aggs)
-
-    def sig(half: str):
-        return reduce(
-            lambda acc, bit: acc
-            + F.when(F.col(f"s_{half}_{bit}") >= 0, F.lit(1 << bit)).otherwise(0),
-            range(32),
-            F.lit(0).cast("long"),
-        )
-
-    return sums.select(
-        "doc_id", sig("lo").alias("simhash_lo"), sig("hi").alias("simhash_hi")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return (
+        d.select("doc_id", simhash64_udf()("text").alias("s"))
+        .select("doc_id", "s.simhash_lo", "s.simhash_hi")
+        .where(F.col("simhash_lo").isNotNull())
+        .persist()
     )
 
 
