@@ -25,10 +25,14 @@ not a driver-side fetch:
 * Rows stream back as **Arrow record batches** (never row-at-a-time
   pickling) in fetchmany-sized chunks, so executor memory stays bounded.
 
-Backends: ``sqlite://<path>`` (stdlib sqlite3) is fully supported.
-``postgresql://`` / ``mysql://`` are recognized but need client drivers
-absent from this environment — they raise a clear error at connect time,
-mirroring the reference's connector-x backend matrix.
+Backends: ``sqlite://<path>`` (stdlib sqlite3) is fully supported and
+live-tested. ``postgresql://`` / ``mysql://`` ship complete dialects —
+identifier quoting, literal rendering, LIKE escapes, information_schema
+introspection SQL and type mapping (unit-tested without a server) — and
+connect through psycopg2 / pymysql when installed; in this environment
+those drivers are absent and connecting raises a clear error, mirroring
+the reference's connector-x backend matrix
+(datafusion_remote_tables/src/factory.rs).
 """
 
 from __future__ import annotations
@@ -87,10 +91,34 @@ def _connect(dsn: str):
     if kind == "sqlite":
         # URI mode, read-only: federated reads must not lock the source
         return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
-    raise RemoteTableError(
-        f"remote backend {kind!r} requires a client driver that is not "
-        "installed in this environment (sqlite:// is fully supported)"
-    )
+    if kind == "postgresql":
+        try:
+            import psycopg2  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise RemoteTableError(
+                "remote backend 'postgresql' needs the psycopg2 client "
+                "driver, which is not installed in this environment"
+            ) from exc
+        return psycopg2.connect(dsn)
+    if kind == "mysql":
+        try:
+            import pymysql  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise RemoteTableError(
+                "remote backend 'mysql' needs the pymysql client driver, "
+                "which is not installed in this environment"
+            ) from exc
+        from urllib.parse import urlparse
+
+        u = urlparse(dsn.replace("mysql://", "http://", 1))
+        return pymysql.connect(
+            host=u.hostname or "localhost",
+            port=u.port or 3306,
+            user=u.username or "",
+            password=u.password or "",
+            database=u.path.lstrip("/"),
+        )
+    raise RemoteTableError(f"unsupported remote backend {kind!r}")
 
 
 # ------------------------------------------------------------------- schema
@@ -120,57 +148,216 @@ def _sqlite_decl_to_spark(decl: str) -> T.DataType:
 
 def introspect_schema(dsn: str, table: str) -> T.StructType:
     """Remote schema introspection (reference: introspected case of
-    query.rs:123-140 via connector-x)."""
+    query.rs:123-140 via connector-x). sqlite's PRAGMA returns
+    (cid, name, type, ...); the information_schema query the pg/mysql
+    dialects render returns (name, type) directly."""
+    dialect = dialect_for(dsn)
     con = _connect(dsn)
     try:
-        cur = con.execute(f"PRAGMA table_info({_quote(table)})")
-        cols = cur.fetchall()
+        cols = _execute(con, dialect.introspection_sql(table)).fetchall()
     finally:
         con.close()
     if not cols:
         raise RemoteTableError(f"remote table {table!r} does not exist or has no columns")
+    pairs = [(c[1], c[2]) for c in cols] if dialect.name == "sqlite" else [(c[0], c[1]) for c in cols]
     return T.StructType(
-        [T.StructField(c[1], _sqlite_decl_to_spark(c[2]), True) for c in cols]
+        [T.StructField(name, dialect.type_to_spark(decl), True) for name, decl in pairs]
     )
+
+
+def _execute(con, sql: str):
+    """Driver-API bridge: sqlite3 executes on the connection; DB-API 2.0
+    drivers (psycopg2, pymysql) need an explicit cursor."""
+    if hasattr(con, "execute"):
+        return con.execute(sql)
+    cur = con.cursor()
+    cur.execute(sql)
+    return cur
+
+
+# ----------------------------------------------------------------- dialects
+
+class Dialect:
+    """Per-backend SQL rendering (reference filter_pushdown.rs keeps one
+    visitor per backend for the same reason: quoting, literal syntax and
+    LIKE escaping differ)."""
+
+    name = "sqlite"
+
+    def quote(self, ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    def bool_lit(self, v: bool) -> str:
+        return "1" if v else "0"
+
+    def bytes_lit(self, v: bytes) -> str:
+        return "X'" + v.hex() + "'"
+
+    def lit(self, v: Any) -> str | None:
+        """Python literal -> remote SQL literal (reference
+        filter_pushdown.rs scalar_value_to_sql)."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return self.bool_lit(v)
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bytes):
+            return self.bytes_lit(v)
+        if isinstance(v, _dt.datetime):
+            return "'" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        if isinstance(v, _dt.date):
+            return "'" + v.isoformat() + "'"
+        return None
+
+    def like_escape(self, s: str) -> str:
+        return (
+            s.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("'", "''")
+        )
+
+    def introspection_sql(self, table: str) -> str:
+        return f"PRAGMA table_info({self.quote(table)})"
+
+    def type_to_spark(self, decl: str) -> T.DataType:
+        return _sqlite_decl_to_spark(decl)
+
+
+class PostgresDialect(Dialect):
+    name = "postgresql"
+
+    def bool_lit(self, v: bool) -> str:
+        return "TRUE" if v else "FALSE"
+
+    def bytes_lit(self, v: bytes) -> str:
+        return "'\\x" + v.hex() + "'::bytea"
+
+    def introspection_sql(self, table: str) -> str:
+        t = table.replace("'", "''")
+        return (
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_name = '{t}' ORDER BY ordinal_position"
+        )
+
+    def type_to_spark(self, decl: str) -> T.DataType:
+        return _pg_type_to_spark(decl)
+
+
+class MySQLDialect(Dialect):
+    name = "mysql"
+
+    def quote(self, ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    def introspection_sql(self, table: str) -> str:
+        t = table.replace("'", "''")
+        return (
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_name = '{t}' AND table_schema = DATABASE() "
+            "ORDER BY ordinal_position"
+        )
+
+    def type_to_spark(self, decl: str) -> T.DataType:
+        return _mysql_type_to_spark(decl)
+
+
+_DIALECTS = {
+    "sqlite": Dialect(),
+    "postgresql": PostgresDialect(),
+    "mysql": MySQLDialect(),
+}
+
+
+def dialect_for(dsn: str) -> Dialect:
+    return _DIALECTS[parse_dsn(dsn)[0]]
+
+
+# reference type matrices: connector-x arrow mappings the reference relies
+# on for PG/MySQL (datafusion_remote_tables/src/provider.rs schema path)
+def _pg_type_to_spark(decl: str) -> T.DataType:
+    d = (decl or "").lower()
+    if d in ("smallint", "int2"):
+        return T.ShortType()
+    if d in ("integer", "int", "int4", "serial"):
+        return T.IntegerType()
+    if d in ("bigint", "int8", "bigserial"):
+        return T.LongType()
+    if d in ("real", "float4"):
+        return T.FloatType()
+    if d in ("double precision", "float8"):
+        return T.DoubleType()
+    if d.startswith("numeric") or d.startswith("decimal"):
+        return T.DecimalType(38, 18)
+    if d == "boolean":
+        return T.BooleanType()
+    if d == "date":
+        return T.DateType()
+    if d in ("timestamp with time zone", "timestamptz"):
+        return T.TimestampType()
+    if d.startswith("timestamp"):
+        return T.TimestampNTZType()
+    if d == "bytea":
+        return T.BinaryType()
+    return T.StringType()
+
+
+def _mysql_type_to_spark(decl: str) -> T.DataType:
+    d = (decl or "").lower()
+    if d == "tinyint":
+        return T.ByteType()
+    if d == "smallint":
+        return T.ShortType()
+    if d in ("int", "integer", "mediumint"):
+        return T.IntegerType()
+    if d == "bigint":
+        return T.LongType()
+    if d == "float":
+        return T.FloatType()
+    if d in ("double", "real"):
+        return T.DoubleType()
+    if d in ("decimal", "numeric"):
+        return T.DecimalType(38, 18)
+    if d in ("bool", "boolean"):
+        return T.BooleanType()
+    if d == "date":
+        return T.DateType()
+    if d in ("datetime", "timestamp"):
+        return T.TimestampNTZType()
+    if d in ("blob", "tinyblob", "mediumblob", "longblob", "binary", "varbinary"):
+        return T.BinaryType()
+    return T.StringType()
 
 
 # ------------------------------------------------------------ sql rendering
 
+_SQLITE = _DIALECTS["sqlite"]
+
+
 def _quote(ident: str) -> str:
-    return '"' + ident.replace('"', '""') + '"'
+    return _SQLITE.quote(ident)
 
 
 def _lit(v: Any) -> str | None:
-    """Python literal -> remote SQL literal (reference
-    filter_pushdown.rs scalar_value_to_sql)."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "1" if v else "0"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
-    if isinstance(v, bytes):
-        return "X'" + v.hex() + "'"
-    if isinstance(v, _dt.datetime):
-        return "'" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
-    if isinstance(v, _dt.date):
-        return "'" + v.isoformat() + "'"
-    return None
+    return _SQLITE.lit(v)
 
 
 def _like_escape(s: str) -> str:
-    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("'", "''")
+    return _SQLITE.like_escape(s)
 
 
-def filter_to_sql(f: Filter) -> str | None:
+def filter_to_sql(f: Filter, dialect: Dialect = _SQLITE) -> str | None:
     """One pushed conjunct -> remote SQL, or None if not shippable
     (reference FilterPushdownVisitor, filter_pushdown.rs:13-110)."""
+    _lit = dialect.lit
+    _like_escape = dialect.like_escape
     if isinstance(f, Not):
-        inner = filter_to_sql(f.child)
+        inner = filter_to_sql(f.child, dialect)
         return None if inner is None else f"(NOT {inner})"
-    col = _quote(f.attribute[-1]) if getattr(f, "attribute", None) else None
+    col = dialect.quote(f.attribute[-1]) if getattr(f, "attribute", None) else None
     if isinstance(f, EqualTo):
         lit = _lit(f.value)
         return None if lit is None else f"({col} = {lit})"
@@ -212,14 +399,15 @@ def build_remote_sql(
     table: str,
     where: list[str],
     partition_clause: str | None = None,
+    dialect: Dialect = _SQLITE,
 ) -> str:
     """The exact query string shipped to the remote database
     (reference provider.rs:170-177 builds the same shape)."""
-    cols = ", ".join(_quote(f.name) for f in schema.fields)
+    cols = ", ".join(dialect.quote(f.name) for f in schema.fields)
     clauses = list(where)
     if partition_clause:
         clauses.append(partition_clause)
-    sql = f"SELECT {cols} FROM {_quote(table)}"
+    sql = f"SELECT {cols} FROM {dialect.quote(table)}"
     if clauses:
         sql += " WHERE " + " AND ".join(clauses)
     return sql
@@ -281,12 +469,13 @@ class RemoteTableReader(DataSourceReader):
         self.lower_bound = options.get("lower_bound")
         self.upper_bound = options.get("upper_bound")
         self.where: list[str] = []
+        self.dialect = dialect_for(self.dsn)
 
     # -- pushdown (called at planning; state carries into partitions/read)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
         for f in filters:
-            sql = filter_to_sql(f)
+            sql = filter_to_sql(f, self.dialect)
             if sql is None:
                 yield f  # Spark evaluates it post-scan
             else:
@@ -297,13 +486,14 @@ class RemoteTableReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         if not self.partition_column or self.num_partitions <= 1:
             return [_RangePartition(None)]
-        col = _quote(self.partition_column)
+        col = self.dialect.quote(self.partition_column)
         lo, hi = self.lower_bound, self.upper_bound
         if lo is None or hi is None:
             con = _connect(self.dsn)
             try:
-                row = con.execute(
-                    f"SELECT MIN({col}), MAX({col}) FROM {_quote(self.table)}"
+                row = _execute(
+                    con,
+                    f"SELECT MIN({col}), MAX({col}) FROM {self.dialect.quote(self.table)}",
                 ).fetchone()
             finally:
                 con.close()
@@ -334,10 +524,12 @@ class RemoteTableReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
-        sql = build_remote_sql(self.schema, self.table, self.where, partition.clause)
+        sql = build_remote_sql(
+            self.schema, self.table, self.where, partition.clause, self.dialect
+        )
         con = _connect(self.dsn)
         try:
-            cur = con.execute(sql)
+            cur = _execute(con, sql)
             fields = self.schema.fields
             while True:
                 rows = cur.fetchmany(_FETCH_ROWS)

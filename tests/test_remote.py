@@ -167,3 +167,71 @@ class TestContextIntegration:
             "SELECT a, c FROM staging.remote_table WHERE a > 1 AND a < 4 ORDER BY a"
         )
         assert [(r["a"], r["c"]) for r in out.collect()] == [(2, "two"), (3, "three")]
+
+
+class TestDialects:
+    """PG/MySQL dialect rendering — unit-tested without a live server
+    (reference keeps one FilterPushdownVisitor per backend,
+    filter_pushdown.rs; connection itself is driver-gated)."""
+
+    def test_postgres_rendering(self):
+        import datetime as dt
+
+        from pyspark.sql.datasource import EqualTo
+
+        from seafowl_spark.sources.remote import PostgresDialect, filter_to_sql
+
+        d = PostgresDialect()
+        assert d.quote('we"ird') == '"we""ird"'
+        assert d.lit(True) == "TRUE" and d.lit(False) == "FALSE"
+        assert d.lit(b"\x01\xff") == "'\\x01ff'::bytea"
+        assert filter_to_sql(EqualTo(("c",), "tw'o"), d) == "(\"c\" = 'tw''o')"
+        assert filter_to_sql(EqualTo(("d",), dt.date(2022, 11, 1)), d) == "(\"d\" = '2022-11-01')"
+        sql = d.introspection_sql("my't")
+        assert "information_schema.columns" in sql and "my''t" in sql
+
+    def test_mysql_rendering(self):
+        from pyspark.sql.datasource import GreaterThan, In
+
+        from seafowl_spark.sources.remote import MySQLDialect, build_remote_sql, filter_to_sql
+
+        d = MySQLDialect()
+        assert d.quote("ta`ble") == "`ta``ble`"
+        assert filter_to_sql(GreaterThan(("a",), 2), d) == "(`a` > 2)"
+        assert filter_to_sql(In(("a",), (1, 2)), d) == "(`a` IN (1, 2))"
+        s = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+        sql = build_remote_sql(s, "t", ["(`a` > 2)"], None, d)
+        assert sql == "SELECT `a`, `b` FROM `t` WHERE (`a` > 2)"
+        assert "table_schema = DATABASE()" in d.introspection_sql("t")
+
+    def test_type_matrices(self):
+        from seafowl_spark.sources.remote import _mysql_type_to_spark, _pg_type_to_spark
+
+        assert _pg_type_to_spark("bigint") == T.LongType()
+        assert _pg_type_to_spark("double precision") == T.DoubleType()
+        assert _pg_type_to_spark("timestamp with time zone") == T.TimestampType()
+        assert _pg_type_to_spark("timestamp without time zone") == T.TimestampNTZType()
+        assert _pg_type_to_spark("bytea") == T.BinaryType()
+        assert _pg_type_to_spark("character varying") == T.StringType()
+        assert isinstance(_pg_type_to_spark("numeric(10,2)"), T.DecimalType)
+        assert _mysql_type_to_spark("tinyint") == T.ByteType()
+        assert _mysql_type_to_spark("datetime") == T.TimestampNTZType()
+        assert _mysql_type_to_spark("longblob") == T.BinaryType()
+        assert _mysql_type_to_spark("varchar") == T.StringType()
+
+    def test_pg_mysql_connect_gated(self):
+        from seafowl_spark.sources.remote import RemoteTableError, _connect
+
+        for dsn, frag in (
+            ("postgresql://h/db", "psycopg2"),
+            ("mysql://u:p@h/db", "pymysql"),
+        ):
+            with pytest.raises(RemoteTableError, match=frag):
+                _connect(dsn)
+
+    def test_dialect_for_dispatch(self):
+        from seafowl_spark.sources.remote import dialect_for
+
+        assert dialect_for("sqlite:///tmp/x.db").name == "sqlite"
+        assert dialect_for("postgres://h/db").name == "postgresql"
+        assert dialect_for("mysql://h/db").name == "mysql"
