@@ -518,6 +518,16 @@ class DeltaLiteTable:
         the WHERE text (also used for stats pruning).
         """
         snap = self.snapshot()
+        # validate assignment targets BEFORE pruning: a no-op predicate must
+        # not mask a bad column (reference dml.rs test_update_statement_errors
+        # expects the schema error regardless of matched rows)
+        fields = T.StructType.fromDDL(snap.schema_ddl).fieldNames()
+        unknown = [c for c in set_exprs if c not in fields]
+        if unknown:
+            raise DeltaLiteError(
+                f"No field named {unknown[0]}. "
+                f"Valid fields are {', '.join(fields)}."
+            )
         hit = self._prune(snap, predicate_sql)
         hot = self._bucket_hits(snap, predicate_sql)
         if hot is not None:

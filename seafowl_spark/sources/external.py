@@ -20,6 +20,7 @@ import tempfile
 from hashlib import sha256
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..engine.types import columns_to_schema
 from .object_cache import CachingObjectStore
@@ -55,6 +56,25 @@ def fetch_url(url: str) -> str:
     return local
 
 
+def _ns_timestamp_columns(location: str) -> list[str]:
+    """Column names declared TIMESTAMP(NANOS) in the parquet footer(s).
+
+    One footer read (pyarrow) per external-table registration — the same
+    metadata Spark itself fetches, so no extra data IO."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    try:
+        schema = ds.dataset(location, format="parquet").schema
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def read_external(
     spark: SparkSession,
     fmt: str,
@@ -70,10 +90,23 @@ def read_external(
     fmt = fmt.lower()
 
     if fmt == "parquet":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         r = spark.read
         if schema:
             r = r.schema(schema)
-        return r.parquet(location)
+        df = r.parquet(location)
+        # TIMESTAMP(NANOS) columns surface as BIGINT under nanosAsLong;
+        # coerce to microsecond timestamps (truncating) so the staging
+        # schema shows a timestamp and CTAS persists us — the reference
+        # coerces identically (ddl.rs test_create_table_as_from_ns_column:
+        # ns in staging becomes Timestamp(Microsecond) on store)
+        if schema is None:
+            for name in _ns_timestamp_columns(location):
+                if dict(df.dtypes).get(name) == "bigint":
+                    df = df.withColumn(
+                        name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+                    )
+        return df
 
     if fmt == "csv":
         r = spark.read.option("header", options.pop("has_header", "true"))

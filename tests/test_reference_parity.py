@@ -158,3 +158,77 @@ class TestDmlParity:
         t = ctx.delta_table("test_table")
         commit = t.read_commit(t.latest_version())
         assert len(commit.removes) == 1 and commit.adds == []
+
+
+class TestDmlErrorParity:
+    def test_update_nonexistent_assignment_column(self, ctx):
+        """dml.rs test_update_statement_errors: SET on an unknown column is
+        a schema error even when the predicate matches nothing."""
+        create_table_and_insert(ctx)
+        with pytest.raises(Exception, match="nonexistent"):
+            ctx.execute("UPDATE test_table SET nonexistent = 42 WHERE some_value = 32")
+
+    def test_update_nonexistent_filter_column(self, ctx):
+        create_table_and_insert(ctx)
+        with pytest.raises(Exception, match="nonexistent"):
+            ctx.execute("UPDATE test_table SET some_value = 42 WHERE nonexistent = 32")
+
+    def test_update_uncastable_literal(self, ctx):
+        """dml.rs:522-529: assigning a non-numeric string to BIGINT errors
+        (ANSI cast), not silently NULLs."""
+        create_table_and_insert(ctx)
+        with pytest.raises(Exception, match="(?i)cast"):
+            ctx.execute("UPDATE test_table SET some_int_value = 'nope'")
+
+    def test_insert_second_shape_golden_rows(self, ctx):
+        """dml.rs test_insert_two_different_schemas: a second INSERT with a
+        different column subset pads the rest with NULLs; golden 6-row
+        result."""
+        create_table_and_insert(ctx)
+        ctx.execute(
+            "INSERT INTO test_table (some_value, some_bool_value, some_other_value) VALUES "
+            "(41, FALSE, 2.15), (45, TRUE, 9.12), (NULL, FALSE, 44.34)"
+        )
+        out = ctx.execute("SELECT * FROM test_table ORDER BY some_other_value")
+        assert rows(out) == [
+            (TS("2022-01-01 20:01:01"), 42.0, D("1.0000000000"), None, 1111),
+            (TS("2022-01-01 20:02:02"), 43.0, D("1.0000000000"), None, 2222),
+            (TS("2022-01-01 20:03:03"), 44.0, D("1.0000000000"), None, 3333),
+            (None, 41.0, D("2.1500000000"), False, None),
+            (None, 45.0, D("9.1200000000"), True, None),
+            (None, None, D("44.3400000000"), False, None),
+        ]
+
+
+class TestNsColumnParity:
+    def test_ctas_from_ns_column(self, ctx, tmp_path):
+        """ddl.rs test_create_table_as_from_ns_column: an external parquet
+        with TIMESTAMP(NANOS) surfaces as a timestamp in staging and CTAS
+        coerces to microseconds (truncating), staying queryable."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "ns.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "some_int_value": pa.array([1, 2, 3], pa.int64()),
+                    "some_time": pa.array(
+                        [1640995200_000_000_000 + i * 1_500 for i in range(3)],
+                        pa.timestamp("ns"),
+                    ),
+                    "some_value": pa.array([1.0, 2.0, 3.0], pa.float32()),
+                }
+            ),
+            p,
+        )
+        ctx.execute(f"CREATE EXTERNAL TABLE ns_t STORED AS PARQUET LOCATION '{p}'")
+        staged = ctx.execute("SELECT * FROM staging.ns_t")
+        assert dict(staged.dtypes)["some_time"] == "timestamp"
+        ctx.execute("CREATE TABLE us_t AS (SELECT * FROM staging.ns_t)")
+        out = ctx.execute("SELECT * FROM us_t ORDER BY some_int_value")
+        assert dict(out.dtypes)["some_time"] == "timestamp"
+        got = rows(out)
+        # 1500ns increments truncate to 1us steps: 0ns->+0us, 1500ns->+1us, 3000ns->+3us
+        assert [r[1].microsecond for r in got] == [0, 1, 3]
+        assert [r[0] for r in got] == [1, 2, 3]
