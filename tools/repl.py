@@ -1,6 +1,10 @@
-"""Interactive SQL REPL (reference src/cli/: `\\d`, `\\d name`, `\\q`).
+"""Interactive SQL REPL (reference src/cli/: `\\d`, `\\d name`, `\\q`)
+and one-off execution mode (reference `seafowl --one-off "<sql>"`,
+tests/cli/one_off.rs: run ;-separated statements, print the last
+statement's result as JSON lines, exit non-zero on error).
 
 Usage: python tools/repl.py [data_dir]
+       python tools/repl.py [data_dir] --one-off "<sql>"
 """
 
 from __future__ import annotations
@@ -15,10 +19,32 @@ def main() -> None:
     from seafowl_spark.engine.context import SeafowlContext
     from seafowl_spark.session import build_session
 
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.expanduser("~/.seafowl_spark")
+    args = sys.argv[1:]
+    one_off = None
+    if "--one-off" in args:
+        i = args.index("--one-off")
+        if i + 1 >= len(args):
+            print("--one-off requires a SQL argument", file=sys.stderr)
+            sys.exit(2)
+        one_off = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    data_dir = args[0] if args else os.path.expanduser("~/.seafowl_spark")
     spark = build_session("seafowl_spark_repl")
     spark.sparkContext.setLogLevel("ERROR")
     ctx = SeafowlContext(spark, data_dir)
+
+    if one_off is not None:
+        from seafowl_spark.engine.server import _rows_to_jsonlines
+
+        try:
+            df = ctx.execute(one_off)
+        except Exception as exc:  # noqa: BLE001
+            print(f"error: {exc}", file=sys.stderr)
+            sys.exit(1)
+        if df is not None:
+            sys.stdout.write(_rows_to_jsonlines(df).decode())
+        sys.exit(0)
+
     print(f"seafowl_spark REPL — data at {data_dir}; \\d lists tables, \\q quits")
 
     buf: list[str] = []
