@@ -294,7 +294,14 @@ class DeltaLiteTable:
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         continue
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:
+                        # pyarrow can't cast stats for every physical type
+                        # (e.g. some FLBA columns raise NotImplemented);
+                        # skipping means "no stats" -> pruning stays
+                        # conservative for that column
+                        continue
                     if isinstance(mn, bytes):
                         try:
                             mn, mx = mn.decode(), mx.decode()

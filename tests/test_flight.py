@@ -90,3 +90,57 @@ class TestFlightSync:
 
         out = ctx.execute("SELECT pk, v FROM ft ORDER BY pk")
         assert rows(out) == [(1, "ONE"), (2, "two")]
+
+
+class TestFlightTypesRoundtrip:
+    def test_ddl_types_roundtrip(self, server):
+        """reference tests/flight/client.rs test_ddl_types_roundtrip: CTAS
+        over every SQL type (ints, chars, decimal, floats, bool, date,
+        timestamp, arrays), read back over Flight with values and Arrow
+        types intact. TEXT -> STRING and bracket array literals ->
+        array() are Spark SQL spellings of the same types."""
+        ctx, srv, client = server
+        all_types_query = """
+SELECT
+  1::TINYINT AS tinyint_val,
+  1000::SMALLINT AS smallint_val,
+  1000000::INT AS integer_val,
+  1000000000::BIGINT AS bigint_val,
+  'c'::CHAR(1) AS char_val,
+  'varchar'::VARCHAR(10) AS varchar_val,
+  'string'::STRING AS string_val,
+  12.345::DECIMAL(5, 2) AS decimal_val,
+  12.345::FLOAT AS float_val,
+  12.3456789101112131415::DOUBLE AS double_val,
+  'true'::BOOLEAN AS bool_val,
+  '2022-01-01'::DATE AS date_val,
+  '2022-01-01T12:03:11.123456Z'::TIMESTAMP AS timestamp_val,
+  array(1,2,3,4,5) AS int_array_val,
+  array('one','two') AS text_array_val
+"""
+        assert ctx.execute(f"CREATE TABLE flight_types AS ({all_types_query})") is None
+        t = run_query(client, {"query": "SELECT * FROM flight_types"})
+        assert t.num_rows == 1
+        row = {c: t[c][0].as_py() for c in t.column_names}
+        import datetime as dt
+        from decimal import Decimal
+
+        assert row["tinyint_val"] == 1 and t["tinyint_val"].type == pa.int8()
+        assert row["smallint_val"] == 1000 and t["smallint_val"].type == pa.int16()
+        assert row["integer_val"] == 1000000 and t["integer_val"].type == pa.int32()
+        assert row["bigint_val"] == 1000000000 and t["bigint_val"].type == pa.int64()
+        assert row["char_val"] == "c"
+        assert row["varchar_val"] == "varchar"
+        assert row["string_val"] == "string"
+        assert row["decimal_val"] == Decimal("12.35")  # 5,2 rounds
+        assert row["float_val"] == pytest.approx(12.345) and t["float_val"].type == pa.float32()
+        assert row["double_val"] == 12.345678910111213
+        assert row["bool_val"] is True
+        assert row["date_val"] == dt.date(2022, 1, 1)
+        # engine TIMESTAMP is session-tz (UTC-pinned); reference stores naive
+        # micros — same instant, tz-aware spelling
+        assert row["timestamp_val"] == dt.datetime(
+            2022, 1, 1, 12, 3, 11, 123456, tzinfo=dt.timezone.utc
+        )
+        assert row["int_array_val"] == [1, 2, 3, 4, 5]
+        assert row["text_array_val"] == ["one", "two"]
