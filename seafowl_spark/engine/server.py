@@ -157,8 +157,9 @@ class SeafowlHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         path = urllib.parse.urlparse(self.path).path
-        if path == "/healthz":
-            self._send(200, b"ok\n", {"Content-Type": "text/plain"})
+        if path in ("/healthz", "/readyz"):
+            # reference serves both spellings (frontend/http.rs:637-638)
+            self._send(200, b"ready", {"Content-Type": "text/plain"})
             return
         if path == "/metrics":
             self._send(200, METRICS.render(), {"Content-Type": "text/plain"})

@@ -144,3 +144,72 @@ SELECT
         )
         assert row["int_array_val"] == [1, 2, 3, 4, 5]
         assert row["text_array_val"] == ["one", "two"]
+
+
+class TestFlightInterleaving:
+    def test_interleaving_queries(self, server):
+        """reference tests/flight/e2e.rs test_interleaving_queries: obtain
+        tickets for two different queries, then consume them in reverse
+        order — each stream must serve its own query's result."""
+        ctx, srv, client = server
+        ctx.execute(
+            "CREATE TABLE flight_table AS SELECT * FROM VALUES (1, 'one'), (2, 'two') AS t(c1, c2)"
+        )
+        d1 = flight.FlightDescriptor.for_command(
+            json.dumps({"query": "SELECT MAX(c1) AS m FROM flight_table"}).encode()
+        )
+        info1 = client.get_flight_info(d1)
+        d2 = flight.FlightDescriptor.for_command(
+            json.dumps({"query": "SELECT MIN(c2) AS m FROM flight_table"}).encode()
+        )
+        info2 = client.get_flight_info(d2)
+        # consume in reverse acquisition order
+        t2 = client.do_get(info2.endpoints[0].ticket).read_all()
+        t1 = client.do_get(info1.endpoints[0].ticket).read_all()
+        assert t2.to_pydict() == {"m": ["one"]}
+        assert t1.to_pydict() == {"m": [2]}
+
+    def test_concurrent_time_travel_reads(self, server):
+        """Two threads time-travel the same table to different versions
+        simultaneously; each must see its own snapshot (the round-1 advice
+        race: deterministic temp-view aliases clobbered across threads)."""
+        import threading
+
+        import datetime as dt
+
+        ctx, srv, client = server
+        ctx.execute("CREATE TABLE tt (x int)")
+        ctx.execute("INSERT INTO tt VALUES (1)")      # version with sum 1
+        import time as _time
+
+        _time.sleep(0.01)
+        ctx.execute("INSERT INTO tt VALUES (10)")     # version with sum 11
+        t = ctx.delta_table("tt")
+
+        def ts_of(version):
+            return dt.datetime.fromtimestamp(
+                t.read_commit(version).timestamp_ms / 1000, dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+
+        ts1, ts2 = ts_of(1), ts_of(2)
+        results: dict[int, list] = {}
+        errors: list[Exception] = []
+
+        def read(ts, expect_key):
+            try:
+                q = f"SELECT sum(x) AS s FROM tt FOR TIMESTAMP AS OF '{ts}'"
+                out = run_query(client, {"query": q})
+                results[expect_key] = out["s"].to_pylist()
+            except Exception as ex:  # noqa: BLE001
+                errors.append(ex)
+
+        threads = [
+            threading.Thread(target=read, args=(ts, i % 2))
+            for i, ts in enumerate([ts1, ts2] * 4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert results[0] == [1] and results[1] == [11]

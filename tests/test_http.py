@@ -156,5 +156,8 @@ class TestHttp:
         assert json.loads(out.strip()) == {"n": 4}
 
     def test_healthz(self, server):
-        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/healthz") as r:
-            assert r.status == 200
+        """Both health spellings, reference frontend/http.rs:637-638."""
+        for route in ("healthz", "readyz"):
+            with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/{route}") as r:
+                assert r.status == 200
+                assert r.read() == b"ready"
