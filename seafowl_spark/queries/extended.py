@@ -166,17 +166,47 @@ def q_combined_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
 
 
-@register("s_ann_ivf", oracle=None)
+def _ivf_oracle() -> str:
+    from .similarity import _sql_dot
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM v ORDER BY vec_id LIMIT 16),
+    assign_scored AS (
+      SELECT v.vec_id, c.cid, ({_sql_dot('v.emb', 'c.cemb')}) AS d
+      FROM v CROSS JOIN c),
+    cell AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM assign_scored) WHERE rn = 1),
+    assigned AS (
+      SELECT v.vec_id, v.emb, cell.cell FROM v JOIN cell ON v.vec_id = cell.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ({_sql_dot('a.emb', 'b.emb')}) AS dot, a.cell
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+    SELECT query_id, neighbor_id, dot, cell FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 3
+    """
+
+
+@register("s_ann_ivf", oracle=_ivf_oracle())
 def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = 16 deterministic centroids (the
     16 lowest-id vectors), assign every vector to its nearest centroid by
     dot product, then search only within the probed cell (nprobe=1).
 
-    Rows-only check: centroids are data-derived (collected to the driver,
-    shipped in the UDF closure), so no static SQL mirror; determinism is
-    covered by tests. Cell assignment and pair scoring run as vectorized
-    Arrow-batched pandas UDFs whose loop-accumulate order is bit-identical
-    to a left-fold chain (no BLAS reduction-order nondeterminism).
+    Fully oracle-graded (upgraded from rows-only in round 2): the
+    codebook rule "16 lowest-id vectors" is deterministic, so the oracle
+    mirrors it as ORDER BY vec_id LIMIT 16 and unrolls the argmax as a
+    ROW_NUMBER over explicit dot-product chains. Cell assignment and pair
+    scoring run as vectorized Arrow-batched pandas UDFs whose
+    loop-accumulate order is bit-identical to a left-fold chain (no BLAS
+    reduction-order nondeterminism), and np.argmax's first-max-wins tie
+    break matches the oracle's (d DESC, cid) ordering.
 
     Scale: the standard IVF shape — train a codebook on a sample, ship the
     (tiny) codebook to executors, assignment is row-local, search is a

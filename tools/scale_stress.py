@@ -1,0 +1,125 @@
+"""Scale-stress the sketch/dedup/ANN family: inflate documents+embeddings
+N-fold (default 10x sf0.1), run the heavy registry queries at 1x and Nx,
+and report the wall-clock growth factor per query.
+
+The LSH operators are parameterized to stay sub-quadratic
+(planes_for_corpus / minhash_bands_for_corpus / MAX_BUCKET_ROWS): a growth
+factor well below N^2 — ideally ~N — is the pass condition. At 10x docs
+(50k) the plane count leaves its floor (9 planes at 20k vectors), so the
+adaptive path itself is exercised, not just measured.
+
+Usage: python tools/scale_stress.py [factor] [base_sf_dir]
+Writes one JSON line: {"factor": N, "queries": {name: {"t1": s, "tN": s,
+"growth": x}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "t_exact_dedup",
+    "t_ngram_jaccard",
+    "s_minhash_lsh_pairs",
+    "s_simhash_candidates",
+    "s_ann_lsh_topk",
+    "s_embedding_neardup",
+    "t_fingerprint",
+    "t_langid_quality",
+]
+
+
+def inflate(base: str, out_dir: str, factor: int) -> None:
+    """Replicate documents/embeddings factor-fold with perturbed copies:
+    copy k of doc i keeps the text/vector close-but-not-identical (suffix
+    token / +k on one dimension), so near-dup structure stays realistic
+    instead of forcing every replica into one hot bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(base, "documents.parquet"))
+    n = docs.num_rows
+    cols = {c: docs[c].to_pylist() for c in docs.column_names}
+    out = {c: [] for c in docs.column_names}
+    for k in range(factor):
+        for i in range(n):
+            for c in docs.column_names:
+                if c == "doc_id":
+                    out[c].append(cols[c][i] + k * 10_000_000)
+                elif c == "text" and k:
+                    out[c].append(f"{cols[c][i]} rep{k}")
+                else:
+                    out[c].append(cols[c][i])
+    pq.write_table(
+        pa.table(out, schema=docs.schema),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(base, "embeddings.parquet"))
+    vec_ids = np.asarray(emb["vec_id"].to_pylist())
+    X = np.stack(emb["embedding"].to_pylist()).astype(np.float32)
+    labels = np.asarray(emb["label"].to_pylist())
+    m = len(vec_ids)
+    all_ids, all_X, all_labels = [], [], []
+    for k in range(factor):
+        Xk = X.copy()
+        if k:
+            Xk[:, k % X.shape[1]] += 0.01 * k  # nudge, stays near original
+        all_ids.append(vec_ids + k * 10_000_000)
+        all_X.append(Xk)
+        all_labels.append(labels)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.concatenate(all_ids),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in np.vstack(all_X)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": np.concatenate(all_labels),
+            }
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+    print(f"inflated {n} docs/{m} vecs -> {n * factor}/{m * factor}", file=sys.stderr)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/seafowl_spark_scale_{factor}x"
+    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        inflate(base, out_dir, factor)
+
+    from seafowl_spark.queries import load_all
+    from seafowl_spark.session import build_session
+
+    spark = build_session("seafowl_spark_scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    regs = load_all()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        regs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
+    # warm-up: JVM + python workers
+    run("t_exact_dedup", base)
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        t1 = run(name, base)
+        tn = run(name, out_dir)
+        out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
+        print(json.dumps({name: out[name]}), file=sys.stderr)
+    print(json.dumps({"factor": factor, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
