@@ -299,7 +299,11 @@ class SeafowlContext:
         sql, travels = parser.extract_time_travel(stmt.text)
         for alias, name, ts in travels:
             t = self.delta_table(name)
-            t.to_df(timestamp=ts).createOrReplaceTempView(alias)
+            if ts.startswith("version="):
+                df = t.to_df(version=int(ts[len("version="):]))
+            else:
+                df = t.to_df(timestamp=ts)
+            df.createOrReplaceTempView(alias)
         mapping = self.reload_views()
         try:
             # spark.sql analyzes eagerly: the returned plan holds resolved

@@ -138,6 +138,12 @@ _TT_STD = re.compile(
     rf"(?i)\b(FROM|JOIN)\s+({_QNAME})\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
     re.DOTALL,
 )
+# Delta-standard complement: FROM t FOR VERSION AS OF <n> (the reference is
+# timestamp-only; versions are first-class in our commit log, so expose them)
+_TT_VER = re.compile(
+    rf"(?i)\b(FROM|JOIN)\s+({_QNAME})\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)",
+    re.DOTALL,
+)
 
 
 def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
@@ -150,13 +156,21 @@ def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
     # time-travel reads of the same table clobber each other's temp view
     tok = uuid.uuid4().hex[:8]
 
-    def sub(m: re.Match) -> str:
-        name, ts = m.group(2), m.group(3)
-        alias = f"__sfs_tt_{len(found)}_{tok}_{name.replace('.', '_')}"
-        found.append((alias, name, ts))
-        return f"{m.group(1)} `{alias}`"
+    def make_sub(kind: str):
+        def sub(m: re.Match) -> str:
+            name, val = m.group(2), m.group(3)
+            alias = f"__sfs_tt_{len(found)}_{tok}_{name.replace('.', '_')}"
+            # version travels carry a "version=<n>" spec; the executor
+            # branches on the prefix (timestamps can't start with it)
+            found.append((alias, name, f"version={val}" if kind == "v" else val))
+            return f"{m.group(1)} `{alias}`"
 
-    return _TT_STD.sub(sub, _TT.sub(sub, sql)), found
+        return sub
+
+    out = _TT.sub(make_sub("t"), sql)
+    out = _TT_STD.sub(make_sub("t"), out)
+    out = _TT_VER.sub(make_sub("v"), out)
+    return out, found
 
 
 # --------------------------------------------------------------------------

@@ -477,3 +477,17 @@ class TestTimeTravelStdSyntax:
         ctx.execute("INSERT INTO t (c_int) VALUES (99)")
         out = ctx.execute(f"SELECT count(*) AS n FROM t FOR TIMESTAMP AS OF '{ts}'")
         assert rows(out) == [(3,)]
+
+    def test_for_version_as_of(self, ctx):
+        """Delta-standard version travel (our extension; the reference is
+        timestamp-only): every commit version stays addressable, and a
+        version read joins cleanly with the current table."""
+        seed(ctx)
+        ctx.execute("INSERT INTO t (c_int) VALUES (99)")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 1")) == [(3,)]
+        assert rows(ctx.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 2")) == [(4,)]
+        out = ctx.execute(
+            "SELECT count(*) AS n FROM t FOR VERSION AS OF 2 a "
+            "JOIN t FOR VERSION AS OF 1 b ON a.c_int = b.c_int"
+        )
+        assert rows(out) == [(3,)]
