@@ -7,7 +7,8 @@ Same control flow as the reference's Flight SQL handler:
   DashMap keyed by query id, handler.rs:124-134); ``do_get`` drains it as
   Arrow record batches.
 * **Inline metastore** (reference InlineMetastoreCommandStatementQuery,
-  flight/sql.rs:109-150): the command may carry ``{"tables": {name: path}}``
+  flight/sql.rs:109-150): the command may carry ``{"tables": {name: path
+  | {"path", "format": delta|iceberg}}}``
   mapping view names to deltalite table roots — stateless serving over
   arbitrary tables without catalog registration.
 * ``search_path`` in the command scopes unqualified names to a schema
@@ -66,11 +67,26 @@ class SeafowlFlightServer(flight.FlightServerBase):
             raise flight.FlightUnauthorizedError("read access denied")
         inline = command.get("tables") or {}
         if inline:
-            # inline metastore: register the shipped tables as views
+            # inline metastore: register the shipped tables as views. A
+            # value is either a deltalite path (string) or {"path": ...,
+            # "format": "delta"|"iceberg"} — the reference's external
+            # metastore serves both formats per schema (clade
+            # ListSchemaResponse, tests/fixtures.rs:27-70)
             from .deltalite import DeltaLiteTable
 
-            for name, path in inline.items():
-                DeltaLiteTable(self.ctx.spark, path).to_df().createOrReplaceTempView(name)
+            for name, spec in inline.items():
+                if isinstance(spec, str):
+                    spec = {"path": spec, "format": "delta"}
+                fmt = (spec.get("format") or "delta").lower()
+                if fmt in ("delta", "deltatable"):
+                    df = DeltaLiteTable(self.ctx.spark, spec["path"]).to_df()
+                elif fmt == "iceberg":
+                    from ..sources.iceberg import read_iceberg
+
+                    df = read_iceberg(self.ctx.spark, spec["path"], dict(spec.get("options") or {}))
+                else:
+                    raise flight.FlightServerError(f"unsupported inline table format {fmt!r}")
+                df.createOrReplaceTempView(name)
         # search_path rides the call (applied under the context's execution
         # lock) instead of mutating shared ctx state across threads
         df = self.ctx.execute(query, search_path=command.get("search_path"))

@@ -146,6 +146,30 @@ SELECT
         assert row["text_array_val"] == ["one", "two"]
 
 
+class TestFlightInlineIceberg:
+    def test_inline_iceberg_table(self, server, tmp_path):
+        """Inline metastore with a per-table format spec (the reference's
+        external metastore serves delta AND iceberg tables per schema,
+        tests/fixtures.rs:27-70): ship {"path": metadata.json, "format":
+        "iceberg"} and query it without catalog registration."""
+        from pyspark.sql import Row
+
+        from seafowl_spark.sources.iceberg import write_iceberg_table
+
+        ctx, srv, client = server
+        d = str(tmp_path / "itbl")
+        df = ctx.spark.createDataFrame([Row(key=1, value="one"), Row(key=2, value="two")])
+        meta = write_iceberg_table(ctx.spark, df, d)
+        t = run_query(
+            client,
+            {
+                "query": "SELECT sum(key) AS s FROM shipped_ice",
+                "tables": {"shipped_ice": {"path": meta, "format": "iceberg"}},
+            },
+        )
+        assert t.to_pydict() == {"s": [3]}
+
+
 class TestFlightInterleaving:
     def test_interleaving_queries(self, server):
         """reference tests/flight/e2e.rs test_interleaving_queries: obtain
