@@ -553,7 +553,14 @@ class SeafowlContext:
         )
         if fmt is None:
             raise ExecutionError(f"COPY TO format {stmt.format} not supported")
-        writer = df.coalesce(1).write.mode("overwrite")
+        part = stmt.fields.get("partition_by") or []
+        if part:
+            # hive-layout export (reference A6 PARTITIONED BY,
+            # parser.rs:253-337): one directory tree keyed on the columns,
+            # parallel writers — no single-file coalesce
+            writer = df.write.mode("overwrite").partitionBy(*part)
+        else:
+            writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", stmt.options.get("header", "true"))
         writer.format(fmt).save(stmt.path)

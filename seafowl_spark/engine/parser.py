@@ -319,11 +319,15 @@ def parse_statement(sql: str) -> Statement:
         return Statement("drop_database", s, {"if_exists": bool(m.group(1)), "name": m.group(2)})
 
     m = re.match(
-        rf"(?i)^copy\s+(\((.*)\)|{_QNAME})\s+to\s+'([^']+)'\s*(?:stored\s+as\s+({_IDENT}))?\s*(?:options\s*\((.*?)\))?\s*$",
+        rf"(?i)^copy\s+(\((.*)\)|{_QNAME})\s+to\s+'([^']+)'"
+        rf"\s*(?:stored\s+as\s+({_IDENT}))?"
+        rf"\s*(?:partitioned\s+by\s+\(([^)]*)\))?"
+        rf"\s*(?:options\s*\((.*?)\))?\s*$",
         s,
         re.DOTALL,
     )
     if m:
+        part = [c.strip().strip('"') for c in (m.group(5) or "").split(",") if c.strip()]
         return Statement(
             "copy_to",
             s,
@@ -332,7 +336,8 @@ def parse_statement(sql: str) -> Statement:
                 "table": None if m.group(2) else m.group(1),
                 "path": m.group(3),
                 "format": (m.group(4) or "parquet").lower(),
-                "options": _parse_options(m.group(5)),
+                "partition_by": part,
+                "options": _parse_options(m.group(6)),
             },
         )
 

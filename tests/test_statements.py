@@ -293,6 +293,20 @@ class TestConvertCopy:
         back = ctx.spark.read.parquet(dest)
         assert back.count() == 3
 
+    def test_copy_partitioned_by(self, ctx, tmp_path):
+        """COPY ... PARTITIONED BY exports a hive-layout directory tree
+        (reference parser.rs:253-337 accepts the same clause)."""
+        import os
+
+        ctx.execute("CREATE TABLE cp (k int, part text)")
+        ctx.execute("INSERT INTO cp VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+        out = str(tmp_path / "part_out")
+        ctx.execute(f"COPY cp TO '{out}' STORED AS PARQUET PARTITIONED BY (part)")
+        subdirs = {d for d in os.listdir(out) if d.startswith("part=")}
+        assert subdirs == {"part=a", "part=b"}
+        back = ctx.spark.read.parquet(out)
+        assert sorted((r.k, r.part) for r in back.collect()) == [(1, "a"), (2, "a"), (3, "b")]
+
     def test_copy_query_to_csv(self, ctx, tmp_path):
         seed(ctx)
         dest = str(tmp_path / "export_csv")
