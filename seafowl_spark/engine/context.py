@@ -397,6 +397,13 @@ class SeafowlContext:
             columns=stmt.columns,
             options=stmt.options,
         )
+        part = stmt.fields.get("partition_by") or []
+        missing = [c for c in part if c not in df.columns]
+        if missing:
+            raise ExecutionError(
+                f"PARTITIONED BY column(s) {missing} not present in the "
+                f"discovered schema {df.columns}"
+            )
         self.staging[stmt.name] = df
 
     def _exec_convert_to_delta(self, stmt) -> None:

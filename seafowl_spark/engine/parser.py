@@ -194,12 +194,15 @@ def parse_statement(sql: str) -> Statement:
 
     m = re.match(
         rf"(?i)^create\s+external\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*"
-        rf"(\((.*?)\))?\s*stored\s+as\s+({_IDENT})\s*(?:options\s*\((.*?)\)\s*)?location\s+'([^']+)'\s*$",
+        rf"(\((.*?)\))?\s*stored\s+as\s+({_IDENT})\s*"
+        rf"(?:partitioned\s+by\s+\(([^)]*)\)\s*)?"
+        rf"(?:options\s*\((.*?)\)\s*)?location\s+'([^']+)'\s*$",
         s,
         re.DOTALL,
     )
     if m:
         cols = _parse_columns(m.group(4)) if m.group(4) else None
+        part = [c.strip().strip('"') for c in (m.group(6) or "").split(",") if c.strip()]
         return Statement(
             "create_external_table",
             s,
@@ -208,8 +211,12 @@ def parse_statement(sql: str) -> Statement:
                 "name": m.group(2),
                 "columns": cols,
                 "format": m.group(5).lower(),
-                "options": _parse_options(m.group(6)),
-                "location": m.group(7),
+                # hive partition columns are discovered from the directory
+                # layout by Spark; the clause is accepted for reference
+                # parity (parser.rs:601-745) and validated post-read
+                "partition_by": part,
+                "options": _parse_options(m.group(7)),
+                "location": m.group(8),
             },
         )
 

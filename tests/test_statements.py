@@ -354,6 +354,32 @@ class TestExternalTables:
 # ----------------------------------------------------------------- functions
 
 
+class TestExternalPartitioned:
+    def test_partitioned_roundtrip(self, ctx, tmp_path):
+        """COPY PARTITIONED BY -> CREATE EXTERNAL TABLE ... PARTITIONED BY
+        over the hive tree: partition columns come back as columns."""
+        ctx.execute("CREATE TABLE ep (k int, part text)")
+        ctx.execute("INSERT INTO ep VALUES (1, 'a'), (2, 'b')")
+        out = str(tmp_path / "tree")
+        ctx.execute(f"COPY ep TO '{out}' STORED AS PARQUET PARTITIONED BY (part)")
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE ep_back STORED AS PARQUET PARTITIONED BY (part) LOCATION '{out}'"
+        )
+        got = ctx.execute("SELECT k, part FROM staging.ep_back ORDER BY k")
+        assert [(r.k, r.part) for r in got.collect()] == [(1, "a"), (2, "b")]
+
+    def test_partitioned_missing_column_errors(self, ctx, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "flat.parquet")
+        pq.write_table(pa.table({"x": [1, 2]}), p)
+        with pytest.raises(Exception, match="nope"):
+            ctx.execute(
+                f"CREATE EXTERNAL TABLE bad STORED AS PARQUET PARTITIONED BY (nope) LOCATION '{p}'"
+            )
+
+
 class TestFunctions:
     def _spec(self, source: str, entrypoint: str, inputs, ret):
         return json.dumps(
