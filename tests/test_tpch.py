@@ -406,3 +406,44 @@ ORDER BY cntrycode
 @pytest.mark.parametrize("name", list(Q))
 def test_tpch_shape(tpch_spark, oracle, name):
     run_parity(tpch_spark, oracle, Q[name])
+
+
+class TestTpchPlans:
+    """Plan-shape gates on the TPC-H joins: the properties that keep these
+    queries viable at 100 TB — dims broadcast, top-k without a global sort,
+    subqueries decorrelated into joins rather than per-row re-execution,
+    no cartesian blowups — asserted on the physical plans Catalyst emits."""
+
+    def plan(self, spark, name):
+        return spark.sql(Q[name])._jdf.queryExecution().executedPlan().toString()
+
+    def test_q5_dims_broadcast(self, tpch_spark):
+        # customer/supplier/nation/region are all broadcast-sized; lineitem
+        # (the fact side) must never shuffle onto a dim.
+        assert self.plan(tpch_spark, "q5_local_supplier").count("BroadcastHashJoin") >= 3
+
+    def test_q3_topk_no_global_sort(self, tpch_spark):
+        plan = self.plan(tpch_spark, "q3_shipping_priority")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q18_in_subquery_is_semi_join(self, tpch_spark):
+        assert "Semi" in self.plan(tpch_spark, "q18_large_volume")
+
+    def test_q2_correlated_min_decorrelates(self, tpch_spark):
+        # the correlated MIN must plan as aggregate + join, not a per-row
+        # re-execution (which would be O(n * subquery) at scale)
+        plan = self.plan(tpch_spark, "q2_min_cost_supplier")
+        assert "CartesianProduct" not in plan
+
+    def test_q21_existence_joins_no_cartesian(self, tpch_spark):
+        plan = self.plan(tpch_spark, "q21_waiting_orders")
+        assert "CartesianProduct" not in plan
+
+    def test_q19_disjunctive_join_not_nested_loop(self, tpch_spark):
+        # each disjunct embeds p_partkey = l_partkey; Catalyst must extract
+        # the common equi-key instead of falling back to a nested loop over
+        # the full cross space
+        plan = self.plan(tpch_spark, "q19_disjunctive")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # equi-key extracted, OR residual
