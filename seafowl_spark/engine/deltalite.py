@@ -737,7 +737,67 @@ class DeltaLiteTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def optimize(self, target_rows: int = MAX_ROWS_PER_FILE) -> Commit:
+    ZORDER_BITS = 8
+
+    def _zorder_column(self, df: DataFrame, cols: list[str]):
+        """Interleaved-bit z-value over ``cols`` as a pure JVM expression.
+
+        Each column is scaled to an 8-bit bucket by linear min/max (strings
+        through their first 4 bytes big-endian, which preserves lexicographic
+        order), then the buckets' bits are interleaved. Everything is
+        column expressions inside whole-stage codegen; the only driver-side
+        data is one row of 2k min/max scalars.
+        """
+        k = len(cols)
+        raws = []
+        for c in cols:
+            dt = df.schema[c].dataType.simpleString()
+            col = F.col(c)
+            if dt == "string":
+                raw = F.expr(
+                    f"CAST(conv(hex(substr(CAST(`{c}` AS BINARY), 1, 4)), 16, 10)"
+                    " AS DOUBLE)"
+                )
+            elif dt.startswith("timestamp"):
+                raw = col.cast("double")
+            elif dt == "date":
+                raw = col.cast("timestamp").cast("double")
+            elif dt == "boolean":
+                raw = col.cast("int").cast("double")
+            else:
+                raw = col.cast("double")
+            raws.append(raw)
+        bounds = df.agg(
+            *[
+                f
+                for i, r in enumerate(raws)
+                for f in (F.min(r).alias(f"mn{i}"), F.max(r).alias(f"mx{i}"))
+            ]
+        ).collect()[0]
+        maxb = (1 << self.ZORDER_BITS) - 1
+        buckets = []
+        for i, raw in enumerate(raws):
+            mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
+            if mn is None or mx is None or mx <= mn:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            scaled = F.floor((raw - F.lit(float(mn))) / F.lit(mx - mn) * maxb)
+            clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(maxb))
+            # NULLs sort to bucket 0 (lowest z-range), mirroring NULLS FIRST
+            buckets.append(F.coalesce(clamped, F.lit(0)).cast("long"))
+        z = F.lit(0).cast("long")
+        for bit in range(self.ZORDER_BITS):
+            for j, b in enumerate(buckets):
+                z = z + F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + j
+                )
+        return z
+
+    def optimize(
+        self,
+        target_rows: int = MAX_ROWS_PER_FILE,
+        zorder_by: list[str] | None = None,
+    ) -> Commit:
         """Compact small files into ~target_rows files (the OPTIMIZE
         equivalent of Delta; the reference instead re-chunks on write,
         delta.rs:106-148 — under frequent small appends both need this).
@@ -745,7 +805,18 @@ class DeltaLiteTable:
         Scale: only files below half the target participate, so a steady
         state of large files makes this a no-op; the rewrite is one Spark
         job over just the small files.
+
+        With ``zorder_by``, the whole table is instead rewritten clustered
+        on the interleaved z-value of those columns (``repartitionByRange``
+        + ``sortWithinPartitions`` — a range shuffle, no global sort), so
+        the per-file min/max footer stats become tight on EVERY listed
+        column and stats pruning works for predicates on any of them. This
+        is the multi-dimensional complement to hash bucketing: bucketing
+        gives exact point-lookup pruning on the bucket key, z-order gives
+        range pruning on several keys at once.
         """
+        if zorder_by:
+            return self._optimize_zorder(target_rows, zorder_by)
         snap = self.snapshot()
         small = [f for f in snap.files if f.rows < target_rows // 2]
         if len(small) <= 1:
@@ -758,6 +829,34 @@ class DeltaLiteTable:
         n_out = max(1, (total + target_rows - 1) // target_rows)
         adds = self._write_data(df.coalesce(n_out))
         return self._next_commit("OPTIMIZE", adds, [f.path for f in small])
+
+    def _optimize_zorder(self, target_rows: int, zorder_by: list[str]) -> Commit:
+        snap = self.snapshot()
+        if snap.bucket_spec is not None:
+            raise DeltaLiteError(
+                "z-order and hash bucketing are mutually exclusive layouts"
+            )
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        names = {f.name for f in schema.fields}
+        missing = [c for c in zorder_by if c not in names]
+        if missing:
+            raise DeltaLiteError(f"ZORDER BY column(s) not in table: {missing}")
+        if not snap.files:
+            return self._next_commit("OPTIMIZE", [], [])
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f.path) for f in snap.files]
+        )
+        z = self._zorder_column(df, zorder_by)
+        total = sum(f.rows for f in snap.files)
+        n_out = max(1, (total + target_rows - 1) // target_rows)
+        clustered = (
+            df.withColumn("__sfs_z", z)
+            .repartitionByRange(n_out, "__sfs_z")
+            .sortWithinPartitions("__sfs_z")
+            .drop("__sfs_z")
+        )
+        adds = self._write_data(clustered)
+        return self._next_commit("OPTIMIZE", adds, [f.path for f in snap.files])
 
     def vacuum(self, retention_ms: int = 0) -> list[str]:
         """A15: delete data files no longer referenced by the latest

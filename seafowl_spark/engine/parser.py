@@ -296,9 +296,18 @@ def parse_statement(sql: str) -> Statement:
     if m:
         return Statement("truncate", s, {"name": m.group(1)})
 
-    m = re.match(rf"(?i)^optimize\s+(?:table\s+)?({_QNAME})\s*$", s)
+    m = re.match(
+        rf"(?i)^optimize\s+(?:table\s+)?({_QNAME})"
+        r"(?:\s+zorder\s+by\s*\(\s*([^)]+?)\s*\))?\s*$",
+        s,
+    )
     if m:
-        return Statement("optimize", s, {"name": m.group(1)})
+        zcols = (
+            [c.strip().strip('`"') for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        return Statement("optimize", s, {"name": m.group(1), "zorder_by": zcols})
 
     m = re.match(rf"(?i)^vacuum\s+table\s+({_QNAME})\s*$", s)
     if m:
