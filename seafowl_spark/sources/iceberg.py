@@ -21,9 +21,10 @@ so Catalyst keeps its native pushdown/pruning/vectorized scan:
    layouts);
 4. read the resulting parquet file list with Spark.
 
-Row-level deletes (v2 positional/equality delete files) are not applied:
-tables containing delete manifests are rejected loudly rather than
-returning wrong rows. Partition-value pruning relies on Spark's parquet
+Row-level deletes (v2 merge-on-read) ARE applied — positional deletes via
+``_metadata.file_path``/``row_index`` broadcast anti-join, equality
+deletes sequence-number-scoped per the spec (see ``read_iceberg``); the
+reference rejects such tables. Partition-value pruning relies on Spark's parquet
 row-group stats instead of Iceberg partition summaries — correct, and at
 100 TB the snapshot's file list is still assembled driver-side from
 manifest metadata (bytes ~ #files, not data)."""
@@ -32,6 +33,8 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
+from typing import Any
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,47 +99,166 @@ def _select_snapshot(meta: dict, options: dict[str, str]) -> dict:
     return max(snapshots, key=lambda s: s["timestamp-ms"])
 
 
-def snapshot_data_files(metadata_path: str, options: dict[str, str] | None = None) -> list[str]:
-    """The selected snapshot's live parquet data files (local paths)."""
+@dataclass
+class IcebergScan:
+    """A resolved snapshot: local file paths plus the sequence numbers and
+    equality columns needed to apply v2 merge-on-read deletes."""
+
+    data_files: list[tuple[str, int]]  # (local path, data sequence number)
+    pos_delete_files: list[str]
+    eq_delete_files: list[tuple[str, int, tuple[str, ...]]]  # (path, seq, cols)
+    localize: Any  # original URI -> local path (for pos-delete file_path values)
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    schemas = meta.get("schemas")
+    if schemas:
+        cur = meta.get("current-schema-id")
+        schema = next((s for s in schemas if s.get("schema-id") == cur), schemas[-1])
+    else:
+        schema = meta.get("schema", {})
+    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+
+
+def scan_snapshot(
+    metadata_path: str, options: dict[str, str] | None = None
+) -> IcebergScan:
+    """Walk the selected snapshot's manifests into data files, positional
+    delete files, and equality delete files (with their data/delete
+    sequence numbers, which scope which rows each delete applies to)."""
     options = options or {}
     with open(metadata_path) as f:
         meta = json.load(f)
     location = meta.get("location")
     mdir = os.path.dirname(os.path.abspath(metadata_path))
+    by_id = _field_names_by_id(meta)
     snap = _select_snapshot(meta, options)
+
+    def localize(p: str) -> str:
+        return os.path.normpath(_localize(p, location, mdir))
 
     manifest_list = _localize(snap["manifest-list"], location, mdir)
     _, manifests = read_avro(manifest_list)
-    files: list[str] = []
+    data_files: list[tuple[str, int]] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple[str, ...]]] = []
     for m in manifests:
-        if m.get("content", 0) == _CONTENT_DELETES:
-            raise IcebergError(
-                "iceberg table has row-level delete manifests (format v2 "
-                "merge-on-read); applying deletes is not supported — compact "
-                "the table to copy-on-write first"
-            )
+        is_delete_manifest = m.get("content", 0) == _CONTENT_DELETES
+        mseq = m.get("sequence_number") or 0
         mpath = _localize(m["manifest_path"], location, mdir)
         _, entries = read_avro(mpath)
         for e in entries:
             if e.get("status") == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:  # not a data file
-                continue
+            content = df.get("content", 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergError(f"unsupported iceberg data file format {fmt}")
-            files.append(_localize(df["file_path"], location, mdir))
-    return files
+            seq = e.get("sequence_number") or mseq
+            path = localize(df["file_path"])
+            if content == 0:
+                if is_delete_manifest:
+                    raise IcebergError("data file entry inside a delete manifest")
+                data_files.append((path, seq))
+            elif content == 1:  # position deletes
+                pos_deletes.append(path)
+            elif content == 2:  # equality deletes
+                ids = df.get("equality_ids") or []
+                names = tuple(by_id.get(i) for i in ids)
+                if not names or any(n is None for n in names):
+                    raise IcebergError(
+                        f"equality delete file with unresolvable field ids {ids}"
+                    )
+                eq_deletes.append((path, seq, names))
+            else:
+                raise IcebergError(f"unknown iceberg file content {content}")
+    return IcebergScan(data_files, pos_deletes, eq_deletes, localize)
+
+
+def snapshot_data_files(metadata_path: str, options: dict[str, str] | None = None) -> list[str]:
+    """The selected snapshot's live parquet data files (local paths)."""
+    return [p for p, _ in scan_snapshot(metadata_path, options).data_files]
+
+
+# Spark's file:///abs/path metadata URI -> the /abs/path form scan_snapshot
+# produces (both sides are normpath'd local paths after this)
+_FP_NORM = ("^file:/+", "/")
 
 
 def read_iceberg(
     spark: SparkSession, metadata_path: str, options: dict[str, str] | None = None
 ) -> DataFrame:
-    files = snapshot_data_files(metadata_path, options)
-    if not files:
+    """Read the snapshot, applying v2 merge-on-read deletes when present.
+
+    The reference rejects delete-bearing tables (iceberg-rust scan without
+    MoR support); we apply them Spark-first, because real MoR tables (any
+    Flink/Spark streaming writer) carry them constantly:
+
+    * positional deletes: rows are identified by (data file path, row
+      position) — matched against Spark's ``_metadata.file_path`` /
+      ``_metadata.row_index`` columns with a broadcast LEFT ANTI join.
+      Exact regardless of sequence numbers, since a rewritten data file
+      gets a fresh path.
+    * equality deletes: rows matching the delete file's equality columns
+      are dropped — but only rows whose DATA sequence number is strictly
+      below the delete's sequence number (the Iceberg spec's scoping rule,
+      so a row re-inserted after the delete survives). Null-safe equality,
+      broadcast anti joins, one per distinct equality-column set.
+
+    Delete sets are small relative to data (they're deltas), so the anti
+    joins broadcast and the fact scan never shuffles; the metadata columns
+    are only requested when deletes exist.
+    """
+    scan = scan_snapshot(metadata_path, options)
+    if not scan.data_files:
         raise IcebergError("selected snapshot has no live data files")
-    return spark.read.parquet(*files)
+    data = spark.read.parquet(*[p for p, _ in scan.data_files])
+    if not scan.pos_delete_files and not scan.eq_delete_files:
+        return data
+    from pyspark.sql import functions as F
+
+    out_cols = data.columns
+    data = data.withColumn(
+        "__sfs_fp", F.regexp_replace(F.col("_metadata.file_path"), *_FP_NORM)
+    ).withColumn("__sfs_pos", F.col("_metadata.row_index"))
+
+    if scan.pos_delete_files:
+        dels = spark.read.parquet(*scan.pos_delete_files).select("file_path", "pos")
+        # delete files store the writer's original URIs; localize them the
+        # same way the data paths were (distinct set is bounded by #files)
+        uris = [r[0] for r in dels.select("file_path").distinct().collect()]
+        map_df = spark.createDataFrame(
+            [(u, scan.localize(u)) for u in uris], "file_path string, __sfs_fp string"
+        )
+        dels = dels.join(F.broadcast(map_df), "file_path").select(
+            "__sfs_fp", F.col("pos").cast("long").alias("__sfs_pos")
+        )
+        data = data.join(F.broadcast(dels), ["__sfs_fp", "__sfs_pos"], "left_anti")
+
+    if scan.eq_delete_files:
+        seq_df = spark.createDataFrame(
+            scan.data_files, "__sfs_fp string, __sfs_seq long"
+        )
+        data = data.join(F.broadcast(seq_df), "__sfs_fp", "left")
+        groups: dict[tuple[str, ...], list[tuple[str, int]]] = {}
+        for path, seq, cols in scan.eq_delete_files:
+            groups.setdefault(cols, []).append((path, seq))
+        for cols, files in groups.items():
+            dels = None
+            for path, seq in files:
+                d = (
+                    spark.read.parquet(path)
+                    .select(*cols)
+                    .withColumn("__del_seq", F.lit(seq).cast("long"))
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            cond = F.col("d.__sfs_seq") < F.col("e.__del_seq")
+            for c in cols:
+                cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"e.{c}"))
+            data = data.alias("d").join(F.broadcast(dels.alias("e")), cond, "left_anti")
+
+    return data.select(*out_cols)
 
 
 # --------------------------------------------------------------------------
@@ -365,6 +487,158 @@ def write_iceberg_table(spark: SparkSession, df: DataFrame, table_dir: str) -> s
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
         ]
+    out = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(out, "w") as f:
+        json.dump(meta, f)
+    return out
+
+
+# delete manifests carry equality_ids on each entry (null for positional)
+_DELETE_ENTRY_SCHEMA = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+_DELETE_ENTRY_SCHEMA["name"] = "delete_manifest_entry"
+_DELETE_ENTRY_SCHEMA["fields"][-1]["type"]["name"] = "r2d"
+_DELETE_ENTRY_SCHEMA["fields"][-1]["type"]["fields"].append(
+    {
+        "name": "equality_ids",
+        "type": ["null", {"type": "array", "items": "int"}],
+        "default": None,
+    }
+)
+
+
+def append_iceberg_deletes(
+    table_dir: str,
+    pos_deletes: list[tuple[str, int]] | None = None,
+    eq_deletes: tuple[list[dict], list[str]] | None = None,
+) -> str:
+    """Commit a merge-on-read DELETE snapshot to an existing v2 table:
+    positional deletes as (data file path, row position) pairs and/or
+    equality deletes as (rows, equality column names). Same commit
+    sequence as ``write_iceberg_table`` but the new manifest has
+    content=deletes; this is the writer half of the MoR support in
+    ``read_iceberg`` (delete files are metadata-sized, written driver-side
+    with pyarrow — data files never move).
+    """
+    import glob
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .avro import write_avro
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    prior = sorted(
+        glob.glob(os.path.join(meta_dir, "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    if not prior:
+        raise IcebergError("append_iceberg_deletes requires an existing table")
+    with open(prior[-1]) as f:
+        meta = json.load(f)
+    version = int(os.path.basename(prior[-1])[1:].split(".")[0]) + 1
+    name_to_id = {v: k for k, v in _field_names_by_id(meta).items()}
+
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    seq = meta.get("last-sequence-number", 0) + 1
+    now_ms = int(time.time() * 1000)
+
+    entries = []
+
+    def _delete_file_entry(path: str, n_rows: int, content: int, eq_ids):
+        return {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    if pos_deletes:
+        path = os.path.join(data_dir, f"{uuid.uuid4().hex}-deletes.parquet")
+        tbl = pa.table(
+            {
+                "file_path": pa.array([p for p, _ in pos_deletes], pa.string()),
+                "pos": pa.array([i for _, i in pos_deletes], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, path)
+        entries.append(_delete_file_entry(path, len(pos_deletes), 1, None))
+
+    if eq_deletes:
+        rows, cols = eq_deletes
+        missing = [c for c in cols if c not in name_to_id]
+        if missing:
+            raise IcebergError(f"equality column(s) not in schema: {missing}")
+        path = os.path.join(data_dir, f"{uuid.uuid4().hex}-eq-deletes.parquet")
+        tbl = pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+        pq.write_table(tbl, path)
+        entries.append(
+            _delete_file_entry(path, len(rows), 2, [name_to_id[c] for c in cols])
+        )
+
+    if not entries:
+        raise IcebergError("no deletes given")
+
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
+    write_avro(
+        manifest_path,
+        _DELETE_ENTRY_SCHEMA,
+        entries,
+        meta={"schema": "{}", "content": "deletes"},
+    )
+    manifest_entry = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": _CONTENT_DELETES,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+    }
+
+    cur = next(
+        (s for s in meta.get("snapshots", [])
+         if s["snapshot-id"] == meta.get("current-snapshot-id")),
+        None,
+    )
+    prior_manifests = []
+    if cur:
+        _, prior_manifests = read_avro(cur["manifest-list"])
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_avro(mlist_path, _MANIFEST_FILE_SCHEMA, prior_manifests + [manifest_entry])
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
     out = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(out, "w") as f:
         json.dump(meta, f)

@@ -165,7 +165,7 @@ class TestIcebergRead:
         d, m1, m2 = iceberg_table
         assert len(snapshot_data_files(m1)) < len(snapshot_data_files(m2))
 
-    def test_delete_manifests_rejected(self, spark, iceberg_table, tmp_path):
+    def test_data_entry_in_delete_manifest_rejected(self, spark, iceberg_table, tmp_path):
         import json
 
         d, m1, m2 = iceberg_table
@@ -178,13 +178,13 @@ class TestIcebergRead:
         from seafowl_spark.sources.iceberg import _MANIFEST_FILE_SCHEMA
 
         _, manifests = ra(snap["manifest-list"])
-        manifests[0]["content"] = 1  # pretend it's a delete manifest
+        manifests[0]["content"] = 1  # delete manifest whose entries are data files
         bad_list = str(tmp_path / "bad-list.avro")
         wa(bad_list, _MANIFEST_FILE_SCHEMA, manifests)
         snap["manifest-list"] = bad_list
         bad_meta = str(tmp_path / "bad.metadata.json")
         json.dump(meta, open(bad_meta, "w"))
-        with pytest.raises(IcebergError, match="delete manifests"):
+        with pytest.raises(IcebergError, match="delete manifest"):
             snapshot_data_files(bad_meta)
 
     def test_stored_as_iceberg_via_context(self, ctx, iceberg_table):
@@ -235,3 +235,109 @@ class TestIcebergRead:
             write_avro(s["manifest-list"], _MANIFEST_FILE_SCHEMA, new)
         out = read_iceberg(spark, meta_path).collect()
         assert sorted(r["key"] for r in out) == [1, 2, 3, 4]
+
+
+class TestMorDeletes:
+    """v2 merge-on-read: positional + equality delete application
+    (read_iceberg) and the delete-snapshot writer (append_iceberg_deletes).
+    The reference cannot read such tables at all."""
+
+    @staticmethod
+    def _fresh(spark, tmp_path):
+        from seafowl_spark.sources.iceberg import write_iceberg_table
+
+        d = str(tmp_path / "mor")
+        m1 = write_iceberg_table(
+            spark,
+            spark.createDataFrame([Row(key=1, value="one"), Row(key=2, value="two")]),
+            d,
+        )
+        m2 = write_iceberg_table(
+            spark,
+            spark.createDataFrame(
+                [Row(key=3, value="three"), Row(key=4, value="four")]
+            ),
+            d,
+        )
+        return d, m1, m2
+
+    @staticmethod
+    def _locate(spark, meta_path, key):
+        """(data file path as stored in metadata, row position) of `key`."""
+        from pyspark.sql import functions as F
+
+        files = snapshot_data_files(meta_path)
+        r = (
+            spark.read.parquet(*files)
+            .select(
+                "key",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("fp"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .where(F.col("key") == key)
+            .collect()
+        )
+        assert len(r) == 1
+        return r[0]["fp"], r[0]["pos"]
+
+    def test_positional_delete(self, spark, tmp_path):
+        from seafowl_spark.sources.iceberg import append_iceberg_deletes
+
+        d, m1, m2 = self._fresh(spark, tmp_path)
+        fp, pos = self._locate(spark, m2, 1)
+        m3 = append_iceberg_deletes(d, pos_deletes=[(fp, pos)])
+        assert sorted(r["key"] for r in read_iceberg(spark, m3).collect()) == [2, 3, 4]
+        # older metadata (pre-delete) still reads the full snapshot
+        assert sorted(r["key"] for r in read_iceberg(spark, m2).collect()) == [1, 2, 3, 4]
+
+    def test_equality_delete(self, spark, tmp_path):
+        from seafowl_spark.sources.iceberg import append_iceberg_deletes
+
+        d, m1, m2 = self._fresh(spark, tmp_path)
+        m3 = append_iceberg_deletes(d, eq_deletes=([{"key": 3}], ["key"]))
+        assert sorted(r["key"] for r in read_iceberg(spark, m3).collect()) == [1, 2, 4]
+
+    def test_equality_delete_sequence_scoping(self, spark, tmp_path):
+        """A row re-inserted AFTER the equality delete must survive: the
+        delete only applies to data sequence numbers strictly below its
+        own (Iceberg spec rule)."""
+        from seafowl_spark.sources.iceberg import (
+            append_iceberg_deletes,
+            write_iceberg_table,
+        )
+
+        d, m1, m2 = self._fresh(spark, tmp_path)
+        append_iceberg_deletes(d, eq_deletes=([{"key": 2}], ["key"]))
+        m4 = write_iceberg_table(
+            spark, spark.createDataFrame([Row(key=2, value="two-again")]), d
+        )
+        out = {(r["key"], r["value"]) for r in read_iceberg(spark, m4).collect()}
+        assert out == {(1, "one"), (2, "two-again"), (3, "three"), (4, "four")}
+
+    def test_mixed_pos_and_eq_one_commit(self, spark, tmp_path):
+        from seafowl_spark.sources.iceberg import append_iceberg_deletes
+
+        d, m1, m2 = self._fresh(spark, tmp_path)
+        fp, pos = self._locate(spark, m2, 4)
+        m3 = append_iceberg_deletes(
+            d, pos_deletes=[(fp, pos)], eq_deletes=([{"key": 1}], ["key"])
+        )
+        assert sorted(r["key"] for r in read_iceberg(spark, m3).collect()) == [2, 3]
+
+    def test_context_reads_mor_table(self, ctx, spark, tmp_path):
+        from seafowl_spark.sources.iceberg import append_iceberg_deletes
+
+        d, m1, m2 = self._fresh(spark, tmp_path)
+        m3 = append_iceberg_deletes(d, eq_deletes=([{"key": 1}], ["key"]))
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE mor_tbl STORED AS ICEBERG LOCATION '{m3}'"
+        )
+        out = ctx.execute("SELECT key FROM staging.mor_tbl ORDER BY key").collect()
+        assert [r["key"] for r in out] == [2, 3, 4]
+
+    def test_unknown_equality_column_rejected(self, spark, tmp_path):
+        from seafowl_spark.sources.iceberg import append_iceberg_deletes
+
+        d, m1, m2 = self._fresh(spark, tmp_path)
+        with pytest.raises(IcebergError, match="not in schema"):
+            append_iceberg_deletes(d, eq_deletes=([{"nope": 1}], ["nope"]))
