@@ -555,12 +555,22 @@ class SeafowlContext:
             df = self.delta_table(stmt.table).to_df()
         else:
             df = self._exec_query(parser.Statement("query", stmt.query))
+        part = stmt.fields.get("partition_by") or []
+        if stmt.format == "iceberg":
+            # our extension (reference COPY knows csv/parquet/json only):
+            # each COPY commits one append snapshot, so repeated COPYs build
+            # a time-travelable history rather than clobbering the target
+            if part:
+                raise ExecutionError("PARTITIONED BY is not supported with ICEBERG")
+            from ..sources.iceberg import write_iceberg_table
+
+            write_iceberg_table(self.spark, df, stmt.path)
+            return
         fmt = {"csv": "csv", "parquet": "parquet", "ndjson": "json", "json": "json"}.get(
             stmt.format
         )
         if fmt is None:
             raise ExecutionError(f"COPY TO format {stmt.format} not supported")
-        part = stmt.fields.get("partition_by") or []
         if part:
             # hive-layout export (reference A6 PARTITIONED BY,
             # parser.rs:253-337): one directory tree keyed on the columns,

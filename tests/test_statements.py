@@ -314,6 +314,21 @@ class TestConvertCopy:
         back = ctx.spark.read.option("header", "true").csv(dest)
         assert back.count() == 3
 
+    def test_copy_to_iceberg_and_back(self, ctx, tmp_path):
+        """COPY ... STORED AS ICEBERG commits one append snapshot per COPY
+        (our extension; readable back through STORED AS ICEBERG)."""
+        seed(ctx)
+        dest = str(tmp_path / "export_ice")
+        ctx.execute(f"COPY (SELECT c_int, c_text FROM t) TO '{dest}' STORED AS ICEBERG")
+        meta = f"{dest}/metadata/v1.metadata.json"
+        ctx.execute(f"CREATE EXTERNAL TABLE ice_back STORED AS ICEBERG LOCATION '{meta}'")
+        assert ctx.execute("SELECT count(*) AS n FROM staging.ice_back").collect()[0]["n"] == 3
+        # a second COPY appends a snapshot; v2 metadata sees both
+        ctx.execute(f"COPY (SELECT c_int, c_text FROM t) TO '{dest}' STORED AS ICEBERG")
+        from seafowl_spark.sources.iceberg import read_iceberg
+
+        assert read_iceberg(ctx.spark, f"{dest}/metadata/v2.metadata.json").count() == 6
+
     def test_convert_to_delta(self, ctx, tmp_path):
         seed(ctx)
         plain = str(tmp_path / "plain")
