@@ -176,12 +176,18 @@ class DeltaLiteTable:
         }
         with open(tmp, "w") as f:
             json.dump(body, f)
-        # single-writer optimistic concurrency: version file must not exist
-        # (reference delta.rs:429-440 relies on the same object-store put-if-absent)
-        if os.path.exists(path):
+        # optimistic concurrency: put-if-absent on the version file
+        # (reference delta.rs:429-440 relies on the object store's
+        # put-if-absent). os.link fails atomically when the target exists,
+        # so two racing writers can never both claim a version.
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {commit.version} already committed"
+            ) from None
+        finally:
             os.unlink(tmp)
-            raise ConcurrentCommitError(f"version {commit.version} already committed")
-        os.rename(tmp, path)
 
     # ----------------------------------------------------------- snapshots
 
@@ -407,10 +413,21 @@ class DeltaLiteTable:
         removes: list[str],
         metadata: dict | None = None,
         app_txn: dict | None = None,
+        base_version: int | None = None,
     ) -> Commit:
-        vs = self.versions()
+        """``base_version`` is the OCC token: snapshot-based ops (UPDATE /
+        DELETE / MERGE / OPTIMIZE / overwrite) pass the version their plan
+        was computed against, so the commit targets base+1 and the atomic
+        put-if-absent in _write_commit rejects it if ANY writer committed
+        after the snapshot (their removes would be stale — a lost update).
+        Appends pass None: latest+1, retryable."""
+        if base_version is not None:
+            next_version = base_version + 1
+        else:
+            vs = self.versions()
+            next_version = (vs[-1] + 1) if vs else 0
         commit = Commit(
-            version=(vs[-1] + 1) if vs else 0,
+            version=next_version,
             timestamp_ms=int(time.time() * 1000),
             operation=operation,
             adds=adds,
@@ -453,13 +470,24 @@ class DeltaLiteTable:
     def append(self, df: DataFrame, operation: str = "INSERT", app_txn: dict | None = None) -> Commit:
         df = self._align(df)
         adds = self._write_data(df)
-        return self._next_commit(operation, adds, [], app_txn=app_txn)
+        # appends remove nothing, so losing the version race never
+        # invalidates the work: re-read the latest version and re-commit the
+        # same adds (snapshot-based ops — UPDATE/DELETE/MERGE — must NOT
+        # retry; their removes were computed against a stale base)
+        for _ in range(16):
+            try:
+                return self._next_commit(operation, adds, [], app_txn=app_txn)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError("append lost the commit race 16 times")
 
     def overwrite(self, df: DataFrame, operation: str = "OVERWRITE") -> Commit:
         df = self._align(df)
         snap = self.snapshot()
         adds = self._write_data(df)
-        return self._next_commit(operation, adds, [f.path for f in snap.files])
+        return self._next_commit(
+            operation, adds, [f.path for f in snap.files], base_version=snap.version
+        )
 
     def _align(self, df: DataFrame) -> DataFrame:
         """byName projection: pad missing columns with NULL, reorder, cast —
@@ -540,7 +568,7 @@ class DeltaLiteTable:
         if hot is not None:
             hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if not hit:
-            return self._next_commit("UPDATE", [], [])
+            return self._next_commit("UPDATE", [], [], base_version=snap.version)
         schema = T.StructType.fromDDL(snap.schema_ddl)
         df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f.path) for f in hit]
@@ -559,20 +587,24 @@ class DeltaLiteTable:
             ]
         )
         adds = self._write_data(projected)
-        return self._next_commit("UPDATE", adds, [f.path for f in hit])
+        return self._next_commit(
+            "UPDATE", adds, [f.path for f in hit], base_version=snap.version
+        )
 
     def delete(self, predicate_sql: str | None) -> Commit:
         """Copy-on-write DELETE (A5); no predicate = remove all files
         without scanning (reference physical.rs:370-485)."""
         snap = self.snapshot()
         if predicate_sql is None:
-            return self._next_commit("DELETE", [], [f.path for f in snap.files])
+            return self._next_commit(
+                "DELETE", [], [f.path for f in snap.files], base_version=snap.version
+            )
         hit = self._prune(snap, predicate_sql)
         hot = self._bucket_hits(snap, predicate_sql)
         if hot is not None:
             hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if not hit:
-            return self._next_commit("DELETE", [], [])
+            return self._next_commit("DELETE", [], [], base_version=snap.version)
         schema = T.StructType.fromDDL(snap.schema_ddl)
         df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f.path) for f in hit]
@@ -580,12 +612,16 @@ class DeltaLiteTable:
         predicate = F.expr(predicate_sql)
         kept = df.where(~predicate | predicate.isNull())
         adds = self._write_data(kept)
-        return self._next_commit("DELETE", adds, [f.path for f in hit])
+        return self._next_commit(
+            "DELETE", adds, [f.path for f in hit], base_version=snap.version
+        )
 
     def truncate(self) -> Commit:
         """A14: new commit removing every file."""
         snap = self.snapshot()
-        return self._next_commit("TRUNCATE", [], [f.path for f in snap.files])
+        return self._next_commit(
+            "TRUNCATE", [], [f.path for f in snap.files], base_version=snap.version
+        )
 
     def _fine_prune(
         self, hit: list[AddFile], changes: DataFrame, pk_cols: list[str]
@@ -733,7 +769,9 @@ class DeltaLiteTable:
         is_delete = has_change & F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
         result = joined.where(~is_delete).select(*out_cols)
         adds = self._write_data(result)
-        return self._next_commit("MERGE", adds, hit_paths, app_txn=app_txn)
+        return self._next_commit(
+            "MERGE", adds, hit_paths, app_txn=app_txn, base_version=snap.version
+        )
 
     # ----------------------------------------------------------- maintenance
 
@@ -820,7 +858,7 @@ class DeltaLiteTable:
         snap = self.snapshot()
         small = [f for f in snap.files if f.rows < target_rows // 2]
         if len(small) <= 1:
-            return self._next_commit("OPTIMIZE", [], [])
+            return self._next_commit("OPTIMIZE", [], [], base_version=snap.version)
         schema = T.StructType.fromDDL(snap.schema_ddl)
         df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f.path) for f in small]
@@ -828,7 +866,9 @@ class DeltaLiteTable:
         total = sum(f.rows for f in small)
         n_out = max(1, (total + target_rows - 1) // target_rows)
         adds = self._write_data(df.coalesce(n_out))
-        return self._next_commit("OPTIMIZE", adds, [f.path for f in small])
+        return self._next_commit(
+            "OPTIMIZE", adds, [f.path for f in small], base_version=snap.version
+        )
 
     def _optimize_zorder(self, target_rows: int, zorder_by: list[str]) -> Commit:
         snap = self.snapshot()
@@ -842,7 +882,7 @@ class DeltaLiteTable:
         if missing:
             raise DeltaLiteError(f"ZORDER BY column(s) not in table: {missing}")
         if not snap.files:
-            return self._next_commit("OPTIMIZE", [], [])
+            return self._next_commit("OPTIMIZE", [], [], base_version=snap.version)
         df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, f.path) for f in snap.files]
         )
@@ -856,7 +896,9 @@ class DeltaLiteTable:
             .drop("__sfs_z")
         )
         adds = self._write_data(clustered)
-        return self._next_commit("OPTIMIZE", adds, [f.path for f in snap.files])
+        return self._next_commit(
+            "OPTIMIZE", adds, [f.path for f in snap.files], base_version=snap.version
+        )
 
     def vacuum(self, retention_ms: int = 0) -> list[str]:
         """A15: delete data files no longer referenced by the latest

@@ -546,3 +546,44 @@ class TestTimeTravelStdSyntax:
             "JOIN t FOR VERSION AS OF 1 b ON a.c_int = b.c_int"
         )
         assert rows(out) == [(3,)]
+
+
+class TestConcurrency:
+    """Optimistic concurrency: appends retry the commit race (their adds
+    are base-independent); snapshot-based ops commit at base+1 so the
+    atomic put-if-absent rejects lost updates (reference delta.rs:429-440
+    leans on the object store's put-if-absent the same way)."""
+
+    def test_concurrent_inserts_all_land(self, ctx):
+        import threading
+
+        ctx.execute("CREATE TABLE conc (x int)")
+        errs = []
+
+        def ins(i):
+            try:
+                ctx.execute(f"INSERT INTO conc VALUES ({i})")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=ins, args=(i,)) for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errs == []
+        got = rows(ctx.execute("SELECT x FROM conc"))
+        assert got == [(i,) for i in range(6)]
+        # every insert claimed its own version
+        assert ctx.delta_table("conc").latest_version() == 6
+
+    def test_stale_snapshot_commit_rejected(self, ctx):
+        from seafowl_spark.engine.deltalite import ConcurrentCommitError
+
+        ctx.execute("CREATE TABLE stale (x int)")
+        ctx.execute("INSERT INTO stale VALUES (1)")
+        t = ctx.delta_table("stale")
+        base = t.latest_version()
+        ctx.execute("INSERT INTO stale VALUES (2)")  # someone else commits
+        with pytest.raises(ConcurrentCommitError):
+            t._next_commit("UPDATE", [], ["ghost.parquet"], base_version=base)
