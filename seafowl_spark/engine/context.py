@@ -510,16 +510,31 @@ class SeafowlContext:
         t.append(df)
         self._record(entry, t)
 
+    @staticmethod
+    def _retry_conflicts(op) -> None:
+        """Statement-level retry for snapshot-based DML: losing the OCC
+        race aborts the stale commit (deltalite._next_commit), and the op
+        re-snapshots on entry, so re-running it re-plans against the new
+        base — lost-update safety AND availability under concurrency."""
+        from .deltalite import ConcurrentCommitError
+
+        for _ in range(8):
+            try:
+                return op()
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError("DML lost the commit race 8 times")
+
     def _exec_update(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        t.update(stmt.sets, stmt.where)
+        self._retry_conflicts(lambda: t.update(stmt.sets, stmt.where))
         self._record(entry, t)
 
     def _exec_delete(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        t.delete(stmt.where)
+        self._retry_conflicts(lambda: t.delete(stmt.where))
         self._record(entry, t)
 
     def _exec_truncate(self, stmt) -> None:

@@ -36,11 +36,30 @@ class ExternalTableError(Exception):
     pass
 
 
+_CACHE_SETTINGS: dict = {}
+
+
+def configure_chunk_cache(
+    capacity: int | None = None,
+    min_fetch_size: int | None = None,
+    ttl: float | None = None,
+) -> None:
+    """Apply [misc.object_store_cache] settings (reference
+    ObjectCacheProperties, config/schema.rs:311-327) to the process-wide
+    chunk cache; takes effect for caches created after the call."""
+    global _CHUNK_CACHE
+    for k, v in (("capacity", capacity), ("min_fetch_size", min_fetch_size),
+                 ("ttl_s", ttl)):
+        if v is not None:
+            _CACHE_SETTINGS[k] = v
+    _CHUNK_CACHE = None  # rebuild with the new settings on next use
+
+
 def _chunk_cache() -> CachingObjectStore:
     global _CHUNK_CACHE
     if _CHUNK_CACHE is None:
         _CHUNK_CACHE = CachingObjectStore(
-            cache_dir=os.path.join(_CACHE_DIR, "chunks")
+            cache_dir=os.path.join(_CACHE_DIR, "chunks"), **_CACHE_SETTINGS
         )
     return _CHUNK_CACHE
 

@@ -62,6 +62,14 @@ def main() -> None:
         data_dir = cfg.data_dir
         catalog_path = None if cfg.catalog_dsn in (None, ":memory:") else cfg.catalog_dsn
         policy = AccessPolicy(read=cfg.read_access, write=cfg.write_access)
+        if cfg.object_cache:
+            from seafowl_spark.sources.external import configure_chunk_cache
+
+            configure_chunk_cache(
+                capacity=cfg.object_cache.get("capacity"),
+                min_fetch_size=cfg.object_cache.get("min_fetch_size"),
+                ttl=cfg.object_cache.get("ttl"),
+            )
     else:
         cfg = None
         data_dir = args.data_dir
