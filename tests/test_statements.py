@@ -587,3 +587,50 @@ class TestConcurrency:
         ctx.execute("INSERT INTO stale VALUES (2)")  # someone else commits
         with pytest.raises(ConcurrentCommitError):
             t._next_commit("UPDATE", [], ["ghost.parquet"], base_version=base)
+
+    def test_concurrent_updates_no_lost_updates(self, ctx):
+        """Four writers updating disjoint key ranges at once: with
+        snapshot-based OCC + statement retry, every update must land
+        (before the base_version fix, a racing UPDATE could silently
+        clobber another's commit)."""
+        import threading
+
+        ctx.execute("CREATE TABLE cu (k int, v varchar)")
+        ctx.execute(
+            "INSERT INTO cu VALUES " + ", ".join(f"({i}, 'old')" for i in range(8))
+        )
+        errs = []
+
+        def upd(lo):
+            try:
+                ctx.execute(f"UPDATE cu SET v = 'new{lo}' WHERE k >= {lo} AND k < {lo + 2}")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=upd, args=(lo,)) for lo in (0, 2, 4, 6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errs == []
+        got = rows(ctx.execute("SELECT k, v FROM cu"))
+        assert got == [(i, f"new{(i // 2) * 2}") for i in range(8)]
+
+
+class TestPartitionPruningPlan:
+    def test_partition_filter_reaches_scan(self, ctx, tmp_path):
+        """A predicate on the hive partition column must become a
+        PartitionFilter (directory pruning — at 100 TB the difference
+        between listing one partition and scanning the tree)."""
+        ctx.execute("CREATE TABLE pp (k int, part text)")
+        ctx.execute("INSERT INTO pp VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        out = str(tmp_path / "ptree")
+        ctx.execute(f"COPY pp TO '{out}' STORED AS PARQUET PARTITIONED BY (part)")
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE pp_back STORED AS PARQUET PARTITIONED BY (part) LOCATION '{out}'"
+        )
+        df = ctx.execute("SELECT k FROM staging.pp_back WHERE part = 'b'")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "part#" in plan.split("PartitionFilters:")[1].split("]")[0]
+        assert [r.k for r in df.collect()] == [2]
