@@ -76,6 +76,9 @@ class SeafowlContext:
         # staging schema: session-scoped external tables (reference
         # src/provider.rs:25-54 keeps these in-memory, never persisted)
         self.staging: dict[str, DataFrame] = {}
+        # source specs for staging tables that support time travel
+        # (iceberg: re-resolvable at any snapshot)
+        self.staging_specs: dict[str, tuple[str, str, dict]] = {}
         self._registered_views: set[str] = set()
         # Statement execution is serialized: the threaded frontends share one
         # context, and view refresh / search-path / catalog writes are shared
@@ -298,11 +301,15 @@ class SeafowlContext:
             return meta
         sql, travels = parser.extract_time_travel(stmt.text)
         for alias, name, ts in travels:
-            t = self.delta_table(name)
-            if ts.startswith("version="):
-                df = t.to_df(version=int(ts[len("version="):]))
+            _, schema_name, tbl = parser.parse_qualified(name)
+            if schema_name == STAGING_SCHEMA:
+                df = self._staging_travel(tbl, ts)
             else:
-                df = t.to_df(timestamp=ts)
+                t = self.delta_table(name)
+                if ts.startswith("version="):
+                    df = t.to_df(version=int(ts[len("version="):]))
+                else:
+                    df = t.to_df(timestamp=ts)
             df.createOrReplaceTempView(alias)
         mapping = self.reload_views()
         try:
@@ -312,6 +319,34 @@ class SeafowlContext:
         finally:
             for alias, _, _ in travels:
                 self.spark.catalog.dropTempView(alias)
+
+    def _staging_travel(self, name: str, ts: str) -> DataFrame:
+        """Time travel over an iceberg staging table: FOR TIMESTAMP AS OF
+        maps to the snapshot-log's as-of resolution, FOR VERSION AS OF to a
+        snapshot id — the same unified travel syntax engine tables get
+        (beyond the reference, whose iceberg reads are pinned at CREATE)."""
+        spec = self.staging_specs.get(name)
+        if spec is None:
+            raise ExecutionError(
+                f"time travel on staging.{name} requires an iceberg external table"
+            )
+        fmt, location, options = spec
+        from ..sources.external import read_external
+
+        opts = {
+            k: v for k, v in options.items()
+            if k not in ("snapshot-id", "as-of-timestamp")
+        }
+        if ts.startswith("version="):
+            opts["snapshot-id"] = ts[len("version="):]
+        else:
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            opts["as-of-timestamp"] = str(int(dt.timestamp() * 1000))
+        return read_external(self.spark, fmt, location, options=opts)
 
     def _meta_query(self, sql: str) -> DataFrame | None:
         """SHOW TABLES / SHOW COLUMNS / DESCRIBE against our catalog (A20;
@@ -405,6 +440,10 @@ class SeafowlContext:
                 f"discovered schema {df.columns}"
             )
         self.staging[stmt.name] = df
+        if stmt.format == "iceberg":
+            self.staging_specs[stmt.name] = (
+                "iceberg", stmt.location, dict(stmt.options or {})
+            )
 
     def _exec_convert_to_delta(self, stmt) -> None:
         db, schema, name = parser.parse_qualified(stmt.name)

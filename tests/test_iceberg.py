@@ -341,3 +341,51 @@ class TestMorDeletes:
         d, m1, m2 = self._fresh(spark, tmp_path)
         with pytest.raises(IcebergError, match="not in schema"):
             append_iceberg_deletes(d, eq_deletes=([{"nope": 1}], ["nope"]))
+
+
+class TestIcebergStagingTravel:
+    """Unified time-travel syntax over iceberg external tables: FOR
+    TIMESTAMP AS OF resolves through the snapshot log, FOR VERSION AS OF
+    takes a snapshot id (exceeds the reference, whose iceberg reads are
+    pinned at CREATE time via OPTIONS)."""
+
+    def test_timestamp_and_version_travel(self, ctx, iceberg_table):
+        import datetime
+        import json
+
+        d, m1, m2 = iceberg_table
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE ice_tt STORED AS ICEBERG LOCATION '{m2}'"
+        )
+        meta1 = json.load(open(m1))
+        snap1 = meta1["snapshots"][0]
+        iso1 = datetime.datetime.fromtimestamp(
+            snap1["timestamp-ms"] / 1000, datetime.timezone.utc
+        ).isoformat()
+
+        cur = ctx.execute("SELECT key FROM staging.ice_tt ORDER BY key").collect()
+        assert [r.key for r in cur] == [1, 2, 3, 4]
+        old = ctx.execute(
+            f"SELECT key FROM staging.ice_tt FOR TIMESTAMP AS OF '{iso1}' ORDER BY key"
+        ).collect()
+        assert [r.key for r in old] == [1, 2]
+        pinned = ctx.execute(
+            f"SELECT key FROM staging.ice_tt FOR VERSION AS OF {snap1['snapshot-id']} "
+            "ORDER BY key"
+        ).collect()
+        assert [r.key for r in pinned] == [1, 2]
+
+    def test_travel_on_non_iceberg_staging_errors(self, ctx, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        p = str(tmp_path / "plain.parquet")
+        pq.write_table(pa.table({"x": [1]}), p)
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE plain_ext STORED AS PARQUET LOCATION '{p}'"
+        )
+        with _pytest.raises(Exception, match="iceberg"):
+            ctx.execute(
+                "SELECT x FROM staging.plain_ext FOR TIMESTAMP AS OF '2024-01-01T00:00:00Z'"
+            ).collect()
