@@ -324,13 +324,20 @@ class SeafowlContext:
         """Time travel over an iceberg staging table: FOR TIMESTAMP AS OF
         maps to the snapshot-log's as-of resolution, FOR VERSION AS OF to a
         snapshot id — the same unified travel syntax engine tables get
-        (beyond the reference, whose iceberg reads are pinned at CREATE)."""
+        (beyond the reference, whose iceberg reads are pinned at CREATE);
+        delta externals travel through the deltalite snapshot log."""
         spec = self.staging_specs.get(name)
         if spec is None:
             raise ExecutionError(
-                f"time travel on staging.{name} requires an iceberg external table"
+                f"time travel on staging.{name} requires an iceberg or delta "
+                "external table"
             )
         fmt, location, options = spec
+        if fmt in ("delta", "deltatable"):
+            t = DeltaLiteTable(self.spark, location)
+            if ts.startswith("version="):
+                return t.to_df(version=int(ts[len("version="):]))
+            return t.to_df(timestamp=ts)
         from ..sources.external import read_external
 
         opts = {
@@ -440,9 +447,9 @@ class SeafowlContext:
                 f"discovered schema {df.columns}"
             )
         self.staging[stmt.name] = df
-        if stmt.format == "iceberg":
+        if stmt.format in ("iceberg", "delta", "deltatable"):
             self.staging_specs[stmt.name] = (
-                "iceberg", stmt.location, dict(stmt.options or {})
+                stmt.format, stmt.location, dict(stmt.options or {})
             )
 
     def _exec_convert_to_delta(self, stmt) -> None:

@@ -389,3 +389,18 @@ class TestIcebergStagingTravel:
             ctx.execute(
                 "SELECT x FROM staging.plain_ext FOR TIMESTAMP AS OF '2024-01-01T00:00:00Z'"
             ).collect()
+
+    def test_delta_staging_travel(self, ctx, tmp_path):
+        """Delta externals get the same unified travel syntax, resolved
+        through the deltalite snapshot log."""
+        ctx.execute("CREATE TABLE src_d (x int)")
+        ctx.execute("INSERT INTO src_d VALUES (1)")
+        ctx.execute("INSERT INTO src_d VALUES (2)")
+        root = ctx.table_root(ctx.catalog.get_table("default", "public", "src_d"))
+        ctx.execute(f"CREATE EXTERNAL TABLE d_ext STORED AS DELTA LOCATION '{root}'")
+        cur = ctx.execute("SELECT x FROM staging.d_ext ORDER BY x").collect()
+        assert [r.x for r in cur] == [1, 2]
+        v1 = ctx.execute(
+            "SELECT x FROM staging.d_ext FOR VERSION AS OF 1 ORDER BY x"
+        ).collect()
+        assert [r.x for r in v1] == [1]
