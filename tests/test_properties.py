@@ -228,3 +228,41 @@ def test_bucket_cap_bounds_hot_bucket(spark):
     ).count()
     assert pairs == cap * (cap - 1) // 2
     assert MAX_BUCKET_ROWS == 1024  # registry queries use the real cap
+
+
+# --------------------------------------------------------------------------
+# 3. parser totality: any input either parses to a Statement or raises
+#    ParseError — never an uncontrolled exception (the frontends turn
+#    ParseError into a 400; anything else would be a 500)
+# --------------------------------------------------------------------------
+
+_keywords = st.sampled_from(
+    ["CREATE", "TABLE", "INSERT", "INTO", "UPDATE", "SET", "DELETE", "FROM",
+     "COPY", "TO", "VACUUM", "OPTIMIZE", "ZORDER", "BY", "EXTERNAL", "STORED",
+     "AS", "FUNCTION", "DROP", "SCHEMA", "WHERE", "VALUES", "SELECT", "'x'",
+     "(", ")", ",", ";", "=", "t", "42", "\"q\"", "--c", "/*", "*/"]
+)
+_sqlish = st.lists(_keywords, max_size=12).map(" ".join)
+
+
+@given(st.one_of(st.text(max_size=120), _sqlish))
+@settings(max_examples=400, deadline=None)
+def test_parse_statement_total(s):
+    from seafowl_spark.engine.parser import ParseError, parse_statement
+
+    try:
+        stmt = parse_statement(s)
+        assert stmt.kind
+    except ParseError:
+        pass
+
+
+@given(st.one_of(st.text(max_size=120), _sqlish))
+@settings(max_examples=400, deadline=None)
+def test_split_statements_total(s):
+    from seafowl_spark.engine.parser import split_statements
+
+    parts = split_statements(s)
+    assert isinstance(parts, list)
+    for p in parts:
+        assert p.strip()
