@@ -316,24 +316,49 @@ def q_remote_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _seed_iceberg(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize nation.parquet as an Iceberg table (once per sf_dir);
-    returns the current metadata.json path."""
+    """Materialize nation.parquet as an Iceberg table (once per sf_dir)
+    and commit a v2 merge-on-read DELETE snapshot on top — one positional
+    delete (the n_nationkey=0 row) plus equality deletes (n_nationkey %
+    5 == 4); returns the current metadata.json path."""
     import glob
     import os
     import shutil
     import tempfile
     from hashlib import sha256
 
-    from ..sources.iceberg import write_iceberg_table
+    from ..sources.iceberg import append_iceberg_deletes, write_iceberg_table
 
     key = sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"sfs_iceberg_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"sfs_iceberg_mor_{key}")
     marker = os.path.join(d, "metadata")
     if not os.path.isdir(marker):
         stage = f"{d}.stage{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         nation = table(spark, sf_dir, "nation")
-        write_iceberg_table(spark, nation, stage)
+        meta1 = write_iceberg_table(spark, nation, stage)
+        # positional: locate nation 0 in the files just written
+        from ..sources.iceberg import snapshot_data_files
+
+        hits = (
+            spark.read.parquet(*snapshot_data_files(meta1))
+            .where(F.col("n_nationkey") == 0)
+            .select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+                .alias("fp"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()
+        )
+        eq_keys = sorted(
+            r["n_nationkey"]
+            for r in nation.select("n_nationkey").collect()
+            if r["n_nationkey"] % 5 == 4
+        )
+        append_iceberg_deletes(
+            stage,
+            pos_deletes=[(r["fp"], r["pos"]) for r in hits],
+            eq_deletes=([{"n_nationkey": int(k)} for k in eq_keys], ["n_nationkey"]),
+        )
         try:
             os.rename(stage, d)  # atomic publish; loser keeps its stage
         except OSError:
@@ -350,16 +375,22 @@ def _seed_iceberg(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,
            MIN(n_name) AS first_name, MAX(n_name) AS last_name
-    FROM nation GROUP BY n_regionkey
+    FROM nation
+    WHERE n_nationkey <> 0 AND n_nationkey % 5 <> 4
+    GROUP BY n_regionkey
     """,
 )
 def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg external table read (reference src/context/iceberg.rs; test
-    shape tests/statements/query.rs:372-410): nation written as an Iceberg
-    v2 table (parquet data files + Avro manifests + metadata.json), read
-    back by resolving the current snapshot's live file list and handing
-    the parquet paths to Spark's native scan; the oracle reads the source
-    parquet directly.
+    """Iceberg v2 external table read WITH merge-on-read deletes applied
+    (beyond reference src/context/iceberg.rs, which rejects delete-bearing
+    tables; base test shape tests/statements/query.rs:372-410): nation is
+    written as an Iceberg v2 table (parquet data files + Avro manifests +
+    metadata.json), then a DELETE snapshot removes the n_nationkey=0 row
+    positionally (file path + row position) and every n_nationkey%5==4
+    row via sequence-scoped equality deletes. The read resolves the
+    current snapshot, anti-joins the deletes against Spark's _metadata
+    columns, and the oracle mirrors the deletes as a WHERE clause over
+    the source parquet.
 
     Scale: manifest walking is metadata-proportional (bytes ~ #files);
     the data path stays Catalyst's vectorized parquet reader with
