@@ -334,10 +334,13 @@ class SeafowlContext:
             )
         fmt, location, options = spec
         if fmt in ("delta", "deltatable"):
-            t = DeltaLiteTable(self.spark, location)
+            from ..sources.delta_log import read_any_delta
+
             if ts.startswith("version="):
-                return t.to_df(version=int(ts[len("version="):]))
-            return t.to_df(timestamp=ts)
+                return read_any_delta(
+                    self.spark, location, version=int(ts[len("version="):])
+                )
+            return read_any_delta(self.spark, location, timestamp=ts)
         from ..sources.external import read_external
 
         opts = {

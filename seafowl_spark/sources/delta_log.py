@@ -1,0 +1,198 @@
+"""Real Delta Lake table reader (the reference's native storage format).
+
+The reference persists every table through delta-rs (src/context/delta.rs),
+so a seafowl data directory is a standard Delta table: a ``_delta_log/``
+of JSON commits (one action per line: metaData / add / remove / commitInfo
+/ protocol), optionally compacted into parquet checkpoints named by
+``_last_checkpoint``. delta-spark isn't available in this environment, so
+this module replays the log natively:
+
+1. if ``_last_checkpoint`` exists, load the checkpoint parquet (pyarrow)
+   and seed the live-file set from its ``add`` rows;
+2. replay the JSON commits after the checkpoint (or from 0), applying
+   add/remove actions in order;
+3. hand the live parquet paths to ``spark.read.parquet`` — Catalyst keeps
+   its vectorized scan, pushdown and pruning.
+
+Version time travel replays the log only up to the requested version;
+timestamp travel resolves the last commit whose file mtime (or
+commitInfo.timestamp) is <= the bound, delta protocol rule.
+
+Partitioned tables: Delta stores partition values in the add action, not
+in the data files. Files are read with ``basePath`` so Spark re-derives
+hive-style ``col=val`` partition columns from the paths delta-rs writes.
+
+This is read-only interop; engine-native tables use deltalite (same
+commit/snapshot concepts, simpler JSON log). ``read_any_delta`` sniffs
+which of the two layouts a directory holds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DeltaLogError(Exception):
+    pass
+
+
+_LOG = "_delta_log"
+
+
+def is_delta_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, _LOG))
+
+
+def _commit_versions(log_dir: str) -> list[int]:
+    out = []
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _checkpoint_adds(log_dir: str, upto: int | None):
+    """(seed live-file dict from the newest usable checkpoint, its version)
+    or ({}, -1) when no checkpoint applies."""
+    import pyarrow.parquet as pq
+
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return {}, -1
+    with open(lc) as f:
+        info = json.load(f)
+    v = int(info["version"])
+    if upto is not None and v > upto:
+        # travel target predates the checkpoint: replay JSON from 0
+        return {}, -1
+    parts = int(info.get("parts", 0) or 0)
+    if parts:
+        names = [
+            f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            for i in range(1, parts + 1)
+        ]
+    else:
+        names = [f"{v:020d}.checkpoint.parquet"]
+    live: dict[str, dict] = {}
+    for n in names:
+        p = os.path.join(log_dir, n)
+        if not os.path.exists(p):
+            raise DeltaLogError(f"_last_checkpoint names a missing file: {n}")
+        t = pq.read_table(p, columns=["add"])
+        for row in t.to_pylist():
+            a = row.get("add")
+            if a and a.get("path"):
+                live[a["path"]] = a
+    return live, v
+
+
+def _resolve_version(
+    log_dir: str, version: int | None, timestamp_ms: int | None
+) -> int:
+    versions = _commit_versions(log_dir)
+    if not versions:
+        raise DeltaLogError(f"no delta commits in {log_dir}")
+    if version is not None:
+        if version not in versions:
+            # delta allows checkpoint-truncated logs; only replayable
+            # versions are addressable here
+            raise DeltaLogError(f"version {version} not present in the log")
+        return version
+    if timestamp_ms is not None:
+        best = None
+        for v in versions:
+            ts = _commit_timestamp(log_dir, v)
+            if ts is not None and ts <= timestamp_ms:
+                best = v
+        if best is None:
+            raise DeltaLogError("timestamp predates the oldest commit")
+        return best
+    return versions[-1]
+
+
+def _commit_timestamp(log_dir: str, version: int) -> int | None:
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            ci = act.get("commitInfo")
+            if ci and "timestamp" in ci:
+                return int(ci["timestamp"])
+    return int(os.path.getmtime(path) * 1000)
+
+
+def delta_snapshot_files(
+    table_dir: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> tuple[list[str], dict]:
+    """(live data file paths, metaData action) at the requested version."""
+    log_dir = os.path.join(table_dir, _LOG)
+    if not os.path.isdir(log_dir):
+        raise DeltaLogError(f"not a delta table (no {_LOG}): {table_dir}")
+    target = _resolve_version(log_dir, version, timestamp_ms)
+    live, ckpt_v = _checkpoint_adds(log_dir, target)
+    meta: dict = {}
+    for v in _commit_versions(log_dir):
+        if v <= ckpt_v or v > target:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "metaData" in act:
+                    meta = act["metaData"]
+                elif "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+    files = [
+        p if os.path.isabs(p) else os.path.join(table_dir, p) for p in live
+    ]
+    return sorted(files), meta
+
+
+def read_delta(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    files, meta = delta_snapshot_files(table_dir, version, timestamp_ms)
+    if not files:
+        raise DeltaLogError(f"selected delta version has no live files: {table_dir}")
+    reader = spark.read
+    if meta.get("partitionColumns"):
+        # partition values live in the directory names delta-rs writes;
+        # basePath makes Spark re-derive them as columns
+        reader = reader.option("basePath", table_dir)
+    return reader.parquet(*files)
+
+
+def read_any_delta(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> DataFrame:
+    """Dispatch on layout: a real Delta ``_delta_log`` or a deltalite
+    ``_log`` directory (engine-native tables)."""
+    if is_delta_table(table_dir):
+        ts_ms = None
+        if timestamp is not None:
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(timestamp.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ts_ms = int(dt.timestamp() * 1000)
+        return read_delta(spark, table_dir, version=version, timestamp_ms=ts_ms)
+    from ..engine.deltalite import DeltaLiteTable
+
+    return DeltaLiteTable(spark, table_dir).to_df(version=version, timestamp=timestamp)

@@ -155,9 +155,11 @@ def read_external(
         return spark.createDataFrame(tbl.to_pandas())
 
     if fmt in ("deltatable", "delta"):
-        from ..engine.deltalite import DeltaLiteTable
+        # real Delta Lake layout (_delta_log, what the reference's delta-rs
+        # writes) or an engine-native deltalite dir — sniffed by layout
+        from .delta_log import read_any_delta
 
-        return DeltaLiteTable(spark, location).to_df()
+        return read_any_delta(spark, location)
 
     if fmt == "table":
         # remote table federation (reference datafusion_remote_tables/):

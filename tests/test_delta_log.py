@@ -1,0 +1,162 @@
+"""Real Delta Lake log interop (sources/delta_log.py).
+
+The reference stores tables via delta-rs, so its data directories are
+standard Delta tables: JSON action log + optional parquet checkpoints.
+These fixtures hand-write that exact layout (protocol/metaData/add/remove/
+commitInfo actions; checkpoint + _last_checkpoint) and drive the reader
+through current reads, version/timestamp travel, checkpointed logs,
+partitioned tables, and the engine's STORED AS DELTA path."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from seafowl_spark.sources.delta_log import (
+    DeltaLogError,
+    delta_snapshot_files,
+    read_delta,
+)
+
+SCHEMA_STR = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_part(d, name, ks, vs):
+    pq.write_table(pa.table({"k": pa.array(ks, pa.int32()), "v": vs}), os.path.join(d, name))
+
+
+def _commit(log_dir, version, actions):
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta(partition_cols=None):
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_STR,
+            "partitionColumns": partition_cols or [],
+            "configuration": {},
+        }
+    }
+
+
+def _add(path, ts):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {},
+            "size": 100,
+            "modificationTime": ts,
+            "dataChange": True,
+        }
+    }
+
+
+@pytest.fixture()
+def delta_dir(tmp_path):
+    """v0 adds f1, v1 adds f2, v2 removes f1 — delta-rs-shaped log."""
+    d = str(tmp_path / "dl")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _write_part(d, "f1.parquet", [1, 2], ["a", "b"])
+    _write_part(d, "f2.parquet", [3], ["c"])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add("f1.parquet", 1000),
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ])
+    _commit(log, 1, [
+        _add("f2.parquet", 2000),
+        {"commitInfo": {"timestamp": 2000, "operation": "WRITE"}},
+    ])
+    _commit(log, 2, [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": 3000, "dataChange": True}},
+        {"commitInfo": {"timestamp": 3000, "operation": "DELETE"}},
+    ])
+    return d
+
+
+class TestDeltaLog:
+    def test_current_snapshot_applies_removes(self, spark, delta_dir):
+        out = read_delta(spark, delta_dir).collect()
+        assert sorted(r["k"] for r in out) == [3]
+
+    def test_version_travel(self, spark, delta_dir):
+        assert sorted(r["k"] for r in read_delta(spark, delta_dir, version=1).collect()) == [1, 2, 3]
+        assert sorted(r["k"] for r in read_delta(spark, delta_dir, version=0).collect()) == [1, 2]
+
+    def test_timestamp_travel(self, spark, delta_dir):
+        out = read_delta(spark, delta_dir, timestamp_ms=2500).collect()
+        assert sorted(r["k"] for r in out) == [1, 2, 3]
+        with pytest.raises(DeltaLogError, match="predates"):
+            read_delta(spark, delta_dir, timestamp_ms=500)
+
+    def test_missing_version_rejected(self, spark, delta_dir):
+        with pytest.raises(DeltaLogError, match="not present"):
+            read_delta(spark, delta_dir, version=9)
+
+    def test_checkpoint_with_truncated_log(self, spark, delta_dir):
+        """Logs compacted up to a checkpoint: only the checkpoint + later
+        JSON commits remain (delta protocol's log-cleanup shape)."""
+        log = os.path.join(delta_dir, "_delta_log")
+        ckpt = pa.table({
+            "add": [
+                {"path": "f1.parquet", "size": 100},
+                {"path": "f2.parquet", "size": 100},
+                None,
+            ]
+        })
+        pq.write_table(ckpt, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+        with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": 1, "size": 2}, f)
+        os.unlink(os.path.join(log, f"{0:020d}.json"))
+        os.unlink(os.path.join(log, f"{1:020d}.json"))
+        out = read_delta(spark, delta_dir).collect()
+        assert sorted(r["k"] for r in out) == [3]  # checkpoint + v2 remove
+
+    def test_partitioned_paths_rederive_columns(self, spark, tmp_path):
+        d = str(tmp_path / "dlp")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(os.path.join(d, "part=a"))
+        os.makedirs(os.path.join(d, "part=b"))
+        os.makedirs(log)
+        _write_part(d, "part=a/x.parquet", [1], ["a"])
+        _write_part(d, "part=b/y.parquet", [2], ["b"])
+        _commit(log, 0, [
+            _meta(["part"]),
+            _add("part=a/x.parquet", 1000),
+            _add("part=b/y.parquet", 1000),
+            {"commitInfo": {"timestamp": 1000}},
+        ])
+        out = read_delta(spark, d).select("k", "part").collect()
+        assert sorted((r["k"], r["part"]) for r in out) == [(1, "a"), (2, "b")]
+
+    def test_snapshot_files_listing(self, delta_dir):
+        files, meta = delta_snapshot_files(delta_dir)
+        assert [os.path.basename(f) for f in files] == ["f2.parquet"]
+        assert meta["partitionColumns"] == []
+
+    def test_external_table_and_travel_via_engine(self, ctx, delta_dir):
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE real_dl STORED AS DELTA LOCATION '{delta_dir}'"
+        )
+        cur = ctx.execute("SELECT k FROM staging.real_dl ORDER BY k").collect()
+        assert [r.k for r in cur] == [3]
+        old = ctx.execute(
+            "SELECT k FROM staging.real_dl FOR VERSION AS OF 1 ORDER BY k"
+        ).collect()
+        assert [r.k for r in old] == [1, 2, 3]
