@@ -152,6 +152,19 @@ def delta_snapshot_files(
                     live[act["add"]["path"]] = act["add"]
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
+    # honesty guards: features that change row visibility or column
+    # identity must fail loudly, not read wrong data
+    if any(a.get("deletionVector") for a in live.values()):
+        raise DeltaLogError(
+            "table uses deletion vectors (merge-on-read); compact it to "
+            "copy-on-write first — DV bitmaps are not decoded here"
+        )
+    mapping = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mapping and mapping != "none":
+        raise DeltaLogError(
+            f"delta column mapping mode {mapping!r} is not supported "
+            "(physical column names would not match the logical schema)"
+        )
     files = [
         p if os.path.isabs(p) else os.path.join(table_dir, p) for p in live
     ]

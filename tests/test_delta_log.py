@@ -160,3 +160,23 @@ class TestDeltaLog:
             "SELECT k FROM staging.real_dl FOR VERSION AS OF 1 ORDER BY k"
         ).collect()
         assert [r.k for r in old] == [1, 2, 3]
+
+    def test_deletion_vectors_rejected(self, spark, delta_dir):
+        log = os.path.join(delta_dir, "_delta_log")
+        _commit(log, 3, [
+            {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 100,
+                     "modificationTime": 4000, "dataChange": True,
+                     "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                        "sizeInBytes": 40, "cardinality": 1}}},
+            {"commitInfo": {"timestamp": 4000}},
+        ])
+        with pytest.raises(DeltaLogError, match="deletion vectors"):
+            read_delta(spark, delta_dir)
+
+    def test_column_mapping_rejected(self, spark, delta_dir):
+        log = os.path.join(delta_dir, "_delta_log")
+        m = _meta()
+        m["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+        _commit(log, 3, [m, {"commitInfo": {"timestamp": 4000}}])
+        with pytest.raises(DeltaLogError, match="column mapping"):
+            read_delta(spark, delta_dir)
