@@ -337,10 +337,16 @@ def _iceberg_type(dt) -> str:
     raise IcebergError(f"no iceberg mapping for spark type {dt.simpleString()}")
 
 
-def write_iceberg_table(spark: SparkSession, df: DataFrame, table_dir: str) -> str:
+def write_iceberg_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    summary_extra: dict | None = None,
+) -> str:
     """Create a new iceberg table (format v2) at ``table_dir`` from a
     DataFrame, or append a snapshot if metadata already exists. Returns
-    the path of the new current metadata.json.
+    the path of the new current metadata.json. ``summary_extra`` merges
+    into the snapshot summary (e.g. streaming batch ids).
 
     The same commit sequence as the reference (iceberg.rs:156-384): write
     parquet data files, one ADDED-entry manifest, a manifest list naming
@@ -453,7 +459,7 @@ def write_iceberg_table(spark: SparkSession, df: DataFrame, table_dir: str) -> s
         "timestamp-ms": now_ms,
         "sequence-number": seq,
         "manifest-list": mlist_path,
-        "summary": {"operation": "append"},
+        "summary": {"operation": "append", **(summary_extra or {})},
         "schema-id": 0,
     }
     if meta is None:

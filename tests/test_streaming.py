@@ -148,3 +148,62 @@ class TestStatefulSessionize:
         # user 1 is now in session 2 with 1 event (150.0 extended session 1
         # to 3 events, then 10000.0 opened session 2)
         assert latest[1] == (2, 1)
+
+
+class TestIcebergSink:
+    def test_stream_appends_iceberg_snapshots(self, spark, tmp_path):
+        """Each micro-batch commits one iceberg snapshot; replayed batch
+        ids are skipped (checkpoint-recovery idempotence)."""
+        import glob
+        import json as _json
+        import os
+
+        from seafowl_spark.sources.iceberg import read_iceberg
+        from seafowl_spark.streaming.sinks import foreach_batch_iceberg
+
+        src = tmp_path / "ice_src"
+        src.mkdir()
+        tbl = str(tmp_path / "ice_tbl")
+        (src / "b0.json").write_text(
+            json.dumps({"k": 1, "v": "a"}) + "\n" + json.dumps({"k": 2, "v": "b"}) + "\n"
+        )
+        stream = spark.readStream.schema("k bigint, v string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_iceberg(tbl))
+            .option("checkpointLocation", str(tmp_path / "ice_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        def latest_meta():
+            return sorted(
+                glob.glob(os.path.join(tbl, "metadata", "v*.metadata.json")),
+                key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+            )[-1]
+
+        out = read_iceberg(spark, latest_meta()).collect()
+        assert sorted(r["k"] for r in out) == [1, 2]
+
+        # second micro-batch appends a snapshot
+        (src / "b1.json").write_text(json.dumps({"k": 3, "v": "c"}) + "\n")
+        q2 = (
+            stream.writeStream.foreachBatch(foreach_batch_iceberg(tbl))
+            .option("checkpointLocation", str(tmp_path / "ice_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        out = read_iceberg(spark, latest_meta()).collect()
+        assert sorted(r["k"] for r in out) == [1, 2, 3]
+        meta = _json.load(open(latest_meta()))
+        ids = [s["summary"].get("stream-batch-id") for s in meta["snapshots"]]
+        assert ids == ["0", "1"]
+
+        # a replayed batch id must be a no-op
+        sink = foreach_batch_iceberg(tbl)
+        sink(spark.createDataFrame([(9, "dup")], "k bigint, v string"), 1)
+        meta = _json.load(open(latest_meta()))
+        assert len(meta["snapshots"]) == 2
+        out = read_iceberg(spark, latest_meta()).collect()
+        assert sorted(r["k"] for r in out) == [1, 2, 3]

@@ -18,6 +18,7 @@ tolerance since the two engines sum in different orders.
 
 import datetime
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -25,7 +26,9 @@ import pytest
 
 from seafowl_spark.io import register_views
 
-SF_DIR = "/root/testdata/sf0.001"
+# CI default is sf0.001 (~15 s); set SEAFOWL_TPCH_SF_DIR to re-run the
+# whole suite against a bigger scale factor
+SF_DIR = os.environ.get("SEAFOWL_TPCH_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
 
