@@ -630,6 +630,15 @@ class SeafowlContext:
 
             write_iceberg_table(self.spark, df, stmt.path)
             return
+        if stmt.format == "delta":
+            # real Delta Lake export (readable by delta-rs / delta-spark);
+            # appends a commit per COPY, like the iceberg path
+            if part:
+                raise ExecutionError("PARTITIONED BY is not supported with DELTA")
+            from ..sources.delta_log import write_delta_table
+
+            write_delta_table(self.spark, df, stmt.path)
+            return
         fmt = {"csv": "csv", "parquet": "parquet", "ndjson": "json", "json": "json"}.get(
             stmt.format
         )

@@ -188,6 +188,79 @@ def read_delta(
     return reader.parquet(*files)
 
 
+def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
+    """Commit ``df`` as one append to a REAL Delta Lake table at
+    ``table_dir`` (creating it on first write); returns the committed
+    version. Output is readable by delta-rs / delta-spark: parquet data
+    files plus a ``_delta_log`` JSON commit with protocol / metaData /
+    add / commitInfo actions (``schemaString`` is Spark's schema JSON —
+    the same representation Delta uses). Writer-side interop twin of
+    ``read_delta``."""
+    import glob
+    import shutil
+    import time
+    import uuid as _uuid
+
+    log_dir = os.path.join(table_dir, _LOG)
+    os.makedirs(log_dir, exist_ok=True)
+    versions = _commit_versions(log_dir)
+    version = (versions[-1] + 1) if versions else 0
+
+    stage = os.path.join(table_dir, f"_stage_{_uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for part in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+        dest = os.path.join(table_dir, name)
+        shutil.move(part, dest)
+        adds.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(dest),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+
+    actions = []
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    actions += adds
+    actions.append(
+        {"commitInfo": {"timestamp": now_ms, "operation": "WRITE",
+                        "operationParameters": {"mode": "Append"}}}
+    )
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = path + f".tmp.{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, path)  # same put-if-absent claim deltalite uses
+    except FileExistsError:
+        raise DeltaLogError(f"version {version} already committed") from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
 def read_any_delta(
     spark: SparkSession,
     table_dir: str,
