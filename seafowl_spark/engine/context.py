@@ -141,9 +141,33 @@ class SeafowlContext:
         dt_schema = T.StructType.fromDDL(
             "uuid string, database string, schema string, name string, drop_time bigint"
         )
+        tf_rows = []
+        for e in self.catalog.tables(self.database):
+            t = DeltaLiteTable(self.spark, self.table_root(e))
+            if not t.exists():
+                continue
+            for fobj in t.snapshot().files:
+                tf_rows.append(
+                    Row(
+                        table_schema=e.schema,
+                        table_name=e.name,
+                        path=fobj.path,
+                        rows=fobj.rows,
+                        size_bytes=fobj.size_bytes,
+                        bucket=fobj.bucket,
+                    )
+                )
+        tf_schema = T.StructType.fromDDL(
+            "table_schema string, table_name string, path string, "
+            "rows bigint, size_bytes bigint, bucket int"
+        )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
             "dropped_tables": self.spark.createDataFrame(dt_rows, dt_schema),
+            # beyond the reference: per-file layout introspection (the
+            # DESCRIBE DETAIL story — lets users see compaction/bucketing/
+            # z-order effects without filesystem access)
+            "table_files": self.spark.createDataFrame(tf_rows, tf_schema),
         }
 
     def _information_schema(self) -> dict[str, DataFrame]:
@@ -369,7 +393,7 @@ class SeafowlContext:
                 for e in self.catalog.tables(self.database)
             ] + [
                 Row(table_schema=SYSTEM_SCHEMA, table_name=n)
-                for n in ("table_versions", "dropped_tables")
+                for n in ("table_versions", "dropped_tables", "table_files")
             ] + [Row(table_schema=STAGING_SCHEMA, table_name=n) for n in self.staging]
             return self.spark.createDataFrame(
                 rows, "table_schema string, table_name string"

@@ -634,3 +634,20 @@ class TestPartitionPruningPlan:
         assert "PartitionFilters: [" in plan
         assert "part#" in plan.split("PartitionFilters:")[1].split("]")[0]
         assert [r.k for r in df.collect()] == [2]
+
+
+class TestSystemTableFiles:
+    def test_table_files_reflects_layout(self, ctx):
+        ctx.execute("CREATE TABLE stf (x int)")
+        ctx.execute("INSERT INTO stf VALUES (1)")
+        ctx.execute("INSERT INTO stf VALUES (2)")
+        out = rows(ctx.execute(
+            "SELECT table_name, count(*) AS files, sum(rows) AS total_rows "
+            "FROM system.table_files WHERE table_name = 'stf' GROUP BY table_name"
+        ))
+        assert out == [("stf", 2, 2)]
+        ctx.execute("OPTIMIZE stf")
+        out = rows(ctx.execute(
+            "SELECT count(*) AS files FROM system.table_files WHERE table_name = 'stf'"
+        ))
+        assert out == [(1,)]
