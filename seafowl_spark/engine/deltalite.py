@@ -949,7 +949,16 @@ class DeltaLiteTable:
         t = DeltaLiteTable(spark, root)
         if t.exists():
             raise DeltaLiteError(f"already a deltalite table: {root}")
-        names = [n for n in sorted(os.listdir(root)) if n.endswith(".parquet")]
+        if os.path.isdir(os.path.join(root, "_delta_log")):
+            # a REAL Delta table: its directory also holds files that were
+            # logically removed — converting every parquet in the tree
+            # would resurrect deleted rows. Use the log's live list.
+            from ..sources.delta_log import delta_snapshot_files
+
+            live, _meta = delta_snapshot_files(root)
+            names = [os.path.relpath(p, root) for p in live]
+        else:
+            names = [n for n in sorted(os.listdir(root)) if n.endswith(".parquet")]
         if not names:
             raise DeltaLiteError(f"no parquet files to convert in {root}")
         df = spark.read.parquet(os.path.join(root, names[0]))

@@ -215,3 +215,10 @@ class TestDeltaWriter:
         ctx.execute(f"COPY csrc TO '{dest}' STORED AS DELTA")
         assert read_delta(spark=ctx.spark, table_dir=dest).count() == 6
         assert read_delta(ctx.spark, dest, version=0).count() == 3
+
+    def test_convert_real_delta_uses_live_files_only(self, ctx, delta_dir):
+        """CONVERT over a real Delta dir must respect the log: f1 was
+        removed at v2, so its rows must not be resurrected."""
+        ctx.execute(f"CONVERT '{delta_dir}' TO DELTA conv_dl")
+        out = ctx.execute("SELECT k FROM conv_dl ORDER BY k").collect()
+        assert [r.k for r in out] == [3]
