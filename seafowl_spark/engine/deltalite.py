@@ -135,7 +135,7 @@ class DeltaLiteTable:
             return []
         out = []
         for name in os.listdir(self.log_dir):
-            if name.endswith(".json"):
+            if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
         return sorted(out)
 
@@ -226,7 +226,17 @@ class DeltaLiteTable:
         schema_ddl = ""
         properties: dict = {}
         ts_ms = 0
+        start = 0
+        ckpt = self._load_checkpoint(version)
+        if ckpt is not None:
+            files = {a.path: a for a in ckpt["files"]}
+            schema_ddl = ckpt["schema_ddl"]
+            properties = ckpt["properties"]
+            ts_ms = ckpt["timestamp_ms"]
+            start = ckpt["version"] + 1
         for v in vs:
+            if v < start:
+                continue
             if v > version:
                 break
             c = self.read_commit(v)
@@ -240,6 +250,66 @@ class DeltaLiteTable:
             for a in c.adds:
                 files[a.path] = a
         return Snapshot(version, ts_ms, schema_ddl, list(files.values()), properties)
+
+    # ------------------------------------------------------- log checkpoints
+
+    # every N commits, materialize the full live state so snapshot() replays
+    # O(N) tail commits instead of the whole log — at 100 TB a long-lived
+    # table accumulates thousands of commits and per-read O(commits) JSON
+    # parsing becomes the bottleneck (the Delta protocol checkpoints for the
+    # same reason; the reference gets this from delta-rs)
+    CHECKPOINT_INTERVAL = 20
+
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self.log_dir, "_last_checkpoint")
+
+    def _load_checkpoint(self, upto_version: int) -> dict | None:
+        try:
+            with open(self._checkpoint_path()) as f:
+                v = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+        if v > upto_version:
+            # travel target predates the checkpoint: older checkpoints are
+            # kept too — use the newest one at or below the target
+            cands = [
+                int(n[: -len(".checkpoint.json")])
+                for n in os.listdir(self.log_dir)
+                if n.endswith(".checkpoint.json")
+            ]
+            older = [c for c in cands if c <= upto_version]
+            if not older:
+                return None
+            v = max(older)
+        path = os.path.join(self.log_dir, f"{v:010d}.checkpoint.json")
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except OSError:
+            return None
+        d["files"] = [AddFile.from_json(a) for a in d["files"]]
+        return d
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version == 0 or version % self.CHECKPOINT_INTERVAL != 0:
+            return
+        snap = self.snapshot(version=version)
+        body = {
+            "version": version,
+            "timestamp_ms": snap.timestamp_ms,
+            "schema_ddl": snap.schema_ddl,
+            "properties": snap.properties,
+            "files": [a.to_json() for a in snap.files],
+        }
+        path = os.path.join(self.log_dir, f"{version:010d}.checkpoint.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(body, f)
+        os.rename(tmp, path)
+        tmp2 = self._checkpoint_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp2, "w") as f:
+            json.dump({"version": version}, f)
+        os.rename(tmp2, self._checkpoint_path())
 
     def history(self) -> list[Commit]:
         return [self.read_commit(v) for v in self.versions()]
@@ -436,6 +506,7 @@ class DeltaLiteTable:
             app_txn=app_txn,
         )
         self._write_commit(commit)
+        self._maybe_checkpoint(commit.version)
         return commit
 
     @staticmethod

@@ -651,3 +651,32 @@ class TestSystemTableFiles:
             "SELECT count(*) AS files FROM system.table_files WHERE table_name = 'stf'"
         ))
         assert out == [(1,)]
+
+
+class TestLogCheckpoints:
+    def test_checkpoint_snapshot_equivalence(self, ctx):
+        """Past CHECKPOINT_INTERVAL commits, snapshot() seeds from the
+        checkpoint; state and time travel must match the full replay."""
+        import os
+
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        ctx.execute("CREATE TABLE ck (x int)")
+        for i in range(24):
+            ctx.execute(f"INSERT INTO ck VALUES ({i})")
+        t = ctx.delta_table("ck")
+        assert os.path.exists(os.path.join(t.log_dir, "_last_checkpoint"))
+        assert os.path.exists(os.path.join(t.log_dir, f"{20:010d}.checkpoint.json"))
+        # checkpointed snapshot equals a from-zero replay
+        fresh = DeltaLiteTable(ctx.spark, t.root)
+        snap = fresh.snapshot()
+        assert snap.num_rows == 24
+        assert rows(ctx.execute("SELECT count(*) AS n, sum(x) AS s FROM ck")) == [
+            (24, sum(range(24)))
+        ]
+        # travel to a version BEFORE the checkpoint still replays correctly
+        pre = fresh.snapshot(version=5)
+        assert pre.num_rows == 5
+        # and DML on a checkpointed table keeps working
+        ctx.execute("DELETE FROM ck WHERE x >= 20")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM ck")) == [(20,)]
