@@ -294,11 +294,23 @@ class DeltaLiteTable:
         if version == 0 or version % self.CHECKPOINT_INTERVAL != 0:
             return
         snap = self.snapshot(version=version)
+        # accumulate per-app txn high-water marks: previous checkpoint's
+        # map + the tail commits this checkpoint covers
+        prev = self._load_checkpoint(version - 1)
+        app_txns: dict[str, int] = dict((prev or {}).get("app_txns") or {})
+        start = (prev["version"] + 1) if prev else 0
+        for v in self.versions():
+            if v < start or v > version:
+                continue
+            c = self.read_commit(v)
+            if c.app_txn and c.app_txn.get("app_id") is not None:
+                app_txns[c.app_txn["app_id"]] = c.app_txn.get("version")
         body = {
             "version": version,
             "timestamp_ms": snap.timestamp_ms,
             "schema_ddl": snap.schema_ddl,
             "properties": snap.properties,
+            "app_txns": app_txns,
             "files": [a.to_json() for a in snap.files],
         }
         path = os.path.join(self.log_dir, f"{version:010d}.checkpoint.json")
@@ -320,9 +332,22 @@ class DeltaLiteTable:
 
     def last_app_txn_version(self, app_id: str) -> int | None:
         """Highest committed txn version for an app id (exactly-once CDC
-        resume; reference src/sync/writer.rs:583-683 durable sequences)."""
+        resume; reference src/sync/writer.rs:583-683 durable sequences).
+        Seeds from the newest checkpoint's app_txns map, replaying only
+        the tail — same O(tail) bound as snapshot()."""
+        vs = self.versions()
+        if not vs:
+            return None
         latest = None
-        for c in self.history():
+        start = 0
+        ckpt = self._load_checkpoint(vs[-1])
+        if ckpt is not None:
+            latest = (ckpt.get("app_txns") or {}).get(app_id)
+            start = ckpt["version"] + 1
+        for v in vs:
+            if v < start:
+                continue
+            c = self.read_commit(v)
             if c.app_txn and c.app_txn.get("app_id") == app_id:
                 latest = c.app_txn.get("version")
         return latest

@@ -333,3 +333,27 @@ class TestFineGrainedPruning:
         t.merge(changes, ["pk"], delete_col="__delete__", fine_grained_rows=0)
         out = rows(ctx.execute("SELECT pk, v FROM fg2 WHERE pk IN (10, 190, 500)"))
         assert out == [(10, -1.0), (190, -2.0), (500, -3.0)]
+
+
+class TestAppTxnCheckpoint:
+    """last_app_txn_version must seed from the checkpoint's app_txns map:
+    an idempotence check after 20+ commits still sees pre-checkpoint
+    sequence numbers."""
+
+    def test_last_app_txn_across_checkpoint(self, ctx):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        ctx.execute("CREATE TABLE atx (x int)")
+        root = ctx.table_root(ctx.catalog.get_table("default", "public", "atx"))
+        t = DeltaLiteTable(ctx.spark, root)
+        df = ctx.spark.createDataFrame([(0,)], "x int")
+        t.append(df, app_txn={"app_id": "origin-a", "version": 7})
+        # push past CHECKPOINT_INTERVAL with unrelated commits
+        for i in range(22):
+            ctx.execute(f"INSERT INTO atx VALUES ({i})")
+        t2 = DeltaLiteTable(ctx.spark, root)
+        assert t2.latest_version() >= t2.CHECKPOINT_INTERVAL
+        assert t2.last_app_txn_version("origin-a") == 7
+        t2.append(df, app_txn={"app_id": "origin-a", "version": 9})
+        assert DeltaLiteTable(ctx.spark, root).last_app_txn_version("origin-a") == 9
+        assert DeltaLiteTable(ctx.spark, root).last_app_txn_version("other") is None
