@@ -207,11 +207,17 @@ class DeltaLiteTable:
                 # host-local time would resolve the wrong version off-UTC
                 dt = dt.replace(tzinfo=_dt.timezone.utc)
             target_ms = int(dt.timestamp() * 1000)
-            chosen = None
-            for v in vs:
-                c = self.read_commit(v)
-                if c.timestamp_ms <= target_ms:
-                    chosen = v
+            # commit timestamps are monotone in version, so the last
+            # version at-or-before the bound binary-searches in O(log n)
+            # commit reads instead of replaying the whole log
+            lo, hi, chosen = 0, len(vs) - 1, None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                if self.read_commit(vs[mid]).timestamp_ms <= target_ms:
+                    chosen = vs[mid]
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
             if chosen is None:
                 raise DeltaLiteError(
                     f"no version of {self.root} at or before {timestamp}"
