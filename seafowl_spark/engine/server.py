@@ -124,6 +124,7 @@ class SeafowlHandler(BaseHTTPRequestHandler):
     ctx: SeafowlContext
     policy: AccessPolicy
     cache_control: str
+    upload_max_mb: int = 256
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -276,6 +277,15 @@ class SeafowlHandler(BaseHTTPRequestHandler):
         if not self.policy.can_write(self._token()):
             self._error(403, "write access denied")
             return
+        # reference HttpFrontend.upload_data_max_length (schema.rs:251,
+        # default 256 MB): bound the bytes a single upload may buffer
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        if length > self.upload_max_mb * 1024 * 1024:
+            self._error(413, f"upload exceeds {self.upload_max_mb} MB limit")
+            return
         ctype = self.headers.get("Content-Type", "")
         m = re.search(r'boundary="?([^";]+)"?', ctype)
         if not m:
@@ -355,6 +365,7 @@ class SeafowlServer:
         port: int = 0,
         policy: AccessPolicy | None = None,
         cache_control: str = DEFAULT_CACHE_CONTROL,
+        upload_max_mb: int = 256,
     ):
         handler = type(
             "BoundHandler",
@@ -363,6 +374,7 @@ class SeafowlServer:
                 "ctx": ctx,
                 "policy": policy or AccessPolicy(),
                 "cache_control": cache_control,
+                "upload_max_mb": upload_max_mb,
             },
         )
         self.httpd = ThreadingHTTPServer((host, port), handler)

@@ -161,3 +161,29 @@ class TestHttp:
             with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/{route}") as r:
                 assert r.status == 200
                 assert r.read() == b"ready"
+
+
+class TestUploadLimit:
+    def test_oversized_upload_rejected(self, ctx):
+        """upload_data_max_length (reference schema.rs:251): a body over
+        the limit gets 413 before any parsing."""
+        from seafowl_spark.engine.server import SeafowlServer
+
+        srv = SeafowlServer(ctx, port=0, upload_max_mb=0).start()
+        try:
+            boundary = "XBOUNDARYX"
+            body = (
+                f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="file"; filename="d.csv"\r\n'
+                f"\r\na,b\n1,2\n\r\n--{boundary}--\r\n"
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/upload/public/too_big",
+                data=body,
+                headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 413
+        finally:
+            srv.stop()

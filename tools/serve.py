@@ -92,7 +92,10 @@ def main() -> None:
     http = fl = pg = None
     if cfg is None or cfg.http is not None:
         port = args.http if cfg is None else cfg.http.bind_port
-        kw = {} if cfg is None else {"cache_control": cfg.cache_control}
+        kw = {} if cfg is None else {
+            "cache_control": cfg.cache_control,
+            "upload_max_mb": cfg.upload_data_max_length_mb,
+        }
         http = SeafowlServer(ctx, port=port, policy=policy, **kw).start()
     if cfg is None or cfg.flight is not None:
         port = args.flight if cfg is None else cfg.flight.bind_port
