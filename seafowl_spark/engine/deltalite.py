@@ -967,7 +967,22 @@ class DeltaLiteTable:
         )
         total = sum(f.rows for f in small)
         n_out = max(1, (total + target_rows - 1) // target_rows)
-        adds = self._write_data(df.coalesce(n_out))
+        zcols = snap.properties.get("zorder_by")
+        if zcols:
+            # the table was z-ordered: keep the compacted files clustered
+            # too (only the small files are rewritten, so this stays a
+            # job over the compaction subset, not the whole table)
+            cols = zcols.split(",") if isinstance(zcols, str) else list(zcols)
+            z = self._zorder_column(df, cols)
+            df = (
+                df.withColumn("__sfs_z", z)
+                .repartitionByRange(n_out, "__sfs_z")
+                .sortWithinPartitions("__sfs_z")
+                .drop("__sfs_z")
+            )
+        else:
+            df = df.coalesce(n_out)
+        adds = self._write_data(df)
         return self._next_commit(
             "OPTIMIZE", adds, [f.path for f in small], base_version=snap.version
         )
@@ -999,7 +1014,13 @@ class DeltaLiteTable:
         )
         adds = self._write_data(clustered)
         return self._next_commit(
-            "OPTIMIZE", adds, [f.path for f in snap.files], base_version=snap.version
+            "OPTIMIZE",
+            adds,
+            [f.path for f in snap.files],
+            metadata={
+                "properties": dict(snap.properties, zorder_by=",".join(zorder_by))
+            },
+            base_version=snap.version,
         )
 
     def vacuum(self, retention_ms: int = 0) -> list[str]:

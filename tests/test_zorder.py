@@ -87,3 +87,32 @@ class TestZorder:
         t = _scattered_table(ctx, "pts_plain", n=400, files=4)
         t.optimize()
         assert len(t.snapshot().files) == 1
+
+
+class TestZorderPersistence:
+    def test_compaction_preserves_clustering(self, ctx):
+        """ZORDER BY records a table property; later plain OPTIMIZE
+        re-clusters the compacted files instead of un-sorting them."""
+        t = _scattered_table(ctx, "pts_keep")
+        t.optimize(target_rows=500, zorder_by=["x", "y"])
+        assert t.snapshot().properties.get("zorder_by") == "x,y"
+        # new small scattered appends, then a small-file compaction that
+        # touches ONLY them (the 500-row clustered files are not "small"
+        # at target 500)
+        per = 40
+        for f in range(3):
+            vals = ", ".join(
+                f"({i}, {(i * 37) % 100}, {(i * 59) % 100}, 'k{i % 97:02d}')"
+                for i in range(f * per, (f + 1) * per)
+            )
+            ctx.execute(f"INSERT INTO pts_keep VALUES {vals}")
+        t = ctx.delta_table("pts_keep")
+        t.optimize(target_rows=500)
+        snap = t.snapshot()
+        # property survived the compaction commit
+        assert snap.properties.get("zorder_by") == "x,y"
+        assert snap.num_rows == 4120
+        # the 8 clustered files were untouched, so file-level pruning on
+        # x still holds (only the one compacted file can span fully)
+        kept = len(prune_files(snap.files, "x = 5"))
+        assert len(snap.files) == 9 and kept <= 5
