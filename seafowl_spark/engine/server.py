@@ -35,6 +35,7 @@ import re
 import threading
 import time
 import urllib.parse
+from contextlib import contextmanager
 from hashlib import sha256
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -156,6 +157,33 @@ class SeafowlHandler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------- routes
 
+    @contextmanager
+    def _use_db(self, db: str | None):
+        """Route-level database override (reference's `{database}/q`
+        prefixed routes, frontend/http.rs:566-631). Serialized under the
+        context's exec lock so concurrent requests against different
+        databases never see each other's override."""
+        ctx = self.ctx
+        if not db or db == ctx.database:
+            yield
+            return
+        with ctx._exec_lock:
+            prev = ctx.database
+            ctx.set_database(db)
+            try:
+                yield
+            finally:
+                ctx.set_database(prev)
+
+    def _dispatch(self, db: str | None, fn, *args):
+        from .context import ExecutionError
+
+        try:
+            with self._use_db(db):
+                fn(*args)
+        except ExecutionError as exc:
+            self._error(404, str(exc))
+
     def do_GET(self):  # noqa: N802
         path = urllib.parse.urlparse(self.path).path
         if path in ("/healthz", "/readyz"):
@@ -165,20 +193,21 @@ class SeafowlHandler(BaseHTTPRequestHandler):
         if path == "/metrics":
             self._send(200, METRICS.render(), {"Content-Type": "text/plain"})
             return
-        m = re.match(r"^/q/([0-9a-f]{64})$", path)
+        m = re.match(r"^/(?:([A-Za-z_][\w]*)/)?q/([0-9a-f]{64})$", path)
         if m:
-            self._cached_read(m.group(1))
+            self._dispatch(m.group(1), self._cached_read, m.group(2))
             return
         self._error(404, "not found")
 
     def do_POST(self):  # noqa: N802
         path = urllib.parse.urlparse(self.path).path
-        if path == "/q":
-            self._run_query()
-            return
-        m = re.match(r"^/upload/([A-Za-z_][\w]*)/([A-Za-z_][\w]*)$", path)
+        m = re.match(r"^/(?:([A-Za-z_][\w]*)/)?q$", path)
         if m:
-            self._upload(m.group(1), m.group(2))
+            self._dispatch(m.group(1), self._run_query)
+            return
+        m = re.match(r"^/(?:([A-Za-z_][\w]*)/)?upload/([A-Za-z_][\w]*)/([A-Za-z_][\w]*)$", path)
+        if m:
+            self._dispatch(m.group(1), self._upload, m.group(2), m.group(3))
             return
         self._error(404, "not found")
 

@@ -187,3 +187,41 @@ class TestUploadLimit:
             assert e.value.code == 413
         finally:
             srv.stop()
+
+
+class TestDbPrefixedRoutes:
+    def test_query_against_prefixed_database(self, ctx):
+        """Reference serves `{database}/q` (frontend/http.rs:566-631):
+        the URL prefix selects the database for that request only."""
+        from seafowl_spark.engine.server import SeafowlServer
+
+        srv = SeafowlServer(ctx, port=0).start()
+        try:
+            code, _, _ = _post_q(srv.port, "CREATE DATABASE dbp")
+            assert code == 200
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/dbp/q",
+                data=json.dumps(
+                    {"query": "CREATE TABLE pt (x int); INSERT INTO pt VALUES (7); "
+                              "SELECT x FROM pt"}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 200
+                assert json.loads(resp.read().strip()) == {"x": 7}
+            # the default database does NOT see the prefixed table
+            with pytest.raises(urllib.error.HTTPError) as e400:
+                _post_q(srv.port, "SELECT x FROM pt")
+            assert e400.value.code == 400
+            # unknown database -> 404
+            req2 = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/nope/q",
+                data=json.dumps({"query": "SELECT 1"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req2)
+            assert e.value.code == 404
+        finally:
+            srv.stop()
