@@ -72,6 +72,22 @@ class _Handler(socketserver.BaseRequestHandler):
     ctx: SeafowlContext
     policy: AccessPolicy
     _token: str | None = None
+    _db: str | None = None  # per-connection database (startup parameter)
+
+    def _execute(self, sql: str):
+        """Run under this connection's database (psql -d semantics, the
+        reference resolves the startup database the same way); serialized
+        under the context lock so the override never leaks to others."""
+        ctx = self.ctx
+        if not self._db or self._db == ctx.database:
+            return ctx.execute(sql)
+        with ctx._exec_lock:
+            prev = ctx.database
+            ctx.set_database(self._db)
+            try:
+                return ctx.execute(sql)
+            finally:
+                ctx.set_database(prev)
 
     def handle(self):
         sock: socket.socket = self.request
@@ -136,7 +152,19 @@ class _Handler(socketserver.BaseRequestHandler):
             return self._startup(sock)
         if code == 80877102:  # CancelRequest: nothing to cancel
             return False
-        # StartupMessage; if any policy needs a credential, run cleartext
+        # StartupMessage parameters: null-separated key/value pairs
+        params: dict[str, str] = {}
+        parts = body[4:].split(b"\x00")
+        for i in range(0, len(parts) - 1, 2):
+            if parts[i]:
+                params[parts[i].decode()] = parts[i + 1].decode()
+        db = params.get("database")
+        if db and db != self.ctx.database:
+            if db not in self.ctx.catalog.databases():
+                self._send_error(sock, f'database "{db}" does not exist')
+                return False
+            self._db = db
+        # if any policy needs a credential, run cleartext
         # password auth (reference checks AccessPolicy sha256 the same way)
         if self.policy.read != "any" or self.policy.write != "any":
             sock.sendall(_msg(b"R", struct.pack("!I", 3)))  # CleartextPassword
@@ -298,7 +326,7 @@ class _Handler(socketserver.BaseRequestHandler):
         stmts = parser.split_statements(sql)
         if not stmts or not parser.is_read_only(stmts[-1]):
             return None
-        return self.ctx.execute(sql)
+        return self._execute(sql)
 
     def _describe_msg(self, sock: socket.socket, payload: bytes):
         try:
@@ -345,7 +373,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise PermissionError("write access denied")
             if not writes and not self.policy.can_read(self._token):
                 raise PermissionError("read access denied")
-            df = self.ctx.execute(sql)
+            df = self._execute(sql)
             if df is None or writes:
                 sock.sendall(_msg(b"C", _cstr("OK")))
                 return
@@ -393,7 +421,7 @@ class _Handler(socketserver.BaseRequestHandler):
             if not writes and not self.policy.can_read(self._token):
                 self._send_error(sock, "read access denied")
                 return
-            df = self.ctx.execute(sql)
+            df = self._execute(sql)
             if df is None or not parser.is_read_only(parser.split_statements(sql)[-1]):
                 sock.sendall(_msg(b"C", _cstr("OK")))
                 return

@@ -11,10 +11,10 @@ from seafowl_spark.engine.pgwire import PgWireServer
 
 
 class MiniPgClient:
-    def __init__(self, port: int):
+    def __init__(self, port: int, database: str = "default"):
         self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
         body = struct.pack("!I", 196608)  # protocol 3.0
-        body += b"user\x00test\x00database\x00default\x00\x00"
+        body += b"user\x00test\x00database\x00" + database.encode() + b"\x00\x00"
         self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
         self._drain_until_ready()
 
@@ -287,3 +287,34 @@ class TestPgWireExtended:
         client.execute("")
         _, _, rows, errors = client.collect(client.sync())
         assert not errors and rows == [("$1", "7")]
+
+
+class TestStartupDatabase:
+    def test_connection_scoped_database(self, ctx):
+        """The startup `database` parameter selects the database for the
+        connection (psql -d semantics)."""
+        srv = PgWireServer(ctx).start()
+        try:
+            admin = MiniPgClient(srv.port)
+            admin.query("CREATE DATABASE pgdb2")
+            c2 = MiniPgClient(srv.port, database="pgdb2")
+            _, _, errs = c2.query("CREATE TABLE only_here (x int)")
+            assert errs == []
+            c2.query("INSERT INTO only_here VALUES (5)")
+            cols, rows, errs = c2.query("SELECT x FROM only_here")
+            assert (cols, rows, errs) == (["x"], [("5",)], [])
+            # the default-database connection cannot see it
+            _, _, errs = admin.query("SELECT x FROM only_here")
+            assert errs
+            c2.close()
+            admin.close()
+        finally:
+            srv.stop()
+
+    def test_unknown_database_refused(self, ctx):
+        srv = PgWireServer(ctx).start()
+        try:
+            with pytest.raises(ConnectionError):
+                MiniPgClient(srv.port, database="no_such_db")
+        finally:
+            srv.stop()
