@@ -36,3 +36,27 @@ def test_one_off_error_exits_nonzero(tmp_path):
     r = _run("SELECT * FROM does_not_exist", tmp_path / "d")
     assert r.returncode == 1
     assert "error:" in r.stderr
+
+
+def test_repl_database_switch(tmp_path):
+    """Interactive \\c switches the connection database (psql-style)."""
+    script = (
+        "CREATE DATABASE d2;\n"
+        "\\c d2\n"
+        "CREATE TABLE t2 (x int);\n"
+        "INSERT INTO t2 VALUES (4);\n"
+        "SELECT x AS result_x FROM t2;\n"
+        "\\c nope\n"
+        "\\q\n"
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "repl.py"), str(tmp_path / "d")],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'connected to database "d2"' in r.stdout
+    assert "result_x" in r.stdout and "4" in r.stdout
+    assert "error:" in r.stdout  # \c nope

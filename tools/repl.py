@@ -63,6 +63,14 @@ def main() -> None:
         if not buf and cmd.startswith(r"\d "):
             ctx.execute(f"DESCRIBE {cmd[3:].strip()}").show(100, truncate=False)
             continue
+        if not buf and cmd.startswith(r"\c "):
+            # psql-style database switch
+            try:
+                ctx.set_database(cmd[3:].strip())
+                print(f'connected to database "{ctx.database}"')
+            except Exception as exc:  # noqa: BLE001
+                print(f"error: {exc}")
+            continue
         buf.append(line)
         if not cmd.endswith(";") and cmd != "":
             continue
