@@ -146,6 +146,11 @@ class SeafowlHandler(BaseHTTPRequestHandler):
         self.send_response(code)
         for k, v in (headers or {}).items():
             self.send_header(k, v)
+        # lax CORS, reference http.rs:518-526 (echo the origin + Vary)
+        origin = self.headers.get("Origin")
+        if origin:
+            self.send_header("Access-Control-Allow-Origin", origin)
+            self.send_header("Vary", "Origin")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         if body:
@@ -183,6 +188,19 @@ class SeafowlHandler(BaseHTTPRequestHandler):
                 fn(*args)
         except ExecutionError as exc:
             self._error(404, str(exc))
+
+    def do_OPTIONS(self):  # noqa: N802
+        # CORS preflight (reference http.rs:518-526, test_cors): any
+        # origin, GET/POST, the query/auth/content-type headers, 24 h
+        self._send(
+            200,
+            b"",
+            {
+                "Access-Control-Allow-Methods": "GET, POST",
+                "Access-Control-Allow-Headers": "X-Seafowl-Query, Authorization, Content-Type",
+                "Access-Control-Max-Age": "86400",
+            },
+        )
 
     def do_GET(self):  # noqa: N802
         path = urllib.parse.urlparse(self.path).path

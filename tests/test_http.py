@@ -225,3 +225,35 @@ class TestDbPrefixedRoutes:
             assert e.value.code == 404
         finally:
             srv.stop()
+
+
+class TestCors:
+    def test_preflight_and_origin_echo(self, server):
+        """Lax CORS (reference http.rs:518-526 + its test_cors): preflight
+        OPTIONS answers the allowed methods/headers; real responses echo
+        the Origin with Vary: Origin."""
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/q/{'0' * 64}",
+            method="OPTIONS",
+            headers={
+                "Origin": "https://example.org",
+                "Access-Control-Request-Method": "GET",
+                "Access-Control-Request-Headers": "x-seafowl-query",
+            },
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.headers["Access-Control-Allow-Origin"] == "https://example.org"
+            assert r.headers["Access-Control-Allow-Methods"] == "GET, POST"
+            assert "X-Seafowl-Query" in r.headers["Access-Control-Allow-Headers"]
+            assert r.headers["Access-Control-Max-Age"] == "86400"
+        # a real POST with an Origin echoes it back
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/q",
+            data=json.dumps({"query": "SELECT 1 AS one"}).encode(),
+            headers={"Content-Type": "application/json", "Origin": "https://example.org"},
+        )
+        with urllib.request.urlopen(req2) as r:
+            assert r.status == 200
+            assert r.headers["Access-Control-Allow-Origin"] == "https://example.org"
+            assert "Origin" in r.headers.get_all("Vary", [""])[-1]
