@@ -66,6 +66,7 @@ class SeafowlFlightServer(flight.FlightServerBase):
         if not writes and not self.policy.can_read(token):
             raise flight.FlightUnauthorizedError("read access denied")
         inline = command.get("tables") or {}
+        specs: dict[str, tuple[str, str]] = {}
         if inline:
             # inline metastore: register the shipped tables as views. A
             # value is either a deltalite path (string) or {"path": ...,
@@ -86,11 +87,71 @@ class SeafowlFlightServer(flight.FlightServerBase):
                     df = read_iceberg(self.ctx.spark, spec["path"], dict(spec.get("options") or {}))
                 else:
                     raise flight.FlightServerError(f"unsupported inline table format {fmt!r}")
+                specs[name] = (fmt, spec["path"])
                 df.createOrReplaceTempView(name)
+            ins = self._inline_insert(query, specs)
+            if ins is not None:
+                return ins
         # search_path rides the call (applied under the context's execution
         # lock) instead of mutating shared ctx state across threads
         df = self.ctx.execute(query, search_path=command.get("search_path"))
         return df.toArrow()
+
+    def _inline_insert(self, query: str, specs: dict[str, tuple[str, str]]):
+        """INSERT INTO an inline ICEBERG table (reference
+        tests/flight/inline_metastore.rs test_inline_iceberg_write):
+        evaluates the VALUES/SELECT source, aligns it to the target
+        schema, and commits one append snapshot next to the shipped
+        metadata — the shipped (pinned) metadata version is untouched, so
+        concurrent readers of v1 see no change."""
+        import os
+        import re as _re
+
+        import pyarrow as pa
+
+        from pyspark.sql import functions as F
+
+        m = _re.match(
+            r"(?is)^\s*insert\s+into\s+[\"`]?(\w+)[\"`]?\s*"
+            r"(?:\(([^)]*)\))?\s*(values\s*.+|select\s+.+)$",
+            query.strip().rstrip(";"),
+        )
+        if m is None or m.group(1) not in specs:
+            return None
+        name, collist, rest = m.group(1), m.group(2), m.group(3)
+        fmt, path = specs[name]
+        if fmt != "iceberg":
+            raise flight.FlightServerError(
+                "inline INSERT is supported for iceberg tables only"
+            )
+        from ..sources.iceberg import write_iceberg_table
+
+        spark = self.ctx.spark
+        target = spark.table(name)
+        src = spark.sql(rest)
+        cols = (
+            [c.strip().strip('`"') for c in collist.split(",")]
+            if collist
+            else list(target.columns)
+        )
+        if len(src.columns) != len(cols):
+            raise flight.FlightServerError(
+                f"INSERT has {len(src.columns)} expressions for {len(cols)} columns"
+            )
+        src = src.toDF(*cols)
+        aligned = src.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in cols
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in target.schema.fields
+            ]
+        )
+        table_dir = os.path.dirname(os.path.dirname(os.path.abspath(path)))
+        write_iceberg_table(spark, aligned, table_dir)
+        return pa.table({})
 
     def get_flight_info(self, context, descriptor):
         command = json.loads(descriptor.command.decode())

@@ -237,3 +237,48 @@ class TestFlightInterleaving:
             t.join()
         assert not errors
         assert results[0] == [1] and results[1] == [11]
+
+
+class TestFlightInlineIcebergWrite:
+    def test_insert_appends_snapshot_pinned_read_unchanged(self, server, tmp_path):
+        """Reference tests/flight/inline_metastore.rs test_inline_iceberg_write:
+        INSERT through the inline metastore commits a new snapshot; the
+        shipped (pinned) metadata version still reads the old data."""
+        import os
+
+        from pyspark.sql import Row
+
+        from seafowl_spark.sources.iceberg import write_iceberg_table
+
+        ctx, srv, client = server
+        d = str(tmp_path / "iwtbl")
+        m1 = write_iceberg_table(
+            ctx.spark,
+            ctx.spark.createDataFrame([Row(key=1, value="one"), Row(key=2, value="two")]),
+            d,
+        )
+        tables = {"ice_w": {"path": m1, "format": "iceberg"}}
+        out = run_query(
+            client,
+            {
+                "query": "INSERT INTO ice_w (key, value) VALUES (5, 'five'), (6, 'six')",
+                "tables": tables,
+            },
+        )
+        assert out.num_rows == 0
+        # pinned v1 read is unaffected
+        t = run_query(
+            client,
+            {"query": "SELECT key FROM ice_w ORDER BY key", "tables": tables},
+        )
+        assert t.to_pydict() == {"key": [1, 2]}
+        # the new metadata version sees both
+        m2 = os.path.join(d, "metadata", "v2.metadata.json")
+        t2 = run_query(
+            client,
+            {
+                "query": "SELECT key FROM ice_w2 ORDER BY key",
+                "tables": {"ice_w2": {"path": m2, "format": "iceberg"}},
+            },
+        )
+        assert t2.to_pydict() == {"key": [1, 2, 5, 6]}
