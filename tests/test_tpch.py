@@ -242,7 +242,8 @@ WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
   AND n.n_name = 'NATION_3'
 GROUP BY l.l_partkey
 HAVING sum(l.l_extendedprice * l.l_quantity) > (
-    SELECT sum(l2.l_extendedprice * l2.l_quantity) * 0.005
+    SELECT sum(l2.l_extendedprice * l2.l_quantity) * 3.0
+           / count(DISTINCT l2.l_partkey)
     FROM lineitem l2, supplier s2, nation n2
     WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
       AND n2.n_name = 'NATION_3')
