@@ -118,6 +118,36 @@ def main() -> None:
         tn = run(name, out_dir)
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
         print(json.dumps({name: out[name]}), file=sys.stderr)
+
+    def zorder_rewrite(sf_dir: str) -> float:
+        """OPTIMIZE ... ZORDER BY wall time: one range shuffle over the
+        table, so growth should track N (the rewrite is data-linear)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        d = tempfile.mkdtemp(prefix="sfs_zstress_")
+        shutil.rmtree(d, ignore_errors=True)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "n_chars", "lang"
+        )
+        t = DeltaLiteTable.create(
+            spark, d, T.StructType.fromDDL("doc_id bigint, n_chars bigint, lang string")
+        )
+        t.append(docs)
+        t0 = time.perf_counter()
+        t.optimize(target_rows=5000, zorder_by=["n_chars", "doc_id"])
+        dt = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(d, ignore_errors=True)
+        return dt
+
+    t1 = zorder_rewrite(base)
+    tn = zorder_rewrite(out_dir)
+    out["zorder_optimize"] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
+    print(json.dumps({"zorder_optimize": out["zorder_optimize"]}), file=sys.stderr)
     print(json.dumps({"factor": factor, "queries": out}))
 
 
