@@ -397,7 +397,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         ).where(F.col("rn") <= 3)
     )
 
@@ -448,8 +448,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(_D)).over(w).cast("double").alias("running_total"),
         F.lag("o_orderkey").over(wo).alias("prev_orderkey"),
         F.lead("o_orderkey").over(wo).alias("next_orderkey"),
-        F.rank().over(wr).alias("price_rank"),
-        F.ntile(4).over(wo).alias("quartile"),
+        F.rank().over(wr).cast("long").alias("price_rank"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
         F.sum(F.col("o_totalprice").cast(_D)).over(wm).cast("double").alias("price_moving_sum"),
         F.min("o_totalprice").over(wa).cast("double").alias("min_price_ahead"),
     )
@@ -808,8 +808,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM deltas),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- BIGINT, not HUGEINT: DuckDB SUM(int) is HUGEINT, which
+             -- pandas fetchdf() renders as float64 and the driver's value
+             -- hash then mismatches Spark's int64 (r02 q_sessionize row)
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us

@@ -394,8 +394,8 @@ def _sql_simhash() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
     SELECT c.doc_a, c.doc_b,
-           bit_count(xor(sa.simhash_lo, sb.simhash_lo))
-             + bit_count(xor(sa.simhash_hi, sb.simhash_hi)) AS hamming
+           CAST(bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+             + bit_count(xor(sa.simhash_hi, sb.simhash_hi)) AS BIGINT) AS hamming
     FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                 JOIN sig sb ON c.doc_b = sb.doc_id
     WHERE bit_count(xor(sa.simhash_lo, sb.simhash_lo))
