@@ -38,13 +38,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # build (e.g. the driver's own smoke session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    # reader rejects; session conf spark.sql.legacy.parquet.nanosAsLong
-    # (set in session.py) surfaces it as a BIGINT of nanos — convert to a
-    # microsecond timestamp (truncating, same as DuckDB/Arrow ns->us).
+    # events.ts has shipped as TIMESTAMP(NANOS) (older testdata drops) and as
+    # naive TIMESTAMP(MICROS) (current drops, surfaced as TIMESTAMP_NTZ by
+    # Spark 4's inferTimestampNTZ default). Normalize both to a session-tz
+    # TIMESTAMP so downstream unix_micros/date arithmetic is type-stable:
+    #   - nanos -> BIGINT via spark.sql.legacy.parquet.nanosAsLong, then
+    #     truncate to micros (same as DuckDB/Arrow ns->us) and rebuild;
+    #   - TIMESTAMP_NTZ -> cast to TIMESTAMP, which with the UTC session
+    #     pin above interprets the naive value as UTC — identical to how
+    #     the DuckDB oracle treats it.
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
