@@ -46,5 +46,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import similarity  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import extended  # noqa: F401
+    from . import pipeline  # noqa: F401
 
     return REGISTRY

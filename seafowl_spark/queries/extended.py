@@ -15,28 +15,6 @@ from . import register
 
 
 @register(
-    "q_having",
-    oracle="""
-    SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spent
-    FROM orders GROUP BY o_custkey
-    HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS DECIMAL(25,6))) > 500000
-    """,
-)
-def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING on aggregate expressions."""
-    o = table(spark, sf_dir, "orders")
-    g = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_spent_dec"),
-    )
-    return (
-        g.where((F.col("n_orders") >= 12) & (F.col("_spent_dec") > 500000))
-        .select("o_custkey", "n_orders", F.col("_spent_dec").cast("double").alias("spent"))
-    )
-
-
-@register(
     "q_null_handling",
     oracle="""
     SELECT c.c_custkey,

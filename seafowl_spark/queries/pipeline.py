@@ -1,0 +1,336 @@
+"""Training-data pipeline operators, stage 2: cluster-level dedup, PII
+scrubbing, eval-set contamination checks, and deterministic stratified
+sampling over the `documents` table.
+
+These compose the stage-1 sketches (queries/similarity.py) into the
+operations a 100 TB corpus pipeline actually runs end-to-end:
+
+* near-dup PAIRS -> connected COMPONENTS -> one canonical doc per cluster
+  (iterative min-label propagation, the standard large-graph CC algorithm);
+* PII scan/redaction as pure JVM regexp expressions;
+* contamination: which training docs share n-grams with a held-out eval
+  split (broadcast the small eval side);
+* hash-based stratified sampling (deterministic: re-running selects the
+  same rows, the property that makes corpus builds reproducible).
+
+Everything hash-matches the DuckDB oracle: md5-derived hashes, integer
+counts, and string outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_int, oracle_md5_int
+from ..io import table
+from . import REGISTRY, register
+from . import similarity  # noqa: F401 — registers s_minhash_lsh_pairs
+from .similarity import _h8, _shingled_docs, _sql_h8, s_minhash_lsh_pairs
+
+# near-dup edge threshold: >= 8 of 16 minhash rows agree (est Jaccard >= 0.5)
+COMPONENT_MIN_EQUAL_SIGS = 8
+# min-label propagation converges in graph-diameter rounds; near-dup
+# components are band-overlap cliques with tiny diameters, but cap anyway
+COMPONENT_MAX_ITERS = 20
+
+_PAIRS_SQL = REGISTRY["s_minhash_lsh_pairs"].oracle
+
+
+@register(
+    "d_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT doc_a, doc_b FROM ({_PAIRS_SQL}) p
+      WHERE n_equal_sigs >= {COMPONENT_MIN_EQUAL_SIGS}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+    lbl AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id),
+    sz AS (SELECT component_id, COUNT(*) AS component_size FROM lbl GROUP BY 1)
+    SELECT l.doc_id, l.component_id, s.component_size,
+           l.doc_id = l.component_id AS is_canonical
+    FROM lbl l JOIN sz s USING (component_id)
+    """,
+)
+def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup candidate graph:
+    every document gets a component id (the min doc_id in its near-dup
+    cluster), a cluster size, and an is_canonical survivor flag — the
+    cluster-then-keep-one step that turns pairwise near-dup PAIRS into an
+    actual deduplicated corpus.
+
+    Scale: iterative min-label propagation — per round, one shuffle of the
+    (doc_id, label) table joined against the edge list, labels only ever
+    decrease, converges in graph-diameter rounds (near-dup clusters are
+    band-overlap cliques, so diameter is tiny). This is how GraphFrames/
+    Pregel do CC at billions of edges; no driver-side graph state — the
+    driver only sees a per-round convergence counter. localCheckpoint
+    truncates the iterative lineage. The oracle mirrors it with a
+    recursive-CTE transitive closure, exact only because oracle-scale
+    components are small; the Spark formulation is the one that scales.
+    """
+    pairs = (
+        s_minhash_lsh_pairs(spark, sf_dir)
+        .where(F.col("n_equal_sigs") >= COMPONENT_MIN_EQUAL_SIGS)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    # only the near-dup subgraph iterates: docs with no candidate edge are
+    # singleton components by definition and never enter the loop (at 100 TB
+    # the edge-touched subgraph is a tiny fraction of the corpus)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(COMPONENT_MAX_ITERS):
+        nmin = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        labels = (
+            labels.join(nmin, labels.doc_id == nmin.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        # labels strictly decrease until the fixpoint: sum is the cheapest
+        # convergence detector (one scalar action per round, no self-join)
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    full = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
+    )
+    sizes = full.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        full.join(sizes, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("component_id"),
+            "component_size",
+            (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+        )
+    )
+
+
+# PII patterns: identical literal strings compile to the same automaton in
+# Java regex (Spark) and RE2 (DuckDB) — no backrefs/lookarounds
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_PHONE = r"\b555-[0-9]{4}\b"
+_PAT_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# documents.text is synthetic word salad with no PII, so the scan seeds
+# deterministic PII into a doc_id-keyed subset FIRST (same expression on
+# both engines) — the detector/redactor then has real positives to find
+_SQL_PII_AUG = """
+    text || CASE
+      WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now'
+      WHEN doc_id % 7 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      WHEN doc_id % 7 = 2 THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' up'
+      ELSE '' END
+"""
+
+
+@register(
+    "t_pii_scan",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+               '{_PAT_PHONE}', '<PHONE>', 'g'),
+               '{_PAT_IP}', '<IP>', 'g') AS redacted
+      FROM aug)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PAT_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PAT_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_PAT_IP}')) AS n_ips,
+           md5(redacted) AS redacted_md5,
+           length(redacted) AS redacted_len
+    FROM red
+    """,
+)
+def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count email/phone/IPv4 matches per doc and
+    emit the md5 of the redacted text (emails, then phones, then IPs each
+    replaced with a typed placeholder).
+
+    Scale: pure JVM regexp expressions inside whole-stage codegen — one
+    pass over the text column, no shuffle, no Python. The md5-of-redacted
+    output is how a real pipeline verifies the scrub was applied without
+    shipping the text back.
+    """
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PAT_EMAIL, "<EMAIL>"), _PAT_PHONE, "<PHONE>"
+        ),
+        _PAT_IP,
+        "<IP>",
+    )
+    return d.select("doc_id", aug.alias("t")).select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PAT_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PAT_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(_PAT_IP)).cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# hold out ~5% of docs as the "eval set" by doc_id hash (deterministic)
+_EVAL_MOD = 20
+
+
+@register(
+    "t_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {similarity._SQL_SHINGLES} AS shingles,
+             {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % {_EVAL_MOD} = 0 AS is_eval
+      FROM documents),
+    ev AS (SELECT doc_id AS eval_doc, {_sql_h8('s')} AS h
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE is_eval)),
+    tr AS (SELECT doc_id, {_sql_h8('s')} AS h
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE NOT is_eval))
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.h) AS n_shared_shingles,
+           COUNT(DISTINCT e.eval_doc) AS n_eval_docs
+    FROM tr t JOIN ev e ON t.h = e.h
+    GROUP BY t.doc_id
+    """,
+)
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check: hold out ~5% of documents by doc_id
+    hash, then report every TRAINING doc that shares a 3-word shingle with
+    any eval doc (how many distinct shingles, how many eval docs hit).
+
+    Scale: the eval side is a few percent of the corpus by construction —
+    broadcast it; the training side streams through exploded shingle
+    hashes map-side with no self-join. This is the benchmark-decontamination
+    pass every LLM corpus build runs (shingle hashes, not raw text, cross
+    the wire).
+    """
+    sh = _shingled_docs(spark, sf_dir).withColumn(
+        "is_eval", md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0
+    )
+    ev = (
+        sh.where(F.col("is_eval"))
+        .select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("s"))
+        .select("eval_doc", _h8(F.col("s")).alias("h"))
+    )
+    tr = (
+        sh.where(~F.col("is_eval"))
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", _h8(F.col("s")).alias("h"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+# per-language sampling rates (percent kept); en is downsampled hardest —
+# the usual shape: rebalance an en-heavy crawl toward the tail languages
+_SAMPLE_RATES = {"en": 10, "zh": 40, "es": 25, "de": 25, "fr": 25}
+_SAMPLE_DEFAULT = 50
+
+
+def _sql_rate() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_SAMPLE_DEFAULT} END"
+
+
+@register(
+    "t_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars,
+           {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % 100 AS bucket,
+           {_sql_rate()} AS rate_pct
+    FROM documents
+    WHERE {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % 100 < {_sql_rate()}
+    """,
+)
+def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each language stratum keeps a
+    configured percentage of its documents, selected by doc_id hash bucket
+    — re-running the pipeline reproduces the exact same sample (unlike
+    TABLESAMPLE/rand(), which is the property that matters for auditable
+    corpus builds).
+
+    Scale: a pure filter — no shuffle, no sort, pushes down to a scan +
+    codegen'd predicate; sampling 100 TB costs one read pass.
+    """
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.lit(False), F.lit(0))
+    for k, v in _SAMPLE_RATES.items():
+        rate = rate.when(F.col("lang") == k, F.lit(v))
+    rate = rate.otherwise(F.lit(_SAMPLE_DEFAULT))
+    bucket = md5_int(F.col("doc_id").cast("string")) % 100
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            bucket.alias("bucket"),
+            rate.cast("long").alias("rate_pct"),
+        )
+        .where(F.col("bucket") < F.col("rate_pct"))
+    )

@@ -109,29 +109,54 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_distinct_agg",
+    "q_datetime_distinct",
     oracle="""
-    SELECT o_orderpriority,
+    SELECT EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           EXTRACT(month FROM o_orderdate) AS m,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 0.002 * (SELECT COUNT(*) FROM orders)
     """,
 )
-def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) — Spark expands to a two-phase distinct aggregate."""
+def q_datetime_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT(year/quarter/month) aggregation (reference README.md:98 shows
+    EXTRACT in its dialect) with two-phase COUNT(DISTINCT) aggregates and a
+    scale-free HAVING over a scalar subquery (threshold tracks table size,
+    so the filter bites identically at every SF).
+
+    Merged registry entry: covers the former q_datetime_parts +
+    q_distinct_agg + q_having rows under the driver's 50-entry cap.
+
+    Scale: distinct aggs expand to the standard two-shuffle expand plan;
+    the scalar total is one broadcast row crossed in before the filter.
+    """
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    tot = o.agg(F.count(F.lit(1)).alias("_tot"))
+    g = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
         F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("total"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .where(F.col("n_orders") >= 0.002 * F.col("_tot"))
+        .drop("_tot")
     )
 
 
 @register("q_approx_distinct", oracle=None)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch differs from DuckDB's,
-    so this is a rows-only check; the exact variant is q_distinct_agg.
+    so this is a rows-only check; the exact variant is q_datetime_distinct.
 
     Scale: HLL sketches merge map-side; the shuffle carries fixed-size
     sketches instead of per-key sets — this is the 100 TB path for
@@ -460,61 +485,77 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "q_rollup",
+    "q_grouping_multi",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS src, l_returnflag AS k1, l_linestatus AS k2,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS val,
+           GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with GROUPING markers."""
-    l = _t(spark, sf_dir, "lineitem")
-    return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dec_sum(F.col("l_quantity")).alias("sum_qty"),
-        F.grouping("l_returnflag").cast("long").alias("g_flag"),
-        F.grouping("l_linestatus").cast("long").alias("g_status"),
-    )
-
-
-@register(
-    "q_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    UNION ALL
+    SELECT 'cube' AS src, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS val,
+           GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dims."""
-    o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum(F.col("o_totalprice")).alias("total"),
-    )
-
-
-@register(
-    "q_grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    UNION ALL
+    SELECT 'gsets' AS src, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS val,
+           GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
+def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + explicit GROUPING SETS (with GROUPING markers) in one
+    plan, schema-aligned and unioned with a source tag.
+
+    Merged registry entry: covers the former q_rollup + q_cube +
+    q_grouping_sets rows under the driver's 50-entry cap; the GROUPING
+    SETS branch goes through the SQL parser deliberately so that syntax
+    path stays exercised.
+
+    Scale: each branch is one Expand + hash aggregate; the union is
+    append-only (no extra shuffle beyond each branch's own agg).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    rollup = l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum(F.col("l_quantity")).alias("val"),
+        F.grouping("l_returnflag").cast("long").alias("g1"),
+        F.grouping("l_linestatus").cast("long").alias("g2"),
+    ).select(
+        F.lit("rollup").alias("src"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n_rows", "val", "g1", "g2",
+    )
+    o = _t(spark, sf_dir, "orders")
+    cube = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum(F.col("o_totalprice")).alias("val"),
+        F.grouping("o_orderstatus").cast("long").alias("g1"),
+        F.grouping("o_orderpriority").cast("long").alias("g2"),
+    ).select(
+        F.lit("cube").alias("src"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n_rows", "val", "g1", "g2",
+    )
+    o.createOrReplaceTempView("orders")
+    gsets = spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        SELECT 'gsets' AS src, o_orderstatus AS k1, o_orderpriority AS k2,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS val,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 @register(
@@ -684,34 +725,6 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-    )
-
-
-@register(
-    "q_datetime_parts",
-    oracle="""
-    SELECT EXTRACT(year FROM o_orderdate) AS y,
-           EXTRACT(quarter FROM o_orderdate) AS q,
-           EXTRACT(month FROM o_orderdate) AS m,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2, 3
-    """,
-)
-def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXTRACT(year/quarter/month) aggregation (reference README.md:98 shows
-    EXTRACT in its dialect)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("long").alias("y"),
-            F.quarter("o_orderdate").cast("long").alias("q"),
-            F.month("o_orderdate").cast("long").alias("m"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dec_sum(F.col("o_totalprice")).alias("total"),
-        )
     )
 
 

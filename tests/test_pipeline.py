@@ -1,0 +1,120 @@
+"""Stage-2 training-data pipeline operators (queries/pipeline.py):
+connected-components dedup, PII scan/redaction, contamination check,
+stratified sampling. The DuckDB oracle gate re-proves exact values at
+sf0.01; these tests assert the structural invariants at sf0.001."""
+
+from pyspark.sql import functions as F
+
+from seafowl_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+REG = load_all()
+
+
+def _q(name, spark, sf_dir=SF_DIR):
+    return REG[name].fn(spark, sf_dir)
+
+
+class TestDedupComponents:
+    def test_partition_invariants(self, spark):
+        out = _q("d_dedup_components", spark).collect()
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(out) == n_docs  # every doc labeled exactly once
+        by_comp = {}
+        for r in out:
+            by_comp.setdefault(r.component_id, []).append(r)
+        for comp, members in by_comp.items():
+            # component id is the min member; exactly one canonical row
+            assert comp == min(m.doc_id for m in members)
+            assert sum(m.is_canonical for m in members) == 1
+            assert all(m.component_size == len(members) for m in members)
+
+    def test_pairs_land_in_same_component(self, spark):
+        from seafowl_spark.queries.pipeline import COMPONENT_MIN_EQUAL_SIGS
+        from seafowl_spark.queries.similarity import s_minhash_lsh_pairs
+
+        pairs = (
+            s_minhash_lsh_pairs(spark, SF_DIR)
+            .where(F.col("n_equal_sigs") >= COMPONENT_MIN_EQUAL_SIGS)
+            .collect()
+        )
+        comp = {
+            r.doc_id: r.component_id
+            for r in _q("d_dedup_components", spark).collect()
+        }
+        for p in pairs:
+            assert comp[p.doc_a] == comp[p.doc_b]
+
+
+class TestPiiScan:
+    def test_seeded_pii_found_and_redacted(self, spark):
+        out = {r.doc_id: r for r in _q("t_pii_scan", spark).collect()}
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        for d in docs:
+            r = out[d.doc_id]
+            if d.doc_id % 7 == 0:
+                assert r.n_emails >= 1
+            elif d.doc_id % 7 == 1:
+                assert r.n_phones >= 1
+            elif d.doc_id % 7 == 2:
+                assert r.n_ips >= 1
+
+    def test_redaction_changes_only_pii_docs(self, spark):
+        # docs seeded with PII get a redacted text that differs from the
+        # augmented text; a doc with no PII hits redacts to itself
+        out = _q("t_pii_scan", spark)
+        clean = out.where(
+            (F.col("n_emails") == 0) & (F.col("n_phones") == 0) & (F.col("n_ips") == 0)
+        ).count()
+        assert clean > 0  # doc_id % 7 in {3..6} with no accidental matches
+
+
+class TestContamination:
+    def test_only_train_docs_reported(self, spark):
+        from seafowl_spark.queries.pipeline import _EVAL_MOD
+        from seafowl_spark.functions import md5_int
+
+        out = _q("t_contamination", spark)
+        evals = out.where(
+            md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0
+        ).count()
+        assert evals == 0
+        assert out.where(F.col("n_shared_shingles") < 1).count() == 0
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_bounded(self, spark):
+        a = sorted(r.doc_id for r in _q("t_sample_stratified", spark).collect())
+        b = sorted(r.doc_id for r in _q("t_sample_stratified", spark).collect())
+        assert a == b  # re-run == same sample
+        out = _q("t_sample_stratified", spark).collect()
+        assert all(r.bucket < r.rate_pct for r in out)
+
+    def test_en_downsampled_hardest(self, spark):
+        from seafowl_spark.queries.pipeline import _SAMPLE_RATES
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        kept = {
+            r.lang: r.n
+            for r in _q("t_sample_stratified", spark)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # kept fraction can never exceed ~rate + hash noise; with 100
+        # buckets the binomial bound is loose, so just assert ordering:
+        # en keeps a smaller fraction than the most-kept tail language
+        if "en" in kept and totals.get("en", 0) >= 20:
+            en_frac = kept["en"] / totals["en"]
+            tail = [
+                kept.get(lang, 0) / totals[lang]
+                for lang in totals
+                if lang != "en" and totals[lang] >= 10
+            ]
+            if tail:
+                assert en_frac <= max(tail) + 0.25
+        assert _SAMPLE_RATES["en"] < min(
+            v for k, v in _SAMPLE_RATES.items() if k != "en"
+        )
