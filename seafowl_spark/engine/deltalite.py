@@ -1076,10 +1076,18 @@ class DeltaLiteTable:
             # a REAL Delta table: its directory also holds files that were
             # logically removed — converting every parquet in the tree
             # would resurrect deleted rows. Use the log's live list.
-            from ..sources.delta_log import delta_snapshot_files
+            from ..sources.delta_log import DeltaLogError, delta_snapshot_adds
 
-            live, _meta = delta_snapshot_files(root)
-            names = [os.path.relpath(p, root) for p in live]
+            live_adds, _meta = delta_snapshot_adds(root)
+            if any(a.get("deletionVector") for a in live_adds.values()):
+                # in-place CONVERT reuses the data files as-is; a file with
+                # a DV holds rows that are logically dead — converting would
+                # resurrect them. (Reads are fine: read_delta applies DVs.)
+                raise DeltaLogError(
+                    "cannot CONVERT a delta table with active deletion "
+                    "vectors in place; read + rewrite it instead"
+                )
+            names = [os.path.relpath(p, root) for p in live_adds]
         else:
             names = [n for n in sorted(os.listdir(root)) if n.endswith(".parquet")]
         if not names:

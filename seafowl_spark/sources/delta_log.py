@@ -132,6 +132,23 @@ def delta_snapshot_files(
     timestamp_ms: int | None = None,
 ) -> tuple[list[str], dict]:
     """(live data file paths, metaData action) at the requested version."""
+    adds, meta = delta_snapshot_adds(table_dir, version, timestamp_ms)
+    mapping = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mapping and mapping not in ("none", "name", "id"):
+        raise DeltaLogError(
+            f"delta column mapping mode {mapping!r} is not supported"
+        )
+    return sorted(adds), meta
+
+
+def delta_snapshot_adds(
+    table_dir: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> tuple[dict[str, dict], dict]:
+    """(live add actions keyed by ABSOLUTE file path, metaData action) —
+    the descriptor-preserving variant of ``delta_snapshot_files`` used when
+    deletion vectors must be applied."""
     log_dir = os.path.join(table_dir, _LOG)
     if not os.path.isdir(log_dir):
         raise DeltaLogError(f"not a delta table (no {_LOG}): {table_dir}")
@@ -152,23 +169,10 @@ def delta_snapshot_files(
                     live[act["add"]["path"]] = act["add"]
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
-    # honesty guards: features that change row visibility or column
-    # identity must fail loudly, not read wrong data
-    if any(a.get("deletionVector") for a in live.values()):
-        raise DeltaLogError(
-            "table uses deletion vectors (merge-on-read); compact it to "
-            "copy-on-write first — DV bitmaps are not decoded here"
-        )
-    mapping = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
-    if mapping and mapping != "none":
-        raise DeltaLogError(
-            f"delta column mapping mode {mapping!r} is not supported "
-            "(physical column names would not match the logical schema)"
-        )
-    files = [
-        p if os.path.isabs(p) else os.path.join(table_dir, p) for p in live
-    ]
-    return sorted(files), meta
+    return {
+        (p if os.path.isabs(p) else os.path.join(table_dir, p)): a
+        for p, a in live.items()
+    }, meta
 
 
 def read_delta(
@@ -177,15 +181,112 @@ def read_delta(
     version: int | None = None,
     timestamp_ms: int | None = None,
 ) -> DataFrame:
-    files, meta = delta_snapshot_files(table_dir, version, timestamp_ms)
-    if not files:
+    adds, meta = delta_snapshot_adds(table_dir, version, timestamp_ms)
+    if not adds:
         raise DeltaLogError(f"selected delta version has no live files: {table_dir}")
     reader = spark.read
     if meta.get("partitionColumns"):
         # partition values live in the directory names delta-rs writes;
         # basePath makes Spark re-derive them as columns
         reader = reader.option("basePath", table_dir)
-    return reader.parquet(*files)
+    df = reader.parquet(*sorted(adds))
+    df = _apply_deletion_vectors(spark, df, table_dir, adds)
+    return _apply_column_mapping(df, meta)
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, table_dir: str, adds: dict[str, dict]
+) -> DataFrame:
+    """Merge-on-read: drop rows whose (file, row_index) is set in a file's
+    deletion-vector bitmap (delta protocol "Deletion Vectors").
+
+    Scale: DV bitmaps are deltas — tiny next to the data — so the decoded
+    (file, row_index) set broadcasts and the fact scan stays shuffle-free,
+    the same shape as the iceberg positional-delete path. Decoding happens
+    once on the driver (bitmaps are KB-scale); at extreme DV cardinality
+    the same anti-join accepts a distributed decode instead.
+    """
+    dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
+    if not dv_adds:
+        return df
+    from pyspark.sql import functions as F
+
+    from .delta_dv import read_dv
+
+    pairs = []
+    for path, add in dv_adds.items():
+        for idx in read_dv(table_dir, add["deletionVector"]):
+            pairs.append((os.path.abspath(path), idx))
+    dels = spark.createDataFrame(pairs, "__sfs_fp string, __sfs_pos long")
+    out_cols = df.columns
+    return (
+        df.withColumn(
+            "__sfs_fp",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .withColumn("__sfs_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(dels), ["__sfs_fp", "__sfs_pos"], "left_anti")
+        .select(*out_cols)
+    )
+
+
+def _apply_column_mapping(df: DataFrame, meta: dict) -> DataFrame:
+    """Rename physical parquet columns back to logical names when the table
+    uses delta column mapping (mode ``name`` or ``id`` — both store
+    ``delta.columnMapping.physicalName`` in the schemaString field
+    metadata). Nested struct fields are renamed by casting to the logical
+    struct type (layout-identical, so the cast is a rename)."""
+    mapping = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if not mapping or mapping == "none":
+        return df
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType, _parse_datatype_json_value
+
+    schema = json.loads(meta["schemaString"])
+
+    def logical_type(field_json: dict):
+        return _strip_physical(field_json["type"])
+
+    def _strip_physical(t):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _strip_physical(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if isinstance(t, dict) and t.get("type") == "array":
+            return {**t, "elementType": _strip_physical(t["elementType"])}
+        if isinstance(t, dict) and t.get("type") == "map":
+            return {
+                **t,
+                "keyType": _strip_physical(t["keyType"]),
+                "valueType": _strip_physical(t["valueType"]),
+            }
+        return t
+
+    cols = []
+    for f in schema["fields"]:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        if phys not in df.columns:
+            raise DeltaLogError(
+                f"column-mapped field {f['name']!r}: physical column "
+                f"{phys!r} missing from data files"
+            )
+        col = F.col(phys)
+        ltype = _parse_datatype_json_value(logical_type(f))
+        if isinstance(ltype, (StructType, ArrayType, MapType)):
+            col = col.cast(ltype)  # positional cast == nested rename
+        cols.append(col.alias(f["name"]))
+    return df.select(*cols)
 
 
 def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:

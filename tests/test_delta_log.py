@@ -161,25 +161,87 @@ class TestDeltaLog:
         ).collect()
         assert [r.k for r in old] == [1, 2, 3]
 
-    def test_deletion_vectors_rejected(self, spark, delta_dir):
-        log = os.path.join(delta_dir, "_delta_log")
-        _commit(log, 3, [
-            {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 100,
-                     "modificationTime": 4000, "dataChange": True,
-                     "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
-                                        "sizeInBytes": 40, "cardinality": 1}}},
-            {"commitInfo": {"timestamp": 4000}},
-        ])
-        with pytest.raises(DeltaLogError, match="deletion vectors"):
-            read_delta(spark, delta_dir)
+    def test_deletion_vector_file_applied(self, spark, delta_dir):
+        # kill row index 0 of f2.parquet (value k=3) via a .bin DV
+        from seafowl_spark.sources.delta_dv import write_dv_file
 
-    def test_column_mapping_rejected(self, spark, delta_dir):
         log = os.path.join(delta_dir, "_delta_log")
+        dv = write_dv_file(delta_dir, [0])
+        a = _add("f2.parquet", 4000)
+        a["add"]["deletionVector"] = dv
+        _commit(log, 3, [a, {"commitInfo": {"timestamp": 4000}}])
+        # delta_dir v2 removed f1, leaving only f2 = [3]; the DV kills it
+        assert read_delta(spark, delta_dir).count() == 0
+        # pre-DV version still sees the row
+        assert [r.k for r in read_delta(spark, delta_dir, version=2).collect()] == [3]
+
+    def test_deletion_vector_inline_applied(self, spark, delta_dir):
+        from seafowl_spark.sources.delta_dv import encode_rbm_array, z85_encode
+
+        log = os.path.join(delta_dir, "_delta_log")
+        data = encode_rbm_array([0])
+        padded = data + b"\x00" * (-len(data) % 4)
+        a = _add("f2.parquet", 4000)
+        a["add"]["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(padded),
+            "sizeInBytes": len(data),
+            "cardinality": 1,
+        }
+        _commit(log, 3, [a, {"commitInfo": {"timestamp": 4000}}])
+        assert read_delta(spark, delta_dir).count() == 0
+
+    def test_column_mapping_name_mode(self, spark, tmp_path):
+        # physical parquet columns col-1/col-2; logical schema k/v
+        d = str(tmp_path / "cm")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        pq.write_table(
+            pa.table({"col-1": pa.array([1, 2], pa.int32()), "col-2": ["a", "b"]}),
+            os.path.join(d, "f1.parquet"),
+        )
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "col-1",
+                              "delta.columnMapping.id": 1}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "col-2",
+                              "delta.columnMapping.id": 2}},
+            ],
+        }
         m = _meta()
+        m["metaData"]["schemaString"] = json.dumps(schema)
         m["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
-        _commit(log, 3, [m, {"commitInfo": {"timestamp": 4000}}])
-        with pytest.raises(DeltaLogError, match="column mapping"):
-            read_delta(spark, delta_dir)
+        _commit(log, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            m, _add("f1.parquet", 1000),
+            {"commitInfo": {"timestamp": 1000}},
+        ])
+        df = read_delta(spark, d)
+        assert df.columns == ["k", "v"]
+        assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+    def test_column_mapping_missing_physical_column_rejected(self, spark, tmp_path):
+        d = str(tmp_path / "cm2")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        _write_part(d, "f1.parquet", [1], ["a"])  # plain k/v columns
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "col-9"}},
+            ],
+        }
+        m = _meta()
+        m["metaData"]["schemaString"] = json.dumps(schema)
+        m["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+        _commit(log, 0, [m, _add("f1.parquet", 1000),
+                         {"commitInfo": {"timestamp": 1000}}])
+        with pytest.raises(DeltaLogError, match="physical column"):
+            read_delta(spark, d).collect()
 
 
 class TestDeltaWriter:
