@@ -339,10 +339,57 @@ class SeafowlContext:
         try:
             # spark.sql analyzes eagerly: the returned plan holds resolved
             # relations, so the per-query snapshot views can be dropped here
-            return self.spark.sql(self._rewrite_names(sql, mapping))
+            rewritten = self._rewrite_names(sql, mapping)
+            self._maybe_prune_staging(rewritten)
+            return self.spark.sql(rewritten)
         finally:
             for alias, _, _ in travels:
                 self.spark.catalog.dropTempView(alias)
+
+    def _maybe_prune_staging(self, sql: str) -> None:
+        """Manifest-level scan pruning for iceberg staging tables (the
+        reference gets the equivalent from DataFusion's PruningPredicate
+        over its providers).
+
+        Only fires for the provably-safe shape — a single SELECT over one
+        iceberg staging table with a WHERE clause (no set ops, no
+        subqueries, no joins) — and re-registers that table's view over
+        the predicate-pruned file list for this query. Pruning itself is
+        conservative (engine/pruning.py): a file is dropped only when its
+        manifest column bounds prove no row can match. Everything else
+        falls through to the full view registered by reload_views.
+
+        Scale: skips whole data files driver-side from manifest metadata
+        before Spark plans the scan — at 100 TB this is the difference
+        between opening every parquet footer and opening only candidates.
+        """
+        if re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT|JOIN)\b", sql):
+            return
+        if len(re.findall(r"(?i)\bSELECT\b", sql)) != 1:
+            return
+        for name, (fmt, location, options) in self.staging_specs.items():
+            if fmt != "iceberg":
+                continue
+            pat = re.compile(
+                rf"(?is)^\s*SELECT\s+.*?\sFROM\s+`?{re.escape(name)}`?"
+                rf"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?"
+                rf"\s+WHERE\s+(?P<pred>.*?)"
+                rf"(?:\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW)\b.*)?$"
+            )
+            m = pat.match(sql.strip().rstrip("; \n"))
+            if not m:
+                continue
+            pred = m.group("pred")
+            for q in filter(None, (m.group("alias"), name)):
+                # qualified refs -> bare names for the stats evaluator
+                pred = re.sub(rf"(?<![\w.`])`?{re.escape(q)}`?\.", "", pred)
+            from ..sources.iceberg import read_iceberg
+
+            try:
+                df = read_iceberg(self.spark, location, options, predicate_sql=pred)
+            except Exception:
+                continue  # best-effort: the full view is already registered
+            df.createOrReplaceTempView(name)
 
     def _staging_travel(self, name: str, ts: str) -> DataFrame:
         """Time travel over an iceberg staging table: FOR TIMESTAMP AS OF
@@ -475,9 +522,20 @@ class SeafowlContext:
             )
         self.staging[stmt.name] = df
         if stmt.format in ("iceberg", "delta", "deltatable"):
-            self.staging_specs[stmt.name] = (
-                stmt.format, stmt.location, dict(stmt.options or {})
-            )
+            options = dict(stmt.options or {})
+            if stmt.format == "iceberg" and "snapshot-id" not in options:
+                # pin the snapshot resolved at CREATE so later per-query
+                # re-reads (pruned scans) cannot drift to a newer snapshot
+                # than the registered view (reference pins at CREATE too)
+                from ..sources.iceberg import resolve_snapshot_id
+
+                try:
+                    options["snapshot-id"] = str(
+                        resolve_snapshot_id(stmt.location, options)
+                    )
+                except Exception:
+                    pass  # unpinnable (e.g. as-of option) -> best effort
+            self.staging_specs[stmt.name] = (stmt.format, stmt.location, options)
 
     def _exec_convert_to_delta(self, stmt) -> None:
         db, schema, name = parser.parse_qualified(stmt.name)

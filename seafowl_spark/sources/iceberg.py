@@ -24,10 +24,14 @@ so Catalyst keeps its native pushdown/pruning/vectorized scan:
 Row-level deletes (v2 merge-on-read) ARE applied — positional deletes via
 ``_metadata.file_path``/``row_index`` broadcast anti-join, equality
 deletes sequence-number-scoped per the spec (see ``read_iceberg``); the
-reference rejects such tables. Partition-value pruning relies on Spark's parquet
-row-group stats instead of Iceberg partition summaries — correct, and at
-100 TB the snapshot's file list is still assembled driver-side from
-manifest metadata (bytes ~ #files, not data)."""
+reference rejects such tables. Manifest-level scan pruning IS applied:
+per-file column bounds (lower_bounds/upper_bounds/null_value_counts,
+Iceberg single-value serialization) are decoded from the manifests and
+evaluated against simple WHERE conjuncts (engine/pruning.py's conservative
+evaluator) so a filtered query opens only candidate files — the decision
+runs driver-side over manifest metadata (bytes ~ #files, not data), which
+is what keeps a 100 TB scan plannable; finer row-group pruning then still
+happens inside Spark's parquet reader."""
 
 from __future__ import annotations
 
@@ -102,22 +106,112 @@ def _select_snapshot(meta: dict, options: dict[str, str]) -> dict:
 @dataclass
 class IcebergScan:
     """A resolved snapshot: local file paths plus the sequence numbers and
-    equality columns needed to apply v2 merge-on-read deletes."""
+    equality columns needed to apply v2 merge-on-read deletes, and the
+    per-file column stats decoded from the manifests (for scan pruning)."""
 
     data_files: list[tuple[str, int]]  # (local path, data sequence number)
     pos_delete_files: list[str]
     eq_delete_files: list[tuple[str, int, tuple[str, ...]]]  # (path, seq, cols)
     localize: Any  # original URI -> local path (for pos-delete file_path values)
+    # local path -> ({col: {min, max, nulls}}, record_count)
+    file_stats: dict[str, tuple[dict, int]] = None  # type: ignore[assignment]
 
 
-def _field_names_by_id(meta: dict) -> dict[int, str]:
+# ------------------------------------------------------------ bound values
+# Iceberg single-value binary serialization (spec Appendix D) for the
+# lower_bounds/upper_bounds manifest maps.
+
+def _decode_bound(type_str: str, raw: bytes):
+    import datetime as _dt
+    import struct as _struct
+
+    if raw is None:
+        return None
+    try:
+        if type_str == "int":
+            return _struct.unpack("<i", raw)[0]
+        if type_str == "long":
+            return _struct.unpack("<q", raw)[0]
+        if type_str == "float":
+            return _struct.unpack("<f", raw)[0]
+        if type_str == "double":
+            return _struct.unpack("<d", raw)[0]
+        if type_str == "string":
+            return raw.decode("utf-8")
+        if type_str == "boolean":
+            return raw != b"\x00"
+        if type_str == "date":
+            days = _struct.unpack("<i", raw)[0]
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+        if type_str in ("timestamp", "timestamptz"):
+            us = _struct.unpack("<q", raw)[0]
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+    except _struct.error:
+        return None
+    return None  # unknown/complex type -> no pruning on this column
+
+
+def _encode_bound(type_str: str, value):
+    import struct as _struct
+
+    if value is None:
+        return None
+    if type_str == "int":
+        return _struct.pack("<i", int(value))
+    if type_str == "long":
+        return _struct.pack("<q", int(value))
+    if type_str == "float":
+        return _struct.pack("<f", float(value))
+    if type_str == "double":
+        return _struct.pack("<d", float(value))
+    if type_str == "string":
+        return str(value).encode("utf-8")
+    if type_str == "boolean":
+        return b"\x01" if value else b"\x00"
+    if type_str == "date":
+        import datetime as _dt
+
+        return _struct.pack("<i", (value - _dt.date(1970, 1, 1)).days)
+    if type_str in ("timestamp", "timestamptz"):
+        import datetime as _dt
+
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        us = int((value - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        return _struct.pack("<q", us)
+    return None
+
+
+def _bounds_map(obj) -> dict[int, bytes]:
+    """Manifest bound maps arrive as avro maps (dict) or the spec's
+    array-of-{key,value} records — normalize to {field_id: bytes}."""
+    if not obj:
+        return {}
+    if isinstance(obj, dict):
+        return {int(k): v for k, v in obj.items()}
+    return {int(e["key"]): e["value"] for e in obj}
+
+
+def _current_schema(meta: dict) -> dict:
     schemas = meta.get("schemas")
     if schemas:
         cur = meta.get("current-schema-id")
-        schema = next((s for s in schemas if s.get("schema-id") == cur), schemas[-1])
-    else:
-        schema = meta.get("schema", {})
-    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+        return next((s for s in schemas if s.get("schema-id") == cur), schemas[-1])
+    return meta.get("schema", {})
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    return {f["id"]: f["name"] for f in _current_schema(meta).get("fields", [])}
+
+
+def _field_types_by_id(meta: dict) -> dict[int, str]:
+    """field id -> primitive type string (complex types excluded: their
+    bounds are not prunable single values)."""
+    return {
+        f["id"]: f["type"]
+        for f in _current_schema(meta).get("fields", [])
+        if isinstance(f["type"], str)
+    }
 
 
 def scan_snapshot(
@@ -137,11 +231,13 @@ def scan_snapshot(
     def localize(p: str) -> str:
         return os.path.normpath(_localize(p, location, mdir))
 
+    types_by_id = _field_types_by_id(meta)
     manifest_list = _localize(snap["manifest-list"], location, mdir)
     _, manifests = read_avro(manifest_list)
     data_files: list[tuple[str, int]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, int, tuple[str, ...]]] = []
+    file_stats: dict[str, tuple[dict, int]] = {}
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == _CONTENT_DELETES
         mseq = m.get("sequence_number") or 0
@@ -161,6 +257,22 @@ def scan_snapshot(
                 if is_delete_manifest:
                     raise IcebergError("data file entry inside a delete manifest")
                 data_files.append((path, seq))
+                lo = _bounds_map(df.get("lower_bounds"))
+                hi = _bounds_map(df.get("upper_bounds"))
+                nulls = _bounds_map(df.get("null_value_counts"))
+                stats: dict[str, dict] = {}
+                for fid, name in by_id.items():
+                    t = types_by_id.get(fid)
+                    col: dict = {}
+                    if t is not None and fid in lo:
+                        col["min"] = _decode_bound(t, lo[fid])
+                        col["max"] = _decode_bound(t, hi.get(fid))
+                    if fid in nulls:
+                        v = nulls[fid]
+                        col["nulls"] = v if isinstance(v, int) else None
+                    if col.get("min") is not None or col.get("nulls") is not None:
+                        stats[name] = col
+                file_stats[path] = (stats, int(df.get("record_count") or 0))
             elif content == 1:  # position deletes
                 pos_deletes.append(path)
             elif content == 2:  # equality deletes
@@ -173,7 +285,46 @@ def scan_snapshot(
                 eq_deletes.append((path, seq, names))
             else:
                 raise IcebergError(f"unknown iceberg file content {content}")
-    return IcebergScan(data_files, pos_deletes, eq_deletes, localize)
+    return IcebergScan(data_files, pos_deletes, eq_deletes, localize, file_stats)
+
+
+def prune_data_files(
+    scan: IcebergScan, predicate_sql: str | None
+) -> list[tuple[str, int]]:
+    """Manifest-level scan pruning: drop data files whose column bounds
+    prove no row can match the predicate (reference delegates the same job
+    to DataFusion's PruningPredicate; Iceberg's own planners prune on these
+    manifest stats before touching any data).
+
+    Conservative via engine.pruning's evaluator: unknown columns, missing
+    bounds, or unparseable predicates keep the file. Delete files are never
+    pruned — they only remove rows.
+
+    Scale: this is the difference between opening every parquet footer in
+    a 100 TB table and opening only the files a filter can touch; the
+    decision runs driver-side over manifest metadata (bytes ~ #files).
+    """
+    if not predicate_sql or not scan.file_stats:
+        return scan.data_files
+    from ..engine.pruning import parse_predicate, _may_match
+
+    ast = parse_predicate(predicate_sql)
+    if ast is None:
+        return scan.data_files
+    out = []
+    for path, seq in scan.data_files:
+        stats, rows = scan.file_stats.get(path, ({}, 0))
+        if _may_match(ast, stats, rows):
+            out.append((path, seq))
+    return out
+
+
+def resolve_snapshot_id(metadata_path: str, options: dict[str, str] | None = None) -> int:
+    """The snapshot id the given options select right now — used to pin an
+    external table's view of the table at CREATE time."""
+    with open(metadata_path) as f:
+        meta = json.load(f)
+    return int(_select_snapshot(meta, options or {})["snapshot-id"])
 
 
 def snapshot_data_files(metadata_path: str, options: dict[str, str] | None = None) -> list[str]:
@@ -187,7 +338,10 @@ _FP_NORM = ("^file:/+", "/")
 
 
 def read_iceberg(
-    spark: SparkSession, metadata_path: str, options: dict[str, str] | None = None
+    spark: SparkSession,
+    metadata_path: str,
+    options: dict[str, str] | None = None,
+    predicate_sql: str | None = None,
 ) -> DataFrame:
     """Read the snapshot, applying v2 merge-on-read deletes when present.
 
@@ -213,7 +367,11 @@ def read_iceberg(
     scan = scan_snapshot(metadata_path, options)
     if not scan.data_files:
         raise IcebergError("selected snapshot has no live data files")
-    data = spark.read.parquet(*[p for p, _ in scan.data_files])
+    files = prune_data_files(scan, predicate_sql)
+    if not files:
+        # every file pruned: empty frame with the snapshot's schema
+        return spark.read.parquet(scan.data_files[0][0]).limit(0)
+    data = spark.read.parquet(*[p for p, _ in files])
     if not scan.pos_delete_files and not scan.eq_delete_files:
         return data
     from pyspark.sql import functions as F
@@ -309,11 +467,98 @@ _MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # column stats, the spec's array<record<key,value>> map
+                    # encoding — these drive manifest-level scan pruning
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k_v_long",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "long"},
+                                ],
+                            },
+                        }],
+                        "default": None,
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k_v_lo",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "bytes"},
+                                ],
+                            },
+                        }],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k_v_hi",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "bytes"},
+                                ],
+                            },
+                        }],
+                        "default": None,
+                    },
                 ],
             },
         },
     ],
 }
+
+
+def _parquet_column_stats(pf, schema_fields) -> tuple[list, list, list]:
+    """(null_value_counts, lower_bounds, upper_bounds) manifest maps for one
+    data file, aggregated over its row groups from the parquet footer —
+    field ids follow the table schema's positional assignment."""
+    md = pf.metadata
+    names = [f.name for f in schema_fields]
+    agg: dict[str, dict] = {n: {"min": None, "max": None, "nulls": 0} for n in names}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if name not in agg:
+                continue
+            a = agg[name]
+            st = col.statistics
+            if st is None:
+                a["min"] = a["max"] = None  # unknown -> no bounds
+                continue
+            if st.null_count is not None:
+                a["nulls"] += st.null_count
+            if st.has_min_max:
+                if a["min"] is None or st.min < a["min"]:
+                    a["min"] = st.min
+                if a["max"] is None or st.max > a["max"]:
+                    a["max"] = st.max
+    nulls, lo, hi = [], [], []
+    for i, f in enumerate(schema_fields):
+        fid = i + 1
+        a = agg[f.name]
+        nulls.append({"key": fid, "value": int(a["nulls"])})
+        t = _iceberg_type(f.dataType)
+        if a["min"] is not None:
+            blo, bhi = _encode_bound(t, a["min"]), _encode_bound(t, a["max"])
+            if blo is not None and bhi is not None:
+                lo.append({"key": fid, "value": blo})
+                hi.append({"key": fid, "value": bhi})
+    return nulls, lo, hi
 
 
 def _iceberg_type(dt) -> str:
@@ -383,10 +628,13 @@ def write_iceberg_table(
     df.write.mode("overwrite").parquet(stage)
     data_files = []
     for part in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        if pq.ParquetFile(part).metadata.num_rows == 0:
+            continue  # empty input partitions produce no data files
         dest = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
         shutil.move(part, dest)
-        pmeta = pq.ParquetFile(dest).metadata
-        data_files.append((dest, pmeta.num_rows, os.path.getsize(dest)))
+        pf = pq.ParquetFile(dest)
+        stats = _parquet_column_stats(pf, df.schema.fields)
+        data_files.append((dest, pf.metadata.num_rows, os.path.getsize(dest), stats))
     shutil.rmtree(stage, ignore_errors=True)
 
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -411,13 +659,16 @@ def write_iceberg_table(
                     "partition": {},
                     "record_count": rows,
                     "file_size_in_bytes": size,
+                    "null_value_counts": stats[0],
+                    "lower_bounds": stats[1],
+                    "upper_bounds": stats[2],
                 },
             }
-            for path, rows, size in data_files
+            for path, rows, size, stats in data_files
         ],
         meta={"schema": "{}", "content": "data"},
     )
-    n_rows = sum(r for _, r, _ in data_files)
+    n_rows = sum(r for _, r, _, _ in data_files)
     manifest_entry = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),

@@ -404,3 +404,60 @@ class TestIcebergStagingTravel:
             "SELECT x FROM staging.d_ext FOR VERSION AS OF 1 ORDER BY x"
         ).collect()
         assert [r.x for r in v1] == [1]
+
+
+class TestManifestPruning:
+    """Manifest-level scan pruning (prune_data_files + engine wiring)."""
+
+    def test_writer_emits_bounds(self, spark, iceberg_table):
+        from seafowl_spark.sources.iceberg import scan_snapshot
+
+        d, m1, m2 = iceberg_table
+        scan = scan_snapshot(m2)
+        assert scan.file_stats
+        mins = sorted(s["key"]["min"] for s, _ in scan.file_stats.values())
+        maxs = sorted(s["key"]["max"] for s, _ in scan.file_stats.values())
+        assert mins[0] == 1 and maxs[-1] == 4
+        # string bounds decoded too
+        assert all(isinstance(s["value"]["min"], str) for s, _ in scan.file_stats.values())
+
+    def test_prune_by_bounds(self, spark, iceberg_table):
+        from seafowl_spark.sources.iceberg import prune_data_files, scan_snapshot
+
+        d, m1, m2 = iceberg_table
+        scan = scan_snapshot(m2)
+        n_all = len(scan.data_files)
+        kept = prune_data_files(scan, "key >= 3")
+        assert 0 < len(kept) < n_all
+        # conservative fallbacks: unparseable or unknown-column predicates keep all
+        assert len(prune_data_files(scan, "some_func(key) = 1")) == n_all
+        assert len(prune_data_files(scan, "nosuchcol = 7")) == n_all
+
+    def test_pruned_read_correct_and_empty_case(self, spark, iceberg_table):
+        d, m1, m2 = iceberg_table
+        out = read_iceberg(spark, m2, predicate_sql="key >= 3")
+        assert sorted(r["key"] for r in out.where("key >= 3").collect()) == [3, 4]
+        empty = read_iceberg(spark, m2, predicate_sql="key > 1000000")
+        assert empty.count() == 0
+        assert set(empty.columns) == {"key", "value"}
+
+    def test_engine_query_prunes_files(self, ctx, iceberg_table):
+        d, m1, m2 = iceberg_table
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE ice STORED AS ICEBERG LOCATION '{m2}'"
+        )
+        full = ctx.execute("SELECT * FROM staging.ice")
+        filtered = ctx.execute("SELECT key, value FROM staging.ice WHERE key >= 3")
+        assert sorted(r.key for r in filtered.collect()) == [3, 4]
+        assert len(filtered.inputFiles()) < len(full.inputFiles())
+        # aliased + qualified references prune too
+        aliased = ctx.execute(
+            "SELECT t.key FROM staging.ice t WHERE t.key >= 3 ORDER BY t.key"
+        )
+        assert [r.key for r in aliased.collect()] == [3, 4]
+        assert len(aliased.inputFiles()) < len(full.inputFiles())
+        # a join query must NOT go through the single-table pruner
+        joined = ctx.execute(
+            "SELECT a.key FROM staging.ice a JOIN staging.ice b ON a.key = b.key"
+        )
+        assert sorted(r.key for r in joined.collect()) == [1, 2, 3, 4]
