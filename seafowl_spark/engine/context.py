@@ -347,12 +347,13 @@ class SeafowlContext:
                 self.spark.catalog.dropTempView(alias)
 
     def _maybe_prune_staging(self, sql: str) -> None:
-        """Manifest-level scan pruning for iceberg staging tables (the
-        reference gets the equivalent from DataFusion's PruningPredicate
-        over its providers).
+        """Stats-level scan pruning for iceberg and delta staging tables
+        (the reference gets the equivalent from DataFusion's
+        PruningPredicate over its providers): iceberg prunes from manifest
+        column bounds, delta from per-add stats JSON.
 
         Only fires for the provably-safe shape — a single SELECT over one
-        iceberg staging table with a WHERE clause (no set ops, no
+        staging table with a WHERE clause (no set ops, no
         subqueries, no joins) — and re-registers that table's view over
         the predicate-pruned file list for this query. Pruning itself is
         conservative (engine/pruning.py): a file is dropped only when its
@@ -368,7 +369,7 @@ class SeafowlContext:
         if len(re.findall(r"(?i)\bSELECT\b", sql)) != 1:
             return
         for name, (fmt, location, options) in self.staging_specs.items():
-            if fmt != "iceberg":
+            if fmt not in ("iceberg", "delta", "deltatable"):
                 continue
             pat = re.compile(
                 rf"(?is)^\s*SELECT\s+.*?\sFROM\s+`?{re.escape(name)}`?"
@@ -383,10 +384,17 @@ class SeafowlContext:
             for q in filter(None, (m.group("alias"), name)):
                 # qualified refs -> bare names for the stats evaluator
                 pred = re.sub(rf"(?<![\w.`])`?{re.escape(q)}`?\.", "", pred)
-            from ..sources.iceberg import read_iceberg
-
             try:
-                df = read_iceberg(self.spark, location, options, predicate_sql=pred)
+                if fmt == "iceberg":
+                    from ..sources.iceberg import read_iceberg
+
+                    df = read_iceberg(
+                        self.spark, location, options, predicate_sql=pred
+                    )
+                else:
+                    from ..sources.delta_log import read_any_delta
+
+                    df = read_any_delta(self.spark, location, predicate_sql=pred)
             except Exception:
                 continue  # best-effort: the full view is already registered
             df.createOrReplaceTempView(name)

@@ -175,15 +175,105 @@ def delta_snapshot_adds(
     }, meta
 
 
+def _file_stats_json(parquet_path: str) -> dict:
+    """Delta per-file stats JSON (numRecords/minValues/maxValues/nullCount)
+    from the parquet footer — what delta-rs/delta-spark writers emit, and
+    what ``prune_adds`` consumes on read."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            st = col.statistics
+            if st is None:
+                mins.pop(name, None), maxs.pop(name, None)
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.has_min_max:
+                if name not in mins or st.min < mins[name]:
+                    mins[name] = st.min
+                if name not in maxs or st.max > maxs[name]:
+                    maxs[name] = st.max
+
+    def _j(v):
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return None
+        return v
+
+    return {
+        "numRecords": md.num_rows,
+        "minValues": {k: _j(v) for k, v in mins.items() if _j(v) is not None},
+        "maxValues": {k: _j(v) for k, v in maxs.items() if _j(v) is not None},
+        "nullCount": nulls,
+    }
+
+
+def prune_adds(adds: dict[str, dict], predicate_sql: str | None) -> dict[str, dict]:
+    """Delta file skipping from per-add ``stats`` JSON — the same job
+    delta-rs delegates to DataFusion's PruningPredicate when the reference
+    plans UPDATE/DELETE/scan. Conservative: a file is dropped only when its
+    [min, max]/nullCount prove the predicate matches no row; adds without
+    stats, unknown columns, and unparseable predicates keep the file."""
+    if not predicate_sql:
+        return adds
+    from ..engine.pruning import _may_match, parse_predicate
+
+    ast = parse_predicate(predicate_sql)
+    if ast is None:
+        return adds
+    out: dict[str, dict] = {}
+    for path, add in adds.items():
+        raw = add.get("stats")
+        if not raw:
+            out[path] = add
+            continue
+        try:
+            s = json.loads(raw) if isinstance(raw, str) else raw
+        except (TypeError, ValueError):
+            out[path] = add
+            continue
+        mins = s.get("minValues") or {}
+        maxs = s.get("maxValues") or {}
+        nulls = s.get("nullCount") or {}
+        stats = {
+            c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c)}
+            for c in set(mins) | set(maxs) | set(nulls)
+        }
+        if _may_match(ast, stats, int(s.get("numRecords") or 0)):
+            out[path] = add
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    predicate_sql: str | None = None,
 ) -> DataFrame:
     adds, meta = delta_snapshot_adds(table_dir, version, timestamp_ms)
     if not adds:
         raise DeltaLogError(f"selected delta version has no live files: {table_dir}")
+    all_adds = adds
+    adds = prune_adds(adds, predicate_sql)
+    if not adds:
+        # every file pruned: empty frame with the table's schema
+        first = sorted(all_adds)[0]
+        empty = spark.read.parquet(first).limit(0)
+        empty = _apply_deletion_vectors(spark, empty, table_dir, {})
+        return _apply_column_mapping(empty, meta)
     reader = spark.read
     if meta.get("partitionColumns"):
         # partition values live in the directory names delta-rs writes;
@@ -323,6 +413,7 @@ def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
                     "size": os.path.getsize(dest),
                     "modificationTime": now_ms,
                     "dataChange": True,
+                    "stats": json.dumps(_file_stats_json(dest)),
                 }
             }
         )
@@ -367,9 +458,11 @@ def read_any_delta(
     table_dir: str,
     version: int | None = None,
     timestamp: str | None = None,
+    predicate_sql: str | None = None,
 ) -> DataFrame:
     """Dispatch on layout: a real Delta ``_delta_log`` or a deltalite
-    ``_log`` directory (engine-native tables)."""
+    ``_log`` directory (engine-native tables). ``predicate_sql`` enables
+    stats-based file skipping on the real-delta path."""
     if is_delta_table(table_dir):
         ts_ms = None
         if timestamp is not None:
@@ -379,7 +472,10 @@ def read_any_delta(
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=_dt.timezone.utc)
             ts_ms = int(dt.timestamp() * 1000)
-        return read_delta(spark, table_dir, version=version, timestamp_ms=ts_ms)
+        return read_delta(
+            spark, table_dir, version=version, timestamp_ms=ts_ms,
+            predicate_sql=predicate_sql,
+        )
     from ..engine.deltalite import DeltaLiteTable
 
     return DeltaLiteTable(spark, table_dir).to_df(version=version, timestamp=timestamp)

@@ -142,10 +142,14 @@ def _decode_bound(type_str: str, raw: bytes):
             return raw != b"\x00"
         if type_str == "date":
             days = _struct.unpack("<i", raw)[0]
-            return _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+            # isoformat string: the pruning evaluator compares temporal
+            # stats lexically against DATE/TIMESTAMP literals
+            return (_dt.date(1970, 1, 1) + _dt.timedelta(days=days)).isoformat()
         if type_str in ("timestamp", "timestamptz"):
             us = _struct.unpack("<q", raw)[0]
-            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            return (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            ).isoformat(sep=" ")
     except _struct.error:
         return None
     return None  # unknown/complex type -> no pruning on this column

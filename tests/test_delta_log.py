@@ -284,3 +284,60 @@ class TestDeltaWriter:
         ctx.execute(f"CONVERT '{delta_dir}' TO DELTA conv_dl")
         out = ctx.execute("SELECT k FROM conv_dl ORDER BY k").collect()
         assert [r.k for r in out] == [3]
+
+
+class TestDeltaStatsPruning:
+    """File skipping from per-add stats JSON (prune_adds + engine wiring)."""
+
+    def _two_file_table(self, spark, tmp_path):
+        from seafowl_spark.sources.delta_log import write_delta_table
+
+        d = str(tmp_path / "pr")
+        df1 = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        df2 = spark.range(1000, 1010).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        write_delta_table(spark, df1.coalesce(1), d)
+        write_delta_table(spark, df2.coalesce(1), d)
+        return d
+
+    def test_writer_emits_stats(self, spark, tmp_path):
+        from seafowl_spark.sources.delta_log import delta_snapshot_adds
+
+        d = self._two_file_table(spark, tmp_path)
+        adds, _ = delta_snapshot_adds(d)
+        stats = [json.loads(a["stats"]) for a in adds.values()]
+        assert sorted(s["minValues"]["k"] for s in stats) == [0, 1000]
+        assert all(s["numRecords"] == 10 for s in stats)
+        assert all(s["nullCount"]["k"] == 0 for s in stats)
+
+    def test_prune_adds_conservative(self, spark, tmp_path):
+        from seafowl_spark.sources.delta_log import delta_snapshot_adds, prune_adds
+
+        d = self._two_file_table(spark, tmp_path)
+        adds, _ = delta_snapshot_adds(d)
+        assert len(prune_adds(adds, "k >= 1000")) == 1
+        assert len(prune_adds(adds, "k = 5")) == 1
+        assert len(prune_adds(adds, "k < 0")) == 0
+        # unknown column / unparseable predicate / no stats keep everything
+        assert len(prune_adds(adds, "zzz = 1")) == 2
+        assert len(prune_adds(adds, "weird_func(k) = 1")) == 2
+        stripped = {
+            p: {k: v for k, v in a.items() if k != "stats"} for p, a in adds.items()
+        }
+        assert len(prune_adds(stripped, "k < 0")) == 2
+
+    def test_pruned_read_and_empty_case(self, spark, tmp_path):
+        d = self._two_file_table(spark, tmp_path)
+        out = read_delta(spark, d, predicate_sql="k >= 1000")
+        assert out.count() == 10
+        assert len(out.inputFiles()) == 1
+        empty = read_delta(spark, d, predicate_sql="k < 0")
+        assert empty.count() == 0
+        assert set(empty.columns) == {"k", "v"}
+
+    def test_engine_query_prunes_files(self, ctx, spark, tmp_path):
+        d = self._two_file_table(spark, tmp_path)
+        ctx.execute(f"CREATE EXTERNAL TABLE dl STORED AS DELTA LOCATION '{d}'")
+        full = ctx.execute("SELECT * FROM staging.dl")
+        filtered = ctx.execute("SELECT k FROM staging.dl WHERE k >= 1000 ORDER BY k")
+        assert [r.k for r in filtered.collect()] == list(range(1000, 1010))
+        assert len(filtered.inputFiles()) < len(full.inputFiles())
