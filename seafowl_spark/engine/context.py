@@ -21,6 +21,7 @@ import os
 import re
 import threading
 from dataclasses import dataclass
+from typing import Any
 from hashlib import sha256
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -368,9 +369,17 @@ class SeafowlContext:
             return
         if len(re.findall(r"(?i)\bSELECT\b", sql)) != 1:
             return
+        candidates: list[tuple[str, Any]] = []
         for name, (fmt, location, options) in self.staging_specs.items():
-            if fmt not in ("iceberg", "delta", "deltatable"):
-                continue
+            if fmt in ("iceberg", "delta", "deltatable"):
+                candidates.append((name, (fmt, location, options)))
+        for e in self.catalog.tables(self.database):
+            # engine-native tables prune by the footer stats their adds
+            # already carry — the read-side twin of DML pruning
+            candidates.append((_mangle(e.schema, e.name), e))
+            if e.schema == self.search_schema:
+                candidates.append((e.name, e))
+        for name, spec in candidates:
             pat = re.compile(
                 rf"(?is)^\s*SELECT\s+.*?\sFROM\s+`?{re.escape(name)}`?"
                 rf"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?"
@@ -385,16 +394,24 @@ class SeafowlContext:
                 # qualified refs -> bare names for the stats evaluator
                 pred = re.sub(rf"(?<![\w.`])`?{re.escape(q)}`?\.", "", pred)
             try:
-                if fmt == "iceberg":
-                    from ..sources.iceberg import read_iceberg
+                if isinstance(spec, tuple):
+                    fmt, location, options = spec
+                    if fmt == "iceberg":
+                        from ..sources.iceberg import read_iceberg
 
-                    df = read_iceberg(
-                        self.spark, location, options, predicate_sql=pred
-                    )
+                        df = read_iceberg(
+                            self.spark, location, options, predicate_sql=pred
+                        )
+                    else:
+                        from ..sources.delta_log import read_any_delta
+
+                        df = read_any_delta(
+                            self.spark, location, predicate_sql=pred
+                        )
                 else:
-                    from ..sources.delta_log import read_any_delta
-
-                    df = read_any_delta(self.spark, location, predicate_sql=pred)
+                    df = DeltaLiteTable(
+                        self.spark, self.table_root(spec)
+                    ).to_df(predicate_sql=pred)
             except Exception:
                 continue  # best-effort: the full view is already registered
             df.createOrReplaceTempView(name)

@@ -360,12 +360,24 @@ class DeltaLiteTable:
 
     # ----------------------------------------------------------- reads
 
-    def to_df(self, version: int | None = None, timestamp: str | None = None) -> DataFrame:
+    def to_df(
+        self,
+        version: int | None = None,
+        timestamp: str | None = None,
+        predicate_sql: str | None = None,
+    ) -> DataFrame:
         snap = self.snapshot(version, timestamp)
         schema = T.StructType.fromDDL(snap.schema_ddl)
-        if not snap.files:
+        files = snap.files
+        if predicate_sql:
+            # stats-based file skipping for reads — the same conservative
+            # evaluator UPDATE/DELETE rewrites use (engine/pruning.py)
+            from .pruning import prune_files
+
+            files = prune_files(files, predicate_sql)
+        if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f.path) for f in snap.files]
+        paths = [os.path.join(self.root, f.path) for f in files]
         # explicit schema: empty-file-set and add-order independence
         return self.spark.read.schema(schema).parquet(*paths)
 

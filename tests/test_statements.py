@@ -680,3 +680,38 @@ class TestLogCheckpoints:
         # and DML on a checkpointed table keeps working
         ctx.execute("DELETE FROM ck WHERE x >= 20")
         assert rows(ctx.execute("SELECT count(*) AS n FROM ck")) == [(20,)]
+
+
+class TestNativeScanPruning:
+    """Read-side file skipping for engine-native tables: a simple
+    SELECT+WHERE scans only the files whose add-stats may match."""
+
+    def test_select_prunes_files(self, ctx):
+        ctx.execute("CREATE TABLE pr (k BIGINT, v STRING)")
+        ctx.execute(
+            "INSERT INTO pr SELECT id, CAST(id AS STRING) FROM range(0, 10)"
+        )
+        ctx.execute(
+            "INSERT INTO pr SELECT id, CAST(id AS STRING) FROM range(1000, 1010)"
+        )
+        full = ctx.execute("SELECT * FROM pr")
+        assert len(full.inputFiles()) >= 2
+        filtered = ctx.execute("SELECT k FROM pr WHERE k >= 1000 ORDER BY k")
+        assert [r.k for r in filtered.collect()] == list(range(1000, 1010))
+        assert len(filtered.inputFiles()) < len(full.inputFiles())
+        empty = ctx.execute("SELECT k FROM pr WHERE k < 0")
+        assert empty.count() == 0
+        # joins / multi-SELECT shapes bypass the pruner but stay correct
+        joined = ctx.execute(
+            "SELECT a.k FROM pr a JOIN pr b ON a.k = b.k WHERE a.k >= 1000"
+        )
+        assert joined.count() == 10
+
+    def test_qualified_name_prunes(self, ctx):
+        ctx.execute("CREATE TABLE pq2 (k BIGINT)")
+        ctx.execute("INSERT INTO pq2 SELECT id FROM range(0, 5)")
+        ctx.execute("INSERT INTO pq2 SELECT id FROM range(500, 505)")
+        full = ctx.execute("SELECT * FROM public.pq2")
+        filtered = ctx.execute("SELECT k FROM public.pq2 WHERE k < 10")
+        assert sorted(r.k for r in filtered.collect()) == [0, 1, 2, 3, 4]
+        assert len(filtered.inputFiles()) < len(full.inputFiles())
