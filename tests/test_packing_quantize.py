@@ -1,0 +1,133 @@
+"""Sequence packing (operators/packing.py) and int8 embedding quantization
+(operators/quantize.py) over the testdata tables."""
+
+from pyspark.sql import functions as F
+
+from seafowl_spark.io import table
+from seafowl_spark.operators.packing import pack_sequences
+from seafowl_spark.operators.quantize import (
+    quantize_int8,
+    quantized_cosine,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+BUDGET = 512
+
+
+class TestPackSequences:
+    def _docs(self, spark):
+        d = table(spark, SF_DIR, "documents")
+        return d.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "n_tokens"
+            ),
+        )
+
+    def test_matches_sequential_reference(self, spark):
+        docs = self._docs(spark)
+        out = {
+            r.doc_id: r
+            for r in pack_sequences(
+                docs, "n_tokens", ["doc_id"], BUDGET
+            ).collect()
+        }
+        rows = sorted(
+            ((r.doc_id, r.n_tokens) for r in docs.collect())
+        )
+        cum = 0
+        for doc_id, n in rows:
+            r = out[doc_id]
+            assert r.pack_id == cum // BUDGET
+            assert r.offset_in_pack == cum % BUDGET
+            assert r.spans_boundary == (cum % BUDGET + n > BUDGET)
+            cum += n
+
+    def test_pack_fill_bounded(self, spark):
+        out = pack_sequences(self._docs(spark), "n_tokens", ["doc_id"], BUDGET)
+        fills = (
+            out.groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("toks"))
+            .collect()
+        )
+        # chunking: every pack except the last holds >= budget worth of
+        # starts+carry, i.e. first tokens of each pack fill the stream
+        total = sum(r.toks for r in fills)
+        n_packs = 1 + max(r.pack_id for r in fills)
+        assert (n_packs - 1) * BUDGET < total <= n_packs * BUDGET + max(
+            r.toks for r in fills
+        )
+
+    def test_sharded_packing_independent(self, spark):
+        docs = self._docs(spark).withColumn("shard", F.col("doc_id") % 2)
+        out = pack_sequences(
+            docs, "n_tokens", ["doc_id"], BUDGET, shard_cols=["shard"]
+        )
+        # each shard starts its own pack 0 at offset 0
+        firsts = (
+            out.groupBy("shard")
+            .agg(F.min("doc_id").alias("first"))
+            .collect()
+        )
+        first_rows = {
+            (r.shard, r.doc_id): r for r in out.collect()
+        }
+        for f in firsts:
+            r = first_rows[(f.shard, f.first)]
+            assert r.pack_id == 0 and r.offset_in_pack == 0
+
+    def test_bad_budget_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            pack_sequences(self._docs(spark), "n_tokens", ["doc_id"], 0)
+
+
+class TestQuantize:
+    def test_quantization_bounds_and_scale(self, spark):
+        e = table(spark, SF_DIR, "embeddings")
+        q = quantize_int8(e, "embedding")
+        row = q.select(
+            F.max(F.array_max("q")).alias("hi"),
+            F.min(F.array_min("q")).alias("lo"),
+            F.min("q_scale").alias("smin"),
+        ).collect()[0]
+        assert row.hi <= 127 and row.lo >= -127
+        assert row.smin > 0
+
+    def test_quantized_cosine_close_to_exact(self, spark):
+        from seafowl_spark.functions import cosine_similarity
+
+        e = table(spark, SF_DIR, "embeddings").limit(30)
+        q = quantize_int8(e, "embedding").select("vec_id", "embedding", "q")
+        a = q.alias("a")
+        b = q.alias("b")
+        pairs = a.crossJoin(b).where(F.col("a.vec_id") < F.col("b.vec_id"))
+        scored = pairs.select(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+            quantized_cosine(F.col("a.q"), F.col("b.q")).alias("approx"),
+        ).collect()
+        worst = max(abs(r.exact - r.approx) for r in scored)
+        assert worst < 0.02  # int8 keeps cosine within ~2e-2
+
+    def test_topk_recall_vs_exact(self, spark):
+        from seafowl_spark.functions import cosine_similarity
+
+        e = table(spark, SF_DIR, "embeddings")
+        q = quantize_int8(e, "embedding")
+        query = q.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"), F.col("q").alias("qq")
+        )
+        scored = (
+            q.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(query))
+            .select(
+                "vec_id",
+                cosine_similarity(F.col("embedding"), F.col("qe")).alias("exact"),
+                quantized_cosine(F.col("q"), F.col("qq")).alias("approx"),
+            )
+            .collect()
+        )
+        top_exact = {r.vec_id for r in sorted(scored, key=lambda r: -r.exact)[:10]}
+        top_approx = {r.vec_id for r in sorted(scored, key=lambda r: -r.approx)[:10]}
+        assert len(top_exact & top_approx) >= 8  # recall@10 >= 0.8
