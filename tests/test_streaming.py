@@ -207,3 +207,85 @@ class TestIcebergSink:
         assert len(meta["snapshots"]) == 2
         out = read_iceberg(spark, latest_meta()).collect()
         assert sorted(r["k"] for r in out) == [1, 2, 3]
+
+
+class TestStreamingDedup:
+    def test_exact_dedup_across_batches(self, spark, tmp_path):
+        import json
+
+        from seafowl_spark.streaming.dedup import dedup_stream
+
+        src = tmp_path / "dd_src"
+        src.mkdir()
+        rows_b0 = [
+            {"doc_id": 1, "ts": "2024-01-01 00:00:01", "v": "a"},
+            {"doc_id": 1, "ts": "2024-01-01 00:00:01", "v": "a-dup"},
+            {"doc_id": 2, "ts": "2024-01-01 00:00:02", "v": "b"},
+        ]
+        (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows_b0))
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, ts string, v string")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        out_dir = tmp_path / "dd_out"
+        deduped = dedup_stream(stream, ["doc_id", "ts"], "ts", "1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # duplicate again in a second batch: state drops it too
+        (src / "b1.json").write_text(
+            json.dumps({"doc_id": 2, "ts": "2024-01-01 00:00:02", "v": "b-dup"})
+            + "\n"
+            + json.dumps({"doc_id": 3, "ts": "2024-01-01 00:00:03", "v": "c"})
+        )
+        q2 = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        got = sorted(
+            (r.doc_id, r.v)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_dedup_within_watermark_restamped(self, spark, tmp_path):
+        import json
+
+        from seafowl_spark.streaming.dedup import dedup_stream_within_watermark
+
+        src = tmp_path / "dw_src"
+        src.mkdir()
+        # same doc_id redelivered with a DIFFERENT timestamp
+        rows0 = [
+            {"doc_id": 7, "ts": "2024-01-01 00:00:01", "v": "first"},
+            {"doc_id": 7, "ts": "2024-01-01 00:00:09", "v": "retry"},
+        ]
+        (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows0))
+        stream = (
+            spark.readStream.schema("doc_id bigint, ts string, v string")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        out_dir = tmp_path / "dw_out"
+        q = (
+            dedup_stream_within_watermark(stream, ["doc_id"], "ts", "1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "dw_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [r.v for r in spark.read.parquet(str(out_dir)).collect()]
+        assert got == ["first"]

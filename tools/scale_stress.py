@@ -31,6 +31,11 @@ QUERIES = [
     "s_embedding_neardup",
     "t_fingerprint",
     "t_langid_quality",
+    # round-4 stage-2 pipeline ops
+    "d_dedup_components",
+    "t_contamination",
+    "t_pii_scan",
+    "t_sample_stratified",
 ]
 
 
