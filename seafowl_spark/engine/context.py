@@ -369,6 +369,35 @@ class SeafowlContext:
             return
         if len(re.findall(r"(?i)\bSELECT\b", sql)) != 1:
             return
+        s = sql.strip().rstrip("; \n")
+        # a bare LIMIT is an over-fetch cap; under ORDER BY it would
+        # truncate BEFORE the sort — never push those
+        limit_safe = not re.search(r"(?i)\b(ORDER|GROUP|HAVING|WINDOW|DISTINCT)\b", s)
+        for name, (fmt, location, options) in self.staging_specs.items():
+            if fmt != "table" or not limit_safe:
+                continue
+            # remote tables: re-push a bare trailing LIMIT into the remote
+            # SQL (the WHERE, if any, reaches the source through the Python
+            # DataSource's pushFilters at plan time). Projection-only
+            # select list (no parens = no aggregates), no GROUP/ORDER —
+            # a pushed LIMIT is an over-fetch cap, semantics-preserving.
+            m = re.match(
+                rf"(?is)^\s*SELECT\s+[\w\s,.*`]+?\sFROM\s+`?{re.escape(name)}`?"
+                rf"(?:\s+(?:AS\s+)?\w+)?(?:\s+WHERE\s+.+?)?\s+LIMIT\s+(?P<n>\d+)\s*$",
+                s,
+            )
+            if not m:
+                continue
+            from ..sources.external import read_external
+
+            try:
+                df = read_external(
+                    self.spark, "table", location,
+                    options={**options, "limit": m.group("n")},
+                )
+            except Exception:
+                continue
+            df.createOrReplaceTempView(name)
         candidates: list[tuple[str, Any]] = []
         for name, (fmt, location, options) in self.staging_specs.items():
             if fmt in ("iceberg", "delta", "deltatable"):
@@ -429,6 +458,10 @@ class SeafowlContext:
                 "external table"
             )
         fmt, location, options = spec
+        if fmt == "table":
+            raise ExecutionError(
+                f"time travel is not supported on remote table staging.{name}"
+            )
         if fmt in ("delta", "deltatable"):
             from ..sources.delta_log import read_any_delta
 
@@ -546,6 +579,12 @@ class SeafowlContext:
                 f"discovered schema {df.columns}"
             )
         self.staging[stmt.name] = df
+        if stmt.format == "table":
+            # remote table: keep the spec so per-query LIMITs can be
+            # re-pushed into the remote SQL (provider.rs renders LIMIT n)
+            self.staging_specs[stmt.name] = (
+                stmt.format, stmt.location, dict(stmt.options or {})
+            )
         if stmt.format in ("iceberg", "delta", "deltatable"):
             options = dict(stmt.options or {})
             if stmt.format == "iceberg" and "snapshot-id" not in options:

@@ -261,8 +261,17 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass every LLM corpus build runs (shingle hashes, not raw text, cross
     the wire).
     """
-    sh = _shingled_docs(spark, sf_dir).withColumn(
-        "is_eval", md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0
+    # persist: (a) both split branches read the shingle table, and (b) a
+    # Generate (explode) downstream lets CollapseProject inline the shingle
+    # lambda into per-element evaluation, re-splitting the document for
+    # every shingle — O(tokens^2) per doc, measured 14x slower at sf0.1.
+    # The barrier pins one row-local shingle pass.
+    sh = (
+        _shingled_docs(spark, sf_dir)
+        .withColumn(
+            "is_eval", md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0
+        )
+        .persist()
     )
     ev = (
         sh.where(F.col("is_eval"))

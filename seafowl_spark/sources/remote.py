@@ -400,9 +400,14 @@ def build_remote_sql(
     where: list[str],
     partition_clause: str | None = None,
     dialect: Dialect = _SQLITE,
+    limit: int | None = None,
 ) -> str:
     """The exact query string shipped to the remote database
-    (reference provider.rs:170-177 builds the same shape)."""
+    (reference provider.rs:170-177 builds the same shape, LIMIT included).
+
+    With range partitions, LIMIT bounds each partition's fetch (an
+    over-fetch cap, n rows per partition worst case); the engine keeps its
+    own LIMIT on top, so results stay exact."""
     cols = ", ".join(dialect.quote(f.name) for f in schema.fields)
     clauses = list(where)
     if partition_clause:
@@ -410,6 +415,8 @@ def build_remote_sql(
     sql = f"SELECT {cols} FROM {dialect.quote(table)}"
     if clauses:
         sql += " WHERE " + " AND ".join(clauses)
+    if limit is not None:
+        sql += f" LIMIT {int(limit)}"
     return sql
 
 
@@ -468,6 +475,7 @@ class RemoteTableReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", "1"))
         self.lower_bound = options.get("lower_bound")
         self.upper_bound = options.get("upper_bound")
+        self.limit = int(options["limit"]) if options.get("limit") else None
         self.where: list[str] = []
         self.dialect = dialect_for(self.dsn)
 
@@ -525,7 +533,8 @@ class RemoteTableReader(DataSourceReader):
 
         arrow_schema = to_arrow_schema(self.schema)
         sql = build_remote_sql(
-            self.schema, self.table, self.where, partition.clause, self.dialect
+            self.schema, self.table, self.where, partition.clause, self.dialect,
+            limit=self.limit,
         )
         con = _connect(self.dsn)
         try:

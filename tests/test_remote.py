@@ -235,3 +235,48 @@ class TestDialects:
         assert dialect_for("sqlite:///tmp/x.db").name == "sqlite"
         assert dialect_for("postgres://h/db").name == "postgresql"
         assert dialect_for("mysql://h/db").name == "mysql"
+
+
+class TestLimitPushdown:
+    def test_build_sql_renders_limit(self):
+        s = T.StructType([T.StructField("a", T.LongType())])
+        sql = build_remote_sql(s, "t", [], None, limit=7)
+        assert sql == 'SELECT "a" FROM "t" LIMIT 7'
+
+    def test_reader_honors_limit_option(self, spark, db):
+        from seafowl_spark.sources.remote import read_remote_table
+
+        out = read_remote_table(
+            spark, f"sqlite://{db}", "source table", options={"limit": "2"}
+        )
+        assert out.count() == 2
+
+    def test_engine_limit_pushed_and_correct(self, ctx, db):
+        ctx.execute(
+            "CREATE EXTERNAL TABLE rl STORED AS TABLE "
+            f"OPTIONS ('name' 'source table') LOCATION 'sqlite://{db}'"
+        )
+        out = ctx.execute("SELECT a, c FROM staging.rl LIMIT 3")
+        assert out.count() == 3
+        # with WHERE: filter still applies, limit bounds the result
+        out2 = ctx.execute("SELECT a FROM staging.rl WHERE a > 1 LIMIT 2")
+        got = [r.a for r in out2.collect()]
+        assert len(got) == 2 and all(a > 1 for a in got)
+        # ORDER BY + LIMIT (top-k) must NOT push a bare remote limit:
+        # results stay exact
+        out3 = ctx.execute("SELECT a FROM staging.rl WHERE a IS NOT NULL ORDER BY a DESC LIMIT 2")
+        assert [r.a for r in out3.collect()] == [4, 3]
+
+    def test_remote_travel_rejected(self, ctx, db):
+        import pytest
+
+        from seafowl_spark.engine.context import ExecutionError
+
+        ctx.execute(
+            "CREATE EXTERNAL TABLE rt STORED AS TABLE "
+            f"OPTIONS ('name' 'source table') LOCATION 'sqlite://{db}'"
+        )
+        with pytest.raises(ExecutionError, match="time travel"):
+            ctx.execute(
+                "SELECT a FROM staging.rt FOR VERSION AS OF 1"
+            )
