@@ -196,6 +196,34 @@ def _bounds_map(obj) -> dict[int, bytes]:
     return {int(e["key"]): e["value"] for e in obj}
 
 
+def _partition_specs(meta: dict) -> dict[int, list[dict]]:
+    """spec-id -> partition field list (v2 partition-specs / v1
+    partition-spec)."""
+    out: dict[int, list[dict]] = {}
+    for spec in meta.get("partition-specs") or []:
+        out[int(spec.get("spec-id", 0))] = spec.get("fields", [])
+    if not out and meta.get("partition-spec"):
+        out[0] = meta["partition-spec"]
+    return out
+
+
+def _convert_partition_value(type_str: str | None, v):
+    """Iceberg stores date partition values as epoch days and timestamps
+    as epoch micros; surface them the way bounds are surfaced (ISO
+    strings) so the pruning evaluator compares them."""
+    import datetime as _dt
+
+    if v is None or type_str is None:
+        return v if isinstance(v, (int, float, str, bool)) else None
+    if type_str == "date" and isinstance(v, int):
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+    if type_str in ("timestamp", "timestamptz") and isinstance(v, int):
+        return (
+            _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+        ).isoformat(sep=" ")
+    return v if isinstance(v, (int, float, str, bool)) else None
+
+
 def _current_schema(meta: dict) -> dict:
     schemas = meta.get("schemas")
     if schemas:
@@ -236,6 +264,8 @@ def scan_snapshot(
         return os.path.normpath(_localize(p, location, mdir))
 
     types_by_id = _field_types_by_id(meta)
+    specs = _partition_specs(meta)
+    default_spec = int(meta.get("default-spec-id", 0))
     manifest_list = _localize(snap["manifest-list"], location, mdir)
     _, manifests = read_avro(manifest_list)
     data_files: list[tuple[str, int]] = []
@@ -276,7 +306,32 @@ def scan_snapshot(
                         col["nulls"] = v if isinstance(v, int) else None
                     if col.get("min") is not None or col.get("nulls") is not None:
                         stats[name] = col
-                file_stats[path] = (stats, int(df.get("record_count") or 0))
+                # identity partition values are exact per-file constants:
+                # min == max == value (the partition pruning every Iceberg
+                # planner starts with; non-identity transforms are skipped)
+                part = df.get("partition") or {}
+                rows = int(df.get("record_count") or 0)
+                for pf in specs.get(
+                    int(m.get("partition_spec_id", default_spec)), []
+                ):
+                    if pf.get("transform") != "identity":
+                        continue
+                    src_name = by_id.get(pf.get("source-id"))
+                    if src_name is None or src_name in stats:
+                        continue
+                    if pf.get("name") not in part:
+                        continue
+                    raw = part.get(pf.get("name"))
+                    if raw is None:
+                        # null partition value: the column is null file-wide
+                        stats[src_name] = {"nulls": rows}
+                        continue
+                    pv = _convert_partition_value(
+                        types_by_id.get(pf.get("source-id")), raw
+                    )
+                    if pv is not None:  # unconvertible values add no stats
+                        stats[src_name] = {"min": pv, "max": pv, "nulls": 0}
+                file_stats[path] = (stats, rows)
             elif content == 1:  # position deletes
                 pos_deletes.append(path)
             elif content == 2:  # equality deletes

@@ -461,3 +461,161 @@ class TestManifestPruning:
             "SELECT a.key FROM staging.ice a JOIN staging.ice b ON a.key = b.key"
         )
         assert sorted(r.key for r in joined.collect()) == [1, 2, 3, 4]
+
+
+class TestPartitionPruning:
+    """Identity partition values from manifests act as exact per-file
+    min==max stats, so partition filters prune at plan time."""
+
+    @pytest.fixture()
+    def partitioned_table(self, spark, tmp_path):
+        import json as _json
+
+        from seafowl_spark.sources.avro import write_avro
+        from seafowl_spark.sources.iceberg import _MANIFEST_FILE_SCHEMA
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        d = str(tmp_path / "ptbl")
+        os.makedirs(os.path.join(d, "data"))
+        os.makedirs(os.path.join(d, "metadata"))
+        files = []
+        for region, keys in (("eu", [1, 2]), ("us", [3, 4])):
+            p = os.path.join(d, "data", f"{region}.parquet")
+            _pq.write_table(
+                _pa.table({
+                    "key": _pa.array(keys, _pa.int64()),
+                    "region": [region] * len(keys),
+                }),
+                p,
+            )
+            files.append((p, region, len(keys)))
+
+        entry_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {"name": "region", "type": ["null", "string"], "default": None},
+                                    ],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+        manifest = os.path.join(d, "metadata", "m0.avro")
+        write_avro(
+            manifest,
+            entry_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1,
+                    "sequence_number": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {"region": region},
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(p),
+                    },
+                }
+                for p, region, n in files
+            ],
+        )
+        mlist = os.path.join(d, "metadata", "ml.avro")
+        write_avro(mlist, _MANIFEST_FILE_SCHEMA, [{
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": 2,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 4,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }])
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-00000000aaaa",
+            "location": d,
+            "last-sequence-number": 1,
+            "last-column-id": 2,
+            "schemas": [{
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "key", "required": False, "type": "long"},
+                    {"id": 2, "name": "region", "required": False, "type": "string"},
+                ],
+            }],
+            "current-schema-id": 0,
+            "partition-specs": [{
+                "spec-id": 0,
+                "fields": [{
+                    "name": "region", "transform": "identity",
+                    "source-id": 2, "field-id": 1000,
+                }],
+            }],
+            "default-spec-id": 0,
+            "current-snapshot-id": 1,
+            "snapshots": [{
+                "snapshot-id": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"},
+            }],
+        }
+        mp = os.path.join(d, "metadata", "v1.metadata.json")
+        _json.dump(meta, open(mp, "w"))
+        return mp
+
+    def test_partition_values_become_stats(self, partitioned_table):
+        from seafowl_spark.sources.iceberg import scan_snapshot
+
+        scan = scan_snapshot(partitioned_table)
+        regions = sorted(
+            s["region"]["min"] for s, _ in scan.file_stats.values()
+        )
+        assert regions == ["eu", "us"]
+        assert all(
+            s["region"]["min"] == s["region"]["max"]
+            for s, _ in scan.file_stats.values()
+        )
+
+    def test_partition_filter_prunes(self, spark, partitioned_table):
+        from seafowl_spark.sources.iceberg import prune_data_files, scan_snapshot
+
+        scan = scan_snapshot(partitioned_table)
+        kept = prune_data_files(scan, "region = 'eu'")
+        assert len(kept) == 1
+        out = read_iceberg(spark, partitioned_table, predicate_sql="region = 'eu'")
+        assert sorted(r.key for r in out.collect()) == [1, 2]
+        assert len(out.inputFiles()) == 1
