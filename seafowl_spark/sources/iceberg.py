@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from typing import Any
 from urllib.parse import urlparse
@@ -115,6 +116,8 @@ class IcebergScan:
     localize: Any  # original URI -> local path (for pos-delete file_path values)
     # local path -> ({col: {min, max, nulls}}, record_count)
     file_stats: dict[str, tuple[dict, int]] = None  # type: ignore[assignment]
+    # local path -> {col: (iceberg type, n_buckets, file bucket value)}
+    file_buckets: dict[str, dict] = None  # type: ignore[assignment]
 
 
 # ------------------------------------------------------------ bound values
@@ -196,6 +199,76 @@ def _bounds_map(obj) -> dict[int, bytes]:
     return {int(e["key"]): e["value"] for e in obj}
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit — the hash Iceberg's bucket[N] transform is
+    defined over (spec Appendix B; test vectors pinned in tests). Returns
+    a SIGNED 32-bit int, matching the reference implementations."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def bucket_value(type_str: str, value, n_buckets: int) -> int | None:
+    """Iceberg bucket[N] of a literal: murmur3 of the spec's hash-byte
+    serialization (ints/longs/dates/timestamps as 8-byte LE longs, strings
+    as UTF-8), positive-mod N. None when the type is unsupported (caller
+    keeps the file — conservative)."""
+    import datetime as _dt
+    import struct as _struct
+
+    if type_str in ("int", "long"):
+        try:
+            raw = _struct.pack("<q", int(value))
+        except (ValueError, TypeError, _struct.error):
+            return None
+    elif type_str == "string":
+        raw = str(value).encode("utf-8")
+    elif type_str == "date":
+        try:
+            d = _dt.date.fromisoformat(str(value))
+        except ValueError:
+            return None
+        raw = _struct.pack("<q", (d - _dt.date(1970, 1, 1)).days)
+    elif type_str in ("timestamp", "timestamptz"):
+        try:
+            dt = _dt.datetime.fromisoformat(str(value).replace("T", " "))
+        except ValueError:
+            return None
+        us = int((dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        raw = _struct.pack("<q", us)
+    else:
+        return None
+    return (murmur3_32(raw) & 0x7FFFFFFF) % n_buckets
+
+
 def _partition_specs(meta: dict) -> dict[int, list[dict]]:
     """spec-id -> partition field list (v2 partition-specs / v1
     partition-spec)."""
@@ -272,6 +345,7 @@ def scan_snapshot(
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, int, tuple[str, ...]]] = []
     file_stats: dict[str, tuple[dict, int]] = {}
+    file_buckets: dict[str, dict] = {}
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == _CONTENT_DELETES
         mseq = m.get("sequence_number") or 0
@@ -314,6 +388,16 @@ def scan_snapshot(
                 for pf in specs.get(
                     int(m.get("partition_spec_id", default_spec)), []
                 ):
+                    bucket_m = re.match(r"bucket\[(\d+)\]", pf.get("transform") or "")
+                    if bucket_m and pf.get("name") in part:
+                        src_name = by_id.get(pf.get("source-id"))
+                        raw = part.get(pf.get("name"))
+                        t = types_by_id.get(pf.get("source-id"))
+                        if src_name and t and isinstance(raw, int):
+                            file_buckets.setdefault(path, {})[src_name] = (
+                                t, int(bucket_m.group(1)), raw
+                            )
+                        continue
                     if pf.get("transform") != "identity":
                         continue
                     src_name = by_id.get(pf.get("source-id"))
@@ -344,7 +428,25 @@ def scan_snapshot(
                 eq_deletes.append((path, seq, names))
             else:
                 raise IcebergError(f"unknown iceberg file content {content}")
-    return IcebergScan(data_files, pos_deletes, eq_deletes, localize, file_stats)
+    return IcebergScan(
+        data_files, pos_deletes, eq_deletes, localize, file_stats, file_buckets
+    )
+
+
+def _bucket_may_match(node, buckets: dict) -> bool:
+    """True unless an equality conjunct's literal hashes to a different
+    bucket than the file's bucket[N] partition value."""
+    from ..engine.pruning import BoolOp, Cmp
+
+    if isinstance(node, BoolOp):
+        if node.op == "and":
+            return all(_bucket_may_match(a, buckets) for a in node.args)
+        return any(_bucket_may_match(a, buckets) for a in node.args)
+    if isinstance(node, Cmp) and node.op == "=" and node.col in buckets:
+        t, n, file_bucket = buckets[node.col]
+        bv = bucket_value(t, node.value, n)
+        return bv is None or bv == file_bucket
+    return True  # Not/IsNull/ranges: buckets scatter ranges, keep the file
 
 
 def prune_data_files(
@@ -363,7 +465,7 @@ def prune_data_files(
     a 100 TB table and opening only the files a filter can touch; the
     decision runs driver-side over manifest metadata (bytes ~ #files).
     """
-    if not predicate_sql or not scan.file_stats:
+    if not predicate_sql or not (scan.file_stats or scan.file_buckets):
         return scan.data_files
     from ..engine.pruning import parse_predicate, _may_match
 
@@ -372,9 +474,13 @@ def prune_data_files(
         return scan.data_files
     out = []
     for path, seq in scan.data_files:
-        stats, rows = scan.file_stats.get(path, ({}, 0))
-        if _may_match(ast, stats, rows):
-            out.append((path, seq))
+        stats, rows = (scan.file_stats or {}).get(path, ({}, 0))
+        if not _may_match(ast, stats, rows):
+            continue
+        buckets = (scan.file_buckets or {}).get(path)
+        if buckets and not _bucket_may_match(ast, buckets):
+            continue
+        out.append((path, seq))
     return out
 
 

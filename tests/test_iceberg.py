@@ -619,3 +619,119 @@ class TestPartitionPruning:
         out = read_iceberg(spark, partitioned_table, predicate_sql="region = 'eu'")
         assert sorted(r.key for r in out.collect()) == [1, 2]
         assert len(out.inputFiles()) == 1
+
+
+class TestBucketTransform:
+    def test_spec_hash_vectors(self):
+        """The Iceberg spec's own Appendix B test vectors."""
+        import struct
+
+        from seafowl_spark.sources.iceberg import bucket_value, murmur3_32
+
+        assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+        assert murmur3_32(b"iceberg") == 1210000089
+        # date 2017-11-16 = 17486 days; hashed as a long
+        assert murmur3_32(struct.pack("<q", 17486)) == -653330422
+        # bucket_value composes hash & positive-mod
+        assert bucket_value("int", 34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+        assert bucket_value("string", "iceberg", 16) == 1210000089 % 16
+        assert bucket_value("date", "2017-11-16", 4) == ((-653330422) & 0x7FFFFFFF) % 4
+        assert bucket_value("decimal(9,2)", 1, 4) is None  # unsupported
+
+    def test_bucketed_fixture_prunes_on_equality(self, spark, tmp_path):
+        import json as _json
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from seafowl_spark.sources.avro import write_avro
+        from seafowl_spark.sources.iceberg import (
+            _MANIFEST_FILE_SCHEMA,
+            bucket_value,
+            prune_data_files,
+            scan_snapshot,
+        )
+
+        d = str(tmp_path / "btbl")
+        os.makedirs(os.path.join(d, "data"))
+        os.makedirs(os.path.join(d, "metadata"))
+        n_buckets = 4
+        by_bucket: dict[int, list[int]] = {}
+        for k in range(40):
+            by_bucket.setdefault(bucket_value("long", k, n_buckets), []).append(k)
+        entries = []
+        for b, keys in sorted(by_bucket.items()):
+            p = os.path.join(d, "data", f"b{b}.parquet")
+            _pq.write_table(_pa.table({"key": _pa.array(keys, _pa.int64())}), p)
+            entries.append({
+                "status": 1, "snapshot_id": 1, "sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": p, "file_format": "PARQUET",
+                    "partition": {"key_bucket": b},
+                    "record_count": len(keys),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            })
+        entry_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {"name": "sequence_number", "type": ["null", "long"], "default": None},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {
+                            "type": "record", "name": "r102", "fields": [
+                                {"name": "key_bucket", "type": ["null", "int"], "default": None},
+                            ]}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ],
+        }
+        manifest = os.path.join(d, "metadata", "m0.avro")
+        write_avro(manifest, entry_schema, entries)
+        mlist = os.path.join(d, "metadata", "ml.avro")
+        write_avro(mlist, _MANIFEST_FILE_SCHEMA, [{
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": len(entries), "existing_files_count": 0,
+            "deleted_files_count": 0, "added_rows_count": 40,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }])
+        meta = {
+            "format-version": 2, "table-uuid": "00000000-0000-0000-0000-00000000bbbb",
+            "location": d, "last-sequence-number": 1, "last-column-id": 1,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "key", "required": False, "type": "long"},
+            ]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [{
+                "name": "key_bucket", "transform": f"bucket[{n_buckets}]",
+                "source-id": 1, "field-id": 1000,
+            }]}],
+            "default-spec-id": 0, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000000,
+                           "manifest-list": mlist,
+                           "summary": {"operation": "append"}}],
+        }
+        mp = os.path.join(d, "metadata", "v1.metadata.json")
+        _json.dump(meta, open(mp, "w"))
+
+        scan = scan_snapshot(mp)
+        assert len(scan.data_files) == len(by_bucket)
+        kept = prune_data_files(scan, "key = 17")
+        assert len(kept) == 1
+        out = read_iceberg(spark, mp, predicate_sql="key = 17")
+        assert 17 in {r.key for r in out.collect()}
+        assert len(out.inputFiles()) == 1
+        # ranges do not consult buckets (scattered) — everything kept
+        assert len(prune_data_files(scan, "key > 5")) == len(by_bucket)
+        # AND of two equalities on the same column still prunes
+        assert len(prune_data_files(scan, "key = 17 AND key = 17")) == 1
