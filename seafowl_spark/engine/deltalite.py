@@ -48,6 +48,19 @@ FINE_GRAINED_PRUNING_ROWS = 3_000_000
 # than this (the membership probe is driver-side, bounded like the
 # reference's in-memory sync buffer)
 FINE_GRAINED_MAX_PK_VALUES = 250_000
+# DELETE switches from copy-on-write rewrite to a merge-on-read deletion
+# vector once the predicate-hit files exceed this many bytes: at 100 TB a
+# DELETE should write KB-scale bitmaps, not rewrite GB-scale parquet.
+# Tables can force a mode with WITH ('delete_mode' 'mor'|'cow'); default
+# 'auto' applies this threshold (small local tables stay copy-on-write).
+MOR_DELETE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MOR_DELETE_MIN_BYTES", str(256 << 20))
+)
+
+
+def _fp_norm(col):
+    """_metadata.file_path ('file:///x') -> plain absolute path ('/x')."""
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 class DeltaLiteError(Exception):
@@ -69,17 +82,24 @@ class AddFile:
     size_bytes: int
     stats: dict[str, dict[str, Any]]  # col -> {min, max, nulls}
     bucket: int | None = None  # hash bucket id for bucketed tables
+    # merge-on-read deletion vector: {"path": rel .bin, "cardinality": n}.
+    # rows/stats stay PHYSICAL (conservative for pruning); live rows are
+    # rows - cardinality, applied as an anti-join at read time.
+    dv: dict | None = None
 
     def to_json(self) -> dict:
         d = {"path": self.path, "rows": self.rows, "size_bytes": self.size_bytes, "stats": self.stats}
         if self.bucket is not None:
             d["bucket"] = self.bucket
+        if self.dv is not None:
+            d["dv"] = self.dv
         return d
 
     @staticmethod
     def from_json(d: dict) -> "AddFile":
         return AddFile(
-            d["path"], d["rows"], d["size_bytes"], d.get("stats", {}), d.get("bucket")
+            d["path"], d["rows"], d["size_bytes"], d.get("stats", {}),
+            d.get("bucket"), d.get("dv"),
         )
 
 
@@ -104,7 +124,10 @@ class Snapshot:
 
     @property
     def num_rows(self) -> int:
-        return sum(f.rows for f in self.files)
+        # live rows: physical minus merge-on-read deleted
+        return sum(
+            f.rows - int((f.dv or {}).get("cardinality", 0)) for f in self.files
+        )
 
     @property
     def bucket_spec(self) -> tuple[list[str], int] | None:
@@ -377,9 +400,70 @@ class DeltaLiteTable:
             files = prune_files(files, predicate_sql)
         if not files:
             return self.spark.createDataFrame([], schema)
+        return self._scan_files(files, schema)
+
+    # ------------------------------------------------- merge-on-read scans
+
+    def _scan_files(self, files: list[AddFile], schema: T.StructType) -> DataFrame:
+        """Read a file subset with deletion vectors applied (the read-side
+        half of MoR DELETE)."""
         paths = [os.path.join(self.root, f.path) for f in files]
         # explicit schema: empty-file-set and add-order independence
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        return self._apply_dvs(df, files)
+
+    @staticmethod
+    def _retire(files: list[AddFile]) -> list[str]:
+        """Remove-list for rewritten files: the data paths plus any DV
+        sidecars they carried (snapshot replay ignores non-live remove
+        paths; vacuum uses them to GC the superseded .bin files)."""
+        out: list[str] = []
+        for f in files:
+            out.append(f.path)
+            if f.dv:
+                out.append(f.dv["path"])
+        return out
+
+    def _apply_dvs(self, df: DataFrame, files: list[AddFile]) -> DataFrame:
+        dv_files = [f for f in files if f.dv]
+        if not dv_files:
+            return df
+        out_cols = df.columns
+        pairs = self._dv_pairs_df(dv_files)
+        return (
+            df.withColumn("__sfs_fp", _fp_norm(F.col("_metadata.file_path")))
+            .withColumn("__sfs_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(pairs), ["__sfs_fp", "__sfs_pos"], "left_anti")
+            .select(*out_cols)
+        )
+
+    def _dv_pairs_df(self, dv_files: list[AddFile]) -> DataFrame:
+        """(file, row_index) pairs of MoR-deleted rows, decoded on
+        EXECUTORS (mapInPandas over the per-file descriptor list) — the
+        driver never materializes bitmaps, so DV cardinality scales with
+        the cluster, not driver memory."""
+        desc = self.spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(os.path.join(self.root, f.path)),
+                    os.path.abspath(os.path.join(self.root, f.dv["path"])),
+                )
+                for f in dv_files
+            ],
+            "__sfs_fp string, dv_path string",
+        )
+
+        def decode(batches):
+            import pandas as pd
+
+            from ..sources.delta_dv import decode_framed_dv
+
+            for pdf in batches:
+                for fp, dvp in zip(pdf["__sfs_fp"], pdf["dv_path"]):
+                    idx = decode_framed_dv(dvp)
+                    yield pd.DataFrame({"__sfs_fp": [fp] * len(idx), "__sfs_pos": idx})
+
+        return desc.mapInPandas(decode, "__sfs_fp string, __sfs_pos long")
 
     # ----------------------------------------------------------- writes
 
@@ -684,9 +768,8 @@ class DeltaLiteTable:
         if not hit:
             return self._next_commit("UPDATE", [], [], base_version=snap.version)
         schema = T.StructType.fromDDL(snap.schema_ddl)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f.path) for f in hit]
-        )
+        # DV-aware: rewriting a MoR-deleted file must not resurrect rows
+        df = self._scan_files(hit, schema)
         cond = F.expr(predicate_sql) if predicate_sql else F.lit(True)
         projected = df.select(
             *[
@@ -702,16 +785,22 @@ class DeltaLiteTable:
         )
         adds = self._write_data(projected)
         return self._next_commit(
-            "UPDATE", adds, [f.path for f in hit], base_version=snap.version
+            "UPDATE", adds, self._retire(hit), base_version=snap.version
         )
 
     def delete(self, predicate_sql: str | None) -> Commit:
-        """Copy-on-write DELETE (A5); no predicate = remove all files
-        without scanning (reference physical.rs:370-485)."""
+        """DELETE (A5); no predicate = remove all files without scanning
+        (reference physical.rs:370-485). With a predicate, either
+        copy-on-write (rewrite hit files minus matching rows — the
+        reference's only mode) or merge-on-read (write per-file deletion
+        vectors, leave data files untouched) — chosen by the table's
+        ``delete_mode`` property ('cow' | 'mor' | default 'auto', which
+        goes MoR once the hit set exceeds MOR_DELETE_MIN_BYTES: at 100 TB
+        a DELETE writes KB bitmaps, not rewritten GB files)."""
         snap = self.snapshot()
         if predicate_sql is None:
             return self._next_commit(
-                "DELETE", [], [f.path for f in snap.files], base_version=snap.version
+                "DELETE", [], self._retire(snap.files), base_version=snap.version
             )
         hit = self._prune(snap, predicate_sql)
         hot = self._bucket_hits(snap, predicate_sql)
@@ -719,22 +808,102 @@ class DeltaLiteTable:
             hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if not hit:
             return self._next_commit("DELETE", [], [], base_version=snap.version)
-        schema = T.StructType.fromDDL(snap.schema_ddl)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f.path) for f in hit]
+        mode = str(snap.properties.get("delete_mode", "auto")).lower()
+        use_mor = mode == "mor" or (
+            mode == "auto"
+            and sum(f.size_bytes for f in hit) >= MOR_DELETE_MIN_BYTES
         )
+        if use_mor:
+            return self._mor_delete(snap, hit, predicate_sql)
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        # DV-aware: a file may already carry a deletion vector
+        df = self._scan_files(hit, schema)
         predicate = F.expr(predicate_sql)
         kept = df.where(~predicate | predicate.isNull())
         adds = self._write_data(kept)
         return self._next_commit(
-            "DELETE", adds, [f.path for f in hit], base_version=snap.version
+            "DELETE", adds, self._retire(hit), base_version=snap.version
         )
+
+    def _mor_delete(
+        self, snap: Snapshot, hit: list[AddFile], predicate_sql: str
+    ) -> Commit:
+        """Merge-on-read DELETE: per hit file, write a roaring deletion
+        vector of the matching row indexes (merged with any existing DV)
+        and re-add the file with the DV attached — no data bytes rewritten.
+
+        Scale: matching rows are identified with one filtered scan carrying
+        ``_metadata`` columns; bitmaps are encoded and written per file ON
+        EXECUTORS (applyInPandas over the file-path group), the driver only
+        sees one (path, cardinality) row per affected file. A file whose DV
+        reaches its row count is dropped entirely (pure remove)."""
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        paths = [os.path.join(self.root, f.path) for f in hit]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        matches = df.where(F.expr(predicate_sql)).select(
+            _fp_norm(F.col("_metadata.file_path")).alias("__sfs_fp"),
+            F.col("_metadata.row_index").alias("__sfs_pos"),
+        )
+        already = [f for f in hit if f.dv]
+        if already:
+            # new DV = old ∪ new: decoded distributed, unioned pre-encode
+            matches = matches.unionByName(self._dv_pairs_df(already))
+        dv_dir = os.path.join(self.root, "data")
+        os.makedirs(dv_dir, exist_ok=True)
+
+        def encode_group(pdf):
+            import pandas as pd
+            import uuid as _u
+
+            from ..sources.delta_dv import write_framed_dv
+
+            fp = pdf["__sfs_fp"].iloc[0]
+            name = f"dv-{_u.uuid4().hex}.bin"
+            card = write_framed_dv(
+                os.path.join(dv_dir, name), sorted(set(int(p) for p in pdf["__sfs_pos"]))
+            )
+            return pd.DataFrame(
+                {"__sfs_fp": [fp], "dv_name": [name], "card": [card]}
+            )
+
+        res = (
+            matches.groupBy("__sfs_fp")
+            .applyInPandas(encode_group, "__sfs_fp string, dv_name string, card long")
+            .collect()
+        )
+        if not res:
+            return self._next_commit("DELETE", [], [], base_version=snap.version)
+        by_abs = {
+            os.path.abspath(os.path.join(self.root, f.path)): f for f in hit
+        }
+        adds: list[AddFile] = []
+        removes: list[str] = []
+        for r in res:
+            f = by_abs[r["__sfs_fp"]]
+            removes.append(f.path)
+            if f.dv:
+                removes.append(f.dv["path"])
+            dv_rel = os.path.join("data", r["dv_name"])
+            if int(r["card"]) >= f.rows:
+                # every row dead: drop the file (and the just-written DV)
+                try:
+                    os.unlink(os.path.join(self.root, dv_rel))
+                except OSError:
+                    pass
+                continue
+            adds.append(
+                AddFile(
+                    f.path, f.rows, f.size_bytes, f.stats, f.bucket,
+                    dv={"path": dv_rel, "cardinality": int(r["card"])},
+                )
+            )
+        return self._next_commit("DELETE", adds, removes, base_version=snap.version)
 
     def truncate(self) -> Commit:
         """A14: new commit removing every file."""
         snap = self.snapshot()
         return self._next_commit(
-            "TRUNCATE", [], [f.path for f in snap.files], base_version=snap.version
+            "TRUNCATE", [], self._retire(snap.files), base_version=snap.version
         )
 
     def _fine_prune(
@@ -840,11 +1009,9 @@ class DeltaLiteTable:
             hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if hit and sum(f.rows for f in hit) > fine_grained_rows:
             hit = self._fine_prune(hit, changes, pk_cols)
-        hit_paths = [f.path for f in hit]
+        hit_paths = self._retire(hit)
         if hit:
-            base = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, f.path) for f in hit]
-            )
+            base = self._scan_files(hit, schema)
         else:
             base = self.spark.createDataFrame([], schema)
 
@@ -970,13 +1137,15 @@ class DeltaLiteTable:
         if zorder_by:
             return self._optimize_zorder(target_rows, zorder_by)
         snap = self.snapshot()
-        small = [f for f in snap.files if f.rows < target_rows // 2]
-        if len(small) <= 1:
+        # MoR-deleted files always qualify: compaction is what folds their
+        # deletion vectors back into clean data files
+        small = [
+            f for f in snap.files if f.rows < target_rows // 2 or f.dv
+        ]
+        if len(small) <= 1 and not any(f.dv for f in small):
             return self._next_commit("OPTIMIZE", [], [], base_version=snap.version)
         schema = T.StructType.fromDDL(snap.schema_ddl)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f.path) for f in small]
-        )
+        df = self._scan_files(small, schema)
         total = sum(f.rows for f in small)
         n_out = max(1, (total + target_rows - 1) // target_rows)
         zcols = snap.properties.get("zorder_by")
@@ -996,7 +1165,7 @@ class DeltaLiteTable:
             df = df.coalesce(n_out)
         adds = self._write_data(df)
         return self._next_commit(
-            "OPTIMIZE", adds, [f.path for f in small], base_version=snap.version
+            "OPTIMIZE", adds, self._retire(small), base_version=snap.version
         )
 
     def _optimize_zorder(self, target_rows: int, zorder_by: list[str]) -> Commit:
@@ -1012,9 +1181,7 @@ class DeltaLiteTable:
             raise DeltaLiteError(f"ZORDER BY column(s) not in table: {missing}")
         if not snap.files:
             return self._next_commit("OPTIMIZE", [], [], base_version=snap.version)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f.path) for f in snap.files]
-        )
+        df = self._scan_files(snap.files, schema)
         z = self._zorder_column(df, zorder_by)
         total = sum(f.rows for f in snap.files)
         n_out = max(1, (total + target_rows - 1) // target_rows)
@@ -1028,7 +1195,7 @@ class DeltaLiteTable:
         return self._next_commit(
             "OPTIMIZE",
             adds,
-            [f.path for f in snap.files],
+            self._retire(snap.files),
             metadata={
                 "properties": dict(snap.properties, zorder_by=",".join(zorder_by))
             },
@@ -1042,7 +1209,10 @@ class DeltaLiteTable:
         Also collects orphans — files a failed write left behind that no
         commit ever referenced."""
         history = self.history()
-        live = {f.path for f in self.snapshot().files}
+        snap_files = self.snapshot().files
+        live = {f.path for f in snap_files} | {
+            f.dv["path"] for f in snap_files if f.dv
+        }
         now = int(time.time() * 1000)
         dead: list[str] = []
         for c in history:
@@ -1053,7 +1223,10 @@ class DeltaLiteTable:
                         os.unlink(full)
                         dead.append(r)
         # orphan scan: anything under data/ that no commit ever added
-        ever_referenced = {a.path for c in history for a in c.adds}
+        # (deletion-vector sidecars count as referenced via their add)
+        ever_referenced = {a.path for c in history for a in c.adds} | {
+            a.dv["path"] for c in history for a in c.adds if a.dv
+        }
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
             for dirpath, _dirs, names in os.walk(data_dir):

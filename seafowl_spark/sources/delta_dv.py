@@ -252,6 +252,38 @@ def read_dv(table_dir: str, descriptor: dict) -> list[int]:
     return vals
 
 
+def write_framed_dv(path: str, indexes: list[int]) -> int:
+    """Write a single-DV ``.bin`` (delta framing: version byte, BE size,
+    payload, CRC) at an exact path; returns the cardinality. Used by the
+    engine's own merge-on-read DELETE — same format as Delta's DV files,
+    atomically placed (temp + rename)."""
+    data = encode_rbm_array(indexes)
+    blob = bytearray(b"\x01")
+    blob += struct.pack(">i", len(data))
+    blob += data
+    blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(blob))
+    os.replace(tmp, path)
+    return len(set(indexes))
+
+
+def decode_framed_dv(path: str) -> list[int]:
+    """Read a single-DV ``.bin`` written by ``write_framed_dv`` (or any
+    delta DV file holding one vector after the version byte)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob or blob[0] != 1:
+        raise DvError(f"unsupported DV file format version in {path}")
+    (size,) = struct.unpack_from(">i", blob, 1)
+    data = blob[5 : 5 + size]
+    (crc,) = struct.unpack_from(">I", blob, 5 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise DvError(f"DV checksum mismatch in {path}")
+    return decode_rbm_array(data)
+
+
 def write_dv_file(table_dir: str, indexes: list[int]) -> dict:
     """Write a single-DV ``.bin`` and return its ``u`` descriptor —
     the writer-side twin used by tests and DV-producing deletes."""
