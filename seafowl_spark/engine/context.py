@@ -156,11 +156,12 @@ class SeafowlContext:
                         rows=fobj.rows,
                         size_bytes=fobj.size_bytes,
                         bucket=fobj.bucket,
+                        dv_deleted_rows=int((fobj.dv or {}).get("cardinality", 0)),
                     )
                 )
         tf_schema = T.StructType.fromDDL(
             "table_schema string, table_name string, path string, "
-            "rows bigint, size_bytes bigint, bucket int"
+            "rows bigint, size_bytes bigint, bucket int, dv_deleted_rows bigint"
         )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),

@@ -138,3 +138,14 @@ class TestMorDelete:
         assert out[50] == "updated"
         assert 3 not in out
         assert len(out) == 91
+
+    def test_table_files_shows_dv_cardinality(self, ctx):
+        _table(ctx, "m9")
+        # k % 10 = 3 touches at most one row per (consecutive-id) file, so
+        # no file goes fully dead — all 10 deletions live in DVs
+        ctx.execute("DELETE FROM m9 WHERE k % 10 = 3")
+        out = ctx.execute(
+            "SELECT sum(dv_deleted_rows) AS dv FROM system.table_files "
+            "WHERE table_name = 'm9'"
+        ).collect()
+        assert out[0].dv == 10
