@@ -1,0 +1,95 @@
+"""Within-document repetition metrics — the Gopher-style quality filters
+(duplicate-line fraction, duplicate n-gram fraction, top-n-gram mass) used
+to drop template/boilerplate/spam documents from training corpora.
+
+All pure `pyspark.sql.functions` column expressions over the token array —
+no shuffle, no Python; one projection pass computes every metric, so this
+composes with the other per-doc text operators at scan cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", ngram_n: int = 3
+) -> DataFrame:
+    """Adds per-document repetition signals:
+
+    * ``dup_token_frac`` — 1 - distinct/total tokens (type-token inverse);
+    * ``dup_ngram_frac`` — fraction of n-gram INSTANCES that are repeats
+      of an earlier instance (0 when every n-gram is unique);
+    * ``top_ngram_frac`` — share of n-gram instances taken by the single
+      most frequent n-gram (boilerplate mass);
+    * ``max_run_len`` — longest run of the same token repeated
+      consecutively (catches "buy buy buy ..." spam).
+
+    Thresholding these (e.g. drop docs with dup_ngram_frac > 0.3) is the
+    standard repetition gate in corpus quality pipelines.
+
+    Cost note: ``top_ngram_frac`` is O(distinct x instances) per document
+    (JVM array ops, still row-local) — cap document length upstream (every
+    real corpus pipeline truncates pathological documents first) so a
+    single 10M-token doc can't dominate a task.
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    ng = _ngrams(toks, ngram_n)
+    n_ng = F.size(ng)
+    n_ng_distinct = F.size(F.array_distinct(ng))
+    # most frequent n-gram's count, via aggregate over the distinct set:
+    # for each distinct gram count its instances, take the max
+    top_count = F.aggregate(
+        F.array_distinct(ng),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(ng, lambda x: x == g))
+        ),
+    )
+    # longest consecutive same-token run: fold carrying (prev, run, best)
+    run = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    return df.select(
+        "*",
+        safe(n_tok - F.size(F.array_distinct(toks)), n_tok).alias("dup_token_frac"),
+        safe(n_ng - n_ng_distinct, n_ng).alias("dup_ngram_frac"),
+        safe(top_count, n_ng).alias("top_ngram_frac"),
+        run.cast("long").alias("max_run_len"),
+    )
