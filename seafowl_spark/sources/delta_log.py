@@ -55,19 +55,20 @@ def _commit_versions(log_dir: str) -> list[int]:
 
 
 def _checkpoint_adds(log_dir: str, upto: int | None):
-    """(seed live-file dict from the newest usable checkpoint, its version)
-    or ({}, -1) when no checkpoint applies."""
+    """(seed live-file dict from the newest usable checkpoint, its version,
+    the checkpoint's metaData action or {}) — ({}, -1, {}) when no
+    checkpoint applies."""
     import pyarrow.parquet as pq
 
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
-        return {}, -1
+        return {}, -1, {}
     with open(lc) as f:
         info = json.load(f)
     v = int(info["version"])
     if upto is not None and v > upto:
         # travel target predates the checkpoint: replay JSON from 0
-        return {}, -1
+        return {}, -1, {}
     parts = int(info.get("parts", 0) or 0)
     if parts:
         names = [
@@ -77,16 +78,22 @@ def _checkpoint_adds(log_dir: str, upto: int | None):
     else:
         names = [f"{v:020d}.checkpoint.parquet"]
     live: dict[str, dict] = {}
+    meta: dict = {}
     for n in names:
         p = os.path.join(log_dir, n)
         if not os.path.exists(p):
             raise DeltaLogError(f"_last_checkpoint names a missing file: {n}")
-        t = pq.read_table(p, columns=["add"])
+        pf = pq.ParquetFile(p)
+        cols = [c for c in ("add", "metaData") if c in pf.schema_arrow.names]
+        t = pq.read_table(p, columns=cols)
         for row in t.to_pylist():
             a = row.get("add")
             if a and a.get("path"):
                 live[a["path"]] = a
-    return live, v
+            m = row.get("metaData")
+            if m and m.get("schemaString"):
+                meta = m
+    return live, v, meta
 
 
 def _resolve_version(
@@ -153,8 +160,7 @@ def delta_snapshot_adds(
     if not os.path.isdir(log_dir):
         raise DeltaLogError(f"not a delta table (no {_LOG}): {table_dir}")
     target = _resolve_version(log_dir, version, timestamp_ms)
-    live, ckpt_v = _checkpoint_adds(log_dir, target)
-    meta: dict = {}
+    live, ckpt_v, meta = _checkpoint_adds(log_dir, target)
     for v in _commit_versions(log_dir):
         if v <= ckpt_v or v > target:
             continue
@@ -450,7 +456,54 @@ def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
         raise DeltaLogError(f"version {version} already committed") from None
     finally:
         os.unlink(tmp)
+    if version > 0 and version % CHECKPOINT_EVERY == 0:
+        _write_checkpoint(table_dir, version)
     return version
+
+
+# checkpoint cadence for tables we write (delta protocol's default is 10)
+CHECKPOINT_EVERY = 10
+
+
+def _write_checkpoint(table_dir: str, version: int) -> None:
+    """Materialize the live snapshot as ``N.checkpoint.parquet`` +
+    ``_last_checkpoint`` (delta protocol log-compaction shape), so readers
+    of long logs replay O(tail) JSON commits instead of all of them —
+    the write-side twin of ``_checkpoint_adds``. Best-effort: a failed
+    checkpoint never fails the commit (the JSON log stays authoritative)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _strip_empty(v):
+        # pyarrow infers {} as a zero-field struct, which parquet cannot
+        # store; empty maps carry no information — drop to null
+        if isinstance(v, dict):
+            out = {k: _strip_empty(x) for k, x in v.items()}
+            out = {k: x for k, x in out.items() if x is not None}
+            return out or None
+        if isinstance(v, list):
+            return [_strip_empty(x) for x in v]
+        return v
+
+    try:
+        adds, meta = delta_snapshot_adds(table_dir, version=version)
+        log_dir = os.path.join(table_dir, _LOG)
+        rows = []
+        if meta:
+            rows.append({"metaData": _strip_empty(meta), "add": None})
+        for abs_path, a in sorted(adds.items()):
+            rows.append({"metaData": None, "add": _strip_empty(a)})
+        table = pa.Table.from_pylist(rows)
+        path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        lc_tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+        with open(lc_tmp, "w") as f:
+            json.dump({"version": version, "size": len(adds)}, f)
+        os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
+    except Exception:
+        pass  # checkpointing is an optimization, never a correctness gate
 
 
 def read_any_delta(

@@ -341,3 +341,33 @@ class TestDeltaStatsPruning:
         filtered = ctx.execute("SELECT k FROM staging.dl WHERE k >= 1000 ORDER BY k")
         assert [r.k for r in filtered.collect()] == list(range(1000, 1010))
         assert len(filtered.inputFiles()) < len(full.inputFiles())
+
+
+class TestWriterCheckpoints:
+    def test_checkpoint_written_and_usable(self, spark, tmp_path):
+        from seafowl_spark.sources.delta_log import (
+            CHECKPOINT_EVERY,
+            write_delta_table,
+        )
+
+        d = str(tmp_path / "ck")
+        for i in range(CHECKPOINT_EVERY + 2):  # versions 0..11
+            write_delta_table(
+                spark, spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"), d
+            )
+        log = os.path.join(d, "_delta_log")
+        ckpt = os.path.join(log, f"{CHECKPOINT_EVERY:020d}.checkpoint.parquet")
+        assert os.path.exists(ckpt)
+        assert json.load(open(os.path.join(log, "_last_checkpoint")))[
+            "version"
+        ] == CHECKPOINT_EVERY
+        # full read sees every append
+        assert read_delta(spark, d).count() == (CHECKPOINT_EVERY + 2) * 10
+        # truncate pre-checkpoint JSON commits: log-compacted table still
+        # reads (checkpoint seeds adds AND metaData)
+        for v in range(CHECKPOINT_EVERY):
+            os.unlink(os.path.join(log, f"{v:020d}.json"))
+        assert read_delta(spark, d).count() == (CHECKPOINT_EVERY + 2) * 10
+        # travel to a pre-checkpoint version is gone with the truncated log
+        with pytest.raises(DeltaLogError):
+            read_delta(spark, d, version=2)
