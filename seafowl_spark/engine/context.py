@@ -342,13 +342,13 @@ class SeafowlContext:
             # spark.sql analyzes eagerly: the returned plan holds resolved
             # relations, so the per-query snapshot views can be dropped here
             rewritten = self._rewrite_names(sql, mapping)
-            self._maybe_prune_staging(rewritten)
+            self._maybe_prune_scans(rewritten)
             return self.spark.sql(rewritten)
         finally:
             for alias, _, _ in travels:
                 self.spark.catalog.dropTempView(alias)
 
-    def _maybe_prune_staging(self, sql: str) -> None:
+    def _maybe_prune_scans(self, sql: str) -> None:
         """Stats-level scan pruning for iceberg and delta staging tables
         (the reference gets the equivalent from DataFusion's
         PruningPredicate over its providers): iceberg prunes from manifest
@@ -732,6 +732,63 @@ class SeafowlContext:
         t = DeltaLiteTable(self.spark, self.table_root(entry))
         self._retry_conflicts(lambda: t.delete(stmt.where))
         self._record(entry, t)
+
+    def _exec_merge(self, stmt) -> None:
+        """ANSI MERGE INTO (restricted subset) over the engine's merge
+        operator — the SQL surface for what CDC sync does programmatically
+        (deltalite.merge: pruned full-outer upsert). Supported:
+
+        * full upsert: WHEN MATCHED THEN UPDATE SET * +
+          WHEN NOT MATCHED THEN INSERT *
+        * upsert with a delete flag column:
+          WHEN MATCHED AND s.<flag> THEN DELETE + the two above
+        * pure delete-by-key: WHEN MATCHED THEN DELETE (alone)
+
+        The ON clause must be equality conjuncts on same-named columns
+        (they become the merge PK). Anything else fails loudly.
+        """
+        from pyspark.sql import functions as F
+
+        t = self.delta_table(stmt.name)
+        cl = stmt.clauses
+        if cl["update"] and not cl["insert"]:
+            raise ExecutionError(
+                "MERGE with UPDATE SET * also needs WHEN NOT MATCHED THEN "
+                "INSERT * (update-only merges are not supported)"
+            )
+        if cl["delete"] and (cl["update"] or cl["insert"] or cl["delete_if"]):
+            raise ExecutionError(
+                "unconditional WHEN MATCHED THEN DELETE cannot combine with "
+                "other clauses; use WHEN MATCHED AND <flag> THEN DELETE"
+            )
+        if not (cl["update"] or cl["insert"] or cl["delete"]):
+            raise ExecutionError("MERGE needs at least one WHEN clause")
+        pk_cols: list[str] = []
+        for part in re.split(r"(?i)\s+and\s+", stmt.on):
+            m = re.match(
+                r"\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$", part
+            )
+            if not m or m.group(2) != m.group(4):
+                raise ExecutionError(
+                    "MERGE ON must be equality conjuncts on same-named "
+                    f"columns; got: {part.strip()!r}"
+                )
+            pk_cols.append(m.group(2))
+        mapping = self.reload_views()
+        source_sql = stmt.source_query or f"SELECT * FROM {stmt.source_table}"
+        src = self.spark.sql(self._rewrite_names(source_sql, mapping))
+        missing = [c for c in pk_cols if c not in src.columns]
+        if missing:
+            raise ExecutionError(f"MERGE source lacks ON column(s) {missing}")
+        delete_col = cl["delete_if"]
+        if delete_col and delete_col not in src.columns:
+            raise ExecutionError(
+                f"MERGE delete flag column {delete_col!r} not in source"
+            )
+        if cl["delete"]:
+            delete_col = "__sfs_merge_delete"
+            src = src.withColumn(delete_col, F.lit(True))
+        self._retry_conflicts(lambda: t.merge(src, pk_cols, delete_col=delete_col))
 
     def _exec_truncate(self, stmt) -> None:
         entry = self._resolve(stmt.name)

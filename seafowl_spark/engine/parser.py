@@ -22,6 +22,48 @@ class ParseError(Exception):
     pass
 
 
+def _parse_merge_clauses(text: str) -> dict:
+    """Parse the supported WHEN-clause subset of ANSI MERGE:
+
+    * ``WHEN MATCHED [AND <alias>.<col>] THEN DELETE``
+    * ``WHEN MATCHED THEN UPDATE SET *``
+    * ``WHEN NOT MATCHED THEN INSERT *``
+
+    Returns {"update": bool, "insert": bool, "delete": bool,
+    "delete_if": col-name-or-None}. Anything outside the subset raises —
+    partial MERGE semantics must fail loudly, not half-apply.
+    """
+    out = {"update": False, "insert": False, "delete": False, "delete_if": None}
+    rest = text.strip()
+    pat = re.compile(
+        r"(?is)^when\s+(?:"
+        r"matched\s+and\s+(?:(\w+)\.)?(\w+)\s+then\s+delete"
+        r"|matched\s+then\s+delete"
+        r"|matched\s+then\s+update\s+set\s+\*"
+        r"|not\s+matched\s+then\s+insert\s+\*"
+        r")\s*"
+    )
+    while rest:
+        m = pat.match(rest)
+        if not m:
+            raise ParseError(
+                f"unsupported MERGE clause near: {rest[:60]!r} (supported: "
+                "WHEN MATCHED [AND <flag>] THEN DELETE, WHEN MATCHED THEN "
+                "UPDATE SET *, WHEN NOT MATCHED THEN INSERT *)"
+            )
+        frag = m.group(0).lower()
+        if "update" in frag:
+            out["update"] = True
+        elif "insert" in frag:
+            out["insert"] = True
+        elif m.group(2):
+            out["delete_if"] = m.group(2)
+        else:
+            out["delete"] = True
+        rest = rest[m.end():]
+    return out
+
+
 @dataclass
 class Statement:
     kind: str
@@ -291,6 +333,27 @@ def parse_statement(sql: str) -> Statement:
     m = re.match(rf"(?i)^delete\s+from\s+({_QNAME})(?:\s+where\s+(.*))?$", s, re.DOTALL)
     if m:
         return Statement("delete", s, {"name": m.group(1), "where": m.group(2)})
+
+    m = re.match(
+        rf"(?is)^merge\s+into\s+({_QNAME})(?:\s+(?:as\s+)?(\w+))?"
+        rf"\s+using\s+(?:\((.+)\)|({_QNAME}))(?:\s+(?:as\s+)?(\w+))?"
+        rf"\s+on\s+(.+?)\s+(when\s+.+)$",
+        s,
+    )
+    if m:
+        return Statement(
+            "merge",
+            s,
+            {
+                "name": m.group(1),
+                "target_alias": m.group(2),
+                "source_query": m.group(3),
+                "source_table": m.group(4),
+                "source_alias": m.group(5),
+                "on": m.group(6).strip(),
+                "clauses": _parse_merge_clauses(m.group(7)),
+            },
+        )
 
     m = re.match(rf"(?i)^truncate\s+(?:table\s+)?({_QNAME})\s*$", s)
     if m:

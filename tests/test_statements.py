@@ -715,3 +715,78 @@ class TestNativeScanPruning:
         filtered = ctx.execute("SELECT k FROM public.pq2 WHERE k < 10")
         assert sorted(r.k for r in filtered.collect()) == [0, 1, 2, 3, 4]
         assert len(filtered.inputFiles()) < len(full.inputFiles())
+
+
+class TestMergeStatement:
+    def _seed(self, ctx, name):
+        ctx.execute(f"CREATE TABLE {name} (k BIGINT, v STRING)")
+        ctx.execute(
+            f"INSERT INTO {name} VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+        )
+
+    def test_full_upsert(self, ctx):
+        self._seed(ctx, "mg1")
+        ctx.execute(
+            "MERGE INTO mg1 t USING (SELECT * FROM VALUES (2, 'B'), (4, 'd') "
+            "AS s(k, v)) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = rows(ctx.execute("SELECT k, v FROM mg1 ORDER BY k"))
+        assert out == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+    def test_pure_delete_by_key(self, ctx):
+        self._seed(ctx, "mg2")
+        ctx.execute(
+            "MERGE INTO mg2 t USING (SELECT * FROM VALUES (1), (3), (9) "
+            "AS s(k)) s ON t.k = s.k WHEN MATCHED THEN DELETE"
+        )
+        out = rows(ctx.execute("SELECT k FROM mg2"))
+        assert out == [(2,)]
+
+    def test_upsert_with_delete_flag(self, ctx):
+        self._seed(ctx, "mg3")
+        ctx.execute(
+            "MERGE INTO mg3 t USING (SELECT * FROM VALUES "
+            "(1, 'z', false), (2, 'dead', true), (5, 'e', false) "
+            "AS s(k, v, gone)) s ON t.k = s.k "
+            "WHEN MATCHED AND s.gone THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = rows(ctx.execute("SELECT k, v FROM mg3 ORDER BY k"))
+        assert out == [(1, "z"), (3, "c"), (5, "e")]
+
+    def test_using_bare_table(self, ctx):
+        self._seed(ctx, "mg4")
+        ctx.execute("CREATE TABLE mg4_src (k BIGINT, v STRING)")
+        ctx.execute("INSERT INTO mg4_src VALUES (3, 'C'), (6, 'f')")
+        ctx.execute(
+            "MERGE INTO mg4 t USING mg4_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = rows(ctx.execute("SELECT k, v FROM mg4 ORDER BY k"))
+        assert out == [(1, "a"), (2, "b"), (3, "C"), (6, "f")]
+
+    def test_unsupported_shapes_fail_loudly(self, ctx):
+        import pytest
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.parser import ParseError
+
+        self._seed(ctx, "mg5")
+        with pytest.raises(ExecutionError, match="update-only"):
+            ctx.execute(
+                "MERGE INTO mg5 t USING (SELECT 1 AS k) s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+        with pytest.raises(ExecutionError, match="same-named"):
+            ctx.execute(
+                "MERGE INTO mg5 t USING (SELECT 1 AS x) s ON t.k = s.x "
+                "WHEN MATCHED THEN DELETE"
+            )
+        with pytest.raises((ParseError, ExecutionError)):
+            ctx.execute(
+                "MERGE INTO mg5 t USING (SELECT 1 AS k) s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = 'x'"
+            )
