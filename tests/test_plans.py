@@ -84,3 +84,25 @@ class TestSessionDefaults:
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+class TestPipelineOpPlans:
+    """Stage-2 pipeline operators keep their scale-critical plan shapes."""
+
+    def test_contamination_broadcasts_eval_side(self, spark, registry):
+        p = plan_of(spark, registry, "t_contamination")
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    def test_sample_is_pushed_filter_no_shuffle(self, spark, registry):
+        df = registry["t_sample_stratified"].fn(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "PushedFilters:" in formatted
+        p = plan_of(spark, registry, "t_sample_stratified")
+        assert "Exchange" not in p
+
+    def test_pii_scan_jvm_only_no_shuffle(self, spark, registry):
+        p = plan_of(spark, registry, "t_pii_scan")
+        assert "Exchange" not in p
+        assert "Python" not in p  # regexp work stays in codegen
