@@ -768,6 +768,16 @@ class DeltaLiteTable:
         if not hit:
             return self._next_commit("UPDATE", [], [], base_version=snap.version)
         schema = T.StructType.fromDDL(snap.schema_ddl)
+        mode = str(
+            snap.properties.get(
+                "update_mode", snap.properties.get("delete_mode", "auto")
+            )
+        ).lower()
+        if mode == "mor" or (
+            mode == "auto"
+            and sum(f.size_bytes for f in hit) >= MOR_DELETE_MIN_BYTES
+        ):
+            return self._mor_update(snap, hit, set_exprs, predicate_sql, schema)
         # DV-aware: rewriting a MoR-deleted file must not resurrect rows
         df = self._scan_files(hit, schema)
         cond = F.expr(predicate_sql) if predicate_sql else F.lit(True)
@@ -825,25 +835,18 @@ class DeltaLiteTable:
             "DELETE", adds, self._retire(hit), base_version=snap.version
         )
 
-    def _mor_delete(
-        self, snap: Snapshot, hit: list[AddFile], predicate_sql: str
-    ) -> Commit:
-        """Merge-on-read DELETE: per hit file, write a roaring deletion
-        vector of the matching row indexes (merged with any existing DV)
-        and re-add the file with the DV attached — no data bytes rewritten.
+    def _encode_dvs(
+        self, hit: list[AddFile], matches: DataFrame
+    ) -> tuple[list[AddFile], list[str]]:
+        """Shared MoR machinery: given (``__sfs_fp``, ``__sfs_pos``) rows of
+        dead positions within ``hit`` files, write per-file roaring DV
+        sidecars (merged with any existing DV) and return (re-adds with DV
+        attached — files fully dead are dropped, their fresh DV removed —
+        and the remove list of superseded paths).
 
-        Scale: matching rows are identified with one filtered scan carrying
-        ``_metadata`` columns; bitmaps are encoded and written per file ON
-        EXECUTORS (applyInPandas over the file-path group), the driver only
-        sees one (path, cardinality) row per affected file. A file whose DV
-        reaches its row count is dropped entirely (pure remove)."""
-        schema = T.StructType.fromDDL(snap.schema_ddl)
-        paths = [os.path.join(self.root, f.path) for f in hit]
-        df = self.spark.read.schema(schema).parquet(*paths)
-        matches = df.where(F.expr(predicate_sql)).select(
-            _fp_norm(F.col("_metadata.file_path")).alias("__sfs_fp"),
-            F.col("_metadata.row_index").alias("__sfs_pos"),
-        )
+        Bitmaps are encoded and written per file ON EXECUTORS
+        (applyInPandas over the file-path group); the driver only collects
+        one (path, cardinality) row per affected file."""
         already = [f for f in hit if f.dv]
         if already:
             # new DV = old ∪ new: decoded distributed, unioned pre-encode
@@ -871,8 +874,6 @@ class DeltaLiteTable:
             .applyInPandas(encode_group, "__sfs_fp string, dv_name string, card long")
             .collect()
         )
-        if not res:
-            return self._next_commit("DELETE", [], [], base_version=snap.version)
         by_abs = {
             os.path.abspath(os.path.join(self.root, f.path)): f for f in hit
         }
@@ -897,7 +898,78 @@ class DeltaLiteTable:
                     dv={"path": dv_rel, "cardinality": int(r["card"])},
                 )
             )
+        return adds, removes
+
+    def _mor_delete(
+        self, snap: Snapshot, hit: list[AddFile], predicate_sql: str
+    ) -> Commit:
+        """Merge-on-read DELETE: per hit file, write a roaring deletion
+        vector of the matching row indexes and re-add the file with the DV
+        attached — no data bytes rewritten (see ``_encode_dvs``)."""
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        paths = [os.path.join(self.root, f.path) for f in hit]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        matches = df.where(F.expr(predicate_sql)).select(
+            _fp_norm(F.col("_metadata.file_path")).alias("__sfs_fp"),
+            F.col("_metadata.row_index").alias("__sfs_pos"),
+        )
+        adds, removes = self._encode_dvs(hit, matches)
+        if not adds and not removes:
+            return self._next_commit("DELETE", [], [], base_version=snap.version)
         return self._next_commit("DELETE", adds, removes, base_version=snap.version)
+
+    def _mor_update(
+        self,
+        snap: Snapshot,
+        hit: list[AddFile],
+        set_exprs: dict[str, str],
+        predicate_sql: str | None,
+        schema: T.StructType,
+    ) -> Commit:
+        """Merge-on-read UPDATE: DV-delete the matching rows in place and
+        append NEW files holding their updated versions — row-level
+        rewrite instead of file-level. At 100 TB an UPDATE touching 0.1%
+        of rows writes 0.1% of the bytes, not the whole hit file set.
+
+        One commit carries both halves (re-adds with DVs + appended
+        files), so readers see the update atomically."""
+        paths = [os.path.join(self.root, f.path) for f in hit]
+        raw = self.spark.read.schema(schema).parquet(*paths)
+        cond = F.expr(predicate_sql) if predicate_sql else F.lit(True)
+        # live matching rows only: DV-dead rows must neither re-update nor
+        # resurrect through the appended copies
+        matched = raw.where(cond).select(
+            "*",
+            _fp_norm(F.col("_metadata.file_path")).alias("__sfs_fp"),
+            F.col("_metadata.row_index").alias("__sfs_pos"),
+        )
+        dv_files = [f for f in hit if f.dv]
+        if dv_files:
+            pairs = self._dv_pairs_df(dv_files)
+            matched = matched.join(
+                F.broadcast(pairs), ["__sfs_fp", "__sfs_pos"], "left_anti"
+            )
+        matched = matched.persist()
+        updated = matched.select(
+            *[
+                (
+                    F.expr(set_exprs[c]).cast(schema[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in schema.fieldNames()
+            ]
+        )
+        new_adds = self._write_data(updated)
+        dv_adds, removes = self._encode_dvs(
+            hit, matched.select("__sfs_fp", "__sfs_pos")
+        )
+        matched.unpersist()
+        if not new_adds and not dv_adds and not removes:
+            return self._next_commit("UPDATE", [], [], base_version=snap.version)
+        return self._next_commit(
+            "UPDATE", dv_adds + new_adds, removes, base_version=snap.version
+        )
 
     def truncate(self) -> Commit:
         """A14: new commit removing every file."""

@@ -149,3 +149,52 @@ class TestMorDelete:
             "WHERE table_name = 'm9'"
         ).collect()
         assert out[0].dv == 10
+
+
+class TestMorUpdate:
+    def test_update_appends_rows_keeps_files(self, ctx):
+        _table(ctx, "u1")  # delete_mode=mor governs updates too
+        t = _tbl(ctx, "u1")
+        before = {f.path for f in t.snapshot().files}
+        ctx.execute("UPDATE u1 SET v = 'X' WHERE k % 10 = 3")
+        snap = t.snapshot()
+        # original files survive (with DVs); updated rows live in new files
+        assert before <= {f.path for f in snap.files} | set()
+        assert any(f.dv for f in snap.files)
+        assert len({f.path for f in snap.files} - before) >= 1
+        out = {r.k: r.v for r in ctx.execute("SELECT k, v FROM u1").collect()}
+        assert len(out) == 100
+        for k in range(100):
+            assert out[k] == ("X" if k % 10 == 3 else str(k))
+
+    def test_update_after_delete_no_resurrection(self, ctx):
+        _table(ctx, "u2")
+        ctx.execute("DELETE FROM u2 WHERE k < 10")
+        ctx.execute("UPDATE u2 SET v = 'y' WHERE k < 30")
+        out = {r.k: r.v for r in ctx.execute("SELECT k, v FROM u2").collect()}
+        assert len(out) == 90
+        assert min(out) == 10
+        assert all(out[k] == "y" for k in range(10, 30))
+        assert all(out[k] == str(k) for k in range(30, 100))
+
+    def test_repeated_updates_compose(self, ctx):
+        _table(ctx, "u3")
+        ctx.execute("UPDATE u3 SET v = 'a1' WHERE k = 7")
+        ctx.execute("UPDATE u3 SET v = 'a2' WHERE k = 7")
+        out = {r.k: r.v for r in ctx.execute("SELECT k, v FROM u3").collect()}
+        assert out[7] == "a2"
+        assert len(out) == 100
+
+    def test_matches_cow_results(self, ctx):
+        # same statements on a CoW twin produce identical table contents
+        _table(ctx, "u4m", mode="mor")
+        _table(ctx, "u4c", mode="cow")
+        for name in ("u4m", "u4c"):
+            ctx.execute(f"UPDATE {name} SET v = concat(v, '!') WHERE k % 7 = 0")
+            ctx.execute(f"DELETE FROM {name} WHERE k % 13 = 0")
+        a = rows(ctx.execute("SELECT k, v FROM u4m"))
+        b = rows(ctx.execute("SELECT k, v FROM u4c"))
+        assert a == b
+
+
+from tests.conftest import rows  # noqa: E402
