@@ -198,3 +198,32 @@ class TestMorUpdate:
 
 
 from tests.conftest import rows  # noqa: E402
+
+
+class TestMorConcurrency:
+    def test_concurrent_mor_deletes_all_land(self, ctx):
+        """Racing MoR deletes on disjoint keys: snapshot-based OCC +
+        statement retry must land both (the loser re-plans its DVs against
+        the winner's commit instead of clobbering it)."""
+        import threading
+
+        _table(ctx, "cc1")
+        errs = []
+
+        def dele(pred):
+            try:
+                ctx.execute(f"DELETE FROM cc1 WHERE {pred}")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=dele, args=(p,))
+            for p in ("k < 5", "k >= 95", "k = 50")
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errs == []
+        ks = [r.k for r in ctx.execute("SELECT k FROM cc1 ORDER BY k").collect()]
+        assert ks == [k for k in range(5, 95) if k != 50]
