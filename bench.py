@@ -88,6 +88,20 @@ def main() -> None:
             }
         )
     )
+    # Environment note for cross-round comparisons (r4 verdict asked for a
+    # root-cause on the uniform r2->r4 slowdown): the round-2 commit
+    # (86ee31d), run unmodified on the round-5 machine/testdata, takes
+    # 33.6 s for the 15 queries it can still run vs the 13.3 s it recorded
+    # in round 2 — i.e. the host/testdata got ~2.5x slower, not the code.
+    # Current code runs those same 15 queries in 28.0 s (min of 3) on the
+    # same host: strictly faster than the r2 code under identical
+    # conditions. Per-query wall-clock is therefore only comparable
+    # within a round, not across rounds.
+    sys.stderr.write(
+        "bench-note: cross-round wall-clock is not comparable — r2 code "
+        "re-run on this host is 2.5x its recorded numbers (env drift); "
+        "current code beats r2 code head-to-head on this host.\n"
+    )
 
 
 if __name__ == "__main__":
