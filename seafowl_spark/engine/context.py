@@ -49,6 +49,60 @@ def _mangle(schema: str, name: str) -> str:
     return f"__sfs__{schema}__{name}"
 
 
+# One WHERE conjunct that Spark reliably offers to pushFilters AND
+# sources/remote.filter_to_sql reliably ships: a plain column compared to a
+# plain literal (no casts, no functions, no disjunction). Identifier may be
+# alias-qualified and/or backticked; literal is numeric or single-quoted.
+_LP_IDENT = r"(?:`?[A-Za-z_]\w*`?\.)?`?(?P<col>[A-Za-z_]\w*)`?"
+_LP_LIT = r"(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
+_LP_CONJUNCTS = [
+    re.compile(
+        rf"(?is)^\s*{_LP_IDENT}\s*(?:=|<>|!=|<=|>=|<|>)\s*(?P<lit>{_LP_LIT})\s*$"
+    ),
+    re.compile(rf"(?is)^\s*{_LP_IDENT}\s+IS\s+(?:NOT\s+)?NULL\s*$"),
+    re.compile(
+        rf"(?is)^\s*{_LP_IDENT}\s+IN\s*\(\s*(?P<lit>{_LP_LIT})"
+        rf"(?:\s*,\s*{_LP_LIT})*\s*\)\s*$"
+    ),
+]
+
+
+def _where_fully_shippable(pred: str, schema: T.StructType) -> bool:
+    """True only when every top-level AND conjunct of ``pred`` is a shape
+    the remote provably applies before LIMIT (r4 advice: pushing LIMIT
+    under a partially-shippable WHERE returns too few rows because the
+    remote caps before the residual Spark-side filter runs).
+
+    Conservative by construction: any OR/NOT/BETWEEN/LIKE/function call,
+    any parenthesized subexpression, or any literal whose type would make
+    Spark wrap the COLUMN in a cast (a cast-wrapped column is never
+    offered to pushFilters, so the conjunct silently stays Spark-side)
+    fails the check and keeps the LIMIT Spark-side."""
+    fields = {f.name.lower(): f.dataType for f in schema.fields}
+    # BETWEEN embeds AND; reject before splitting on it
+    if re.search(r"(?i)\bBETWEEN\b", pred):
+        return False
+    for conjunct in re.split(r"(?i)\s+AND\s+", pred):
+        for pat in _LP_CONJUNCTS:
+            m = pat.match(conjunct)
+            if m:
+                break
+        else:
+            return False
+        dt = fields.get(m.group("col").lower())
+        if dt is None:
+            return False
+        if m.groupdict().get("lit") is None:
+            continue  # IS [NOT] NULL — shippable for any column type
+        for lit in re.findall(_LP_LIT, conjunct):
+            if lit.startswith("'"):
+                if not isinstance(dt, T.StringType):
+                    return False
+            elif not isinstance(dt, T.NumericType):
+                return False
+    return True
+
+
 @dataclass
 class StatementResult:
     """Non-query statements return a one-row summary (count-style)."""
@@ -378,17 +432,31 @@ class SeafowlContext:
             if fmt != "table" or not limit_safe:
                 continue
             # remote tables: re-push a bare trailing LIMIT into the remote
-            # SQL (the WHERE, if any, reaches the source through the Python
-            # DataSource's pushFilters at plan time). Projection-only
-            # select list (no parens = no aggregates), no GROUP/ORDER —
-            # a pushed LIMIT is an over-fetch cap, semantics-preserving.
+            # SQL. Projection-only select list (no parens = no aggregates),
+            # no GROUP/ORDER — a pushed LIMIT is an over-fetch cap,
+            # semantics-preserving, but ONLY when the remote applies the
+            # FULL WHERE before capping: Spark's pushFilters offers just
+            # the shippable conjuncts (disjunctions and cast-wrapped
+            # predicates stay Spark-side), and a remote LIMIT applied
+            # before a residual Spark-side filter can silently drop
+            # matching rows. So require no WHERE at all, or a WHERE whose
+            # every top-level conjunct is provably shippable against the
+            # table's schema (_where_fully_shippable).
             m = re.match(
                 rf"(?is)^\s*SELECT\s+[\w\s,.*`]+?\sFROM\s+`?{re.escape(name)}`?"
-                rf"(?:\s+(?:AS\s+)?\w+)?(?:\s+WHERE\s+.+?)?\s+LIMIT\s+(?P<n>\d+)\s*$",
+                rf"(?:\s+(?:AS\s+)?\w+)?(?:\s+WHERE\s+(?P<where>.+?))?"
+                rf"\s+LIMIT\s+(?P<n>\d+)\s*$",
                 s,
             )
             if not m:
                 continue
+            where = m.group("where")
+            if where is not None:
+                frame = self.staging.get(name)
+                if frame is None or not _where_fully_shippable(
+                    where, frame.schema
+                ):
+                    continue
             from ..sources.external import read_external
 
             try:

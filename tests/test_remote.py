@@ -267,6 +267,70 @@ class TestLimitPushdown:
         out3 = ctx.execute("SELECT a FROM staging.rl WHERE a IS NOT NULL ORDER BY a DESC LIMIT 2")
         assert [r.a for r in out3.collect()] == [4, 3]
 
+    def test_limit_not_pushed_under_residual_where(self, ctx, db):
+        """r4 advice (high): a disjunction never ships via pushFilters, so
+        a remote LIMIT would cap BEFORE the Spark-side filter and silently
+        drop matching rows. The matching rows sit at the END of the table
+        so the old behavior (remote `LIMIT 2` without the WHERE) would
+        observably return zero matches."""
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE tail_match (a INT, c VARCHAR)")
+        con.executemany(
+            "INSERT INTO tail_match VALUES (?,?)",
+            [(i, f"row{i}") for i in range(1, 9)] + [(9, "nine"), (10, "ten")],
+        )
+        con.commit()
+        con.close()
+        ctx.execute(
+            "CREATE EXTERNAL TABLE rlm STORED AS TABLE "
+            f"OPTIONS ('name' 'tail_match') LOCATION 'sqlite://{db}'"
+        )
+        out = ctx.execute(
+            "SELECT a FROM staging.rlm WHERE a = 9 OR c = 'ten' LIMIT 2"
+        )
+        assert sorted(r.a for r in out.collect()) == [9, 10]
+        # fully-shippable conjuncts still push the limit and stay correct
+        out2 = ctx.execute(
+            "SELECT a FROM staging.rlm WHERE a >= 9 AND c <> 'nope' LIMIT 2"
+        )
+        assert sorted(r.a for r in out2.collect()) == [9, 10]
+
+    def test_where_fully_shippable_shapes(self):
+        from seafowl_spark.engine.context import _where_fully_shippable
+
+        s = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.DoubleType()),
+                T.StructField("c", T.StringType()),
+                T.StructField("d", T.DateType()),
+            ]
+        )
+        ok = [
+            "a = 1",
+            "a > 1 AND b <= 2.5",
+            "c = 'x''y'",
+            "a IN (1, 2, 3)",
+            "c IS NOT NULL",
+            "t.a = 1 AND `c` <> 'z'",
+        ]
+        bad = [
+            "a = 1 OR b = 2",          # disjunction never ships
+            "a BETWEEN 1 AND 3",       # embeds AND
+            "c LIKE 'x%'",             # general LIKE not guaranteed
+            "abs(a) = 1",              # function call
+            "nope = 1",                # unknown column
+            "a = 'one'",               # string lit vs numeric col -> cast
+            "c = 1",                   # numeric lit vs string col -> cast
+            "d = '2022-11-01'",        # date col: Spark casts the column
+            "NOT a = 1",
+            "(a = 1)",
+        ]
+        for p in ok:
+            assert _where_fully_shippable(p, s), p
+        for p in bad:
+            assert not _where_fully_shippable(p, s), p
+
     def test_remote_travel_rejected(self, ctx, db):
         import pytest
 
