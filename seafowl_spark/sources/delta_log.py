@@ -193,6 +193,13 @@ def _file_stats_json(parquet_path: str) -> dict:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # A column chunk without statistics makes that column's file-wide
+    # bounds (and null count) unknowable — track such columns in a set so
+    # a later row group that DOES carry stats cannot resurrect them
+    # (emitting bounds that cover only some row groups would let
+    # prune_adds drop a file whose stats-less row group holds matches).
+    no_bounds: set = set()
+    no_nulls: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -200,14 +207,25 @@ def _file_stats_json(parquet_path: str) -> dict:
             name = col.path_in_schema.split(".")[0]
             st = col.statistics
             if st is None:
-                mins.pop(name, None), maxs.pop(name, None)
+                no_bounds.add(name)
+                no_nulls.add(name)
                 continue
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
-            if st.has_min_max:
-                if name not in mins or st.min < mins[name]:
-                    mins[name] = st.min
-                if name not in maxs or st.max > maxs[name]:
-                    maxs[name] = st.max
+            if st.null_count is None:
+                no_nulls.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                no_bounds.add(name)
+                continue
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+    for name in no_bounds:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    for name in no_nulls:
+        nulls.pop(name, None)
 
     def _j(v):
         if isinstance(v, _dt.datetime):
@@ -275,9 +293,16 @@ def read_delta(
     all_adds = adds
     adds = prune_adds(adds, predicate_sql)
     if not adds:
-        # every file pruned: empty frame with the table's schema
+        # every file pruned: empty frame with the table's schema — incl.
+        # partition columns, which live in directory names, so the read
+        # needs basePath or the empty frame's schema would be narrower
+        # than the full view and valid queries on partition columns
+        # would fail analysis
         first = sorted(all_adds)[0]
-        empty = spark.read.parquet(first).limit(0)
+        r = spark.read
+        if meta.get("partitionColumns"):
+            r = r.option("basePath", table_dir)
+        empty = r.parquet(first).limit(0)
         empty = _apply_deletion_vectors(spark, empty, table_dir, {})
         return _apply_column_mapping(empty, meta)
     reader = spark.read
@@ -465,42 +490,124 @@ def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
 CHECKPOINT_EVERY = 10
 
 
+def _snapshot_protocol(log_dir: str, target: int) -> dict:
+    """Latest protocol action at or before ``target`` (the checkpoint spec
+    requires exactly one protocol row per checkpoint)."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for v in _commit_versions(log_dir):
+        if v > target:
+            break
+        try:
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "protocol" in act:
+                        proto = act["protocol"]
+        except OSError:
+            continue  # log cleaned below a prior checkpoint
+    return proto
+
+
+# add-action fields the checkpoint schema can represent; an add carrying
+# anything else (e.g. deletionVector) must veto the checkpoint — silently
+# dropping such a field would resurrect deleted rows for external readers
+_CKPT_ADD_FIELDS = {
+    "path", "partitionValues", "size", "modificationTime", "dataChange",
+    "stats", "tags",
+}
+
+
 def _write_checkpoint(table_dir: str, version: int) -> None:
     """Materialize the live snapshot as ``N.checkpoint.parquet`` +
     ``_last_checkpoint`` (delta protocol log-compaction shape), so readers
     of long logs replay O(tail) JSON commits instead of all of them —
     the write-side twin of ``_checkpoint_adds``. Best-effort: a failed
-    checkpoint never fails the commit (the JSON log stays authoritative)."""
+    checkpoint never fails the commit (the JSON log stays authoritative).
+
+    Spec compliance for external (delta-spark/delta-rs) readers: exactly
+    one protocol row, and required fields like add.partitionValues kept
+    as EMPTY MAPS — an explicit arrow schema makes {} storable (pyarrow's
+    inferred zero-field struct is what previously forced stripping them)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def _strip_empty(v):
-        # pyarrow infers {} as a zero-field struct, which parquet cannot
-        # store; empty maps carry no information — drop to null
-        if isinstance(v, dict):
-            out = {k: _strip_empty(x) for k, x in v.items()}
-            out = {k: x for k, x in out.items() if x is not None}
-            return out or None
-        if isinstance(v, list):
-            return [_strip_empty(x) for x in v]
-        return v
-
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+            ])),
+            pa.field("metaData", pa.struct([
+                ("id", pa.string()),
+                ("name", pa.string()),
+                ("description", pa.string()),
+                ("format", pa.struct([
+                    ("provider", pa.string()),
+                    ("options", str_map),
+                ])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", str_map),
+                ("createdTime", pa.int64()),
+            ])),
+            pa.field("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", str_map),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+                ("tags", str_map),
+            ])),
+        ]
+    )
     try:
         adds, meta = delta_snapshot_adds(table_dir, version=version)
+        if any(set(a) - _CKPT_ADD_FIELDS for a in adds.values()):
+            return
         log_dir = os.path.join(table_dir, _LOG)
-        rows = []
-        if meta:
-            rows.append({"metaData": _strip_empty(meta), "add": None})
+        fmt = meta.get("format") or {}
+        rows: list[dict] = [
+            {"protocol": _snapshot_protocol(log_dir, version)},
+            {
+                "metaData": {
+                    "id": meta.get("id"),
+                    "name": meta.get("name"),
+                    "description": meta.get("description"),
+                    "format": {
+                        "provider": fmt.get("provider", "parquet"),
+                        "options": fmt.get("options") or {},
+                    },
+                    "schemaString": meta.get("schemaString"),
+                    "partitionColumns": meta.get("partitionColumns") or [],
+                    "configuration": meta.get("configuration") or {},
+                    "createdTime": meta.get("createdTime"),
+                }
+            },
+        ]
         for abs_path, a in sorted(adds.items()):
-            rows.append({"metaData": None, "add": _strip_empty(a)})
-        table = pa.Table.from_pylist(rows)
+            rows.append({
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": a.get("dataChange", True),
+                    "stats": a.get("stats"),
+                    "tags": a.get("tags"),
+                }
+            })
+        table = pa.Table.from_pylist(rows, schema=schema)
         path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
         lc_tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
         with open(lc_tmp, "w") as f:
-            json.dump({"version": version, "size": len(adds)}, f)
+            json.dump({"version": version, "size": len(adds) + 2}, f)
         os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
     except Exception:
         pass  # checkpointing is an optimization, never a correctness gate

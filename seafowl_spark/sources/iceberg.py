@@ -693,6 +693,12 @@ def _parquet_column_stats(pf, schema_fields) -> tuple[list, list, list]:
     md = pf.metadata
     names = [f.name for f in schema_fields]
     agg: dict[str, dict] = {n: {"min": None, "max": None, "nulls": 0} for n in names}
+    # Columns with any stats-less (or min/max-less, or null-count-less)
+    # chunk have unknowable file-wide bounds/null counts; a later row
+    # group's stats must not resurrect them, or manifest pruning would
+    # treat partial-coverage bounds as file-wide and skip matching rows.
+    no_bounds: set = set()
+    no_nulls: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -703,22 +709,28 @@ def _parquet_column_stats(pf, schema_fields) -> tuple[list, list, list]:
             a = agg[name]
             st = col.statistics
             if st is None:
-                a["min"] = a["max"] = None  # unknown -> no bounds
+                no_bounds.add(name)
+                no_nulls.add(name)
                 continue
-            if st.null_count is not None:
+            if st.null_count is None:
+                no_nulls.add(name)
+            else:
                 a["nulls"] += st.null_count
-            if st.has_min_max:
-                if a["min"] is None or st.min < a["min"]:
-                    a["min"] = st.min
-                if a["max"] is None or st.max > a["max"]:
-                    a["max"] = st.max
+            if not st.has_min_max:
+                no_bounds.add(name)
+                continue
+            if a["min"] is None or st.min < a["min"]:
+                a["min"] = st.min
+            if a["max"] is None or st.max > a["max"]:
+                a["max"] = st.max
     nulls, lo, hi = [], [], []
     for i, f in enumerate(schema_fields):
         fid = i + 1
         a = agg[f.name]
-        nulls.append({"key": fid, "value": int(a["nulls"])})
+        if f.name not in no_nulls:
+            nulls.append({"key": fid, "value": int(a["nulls"])})
         t = _iceberg_type(f.dataType)
-        if a["min"] is not None:
+        if a["min"] is not None and f.name not in no_bounds:
             blo, bhi = _encode_bound(t, a["min"]), _encode_bound(t, a["max"])
             if blo is not None and bhi is not None:
                 lo.append({"key": fid, "value": blo})

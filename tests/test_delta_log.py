@@ -334,6 +334,88 @@ class TestDeltaStatsPruning:
         assert empty.count() == 0
         assert set(empty.columns) == {"k", "v"}
 
+    def test_statsless_chunk_never_resurrected(self, monkeypatch):
+        """r4 advice: a column chunk with statistics=None must drop the
+        column from file-wide min/max (and nullCount) PERMANENTLY — a
+        later row group with stats re-adding it would emit bounds that
+        cover only some row groups, and prune_adds would wrongly skip the
+        file. Per-row-group stats variance can't be produced by a single
+        pyarrow writer, so stub the footer metadata."""
+        import pyarrow.parquet as pq
+
+        from seafowl_spark.sources.delta_log import _file_stats_json
+
+        class St:
+            def __init__(self, null_count, mn, mx):
+                self.null_count = null_count
+                self.has_min_max = mn is not None
+                self.min, self.max = mn, mx
+
+        class Col:
+            def __init__(self, name, st):
+                self.path_in_schema = name
+                self.statistics = st
+
+        class RG:
+            def __init__(self, cols):
+                self._c, self.num_columns = cols, len(cols)
+
+            def column(self, i):
+                return self._c[i]
+
+        class MD:
+            def __init__(self, rgs, rows):
+                self._r, self.num_row_groups, self.num_rows = rgs, len(rgs), rows
+
+            def row_group(self, i):
+                return self._r[i]
+
+        class PF:
+            def __init__(self, md):
+                self.metadata = md
+
+        md = MD(
+            [
+                RG([Col("a", None), Col("b", St(0, 1, 5)), Col("c", St(None, 2, 3))]),
+                RG([Col("a", St(0, 100, 200)), Col("b", St(1, 6, 9)), Col("c", St(0, 1, 4))]),
+            ],
+            20,
+        )
+        monkeypatch.setattr(pq, "ParquetFile", lambda path: PF(md))
+        s = _file_stats_json("ignored")
+        # 'a' had a stats-less chunk in rg0: rg1's [100, 200] must not
+        # surface as file-wide bounds, nor its null count
+        assert "a" not in s["minValues"] and "a" not in s["maxValues"]
+        assert "a" not in s["nullCount"]
+        # 'c' had min/max but an unknown null_count in rg0
+        assert s["minValues"]["c"] == 1 and s["maxValues"]["c"] == 4
+        assert "c" not in s["nullCount"]
+        assert s["minValues"]["b"] == 1 and s["maxValues"]["b"] == 9
+        assert s["nullCount"]["b"] == 1
+
+    def test_pruned_empty_partitioned_keeps_partition_columns(self, spark, tmp_path):
+        """r4 advice: the all-files-pruned branch must build the empty
+        frame with basePath so directory-encoded partition columns stay
+        in the schema."""
+        d = str(tmp_path / "dlpe")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(os.path.join(d, "part=a"))
+        os.makedirs(log)
+        _write_part(d, "part=a/x.parquet", [1], ["a"])
+        add = _add("part=a/x.parquet", 1000)
+        add["add"]["stats"] = json.dumps(
+            {"numRecords": 1, "minValues": {"k": 1}, "maxValues": {"k": 1},
+             "nullCount": {"k": 0}}
+        )
+        _commit(log, 0, [
+            _meta(["part"]),
+            add,
+            {"commitInfo": {"timestamp": 1000}},
+        ])
+        out = read_delta(spark, d, predicate_sql="k > 100")
+        assert out.count() == 0
+        assert "part" in out.columns
+
     def test_engine_query_prunes_files(self, ctx, spark, tmp_path):
         d = self._two_file_table(spark, tmp_path)
         ctx.execute(f"CREATE EXTERNAL TABLE dl STORED AS DELTA LOCATION '{d}'")
@@ -371,3 +453,58 @@ class TestWriterCheckpoints:
         # travel to a pre-checkpoint version is gone with the truncated log
         with pytest.raises(DeltaLogError):
             read_delta(spark, d, version=2)
+
+    def test_checkpoint_spec_shape(self, spark, tmp_path):
+        """r4 advice: external delta readers require exactly one protocol
+        row per checkpoint, and required-but-empty fields (e.g.
+        add.partitionValues) stored as empty maps, not stripped."""
+        from seafowl_spark.sources.delta_log import (
+            CHECKPOINT_EVERY,
+            write_delta_table,
+        )
+
+        d = str(tmp_path / "cks")
+        for i in range(CHECKPOINT_EVERY + 1):
+            write_delta_table(
+                spark, spark.range(i * 10, i * 10 + 10).selectExpr("id AS k"), d
+            )
+        log = os.path.join(d, "_delta_log")
+        t = pq.read_table(
+            os.path.join(log, f"{CHECKPOINT_EVERY:020d}.checkpoint.parquet")
+        )
+        rows = t.to_pylist()
+        protos = [r["protocol"] for r in rows if r.get("protocol") is not None]
+        assert len(protos) == 1
+        assert protos[0]["minReaderVersion"] == 1
+        assert protos[0]["minWriterVersion"] == 2
+        adds = [r["add"] for r in rows if r.get("add") is not None]
+        assert adds and all(a["partitionValues"] == [] for a in adds)  # empty MAP
+        metas = [r["metaData"] for r in rows if r.get("metaData") is not None]
+        assert len(metas) == 1 and metas[0]["partitionColumns"] == []
+        # arrow-level types: partitionValues/configuration are real maps
+        add_t = t.schema.field("add").type
+        pv = next(f for f in add_t if f.name == "partitionValues")
+        assert pa.types.is_map(pv.type)
+
+    def test_checkpoint_vetoed_for_unrepresentable_adds(self, spark, tmp_path, monkeypatch):
+        """An add carrying a field outside the checkpoint schema (e.g.
+        deletionVector) must veto the checkpoint rather than write a lossy
+        one that would resurrect deleted rows for external readers."""
+        from seafowl_spark.sources import delta_log as dl
+
+        d = str(tmp_path / "ckv")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        _write_part(d, "f1.parquet", [1], ["a"])
+        add = _add("f1.parquet", 1000)
+        add["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x",
+                                        "offset": 1, "sizeInBytes": 1, "cardinality": 1}
+        _commit(log, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            _meta(),
+            add,
+            {"commitInfo": {"timestamp": 1000}},
+        ])
+        dl._write_checkpoint(d, 0)
+        assert not os.path.exists(os.path.join(log, f"{0:020d}.checkpoint.parquet"))
+        assert not os.path.exists(os.path.join(log, "_last_checkpoint"))

@@ -441,6 +441,58 @@ class TestManifestPruning:
         assert empty.count() == 0
         assert set(empty.columns) == {"key", "value"}
 
+    def test_statsless_chunk_never_resurrected(self):
+        """r4 advice twin of the delta test: a stats-less row group must
+        permanently exclude the column from manifest lower/upper bounds
+        and null_value_counts, or pruning treats partial-coverage bounds
+        as file-wide."""
+        from pyspark.sql import types as T
+
+        from seafowl_spark.sources.iceberg import _parquet_column_stats
+
+        class St:
+            def __init__(self, null_count, mn, mx):
+                self.null_count = null_count
+                self.has_min_max = mn is not None
+                self.min, self.max = mn, mx
+
+        class Col:
+            def __init__(self, name, st):
+                self.path_in_schema = name
+                self.statistics = st
+
+        class RG:
+            def __init__(self, cols):
+                self._c, self.num_columns = cols, len(cols)
+
+            def column(self, i):
+                return self._c[i]
+
+        class MD:
+            def __init__(self, rgs):
+                self._r, self.num_row_groups = rgs, len(rgs)
+
+        class PF:
+            def __init__(self, md):
+                self.metadata = md
+
+        MD.row_group = lambda self, i: self._r[i]
+        md = MD(
+            [
+                RG([Col("a", None), Col("b", St(2, 1, 5))]),
+                RG([Col("a", St(0, 100, 200)), Col("b", St(0, 6, 9))]),
+            ]
+        )
+        fields = [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+        nulls, lo, hi = _parquet_column_stats(PF(md), fields)
+        # field id 1 is 'a': no bounds, no null count may be emitted
+        assert all(e["key"] != 1 for e in lo + hi + nulls)
+        assert [e["key"] for e in lo] == [2] and [e["key"] for e in hi] == [2]
+        assert [(e["key"], e["value"]) for e in nulls] == [(2, 2)]
+
     def test_engine_query_prunes_files(self, ctx, iceberg_table):
         d, m1, m2 = iceberg_table
         ctx.execute(
