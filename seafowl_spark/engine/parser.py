@@ -35,12 +35,15 @@ def _parse_merge_clauses(text: str) -> dict:
     """
     out = {"update": False, "insert": False, "delete": False, "delete_if": None}
     rest = text.strip()
+    # dispatch on WHICH alternative matched (named groups), never on
+    # substrings of the fragment: a delete-flag column named e.g.
+    # `update_flag` must still classify as the flagged-DELETE clause
     pat = re.compile(
         r"(?is)^when\s+(?:"
-        r"matched\s+and\s+(?:(\w+)\.)?(\w+)\s+then\s+delete"
-        r"|matched\s+then\s+delete"
-        r"|matched\s+then\s+update\s+set\s+\*"
-        r"|not\s+matched\s+then\s+insert\s+\*"
+        r"matched\s+and\s+(?:(?P<flagq>\w+)\.)?(?P<flag>\w+)\s+then\s+delete"
+        r"|matched\s+then\s+(?P<del>delete)"
+        r"|matched\s+then\s+(?P<upd>update)\s+set\s+\*"
+        r"|not\s+matched\s+then\s+(?P<ins>insert)\s+\*"
         r")\s*"
     )
     while rest:
@@ -51,13 +54,12 @@ def _parse_merge_clauses(text: str) -> dict:
                 "WHEN MATCHED [AND <flag>] THEN DELETE, WHEN MATCHED THEN "
                 "UPDATE SET *, WHEN NOT MATCHED THEN INSERT *)"
             )
-        frag = m.group(0).lower()
-        if "update" in frag:
+        if m.group("upd"):
             out["update"] = True
-        elif "insert" in frag:
+        elif m.group("ins"):
             out["insert"] = True
-        elif m.group(2):
-            out["delete_if"] = m.group(2)
+        elif m.group("flag"):
+            out["delete_if"] = m.group("flag")
         else:
             out["delete"] = True
         rest = rest[m.end():]

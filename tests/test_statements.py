@@ -757,6 +757,36 @@ class TestMergeStatement:
         out = rows(ctx.execute("SELECT k, v FROM mg3 ORDER BY k"))
         assert out == [(1, "z"), (3, "c"), (5, "e")]
 
+    def test_delete_flag_named_update(self, ctx):
+        """r4 advice: clause classification must dispatch on the matched
+        alternative, not fragment substrings — a delete-flag column named
+        `update_flag` (or `insert_x`) is still the flagged-DELETE clause."""
+        self._seed(ctx, "mg3b")
+        ctx.execute(
+            "MERGE INTO mg3b t USING (SELECT * FROM VALUES "
+            "(2, 'dead', true), (5, 'e', false) "
+            "AS s(k, v, update_flag)) s ON t.k = s.k "
+            "WHEN MATCHED AND s.update_flag THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = rows(ctx.execute("SELECT k, v FROM mg3b ORDER BY k"))
+        assert out == [(1, "a"), (3, "c"), (5, "e")]
+
+    def test_merge_clause_classification(self):
+        from seafowl_spark.engine.parser import _parse_merge_clauses
+
+        got = _parse_merge_clauses(
+            "WHEN MATCHED AND s.update_flag THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert got["delete_if"] == "update_flag"
+        assert got["insert"] and not got["update"] and not got["delete"]
+        got2 = _parse_merge_clauses(
+            "WHEN MATCHED AND insert_marker THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+        assert got2["delete_if"] == "insert_marker" and got2["update"]
+
     def test_using_bare_table(self, ctx):
         self._seed(ctx, "mg4")
         ctx.execute("CREATE TABLE mg4_src (k BIGINT, v STRING)")
