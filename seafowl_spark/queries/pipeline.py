@@ -9,7 +9,8 @@ operations a 100 TB corpus pipeline actually runs end-to-end:
   (iterative min-label propagation, the standard large-graph CC algorithm);
 * PII scan/redaction as pure JVM regexp expressions;
 * contamination: which training docs share n-grams with a held-out eval
-  split (broadcast the small eval side);
+  split (broadcast the eval side only below a source-size threshold — it
+  scales with the corpus);
 * hash-based stratified sampling (deterministic: re-running selects the
   same rows, the property that makes corpus builds reproducible).
 
@@ -19,6 +20,8 @@ counts, and string outputs only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +30,24 @@ from ..io import table
 from . import REGISTRY, register
 from . import similarity  # noqa: F401 — registers s_minhash_lsh_pairs
 from .similarity import _h8, _shingled_docs, _sql_h8, s_minhash_lsh_pairs
+
+
+# contamination only broadcasts its ~5%-of-corpus eval side while the
+# SOURCE corpus is small; the eval split scales WITH the corpus, so at a
+# 100 TB corpus it must be a shuffled hash join, not a broadcast
+_BROADCAST_EVAL_MAX_SOURCE_BYTES = 1 << 30  # 1 GiB of source parquet
+
+
+def _source_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one testdata table (file or partitioned dir) —
+    a driver-side stat, no Spark job."""
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
 
 # near-dup edge threshold: >= 8 of 16 minhash rows agree (est Jaccard >= 0.5)
 COMPONENT_MIN_EQUAL_SIGS = 8
@@ -256,10 +277,14 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     any eval doc (how many distinct shingles, how many eval docs hit).
 
     Scale: the eval side is a few percent of the corpus by construction —
-    broadcast it; the training side streams through exploded shingle
-    hashes map-side with no self-join. This is the benchmark-decontamination
-    pass every LLM corpus build runs (shingle hashes, not raw text, cross
-    the wire).
+    a FRACTION, not a fixed size, so at 100 TB it is ~TBs of exploded
+    shingle hashes and broadcasting it would OOM every executor. Broadcast
+    only while the source corpus is below _BROADCAST_EVAL_MAX_SOURCE_BYTES;
+    above that, a plain shuffled join on `h` (both sides hash-partition
+    cleanly on the shingle hash, and Spark's runtime bloom-filter join
+    pre-filters the big training side). This is the
+    benchmark-decontamination pass every LLM corpus build runs (shingle
+    hashes, not raw text, cross the wire).
     """
     # persist: (a) both split branches read the shingle table, and (b) a
     # Generate (explode) downstream lets CollapseProject inline the shingle
@@ -283,8 +308,10 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("shingles").alias("s"))
         .select("doc_id", _h8(F.col("s")).alias("h"))
     )
+    if _source_bytes(sf_dir, "documents") <= _BROADCAST_EVAL_MAX_SOURCE_BYTES:
+        ev = F.broadcast(ev)
     return (
-        tr.join(F.broadcast(ev), "h")
+        tr.join(ev, "h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("n_shared_shingles"),

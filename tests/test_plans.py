@@ -90,8 +90,44 @@ class TestPipelineOpPlans:
     """Stage-2 pipeline operators keep their scale-critical plan shapes."""
 
     def test_contamination_broadcasts_eval_side(self, spark, registry):
+        # below the source-size threshold: eval side broadcasts
         p = plan_of(spark, registry, "t_contamination")
         assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    def test_contamination_debroadcasts_above_threshold(
+        self, spark, registry, monkeypatch
+    ):
+        """r4 verdict: the eval split is a FRACTION of the corpus, so at
+        scale the join must shuffle on `h`, not ship the eval side to
+        every executor. Force the threshold to 0 and assert the plan has
+        no broadcast on the contamination join. Spark's own size-based
+        auto-broadcast (which scales correctly) is disabled for the
+        check, since at sf0.001 it would legitimately broadcast the tiny
+        side — the gate is about the unconditional HINT, which would
+        override size-based planning at any scale."""
+        from seafowl_spark.queries import pipeline
+
+        monkeypatch.setattr(pipeline, "_BROADCAST_EVAL_MAX_SOURCE_BYTES", 0)
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            for k in saved:
+                spark.conf.set(k, "-1")
+            df = registry["t_contamination"].fn(spark, SF)
+            p = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in p
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
     def test_sample_is_pushed_filter_no_shuffle(self, spark, registry):
         df = registry["t_sample_stratified"].fn(spark, SF)
