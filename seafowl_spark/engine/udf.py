@@ -41,8 +41,18 @@ def validate_spec(spec: dict) -> None:
         )
     if spec.get("volatility", "volatile") not in VALID_VOLATILITY:
         raise UdfError(f"bad volatility {spec['volatility']!r}")
-    if spec["language"] in ("wasm", "wasmMessagePack"):
-        # the WASM ABI supports exactly the data_types.rs:43-63 table
+    if spec["language"] == "wasm":
+        # the legacy raw ABI is numeric-only (data_types.rs:11-29)
+        from .wasm_abi import WasmAbiError, parse_raw_type
+
+        try:
+            parse_raw_type(spec["return_type"])
+            for t in spec["input_types"]:
+                parse_raw_type(t)
+        except WasmAbiError as exc:
+            raise UdfError(str(exc)) from exc
+    elif spec["language"] == "wasmMessagePack":
+        # the MessagePack ABI supports exactly the data_types.rs:43-63 table
         from .wasm_abi import WasmAbiError, parse_udf_type
 
         try:
@@ -72,40 +82,62 @@ def _python_callable(spec: dict):
 
 
 def _wasm_callable(spec: dict):
-    """wasmMessagePack execution: the MessagePack ABI + type marshalling
-    lives in wasm_abi.py (reference src/wasm_udf/wasm.rs). Bytecode runs
-    through wasmtime when installed (the reference's engine), else the
-    pure-Python interpreter (wasm_interp.py) — same protocol, verified
-    against the reference's own fixture module."""
+    """WASM execution, both ABIs (reference src/wasm_udf/wasm.rs):
+
+    * ``wasmMessagePack`` — the reference's current ABI: per-row
+      MessagePack array through the module's alloc/entrypoint/dealloc
+      linear-memory protocol (wasm.rs:557-627);
+    * legacy ``wasm`` — numeric-only exports called per row with plain
+      i32/i64/f32/f64 params (wasm.rs:628-765).
+
+    Bytecode runs through wasmtime when installed (the reference's
+    engine), else the pure-Python interpreter (wasm_interp.py) — same
+    protocol, verified against the reference's own fixture module."""
     from .wasm_abi import (
         InterpExecutor,
+        RawInterpExecutor,
+        RawWasmtimeExecutor,
         WasmAbiError,
         WasmtimeExecutor,
+        make_raw_row_callable,
         make_row_callable,
     )
 
-    if spec["language"] != "wasmMessagePack":
-        raise UdfError(
-            "legacy language='wasm' (raw i32/i64/f32/f64 exports) is not "
-            "supported; use 'wasmMessagePack' (the reference's current ABI)"
-        )
     module_bytes = base64.b64decode(spec["data"])
+    raw = spec["language"] == "wasm"
+    wasmtime_cls = RawWasmtimeExecutor if raw else WasmtimeExecutor
+    interp_cls = RawInterpExecutor if raw else InterpExecutor
+    factory = make_raw_row_callable if raw else make_row_callable
     try:
         try:
-            executor = WasmtimeExecutor(module_bytes, spec["entrypoint"])
+            executor = wasmtime_cls(module_bytes, spec["entrypoint"])
         except WasmAbiError:  # wasmtime not installed
-            executor = InterpExecutor(module_bytes, spec["entrypoint"])
-        return make_row_callable(
-            executor, spec["input_types"], spec["return_type"]
-        )
+            executor = interp_cls(module_bytes, spec["entrypoint"])
+        return factory(executor, spec["input_types"], spec["return_type"])
     except WasmAbiError as exc:
         raise UdfError(str(exc)) from exc
+
+
+# legacy wasm-native type names -> Spark result types (the reference maps
+# them to arrow Int32/Int64/Float32/Float64 via sql_type_to_arrow_type)
+_RAW_SPARK_TYPES = {
+    "i32": T.IntegerType(),
+    "i64": T.LongType(),
+    "f32": T.FloatType(),
+    "f64": T.DoubleType(),
+}
 
 
 def register_udf(
     spark: SparkSession, name: str, spec: dict, allow_python: bool = True
 ) -> None:
-    ret: T.DataType = parse_sql_type(spec["return_type"])
+    rt = spec["return_type"].strip().lower()
+    if spec["language"] == "wasm":
+        from .wasm_abi import RAW_WASM_TYPES
+
+        ret: T.DataType = _RAW_SPARK_TYPES[RAW_WASM_TYPES[rt]]
+    else:
+        ret = parse_sql_type(spec["return_type"])
     if spec["language"] == "python":
         if not allow_python:
             raise UdfError(

@@ -559,6 +559,139 @@ class InterpExecutor:
         self._inst = None
 
 
+# --------------------------------------------------------------------------
+# Legacy raw ABI (language='wasm'): numeric-only exports called per row with
+# plain i32/i64/f32/f64 params — no linear-memory protocol, no serialization
+# (reference wasm.rs:628-765; type table data_types.rs:11-29 get_wasm_type)
+# --------------------------------------------------------------------------
+
+# CREATE FUNCTION type name -> wasm value type, exactly the reference's
+# get_wasm_type match arms (legacy wasm-native names + the DDL names it
+# accepts); anything else is rejected with the reference's error shape
+RAW_WASM_TYPES = {
+    "i32": "i32", "i64": "i64", "f32": "f32", "f64": "f64",
+    "int": "i32", "bigint": "i64",
+    "float": "f32", "real": "f32", "double": "f64",
+}
+
+
+def parse_raw_type(s: str) -> str:
+    low = s.strip().lower()
+    wt = RAW_WASM_TYPES.get(low)
+    if wt is None:
+        raise WasmAbiError(
+            f"UDFs with language 'wasm' do not support data type {s}"
+        )
+    return wt
+
+
+class RawWasmtimeExecutor:
+    """Per-row numeric call through wasmtime — the reference's
+    make_scalar_function_from_wasm without the msgpack buffer dance."""
+
+    def __init__(self, module_bytes: bytes, entrypoint: str):
+        try:
+            import wasmtime
+        except ImportError as exc:
+            raise WasmAbiError(
+                "executing WASM bytecode requires the wasmtime package"
+            ) from exc
+        engine = wasmtime.Engine()
+        module = wasmtime.Module(engine, module_bytes)
+        linker = wasmtime.Linker(engine)
+        linker.define_wasi()
+        self.store = wasmtime.Store(engine)
+        self.store.set_wasi(wasmtime.WasiConfig())
+        instance = linker.instantiate(self.store, module)
+        exports = instance.exports(self.store)
+        if entrypoint not in exports:
+            raise WasmAbiError(f"Error loading function {entrypoint!r}")
+        self._udf = exports[entrypoint]
+
+    def call_raw(self, params: list[Any]) -> Any:
+        return self._udf(self.store, *params)
+
+
+class RawInterpExecutor:
+    """Same raw calls over the pure-Python interpreter; lazily instantiated
+    so the callable pickles cheaply to Spark workers."""
+
+    def __init__(self, module_bytes: bytes, entrypoint: str):
+        from . import wasm_interp
+
+        self._module_bytes = module_bytes
+        self._entrypoint = entrypoint
+        try:
+            module = wasm_interp.parse_module(module_bytes)
+        except (wasm_interp.WasmError, IndexError, struct.error) as exc:
+            raise WasmAbiError(f"invalid WASM module: {exc}") from exc
+        ent = module.exports.get(entrypoint)
+        if ent is None or ent[0] != 0:
+            raise WasmAbiError(
+                f"entrypoint {entrypoint!r} is not a function export"
+            )
+        self._inst = None
+
+    def _instance(self):
+        if self._inst is None:
+            from . import wasm_interp
+
+            self._inst = wasm_interp.Instance(
+                wasm_interp.parse_module(self._module_bytes)
+            )
+        return self._inst
+
+    def call_raw(self, params: list[Any]) -> Any:
+        from .wasm_interp import WasmTrap
+
+        try:
+            return self._instance().invoke(self._entrypoint, *params)
+        except WasmTrap as exc:
+            self._inst = None  # trapped instances may hold poisoned state
+            raise WasmAbiError(f"Error invoking WASM UDF: {exc}") from exc
+
+    def __getstate__(self):
+        return {
+            "_module_bytes": self._module_bytes,
+            "_entrypoint": self._entrypoint,
+        }
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._inst = None
+
+
+def make_raw_row_callable(
+    executor, input_types: list[str], return_type: str
+) -> Callable[..., Any]:
+    """Per-row callable for the legacy raw ABI: marshal Python values to
+    plain wasm numerics and back. NULL inputs short-circuit to NULL
+    without invoking the module (stricter than the reference, which reads
+    whatever the arrow buffer holds under a null slot — returning NULL is
+    the only answer that doesn't depend on buffer contents)."""
+    ins = [parse_raw_type(t) for t in input_types]
+    ret = parse_raw_type(return_type)
+
+    def _to_wasm(wt: str, v: Any) -> Any:
+        if wt in ("i32", "i64"):
+            iv = int(v)
+            bits = 32 if wt == "i32" else 64
+            if not -(1 << (bits - 1)) <= iv < (1 << (bits - 1)):
+                raise WasmAbiError(f"{iv} out of range for {wt}")
+            return iv
+        return float(v)
+
+    def call(*args: Any) -> Any:
+        if len(args) != len(ins):
+            raise WasmAbiError(f"expected {len(ins)} arguments, got {len(args)}")
+        if any(a is None for a in args):
+            return None
+        out = executor.call_raw([_to_wasm(t, a) for t, a in zip(ins, args)])
+        return int(out) if ret in ("i32", "i64") else float(out)
+
+    return call
+
+
 def make_row_callable(
     executor, input_types: list[str], return_type: str
 ) -> Callable[..., Any]:

@@ -192,6 +192,96 @@ class TestExecutorProtocol:
             WasmtimeExecutor(b"\x00asm", "f")
 
 
+class TestRawAbi:
+    """Legacy language='wasm' raw numeric ABI (reference wasm.rs:628-765,
+    type table data_types.rs:11-29): exports called per row with plain
+    i32/i64/f32/f64 values, no linear-memory protocol."""
+
+    def _module(self):
+        from test_wasm_interp import F32, I64, build, functype
+
+        return build(
+            [functype([F32], [F32]), functype([I64, I64], [I64])],
+            [
+                (0, [], b"\x20\x00\x20\x00\x92"),  # dbl: x + x (f32.add)
+                (1, [], b"\x20\x00\x20\x01\x7c"),  # addl: a + b (i64.add)
+            ],
+            exports=[("dbl", 0, 0), ("addl", 0, 1)],
+        )
+
+    def test_type_table_matches_reference(self):
+        from seafowl_spark.engine.wasm_abi import parse_raw_type
+
+        assert parse_raw_type("i32") == "i32"
+        assert parse_raw_type("INT") == "i32"
+        assert parse_raw_type("bigint") == "i64"
+        assert parse_raw_type("real") == "f32"
+        assert parse_raw_type("FLOAT") == "f32"
+        assert parse_raw_type("double") == "f64"
+        with pytest.raises(WasmAbiError, match="language 'wasm' do not support"):
+            parse_raw_type("text")
+        with pytest.raises(WasmAbiError, match="do not support"):
+            parse_raw_type("decimal(10,2)")
+
+    def test_raw_interp_executor_calls(self):
+        from seafowl_spark.engine.wasm_abi import RawInterpExecutor
+
+        ex = RawInterpExecutor(self._module(), "dbl")
+        assert ex.call_raw([1.5]) == 3.0
+        ex2 = RawInterpExecutor(self._module(), "addl")
+        assert ex2.call_raw([40, 2]) == 42
+
+    def test_missing_entrypoint_rejected(self):
+        from seafowl_spark.engine.wasm_abi import RawInterpExecutor
+
+        with pytest.raises(WasmAbiError, match="not a function export"):
+            RawInterpExecutor(self._module(), "nope")
+
+    def test_row_callable_marshalling(self):
+        from seafowl_spark.engine.wasm_abi import (
+            RawInterpExecutor,
+            make_raw_row_callable,
+        )
+
+        f = make_raw_row_callable(
+            RawInterpExecutor(self._module(), "addl"), ["bigint", "i64"], "bigint"
+        )
+        assert f(40, 2) == 42
+        assert f(None, 2) is None  # NULL short-circuits, module not invoked
+        with pytest.raises(WasmAbiError, match="out of range"):
+            make_raw_row_callable(
+                RawInterpExecutor(self._module(), "addl"), ["int", "int"], "int"
+            )(1 << 40, 0)
+
+    def test_executor_pickles_for_spark_workers(self):
+        import pickle
+
+        from seafowl_spark.engine.wasm_abi import RawInterpExecutor
+
+        ex = RawInterpExecutor(self._module(), "addl")
+        assert ex.call_raw([2, 3]) == 5
+        ex2 = pickle.loads(pickle.dumps(ex))
+        assert ex2.call_raw([20, 22]) == 42
+
+    def test_spec_validation(self):
+        import base64
+
+        from seafowl_spark.engine.udf import UdfError, validate_spec
+
+        spec = {
+            "entrypoint": "dbl",
+            "language": "wasm",
+            "input_types": ["text"],
+            "return_type": "int",
+            "data": base64.b64encode(self._module()).decode(),
+        }
+        with pytest.raises(UdfError, match="do not support data type"):
+            validate_spec(spec)
+        spec["input_types"] = ["f32"]
+        spec["return_type"] = "f32"
+        validate_spec(spec)  # legacy wasm-native names accepted
+
+
 FIXTURE = "/root/reference/resources/test/messagepack_rust.wasm"
 needs_fixture = pytest.mark.skipif(
     not __import__("os").path.exists(FIXTURE),
@@ -283,6 +373,38 @@ class TestInterpreterFixture:
         assert ex.call([2, 3]) == 5
         ex2 = pickle.loads(pickle.dumps(ex))
         assert ex2.call([20, 22]) == 42
+
+    def test_end_to_end_sql_legacy_raw(self, ctx):
+        """The reference's raw-wasm e2e shape (wasm.rs:855-897 `sintau`):
+        a REAL->REAL numeric export registered via CREATE FUNCTION with
+        language='wasm' and called from SQL. The module here is
+        hand-assembled (no wasm toolchain in this environment): f32
+        doubling instead of sintau, same ABI."""
+        import base64
+        import json
+
+        from test_wasm_interp import F32, build, functype
+
+        mod = build(
+            [functype([F32], [F32])],
+            [(0, [], b"\x20\x00\x20\x00\x92")],  # local.get 0 twice; f32.add
+            exports=[("dbl", 0, 0)],
+        )
+        spec = {
+            "entrypoint": "dbl",
+            "language": "wasm",
+            "input_types": ["real"],
+            "return_type": "real",
+            "data": base64.b64encode(mod).decode(),
+            "volatility": "immutable",
+        }
+        ctx.execute(f"CREATE FUNCTION raw_dbl AS '{json.dumps(spec)}'")
+        df = ctx.execute(
+            "SELECT ROUND(raw_dbl(CAST(v AS REAL)) * 1000) AS r "
+            "FROM (VALUES (0.1), (1.2), (NULL)) AS t(v)"
+        )
+        got = sorted((r.r for r in df.collect()), key=lambda v: (v is None, v))
+        assert got == [200.0, 2400.0, None]
 
     def test_end_to_end_sql(self, ctx, module_bytes):
         """CREATE FUNCTION with the real module, then call it from SQL —
