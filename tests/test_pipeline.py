@@ -30,6 +30,41 @@ class TestDedupComponents:
             assert sum(m.is_canonical for m in members) == 1
             assert all(m.component_size == len(members) for m in members)
 
+    def test_propagation_at_int64_extremes(self, spark):
+        """r4 verdict: the old convergence detector summed int64 labels,
+        which wraps at extreme id ranges. The changed-label-count detector
+        must converge correctly on a graph whose label sums overflow
+        int64 (ids near 2^62: any two sum past 2^63-1)."""
+        from seafowl_spark.queries.pipeline import propagate_min_labels
+
+        big = 1 << 62
+        # path graph big+0 - big+1 - big+2 plus an isolated edge pair:
+        # diameter 2 forces multiple rounds; every round's label sum wraps
+        pairs = [(big, big + 1), (big + 1, big + 2), (big + 10, big + 11)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+        labels = {r.doc_id: r.comp for r in propagate_min_labels(spark, edges).collect()}
+        assert labels == {
+            big: big, big + 1: big, big + 2: big,
+            big + 10: big + 10, big + 11: big + 10,
+        }
+
+    def test_reliable_checkpoint_dir(self, spark, tmp_path, monkeypatch):
+        import os
+
+        from seafowl_spark.queries.pipeline import propagate_min_labels
+
+        ckpt = str(tmp_path / "ckpt")
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1)], "src long, dst long"
+        )
+        labels = {r.doc_id: r.comp for r in propagate_min_labels(spark, edges).collect()}
+        assert labels == {1: 1, 2: 1}
+        # reliable checkpoints actually landed in the directory
+        assert any(files for _r, _d, files in os.walk(ckpt))
+
     def test_pairs_land_in_same_component(self, spark):
         from seafowl_spark.queries.pipeline import COMPONENT_MIN_EQUAL_SIGS
         from seafowl_spark.queries.similarity import s_minhash_lsh_pairs
