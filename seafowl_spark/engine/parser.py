@@ -237,7 +237,8 @@ def parse_statement(sql: str) -> Statement:
         return Statement("create_schema", s, {"name": m.group(2), "if_not_exists": bool(m.group(1))})
 
     m = re.match(
-        rf"(?i)^create\s+external\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*"
+        rf"(?i)^create\s+(unbounded\s+)?external\s+table\s+"
+        rf"(if\s+not\s+exists\s+)?({_IDENT})\s*"
         rf"(\((.*?)\))?\s*stored\s+as\s+({_IDENT})\s*"
         rf"(?:partitioned\s+by\s+\(([^)]*)\)\s*)?"
         rf"(?:options\s*\((.*?)\)\s*)?location\s+'([^']+)'\s*$",
@@ -245,22 +246,26 @@ def parse_statement(sql: str) -> Statement:
         re.DOTALL,
     )
     if m:
-        cols = _parse_columns(m.group(4)) if m.group(4) else None
-        part = [c.strip().strip('"') for c in (m.group(6) or "").split(",") if c.strip()]
+        cols = _parse_columns(m.group(5)) if m.group(5) else None
+        part = [c.strip().strip('"') for c in (m.group(7) or "").split(",") if c.strip()]
         return Statement(
             "create_external_table",
             s,
             {
-                "if_not_exists": bool(m.group(1)),
-                "name": m.group(2),
+                "if_not_exists": bool(m.group(2)),
+                "name": m.group(3),
                 "columns": cols,
-                "format": m.group(5).lower(),
+                "format": m.group(6).lower(),
                 # hive partition columns are discovered from the directory
                 # layout by Spark; the clause is accepted for reference
                 # parity (parser.rs:601-745) and validated post-read
                 "partition_by": part,
-                "options": _parse_options(m.group(7)),
-                "location": m.group(8),
+                "options": _parse_options(m.group(8)),
+                "location": m.group(9),
+                # the reference parses UNBOUNDED (parser.rs:395-398) though
+                # nothing downstream consumes it; accepted and flagged so a
+                # streaming source could route on it
+                "unbounded": bool(m.group(1)),
             },
         )
 

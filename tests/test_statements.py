@@ -347,6 +347,26 @@ class TestConvertCopy:
 
 
 class TestExternalTables:
+    def test_unbounded_external_table_parses(self, ctx, tmp_path):
+        """The reference parses CREATE UNBOUNDED EXTERNAL TABLE
+        (parser.rs:395-398) even though nothing downstream consumes the
+        flag; accept and route to the same external-table path."""
+        from seafowl_spark.engine import parser
+
+        p = tmp_path / "ub.csv"
+        p.write_text("a,b\n7,z\n")
+        stmt = parser.parse_statement(
+            f"CREATE UNBOUNDED EXTERNAL TABLE ub STORED AS CSV LOCATION '{p}'"
+        )
+        assert stmt.kind == "create_external_table" and stmt.unbounded
+        assert not parser.parse_statement(
+            f"CREATE EXTERNAL TABLE b2 STORED AS CSV LOCATION '{p}'"
+        ).unbounded
+        ctx.execute(
+            f"CREATE UNBOUNDED EXTERNAL TABLE ub STORED AS CSV LOCATION '{p}'"
+        )
+        assert rows(ctx.execute("SELECT a, b FROM staging.ub")) == [(7, "z")]
+
     def test_external_csv(self, ctx, tmp_path):
         p = tmp_path / "ext.csv"
         p.write_text("a,b\n1,x\n2,y\n")
