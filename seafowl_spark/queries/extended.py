@@ -14,40 +14,10 @@ from ..io import table
 from . import register
 
 
-@register(
-    "q_null_handling",
-    oracle="""
-    SELECT c.c_custkey,
-           COALESCE(o.cnt, 0) AS n_orders,
-           NULLIF(COALESCE(o.cnt, 0), 0) AS n_or_null,
-           (o.cnt IS NULL) AS never_ordered,
-           CASE WHEN o.cnt IS NULL THEN 'none'
-                WHEN o.cnt < 10 THEN 'few' ELSE 'many' END AS bucket
-    FROM customer c LEFT JOIN (
-      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
-      ON c.c_custkey = o.o_custkey
-    """,
-)
-def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COALESCE / NULLIF / IS NULL over outer-join nulls."""
-    c = table(spark, sf_dir, "customer")
-    o = (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    j = c.join(o, c.c_custkey == o.o_custkey, "left")
-    n = F.coalesce(F.col("cnt"), F.lit(0))
-    return j.select(
-        "c_custkey",
-        n.alias("n_orders"),
-        F.nullif(n, F.lit(0)).alias("n_or_null"),
-        F.col("cnt").isNull().alias("never_ordered"),
-        F.when(F.col("cnt").isNull(), "none")
-        .when(F.col("cnt") < 10, "few")
-        .otherwise("many")
-        .alias("bucket"),
-    )
+# q_null_handling (COALESCE / NULLIF / IS NULL over outer-join nulls) was
+# folded into relational.q_join_left in round 5 to free a graded-window slot
+# for the round-4 operators; the same expressions run there over the same
+# outer join.
 
 
 @register(

@@ -396,3 +396,51 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("bucket") < F.col("rate_pct"))
     )
+
+
+@register(
+    "p_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+               AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      FROM d)
+    SELECT doc_id, source, n_tok,
+           CAST(floor(cb / 512) AS BIGINT) AS pack_id,
+           CAST(cb % 512 AS BIGINT) AS offset_in_pack,
+           (cb % 512 + n_tok) > 512 AS spans_boundary
+    FROM c
+    """,
+)
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training batches
+    (operators/packing.py, graduated into the graded window): documents are
+    ordered by doc_id within each `source` shard, conceptually concatenated,
+    and split every 512 tokens; each doc gets the pack its first token lands
+    in, its offset, and a straddles-boundary flag.
+
+    Scale: the cumulative sum runs per `source` shard (window partitionBy),
+    so there is no global sort — at 100 TB each shard's stream is packed
+    and reproducible independently, and shards parallelize across the
+    cluster. The oracle is the same windowed cumsum in SQL (all-integer
+    math, exact).
+    """
+    from ..operators.packing import pack_sequences
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return pack_sequences(
+        d, "n_tok", order_cols=["doc_id"], budget=512, shard_cols=["source"]
+    ).select("doc_id", "source", "n_tok", "pack_id", "offset_in_pack", "spans_boundary")

@@ -277,17 +277,27 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_left",
     oracle="""
-    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
-    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey, c.c_name
+    SELECT c_custkey, c_name, n_orders,
+           NULLIF(n_orders, 0) AS n_or_null,
+           (n_orders = 0) AS never_ordered,
+           CASE WHEN n_orders = 0 THEN 'none'
+                WHEN n_orders < 10 THEN 'few' ELSE 'many' END AS bucket,
+           total_spent
+    FROM (
+      SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name)
     """,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join preserving customers with zero orders."""
+    """LEFT OUTER join preserving customers with zero orders, plus the
+    null-handling surface over the outer-join result (COALESCE / NULLIF /
+    IS-NULL-derived flag / CASE bucketing — absorbed from the former
+    q_null_handling registry row to keep the graded window at 50)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    agg = (
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey", "c_name")
         .agg(
@@ -299,40 +309,47 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spent"),
         )
     )
-
-
-@register(
-    "q_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS decorrelation — Catalyst
-    RewritePredicateSubquery produces exactly this plan from SQL)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    n = F.col("n_orders")
+    return agg.select(
+        "c_custkey",
+        "c_name",
+        "n_orders",
+        F.nullif(n, F.lit(0)).alias("n_or_null"),
+        (n == 0).alias("never_ordered"),
+        F.when(n == 0, "none").when(n < 10, "few").otherwise("many").alias("bucket"),
+        "total_spent",
     )
 
 
 @register(
-    "q_join_semi",
+    "q_join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'anti' AS tag, c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'semi' AS tag, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
     """,
 )
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS)."""
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS) and LEFT SEMI (EXISTS) joins in one graded
+    row — Catalyst RewritePredicateSubquery decorrelates the SQL forms to
+    exactly these physical joins. Consolidated from the former q_join_anti
+    and q_join_semi rows to keep the graded window at 50; both join types
+    still execute (one LeftAnti, one LeftSemi in the plan)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
-        "c_custkey", "c_name"
+    o = _t(spark, sf_dir, "orders")
+    anti = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .select(F.lit("anti").alias("tag"), "c_custkey", "c_name")
     )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(urgent, urgent.o_custkey == c.c_custkey, "left_semi")
+        .select(F.lit("semi").alias("tag"), "c_custkey", "c_name")
+    )
+    return anti.unionAll(semi)
 
 
 @register(
@@ -626,36 +643,15 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrderedAndProject — by q03_shipping_priority and q_explode_words.)
 
 @register(
-    "q_cte_scalar_subquery",
-    oracle="""
-    WITH stats AS (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price
-      FROM orders)
-    SELECT o_orderpriority, COUNT(*) AS n_above_avg
-    FROM orders, stats
-    WHERE o_totalprice > stats.avg_price
-    GROUP BY o_orderpriority
-    """,
-)
-def q_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CTE + scalar subquery (orders above global average price)."""
-    o = _t(spark, sf_dir, "orders")
-    stats = o.agg(dec_avg(F.col("o_totalprice")).alias("avg_price"))
-    return (
-        o.crossJoin(F.broadcast(stats))
-        .where(F.col("o_totalprice") > F.col("avg_price"))
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_above_avg"))
-    )
-
-
-@register(
     "q_subqueries",
     oracle="""
     WITH nation_avg AS (
       SELECT s_nationkey,
              CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS nation_avg_bal
-      FROM supplier GROUP BY s_nationkey)
+      FROM supplier GROUP BY s_nationkey),
+    stats AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders)
     SELECT 'above_nation_avg' AS tag, s.s_suppkey AS key, s.s_name AS name,
            s.s_acctbal AS metric
     FROM supplier s JOIN nation_avg na ON s.s_nationkey = na.s_nationkey
@@ -665,12 +661,20 @@ def q_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p_size AS DOUBLE) AS metric
     FROM part
     WHERE p_size IN (SELECT DISTINCT p_size FROM part ORDER BY p_size DESC LIMIT 3)
+    UNION ALL
+    SELECT 'above_global_avg' AS tag, COUNT(*) AS key, o_orderpriority AS name,
+           CAST(COUNT(*) AS DOUBLE) AS metric
+    FROM orders, stats
+    WHERE o_totalprice > stats.avg_price
+    GROUP BY o_orderpriority
     """,
 )
 def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated comparison against a per-group aggregate (the decorrelated
     form Catalyst produces for correlated scalar subqueries) UNION ALL an
-    IN-subquery -> LEFT SEMI join on the top-3 distinct part sizes."""
+    IN-subquery -> LEFT SEMI join on the top-3 distinct part sizes UNION ALL
+    a CTE + broadcast scalar subquery (orders above global average price —
+    absorbed from the former q_cte_scalar_subquery registry row)."""
     s = _t(spark, sf_dir, "supplier")
     na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
     above = (
@@ -698,7 +702,21 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("double").alias("metric"),
         )
     )
-    return above.unionAll(in_top)
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(dec_avg(F.col("o_totalprice")).alias("avg_price"))
+    above_global = (
+        o.crossJoin(F.broadcast(stats))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("above_global_avg").alias("tag"),
+            F.col("n").alias("key"),
+            F.col("o_orderpriority").alias("name"),
+            F.col("n").cast("double").alias("metric"),
+        )
+    )
+    return above.unionAll(in_top).unionAll(above_global)
 
 
 # --------------------------------------------------------------------------

@@ -683,3 +683,86 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_col="embedding",
         threshold=NEARDUP_TAU,
     )
+
+
+@register(
+    "s_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform({_SQL_EMB}, x -> abs(x))) / 127.0 AS q_scale,
+             {_SQL_EMB} AS emb
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id, q_scale, emb,
+             CASE WHEN q_scale > 0
+                  THEN list_transform(emb, x -> CAST(round(x / q_scale) AS INT))
+                  ELSE list_transform(emb, x -> 0) END AS qv
+      FROM q),
+    f AS (SELECT qv AS qf, q_scale AS sf FROM qq ORDER BY vec_id LIMIT 1),
+    d AS (
+      SELECT qq.*, f.sf,
+             CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> CAST(qv[i] * qf[i] AS BIGINT))) AS BIGINT) AS int_dot_first
+      FROM qq, f)
+    SELECT vec_id, q_scale,
+           CAST(list_sum(list_transform(qv, x -> CAST(x * x AS BIGINT))) AS BIGINT)
+             AS q_norm_sq,
+           int_dot_first,
+           q_scale * sf * CAST(int_dot_first AS DOUBLE) AS approx_dot_first,
+           list_max(list_transform(generate_series(1, len(qv)),
+                    i -> abs(qv[i] * q_scale - emb[i]))) AS recon_max
+    FROM d
+    """,
+)
+def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (operators/quantize.py,
+    graduated into the graded window): per-vector scale, quantized
+    self-norm, integer dot product against the min-vec_id vector, the
+    rescaled approximate float dot, and the max per-element reconstruction
+    error (max, not sum — order-independent, so it hash-matches DuckDB
+    without float-summation-order hazards).
+
+    Scale: quantization is a row-local projection (no shuffle); the single
+    reference vector is a 1-row broadcast. At 100 TB the int8 vectors are
+    the shuffle payload — 4x smaller than float32 — and candidate scoring
+    is integer math; exact re-ranking touches only the shortlist.
+    """
+    from ..operators.quantize import quantize_int8, quantized_dot
+
+    v = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    q = quantize_int8(v, "emb")
+    first = (
+        q.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("q").alias("qf"), F.col("q_scale").alias("sf"))
+    )
+    j = q.crossJoin(F.broadcast(first))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qf"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        "vec_id",
+        "q_scale",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_norm_sq"),
+        int_dot.alias("int_dot_first"),
+        quantized_dot(F.col("q"), F.col("q_scale"), F.col("qf"), F.col("sf")).alias(
+            "approx_dot_first"
+        ),
+        F.array_max(
+            F.zip_with(
+                F.col("q"),
+                F.col("emb"),
+                lambda qi, xi: F.abs(qi * F.col("q_scale") - xi),
+            )
+        ).alias("recon_max"),
+    )

@@ -317,3 +317,59 @@ def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_inter") > 0)
     )
+
+
+@register(
+    "t_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+      FROM base),
+    runs AS (
+      SELECT doc_id, COUNT(*) AS rl
+      FROM (SELECT doc_id, tok,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+            FROM tok)
+      GROUP BY doc_id, tok, grp),
+    mr AS (SELECT doc_id, MAX(rl) AS max_run FROM runs GROUP BY doc_id),
+    met AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             ELSE [] END AS ng
+      FROM base)
+    SELECT m.doc_id,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN len(ng) > 0
+                THEN CAST(len(ng) - len(list_distinct(ng)) AS DOUBLE) / len(ng)
+                ELSE 0.0 END AS dup_ngram_frac,
+           CASE WHEN len(ng) > 0
+                THEN CAST(list_max(list_transform(list_distinct(ng),
+                       g -> len(list_filter(ng, x -> x = g)))) AS DOUBLE) / len(ng)
+                ELSE 0.0 END AS top_ngram_frac,
+           COALESCE(mr.max_run, 0) AS max_run_len
+    FROM met m LEFT JOIN mr ON m.doc_id = mr.doc_id
+    """,
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics (duplicate token /
+    n-gram fractions, top-n-gram boilerplate mass, longest same-token run)
+    — the round-4 operators/repetition.py graduated into the graded window.
+
+    Scale: one shuffle-free projection over the token array; every metric
+    is a JVM column expression, so this composes with the other per-doc
+    text operators at scan cost. The oracle mirrors the array math with
+    DuckDB list lambdas and computes max-run via gaps-and-islands.
+    """
+    from ..operators.repetition import repetition_metrics
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_metrics(d, "text", ngram_n=3).select(
+        "doc_id", "dup_token_frac", "dup_ngram_frac", "top_ngram_frac", "max_run_len"
+    )
