@@ -144,9 +144,20 @@ class DeltaLiteTable:
     """Handle to one versioned table directory."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from ..sources.store import resolve_store
+
         self.spark = spark
-        self.root = root.rstrip("/")
+        # the metadata plane (log/checkpoints/DVs/vacuum) goes through the
+        # object store resolved from the root URL (sources/store.py — the
+        # reference's per-scheme store factory, object_store_factory/src/);
+        # the data plane stays Spark/Hadoop URIs via store.spark_url
+        self.root_url = root.rstrip("/")
+        self.store, self.root = resolve_store(self.root_url)
         self.log_dir = os.path.join(self.root, LOG_DIR)
+
+    def _data_url(self, rel: str) -> str:
+        """Spark-addressable URI for a file under the table root."""
+        return self.store.spark_url(os.path.join(self.root, rel))
 
     # ----------------------------------------------------------- log I/O
 
@@ -154,10 +165,8 @@ class DeltaLiteTable:
         return os.path.join(self.log_dir, f"{version:010d}.json")
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.store.list(self.log_dir):
             if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
         return sorted(out)
@@ -172,8 +181,7 @@ class DeltaLiteTable:
         return vs[-1]
 
     def read_commit(self, version: int) -> Commit:
-        with open(self._version_path(version)) as f:
-            d = json.load(f)
+        d = json.loads(self.store.get(self._version_path(version)))
         return Commit(
             version=d["version"],
             timestamp_ms=d["timestamp_ms"],
@@ -185,9 +193,9 @@ class DeltaLiteTable:
         )
 
     def _write_commit(self, commit: Commit) -> None:
-        os.makedirs(self.log_dir, exist_ok=True)
+        from ..sources.store import AlreadyExists
+
         path = self._version_path(commit.version)
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
         body = {
             "version": commit.version,
             "timestamp_ms": commit.timestamp_ms,
@@ -197,20 +205,16 @@ class DeltaLiteTable:
             "metadata": commit.metadata,
             "app_txn": commit.app_txn,
         }
-        with open(tmp, "w") as f:
-            json.dump(body, f)
-        # optimistic concurrency: put-if-absent on the version file
-        # (reference delta.rs:429-440 relies on the object store's
-        # put-if-absent). os.link fails atomically when the target exists,
-        # so two racing writers can never both claim a version.
+        # optimistic concurrency: the store's atomic put-if-absent on the
+        # version file (reference delta.rs:429-440 relies on the object
+        # store's put-if-absent the same way); two racing writers can
+        # never both claim a version.
         try:
-            os.link(tmp, path)
-        except FileExistsError:
+            self.store.put_if_absent(path, json.dumps(body).encode())
+        except AlreadyExists:
             raise ConcurrentCommitError(
                 f"version {commit.version} already committed"
             ) from None
-        finally:
-            os.unlink(tmp)
 
     # ----------------------------------------------------------- snapshots
 
@@ -294,8 +298,7 @@ class DeltaLiteTable:
 
     def _load_checkpoint(self, upto_version: int) -> dict | None:
         try:
-            with open(self._checkpoint_path()) as f:
-                v = int(json.load(f)["version"])
+            v = int(json.loads(self.store.get(self._checkpoint_path()))["version"])
         except (OSError, ValueError, KeyError):
             return None
         if v > upto_version:
@@ -303,7 +306,7 @@ class DeltaLiteTable:
             # kept too — use the newest one at or below the target
             cands = [
                 int(n[: -len(".checkpoint.json")])
-                for n in os.listdir(self.log_dir)
+                for n in self.store.list(self.log_dir)
                 if n.endswith(".checkpoint.json")
             ]
             older = [c for c in cands if c <= upto_version]
@@ -312,8 +315,7 @@ class DeltaLiteTable:
             v = max(older)
         path = os.path.join(self.log_dir, f"{v:010d}.checkpoint.json")
         try:
-            with open(path) as f:
-                d = json.load(f)
+            d = json.loads(self.store.get(path))
         except OSError:
             return None
         d["files"] = [AddFile.from_json(a) for a in d["files"]]
@@ -343,14 +345,10 @@ class DeltaLiteTable:
             "files": [a.to_json() for a in snap.files],
         }
         path = os.path.join(self.log_dir, f"{version:010d}.checkpoint.json")
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(body, f)
-        os.rename(tmp, path)
-        tmp2 = self._checkpoint_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp2, "w") as f:
-            json.dump({"version": version}, f)
-        os.rename(tmp2, self._checkpoint_path())
+        self.store.put(path, json.dumps(body).encode())
+        self.store.put(
+            self._checkpoint_path(), json.dumps({"version": version}).encode()
+        )
 
     def history(self) -> list[Commit]:
         return [self.read_commit(v) for v in self.versions()]
@@ -407,7 +405,7 @@ class DeltaLiteTable:
     def _scan_files(self, files: list[AddFile], schema: T.StructType) -> DataFrame:
         """Read a file subset with deletion vectors applied (the read-side
         half of MoR DELETE)."""
-        paths = [os.path.join(self.root, f.path) for f in files]
+        paths = [self._data_url(f.path) for f in files]
         # explicit schema: empty-file-set and add-order independence
         df = self.spark.read.schema(schema).parquet(*paths)
         return self._apply_dvs(df, files)
@@ -444,26 +442,35 @@ class DeltaLiteTable:
         the cluster, not driver memory."""
         desc = self.spark.createDataFrame(
             [
-                (
-                    os.path.abspath(os.path.join(self.root, f.path)),
-                    os.path.abspath(os.path.join(self.root, f.dv["path"])),
-                )
+                (self._fp_key(f.path), os.path.join(self.root, f.dv["path"]))
                 for f in dv_files
             ],
             "__sfs_fp string, dv_path string",
         )
+        store_url = self.root_url
 
         def decode(batches):
             import pandas as pd
 
-            from ..sources.delta_dv import decode_framed_dv
+            from ..sources.delta_dv import decode_framed_blob
+            from ..sources.store import resolve_store
 
+            store, _root = resolve_store(store_url)
             for pdf in batches:
                 for fp, dvp in zip(pdf["__sfs_fp"], pdf["dv_path"]):
-                    idx = decode_framed_dv(dvp)
+                    idx = decode_framed_blob(store.get(dvp), dvp)
                     yield pd.DataFrame({"__sfs_fp": [fp] * len(idx), "__sfs_pos": idx})
 
         return desc.mapInPandas(decode, "__sfs_fp string, __sfs_pos long")
+
+    def _fp_key(self, rel: str) -> str:
+        """The value ``_fp_norm(_metadata.file_path)`` yields for a data
+        file at ``rel`` — local roots normalize to a plain absolute path,
+        object-store roots keep their scheme-ful URI."""
+        url = self._data_url(rel)
+        if "://" in url:
+            return url
+        return os.path.abspath(url)
 
     # ----------------------------------------------------------- writes
 
@@ -475,16 +482,17 @@ class DeltaLiteTable:
 
         adds = []
         absdir = os.path.join(self.root, data_dir_rel)
-        for name in sorted(os.listdir(absdir)):
+        for name in self.store.list(absdir):
             if not name.endswith(".parquet"):
                 continue
             rel = os.path.join(data_dir_rel, name)
             full = os.path.join(absdir, name)
-            md = pq.ParquetFile(full).metadata
+            with self.store.open_input(full) as src:
+                md = pq.ParquetFile(src).metadata
             if md.num_rows == 0:
                 # fully-filtered rewrites: drop the file instead of adding
                 # an empty one (reference DELETE commits pure removes)
-                os.unlink(full)
+                self.store.delete(full)
                 continue
             stats: dict[str, dict[str, Any]] = {}
             for rg in range(md.num_row_groups):
@@ -525,7 +533,7 @@ class DeltaLiteTable:
                         cur["max"] = max(cur["max"], mx)
                         cur["nulls"] += nulls
             adds.append(
-                AddFile(rel, md.num_rows, os.path.getsize(full), stats)
+                AddFile(rel, md.num_rows, self.store.size(full), stats)
             )
         return adds
 
@@ -545,12 +553,10 @@ class DeltaLiteTable:
         (
             df.write.option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
             .option("compression", "zstd")
-            .parquet(out, mode="overwrite")
+            .parquet(self.store.spark_url(out), mode="overwrite")
         )
         # drop Spark's _SUCCESS marker; log is the source of truth
-        marker = os.path.join(out, "_SUCCESS")
-        if os.path.exists(marker):
-            os.unlink(marker)
+        self.store.delete(os.path.join(out, "_SUCCESS"))
         return self._harvest_adds(txn)
 
     def _write_bucketed(
@@ -577,27 +583,25 @@ class DeltaLiteTable:
             .write.option("maxRecordsPerFile", MAX_ROWS_PER_FILE)
             .option("compression", "zstd")
             .partitionBy("__sfs_bucket")
-            .parquet(out, mode="overwrite")
+            .parquet(self.store.spark_url(out), mode="overwrite")
         )
-        marker = os.path.join(out, "_SUCCESS")
-        if os.path.exists(marker):
-            os.unlink(marker)
+        self.store.delete(os.path.join(out, "_SUCCESS"))
         # flatten __sfs_bucket=k/ dirs: bucket id belongs in the log, not
         # the path (partition discovery must not resurrect the column)
         buckets: dict[str, int] = {}
-        for entry in sorted(os.listdir(out)):
-            sub = os.path.join(out, entry)
-            if not (os.path.isdir(sub) and entry.startswith("__sfs_bucket=")):
+        for entry in self.store.list(out):
+            if not entry.startswith("__sfs_bucket="):
                 continue
+            sub = os.path.join(out, entry)
             b = int(entry.split("=", 1)[1])
-            for name in sorted(os.listdir(sub)):
+            for name in self.store.list(sub):
                 if name.endswith(".parquet"):
                     flat = f"b{b:05d}-{name}"
-                    os.rename(os.path.join(sub, name), os.path.join(out, flat))
+                    self.store.rename(os.path.join(sub, name), os.path.join(out, flat))
                     buckets[flat] = b
                 else:  # hadoop .crc checksums etc.
-                    os.unlink(os.path.join(sub, name))
-            os.rmdir(sub)
+                    self.store.delete(os.path.join(sub, name))
+            self.store.delete_dir(sub)
         adds = self._harvest_adds(txn)
         for a in adds:
             a.bucket = buckets.get(os.path.basename(a.path))
@@ -645,7 +649,7 @@ class DeltaLiteTable:
         properties: dict | None = None,
     ) -> "DeltaLiteTable":
         t = DeltaLiteTable(spark, root)
-        os.makedirs(t.root, exist_ok=True)
+        t.store.makedirs(t.root)
         if t.exists():
             raise DeltaLiteError(f"table already exists at {root}")
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
@@ -852,19 +856,21 @@ class DeltaLiteTable:
             # new DV = old ∪ new: decoded distributed, unioned pre-encode
             matches = matches.unionByName(self._dv_pairs_df(already))
         dv_dir = os.path.join(self.root, "data")
-        os.makedirs(dv_dir, exist_ok=True)
+        self.store.makedirs(dv_dir)
+        store_url = self.root_url
 
         def encode_group(pdf):
             import pandas as pd
             import uuid as _u
 
-            from ..sources.delta_dv import write_framed_dv
+            from ..sources.delta_dv import encode_framed_dv
+            from ..sources.store import resolve_store
 
+            store, root = resolve_store(store_url)
             fp = pdf["__sfs_fp"].iloc[0]
             name = f"dv-{_u.uuid4().hex}.bin"
-            card = write_framed_dv(
-                os.path.join(dv_dir, name), sorted(set(int(p) for p in pdf["__sfs_pos"]))
-            )
+            blob, card = encode_framed_dv(sorted(set(int(p) for p in pdf["__sfs_pos"])))
+            store.put(os.path.join(root, "data", name), blob)
             return pd.DataFrame(
                 {"__sfs_fp": [fp], "dv_name": [name], "card": [card]}
             )
@@ -874,9 +880,7 @@ class DeltaLiteTable:
             .applyInPandas(encode_group, "__sfs_fp string, dv_name string, card long")
             .collect()
         )
-        by_abs = {
-            os.path.abspath(os.path.join(self.root, f.path)): f for f in hit
-        }
+        by_abs = {self._fp_key(f.path): f for f in hit}
         adds: list[AddFile] = []
         removes: list[str] = []
         for r in res:
@@ -887,10 +891,7 @@ class DeltaLiteTable:
             dv_rel = os.path.join("data", r["dv_name"])
             if int(r["card"]) >= f.rows:
                 # every row dead: drop the file (and the just-written DV)
-                try:
-                    os.unlink(os.path.join(self.root, dv_rel))
-                except OSError:
-                    pass
+                self.store.delete(os.path.join(self.root, dv_rel))
                 continue
             adds.append(
                 AddFile(
@@ -907,7 +908,7 @@ class DeltaLiteTable:
         vector of the matching row indexes and re-add the file with the DV
         attached — no data bytes rewritten (see ``_encode_dvs``)."""
         schema = T.StructType.fromDDL(snap.schema_ddl)
-        paths = [os.path.join(self.root, f.path) for f in hit]
+        paths = [self._data_url(f.path) for f in hit]
         df = self.spark.read.schema(schema).parquet(*paths)
         matches = df.where(F.expr(predicate_sql)).select(
             _fp_norm(F.col("_metadata.file_path")).alias("__sfs_fp"),
@@ -933,7 +934,7 @@ class DeltaLiteTable:
 
         One commit carries both halves (re-adds with DVs + appended
         files), so readers see the update atomically."""
-        paths = [os.path.join(self.root, f.path) for f in hit]
+        paths = [self._data_url(f.path) for f in hit]
         raw = self.spark.read.schema(schema).parquet(*paths)
         cond = F.expr(predicate_sql) if predicate_sql else F.lit(True)
         # live matching rows only: DV-dead rows must neither re-update nor
@@ -1291,8 +1292,8 @@ class DeltaLiteTable:
             for r in c.removes:
                 if r not in live and now - c.timestamp_ms >= retention_ms:
                     full = os.path.join(self.root, r)
-                    if os.path.exists(full):
-                        os.unlink(full)
+                    if self.store.exists(full):
+                        self.store.delete(full)
                         dead.append(r)
         # orphan scan: anything under data/ that no commit ever added
         # (deletion-vector sidecars count as referenced via their add)
@@ -1300,19 +1301,18 @@ class DeltaLiteTable:
             a.dv["path"] for c in history for a in c.adds if a.dv
         }
         data_dir = os.path.join(self.root, "data")
+        for sub in self.store.list_recursive(data_dir):
+            full = os.path.join(data_dir, sub)
+            rel = os.path.join("data", sub)
+            if rel in ever_referenced or rel in live:
+                continue
+            # float math: int-ms truncation of `now` would make a
+            # just-written orphan look newer than now and survive
+            if (time.time() - self.store.mtime(full)) * 1000 >= retention_ms:
+                self.store.delete(full)
+                dead.append(rel)
+        # drop now-empty txn dirs (real directories only — local FS)
         if os.path.isdir(data_dir):
-            for dirpath, _dirs, names in os.walk(data_dir):
-                for n in names:
-                    full = os.path.join(dirpath, n)
-                    rel = os.path.relpath(full, self.root)
-                    if rel in ever_referenced or rel in live:
-                        continue
-                    # float math: int-ms truncation of `now` would make a
-                    # just-written orphan look newer than now and survive
-                    if (time.time() - os.path.getmtime(full)) * 1000 >= retention_ms:
-                        os.unlink(full)
-                        dead.append(rel)
-            # drop now-empty txn dirs
             for dirpath, dirs, names in list(os.walk(data_dir, topdown=False)):
                 if not dirs and not names and dirpath != data_dir:
                     os.rmdir(dirpath)
@@ -1320,7 +1320,7 @@ class DeltaLiteTable:
 
     def drop_data(self) -> None:
         """Remove the whole table directory (A12 eager object deletion)."""
-        shutil.rmtree(self.root, ignore_errors=True)
+        self.store.delete_dir(self.root)
 
     @staticmethod
     def convert_from_parquet(spark: SparkSession, root: str, operation: str = "CONVERT") -> "DeltaLiteTable":
@@ -1346,15 +1346,16 @@ class DeltaLiteTable:
                 )
             names = [os.path.relpath(p, root) for p in live_adds]
         else:
-            names = [n for n in sorted(os.listdir(root)) if n.endswith(".parquet")]
+            names = [n for n in t.store.list(t.root) if n.endswith(".parquet")]
         if not names:
             raise DeltaLiteError(f"no parquet files to convert in {root}")
-        df = spark.read.parquet(os.path.join(root, names[0]))
+        df = spark.read.parquet(t._data_url(names[0]))
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         adds = []
         for n in names:
-            full = os.path.join(root, n)
-            md = pq.ParquetFile(full).metadata
-            adds.append(AddFile(n, md.num_rows, os.path.getsize(full), {}))
+            full = os.path.join(t.root, n)
+            with t.store.open_input(full) as src:
+                md = pq.ParquetFile(src).metadata
+            adds.append(AddFile(n, md.num_rows, t.store.size(full), {}))
         t._next_commit(operation, adds, [], metadata={"schema_ddl": ddl})
         return t

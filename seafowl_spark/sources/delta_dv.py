@@ -252,21 +252,40 @@ def read_dv(table_dir: str, descriptor: dict) -> list[int]:
     return vals
 
 
-def write_framed_dv(path: str, indexes: list[int]) -> int:
-    """Write a single-DV ``.bin`` (delta framing: version byte, BE size,
-    payload, CRC) at an exact path; returns the cardinality. Used by the
-    engine's own merge-on-read DELETE — same format as Delta's DV files,
-    atomically placed (temp + rename)."""
+def encode_framed_dv(indexes: list[int]) -> tuple[bytes, int]:
+    """Single-DV ``.bin`` blob (delta framing: version byte, BE size,
+    payload, CRC) and its cardinality — byte-level so any object store can
+    carry it."""
     data = encode_rbm_array(indexes)
     blob = bytearray(b"\x01")
     blob += struct.pack(">i", len(data))
     blob += data
     blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    return bytes(blob), len(set(indexes))
+
+
+def decode_framed_blob(blob: bytes, where: str = "<blob>") -> list[int]:
+    """Decode a single-DV framed blob produced by ``encode_framed_dv``."""
+    if not blob or blob[0] != 1:
+        raise DvError(f"unsupported DV file format version in {where}")
+    (size,) = struct.unpack_from(">i", blob, 1)
+    data = blob[5 : 5 + size]
+    (crc,) = struct.unpack_from(">I", blob, 5 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise DvError(f"DV checksum mismatch in {where}")
+    return decode_rbm_array(data)
+
+
+def write_framed_dv(path: str, indexes: list[int]) -> int:
+    """Write a single-DV ``.bin`` at an exact local path; returns the
+    cardinality. Used by the engine's own merge-on-read DELETE — same
+    format as Delta's DV files, atomically placed (temp + rename)."""
+    blob, card = encode_framed_dv(indexes)
     tmp = f"{path}.tmp.{_uuid.uuid4().hex}"
     with open(tmp, "wb") as f:
-        f.write(bytes(blob))
+        f.write(blob)
     os.replace(tmp, path)
-    return len(set(indexes))
+    return card
 
 
 def decode_framed_dv(path: str) -> list[int]:
@@ -274,14 +293,7 @@ def decode_framed_dv(path: str) -> list[int]:
     delta DV file holding one vector after the version byte)."""
     with open(path, "rb") as f:
         blob = f.read()
-    if not blob or blob[0] != 1:
-        raise DvError(f"unsupported DV file format version in {path}")
-    (size,) = struct.unpack_from(">i", blob, 1)
-    data = blob[5 : 5 + size]
-    (crc,) = struct.unpack_from(">I", blob, 5 + size)
-    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
-        raise DvError(f"DV checksum mismatch in {path}")
-    return decode_rbm_array(data)
+    return decode_framed_blob(blob, path)
 
 
 def write_dv_file(table_dir: str, indexes: list[int]) -> dict:
