@@ -2,6 +2,8 @@
 validation, insert/update/delete/pk-change squash, partial-column CHANGED
 semantics, exactly-once sequences, merge pruning."""
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -357,3 +359,159 @@ class TestAppTxnCheckpoint:
         t2.append(df, app_txn={"app_id": "origin-a", "version": 9})
         assert DeltaLiteTable(ctx.spark, root).last_app_txn_version("origin-a") == 9
         assert DeltaLiteTable(ctx.spark, root).last_app_txn_version("other") is None
+
+
+class TestSyncFailure:
+    """Mid-flush failure injection (reference tests/flight/sync_fail.rs):
+    a flush dies between the data/DV write and the log commit; the client
+    redelivers, and the origin/sequence bookkeeping must keep the apply
+    exactly-once while VACUUM collects the orphan files the dead attempt
+    left behind."""
+
+    def _writer(self, ctx):
+        return SyncWriter(ctx.spark, max_rows=10_000)
+
+    def _root(self, ctx):
+        return ctx.table_root(ctx.catalog.get_table("default", "public", "s"))
+
+    def _batch(self):
+        return pd.DataFrame(
+            {
+                "old_pk": [None, 1],
+                "new_pk": [3, 1],
+                "a": ["three", "ONE"],
+                "b": [3.0, 1.5],
+            }
+        )
+
+    def test_crash_before_commit_redelivery_applies_once(
+        self, target, monkeypatch
+    ):
+        """Data files land, the commit does not: the sequence is NOT
+        recorded, so redelivery must re-apply (not skip), and the dead
+        attempt's files are orphans for VACUUM."""
+        from seafowl_spark.engine import deltalite as dl
+
+        ctx = target
+        w = self._writer(ctx)
+        root = self._root(ctx)
+        t = dl.DeltaLiteTable(ctx.spark, root)
+        files_before = set(t.store.list_recursive(t.root))
+
+        real = dl.DeltaLiteTable._write_commit
+        boom = {"armed": True}
+
+        def dying(self_t, commit):
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("injected crash before commit")
+            return real(self_t, commit)
+
+        monkeypatch.setattr(dl.DeltaLiteTable, "_write_commit", dying)
+        w.enqueue(root, full_schema(), self._batch(), origin="o1", sequence=7)
+        with pytest.raises(RuntimeError, match="injected"):
+            w.flush_all()
+
+        # nothing committed: table unchanged, sequence unrecorded
+        assert t.last_app_txn_version("o1") is None
+        assert rows(ctx.execute("SELECT pk, a FROM s ORDER BY pk")) == [
+            (1, "one"), (2, "two"),
+        ]
+        orphans = set(t.store.list_recursive(t.root)) - files_before
+        assert any(p.endswith(".parquet") for p in orphans)
+
+        # client redelivers the SAME (origin, sequence): must apply
+        assert w.enqueue(
+            root, full_schema(), self._batch(), origin="o1", sequence=7
+        ) is False  # buffered, not skipped
+        w.flush_all()
+        assert t.last_app_txn_version("o1") == 7
+        assert rows(ctx.execute("SELECT pk, a, b FROM s ORDER BY pk")) == [
+            (1, "ONE", 1.5), (2, "two", 2.0), (3, "three", 3.0),
+        ]
+
+        # VACUUM collects the dead attempt's files; results unaffected
+        dead = t.vacuum(retention_ms=0)
+        live = set(t.store.list_recursive(t.root))
+        assert orphans & live == set()
+        assert any(p.endswith(".parquet") for p in dead)
+        assert rows(ctx.execute("SELECT count(*) AS n FROM s")) == [(3,)]
+
+    def test_crash_after_commit_redelivery_skips(self, target, monkeypatch):
+        """The commit lands but the ack is lost: redelivery of the same
+        (origin, sequence) must be a no-op — exactly-once, no double
+        apply."""
+        from seafowl_spark.engine import deltalite as dl
+
+        ctx = target
+        w = self._writer(ctx)
+        root = self._root(ctx)
+        t = dl.DeltaLiteTable(ctx.spark, root)
+
+        real = dl.DeltaLiteTable._write_commit
+        boom = {"armed": True}
+
+        def ack_lost(self_t, commit):
+            real(self_t, commit)
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("injected crash after commit")
+
+        monkeypatch.setattr(dl.DeltaLiteTable, "_write_commit", ack_lost)
+        w.enqueue(root, full_schema(), self._batch(), origin="o1", sequence=9)
+        with pytest.raises(RuntimeError, match="injected"):
+            w.flush_all()
+
+        # the commit IS durable; redelivery skips via sequence high-water
+        assert t.last_app_txn_version("o1") == 9
+        assert w.enqueue(
+            root, full_schema(), self._batch(), origin="o1", sequence=9
+        ) is False
+        w.flush_all()  # empty buffer: nothing to do
+        assert rows(ctx.execute("SELECT pk, a, b FROM s ORDER BY pk")) == [
+            (1, "ONE", 1.5), (2, "two", 2.0), (3, "three", 3.0),
+        ]
+
+    def test_crash_between_dv_write_and_commit(self, ctx, monkeypatch):
+        """Merge-on-read DELETE dies after the DV sidecars are written but
+        before the commit: reads see no deletes, the retry lands, and
+        VACUUM collects the orphaned first-attempt DVs."""
+        from seafowl_spark.engine import deltalite as dl
+
+        ctx.execute(
+            "CREATE TABLE mf (k BIGINT, v STRING) WITH ('delete_mode' = 'mor')"
+        )
+        ctx.execute(
+            "INSERT INTO mf SELECT id, CAST(id AS STRING) FROM range(0, 100)"
+        )
+        e = next(e for e in ctx.catalog.tables(ctx.database) if e.name == "mf")
+        t = dl.DeltaLiteTable(ctx.spark, ctx.table_root(e))
+        files_before = set(t.store.list_recursive(t.root))
+
+        real = dl.DeltaLiteTable._write_commit
+        boom = {"armed": True}
+
+        def dying(self_t, commit):
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("injected crash before commit")
+            return real(self_t, commit)
+
+        monkeypatch.setattr(dl.DeltaLiteTable, "_write_commit", dying)
+        with pytest.raises(RuntimeError, match="injected"):
+            ctx.execute("DELETE FROM mf WHERE k < 10")
+
+        # commit never landed: full table still visible, DVs orphaned
+        assert rows(ctx.execute("SELECT count(*) AS n FROM mf")) == [(100,)]
+        orphan_dvs = {
+            p for p in set(t.store.list_recursive(t.root)) - files_before
+            if p.endswith(".bin")
+        }
+        assert orphan_dvs
+
+        # retry succeeds and is the only apply
+        ctx.execute("DELETE FROM mf WHERE k < 10")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM mf")) == [(90,)]
+        t.vacuum(retention_ms=0)
+        assert set(t.store.list_recursive(t.root)).isdisjoint(orphan_dvs)
+        assert rows(ctx.execute("SELECT count(*) AS n FROM mf")) == [(90,)]
