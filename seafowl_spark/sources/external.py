@@ -104,6 +104,15 @@ def read_external(
     options = dict(options or {})
     if location.startswith(("http://", "https://")):
         location = fetch_url(location)
+    else:
+        # object-store locations: rewrite to the Spark/Hadoop data-plane
+        # URI (s3:// -> s3a://, file:// -> plain path, gs:// native) so a
+        # bucket-backed external table is connector configuration, not a
+        # different code path (reference physical.rs:775-854 registers the
+        # per-bucket store at plan time the same way)
+        from .store import data_plane_url
+
+        location = data_plane_url(location)
 
     schema = columns_to_schema(columns) if columns else None
     fmt = fmt.lower()

@@ -356,16 +356,114 @@ class S3Store(ObjectStore):
         return f"s3a://{path}"
 
 
+class GcsStore(ObjectStore):
+    """GCS metadata plane via google-cloud-storage (import-gated; not
+    installable here). Path convention mirrors S3Store: ``bucket/key``.
+    The data plane addresses the same objects through the Hadoop GCS
+    connector's native ``gs://`` scheme (reference
+    object_store_factory/src/google.rs carries per-bucket credentials the
+    same way — Spark conf ``spark.hadoop.fs.gs.*`` here)."""
+
+    scheme = "gs"
+
+    def __init__(self):
+        try:
+            from google.cloud import storage  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lib absent in CI
+            raise StoreError(
+                "gs:// tables need google-cloud-storage for the metadata "
+                "plane (pip install google-cloud-storage) and the Hadoop "
+                "GCS connector for the data plane"
+            ) from e
+        from google.cloud import storage
+
+        self._client = storage.Client()
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        bucket, _, key = path.partition("/")
+        return bucket, key
+
+    def get(self, path: str) -> bytes:  # pragma: no cover - needs live GCS
+        b, k = self._split(path)
+        return self._client.bucket(b).blob(k).download_as_bytes()
+
+    def list(self, prefix: str) -> list[str]:  # pragma: no cover
+        b, k = self._split(prefix.rstrip("/") + "/")
+        names = set()
+        it = self._client.list_blobs(b, prefix=k, delimiter="/")
+        for blob in it:
+            names.add(blob.name[len(k):])
+        for p in it.prefixes:
+            names.add(p[len(k):].rstrip("/"))
+        return sorted(n for n in names if n)
+
+    def exists(self, path: str) -> bool:  # pragma: no cover
+        b, k = self._split(path)
+        return self._client.bucket(b).blob(k).exists()
+
+    def size(self, path: str) -> int:  # pragma: no cover
+        b, k = self._split(path)
+        blob = self._client.bucket(b).get_blob(k)
+        if blob is None:
+            raise FileNotFoundError(path)
+        return blob.size
+
+    def put(self, path: str, data: bytes) -> None:  # pragma: no cover
+        b, k = self._split(path)
+        self._client.bucket(b).blob(k).upload_from_string(data)
+
+    def put_if_absent(self, path: str, data: bytes) -> None:  # pragma: no cover
+        from google.api_core import exceptions as gexc
+
+        b, k = self._split(path)
+        try:
+            # generation 0 precondition == create-only (GCS native OCC)
+            self._client.bucket(b).blob(k).upload_from_string(
+                data, if_generation_match=0
+            )
+        except gexc.PreconditionFailed:
+            raise AlreadyExists(path) from None
+
+    def delete(self, path: str) -> None:  # pragma: no cover
+        from google.api_core import exceptions as gexc
+
+        b, k = self._split(path)
+        try:
+            self._client.bucket(b).blob(k).delete()
+        except gexc.NotFound:
+            pass
+
+    def spark_url(self, path: str) -> str:
+        return f"gs://{path}"
+
+
+def data_plane_url(url: str) -> str:
+    """Rewrite an object-store URL to the URI Spark/Hadoop should scan —
+    WITHOUT constructing a store client (no credentials needed just to
+    address data): ``s3://b/k`` -> ``s3a://b/k`` (Hadoop S3A), ``gs://``
+    is native to the GCS connector, ``file://`` strips to a plain path.
+    Anything else passes through untouched."""
+    if url.startswith("s3://"):
+        return "s3a://" + url[len("s3://"):]
+    if url.startswith("file://"):
+        return url[len("file://"):] or "/"
+    return url
+
+
 def resolve_store(url: str) -> tuple[ObjectStore, str]:
     """Map a table root URL to (store, store-local root path).
 
     ``/abs/path`` and ``file:///abs/path`` -> LocalStore; ``memory://ns/...``
-    -> MemoryStore; ``s3://bucket/prefix`` -> S3Store (boto3-gated).
+    -> MemoryStore; ``s3://bucket/prefix`` -> S3Store (boto3-gated);
+    ``gs://bucket/prefix`` -> GcsStore (google-cloud-storage-gated).
     """
     if url.startswith("memory://"):
         return MemoryStore(), url[len("memory://"):].rstrip("/")
     if url.startswith("s3://"):
         return S3Store(), url[len("s3://"):].rstrip("/")
+    if url.startswith("gs://"):
+        return GcsStore(), url[len("gs://"):].rstrip("/")
     if url.startswith("file://"):
         return LocalStore(), url[len("file://"):].rstrip("/") or "/"
     if "://" in url:

@@ -181,3 +181,32 @@ class TestLocalResolution:
         assert isinstance(s1, LocalStore) and isinstance(s2, LocalStore)
         assert r1 == r2 == str(tmp_path)
         assert s1.spark_url(os.path.join(r1, "x")) == os.path.join(r1, "x")
+
+
+class TestDataPlaneUrl:
+    def test_mappings(self):
+        from seafowl_spark.sources.store import data_plane_url
+
+        assert data_plane_url("s3://b/t/x.parquet") == "s3a://b/t/x.parquet"
+        assert data_plane_url("gs://b/t/x.parquet") == "gs://b/t/x.parquet"
+        assert data_plane_url("file:///tmp/t") == "/tmp/t"
+        assert data_plane_url("/tmp/t") == "/tmp/t"
+        assert data_plane_url("https://h/x.parquet") == "https://h/x.parquet"
+
+
+class TestGcsBackend:
+    def test_gated_on_google_cloud_storage(self):
+        try:
+            from google.cloud import storage  # noqa: F401
+
+            pytest.skip("google-cloud-storage present; gating not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(StoreError, match="google-cloud-storage"):
+            resolve_store("gs://bucket/prefix/tbl")
+
+    def test_spark_url_mapping(self):
+        from seafowl_spark.sources.store import GcsStore
+
+        dummy = object.__new__(GcsStore)
+        assert dummy.spark_url("bucket/t/x.parquet") == "gs://bucket/t/x.parquet"
