@@ -1,0 +1,160 @@
+"""C4/RefinedWeb-style corpus cleaning: line-level rules and
+cross-document boilerplate line removal.
+
+Two stages every web-scale pretraining pipeline runs between raw text and
+dedup (C4: Raffel et al. 2020 §2.2; RefinedWeb: Penedo et al. 2023 §3):
+
+* :func:`clean_lines` — per-document line filters (terminal punctuation,
+  minimum words, policy/boilerplate markers, brace-heavy code lines).
+  Pure JVM array expressions over ``split(text, '\\n')`` — row-local, no
+  shuffle, composes with the other per-doc text operators at scan cost.
+* :func:`strip_boilerplate_lines` — corpus-global: a line whose hash
+  occurs in more than ``max_doc_frac`` of documents (site headers,
+  cookie banners, nav menus) is removed from EVERY document. One shuffle
+  on the line hash to count, then a broadcast/shuffled semi-join back;
+  the frequent-line set is tiny by construction (frequency threshold),
+  so the join side Spark must replicate is bounded regardless of corpus
+  size.
+
+Thresholds follow C4's published rules where they exist (>= 3 words per
+line, terminal punctuation, "lorem ipsum" / "javascript" / policy-phrase
+blocklists) and are keyword arguments so a pipeline can tighten them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# C4 drops any line containing one of these (lower-cased match) and any
+# DOCUMENT containing the policy phrases / lorem ipsum / curly braces
+LINE_BLOCKLIST = ("javascript", "cookie policy", "terms of use", "privacy policy")
+DOC_BLOCKLIST = ("lorem ipsum",)
+
+TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def _line_ok(
+    line: Column,
+    min_words: int,
+    blocklist: tuple[str, ...],
+) -> Column:
+    lw = F.lower(line)
+    ends_ok = F.lit(False)
+    for p in TERMINAL_PUNCT:
+        ends_ok = ends_ok | lw.endswith(p)
+    blocked = F.lit(False)
+    for b in blocklist:
+        blocked = blocked | lw.contains(b)
+    n_words = F.size(F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != ""))
+    return ends_ok & ~blocked & (n_words >= min_words)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+) -> DataFrame:
+    """Apply C4's line-level rules: keep lines that end in terminal
+    punctuation, have at least ``min_words`` words, and contain no
+    blocklisted marker. Adds:
+
+    * ``clean_text`` — surviving lines re-joined with ``\\n``;
+    * ``n_lines`` / ``n_kept_lines`` — before/after counts;
+    * ``doc_blocked`` — document-level kill switch (curly brace or a
+      DOC_BLOCKLIST phrase anywhere — C4 drops the whole document).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda ln: _line_ok(ln, min_words, blocklist))
+    low = F.lower(F.col(text_col))
+    doc_blocked = low.contains("{")
+    for b in DOC_BLOCKLIST:
+        doc_blocked = doc_blocked | low.contains(b)
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        doc_blocked.alias("doc_blocked"),
+    )
+
+
+def frequent_lines(
+    df: DataFrame,
+    doc_count: int,
+    text_col: str = "text",
+    max_doc_frac: float = 0.01,
+    min_words: int = 1,
+) -> DataFrame:
+    """Lines (by exact text) occurring in more than ``max_doc_frac`` of
+    documents: ``(line, n_docs)``. Distinct per doc first so one spammy
+    document can't promote its own refrain to boilerplate."""
+    lines = (
+        df.select(F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"))
+        .where(F.trim(F.col("line")) != "")
+        .where(
+            F.size(F.filter(F.split(F.trim(F.col("line")), r"\s+"), lambda t: t != ""))
+            >= min_words
+        )
+    )
+    threshold = max(int(doc_count * max_doc_frac), 1)
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > threshold)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    max_doc_frac: float = 0.01,
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document.
+
+    Scale shape: the count is one hash-partitioned shuffle on the line
+    text; the surviving frequent set is bounded by 1/max_doc_frac distinct
+    lines *that actually repeat*, so collecting it into an array for a
+    row-local ``array_contains`` filter stays small — and because it is a
+    DataFrame join (broadcast below the auto threshold, shuffled hash
+    join above), Spark picks the physical strategy, not us.
+
+    Adds ``stripped_text`` and ``n_boilerplate_removed``.
+    """
+    doc_count = df.count()
+    freq = frequent_lines(df, doc_count, text_col, max_doc_frac)
+    # per-row membership test against the frequent set via a left join on
+    # an exploded line id, re-grouped in line order
+    with_id = df.withColumn("__row", F.monotonically_increasing_id())
+    exploded = with_id.select(
+        "__row", F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line")
+    )
+    joined = exploded.join(
+        freq.select(F.col("line").alias("__line"), F.lit(True).alias("__boiler")),
+        "__line",
+        "left",
+    )
+    rebuilt = (
+        joined.groupBy("__row")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull(),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("stripped_text"),
+            F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate_removed"),
+        )
+    )
+    return with_id.join(rebuilt, "__row").drop("__row")

@@ -1,0 +1,99 @@
+"""C4/RefinedWeb-style cleaning operators (operators/cleaning.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from seafowl_spark.operators.cleaning import (
+    clean_lines,
+    frequent_lines,
+    strip_boilerplate_lines,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (
+            1,
+            "This is a proper sentence.\n"
+            "short\n"
+            "Enable javascript to continue.\n"
+            "Another good line stays here!\n"
+            "no terminal punctuation here",
+        ),
+        (2, "One fine line survives the filter.\nSee our cookie policy."),
+        (3, "Function bodies look like { code }."),
+        (4, "Lorem ipsum dolor sit amet, consectetur."),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestCleanLines:
+    def test_line_rules(self, docs):
+        out = {r["doc_id"]: r for r in clean_lines(docs).collect()}
+        # doc 1: 5 lines; keeps the two full sentences only
+        assert out[1]["n_lines"] == 5
+        assert out[1]["n_kept_lines"] == 2
+        assert out[1]["clean_text"] == (
+            "This is a proper sentence.\nAnother good line stays here!"
+        )
+        # blocklisted markers drop their line, not the document
+        assert "cookie policy" not in out[2]["clean_text"]
+        assert out[2]["n_kept_lines"] == 1
+        assert not out[2]["doc_blocked"]
+        # curly brace / lorem ipsum are document-level kills in C4
+        assert out[3]["doc_blocked"]
+        assert out[4]["doc_blocked"]
+        # empty text: split yields one empty line, zero kept
+        assert out[5]["n_kept_lines"] == 0
+
+    def test_min_words_tunable(self, docs):
+        out = {
+            r["doc_id"]: r
+            for r in clean_lines(docs, min_words=6).collect()
+        }
+        assert out[2]["n_kept_lines"] == 1  # 6-word line still passes
+        assert out[1]["n_kept_lines"] == 0  # both 5-word lines now fail
+
+
+@pytest.fixture()
+def corpus(spark):
+    header = "Site Header Menu"
+    rows = [(i, f"{header}\nUnique body line {i} for this document.") for i in range(50)]
+    rows += [(100 + i, f"Distinct document {i} with no header at all.") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBoilerplate:
+    def test_frequent_lines_detected(self, corpus):
+        freq = frequent_lines(corpus, corpus.count(), max_doc_frac=0.1)
+        got = {r["line"]: r["n_docs"] for r in freq.collect()}
+        assert got == {"Site Header Menu": 50}
+
+    def test_distinct_per_doc(self, spark):
+        # one doc repeating a line 100 times must not make it boilerplate
+        df = spark.createDataFrame(
+            [(1, "echo\n" * 100), (2, "other text.")], "doc_id long, text string"
+        )
+        assert frequent_lines(df, 2, max_doc_frac=0.9).count() == 0
+
+    def test_strip_preserves_order_and_counts(self, corpus):
+        out = {r["doc_id"]: r for r in strip_boilerplate_lines(corpus, max_doc_frac=0.1).collect()}
+        assert len(out) == 60
+        assert out[0]["n_boilerplate_removed"] == 1
+        assert out[0]["stripped_text"] == "Unique body line 0 for this document."
+        assert out[105]["n_boilerplate_removed"] == 0
+        assert out[105]["stripped_text"] == out[105]["text"]
+
+    def test_multiline_order_stable(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"HDR\nalpha {i}.\nHDR\nbeta {i}.\ngamma {i}.") for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = strip_boilerplate_lines(df, max_doc_frac=0.05).collect()
+        for r in out:
+            i = r["doc_id"]
+            assert r["stripped_text"] == f"alpha {i}.\nbeta {i}.\ngamma {i}."
+            assert r["n_boilerplate_removed"] == 2
