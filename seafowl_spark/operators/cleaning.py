@@ -110,25 +110,47 @@ def strip_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
     max_doc_frac: float = 0.01,
+    broadcast_max_lines: int = 4096,
 ) -> DataFrame:
     """Remove corpus-frequent lines from every document.
 
-    Scale shape: the count is one hash-partitioned shuffle on the line
-    text; the surviving frequent set is bounded by 1/max_doc_frac distinct
-    lines *that actually repeat*, so collecting it into an array for a
-    row-local ``array_contains`` filter stays small — and because it is a
-    DataFrame join (broadcast below the auto threshold, shuffled hash
-    join above), Spark picks the physical strategy, not us.
+    Scale shape: the count is one hash-partitioned shuffle over DISTINCT
+    lines (tiny next to the corpus). When the frequent set fits
+    ``broadcast_max_lines`` — the overwhelmingly common case, since it is
+    bounded by lines that repeat across >1% of documents — it broadcasts
+    as one array and the strip is a row-local ``array_contains`` filter:
+    the corpus text itself never shuffles, so the operator costs one scan
+    at 100 TB. Only a pathologically large frequent set falls back to the
+    explode -> anti-membership join -> positional rebuild, which shuffles
+    exploded lines on the line text.
 
     Adds ``stripped_text`` and ``n_boilerplate_removed``.
     """
     doc_count = df.count()
     freq = frequent_lines(df, doc_count, text_col, max_doc_frac)
-    # per-row membership test against the frequent set via a left join on
-    # an exploded line id, re-grouped in line order
+    lines = F.split(F.col(text_col), "\n")
+
+    top = freq.orderBy(F.desc("n_docs"), "line").limit(broadcast_max_lines + 1)
+    if top.count() <= broadcast_max_lines:
+        boiler = top.agg(F.collect_list("line").alias("__boiler_lines"))
+        kept = F.filter(
+            lines, lambda ln: ~F.array_contains(F.col("__boiler_lines"), ln)
+        )
+        return (
+            df.crossJoin(F.broadcast(boiler))
+            .select(
+                *df.columns,
+                F.array_join(kept, "\n").alias("stripped_text"),
+                (F.size(lines) - F.size(kept)).cast("long").alias(
+                    "n_boilerplate_removed"
+                ),
+            )
+        )
+
+    # fallback: frequent set too large to broadcast — membership via join
     with_id = df.withColumn("__row", F.monotonically_increasing_id())
     exploded = with_id.select(
-        "__row", F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line")
+        "__row", F.posexplode(lines).alias("__pos", "__line")
     )
     joined = exploded.join(
         freq.select(F.col("line").alias("__line"), F.lit(True).alias("__boiler")),

@@ -87,12 +87,18 @@ class TestBoilerplate:
         assert out[105]["n_boilerplate_removed"] == 0
         assert out[105]["stripped_text"] == out[105]["text"]
 
-    def test_multiline_order_stable(self, spark):
+    @pytest.mark.parametrize("broadcast_max", [4096, 0])
+    def test_multiline_order_stable(self, spark, broadcast_max):
+        """Both physical strategies: broadcast-array row-local filter and
+        the large-set join fallback produce identical output."""
         df = spark.createDataFrame(
             [(i, f"HDR\nalpha {i}.\nHDR\nbeta {i}.\ngamma {i}.") for i in range(20)],
             "doc_id long, text string",
         )
-        out = strip_boilerplate_lines(df, max_doc_frac=0.05).collect()
+        out = strip_boilerplate_lines(
+            df, max_doc_frac=0.05, broadcast_max_lines=broadcast_max
+        ).collect()
+        assert len(out) == 20
         for r in out:
             i = r["doc_id"]
             assert r["stripped_text"] == f"alpha {i}.\nbeta {i}.\ngamma {i}."
