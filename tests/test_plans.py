@@ -142,3 +142,31 @@ class TestPipelineOpPlans:
         p = plan_of(spark, registry, "t_pii_scan")
         assert "Exchange" not in p
         assert "Python" not in p  # regexp work stays in codegen
+
+
+class TestRound5Graduates:
+    """Plan gates for the r5-graduated registry rows."""
+
+    def test_repetition_no_shuffle_no_python(self, spark, registry):
+        # every metric is a row-local JVM array expression: one scan,
+        # zero exchanges, zero Python workers
+        p = plan_of(spark, registry, "t_repetition")
+        assert "Exchange" not in p
+        assert "Python" not in p
+
+    def test_quantize_reference_vector_broadcasts(self, spark, registry):
+        # the 1-row min-vec_id reference joins as a broadcast; the corpus
+        # side must not shuffle for it
+        p = plan_of(spark, registry, "s_quantize_int8")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+
+    def test_pack_sequences_single_shard_shuffle(self, spark, registry):
+        # the cumsum windows per `source` shard: exactly one
+        # hash-partitioning exchange (plus nothing global) and no
+        # whole-corpus global sort outside the shard-local window sort
+        p = plan_of(spark, registry, "p_pack_sequences")
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        assert "Exchange rangepartitioning" not in p
+        assert "Exchange SinglePartition" not in p
