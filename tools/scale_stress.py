@@ -36,6 +36,10 @@ QUERIES = [
     "t_contamination",
     "t_pii_scan",
     "t_sample_stratified",
+    # round-5 graduates
+    "t_repetition",
+    "s_quantize_int8",
+    "p_pack_sequences",
 ]
 
 
