@@ -887,10 +887,15 @@ class SeafowlContext:
         self.catalog.clear_dropped(gone)
 
     def _exec_copy_to(self, stmt) -> None:
+        from ..sources.store import data_plane_url
+
         if stmt.table:
             df = self.delta_table(stmt.table).to_df()
         else:
             df = self._exec_query(parser.Statement("query", stmt.query))
+        # bucket destinations write through the Hadoop connector URI
+        # (s3:// -> s3a://), same mapping the external read path uses
+        stmt.path = data_plane_url(stmt.path)
         part = stmt.fields.get("partition_by") or []
         if stmt.format == "iceberg":
             # our extension (reference COPY knows csv/parquet/json only):
