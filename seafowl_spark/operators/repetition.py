@@ -56,14 +56,27 @@ def repetition_metrics(
     ng = _ngrams(toks, ngram_n)
     n_ng = F.size(ng)
     n_ng_distinct = F.size(F.array_distinct(ng))
-    # most frequent n-gram's count, via aggregate over the distinct set:
-    # for each distinct gram count its instances, take the max
+    # most frequent n-gram's count: sort the grams, then one linear fold
+    # counting the longest run of equal neighbors — O(n log n) per doc
+    # (the r4 formulation scanned the full instance list once per DISTINCT
+    # gram, O(distinct x instances) ≈ quadratic in document length; same
+    # value, ~40 ms/doc at sf0.1 — this fold is the 100 TB-safe shape)
     top_count = F.aggregate(
-        F.array_distinct(ng),
-        F.lit(0),
-        lambda acc, g: F.greatest(
-            acc, F.size(F.filter(ng, lambda x: x == g))
+        F.array_sort(ng),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     # longest consecutive same-token run: fold carrying (prev, run, best)
     run = F.aggregate(

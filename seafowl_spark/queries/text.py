@@ -370,6 +370,12 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.repetition import repetition_metrics
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # local-mode accommodation (no-op on a real cluster where the scan
+    # has many splits): the per-doc array folds are the cost, so spread
+    # the tiny local parquet across the session's parallelism
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     return repetition_metrics(d, "text", ngram_n=3).select(
         "doc_id", "dup_token_frac", "dup_ngram_frac", "top_ngram_frac", "max_run_len"
     )
