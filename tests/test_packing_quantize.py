@@ -131,3 +131,59 @@ class TestQuantize:
         top_exact = {r.vec_id for r in sorted(scored, key=lambda r: -r.exact)[:10]}
         top_approx = {r.vec_id for r in sorted(scored, key=lambda r: -r.approx)[:10]}
         assert len(top_exact & top_approx) >= 8  # recall@10 >= 0.8
+
+
+class TestQuantizedAnnTopk:
+    def _frames(self, spark):
+        e = table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        q = e.where(F.col("vec_id").isin([0, 1, 2])).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        return e, q
+
+    def test_recall_vs_exact_bruteforce(self, spark):
+        from seafowl_spark.functions import cosine_similarity
+        from seafowl_spark.operators.quantize import ann_quantized_topk
+
+        corpus, queries = self._frames(spark)
+        approx = ann_quantized_topk(corpus, queries, k=10, shortlist=50)
+        got = {}
+        for r in approx.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        exact = (
+            corpus.crossJoin(
+                F.broadcast(
+                    queries.select(
+                        F.col("query_id"), F.col("emb").alias("q_emb")
+                    )
+                )
+            )
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                cosine_similarity(F.col("emb"), F.col("q_emb")).alias("c"),
+            )
+            .collect()
+        )
+        by_q = {}
+        for r in exact:
+            by_q.setdefault(r["query_id"], []).append((r["c"], r["vec_id"]))
+        for qid, scored in by_q.items():
+            top = {v for _, v in sorted(scored, key=lambda t: (-t[0], t[1]))[:10]}
+            assert len(got[qid] & top) >= 9  # recall@10 >= 0.9 w/ 5x shortlist
+
+    def test_output_shape_and_ranks(self, spark):
+        from seafowl_spark.operators.quantize import ann_quantized_topk
+
+        corpus, queries = self._frames(spark)
+        out = ann_quantized_topk(corpus, queries, k=5, shortlist=20).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(per_q) == {0, 1, 2}
+        for ranks in per_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
