@@ -55,3 +55,47 @@ def pack_sequences(
         offset.alias("offset_in_pack"),
         ((offset + F.col(token_col)) > budget).alias("spans_boundary"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    RAG / long-document splitter (stride = chunk_tokens - overlap; the
+    final partial window is kept so no suffix is lost).
+
+    Row-local and JVM-only: the chunk starts come from ``sequence`` over
+    the token count and each chunk re-joins a ``slice`` of the token
+    array, so a 100 TB corpus chunks in one scan with no shuffle. Output
+    is one row per chunk: ``(id, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # chunk start offsets: 0, stride, 2*stride, ... while start < n
+    # (empty docs produce no chunks)
+    n_chunks = F.when(n > 0, F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    n_chunks = F.greatest(F.coalesce(n_chunks, F.lit(0)), F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

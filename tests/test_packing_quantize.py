@@ -187,3 +187,62 @@ class TestQuantizedAnnTopk:
         assert set(per_q) == {0, 1, 2}
         for ranks in per_q.values():
             assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+class TestChunkDocuments:
+    def test_cover_and_overlap(self, spark):
+        from seafowl_spark.operators.packing import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(300))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_documents(df, chunk_tokens=256, overlap=32).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_id"] for r in out] == [0, 1]
+        assert out[0]["n_chunk_tokens"] == 256
+        assert out[0]["chunk_text"].split()[0] == "w0"
+        assert out[0]["chunk_text"].split()[-1] == "w255"
+        # stride 224: second chunk starts at w224, covers the tail
+        assert out[1]["chunk_text"].split()[0] == "w224"
+        assert out[1]["chunk_text"].split()[-1] == "w299"
+        assert out[1]["n_chunk_tokens"] == 76
+        # overlap region present in both
+        assert "w230" in out[0]["chunk_text"] and "w230" in out[1]["chunk_text"]
+
+    def test_short_and_empty_docs(self, spark):
+        from seafowl_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "just five words right here"), (2, ""), (3, "   ")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, chunk_tokens=256, overlap=32).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc.get(1, [])) == 1
+        assert by_doc[1][0]["n_chunk_tokens"] == 5
+        assert 2 not in by_doc and 3 not in by_doc  # no empty chunks
+
+    def test_every_token_covered(self, spark):
+        from seafowl_spark.operators.packing import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(1000))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=128, overlap=16).collect()
+        seen = set()
+        for r in out:
+            seen.update(r["chunk_text"].split())
+        assert seen == {f"t{i}" for i in range(1000)}
+
+    def test_bad_params_rejected(self, spark):
+        from seafowl_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
+        with _pt.raises(ValueError):
+            chunk_documents(df, chunk_tokens=16, overlap=16)
