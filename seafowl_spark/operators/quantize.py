@@ -61,7 +61,8 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
             lambda acc, x: acc + x,
         ).cast("double")
     )
-    return d / (na * nb)
+    # zero-norm vectors score 0 instead of tripping ANSI division
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
 def ann_quantized_topk(
@@ -124,12 +125,12 @@ def ann_quantized_topk(
             )
         )
 
+    denom = _norm(F.col("__c_emb")) * _norm(F.col("__q_emb"))
     rescored = short.select(
         query_id_col,
         id_col,
-        (exact_dot / (_norm(F.col("__c_emb")) * _norm(F.col("__q_emb")))).alias(
-            "cosine"
-        ),
+        # zero-norm vectors score 0 instead of tripping ANSI division
+        F.when(denom > 0, exact_dot / denom).otherwise(F.lit(0.0)).alias("cosine"),
     )
     wk = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), id_col)
     return (

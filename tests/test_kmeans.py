@@ -1,0 +1,111 @@
+"""K-means IVF codebook training (operators/kmeans.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.io import table
+from seafowl_spark.operators.kmeans import assign_cells, fit_kmeans, ivf_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def clustered(spark):
+    """Three well-separated clusters in 4-d; ids interleaved so the
+    k-lowest-id init picks one seed per cluster."""
+    centers = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0]]
+    rows = []
+    vid = 0
+    for j in range(12):
+        for ci, c in enumerate(centers):
+            off = 0.1 * ((j % 5) - 2)
+            rows.append((vid, [c[0] + off, c[1] - off, c[2] + off, c[3] - off]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+class TestFitKmeans:
+    def test_recovers_separated_clusters(self, clustered):
+        cents = fit_kmeans(clustered, k=3, max_iter=10)
+        assigned = assign_cells(clustered, cents).collect()
+        # every point of a ground-truth cluster lands in the same cell
+        by_truth = {}
+        for r in assigned:
+            by_truth.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+        assert all(len(cells) == 1 for cells in by_truth.values())
+        assert len({next(iter(c)) for c in by_truth.values()}) == 3
+        # centroids sit near the true centers
+        flat = sorted(round(c[0]) for c in cents)
+        assert flat == [0, 0, 10]
+
+    def test_deterministic(self, clustered):
+        assert fit_kmeans(clustered, k=3) == fit_kmeans(clustered, k=3)
+
+    def test_empty_cell_keeps_position(self, spark):
+        # both seeds start inside one tight blob; the far blob has no seed
+        rows = [(0, [0.0, 0.0]), (1, [0.1, 0.1]), (2, [0.05, 0.0]),
+                (3, [100.0, 100.0]), (4, [100.1, 100.0])]
+        df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        cents = fit_kmeans(df, k=2, max_iter=5)
+        # one centroid must capture the far blob (Lloyd's reassigns it),
+        # OR if it never does, it must keep a finite position — no NaNs
+        assert all(all(x == x for x in c) for c in cents)
+        cells = {r["cell"] for r in assign_cells(df, cents).collect()}
+        assert len(cells) == 2  # the far blob separates
+
+    def test_k_validation(self, clustered):
+        with pytest.raises(ValueError):
+            fit_kmeans(clustered, k=0)
+        with pytest.raises(ValueError):
+            fit_kmeans(clustered.limit(2), k=5)
+
+
+class TestIvfTopk:
+    def test_recall_vs_bruteforce(self, spark):
+        from seafowl_spark.functions import cosine_similarity
+
+        e = table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cents = fit_kmeans(e, k=8, max_iter=5)
+        queries = e.where(F.col("vec_id").isin([0, 1, 2])).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        got = {}
+        for r in ivf_topk(e, queries, cents, k=10, nprobe=4).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        exact = (
+            e.crossJoin(
+                F.broadcast(queries.select("query_id", F.col("emb").alias("q_emb")))
+            )
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                cosine_similarity(F.col("emb"), F.col("q_emb")).alias("c"),
+            )
+            .collect()
+        )
+        by_q = {}
+        for r in exact:
+            by_q.setdefault(r["query_id"], []).append((r["c"], r["vec_id"]))
+        recalls = []
+        for qid, scored in by_q.items():
+            top = {v for _, v in sorted(scored, key=lambda t: (-t[0], t[1]))[:10]}
+            recalls.append(len(got.get(qid, set()) & top) / 10)
+        # probing half the cells must find most of the true top-10
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_rank_shape(self, clustered):
+        cents = fit_kmeans(clustered, k=3)
+        queries = clustered.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        out = ivf_topk(clustered, queries, cents, k=5, nprobe=1).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in per_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
