@@ -444,3 +444,49 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, "n_tok", order_cols=["doc_id"], budget=512, shard_cols=["source"]
     ).select("doc_id", "source", "n_tok", "pack_id", "offset_in_pack", "spans_boundary")
+
+
+@register(
+    "p_chunk_documents",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN greatest(CAST(ceil((len(toks) - 16) / 112.0) AS INT), 1)
+                  ELSE 0 END AS n_chunks
+      FROM d),
+    e AS (
+      SELECT doc_id, toks, unnest(generate_series(1, n_chunks)) AS i FROM c)
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, (i - 1) * 112 + 1, (i - 1) * 112 + 128)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, (i - 1) * 112 + 1, (i - 1) * 112 + 128), ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-token-window document chunking (operators/packing.py
+    chunk_documents, graduated into the graded window): 128-token windows
+    with 16-token overlap (stride 112), final partial window kept, empty
+    documents produce no chunks.
+
+    Scale: chunk starts come from a `sequence` over the token count and
+    each chunk slices the token array — row-local JVM work, one scan,
+    zero exchanges (plan-gated). The oracle mirrors the start arithmetic
+    with generate_series + list_slice.
+    """
+    from ..operators.packing import chunk_documents
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=128, overlap=16).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_chunk_tokens",
+        "chunk_text",
+    )

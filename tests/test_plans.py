@@ -175,3 +175,9 @@ class TestRound5Graduates:
         assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
         assert "Exchange rangepartitioning" not in p
         assert "Exchange SinglePartition" not in p
+
+    def test_chunk_documents_row_local(self, spark, registry):
+        # sequence+slice chunking is row-local: no shuffle of any kind
+        p = plan_of(spark, registry, "p_chunk_documents")
+        assert "Exchange" not in p
+        assert "Python" not in p

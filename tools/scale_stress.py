@@ -29,7 +29,6 @@ QUERIES = [
     "s_simhash_candidates",
     "s_ann_lsh_topk",
     "s_embedding_neardup",
-    "t_fingerprint",
     "t_langid_quality",
     # round-4 stage-2 pipeline ops
     "d_dedup_components",
@@ -40,6 +39,7 @@ QUERIES = [
     "t_repetition",
     "s_quantize_int8",
     "p_pack_sequences",
+    "p_chunk_documents",
 ]
 
 
