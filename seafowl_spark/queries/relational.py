@@ -729,7 +729,8 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unregistered in round 2 to keep the registry inside the driver's
     50-entry grading window while adding s_embedding_neardup (the brief's
     fifth dedup family). CASE semantics stay oracle-graded through
-    q_null_handling, q_scalar_breadth and q_pivot; this function remains
+    q_join_left (which absorbed q_null_handling in r5), q_scalar_breadth
+    and q_pivot; this function remains
     pytest-covered (tests/test_neardup.py::test_case_bucket_oracle_parity)
     so the operator itself is still verified."""
     o = _t(spark, sf_dir, "orders")
