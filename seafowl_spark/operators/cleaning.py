@@ -68,7 +68,9 @@ def clean_lines(
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(lines, lambda ln: _line_ok(ln, min_words, blocklist))
     low = F.lower(F.col(text_col))
-    doc_blocked = low.contains("{")
+    # C4's rule is CURLY BRACES — either one flags the document (a doc
+    # containing only '}' is just as code-like as one with '{')
+    doc_blocked = low.contains("{") | low.contains("}")
     for b in DOC_BLOCKLIST:
         doc_blocked = doc_blocked | low.contains(b)
     return df.select(

@@ -91,11 +91,15 @@ def ann_quantized_topk(
     """
     from pyspark.sql.window import Window
 
+    # Coarse stage carries ONLY (ids, int8 vectors): the float embeddings
+    # must not ride through the corpus-wide scoring or the per-query
+    # row_number shuffle, or the "4x smaller payload" claim is a lie —
+    # floats are joined back below for just the shortlist.
     qc = quantize_int8(corpus, emb_col).select(
-        F.col(id_col), F.col(emb_col).alias("__c_emb"), F.col("q").alias("__c_q")
+        F.col(id_col), F.col("q").alias("__c_q")
     )
     qq = quantize_int8(queries, emb_col).select(
-        F.col(query_id_col), F.col(emb_col).alias("__q_emb"), F.col("q").alias("__q_q")
+        F.col(query_id_col), F.col("q").alias("__q_q")
     )
     coarse = (
         qc.crossJoin(F.broadcast(qq))
@@ -103,14 +107,25 @@ def ann_quantized_topk(
         .select(
             query_id_col,
             id_col,
-            "__c_emb",
-            "__q_emb",
             quantized_cosine(F.col("__c_q"), F.col("__q_q")).alias("__coarse"),
         )
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
-    short = coarse.withColumn("__rn", F.row_number().over(wq)).where(
-        F.col("__rn") <= shortlist
+    short = (
+        coarse.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= shortlist)
+        .select(query_id_col, id_col)
+        # float vectors rejoin for shortlist×queries rows only; the query
+        # side is small by contract, so it broadcasts
+        .join(corpus.select(F.col(id_col), F.col(emb_col).alias("__c_emb")), id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col), F.col(emb_col).alias("__q_emb")
+                )
+            ),
+            query_id_col,
+        )
     )
     exact_dot = F.aggregate(
         F.zip_with(F.col("__c_emb"), F.col("__q_emb"), lambda x, y: x * y),

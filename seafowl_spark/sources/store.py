@@ -58,7 +58,14 @@ class ObjectStore(ABC):
 
     # ------------------------------------------------------------- reads
     @abstractmethod
-    def get(self, path: str) -> bytes: ...
+    def get(self, path: str) -> bytes:
+        """Read an object's bytes.
+
+        Contract: a missing object raises ``FileNotFoundError`` on EVERY
+        backend — callers (e.g. DeltaLiteTable._load_checkpoint falling
+        back to full-log replay when ``_last_checkpoint`` doesn't exist)
+        catch OSError, so backends must normalize their native not-found
+        errors (S3 NoSuchKey, GCS NotFound) rather than leak them."""
 
     def open_input(self, path: str):
         """File-like for libraries that stream (pyarrow footers)."""
@@ -81,8 +88,16 @@ class ObjectStore(ABC):
         return out
 
     def mtime(self, path: str) -> float:
-        """Last-modified epoch seconds; 0.0 when the store can't say."""
-        return 0.0
+        """Last-modified epoch seconds.
+
+        When the store can't say, report *now*: vacuum's orphan scan
+        treats age >= retention as deletable, so an unknown age must read
+        as brand-new (skip) — a 0.0 default would make every retention
+        window pass and delete a concurrent writer's in-flight,
+        not-yet-committed files."""
+        import time
+
+        return time.time()
 
     @abstractmethod
     def exists(self, path: str) -> bool: ...
@@ -305,9 +320,18 @@ class S3Store(ObjectStore):
         bucket, _, key = path.partition("/")
         return bucket, key
 
-    def get(self, path: str) -> bytes:  # pragma: no cover - needs live S3
+    def get(self, path: str) -> bytes:
         b, k = self._split(path)
-        return self._s3.get_object(Bucket=b, Key=k)["Body"].read()
+        try:
+            return self._s3.get_object(Bucket=b, Key=k)["Body"].read()
+        except self._s3.exceptions.NoSuchKey:
+            # normalize to the ObjectStore.get contract so checkpoint /
+            # log fallbacks (which catch OSError) work on S3
+            raise FileNotFoundError(path) from None
+
+    def mtime(self, path: str) -> float:
+        b, k = self._split(path)
+        return self._s3.head_object(Bucket=b, Key=k)["LastModified"].timestamp()
 
     def list(self, prefix: str) -> list[str]:  # pragma: no cover
         b, k = self._split(prefix.rstrip("/") + "/")
@@ -384,9 +408,24 @@ class GcsStore(ObjectStore):
         bucket, _, key = path.partition("/")
         return bucket, key
 
-    def get(self, path: str) -> bytes:  # pragma: no cover - needs live GCS
+    def get(self, path: str) -> bytes:
+        from google.api_core import exceptions as gexc
+
         b, k = self._split(path)
-        return self._client.bucket(b).blob(k).download_as_bytes()
+        try:
+            return self._client.bucket(b).blob(k).download_as_bytes()
+        except gexc.NotFound:
+            # normalize to the ObjectStore.get contract (FileNotFoundError)
+            raise FileNotFoundError(path) from None
+
+    def mtime(self, path: str) -> float:
+        b, k = self._split(path)
+        blob = self._client.bucket(b).get_blob(k)
+        if blob is None or blob.updated is None:
+            import time
+
+            return time.time()  # unknown age reads as brand-new (see base)
+        return blob.updated.timestamp()
 
     def list(self, prefix: str) -> list[str]:  # pragma: no cover
         b, k = self._split(prefix.rstrip("/") + "/")
