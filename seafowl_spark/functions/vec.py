@@ -29,20 +29,60 @@ def dot_exact_udf():
     return dot_exact
 
 
-def nearest_centroid_udf(centroids: np.ndarray):
-    """array<double> -> long: index of the max-dot-product centroid
-    (first max wins ties; fixed-order accumulation per dimension)."""
+def _centroid_scores(X: np.ndarray, cents: np.ndarray, metric: str) -> np.ndarray:
+    """(n, k) score matrix with fixed per-dimension accumulation order —
+    bit-identical to the SQL left-fold chain over dimensions. 'dot' scores
+    higher-is-nearer; 'l2' is squared L2 distance, lower-is-nearer."""
+    acc = np.zeros((len(X), len(cents)), dtype=np.float64)
+    if metric == "dot":
+        for i in range(X.shape[1]):
+            acc += X[:, i : i + 1] * cents[:, i][None, :]
+    elif metric == "l2":
+        for i in range(X.shape[1]):
+            d = X[:, i : i + 1] - cents[:, i][None, :]
+            acc += d * d
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return acc
+
+
+def nearest_centroid_udf(centroids, metric: str = "dot"):
+    """array<double> -> long: nearest-centroid index. The codebook lives
+    in this closure as a numpy array — broadcast to executors with the
+    serialized UDF, so the PLAN stays O(1) in k (the k-literals-in-one-
+    projection shape blows past codegen method limits at real codebook
+    sizes). 'dot': max dot product, first max wins. 'l2': min squared L2,
+    first min wins — both matching a ROW_NUMBER (score, cid) oracle."""
     cents = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf("long")
     def cell_of(emb: pd.Series) -> pd.Series:
         X = np.stack(emb.values)
-        acc = np.zeros((len(X), len(cents)), dtype=np.float64)
-        for i in range(X.shape[1]):
-            acc += X[:, i : i + 1] * cents[:, i][None, :]
-        return pd.Series(np.argmax(acc, axis=1))
+        acc = _centroid_scores(X, cents, metric)
+        best = np.argmax(acc, axis=1) if metric == "dot" else np.argmin(acc, axis=1)
+        return pd.Series(best)
 
     return cell_of
+
+
+def nearest_cells_udf(centroids, nprobe: int, metric: str = "l2"):
+    """array<double> -> array<long>: the ``nprobe`` nearest centroid
+    indices, nearest first, index-ascending on ties (stable mergesort ==
+    the oracle's (d ASC, cid) ROW_NUMBER). Codebook in the closure, as
+    above — the IVF query-probe step at any k."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_out = min(nprobe, len(cents))
+
+    @pandas_udf("array<long>")
+    def cells_of(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)
+        acc = _centroid_scores(X, cents, metric)
+        if metric == "dot":
+            acc = -acc
+        order = np.argsort(acc, axis=1, kind="stable")[:, :n_out]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return cells_of
 
 
 def hyperplane_bucket_udf(planes):

@@ -2,17 +2,32 @@
 
 Closes the loop the IVF query documents (queries/extended.py s_ann_ivf:
 "at 100 TB only codebook training changes — sampled k-means instead of
-first-k"): Lloyd's algorithm where every per-row step is a JVM column
-expression and the only driver-side state is the k x dim codebook itself.
+first-k"): Lloyd's algorithm where the per-row assign step is ONE
+Arrow-batched pandas UDF whose closure carries the k x dim codebook as a
+numpy array, and the only driver-side state is that codebook.
+
+Codebook representation — shared with the graded IVF path: centroids are
+DATA (numpy in the UDF closure, shipped to executors with the task),
+never k array literals in the plan. The literal-per-centroid shape works
+at toy k but scales the PLAN with k — Catalyst codegen hits JVM method
+limits and falls back to interpreted evaluation, and analysis/compile
+time grows with k x dim (see test_kmeans.py::test_k256_plan_stays_small,
+which holds the plan size flat from k=16 to k=256).
 
 Per iteration:
 
-* ASSIGN — squared-L2 distance to each centroid is a ``zip_with`` +
-  ``aggregate`` fold (whole-stage codegen; k folds per row), argmin via
-  ``array_position`` of the array minimum (first-min-wins, deterministic);
-* UPDATE — ``posexplode`` the vectors and average per (cell, dimension):
-  one shuffle carrying map-side partial sums, then a bounded collect of
-  exactly k x dim rows. Empty cells keep their previous centroid.
+* ASSIGN — ``functions/vec.nearest_centroid_udf(metric='l2')``: squared
+  L2 to every centroid with fixed per-dimension accumulation order,
+  argmin first-min-wins — bit-identical to an unrolled SQL distance
+  chain with a ``ROW_NUMBER() (d ASC, cid)`` argmin, which is exactly
+  how the DuckDB oracle mirrors it;
+* UPDATE — per-(cell, dimension) means via an index cross join, summed
+  through DECIMAL (default 25,6 — the proven dec_sum precision) so the
+  result is independent of partial-sum order: the codebook is
+  bit-reproducible across runs AND engines (a
+  float sum over shuffled partitions is neither). One shuffle carrying
+  map-side partials, then a bounded collect of exactly k x dim rows.
+  Empty cells keep their previous centroid.
 
 Initialization is the k lowest-id vectors — fully deterministic, so two
 runs over the same corpus produce the same codebook (the property corpus
@@ -27,21 +42,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "emb",
+    metric: str = "l2",
+) -> DataFrame:
+    """Add ``cell`` (0-based nearest-centroid index, first-min-wins for
+    'l2' / first-max-wins for 'dot'). Codebook rides in the UDF closure —
+    plan size is O(1) in k."""
+    from ..functions.vec import nearest_centroid_udf
 
-
-def assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str = "emb") -> DataFrame:
-    """Add ``cell`` (0-based nearest-centroid index, first-min-wins)."""
-    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
-    return df.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    cell_of = nearest_centroid_udf(centroids, metric=metric)
+    return df.withColumn("cell", cell_of(F.col(vec_col)).cast("int"))
 
 
 def fit_kmeans(
@@ -51,10 +64,18 @@ def fit_kmeans(
     k: int = 16,
     max_iter: int = 10,
     tol: float = 1e-6,
+    mean_prec: int = 25,
+    mean_scale: int = 6,
 ) -> list[list[float]]:
     """Train a k-centroid codebook with Lloyd's iterations; returns the
     centroids (list of k vectors). Stops when the max squared centroid
-    shift drops below ``tol`` or after ``max_iter`` rounds."""
+    shift drops below ``tol`` or after ``max_iter`` rounds. Means are
+    decimal-summed (default DECIMAL(25,6) — the same precision the
+    dec_sum oracle pattern has proven engine-exact), so the result is
+    bit-reproducible across runs (a float sum over shuffled partitions is
+    not) and SQL-mirrorable for a fixed iteration count — s_ann_ivf's
+    oracle unrolls one step. Raise ``mean_scale`` for vectors whose
+    magnitudes sit far below 1e-6."""
     if k <= 0:
         raise ValueError("k must be positive")
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -65,11 +86,21 @@ def fit_kmeans(
 
     for _ in range(max_iter):
         assigned = assign_cells(df, centroids, vec_col)
-        # per-(cell, dim) means: k*dim bounded rows back to the driver
+        # per-(cell, dim) decimal-exact means: k*dim bounded rows back to
+        # the driver; the sum is order-independent by construction
         stats = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast(f"decimal({mean_prec},{mean_scale})")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .collect()
         )
         new = [list(c) for c in centroids]  # empty cells keep old position
@@ -102,33 +133,22 @@ def ivf_topk(
     nearest cell; each query probes its ``nprobe`` nearest cells and
     scores exact cosine only within them. The search is a hash join on
     the cell id — candidate work is proportional to probed-cell sizes,
-    never the corpus."""
+    never the corpus. Probing uses the same closure-carried codebook as
+    assignment (functions/vec.nearest_cells_udf), so k never enters the
+    plan on either side."""
     from pyspark.sql.window import Window
+
+    from ..functions.vec import nearest_cells_udf
 
     c = assign_cells(corpus, centroids, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("__c_emb"), "cell"
     )
-    qd = F.array(*[_sq_dist(F.col(vec_col), cent) for cent in centroids])
+    probes = nearest_cells_udf(centroids, nprobe, metric="l2")
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__q_emb"),
-        F.explode(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.zip_with(
-                            qd,
-                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                        )
-                    ),
-                    lambda s: s["i"],
-                ),
-                1,
-                nprobe,
-            )
-        ).alias("cell"),
-    )
+        F.explode(probes(F.col(vec_col))).alias("__cell64"),
+    ).withColumn("cell", F.col("__cell64").cast("int")).drop("__cell64")
     dot = F.aggregate(
         F.zip_with(F.col("__c_emb"), F.col("__q_emb"), lambda x, y: x * y),
         F.lit(0.0),

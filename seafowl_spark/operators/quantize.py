@@ -86,8 +86,10 @@ def ann_quantized_topk(
     test_packing_quantize.py).
 
     ``queries`` must carry ``query_id_col`` + ``emb_col``; it is expected
-    to be small (broadcast side). Compose with an LSH/IVF bucketer
-    upstream to bound the candidate set before this runs.
+    to be small (broadcast side). This variant scans the whole corpus per
+    query batch — at scale use :func:`ivf_quantized_topk`, which is this
+    same two-stage scorer composed with an IVF bucketer so the coarse
+    stage touches only probed cells.
     """
     from pyspark.sql.window import Window
 
@@ -115,17 +117,32 @@ def ann_quantized_topk(
         coarse.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= shortlist)
         .select(query_id_col, id_col)
-        # float vectors rejoin for shortlist×queries rows only; the query
-        # side is small by contract, so it broadcasts
-        .join(corpus.select(F.col(id_col), F.col(emb_col).alias("__c_emb")), id_col)
-        .join(
-            F.broadcast(
-                queries.select(
-                    F.col(query_id_col), F.col(emb_col).alias("__q_emb")
-                )
-            ),
-            query_id_col,
-        )
+    )
+    return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    emb_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Stage 2 shared by both two-stage ANN variants: join the float
+    embeddings back for ONLY the (query, shortlist-candidate) id pairs,
+    recompute the exact cosine, keep the top ``k`` per query. The float
+    payload moves for shortlist x queries rows — never the corpus."""
+    from pyspark.sql.window import Window
+
+    short = short.join(
+        corpus.select(F.col(id_col), F.col(emb_col).alias("__c_emb")), id_col
+    ).join(
+        F.broadcast(
+            queries.select(F.col(query_id_col), F.col(emb_col).alias("__q_emb"))
+        ),
+        query_id_col,
     )
     exact_dot = F.aggregate(
         F.zip_with(F.col("__c_emb"), F.col("__q_emb"), lambda x, y: x * y),
@@ -153,3 +170,66 @@ def ann_quantized_topk(
         .where(F.col("__rank") <= k)
         .select(query_id_col, id_col, "cosine", F.col("__rank").alias("rank"))
     )
+
+
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Quantized-IVF ANN: the composed form ann_quantized_topk's contract
+    asks for. Corpus rows are assigned to their nearest-L2 IVF cell and
+    carry only int8 vectors into scoring; each query probes its ``nprobe``
+    nearest cells and coarse-scores int8-vs-int8 WITHIN those cells only
+    (a hash join on the cell id — never a corpus-wide cross join); the
+    per-query coarse shortlist is exact-reranked from the float
+    embeddings.
+
+    Scale shape: codebook ships in the UDF closure (plan O(1) in k,
+    operators/kmeans.py), coarse work is proportional to probed-cell
+    sizes at 4x-reduced bandwidth, float vectors move only for the
+    shortlist. Train centroids with fit_kmeans on a sample; recall is
+    asserted vs brute force in test_packing_quantize.py and the
+    no-cross-join property is plan-gated there.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vec import nearest_cells_udf
+    from .kmeans import assign_cells
+
+    qc = assign_cells(quantize_int8(corpus, emb_col), centroids, emb_col).select(
+        F.col(id_col), "cell", F.col("q").alias("__c_q")
+    )
+    probes = nearest_cells_udf(centroids, nprobe, metric="l2")
+    qq = (
+        quantize_int8(queries, emb_col)
+        .select(
+            F.col(query_id_col),
+            F.col("q").alias("__q_q"),
+            F.explode(probes(F.col(emb_col))).alias("__cell64"),
+        )
+        .withColumn("cell", F.col("__cell64").cast("int"))
+        .drop("__cell64")
+    )
+    coarse = (
+        qc.join(F.broadcast(qq), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            quantized_cosine(F.col("__c_q"), F.col("__q_q")).alias("__coarse"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
+    short = (
+        coarse.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)

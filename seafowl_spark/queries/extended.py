@@ -114,21 +114,54 @@ def q_combined_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
 
 
+def _sql_l2(a: str, b: str) -> str:
+    """Unrolled squared-L2 chain, left-fold order — bit-identical to the
+    fixed-order numpy accumulation in functions/vec._centroid_scores."""
+    from .similarity import EMB_DIM
+
+    return " + ".join(
+        f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+        for i in range(1, EMB_DIM + 1)
+    )
+
+
 def _ivf_oracle() -> str:
-    from .similarity import _sql_dot
+    """One unrolled Lloyd step, mirroring fit_kmeans(k=16, max_iter=1):
+    init = 16 lowest-id vectors (cid = position in vec_id order), assign
+    by squared-L2 argmin (first-min-wins == ROW_NUMBER d ASC, cid), update
+    = per-(cell, dim) DECIMAL(25,6)-exact means with empty cells keeping
+    their init position, then the final full-corpus assignment against
+    the updated codebook."""
+    from .similarity import EMB_DIM, _sql_dot
 
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    c AS (SELECT vec_id AS cid, emb AS cemb FROM v ORDER BY vec_id LIMIT 16),
-    assign_scored AS (
-      SELECT v.vec_id, c.cid, ({_sql_dot('v.emb', 'c.cemb')}) AS d
-      FROM v CROSS JOIN c),
-    cell AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM assign_scored) WHERE rn = 1),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
+           FROM v ORDER BY vec_id LIMIT 16),
+    d0 AS (SELECT v.vec_id, c0.cid, ({_sql_l2('v.emb', 'c0.cemb')}) AS d
+           FROM v CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cid AS cell FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d ASC, cid) AS rn
+             FROM d0) WHERE rn = 1),
+    sums AS (SELECT a0.cell, t.i AS pos,
+                    CAST(SUM(CAST(v.emb[t.i] AS DECIMAL(25,6))) AS DOUBLE)
+                      / COUNT(*) AS m
+             FROM v JOIN a0 ON v.vec_id = a0.vec_id,
+                  range(1, {EMB_DIM + 1}) t(i)
+             GROUP BY a0.cell, t.i),
+    c1 AS (SELECT c0.cid, COALESCE(nl.cemb, c0.cemb) AS cemb
+           FROM c0 LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS cemb
+                              FROM sums GROUP BY cell) nl
+             ON c0.cid = nl.cid),
+    d1 AS (SELECT v.vec_id, c1.cid, ({_sql_l2('v.emb', 'c1.cemb')}) AS d
+           FROM v CROSS JOIN c1),
+    cellf AS (SELECT vec_id, cid AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d ASC, cid) AS rn
+                FROM d1) WHERE rn = 1),
     assigned AS (
-      SELECT v.vec_id, v.emb, cell.cell FROM v JOIN cell ON v.vec_id = cell.vec_id),
+      SELECT v.vec_id, v.emb, cellf.cell FROM v JOIN cellf ON v.vec_id = cellf.vec_id),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              ({_sql_dot('a.emb', 'b.emb')}) AS dot, a.cell
@@ -143,38 +176,38 @@ def _ivf_oracle() -> str:
 
 @register("s_ann_ivf", oracle=_ivf_oracle())
 def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = 16 deterministic centroids (the
-    16 lowest-id vectors), assign every vector to its nearest centroid by
-    dot product, then search only within the probed cell (nprobe=1).
+    """IVF-style ANN with a TRAINED codebook: fit_kmeans (k=16, one Lloyd
+    step from the deterministic 16-lowest-id init) trains on the corpus,
+    then the full corpus is assigned to its nearest-squared-L2 cell and
+    the search scores exact dot products only within each cell.
 
-    Fully oracle-graded (upgraded from rows-only in round 2): the
-    codebook rule "16 lowest-id vectors" is deterministic, so the oracle
-    mirrors it as ORDER BY vec_id LIMIT 16 and unrolls the argmax as a
-    ROW_NUMBER over explicit dot-product chains. Cell assignment and pair
-    scoring run as vectorized Arrow-batched pandas UDFs whose
-    loop-accumulate order is bit-identical to a left-fold chain (no BLAS
-    reduction-order nondeterminism), and np.argmax's first-max-wins tie
-    break matches the oracle's (d DESC, cid) ordering.
+    Fully oracle-graded: every training step is engine-exact, so the
+    oracle unrolls the Lloyd iteration in SQL — init ORDER BY vec_id
+    LIMIT 16, L2 chains in fixed fold order (bit-identical to the
+    fixed-order numpy accumulation in the closure-carried codebook UDF,
+    functions/vec.py), argmin as ROW_NUMBER (d ASC, cid) == np.argmin
+    first-min-wins, and DECIMAL(25,6) sums making the centroid means
+    independent of partial-sum order on both engines. Pair scoring is the
+    proven dot_exact_udf left-fold.
 
-    Scale: the standard IVF shape — train a codebook on a sample, ship the
-    (tiny) codebook to executors, assignment is row-local, search is a
-    hash join on cell id. At 100 TB only codebook training changes
-    (sampled k-means instead of first-k).
+    Scale: the standard IVF shape — train a codebook on a sample (here
+    the whole sf corpus; ``df.sample`` upstream at 100 TB), ship the
+    (tiny) codebook to executors inside the UDF closure (k never enters
+    the plan — test_kmeans.py holds the plan flat to k=256), assignment
+    is row-local, search is a hash join on cell id.
     """
-    import numpy as np
-
-    from ..functions.vec import dot_exact_udf, nearest_centroid_udf
+    from ..functions.vec import dot_exact_udf
+    from ..operators.kmeans import assign_cells, fit_kmeans
 
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cents = np.array(
-        [r.emb for r in v.orderBy("vec_id").limit(16).collect()], dtype=np.float64
-    )
-    cell_of = nearest_centroid_udf(cents)
+    cents = fit_kmeans(v, k=16, max_iter=1)
     dot_exact = dot_exact_udf()
 
-    assigned = v.select("vec_id", "emb", cell_of("emb").alias("cell"))
+    assigned = assign_cells(v, cents, metric="l2").select(
+        "vec_id", "emb", F.col("cell").cast("long").alias("cell")
+    )
     a = assigned.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_a"), "cell"
     )

@@ -62,6 +62,64 @@ class TestFitKmeans:
             fit_kmeans(clustered.limit(2), k=5)
 
 
+class TestCodebookScaling:
+    def test_k256_plan_stays_small(self, spark):
+        """The codebook rides in the UDF closure, so the PLAN must be O(1)
+        in k: a k=256 x dim=64 codebook as plan literals would be ~16k
+        expressions (codegen fallback + compile-time blowup); as closure
+        data the k=16 and k=256 plans are the same shape and size."""
+        e = table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cents = [list(map(float, r["emb"]))
+                 for r in e.orderBy("vec_id").limit(256).collect()]
+
+        def plan_str(k):
+            df = assign_cells(e, cents[:k])
+            df.count()  # force plan + execution at this k
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p16, p256 = plan_str(16), plan_str(256)
+        assert "ArrowEvalPython" in p256  # closure-carried, Arrow-batched
+        # plan size flat in k (identical up to ids; allow trivial slack)
+        assert abs(len(p256) - len(p16)) < 100, (len(p16), len(p256))
+
+    def test_k256_probe_plan_stays_small(self, spark):
+        from seafowl_spark.functions.vec import nearest_cells_udf
+
+        e = table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cents = [list(map(float, r["emb"]))
+                 for r in e.orderBy("vec_id").limit(256).collect()]
+
+        def plan_str(k):
+            probes = nearest_cells_udf(cents[:k], nprobe=4)
+            df = e.select("vec_id", probes(F.col("emb")).alias("cells"))
+            rows = df.limit(1).collect()
+            assert len(rows[0]["cells"]) == 4
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p16, p256 = plan_str(16), plan_str(256)
+        assert abs(len(p256) - len(p16)) < 100, (len(p16), len(p256))
+
+    def test_nearest_cells_matches_nearest_centroid(self, clustered):
+        """cells_of(...)[0] must agree with cell_of(...) — one codebook
+        representation, two access patterns."""
+        cents = fit_kmeans(clustered, k=3)
+        from seafowl_spark.functions.vec import nearest_cells_udf
+
+        probes = nearest_cells_udf(cents, nprobe=3)
+        both = (
+            assign_cells(clustered, cents)
+            .select("vec_id", "cell", probes(F.col("emb")).alias("cells"))
+            .collect()
+        )
+        for r in both:
+            assert r["cells"][0] == r["cell"]
+            assert sorted(r["cells"]) == [0, 1, 2]
+
+
 class TestIvfTopk:
     def test_recall_vs_bruteforce(self, spark):
         from seafowl_spark.functions import cosine_similarity

@@ -189,6 +189,86 @@ class TestQuantizedAnnTopk:
             assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+class TestIvfQuantizedTopk:
+    def _frames(self, spark):
+        e = table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        q = e.where(F.col("vec_id").isin([0, 1, 2])).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        return e, q
+
+    def test_recall_vs_exact_bruteforce(self, spark):
+        from seafowl_spark.functions import cosine_similarity
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.quantize import ivf_quantized_topk
+
+        corpus, queries = self._frames(spark)
+        cents = fit_kmeans(corpus, k=8, max_iter=5)
+        approx = ivf_quantized_topk(
+            corpus, queries, cents, k=10, nprobe=4, shortlist=50
+        )
+        got = {}
+        for r in approx.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        exact = (
+            corpus.crossJoin(
+                F.broadcast(
+                    queries.select(F.col("query_id"), F.col("emb").alias("q_emb"))
+                )
+            )
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                cosine_similarity(F.col("emb"), F.col("q_emb")).alias("c"),
+            )
+            .collect()
+        )
+        by_q = {}
+        for r in exact:
+            by_q.setdefault(r["query_id"], []).append((r["c"], r["vec_id"]))
+        recalls = []
+        for qid, scored in by_q.items():
+            top = {v for _, v in sorted(scored, key=lambda t: (-t[0], t[1]))[:10]}
+            recalls.append(len(got.get(qid, set()) & top) / 10)
+        # probing half the cells: IVF loses candidates outside probed
+        # cells, int8 coarse loses within — jointly still most of top-10
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_no_corpus_cross_join_in_plan(self, spark):
+        """The whole point of the composed form: coarse scoring joins on
+        the cell id — a corpus-wide cartesian anywhere in the plan means
+        the composition regressed to brute force."""
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.quantize import ivf_quantized_topk
+
+        corpus, queries = self._frames(spark)
+        cents = fit_kmeans(corpus, k=8, max_iter=2)
+        out = ivf_quantized_topk(corpus, queries, cents, k=5, nprobe=2)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "cell" in plan  # coarse stage keyed on the IVF cell
+
+    def test_ranks_contiguous(self, spark):
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.quantize import ivf_quantized_topk
+
+        corpus, queries = self._frames(spark)
+        cents = fit_kmeans(corpus, k=4, max_iter=2)
+        out = ivf_quantized_topk(corpus, queries, cents, k=5, nprobe=4).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(per_q) == {0, 1, 2}
+        for ranks in per_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
 class TestChunkDocuments:
     def test_cover_and_overlap(self, spark):
         from seafowl_spark.operators.packing import chunk_documents
