@@ -64,6 +64,11 @@ def unigram_logprob(
     OOV tokens take the add-one floor 1/(total+1). Adds ``n_scored``
     (token instances) and ``avg_neg_logprob`` (lower = more typical of
     the corpus; the standard cheap quality rank).
+
+    The mean is a DECIMAL(25,6) sum over count: quantizing each -ln p at
+    1e-6 absorbs libm last-bit differences and makes the sum independent
+    of partial-sum order, so scores are bit-reproducible across runs and
+    engines (the t_vocab_unigram oracle mirrors the same cast).
     """
     total = vocab.agg(F.sum("n").alias("total"))
     tok_col = F.explode(_tokens(F.col(text_col))).alias("token")
@@ -85,5 +90,8 @@ def unigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
-        F.avg("nlp").alias("avg_neg_logprob"),
+        (
+            F.sum(F.col("nlp").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_neg_logprob"),
     )

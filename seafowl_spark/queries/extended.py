@@ -33,7 +33,10 @@ from . import register
            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
            date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-           EXTRACT(dow FROM o_orderdate) AS dow
+           EXTRACT(dow FROM o_orderdate) AS dow,
+           EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           EXTRACT(month FROM o_orderdate) AS m
     FROM orders
     """,
 )
@@ -41,7 +44,8 @@ def q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function breadth in one pass over orders: math surface
     (abs/ceil/floor/sqrt/ln/mod, rounded where the final libm step could
     differ in the last bit) plus date arithmetic (interval add, datediff,
-    truncation, day-of-week; DuckDB dow: Sunday=0 == Spark dayofweek-1)."""
+    truncation, day-of-week; DuckDB dow: Sunday=0 == Spark dayofweek-1;
+    EXTRACT year/quarter/month absorbed from q_datetime_distinct in r6)."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -57,6 +61,9 @@ def q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
     )
 
 

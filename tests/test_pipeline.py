@@ -153,3 +153,58 @@ class TestStratifiedSample:
         assert _SAMPLE_RATES["en"] < min(
             v for k, v in _SAMPLE_RATES.items() if k != "en"
         )
+
+
+class TestMinhashSignatureValues:
+    def test_minhash_signature_values(self, spark):
+        """Per-row signature parity vs a pure-Python reference — kept as a
+        pytest since the s_minhash_signatures registry row was absorbed
+        into s_minhash_lsh_pairs (r6): a uniform signature distortion that
+        preserves equality structure would survive the pairs oracle, so
+        exact values are pinned here."""
+        import hashlib
+
+        from seafowl_spark.queries.similarity import (
+            MINHASH_A,
+            MINHASH_B,
+            MINHASH_P,
+            _minhash_sigs_df,
+        )
+
+        def ref_sig(text):
+            toks = [t for t in text.split(" ") if t]
+            if len(toks) < 3:
+                return None
+            seen, sh = set(), []
+            for i in range(len(toks) - 2):
+                s = " ".join(toks[i : i + 3])
+                if s not in seen:
+                    seen.add(s)
+                    sh.append(s)
+            hh = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+            return [
+                min((a * h + b) % MINHASH_P for h in hh)
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ]
+
+        docs = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id")
+            .limit(5)
+            .collect()
+        }
+        got = {
+            r.doc_id: list(r.sigs)
+            for r in _minhash_sigs_df(spark, SF_DIR)
+            .where(F.col("doc_id").isin(list(docs)))
+            .collect()
+        }
+        checked = 0
+        for doc_id, text in docs.items():
+            expect = ref_sig(text)
+            if expect is None:
+                continue
+            assert got[doc_id] == expect, doc_id
+            checked += 1
+        assert checked >= 3

@@ -181,3 +181,29 @@ class TestRound5Graduates:
         p = plan_of(spark, registry, "p_chunk_documents")
         assert "Exchange" not in p
         assert "Python" not in p
+
+
+class TestRound6Graduates:
+    """Plan gates for the r6-graduated registry rows."""
+
+    def test_clean_lines_corpus_never_shuffles(self, spark, registry):
+        # line rules are row-local JVM lambdas; the ONLY hash exchange is
+        # the distinct-line frequency count, and the frequent set comes
+        # back as a 1-row broadcast (BNLJ) — corpus text rows never
+        # hash-shuffle and no Python worker appears
+        p = plan_of(spark, registry, "t_clean_lines")
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        assert "BroadcastNestedLoopJoin" in p
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+
+    def test_vocab_scoring_broadcasts_capped_vocab(self, spark, registry):
+        # the top-K vocabulary joins into token scoring as a broadcast
+        # hash join (moved here from test_vocab.py per the r5 review) —
+        # a sort-merge join would shuffle every token instance by token
+        p = plan_of(spark, registry, "t_vocab_unigram")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "Python" not in p

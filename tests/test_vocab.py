@@ -62,8 +62,9 @@ class TestUnigramLogprob:
             return sum(nlps) / len(nlps)
 
         assert out[1]["n_scored"] == 6
+        # per-term DECIMAL(25,6) quantization shifts the mean by <= 5e-7
         assert out[1]["avg_neg_logprob"] == pytest.approx(
-            expected("the cat sat on the mat"), rel=1e-12
+            expected("the cat sat on the mat"), abs=2e-6
         )
         # common-word doc scores lower (more typical) than rare-word doc
         assert out[3]["avg_neg_logprob"] < out[4]["avg_neg_logprob"]
@@ -74,7 +75,7 @@ class TestUnigramLogprob:
         total = sum(counts.values())
         out = {r["doc_id"]: r for r in unigram_logprob(corpus, vocab).collect()}
         floor_nlp = -math.log(1.0 / (total + 1))
-        assert out[4]["avg_neg_logprob"] == pytest.approx(floor_nlp, rel=1e-12)
+        assert out[4]["avg_neg_logprob"] == pytest.approx(floor_nlp, abs=2e-6)
 
     def test_scoring_against_capped_vocab_broadcasts(self, corpus):
         vocab = build_vocab(corpus, top_k=5)
