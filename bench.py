@@ -76,6 +76,14 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # host-drift probe: a frozen r1 query (tools/drift_probe.py, never
+    # edited) timed on the same hot session — ratio > 1 means this host is
+    # slower than round 6's, so cross-round totals divide by it before
+    # being compared (r4 verdict asked for exactly this normalizer).
+    from tools.drift_probe import run_probe
+
+    drift = run_probe(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "drift_probe": drift,
             }
         )
     )
