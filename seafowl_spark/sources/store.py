@@ -302,7 +302,13 @@ class S3Store(ObjectStore):
 
     scheme = "s3"
 
-    def __init__(self):
+    def __init__(self, client=None):
+        """`client` injects a boto3-shaped S3 client (must expose the same
+        call surface incl. an ``exceptions`` namespace) — how the stub-client
+        tests drive the OCC/pagination/not-found paths without a bucket."""
+        if client is not None:
+            self._s3 = client
+            return
         try:
             import boto3  # noqa: F401
         except ImportError as e:  # pragma: no cover - boto3 absent in CI
@@ -333,7 +339,7 @@ class S3Store(ObjectStore):
         b, k = self._split(path)
         return self._s3.head_object(Bucket=b, Key=k)["LastModified"].timestamp()
 
-    def list(self, prefix: str) -> list[str]:  # pragma: no cover
+    def list(self, prefix: str) -> list[str]:
         b, k = self._split(prefix.rstrip("/") + "/")
         names = set()
         paginator = self._s3.get_paginator("list_objects_v2")
@@ -344,7 +350,7 @@ class S3Store(ObjectStore):
                 names.add(p["Prefix"][len(k):].rstrip("/"))
         return sorted(n for n in names if n)
 
-    def exists(self, path: str) -> bool:  # pragma: no cover
+    def exists(self, path: str) -> bool:
         b, k = self._split(path)
         try:
             self._s3.head_object(Bucket=b, Key=k)
@@ -352,15 +358,15 @@ class S3Store(ObjectStore):
         except Exception:
             return False
 
-    def size(self, path: str) -> int:  # pragma: no cover
+    def size(self, path: str) -> int:
         b, k = self._split(path)
         return self._s3.head_object(Bucket=b, Key=k)["ContentLength"]
 
-    def put(self, path: str, data: bytes) -> None:  # pragma: no cover
+    def put(self, path: str, data: bytes) -> None:
         b, k = self._split(path)
         self._s3.put_object(Bucket=b, Key=k, Body=data)
 
-    def put_if_absent(self, path: str, data: bytes) -> None:  # pragma: no cover
+    def put_if_absent(self, path: str, data: bytes) -> None:
         b, k = self._split(path)
         try:
             # S3 conditional write (If-None-Match: *) — the same primitive
@@ -372,7 +378,7 @@ class S3Store(ObjectStore):
                 raise AlreadyExists(path) from None
             raise
 
-    def delete(self, path: str) -> None:  # pragma: no cover
+    def delete(self, path: str) -> None:
         b, k = self._split(path)
         self._s3.delete_object(Bucket=b, Key=k)
 
@@ -390,8 +396,20 @@ class GcsStore(ObjectStore):
 
     scheme = "gs"
 
-    def __init__(self):
+    def __init__(self, client=None, exceptions=None):
+        """`client` injects a google-cloud-storage-shaped client;
+        `exceptions` must then supply its error namespace (``NotFound``,
+        ``PreconditionFailed``) — together they let the stub-client tests
+        drive the OCC/not-found/listing paths without a bucket."""
+        if client is not None:
+            if exceptions is None:
+                raise StoreError(
+                    "an injected GCS client needs its exceptions namespace"
+                )
+            self._client, self._gexc = client, exceptions
+            return
         try:
+            from google.api_core import exceptions as gexc
             from google.cloud import storage  # noqa: F401
         except ImportError as e:  # pragma: no cover - lib absent in CI
             raise StoreError(
@@ -401,7 +419,7 @@ class GcsStore(ObjectStore):
             ) from e
         from google.cloud import storage
 
-        self._client = storage.Client()
+        self._client, self._gexc = storage.Client(), gexc
 
     @staticmethod
     def _split(path: str) -> tuple[str, str]:
@@ -409,12 +427,10 @@ class GcsStore(ObjectStore):
         return bucket, key
 
     def get(self, path: str) -> bytes:
-        from google.api_core import exceptions as gexc
-
         b, k = self._split(path)
         try:
             return self._client.bucket(b).blob(k).download_as_bytes()
-        except gexc.NotFound:
+        except self._gexc.NotFound:
             # normalize to the ObjectStore.get contract (FileNotFoundError)
             raise FileNotFoundError(path) from None
 
@@ -427,7 +443,7 @@ class GcsStore(ObjectStore):
             return time.time()  # unknown age reads as brand-new (see base)
         return blob.updated.timestamp()
 
-    def list(self, prefix: str) -> list[str]:  # pragma: no cover
+    def list(self, prefix: str) -> list[str]:
         b, k = self._split(prefix.rstrip("/") + "/")
         names = set()
         it = self._client.list_blobs(b, prefix=k, delimiter="/")
@@ -437,40 +453,36 @@ class GcsStore(ObjectStore):
             names.add(p[len(k):].rstrip("/"))
         return sorted(n for n in names if n)
 
-    def exists(self, path: str) -> bool:  # pragma: no cover
+    def exists(self, path: str) -> bool:
         b, k = self._split(path)
         return self._client.bucket(b).blob(k).exists()
 
-    def size(self, path: str) -> int:  # pragma: no cover
+    def size(self, path: str) -> int:
         b, k = self._split(path)
         blob = self._client.bucket(b).get_blob(k)
         if blob is None:
             raise FileNotFoundError(path)
         return blob.size
 
-    def put(self, path: str, data: bytes) -> None:  # pragma: no cover
+    def put(self, path: str, data: bytes) -> None:
         b, k = self._split(path)
         self._client.bucket(b).blob(k).upload_from_string(data)
 
-    def put_if_absent(self, path: str, data: bytes) -> None:  # pragma: no cover
-        from google.api_core import exceptions as gexc
-
+    def put_if_absent(self, path: str, data: bytes) -> None:
         b, k = self._split(path)
         try:
             # generation 0 precondition == create-only (GCS native OCC)
             self._client.bucket(b).blob(k).upload_from_string(
                 data, if_generation_match=0
             )
-        except gexc.PreconditionFailed:
+        except self._gexc.PreconditionFailed:
             raise AlreadyExists(path) from None
 
-    def delete(self, path: str) -> None:  # pragma: no cover
-        from google.api_core import exceptions as gexc
-
+    def delete(self, path: str) -> None:
         b, k = self._split(path)
         try:
             self._client.bucket(b).blob(k).delete()
-        except gexc.NotFound:
+        except self._gexc.NotFound:
             pass
 
     def spark_url(self, path: str) -> str:
@@ -490,13 +502,35 @@ def data_plane_url(url: str) -> str:
     return url
 
 
+# test/deployment hook: scheme -> zero-arg store factory, consulted before
+# the built-in mapping (the reference's store factory registers per-scheme
+# builders the same way, object_store_factory/src/lib.rs) — lets a
+# deployment wire a custom backend, and lets tests run the whole
+# transaction-log machinery over a stub-client S3Store/GcsStore.
+_FACTORIES: dict[str, callable] = {}
+
+
+def register_store_factory(scheme: str, factory) -> None:
+    """Route ``{scheme}://`` URLs through `factory()` in resolve_store."""
+    _FACTORIES[scheme] = factory
+
+
+def unregister_store_factory(scheme: str) -> None:
+    _FACTORIES.pop(scheme, None)
+
+
 def resolve_store(url: str) -> tuple[ObjectStore, str]:
     """Map a table root URL to (store, store-local root path).
 
     ``/abs/path`` and ``file:///abs/path`` -> LocalStore; ``memory://ns/...``
     -> MemoryStore; ``s3://bucket/prefix`` -> S3Store (boto3-gated);
     ``gs://bucket/prefix`` -> GcsStore (google-cloud-storage-gated).
+    Registered factories (register_store_factory) take precedence for
+    their scheme.
     """
+    scheme, sep, rest = url.partition("://")
+    if sep and scheme in _FACTORIES:
+        return _FACTORIES[scheme](), rest.rstrip("/")
     if url.startswith("memory://"):
         return MemoryStore(), url[len("memory://"):].rstrip("/")
     if url.startswith("s3://"):

@@ -29,18 +29,55 @@ from seafowl_spark.sources.store import (
 )
 
 
-@pytest.fixture(params=["local", "memory"])
+@pytest.fixture(params=["local", "memory", "s3stub", "gsstub"])
 def store_root(request, tmp_path):
-    """(store, store-local root, root URL) per backend."""
+    """(store, store-local root, root URL) per backend.
+
+    s3stub/gsstub run the same byte-level contract and the full
+    transaction-log matrix over S3Store/GcsStore with injected in-process
+    clients (tests/fake_cloud.py) — the cloud OCC / pagination / not-found
+    code paths execute without a bucket, and register_store_factory routes
+    DeltaLiteTable's own resolve_store through the stub."""
     if request.param == "local":
         root = str(tmp_path / "tbl")
         yield LocalStore(), root, root
-    else:
+    elif request.param == "memory":
         MemoryStore.clear()
         url = f"memory://t-{request.node.callspec.id}/tbl"
         store, root = resolve_store(url)
         yield store, root, url
         MemoryStore.clear()
+    elif request.param == "s3stub":
+        from fake_cloud import FakeS3Client
+
+        from seafowl_spark.sources.store import (
+            register_store_factory,
+            unregister_store_factory,
+        )
+
+        client = FakeS3Client()
+        register_store_factory("s3", lambda: S3Store(client=client))
+        store, root = resolve_store("s3://test-bucket/tbl")
+        assert isinstance(store, S3Store)
+        yield store, root, "s3://test-bucket/tbl"
+        unregister_store_factory("s3")
+    else:
+        from fake_cloud import FAKE_GEXC, FakeGcsClient
+
+        from seafowl_spark.sources.store import (
+            GcsStore,
+            register_store_factory,
+            unregister_store_factory,
+        )
+
+        client = FakeGcsClient()
+        register_store_factory(
+            "gs", lambda: GcsStore(client=client, exceptions=FAKE_GEXC)
+        )
+        store, root = resolve_store("gs://test-bucket/tbl")
+        assert isinstance(store, GcsStore)
+        yield store, root, "gs://test-bucket/tbl"
+        unregister_store_factory("gs")
 
 
 class TestStoreContract:
