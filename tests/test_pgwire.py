@@ -318,3 +318,82 @@ class TestStartupDatabase:
                 MiniPgClient(srv.port, database="no_such_db")
         finally:
             srv.stop()
+
+
+class TestDescribeBeforeExecute:
+    """Convergence-client shape (reference src/frontend/postgres.rs:41-77):
+    the prepare phase answers field metadata from ANALYSIS only, so a
+    client can type its result columns before any row is produced.
+    Driven with the raw-socket client (no psycopg2 in this environment)
+    over a parameterized SELECT on a time-travel table."""
+
+    @staticmethod
+    def _decode_rowdesc(payload):
+        """(names, oids) from a RowDescription ('T') payload."""
+        (n,) = struct.unpack("!H", payload[:2])
+        off, names, oids = 2, [], []
+        for _ in range(n):
+            end = payload.index(b"\x00", off)
+            names.append(payload[off:end].decode())
+            # field tail: table_oid(I) attnum(h) type_oid(I) len(h) mod(i) fmt(h)
+            (oid,) = struct.unpack_from("!I", payload, end + 1 + 6)
+            oids.append(oid)
+            off = end + 1 + 18
+        return names, oids
+
+    def test_rowdescription_precedes_execute_over_time_travel(self, pg):
+        ctx, client = pg
+        client.query("CREATE TABLE tt (x int, s text)")
+        client.query("INSERT INTO tt VALUES (1, 'a'), (2, 'b')")  # version 1
+        client.query("INSERT INTO tt VALUES (30, 'c')")           # version 2
+        client.parse(
+            "ttq",
+            "SELECT x, s FROM tt FOR VERSION AS OF 1 WHERE x > $1 ORDER BY x",
+            [23],
+        )
+        client.describe(b"S", "ttq")  # statement: ParameterDescription + T
+        client.bind("", "ttq", [b"0"])
+        client.describe(b"P", "")     # portal: T again, post-bind
+        client.execute("")
+        msgs = client.sync()
+        tags = [t for t, _ in msgs]
+
+        # Describe answered with metadata BEFORE the first DataRow
+        assert b"T" in tags and b"D" in tags
+        assert tags.index(b"T") < tags.index(b"D")
+        # ParameterDescription for $1 came from the statement describe
+        pd = [p for t, p in msgs if t == b"t"]
+        assert len(pd) == 1
+        n_params, oid0 = struct.unpack("!HI", pd[0][:6])
+        assert (n_params, oid0) == (1, 23)
+
+        # both RowDescriptions (statement-level and portal-level) carry the
+        # ANALYZED schema: names + pg type OIDs (int4=23, text=25)
+        t_msgs = [p for t, p in msgs if t == b"T"]
+        assert len(t_msgs) == 2
+        for payload in t_msgs:
+            names, oids = self._decode_rowdesc(payload)
+            assert names == ["x", "s"]
+            assert oids == [23, 25]
+
+        # and Execute then returns only the version-1 rows
+        _, _, rows, errors = client.collect(msgs)
+        assert not errors
+        assert rows == [("1", "a"), ("2", "b")]
+
+    def test_describe_only_no_rows_executed(self, pg):
+        """A Describe cycle with no Execute must not stream any DataRow —
+        the schema comes from planning, not from running the query."""
+        ctx, client = pg
+        client.query("CREATE TABLE tt2 (v double)")
+        client.query("INSERT INTO tt2 VALUES (1.5)")
+        client.parse("d0", "SELECT v, v + $1 AS shifted FROM tt2", [701])
+        client.describe(b"S", "d0")
+        msgs = client.sync()
+        tags = [t for t, _ in msgs]
+        assert b"T" in tags and b"D" not in tags
+        names, oids = self._decode_rowdesc(
+            [p for t, p in msgs if t == b"T"][0]
+        )
+        assert names == ["v", "shifted"]
+        assert oids == [701, 701]
