@@ -1,0 +1,157 @@
+"""Distributed BM25 full-text ranking.
+
+The retrieval half of a training-data pipeline: given a corpus and a batch
+of keyword queries, return the top-k documents per query under BM25
+(Robertson/Spärck Jones; the scoring function Lucene/Elasticsearch and the
+common-crawl curation stacks use for seed-document retrieval and
+decontamination lookups). The reference engine has no text ranking — this
+extends the LLM-pipeline suite the way s_ann_* extends it for embeddings.
+
+Spark-first shape, stage by stage:
+
+* **Postings are row-local.** Per-document (term, tf) pairs come from one
+  ``array_sort`` + run-length projection (the same sorted-fold idiom as
+  repetition.py — O(n log n) per doc, JVM codegen, NO shuffle of token
+  instances). Exploding those pairs yields the postings relation at scan
+  cost; at 100 TB you'd persist it once, bucketed by term, and every
+  query batch below becomes bucket-local.
+* **Corpus work is pruned by the query terms FIRST.** The distinct query
+  terms broadcast into a semi-join against postings, so document
+  frequencies and scores are only ever computed for terms a query
+  mentions — df over the pruned postings still counts every document
+  containing the term, so the values match a full-corpus computation.
+* **Everything that joins is broadcast.** Query terms, per-term df, and
+  the one-row corpus stats are all tiny; the corpus side never shuffles
+  for a join (plan-gated in tests). The only hash exchanges in the plan
+  carry (query_id, candidate-doc) pairs — bounded by matches, not corpus.
+
+Determinism: idf uses the BM25+ style ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+(always positive, no disappearing terms); per-doc scores sum through a
+decimal cast (order-independent) and ties break by doc_id, so top-k is
+stable and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column, lowercase: bool = True) -> Column:
+    base = F.lower(col) if lowercase else col
+    return F.filter(F.split(base, r"\s+"), lambda t: t != "")
+
+
+def _term_freqs(toks: Column) -> Column:
+    """array<struct<term,tf>> from a token array — sort, then cut at run
+    boundaries. Row-local and linear after the O(n log n) sort; the shape
+    that keeps the inverted-index build shuffle-free."""
+    srt = F.array_sort(toks)
+    n = F.size(srt)
+    idx = F.sequence(F.lit(0), n - 1)
+    starts = F.filter(
+        idx,
+        lambda i: (i == 0) | (F.element_at(srt, i + 1) != F.element_at(srt, i)),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
+    pairs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.element_at(srt, s + 1).alias("term"), (e - s).alias("tf")
+        ),
+    )
+    return F.when(n > 0, pairs).otherwise(
+        F.array().cast("array<struct<term:string,tf:int>>")
+    )
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(postings, dfreq, stats)`` for a corpus.
+
+    postings: (term, doc_id, tf, dl) — term frequency + doc length,
+              computed row-local (no shuffle; see module docstring);
+    dfreq:    (term, df)             — number of docs containing term
+              (one term-keyed aggregate with map-side partials);
+    stats:    (n_docs, avgdl)        — one row, corpus-level.
+    """
+    toks = _tokens(F.col(text_col))
+    postings = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(_term_freqs(toks)).alias("p"),
+    ).select("p.term", "doc_id", "p.tf", "dl")
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    return postings, dfreq, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "query_text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k ``(query_id, doc_id, score, rank)`` per query under BM25.
+
+    The query side deduplicates to (query_id, term) before joining, so a
+    term repeated inside one query counts once (standard bag-of-words
+    query semantics; repeat weighting belongs in the query builder).
+    """
+    postings, _dfreq, stats = build_postings(docs, text_col, id_col)
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+
+    # prune the corpus to query terms before ANY per-term work; df over
+    # the pruned postings still sees every doc containing the term
+    cand = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dfreq_q = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq_q), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1,0 +1,192 @@
+"""BM25 ranking operator (operators/bm25.py): formula parity against a
+pure-Python reference implementation, edge cases, and the plan gates that
+make it a 100 TB operator (row-local postings, broadcast-only joins)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.operators.bm25 import bm25_topk, build_postings
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick red fox"),
+    (3, "lazy dogs sleep all day the dog barks"),
+    (4, "quick quick quick brown foxes"),
+    (5, ""),
+    (6, "an unrelated document about spark query engines"),
+]
+QUERIES = [(100, "quick fox"), (200, "lazy dog"), (300, "zebra")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Reference implementation: plain loops, same idf/tf formula, and the
+    same per-term decimal(25,6) quantization the Spark side applies so
+    near-tie rankings can't diverge on sub-1e-6 score differences."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(x):
+        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    tok = {d: t.lower().split() for d, t in docs}
+    tok = {d: [w for w in t if w] for d, t in tok.items()}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in tok.values()) / n_docs
+    df = {}
+    for t in tok.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in set(qtext.lower().split()):
+            if term not in df:
+                continue
+            idf = math.log(1 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            for d, words in tok.items():
+                tf = words.count(term)
+                if not tf:
+                    continue
+                s = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(words) / avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + q6(s)
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+@pytest.fixture()
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    queries = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    return docs, queries
+
+
+class TestPostings:
+    def test_row_local_term_freqs(self, spark, frames):
+        docs, _ = frames
+        postings, dfreq, stats = build_postings(docs)
+        got = {
+            (r.term, r.doc_id): (r.tf, r.dl) for r in postings.collect()
+        }
+        assert got[("quick", 4)] == (3, 5)
+        assert got[("the", 1)] == (2, 9)
+        assert got[("fox", 2)] == (1, 4)
+        assert ("", 5) not in got  # empty doc yields no postings
+        df = {r.term: r.df for r in dfreq.collect()}
+        assert df["quick"] == 3 and df["fox"] == 2 and df["the"] == 3
+        st = stats.collect()[0]
+        assert st.n_docs == 6
+        assert st.avgdl == pytest.approx(sum(len(t.split()) for _, t in DOCS) / 6)
+
+    def test_postings_build_has_no_shuffle(self, spark, frames):
+        """The inverted-index build is a projection: sorting/cutting runs
+        happens inside each row, so the plan has no exchange at all."""
+        docs, _ = frames
+        postings, _, _ = build_postings(docs)
+        plan = postings._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+class TestBm25Scores:
+    def test_parity_with_reference_impl(self, spark, frames):
+        docs, queries = frames
+        got = {}
+        for r in bm25_topk(docs, queries, k=10).collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+        expect = _py_bm25(DOCS, QUERIES)
+        assert set(got) == {100, 200}  # zebra matches nothing
+        for qid in got:
+            got[qid].sort()
+            assert [d for _, d, _ in got[qid]] == [d for d, _ in expect[qid]]
+            for (_, _, s), (_, es) in zip(got[qid], expect[qid]):
+                # per-term scores quantize at decimal(25,6) for
+                # order-independent sums — tolerance is 1e-6 per term
+                assert s == pytest.approx(es, abs=5e-6)
+
+    def test_k_truncates_and_ranks_contiguous(self, spark, frames):
+        docs, queries = frames
+        rows = bm25_topk(docs, queries, k=2).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 2
+
+    def test_duplicate_query_terms_count_once(self, spark, frames):
+        docs, _ = frames
+        q1 = docs.sparkSession.createDataFrame(
+            [(1, "fox fox fox")], ["query_id", "query_text"]
+        )
+        q2 = docs.sparkSession.createDataFrame(
+            [(1, "fox")], ["query_id", "query_text"]
+        )
+        a = {(r.doc_id): r.score for r in bm25_topk(docs, q1).collect()}
+        b = {(r.doc_id): r.score for r in bm25_topk(docs, q2).collect()}
+        assert a == b
+
+    def test_on_testdata_documents(self, spark):
+        """Full parity over the real documents table: the Spark ranking
+        must match a pure-Python BM25 over the whole corpus — same top-25
+        docs, same order, same scores."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        rows = [(r.doc_id, r.text) for r in docs.collect()]
+        probe_text = dict(rows)[0]
+        words = sorted(
+            set(probe_text.lower().split()), key=lambda w: (len(w), w)
+        )[-5:]
+        queries = spark.createDataFrame(
+            [(1, " ".join(words))], ["query_id", "query_text"]
+        )
+        top = bm25_topk(docs, queries, k=25).orderBy("rank").collect()
+        expect = _py_bm25(rows, [(1, " ".join(words))])[1][:25]
+        assert [r.doc_id for r in top] == [d for d, _ in expect]
+        for r, (_, es) in zip(top, expect):
+            assert r.score == pytest.approx(es, abs=5e-6)
+
+
+class TestBm25Plan:
+    def test_broadcast_only_joins_and_bounded_exchanges(self, spark, frames):
+        """100 TB gates on the static plan (same convention as
+        test_plans.py): every join is broadcast (the one-row stats ride a
+        BNLJ), no sort-merge or cartesian anywhere, and every hash
+        exchange sits directly over aggregated or group-limited data —
+        never over raw postings, so corpus token instances are never
+        shuffled."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        _, queries = frames
+        out = bm25_topk(docs, queries, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        # 3 broadcast joins in the scoring branch + 1 pruning the df branch
+        assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+        lines = plan.splitlines()
+        n_exchanges = 0
+        for i, line in enumerate(lines):
+            if "Exchange hashpartitioning" not in line:
+                continue
+            n_exchanges += 1
+            child = lines[i + 1]
+            # the exchange's input must already be aggregated (map-side
+            # partials) or group-limited — raw postings would show a
+            # Project/Generate here
+            assert re.search(
+                r"HashAggregate|WindowGroupLimit|Sort ", child
+            ), f"exchange over non-aggregated data:\n{line}\n{child}"
+        # df-of-query-terms, per-(query,doc) score agg, rank window,
+        # plus the tiny query-side distincts
+        assert n_exchanges <= 6
