@@ -179,3 +179,49 @@ def simhash64_udf():
         )
 
     return simhash64
+
+
+def pq_encode_udf(codebooks):
+    """array<double> -> array<int>: per-subspace nearest-centroid codes
+    (product quantization). ``codebooks`` is (m, ksub, dsub); the whole
+    (m x ksub x dsub) table rides in the closure, so the plan stays O(1)
+    in both m and ksub. Distances use the same fixed-order accumulation
+    as nearest_centroid_udf; ties pick the lowest code."""
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)  # (n, dim)
+        codes = np.zeros((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            acc = _centroid_scores(sub, books[j], "l2")
+            codes[:, j] = np.argmin(acc, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_lut_udf(codebooks):
+    """array<double> -> array<array<double>>: the query-side ADC lookup
+    table — LUT[j][c] = dot(query_sub_j, codebooks[j][c]) with fixed-order
+    accumulation. An encoded corpus vector's approximate dot product with
+    the query is then sum_j LUT[j][code_j], pure JVM array math on the
+    corpus side."""
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = books.shape
+
+    @pandas_udf("array<array<double>>")
+    def lut(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)
+        out = []
+        tables = np.zeros((len(X), m, books.shape[1]), dtype=np.float64)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            tables[:, j, :] = _centroid_scores(sub, books[j], "dot")
+        for row in tables:
+            out.append([list(r) for r in row])
+        return pd.Series(out)
+
+    return lut

@@ -1,0 +1,167 @@
+"""Product quantization + IVF-PQ ANN (operators/pq.py): codebook training
+determinism, encode parity vs a numpy reference, ADC scoring correctness,
+recall vs exact brute force on the testdata embeddings, and the plan-shape
+gates (closure-carried codebooks, cell join, no corpus cross join)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.io import table
+from seafowl_spark.operators.kmeans import fit_kmeans
+from seafowl_spark.operators.pq import (
+    fit_pq,
+    ivf_pq_topk,
+    pq_encode,
+    pq_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return fit_pq(emb, m=8, ksub=16, max_iter=3)
+
+
+def _np_normalize(X):
+    n = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _np_encode(X, books):
+    books = np.asarray(books)
+    m, _ksub, dsub = books.shape
+    codes = np.zeros((len(X), m), dtype=np.int64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+class TestFitPq:
+    def test_shapes_and_determinism(self, emb, books):
+        assert len(books) == 8
+        assert all(len(b) == 16 for b in books)
+        assert all(len(c) == 8 for b in books for c in b)
+        again = fit_pq(emb, m=8, ksub=16, max_iter=3)
+        assert books == again  # decimal-exact means -> bit-reproducible
+
+    def test_dim_must_divide(self, emb):
+        with pytest.raises(ValueError, match="not divisible"):
+            fit_pq(emb, m=7)
+
+    def test_empty_frame_rejected(self, emb):
+        with pytest.raises(ValueError, match="empty"):
+            fit_pq(emb.where(F.col("vec_id") < 0), m=8)
+
+
+class TestEncode:
+    def test_codes_match_numpy_reference(self, emb, books):
+        got = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode(emb, books).select("vec_id", "pq_code").collect()
+        }
+        rows = emb.orderBy("vec_id").collect()
+        X = _np_normalize(np.stack([np.array(r.emb) for r in rows]))
+        expect = _np_encode(X, books)
+        for r, e in zip(rows, expect):
+            assert got[r.vec_id] == list(e)
+
+    def test_plan_o1_in_codebook_size(self, emb):
+        """ksub=16 -> ksub=64 must not grow the plan: the codebook lives
+        in the UDF closure, not in plan literals (the r5 verdict's
+        k-scaling requirement, applied to PQ)."""
+        small = fit_pq(emb, m=8, ksub=16, max_iter=1)
+        # synthetic big codebook: plan size must not depend on its k
+        rng_free = [
+            [[float(j + c + d) for d in range(8)] for c in range(64)]
+            for j in range(8)
+        ]
+        p16 = pq_encode(emb, small)._jdf.queryExecution().executedPlan().toString()
+        p64 = pq_encode(emb, rng_free)._jdf.queryExecution().executedPlan().toString()
+        assert abs(len(p64) - len(p16)) < 200
+
+
+class TestPqTopk:
+    def _exact_top(self, emb, queries, k=10):
+        rows = emb.collect()
+        ids = [r.vec_id for r in rows]
+        X = np.stack([np.array(r.emb) for r in rows])
+        Xn = _np_normalize(X)
+        out = {}
+        for q in queries.collect():
+            qv = _np_normalize(np.array(q.emb)[None, :])[0]
+            cos = Xn @ qv
+            order = sorted(
+                (i for i in range(len(ids)) if ids[i] != q.query_id),
+                key=lambda i: (-cos[i], ids[i]),
+            )
+            out[q.query_id] = [ids[i] for i in order[:k]]
+        return out
+
+    def test_recall_vs_exact(self, emb, queries, books):
+        got = {}
+        for r in pq_topk(emb, queries, books, k=10, shortlist=100).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        exact = self._exact_top(emb, queries, k=10)
+        recalls = [
+            len(got.get(qid, set()) & set(top)) / 10
+            for qid, top in exact.items()
+        ]
+        # ADC coarse + exact re-rank over a 100-wide shortlist: most of
+        # the true top-10 must survive
+        assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    def test_ranks_contiguous_and_scores_exact(self, emb, queries, books):
+        out = pq_topk(emb, queries, books, k=5, shortlist=50).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+        for qid, rows in per_q.items():
+            rows.sort()
+            assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+            scores = [c for _, _, c in rows]
+            assert scores == sorted(scores, reverse=True)
+
+
+class TestIvfPq:
+    def test_recall_and_plan(self, emb, queries, books):
+        cents = fit_kmeans(emb, k=8, max_iter=3)
+        out = ivf_pq_topk(
+            emb, queries, cents, books, k=10, nprobe=4, shortlist=100
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        exact = TestPqTopk()._exact_top(emb, queries, k=10)
+        recalls = [
+            len(got.get(qid, set()) & set(top)) / 10
+            for qid, top in exact.items()
+        ]
+        # probing half the cells loses candidates outside probed cells;
+        # jointly with ADC still most of top-10
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "cell" in plan  # ADC scoring keyed on the IVF cell
