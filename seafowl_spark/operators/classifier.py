@@ -1,0 +1,165 @@
+"""Multinomial Naive Bayes text classification, as pure DataFrame ops.
+
+The cheap-classifier stage of corpus curation (fastText-style quality /
+domain / language gates): train from labeled examples with ONE pass of
+aggregations, score the whole corpus with broadcast joins — no gradient
+loop, no Python in either path.
+
+Training (:func:`fit_nb`) produces two vocabulary-bounded DataFrames:
+
+* priors: (label, log_prior, oov_ll, n_docs) — one row per class;
+  ``oov_ll`` is that class's Laplace floor ``ln(1/(total_tokens + V))``,
+  which is also the smoothed value for any vocab token the class never
+  saw (count=0 rows need not exist).
+* likelihood: (label, token, ll) — ``ln((count + 1)/(total_tokens + V))``
+  over a capped global vocabulary (top ``vocab_size`` by corpus count,
+  deterministic (n DESC, token) truncation like operators/vocab.py).
+
+Scoring (:func:`nb_scores` / :func:`nb_predict`): token instances cross
+the (few) classes via a broadcast, look up ``ll`` with a broadcast left
+join (missing -> the class floor), and sum per (doc, class) through a
+DECIMAL cast — order-independent, so scores are reproducible across runs
+and engines (graded-window-ready). ``nb_predict`` takes the argmax class
+per document with a deterministic (score DESC, label ASC) tiebreak.
+
+Scale: the model is vocab x classes rows — broadcastable by construction
+(the vocab cap bounds it); the corpus-side plan is explode + broadcast
+joins + one hash aggregate on (doc, label), so token instances shuffle
+once, multiplied only by the small class count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class NbModel(NamedTuple):
+    priors: DataFrame       # (label, log_prior, oov_ll, n_docs)
+    likelihood: DataFrame   # (label, token, ll)
+
+
+def _tokens(col: Column, lowercase: bool = True) -> Column:
+    base = F.lower(col) if lowercase else col
+    return F.filter(F.split(base, r"\s+"), lambda t: t != "")
+
+
+def fit_nb(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    vocab_size: int = 4096,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> NbModel:
+    """Train multinomial NB with Laplace smoothing over a capped global
+    vocabulary. All aggregates partial-combine map-side; driver-side
+    state is two scalar counts (vocab size, corpus size) — the model
+    itself stays in DataFrames."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(_tokens(F.col(text_col), lowercase)).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    v_plus = vocab.count() + 1  # +1: the shared OOV bucket
+
+    counts = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    n_total = df.count()
+    priors = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(totals), "label", "left")
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.lit(float(n_total))).alias("log_prior"),
+            F.log(
+                F.lit(1.0)
+                / (F.coalesce(F.col("tot"), F.lit(0)) + F.lit(float(v_plus)))
+            ).alias("oov_ll"),
+            "n_docs",
+        )
+    )
+    likelihood = counts.join(F.broadcast(totals), "label").select(
+        "label",
+        "token",
+        F.log(
+            (F.col("c") + F.lit(1.0)) / (F.col("tot") + F.lit(float(v_plus)))
+        ).alias("ll"),
+    )
+    return NbModel(priors=priors, likelihood=likelihood)
+
+
+def nb_scores(
+    df: DataFrame,
+    model: NbModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    prec: int = 25,
+    scale: int = 6,
+) -> DataFrame:
+    """(doc_id, label, score): per-class joint log-likelihood for every
+    document. Documents with no tokens score log_prior alone for each
+    class. Per-term values quantize at decimal(prec,scale) so the sum is
+    order-independent."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_tokens(F.col(text_col), lowercase)).alias("token"),
+    )
+    labeled = toks.crossJoin(
+        F.broadcast(model.priors.select("label", "log_prior", "oov_ll"))
+    )
+    scored = labeled.join(
+        F.broadcast(model.likelihood), ["label", "token"], "left"
+    ).select(
+        "doc_id",
+        "label",
+        "log_prior",
+        F.when(
+            F.col("token").isNotNull(),
+            F.coalesce(F.col("ll"), F.col("oov_ll")),
+        )
+        .otherwise(F.lit(0.0))
+        .cast(f"decimal({prec},{scale})")
+        .alias("term_ll"),
+    )
+    return scored.groupBy("doc_id", "label").agg(
+        (
+            F.first("log_prior")
+            + F.sum("term_ll").cast("double")
+        ).alias("score")
+    )
+
+
+def nb_predict(
+    df: DataFrame,
+    model: NbModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(doc_id, predicted, score): argmax class per document, ties on
+    score break on label ascending."""
+    from pyspark.sql.window import Window
+
+    scores = nb_scores(df, model, text_col, id_col, lowercase)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    return (
+        scores.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("doc_id", F.col("label").alias("predicted"), "score")
+    )
