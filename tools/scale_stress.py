@@ -40,6 +40,9 @@ QUERIES = [
     "s_quantize_int8",
     "p_pack_sequences",
     "p_chunk_documents",
+    # round-6 graduates
+    "t_clean_lines",
+    "t_vocab_unigram",
 ]
 
 
@@ -157,6 +160,92 @@ def main() -> None:
     tn = zorder_rewrite(out_dir)
     out["zorder_optimize"] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
     print(json.dumps({"zorder_optimize": out["zorder_optimize"]}), file=sys.stderr)
+
+    # ---- r6 non-registry operators: custom runners, growth should be ~N
+    from pyspark.sql import functions as F
+
+    def bm25_stress(sf_dir: str) -> float:
+        """Query-batch retrieval: corpus-linear postings projection, the
+        rest broadcast/pruned — growth ~N."""
+        from seafowl_spark.operators.bm25 import bm25_topk
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        queries = spark.createDataFrame(
+            [(1, "spark merge join window"), (2, "batch stream filter"),
+             (3, "table scan vector")],
+            ["query_id", "query_text"],
+        )
+        t0 = time.perf_counter()
+        bm25_topk(docs, queries, k=10).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
+    def ivf_pq_stress(sf_dir: str) -> float:
+        """Encode + cell-bucketed ADC with FIXED synthetic codebooks (so
+        both sizes run identical models): corpus-linear encode, candidate
+        work bounded by probed cells — growth ~N."""
+        from seafowl_spark.operators.pq import ivf_pq_topk
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        dim, m, ksub, ncell = 64, 8, 16, 8
+        books = [
+            [[0.1 * ((j + c + d) % 7 - 3) for d in range(dim // m)] for c in range(ksub)]
+            for j in range(m)
+        ]
+        cents = [
+            [0.05 * ((c + d) % 9 - 4) for d in range(dim)] for c in range(ncell)
+        ]
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        t0 = time.perf_counter()
+        ivf_pq_topk(emb, queries, cents, books, k=10, nprobe=4).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
+    def nb_stress(sf_dir: str) -> float:
+        """Train on lang labels + score the corpus: two corpus-linear
+        passes with broadcast model joins — growth ~N."""
+        from seafowl_spark.operators.classifier import fit_nb, nb_predict
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text", F.col("lang").alias("label")
+        )
+        t0 = time.perf_counter()
+        model = fit_nb(docs, vocab_size=256)
+        nb_predict(docs.select("doc_id", "text"), model).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
+    def bpe_stress(sf_dir: str) -> float:
+        """5 merge rounds: ONE corpus-sized word count, then rounds over
+        the vocab-bounded word table — growth should sit well UNDER N
+        (the synthetic corpus's distinct-word set barely grows with
+        replication)."""
+        from seafowl_spark.operators.bpe import learn_bpe
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        t0 = time.perf_counter()
+        learn_bpe(docs, n_merges=5)
+        return round(time.perf_counter() - t0, 2)
+
+    for name, fn in [
+        ("bm25_topk", bm25_stress),
+        ("ivf_pq_topk", ivf_pq_stress),
+        ("nb_classifier", nb_stress),
+        ("bpe_train5", bpe_stress),
+    ]:
+        t1, tn = fn(base), fn(out_dir)
+        out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
+        print(json.dumps({name: out[name]}), file=sys.stderr)
+
     print(json.dumps({"factor": factor, "queries": out}))
 
 
