@@ -565,3 +565,88 @@ def t_vocab_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     vocab = build_vocab(d, top_k=512, min_count=2)
     return unigram_logprob(d, vocab)
+
+
+# --------------------------------------------------------------------------
+# BM25 full-text retrieval (operators/bm25.py) — graded in r6
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, "spark merge join window"),
+    (2, "batch stream filter"),
+    (3, "table scan vector dup"),
+]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+@register(
+    "q_bm25_search",
+    oracle=rf"""
+    WITH q(query_id, query_text) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}),
+    toks AS (
+      SELECT doc_id,
+             lower(unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> t <> ''))) AS term
+      FROM documents),
+    dls AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> '')) AS dl
+      FROM documents),
+    postings AS (
+      SELECT term, t.doc_id, COUNT(*) AS tf, ANY_VALUE(d.dl) AS dl
+      FROM toks t JOIN dls d USING (doc_id) GROUP BY term, t.doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dls),
+    qterms AS (
+      SELECT DISTINCT query_id,
+             lower(unnest(list_filter(regexp_split_to_array(query_text, '\s+'),
+                                      t -> t <> ''))) AS term
+      FROM q),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, p.doc_id,
+             ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+               * (CAST(p.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(p.tf AS DOUBLE)
+                  + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * CAST(p.dl AS DOUBLE) / s.avgdl))
+               AS term_score
+      FROM postings p
+      JOIN qterms qt USING (term)
+      JOIN dfreq f USING (term)
+      CROSS JOIN stats s),
+    per_doc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM scored GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM per_doc)
+    WHERE rank <= {_BM25_K}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents corpus for a fixed
+    three-query batch (operators/bm25.bm25_topk), graded end-to-end:
+    row-local postings, query-term pruning, broadcast-only joins, decimal
+    per-term score quantization, deterministic (score DESC, doc_id) rank.
+    The oracle recomputes the identical pipeline in SQL — same
+    tokenization, same idf/tf shape with the same expression association,
+    same DECIMAL(25,6) sum, so scores hash-match.
+
+    Scale: see operators/bm25.py — the corpus never shuffles for a join
+    (plan-gated in test_plans.py); the only hash exchanges carry pruned
+    or aggregated data.
+    """
+    from ..operators.bm25 import bm25_topk
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return bm25_topk(
+        d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -207,3 +207,23 @@ class TestRound6Graduates:
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
         assert "Python" not in p
+
+    def test_bm25_corpus_side_never_shuffles_for_joins(self, spark, registry):
+        # all joins broadcast (BNLJ only for the 1-row stats); every hash
+        # exchange sits over aggregated or group-limited data, so corpus
+        # token instances never shuffle (detailed structural variant in
+        # test_bm25.py)
+        p = plan_of(spark, registry, "q_bm25_search")
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+        assert "Python" not in p
+
+    def test_nb_model_broadcasts_into_scoring(self, spark, registry):
+        # the vocab-capped model must join scoring as broadcast hash joins;
+        # a sort-merge join would shuffle every token instance by token
+        p = plan_of(spark, registry, "q_nb_classify")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "Python" not in p
