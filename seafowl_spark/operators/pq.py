@@ -27,12 +27,17 @@ Composition ladder (same contract as operators/quantize.py):
   probed cells only (hash join on cell — plan-gated: no cartesian), and
   the shortlist is exact-reranked from float embeddings.
 
+* :func:`ivf_pq_residual_topk` — the refinement on top: codes encode the
+  RESIDUAL ``x - centroid[cell]`` (fit_pq_residual), so codewords span
+  only the within-cell spread; scoring adds the per-(query, cell)
+  ``dot(q, centroid)`` term back so cross-cell candidates stay
+  comparable. This is the standard FAISS IVF-PQ formulation.
+
 Cosine note: ADC approximates the DOT product. For cosine ranking both
 sides are L2-normalized first (``normalize=True``, JVM fold with a
 zero-norm guard), making dot == cosine; the exact re-rank recomputes true
-cosine from the raw embeddings either way. Plain PQ here (no residual
-encoding); IVF-PQ-with-residuals is the refinement step documented for a
-future round, not silently skipped.
+cosine from the raw embeddings either way. The residual variant works
+entirely in the normalized space (see :func:`normalized`).
 """
 
 from __future__ import annotations
@@ -218,6 +223,146 @@ def ivf_pq_topk(
             query_id_col,
             id_col,
             _adc_score(F.col("pq_code"), F.col("__lut")).alias("__coarse"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
+    short = (
+        coarse.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ (the FAISS formulation): encode x - centroid[cell]
+# --------------------------------------------------------------------------
+
+def normalized(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    """L2-normalize the vector column in place (zero-norm rows pass
+    through). The residual IVF-PQ pipeline works entirely in this space:
+    train IVF centroids AND residual codebooks on the normalized corpus,
+    then dot products equal cosines."""
+    return df.withColumn(vec_col, _l2_normalized(F.col(vec_col)))
+
+
+def _centroids_df(df: DataFrame, centroids) -> DataFrame:
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return df.sparkSession.createDataFrame(rows, "cell int, __cent array<double>")
+
+
+def _residual(vec_col: Column) -> Column:
+    return F.zip_with(vec_col, F.col("__cent"), lambda x, c: x - c)
+
+
+def fit_pq_residual(
+    df: DataFrame,
+    centroids,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "emb",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on RESIDUALS (x - centroid[cell]) —
+    codewords then only span the within-cell spread instead of the whole
+    space, the accuracy refinement that makes IVF-PQ the standard
+    billion-scale index. ``df`` must already be in the space the
+    centroids were trained in (use :func:`normalized` for cosine)."""
+    from .kmeans import assign_cells
+
+    assigned = assign_cells(df, centroids, vec_col).join(
+        F.broadcast(_centroids_df(df, centroids)), "cell"
+    )
+    resid = assigned.select(
+        F.col(id_col), _residual(F.col(vec_col)).alias(vec_col)
+    )
+    return fit_pq(
+        resid, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col,
+        max_iter=max_iter, normalize=False,
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Residual IVF-PQ ANN for cosine ranking.
+
+    Decomposition: with everything L2-normalized,
+    ``cos(q, x) = dot(q, c_cell) + dot(q, x - c_cell)`` — the first term
+    is one fold per (query, probed cell) pair (tiny), the second is ADC
+    against residual codes: the query's LUT uses the RAW normalized query
+    against the residual codebooks, so cross-cell candidates stay
+    comparable. Train ``centroids`` with fit_kmeans and ``codebooks``
+    with fit_pq_residual, both over :func:`normalized` vectors.
+
+    Corpus bandwidth in scoring is unchanged from ivf_pq_topk (m codes +
+    cell id per row); accuracy is strictly better because codewords span
+    within-cell spread only. Exact re-rank from raw embeddings as always.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vec import nearest_cells_udf, pq_lut_udf
+    from .kmeans import assign_cells
+
+    cn = normalized(corpus.select(F.col(id_col), F.col(emb_col)), emb_col)
+    cents_df = _centroids_df(corpus, centroids)
+    enc_src = assign_cells(cn, centroids, emb_col).join(
+        F.broadcast(cents_df), "cell"
+    ).select(
+        F.col(id_col), "cell", _residual(F.col(emb_col)).alias("__resid")
+    )
+    enc = pq_encode(enc_src, codebooks, "__resid", normalize=False).select(
+        F.col(id_col), "cell", "pq_code"
+    )
+
+    qn = normalized(
+        queries.select(F.col(query_id_col), F.col(emb_col)), emb_col
+    )
+    probes = nearest_cells_udf(centroids, nprobe, metric="l2")
+    lut = pq_lut_udf(codebooks)
+    q = (
+        qn.select(
+            F.col(query_id_col),
+            F.col(emb_col).alias("__q_emb"),
+            lut(F.col(emb_col)).alias("__lut"),
+            F.explode(probes(F.col(emb_col))).alias("__cell64"),
+        )
+        .withColumn("cell", F.col("__cell64").cast("int"))
+        .drop("__cell64")
+        .join(F.broadcast(cents_df), "cell")
+        .select(
+            query_id_col,
+            "cell",
+            "__lut",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q_emb"), F.col("__cent"), lambda x, c: x * c
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__q_dot_cent"),
+        )
+    )
+    coarse = (
+        enc.join(F.broadcast(q), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.col("__q_dot_cent")
+                + _adc_score(F.col("pq_code"), F.col("__lut"))
+            ).alias("__coarse"),
         )
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)

@@ -165,3 +165,60 @@ class TestIvfPq:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "cell" in plan  # ADC scoring keyed on the IVF cell
+
+
+class TestResidualIvfPq:
+    @pytest.fixture(scope="class")
+    def trained(self, emb):
+        from seafowl_spark.operators.pq import fit_pq_residual, normalized
+
+        cn = normalized(emb)
+        cents = fit_kmeans(cn, k=8, max_iter=3)
+        books = fit_pq_residual(cn, cents, m=8, ksub=16, max_iter=3)
+        return cents, books
+
+    def test_residual_codebooks_shape_and_determinism(self, emb, trained):
+        from seafowl_spark.operators.pq import fit_pq_residual, normalized
+
+        cents, books = trained
+        assert len(books) == 8 and all(len(b) == 16 for b in books)
+        again = fit_pq_residual(normalized(emb), cents, m=8, ksub=16, max_iter=3)
+        assert books == again
+
+    def test_recall_at_least_plain_ivf_pq(self, emb, queries, books, trained):
+        """Residual codes span only within-cell spread, so with the SAME
+        cells/probe budget recall must not fall below the plain variant
+        (it is usually higher)."""
+        from seafowl_spark.operators.pq import ivf_pq_residual_topk
+
+        cents, rbooks = trained
+        exact = TestPqTopk()._exact_top(emb, queries, k=10)
+
+        def recall(df):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r.query_id, set()).add(r.vec_id)
+            return sum(
+                len(got.get(q, set()) & set(t)) / 10 for q, t in exact.items()
+            ) / len(exact)
+
+        r_resid = recall(
+            ivf_pq_residual_topk(
+                emb, queries, cents, rbooks, k=10, nprobe=4, shortlist=100
+            )
+        )
+        r_plain = recall(
+            ivf_pq_topk(emb, queries, cents, books, k=10, nprobe=4, shortlist=100)
+        )
+        assert r_resid >= 0.5, r_resid
+        assert r_resid >= r_plain - 0.05, (r_resid, r_plain)
+
+    def test_plan_cell_join_no_cartesian(self, emb, queries, trained):
+        from seafowl_spark.operators.pq import ivf_pq_residual_topk
+
+        cents, rbooks = trained
+        out = ivf_pq_residual_topk(emb, queries, cents, rbooks, k=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "cell" in plan
