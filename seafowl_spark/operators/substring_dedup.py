@@ -1,0 +1,170 @@
+"""Exact substring deduplication (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better").
+
+Documents often share long verbatim spans (licenses, boilerplate, quoted
+articles) that whole-document and near-dup passes both miss. The
+single-node reference implementation builds a suffix array; the
+Spark-native factoring is span hashing:
+
+* every ``span_tokens``-token window of every document hashes to one
+  md5-derived value — emitted row-local (sequence + transform, no
+  explode of the text itself beyond the span rows);
+* one hash-keyed aggregate finds spans occurring >= ``min_dups`` times
+  corpus-wide (THE corpus-sized shuffle; its payload is (hash, doc, pos)
+  triples, independent of span length — this is the operator's scale
+  cost and it is linear);
+* a keep-first policy ranks occurrences (ROW_NUMBER over (doc_id, pos))
+  so exactly one copy of every duplicated span survives;
+* per-document removal merges the doomed spans' overlapping intervals
+  with a sorted fold and drops the covered tokens, rebuilding the text.
+
+Cost note: the final mask is O(tokens x covered_tokens) per document
+(array_contains per position). Fine while duplicated coverage per doc is
+bounded (the realistic case after near-dup passes); a pathological doc
+that is wall-to-wall duplicates should have been dropped by
+t_exact_dedup/minhash upstream.
+
+Stride: ``stride=1`` catches every duplicated window (exact semantics);
+larger strides trade recall for an N/stride smaller shuffle, the
+standard production compromise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_int
+
+
+def _tokens(col):
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def find_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    min_dups: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """(span_hash, doc_id, pos, n_occurrences, keep) — every occurrence
+    of every token span appearing >= min_dups times corpus-wide; the
+    first occurrence (lowest (doc_id, pos)) is flagged ``keep``."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - span_tokens, F.lit(stride))
+    spans = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("pos"),
+            # 15 hex digits = 60 bits: collision-safe for any real
+            # corpus while staying inside a signed 64-bit long (16 digits
+            # can overflow the ANSI cast)
+            md5_int(
+                F.array_join(F.slice(toks, s + 1, span_tokens), " "), 15
+            ).alias("span_hash"),
+        ),
+    )
+    occ = (
+        df.where(n >= span_tokens)
+        .select(
+            F.col(id_col).alias("doc_id"), F.explode(spans).alias("sp")
+        )
+        .select("sp.span_hash", "doc_id", "sp.pos")
+    )
+    w_cnt = Window.partitionBy("span_hash")
+    w_rank = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    return (
+        occ.withColumn("n_occurrences", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("n_occurrences") >= min_dups)
+        .withColumn("keep", F.row_number().over(w_rank) == 1)
+        .select("span_hash", "doc_id", "pos", "n_occurrences", "keep")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    min_dups: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Rewrite every document with non-first duplicated spans removed.
+
+    Output: (id, text, n_tokens, n_removed_tokens, clean_text). Interval
+    merging is a sorted JVM fold, so nested/overlapping doomed spans
+    remove each covered token exactly once.
+    """
+    spans = find_repeated_spans(
+        df, text_col, id_col, span_tokens, min_dups, stride
+    )
+    doomed = (
+        spans.where(~F.col("keep"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    # no broadcast hint: the doomed set scales with duplicated coverage
+    # (worst case corpus-sized), so the planner must stay free to pick a
+    # shuffled join when it outgrows the broadcast threshold
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias(text_col),
+    ).join(doomed, "doc_id", "left")
+
+    toks = _tokens(F.col(text_col))
+    # merge [s, s+span) intervals over the sorted starts
+    intervals = F.aggregate(
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], s + span_tokens
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("s"), (s + span_tokens).alias("e"))),
+            )
+        ),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(intervals, lambda iv: F.sequence(iv["s"], iv["e"] - 1))
+        )
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), n - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    # CaseWhen short-circuits per row: the n=0 branch never evaluates the
+    # descending sequence(0, -1)
+    kept = F.filter(
+        F.when(n > 0, pairs).otherwise(
+            F.array().cast("array<struct<t:string,i:int>>")
+        ),
+        lambda p: ~F.array_contains(covered, p["i"]),
+    )
+    out = base.select(
+        "doc_id",
+        F.col(text_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(covered).cast("long").alias("n_removed_tokens"),
+        F.array_join(F.transform(kept, lambda p: p["t"]), " ").alias(
+            "clean_text"
+        ),
+    )
+    return out

@@ -1,0 +1,128 @@
+"""Exact substring dedup (operators/substring_dedup.py): span detection,
+keep-first policy, interval merging/removal semantics vs a pure-Python
+reference, stride behavior, and edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from seafowl_spark.operators.substring_dedup import (
+    find_repeated_spans,
+    remove_repeated_spans,
+)
+
+SHARED = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+DOCS = [
+    (1, f"unique one two three {SHARED} tail1 tail2"),
+    (2, f"prefix {SHARED} something else entirely here now"),
+    (3, "totally distinct words nothing shared at all okay fine"),
+    (4, f"{SHARED} {SHARED} doubled inside one document"),
+    (5, "short"),
+    (6, ""),
+]
+SPAN = 4  # 4-token windows
+
+
+def _py_spans(docs, span, stride=1):
+    """All (hash, doc, pos) span occurrences."""
+    out = []
+    for d, t in docs:
+        toks = [w for w in t.split() if w]
+        for p in range(0, len(toks) - span + 1, stride):
+            h = hashlib.md5(" ".join(toks[p : p + span]).encode()).hexdigest()
+            out.append((int(h[:15], 16), d, p))
+    return out
+
+
+def _py_remove(docs, span, stride=1):
+    occs = _py_spans(docs, span, stride)
+    by_hash = {}
+    for h, d, p in occs:
+        by_hash.setdefault(h, []).append((d, p))
+    doomed = {}
+    for h, lst in by_hash.items():
+        if len(lst) < 2:
+            continue
+        for d, p in sorted(lst)[1:]:
+            doomed.setdefault(d, []).append(p)
+    out = {}
+    for d, t in docs:
+        toks = [w for w in t.split() if w]
+        covered = set()
+        for p in sorted(doomed.get(d, [])):
+            covered.update(range(p, p + span))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        out[d] = (len(toks), len(covered & set(range(len(toks)))), " ".join(kept))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestFindSpans:
+    def test_repeated_spans_found_with_keep_first(self, docs):
+        rows = find_repeated_spans(docs, span_tokens=SPAN).collect()
+        assert rows  # the shared block repeats across docs 1, 2, 4
+        by_hash = {}
+        for r in rows:
+            by_hash.setdefault(r.span_hash, []).append(r)
+        for h, occ in by_hash.items():
+            assert len(occ) >= 2
+            assert occ[0].n_occurrences == len(occ)
+            keeps = [(r.doc_id, r.pos) for r in occ if r.keep]
+            assert keeps == [min((r.doc_id, r.pos) for r in occ)]
+
+    def test_doc3_never_appears(self, docs):
+        rows = find_repeated_spans(docs, span_tokens=SPAN).collect()
+        assert all(r.doc_id != 3 for r in rows)
+
+    def test_within_document_duplication_detected(self, docs):
+        """Doc 4 repeats the shared block twice internally: its second
+        occurrence must be doomed even against its own first."""
+        rows = find_repeated_spans(docs, span_tokens=SPAN).collect()
+        doc4 = [r for r in rows if r.doc_id == 4]
+        assert any(not r.keep for r in doc4)
+
+    def test_stride_reduces_occurrences(self, docs):
+        full = find_repeated_spans(docs, span_tokens=SPAN, stride=1).count()
+        strided = find_repeated_spans(docs, span_tokens=SPAN, stride=2).count()
+        assert 0 < strided < full
+
+
+class TestRemoveSpans:
+    def test_matches_python_reference(self, docs):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed_tokens, r.clean_text)
+            for r in remove_repeated_spans(docs, span_tokens=SPAN).collect()
+        }
+        expect = _py_remove(DOCS, SPAN)
+        assert set(got) == set(expect)
+        for d in expect:
+            assert got[d] == expect[d], d
+
+    def test_first_occurrence_survives_verbatim(self, docs):
+        out = {
+            r.doc_id: r.clean_text
+            for r in remove_repeated_spans(docs, span_tokens=SPAN).collect()
+        }
+        # doc 1 holds the first occurrence of the shared block: untouched
+        assert out[1] == DOCS[0][1]
+        # docs 2 and 4 lose their copies
+        assert SHARED not in out[2]
+        assert SHARED not in out[4]
+
+    def test_short_and_empty_docs_pass_through(self, docs):
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_spans(docs, span_tokens=SPAN).collect()
+        }
+        assert out[5].clean_text == "short" and out[5].n_removed_tokens == 0
+        assert out[6].clean_text == "" and out[6].n_removed_tokens == 0
+
+    def test_total_rows_preserved(self, docs):
+        assert remove_repeated_spans(docs, span_tokens=SPAN).count() == len(DOCS)
