@@ -42,30 +42,6 @@ def _tokens(col: Column, lowercase: bool = True) -> Column:
     return F.filter(F.split(base, r"\s+"), lambda t: t != "")
 
 
-def _term_freqs(toks: Column) -> Column:
-    """array<struct<term,tf>> from a token array — sort, then cut at run
-    boundaries. Row-local and linear after the O(n log n) sort; the shape
-    that keeps the inverted-index build shuffle-free."""
-    srt = F.array_sort(toks)
-    n = F.size(srt)
-    idx = F.sequence(F.lit(0), n - 1)
-    starts = F.filter(
-        idx,
-        lambda i: (i == 0) | (F.element_at(srt, i + 1) != F.element_at(srt, i)),
-    )
-    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
-    pairs = F.zip_with(
-        starts,
-        ends,
-        lambda s, e: F.struct(
-            F.element_at(srt, s + 1).alias("term"), (e - s).alias("tf")
-        ),
-    )
-    return F.when(n > 0, pairs).otherwise(
-        F.array().cast("array<struct<term:string,tf:int>>")
-    )
-
-
 def build_postings(
     docs: DataFrame,
     text_col: str = "text",
@@ -78,12 +54,50 @@ def build_postings(
     dfreq:    (term, df)             — number of docs containing term
               (one term-keyed aggregate with map-side partials);
     stats:    (n_docs, avgdl)        — one row, corpus-level.
+
+    The sorted array and the run-start index list are MATERIALIZED as
+    intermediate columns, staged so each is computed once per row.
+    Inlining them into the downstream lambdas re-evaluates the full
+    array_sort per ELEMENT (lambda bodies are not common-subexpression
+    eliminated) — the original formulation was O(n^2 log n) per document
+    and 60x slower at sf0.1; CollapseProject keeps the staging because it
+    refuses to duplicate non-cheap multiply-referenced expressions.
     """
     toks = _tokens(F.col(text_col))
-    postings = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),
-        F.explode(_term_freqs(toks)).alias("p"),
+        F.array_sort(toks).alias("__srt"),
+    )
+    srt = F.col("__srt")
+    staged = staged.select(
+        "doc_id",
+        "dl",
+        "__srt",
+        F.filter(
+            F.sequence(F.lit(0), F.greatest(F.col("dl"), F.lit(1)) - 1),
+            lambda i: (i == 0)
+            | (F.element_at(srt, i + 1) != F.element_at(srt, i)),
+        ).alias("__starts"),
+    )
+    starts = F.col("__starts")
+    pairs = F.zip_with(
+        starts,
+        F.concat(
+            F.slice(starts, 2, F.size(starts) - 1), F.array(F.col("dl"))
+        ),
+        lambda s, e: F.struct(
+            F.element_at(srt, s + 1).alias("term"), (e - s).alias("tf")
+        ),
+    )
+    postings = staged.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.when(F.col("dl") > 0, pairs).otherwise(
+                F.array().cast("array<struct<term:string,tf:int>>")
+            )
+        ).alias("p"),
     ).select("p.term", "doc_id", "p.tf", "dl")
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
