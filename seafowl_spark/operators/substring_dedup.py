@@ -53,27 +53,29 @@ def find_repeated_spans(
     of every token span appearing >= min_dups times corpus-wide; the
     first occurrence (lowest (doc_id, pos)) is flagged ``keep``."""
     toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - span_tokens, F.lit(stride))
+    # stage the token array as a column: inlining it into the transform
+    # lambda would re-split the text once per span position (lambda
+    # bodies are not common-subexpression eliminated — the O(n^2) trap
+    # the 10x stress run caught in the BM25 postings build)
+    staged = df.where(F.size(toks) >= span_tokens).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    tcol = F.col("__toks")
     spans = F.transform(
-        starts,
+        F.sequence(F.lit(0), F.size(tcol) - span_tokens, F.lit(stride)),
         lambda s: F.struct(
             s.alias("pos"),
             # 15 hex digits = 60 bits: collision-safe for any real
             # corpus while staying inside a signed 64-bit long (16 digits
             # can overflow the ANSI cast)
             md5_int(
-                F.array_join(F.slice(toks, s + 1, span_tokens), " "), 15
+                F.array_join(F.slice(tcol, s + 1, span_tokens), " "), 15
             ).alias("span_hash"),
         ),
     )
-    occ = (
-        df.where(n >= span_tokens)
-        .select(
-            F.col(id_col).alias("doc_id"), F.explode(spans).alias("sp")
-        )
-        .select("sp.span_hash", "doc_id", "sp.pos")
-    )
+    occ = staged.select(
+        "doc_id", F.explode(spans).alias("sp")
+    ).select("sp.span_hash", "doc_id", "sp.pos")
     w_cnt = Window.partitionBy("span_hash")
     w_rank = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
     return (
@@ -114,7 +116,12 @@ def remove_repeated_spans(
         F.col(text_col).alias(text_col),
     ).join(doomed, "doc_id", "left")
 
-    toks = _tokens(F.col(text_col))
+    # stage: token array and covered-index set each computed once per row
+    # (the covered expression referenced inside the keep-filter lambda
+    # would otherwise re-run the whole interval merge per TOKEN)
+    base = base.select(
+        "doc_id", text_col, "starts", _tokens(F.col(text_col)).alias("__toks")
+    )
     # merge [s, s+span) intervals over the sorted starts
     intervals = F.aggregate(
         F.coalesce(F.col("starts"), F.array().cast("array<int>")),
@@ -139,14 +146,22 @@ def remove_repeated_spans(
             )
         ),
     )
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(intervals, lambda iv: F.sequence(iv["s"], iv["e"] - 1))
-        )
+    base = base.select(
+        "doc_id",
+        text_col,
+        "__toks",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    intervals, lambda iv: F.sequence(iv["s"], iv["e"] - 1)
+                )
+            )
+        ).alias("__covered"),
     )
-    n = F.size(toks)
+    tcol, covered = F.col("__toks"), F.col("__covered")
+    n = F.size(tcol)
     pairs = F.zip_with(
-        toks,
+        tcol,
         F.sequence(F.lit(0), n - 1),
         lambda t, i: F.struct(t.alias("t"), i.alias("i")),
     )
@@ -158,7 +173,7 @@ def remove_repeated_spans(
         ),
         lambda p: ~F.array_contains(covered, p["i"]),
     )
-    out = base.select(
+    return base.select(
         "doc_id",
         F.col(text_col),
         n.cast("long").alias("n_tokens"),
@@ -167,4 +182,3 @@ def remove_repeated_spans(
             "clean_text"
         ),
     )
-    return out
