@@ -1,0 +1,80 @@
+"""Deterministic data mixing: sample a corpus to a TARGET category
+mixture (the "70% web / 20% code / 10% books" knob every training-data
+recipe specifies).
+
+Stratified sampling (queries/pipeline.t_sample_stratified) keeps
+hand-written per-category rates; this operator computes the rates FROM
+the target proportions and the observed category counts, then applies the
+same deterministic md5-bucket filter:
+
+* For target fractions ``w_c`` (re-normalized over categories actually
+  present) and observed counts ``n_c``, the largest achievable output
+  satisfying every target exactly without upsampling is
+  ``N_out = min_c (n_c / w_c)``; each category then keeps
+  ``rate_c = w_c * N_out / n_c`` of its rows (the binding category keeps
+  100%). One bounded aggregate (|categories| rows to the driver)
+  computes the rates; the sample itself is a pure scan + codegen
+  predicate — no shuffle, no rand(): re-running reproduces the exact
+  same rows, the property auditable corpus builds need.
+* ``md5(doc_id) % 10_000`` buckets give 0.01% rate granularity; the
+  realized mixture converges to the target as categories grow (law of
+  large numbers over hash buckets — exactness per category would need a
+  global sort/limit, which is the anti-pattern at 100 TB).
+
+Categories missing from ``targets`` are dropped (rate 0) — mixing is
+also how unwanted sources are excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_int
+
+_BUCKETS = 10_000
+
+
+def mixture_rates(
+    df: DataFrame, targets: dict[str, float], category_col: str = "lang"
+) -> dict[str, float]:
+    """Per-category keep rates (0..1) achieving the target mixture at the
+    maximum size that needs no upsampling. Bounded driver state: one row
+    per category."""
+    if not targets or any(w < 0 for w in targets.values()):
+        raise ValueError("targets must be non-negative fractions")
+    counts = {
+        r["c"]: r["n"]
+        for r in df.groupBy(F.col(category_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    present = {c: w for c, w in targets.items() if counts.get(c) and w > 0}
+    if not present:
+        return {c: 0.0 for c in counts}
+    total_w = sum(present.values())
+    norm = {c: w / total_w for c, w in present.items()}
+    n_out = min(counts[c] / w for c, w in norm.items())
+    return {
+        c: (norm[c] * n_out / counts[c] if c in norm else 0.0) for c in counts
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    category_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter ``df`` to the target mixture. Deterministic: the same rows
+    survive on every run. The filter compiles to one codegen predicate —
+    sampling cost is one read pass at any scale."""
+    rates = mixture_rates(df, targets, category_col)
+    rate = F.when(F.lit(False), F.lit(0))
+    for c, r in sorted(rates.items()):
+        rate = rate.when(
+            F.col(category_col) == c, F.lit(int(round(r * _BUCKETS)))
+        )
+    rate = rate.otherwise(F.lit(0))
+    bucket = md5_int(F.col(id_col).cast("string")) % _BUCKETS
+    return df.where(bucket < rate)

@@ -1,0 +1,91 @@
+"""Deterministic data mixing (operators/mixture.py): rate computation,
+no-upsampling property, realized mixture, determinism, exclusion, and the
+pure-filter plan gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.operators.mixture import (
+    mixture_rates,
+    mixture_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+
+
+class TestRates:
+    def test_binding_category_keeps_all(self, docs):
+        counts = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # make the rarest category the binding one with a huge target
+        rare = min(counts, key=lambda c: counts[c])
+        targets = {c: (0.9 if c == rare else 0.1 / (len(counts) - 1)) for c in counts}
+        rates = mixture_rates(docs, targets)
+        assert rates[rare] == pytest.approx(1.0)
+        assert all(0 <= r <= 1.0 + 1e-12 for r in rates.values())
+
+    def test_rates_hit_target_proportions(self, docs):
+        targets = {"en": 0.5, "de": 0.25, "es": 0.25}
+        rates = mixture_rates(docs, targets)
+        counts = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        out = {c: counts[c] * r for c, r in rates.items() if r > 0}
+        total = sum(out.values())
+        assert out["en"] / total == pytest.approx(0.5, abs=1e-9)
+        assert out["de"] / total == pytest.approx(0.25, abs=1e-9)
+        # untargeted categories are excluded
+        assert rates.get("zh", 0.0) == 0.0 and rates.get("fr", 0.0) == 0.0
+
+    def test_invalid_targets_rejected(self, docs):
+        with pytest.raises(ValueError):
+            mixture_rates(docs, {})
+        with pytest.raises(ValueError):
+            mixture_rates(docs, {"en": -0.1})
+
+    def test_absent_category_in_targets_ignored(self, docs):
+        rates = mixture_rates(docs, {"en": 0.5, "klingon": 0.5})
+        assert "klingon" not in rates  # only observed categories come back
+        assert rates["en"] == pytest.approx(1.0)  # en binds: all targets on it
+
+
+class TestSample:
+    def test_realized_mixture_close_to_target(self, docs):
+        out = mixture_sample(docs, {"en": 0.5, "de": 0.25, "es": 0.25})
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(got.values())
+        assert set(got) == {"en", "de", "es"}
+        # hash-bucket granularity on a 500-doc corpus: coarse tolerance
+        assert got["en"] / total == pytest.approx(0.5, abs=0.1)
+        assert got["de"] / total == pytest.approx(0.25, abs=0.1)
+
+    def test_deterministic_rerun(self, docs):
+        a = sorted(r.doc_id for r in mixture_sample(docs, {"en": 0.6, "zh": 0.4}).collect())
+        b = sorted(r.doc_id for r in mixture_sample(docs, {"en": 0.6, "zh": 0.4}).collect())
+        assert a == b and a
+
+    def test_excluded_categories_dropped(self, docs):
+        out = mixture_sample(docs, {"en": 1.0})
+        assert {r.lang for r in out.collect()} == {"en"}
+
+    def test_plan_is_pure_filter(self, docs, spark):
+        out = mixture_sample(docs, {"en": 0.5, "de": 0.5})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "Filter" in plan
