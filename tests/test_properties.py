@@ -266,3 +266,72 @@ def test_split_statements_total(s):
     assert isinstance(parts, list)
     for p in parts:
         assert p.strip()
+
+
+# --------------------------------------------------------------------------
+# 4. BPE encoder/trainer equivalence
+# --------------------------------------------------------------------------
+#
+# functions/bpe._encode_word applies merges by RANK (repeatedly merging the
+# lowest-rank adjacent pair present) — the standard fast-encoder loop. The
+# training process instead applies each merge ONCE, in order, across the
+# whole vocabulary. The encoder is only correct if both orders produce the
+# same segmentation for every word; this is subtle (a later merge can
+# create an adjacency whose pair has an earlier rank), so hammer it with
+# randomized corpora: train merges with a reference Sennrich trainer, then
+# check rank-priority encoding == sequential application for every word.
+
+import collections  # noqa: E402
+
+
+def _train_merges(words: list[str], n_merges: int) -> list[tuple[str, str]]:
+    wc = collections.Counter(words)
+    vocab = {tuple(list(w[:-1]) + [w[-1] + "</w>"]): c for w, c in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_apply_once(list(s), best): c for s, c in vocab.items()}
+    return merges
+
+
+def _apply_once(syms, merge):
+    a, b = merge
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_rank_priority_encoding_equals_sequential_application(
+    words, n_merges
+):
+    from seafowl_spark.functions.bpe import _encode_word
+
+    merges = _train_merges(words, n_merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in set(words):
+        sequential = list(w[:-1]) + [w[-1] + "</w>"]
+        for m in merges:
+            sequential = list(_apply_once(sequential, m))
+        assert _encode_word(w, ranks) == sequential, (w, merges)
