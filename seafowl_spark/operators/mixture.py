@@ -36,18 +36,28 @@ _BUCKETS = 10_000
 
 
 def mixture_rates(
-    df: DataFrame, targets: dict[str, float], category_col: str = "lang"
+    df: DataFrame,
+    targets: dict[str, float],
+    category_col: str = "lang",
+    weight_col: str | None = None,
 ) -> dict[str, float]:
     """Per-category keep rates (0..1) achieving the target mixture at the
     maximum size that needs no upsampling. Bounded driver state: one row
-    per category."""
+    per category.
+
+    ``weight_col`` switches the mixture's unit from documents to that
+    column's mass (pass a token count to mix by TOKEN share — what
+    training recipes actually specify). Sampling stays per-document, so
+    the realized share converges over many docs; a category made of a
+    few huge documents mixes coarsely by construction."""
     if not targets or any(w < 0 for w in targets.values()):
         raise ValueError("targets must be non-negative fractions")
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("n")
     counts = {
         r["c"]: r["n"]
-        for r in df.groupBy(F.col(category_col).alias("c"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in df.groupBy(F.col(category_col).alias("c")).agg(mass).collect()
     }
     present = {c: w for c, w in targets.items() if counts.get(c) and w > 0}
     if not present:
@@ -65,11 +75,13 @@ def mixture_sample(
     targets: dict[str, float],
     category_col: str = "lang",
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Filter ``df`` to the target mixture. Deterministic: the same rows
+    """Filter ``df`` to the target mixture (by document count, or by
+    ``weight_col`` mass — e.g. tokens). Deterministic: the same rows
     survive on every run. The filter compiles to one codegen predicate —
     sampling cost is one read pass at any scale."""
-    rates = mixture_rates(df, targets, category_col)
+    rates = mixture_rates(df, targets, category_col, weight_col)
     rate = F.when(F.lit(False), F.lit(0))
     for c, r in sorted(rates.items()):
         rate = rate.when(

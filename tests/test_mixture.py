@@ -89,3 +89,50 @@ class TestSample:
         assert "Exchange" not in plan
         assert "Python" not in plan
         assert "Filter" in plan
+
+
+class TestWeightedMixture:
+    def test_token_weighted_rates(self, docs, spark):
+        """Mix by token mass: categories with longer docs need lower doc
+        rates for the same token share."""
+        from seafowl_spark.operators.mixture import mixture_rates
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            "lang",
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+                "n_tok"
+            ),
+        )
+        targets = {"en": 0.5, "de": 0.5}
+        rates = mixture_rates(d, targets, weight_col="n_tok")
+        masses = {
+            r["lang"]: r["m"]
+            for r in d.groupBy("lang").agg(F.sum("n_tok").alias("m")).collect()
+        }
+        out = {c: masses[c] * r for c, r in rates.items() if r > 0}
+        total = sum(out.values())
+        assert out["en"] / total == pytest.approx(0.5, abs=1e-9)
+        assert out["de"] / total == pytest.approx(0.5, abs=1e-9)
+        # the binding category keeps everything
+        assert max(rates.values()) == pytest.approx(1.0)
+
+    def test_weighted_sample_token_share(self, spark):
+        from seafowl_spark.operators.mixture import mixture_sample
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            "lang",
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+                "n_tok"
+            ),
+        )
+        out = mixture_sample(d, {"en": 0.5, "zh": 0.5}, weight_col="n_tok")
+        got = {
+            r["lang"]: r["m"]
+            for r in out.groupBy("lang").agg(F.sum("n_tok").alias("m")).collect()
+        }
+        total = sum(got.values())
+        assert set(got) == {"en", "zh"}
+        # per-doc hash granularity over a 500-doc corpus: coarse tolerance
+        assert got["en"] / total == pytest.approx(0.5, abs=0.15)
