@@ -622,7 +622,23 @@ class Instance:
             raise WasmError(
                 f"function export {export!r} not found in WASM module"
             )
-        return self._call_function(ent[1], list(args))
+        fidx = ent[1]
+        out = self._call_function(fidx, list(args))
+        # Embedder boundary: integer results surface SIGNED, matching
+        # wasmtime (internally values stay mod-2^n; only the public
+        # return is normalized — a cipher block with the top bit set must
+        # come back as the negative i64 the raw ABI's BIGINT expects).
+        f = self.m.funcs[fidx - self.m.n_imported_funcs]
+        results = self.m.types[f.type_idx].results
+        if not results:
+            return out
+        vals = list(out) if isinstance(out, tuple) else [out]
+        for i, vt in enumerate(results):
+            if vt == 0x7F:
+                vals[i] = _s32(int(vals[i]))
+            elif vt == 0x7E:
+                vals[i] = _s64(int(vals[i]))
+        return tuple(vals) if isinstance(out, tuple) else vals[0]
 
     def _call_function(self, fidx: int, args: list):
         n_imp = self.m.n_imported_funcs

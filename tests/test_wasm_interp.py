@@ -115,6 +115,13 @@ def build(
     return bytes(out)
 
 
+def _s(v: int) -> int:
+    """Signed-i32 view — invoke() returns integers SIGNED at the embedder
+    boundary (wasmtime-consistent) since r6."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= 1 << 31 else v
+
+
 def one_func(params, results, body, locals_=(), **kw):
     mod = build(
         [functype(params, results)],
@@ -290,7 +297,7 @@ class TestMemoryAndGlobals:
             + b"\x6a"  # add: -1 + 255 = 254 (mod 2^32)
         )
         inst = one_func([], [I32], body, memory_pages=1)
-        assert inst.invoke("f") == (0xFFFFFFFF + 255) & 0xFFFFFFFF
+        assert inst.invoke("f") == _s(0xFFFFFFFF + 255)
 
     def test_memory_grow_and_size(self):
         body = (
@@ -341,7 +348,7 @@ class TestNumericEdges:
         # (a div_s b, via export): -7 / 2 = -3 (trunc), not -4 (floor)
         body = LOCAL_GET + b"\x00" + LOCAL_GET + b"\x01" + b"\x6d"
         inst = one_func([I32, I32], [I32], body)
-        assert inst.invoke("f", (-7) & 0xFFFFFFFF, 2) == (-3) & 0xFFFFFFFF
+        assert inst.invoke("f", (-7) & 0xFFFFFFFF, 2) == -3
         with pytest.raises(WasmTrap, match="divide by zero"):
             inst.invoke("f", 1, 0)
         with pytest.raises(WasmTrap, match="overflow"):
@@ -350,7 +357,7 @@ class TestNumericEdges:
     def test_i32_rem_sign_follows_dividend(self):
         body = LOCAL_GET + b"\x00" + LOCAL_GET + b"\x01" + b"\x6f"
         inst = one_func([I32, I32], [I32], body)
-        assert inst.invoke("f", (-7) & 0xFFFFFFFF, 2) == (-1) & 0xFFFFFFFF
+        assert inst.invoke("f", (-7) & 0xFFFFFFFF, 2) == -1
 
     def test_shift_counts_mask(self):
         # 1 << 33 on i32 == 1 << 1
@@ -374,14 +381,14 @@ class TestNumericEdges:
         # i32.extend8_s(0x80) = -128
         body = LOCAL_GET + b"\x00" + b"\xc0"
         inst = one_func([I32], [I32], body)
-        assert inst.invoke("f", 0x80) == (-128) & 0xFFFFFFFF
+        assert inst.invoke("f", 0x80) == -128
         assert inst.invoke("f", 0x7F) == 0x7F
 
     def test_trunc_traps_vs_saturates(self):
         body_trap = LOCAL_GET + b"\x00" + b"\xa8"  # i32.trunc_f64_s
         inst = one_func([F64], [I32], body_trap)
         assert inst.invoke("f", 3.9) == 3
-        assert inst.invoke("f", -3.9) == (-3) & 0xFFFFFFFF
+        assert inst.invoke("f", -3.9) == -3
         with pytest.raises(WasmTrap):
             inst.invoke("f", 1e30)
         body_sat = LOCAL_GET + b"\x00" + b"\xfc\x00"  # i32.trunc_sat_f64_s
