@@ -1,0 +1,116 @@
+"""PageRank over an edge DataFrame — the link-graph quality signal
+(CommonCrawl-style domain ranking) that weights corpus sampling, and the
+second member of the iterative-graph family next to
+queries/pipeline.d_dedup_components' connected components.
+
+Spark-first factoring of power iteration:
+
+* Per iteration: ranks join edges on the source vertex, contributions
+  aggregate per destination (``sum(rank / out_degree)``), and the new
+  rank is ``(1 - d)/N + d * (contrib + dangling/N)`` — dangling mass
+  (vertices with no out-edges) redistributes uniformly, the standard
+  convention that keeps the ranks a probability distribution.
+* The edge list is hash-partitioned ON THE SOURCE once and cached, so
+  every iteration's join reuses one side's partitioning — per round the
+  only moving data is the (vertex, rank) table.
+* Rank sums go through DECIMAL casts: the aggregation is
+  order-independent, so two runs (or two cluster layouts) produce
+  bit-identical ranks — the reproducibility property every other
+  iterative operator in this repo guarantees.
+* Convergence checks one scalar per round (sum of |delta|, the same
+  bounded-driver shape as connected components' changed-label count);
+  ``localCheckpoint`` per round keeps the plan from growing with the
+  iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_D = "decimal(25,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(vertex, rank) for every vertex appearing in ``edges`` (either
+    side). Ranks sum to 1. Stops when the L1 delta drops below ``tol``
+    or after ``max_iter`` rounds."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.select("vertex", F.lit(0.0).alias("rank"))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # partition the (edge, out-degree) side by source once; every
+    # iteration's join then reuses this layout
+    links = (
+        e.join(deg, "src")
+        .repartition("src")
+        .persist()
+    )
+    links.count()
+
+    ranks = vertices.select("vertex", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        contrib = (
+            links.join(
+                ranks.select(F.col("vertex").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(
+                F.sum((F.col("rank") / F.col("deg")).cast(_D))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        # dangling vertices hold rank but emit no edges: redistribute
+        dangling = (
+            ranks.join(deg.select(F.col("src").alias("vertex")), "vertex", "left_anti")
+            .agg(F.sum(F.col("rank").cast(_D)).cast("double").alias("m"))
+            .collect()[0]["m"]
+            or 0.0
+        )
+        new_ranks = (
+            vertices.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.join(
+                ranks.select("vertex", F.col("rank").alias("old")), "vertex"
+            )
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old")).cast(_D))
+                .cast("double")
+                .alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    links.unpersist()
+    return ranks
