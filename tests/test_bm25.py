@@ -190,3 +190,63 @@ class TestBm25Plan:
         # df-of-query-terms, per-(query,doc) score agg, rank window,
         # plus the tiny query-side distincts
         assert n_exchanges <= 6
+
+
+class TestPersistedIndex:
+    def test_indexed_matches_adhoc_and_prunes_partitions(self, spark, frames, tmp_path):
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        queries = spark.createDataFrame(
+            [(1, "spark merge join window"), (2, "batch stream filter")],
+            ["query_id", "query_text"],
+        )
+        idx = str(tmp_path / "bm25_idx")
+        write_bm25_index(docs, idx, n_buckets=16)
+
+        adhoc = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk(docs, queries, k=10).collect()
+        }
+        via_index = bm25_topk_indexed(spark, idx, queries, k=10)
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in via_index.collect()
+        }
+        assert got == adhoc and got
+
+        # the postings scan must read ONLY the buckets the query terms
+        # hash into — the partition filter must reach the scan
+        # (inputFiles() lists the file index pre-pruning, so gate on the
+        # plan's PartitionFilters and the scan's partition count)
+        formatted = via_index._sc._jvm.PythonSQLUtils.explainString(
+            via_index._jdf.queryExecution(), "formatted"
+        )
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+        assert m and "bucket" in m.group(1) and m.group(1).strip()
+        import glob
+
+        n_all = len(glob.glob(f"{idx}/postings/bucket=*"))
+        n_terms = 7  # distinct terms across the two queries
+        assert n_all > n_terms  # empty hash buckets are simply absent
+        # the filter admits at most one bucket per distinct term — a
+        # strict subset of the materialized index
+        in_list = re.search(r"bucket#\d+ IN \(([^)]*)\)", formatted)
+        assert in_list and len(in_list.group(1).split(",")) <= n_terms
+
+    def test_no_matching_terms_empty_result(self, spark, tmp_path):
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+        idx = str(tmp_path / "idx2")
+        write_bm25_index(docs, idx, n_buckets=4)
+        q = spark.createDataFrame([(1, "")], ["query_id", "query_text"])
+        assert bm25_topk_indexed(spark, idx, q).count() == 0
