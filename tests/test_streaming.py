@@ -289,3 +289,65 @@ class TestStreamingDedup:
         q.awaitTermination(120)
         got = [r.v for r in spark.read.parquet(str(out_dir)).collect()]
         assert got == ["first"]
+
+
+class TestStreamingModelScoring:
+    def test_nb_model_scores_a_stream(self, spark, tmp_path):
+        """Classifier-as-stream-stage: a model trained batch-side scores a
+        document STREAM via stream-static broadcast joins (the model is
+        two vocab-bounded DataFrames, so nb_scores composes with
+        Structured Streaming unchanged — the per-(doc, class) aggregate
+        runs per micro-batch in complete/update semantics via
+        foreachBatch here, the deployment shape for corpus-ingest
+        scoring)."""
+        import json
+
+        from seafowl_spark.operators.classifier import fit_nb, nb_predict
+
+        train = spark.createDataFrame(
+            [
+                (1, "spark shuffle executor task stage", "eng"),
+                (2, "task stage spark shuffle shuffle", "eng"),
+                (3, "butter flour oven sugar bake", "food"),
+                (4, "oven bake butter sugar sugar", "food"),
+            ],
+            ["doc_id", "text", "label"],
+        )
+        model = fit_nb(train)
+
+        src = tmp_path / "docs_src"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            json.dumps({"doc_id": 10, "text": "spark task stage"}) + "\n"
+            + json.dumps({"doc_id": 11, "text": "butter oven bake"}) + "\n"
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        got = {}
+
+        def score_batch(batch_df, _bid):
+            for r in nb_predict(batch_df, model).collect():
+                got[r.doc_id] = r.predicted
+
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt_nb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got == {10: "eng", 11: "food"}
+
+        # a second micro-batch scores incrementally with the same model
+        (src / "b1.json").write_text(
+            json.dumps({"doc_id": 12, "text": "sugar flour oven"}) + "\n"
+        )
+        q2 = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt_nb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert got[12] == "food"

@@ -236,11 +236,42 @@ def main() -> None:
         learn_bpe(docs, n_merges=5)
         return round(time.perf_counter() - t0, 2)
 
+    def substring_stress(sf_dir: str) -> float:
+        """Repeated-span removal: row-local span hashing + one linear
+        (hash, doc, pos) shuffle — growth ~N (the replica generator
+        guarantees plenty of cross-doc repeats at Nx)."""
+        from seafowl_spark.operators.substring_dedup import remove_repeated_spans
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        t0 = time.perf_counter()
+        remove_repeated_spans(docs, span_tokens=20).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
+    def mixture_stress(sf_dir: str) -> float:
+        """One bounded per-category aggregate + a pure filter: growth ~N
+        at scan cost."""
+        from seafowl_spark.operators.mixture import mixture_sample
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "lang"
+        )
+        t0 = time.perf_counter()
+        mixture_sample(docs, {"en": 0.5, "de": 0.25, "es": 0.25}).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
     for name, fn in [
         ("bm25_topk", bm25_stress),
         ("ivf_pq_topk", ivf_pq_stress),
         ("nb_classifier", nb_stress),
         ("bpe_train5", bpe_stress),
+        ("substring_dedup", substring_stress),
+        ("mixture_sample", mixture_stress),
     ]:
         t1, tn = fn(base), fn(out_dir)
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
