@@ -624,6 +624,10 @@ class Instance:
             )
         fidx = ent[1]
         out = self._call_function(fidx, list(args))
+        if fidx < self.m.n_imported_funcs:
+            # re-exported host import: the host callable already returns
+            # Python values in its own convention
+            return out
         # Embedder boundary: integer results surface SIGNED, matching
         # wasmtime (internally values stay mod-2^n; only the public
         # return is normalized — a cipher block with the top bit set must
