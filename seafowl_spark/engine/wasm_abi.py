@@ -532,12 +532,15 @@ class InterpExecutor:
         encoded = mp_encode(list(params))
         in_size = len(encoded) + SIZE_BYTE_COUNT
         try:
-            in_ptr = inst.invoke("alloc", in_size)
+            # invoke() returns i32 SIGNED (wasmtime-consistent); a pointer
+            # in a >2 GiB memory surfaces negative, so mask back to the
+            # unsigned address before any slicing
+            in_ptr = inst.invoke("alloc", in_size) & 0xFFFFFFFF
             inst.memory[in_ptr : in_ptr + SIZE_BYTE_COUNT] = struct.pack(
                 "=i", len(encoded)
             )
             inst.memory[in_ptr + SIZE_BYTE_COUNT : in_ptr + in_size] = encoded
-            out_ptr = inst.invoke(self._entrypoint, in_ptr)
+            out_ptr = inst.invoke(self._entrypoint, in_ptr) & 0xFFFFFFFF
             (out_size,) = struct.unpack_from("=i", inst.memory, out_ptr)
             start = out_ptr + SIZE_BYTE_COUNT
             result = mp_decode(bytes(inst.memory[start : start + out_size]))

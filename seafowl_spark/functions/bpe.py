@@ -11,8 +11,15 @@ per-distinct-word memo — real corpora repeat words constantly, so each
 batch encodes its distinct words once.
 """
 
+import re
+
 import pandas as pd
 from pyspark.sql.pandas.functions import pandas_udf
+
+# ASCII \s+ — Java regex \s (what learn_bpe's F.split uses) is ASCII-only,
+# while Python str.split() splits Unicode whitespace; encoding MUST
+# tokenize identically to training or segmentations diverge on e.g. NBSP
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def _encode_word(word: str, ranks: dict) -> list:
@@ -61,7 +68,9 @@ def bpe_encode_udf(merges, lowercase: bool = True):
                 out.append(None)
                 continue
             toks = []
-            for w in (t.lower() if lowercase else t).split():
+            for w in _WS.split(t.lower() if lowercase else t):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = _encode_word(w, ranks)

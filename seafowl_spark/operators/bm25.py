@@ -130,6 +130,21 @@ def bm25_topk(
         F.explode(_tokens(F.col(query_text_col))).alias("term"),
     ).distinct()
 
+    return _score_and_rank(postings, qterms, stats, k, k1, b)
+
+
+def _score_and_rank(
+    postings: DataFrame,
+    qterms: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared scoring tail of both retrieval variants: prune postings
+    to query terms, compute df over the pruned set, BM25-score each
+    (query, doc, term), decimal-sum per doc, rank top-k. One definition —
+    the formula/tie-break can never drift between ad-hoc and indexed."""
     # prune the corpus to query terms before ANY per-term work; df over
     # the pruned postings still sees every doc containing the term
     cand = postings.join(
@@ -140,7 +155,7 @@ def bm25_topk(
     scored = (
         cand.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq_q), "term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
         .select(
             "query_id",
             "doc_id",
@@ -167,7 +182,9 @@ def bm25_topk(
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
+        .select(
+            "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 
@@ -233,49 +250,10 @@ def bm25_topk_indexed(
         .distinct()
         .collect()
     ]
-    if not q_buckets:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double, rank long"
-        )
-
+    # an empty bucket list (no query terms) filters everything out but
+    # keeps the REAL schema — no hardcoded empty-frame type that could
+    # drift from the non-empty path
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("bucket").isin(q_buckets)
     )
-    cand = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
-    dfreq_q = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        cand.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq_q), "term")
-        .crossJoin(
-            F.broadcast(stats.select("n_docs", "avgdl"))
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("term_score"),
-        )
-    )
-    per_doc = scored.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("term_score").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
-    )
+    return _score_and_rank(postings, qterms, stats, k, k1, b)

@@ -67,6 +67,18 @@ def pagerank(
 
     ranks = vertices.select("vertex", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    try:
+        ranks = _iterate(
+            vertices, links, deg, ranks, n, base, damping, max_iter, tol
+        )
+    finally:
+        # executor failure / interrupt mid-iteration must not leave the
+        # repartitioned edge table pinned in cache for the session
+        links.unpersist()
+    return ranks
+
+
+def _iterate(vertices, links, deg, ranks, n, base, damping, max_iter, tol):
     for _ in range(max_iter):
         contrib = (
             links.join(
@@ -112,5 +124,4 @@ def pagerank(
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
-    links.unpersist()
     return ranks

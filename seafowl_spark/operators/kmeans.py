@@ -21,7 +21,8 @@ Per iteration:
   argmin first-min-wins — bit-identical to an unrolled SQL distance
   chain with a ``ROW_NUMBER() (d ASC, cid)`` argmin, which is exactly
   how the DuckDB oracle mirrors it;
-* UPDATE — per-(cell, dimension) means via an index cross join, summed
+* UPDATE — per-(cell, dimension) means via posexplode (the DuckDB
+  oracle mirrors it with a range() cross join), summed
   through DECIMAL (default 25,6 — the proven dec_sum precision) so the
   result is independent of partial-sum order: the codebook is
   bit-reproducible across runs AND engines (a

@@ -55,9 +55,12 @@ def mixture_rates(
     mass = (
         F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
     ).alias("n")
+    # float-coerce: a decimal-typed weight column would otherwise make
+    # counts Decimal and the rate division below a Decimal/float TypeError
     counts = {
-        r["c"]: r["n"]
+        r["c"]: float(r["n"])
         for r in df.groupBy(F.col(category_col).alias("c")).agg(mass).collect()
+        if r["n"] is not None
     }
     present = {c: w for c, w in targets.items() if counts.get(c) and w > 0}
     if not present:

@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .kmeans import fit_kmeans
-from .quantize import _exact_rerank
+from .quantize import _exact_rerank, _shortlist
 
 
 def _l2_normalized(col: Column) -> Column:
@@ -166,12 +166,7 @@ def pq_topk(
             _adc_score(F.col("pq_code"), F.col("__lut")).alias("__coarse"),
         )
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
-    short = (
-        coarse.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= shortlist)
-        .select(query_id_col, id_col)
-    )
+    short = _shortlist(coarse, shortlist, id_col, query_id_col)
     return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
 
 
@@ -225,12 +220,7 @@ def ivf_pq_topk(
             _adc_score(F.col("pq_code"), F.col("__lut")).alias("__coarse"),
         )
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
-    short = (
-        coarse.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= shortlist)
-        .select(query_id_col, id_col)
-    )
+    short = _shortlist(coarse, shortlist, id_col, query_id_col)
     return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
 
 
@@ -365,10 +355,5 @@ def ivf_pq_residual_topk(
             ).alias("__coarse"),
         )
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
-    short = (
-        coarse.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= shortlist)
-        .select(query_id_col, id_col)
-    )
+    short = _shortlist(coarse, shortlist, id_col, query_id_col)
     return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)

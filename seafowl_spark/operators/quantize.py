@@ -112,13 +112,29 @@ def ann_quantized_topk(
             quantized_cosine(F.col("__c_q"), F.col("__q_q")).alias("__coarse"),
         )
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
-    short = (
+    short = _shortlist(coarse, shortlist, id_col, query_id_col)
+    return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
+
+
+def _shortlist(
+    coarse: DataFrame,
+    shortlist: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Per-query top-``shortlist`` candidate ids from a coarse-scored
+    (query_id, id, __coarse) frame — the tie-break (coarse DESC, id) is
+    defined once for every two-stage ANN variant."""
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__coarse"), id_col
+    )
+    return (
         coarse.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= shortlist)
         .select(query_id_col, id_col)
     )
-    return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
 
 
 def _exact_rerank(
@@ -226,10 +242,5 @@ def ivf_quantized_topk(
             quantized_cosine(F.col("__c_q"), F.col("__q_q")).alias("__coarse"),
         )
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__coarse"), id_col)
-    short = (
-        coarse.withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= shortlist)
-        .select(query_id_col, id_col)
-    )
+    short = _shortlist(coarse, shortlist, id_col, query_id_col)
     return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)

@@ -337,7 +337,16 @@ class S3Store(ObjectStore):
 
     def mtime(self, path: str) -> float:
         b, k = self._split(path)
-        return self._s3.head_object(Bucket=b, Key=k)["LastModified"].timestamp()
+        try:
+            return self._s3.head_object(Bucket=b, Key=k)[
+                "LastModified"
+            ].timestamp()
+        except Exception:
+            # object vanished between list and head (e.g. a racing vacuum):
+            # unknown age reads as brand-new — skip, never abort the scan
+            import time
+
+            return time.time()
 
     def list(self, prefix: str) -> list[str]:
         b, k = self._split(prefix.rstrip("/") + "/")

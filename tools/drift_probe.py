@@ -9,7 +9,8 @@ totals can be normalized by host speed instead of re-litigating environment
 drift (r4 verdict: the uniform r2->r4 "slowdown" was the machine, not the
 code — this probe makes that check mechanical).
 
-`R6_BASELINE_SEC` is the min-of-3 of this exact probe on the round-6
+`R6_BASELINE_SEC` is the min over nine runs (3x run_probe(n=3)) of this
+exact probe on the round-6
 host/testdata (sf0.1, local[32]); `ratio` > 1 means the current host is
 slower than round 6's by that factor.
 """
