@@ -205,7 +205,7 @@ def write_bm25_index(
     :func:`bm25_topk` docstring promises — the corpus-sized work happens
     ONCE here; every query batch below reads only the partitions its
     terms hash into (partition pruning, no full-index scan)."""
-    postings, _dfreq, stats = build_postings(docs, text_col, id_col)
+    postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
     (
         postings.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
@@ -214,9 +214,47 @@ def write_bm25_index(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    stats.withColumn("n_buckets", F.lit(n_buckets)).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats")
+    # stats persist as MERGEABLE sums (doc count + total tokens), not the
+    # final average, so appends can combine them without a corpus rescan
+    _write_stats(docs, path, n_buckets, text_col, mode="overwrite")
+
+
+def _write_stats(docs, path, n_buckets, text_col, mode):
+    toks = _tokens(F.col(text_col))
+    docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode(mode).parquet(
+        f"{path}/stats"
+    )
+
+
+def append_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add documents to an existing index: new postings
+    append into the same term-hash partitions (no old-partition rewrite —
+    parquet append only creates files in the buckets the new terms hash
+    to) and a new stats fragment lands next to the existing ones; readers
+    merge the fragments, so corpus-wide n_docs/avgdl stay exact. The
+    corpus-sized work is proportional to the NEW documents only."""
+    spark = docs.sparkSession
+    n_buckets = int(
+        spark.read.parquet(f"{path}/stats").select("n_buckets").first()[0]
+    )
+    postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
+    (
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    _write_stats(docs, path, n_buckets, text_col, mode="append")
 
 
 def bm25_topk_indexed(
@@ -234,9 +272,25 @@ def bm25_topk_indexed(
     query batch's terms, so only the matching term-hash partitions are
     read (gate-tested via inputFiles) — query cost scales with the query
     batch, not the corpus."""
-    stats = spark.read.parquet(f"{path}/stats")
-    srow = stats.collect()[0]
-    n_buckets = srow["n_buckets"]
+    # merge stats fragments (one per write/append) into corpus totals
+    raw_stats = spark.read.parquet(f"{path}/stats")
+    merged = raw_stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+        F.first("n_buckets").alias("n_buckets"),
+    ).collect()[0]
+    n_buckets = merged["n_buckets"]
+    stats = spark.createDataFrame(
+        [
+            (
+                merged["n_docs"],
+                float(merged["total_dl"]) / merged["n_docs"]
+                if merged["n_docs"]
+                else 0.0,
+            )
+        ],
+        "n_docs long, avgdl double",
+    )
 
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -250,3 +250,41 @@ class TestPersistedIndex:
         write_bm25_index(docs, idx, n_buckets=4)
         q = spark.createDataFrame([(1, "")], ["query_id", "query_text"])
         assert bm25_topk_indexed(spark, idx, q).count() == 0
+
+    def test_append_matches_full_rebuild(self, spark, tmp_path):
+        """Index half the corpus, append the other half: retrieval must
+        equal an index built over everything at once — postings land in
+        the same term-hash partitions and the stats fragments merge to
+        exact corpus totals."""
+        from seafowl_spark.operators.bm25 import (
+            append_bm25_index,
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        first = docs.where(F.col("doc_id") < 250)
+        rest = docs.where(F.col("doc_id") >= 250)
+        queries = spark.createDataFrame(
+            [(1, "spark merge join window"), (2, "batch stream filter")],
+            ["query_id", "query_text"],
+        )
+
+        inc = str(tmp_path / "inc_idx")
+        write_bm25_index(first, inc, n_buckets=16)
+        append_bm25_index(rest, inc)
+
+        full = str(tmp_path / "full_idx")
+        write_bm25_index(docs, full, n_buckets=16)
+
+        got_inc = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, inc, queries, k=10).collect()
+        }
+        got_full = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, full, queries, k=10).collect()
+        }
+        assert got_inc == got_full and got_inc
