@@ -357,3 +357,131 @@ def ivf_pq_residual_topk(
     )
     short = _shortlist(coarse, shortlist, id_col, query_id_col)
     return _exact_rerank(short, corpus, queries, k, emb_col, id_col, query_id_col)
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF-PQ index: encode once, serve queries with cell pruning
+# --------------------------------------------------------------------------
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids,
+    codebooks,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the ANN index: rows (id, emb, pq_code) land under
+    ``{path}/vectors`` PARTITIONED BY their IVF cell; the codebook and
+    centroids serialize to a JSON sidecar. Queries then read only the
+    probed cells' partitions (partition pruning) and only (id, pq_code)
+    for coarse scoring (column pruning) — the serving shape where query
+    cost tracks probed-cell sizes, not the corpus. Residual encoding
+    (normalized space, fit_pq_residual) — the accurate variant."""
+    import json
+
+    cn = normalized(corpus.select(F.col(id_col), F.col(emb_col)), emb_col)
+    cents_df = _centroids_df(corpus, centroids)
+    from .kmeans import assign_cells
+
+    enc_src = (
+        assign_cells(cn, centroids, emb_col)
+        .join(F.broadcast(cents_df), "cell")
+        .select(
+            F.col(id_col),
+            F.col(emb_col),
+            "cell",
+            _residual(F.col(emb_col)).alias("__resid"),
+        )
+    )
+    # stable on-disk schema: id -> vec_id, vector -> emb (the reader
+    # does not take column-name params)
+    enc = pq_encode(enc_src, codebooks, "__resid", normalize=False).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        "cell",
+        "pq_code",
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    meta = {"centroids": centroids, "codebooks": codebooks}
+    spark = corpus.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    emb_col: str = "emb",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index. The vectors scan carries a
+    ``cell IN (...)`` partition filter from the query batch's probes, and
+    the coarse stage reads only (id, pq_code) columns; float embeddings
+    are read back (same pruned partitions) only for the shortlist
+    re-rank."""
+    import json
+
+    from ..functions.vec import nearest_cells_udf, pq_lut_udf
+
+    meta = json.loads(
+        spark.read.json(f"{path}/meta").select("meta").first()[0]
+    )
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+
+    qn = normalized(
+        queries.select(F.col(query_id_col), F.col(emb_col)), emb_col
+    )
+    probes = nearest_cells_udf(centroids, nprobe, metric="l2")
+    lut = pq_lut_udf(codebooks)
+    cents_df = _centroids_df(queries, centroids)
+    q = (
+        qn.select(
+            F.col(query_id_col),
+            F.col(emb_col).alias("__q_emb"),
+            lut(F.col(emb_col)).alias("__lut"),
+            F.explode(probes(F.col(emb_col))).alias("__cell64"),
+        )
+        .withColumn("cell", F.col("__cell64").cast("int"))
+        .drop("__cell64")
+        .join(F.broadcast(cents_df), "cell")
+        .select(
+            query_id_col,
+            "cell",
+            "__lut",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q_emb"), F.col("__cent"), lambda x, c: x * c
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__q_dot_cent"),
+        )
+    )
+    probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell").isin(probe_cells)
+    )
+    coarse = (
+        vectors.select("vec_id", "cell", "pq_code")
+        .join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            (
+                F.col("__q_dot_cent")
+                + _adc_score(F.col("pq_code"), F.col("__lut"))
+            ).alias("__coarse"),
+        )
+    )
+    short = _shortlist(coarse, shortlist, "vec_id", query_id_col)
+    corpus = vectors.select("vec_id", F.col("emb").alias(emb_col))
+    return _exact_rerank(
+        short, corpus, queries, k, emb_col, "vec_id", query_id_col
+    )

@@ -222,3 +222,55 @@ class TestResidualIvfPq:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "cell" in plan
+
+
+class TestPersistedIvfPqIndex:
+    def test_indexed_matches_adhoc_and_prunes_cells(
+        self, spark, emb, queries, tmp_path
+    ):
+        """Query the persisted index: results equal the in-memory residual
+        variant with the same codebooks, and the vectors scan carries a
+        cell IN (...) partition filter over only the probed cells."""
+        import re
+
+        from seafowl_spark.operators.pq import (
+            fit_pq_residual,
+            ivf_pq_residual_topk,
+            ivf_pq_topk_indexed,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        cn = normalized(emb)
+        cents = fit_kmeans(cn, k=8, max_iter=2)
+        books = fit_pq_residual(cn, cents, m=8, ksub=16, max_iter=2)
+        idx = str(tmp_path / "ann_idx")
+        write_ivfpq_index(emb, idx, cents, books)
+
+        adhoc = {
+            (r.query_id, r.rank): (r.vec_id, r.cosine)
+            for r in ivf_pq_residual_topk(
+                emb, queries, cents, books, k=10, nprobe=3, shortlist=60
+            ).collect()
+        }
+        via_index = ivf_pq_topk_indexed(
+            spark, idx, queries, k=10, nprobe=3, shortlist=60
+        )
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.cosine)
+            for r in via_index.collect()
+        }
+        assert set(got) == set(adhoc) and got
+        for key in got:
+            assert got[key][0] == adhoc[key][0]
+            assert got[key][1] == pytest.approx(adhoc[key][1], rel=1e-9)
+
+        formatted = via_index._sc._jvm.PythonSQLUtils.explainString(
+            via_index._jdf.queryExecution(), "formatted"
+        )
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", formatted)
+        assert m and "cell" in m.group(1)
+        in_list = re.search(r"cell#\d+ IN \(([^)]*)\)", formatted)
+        # 3 queries x nprobe 3 -> at most 9 probed cells of the 8 total,
+        # but at least the filter is present and bounded
+        assert in_list and len(in_list.group(1).split(",")) <= 8
