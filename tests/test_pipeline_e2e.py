@@ -1,0 +1,161 @@
+"""End-to-end corpus pipeline: the operator suite composed the way a real
+training-data build runs it, over the actual documents table. No single
+stage is new — the point is that the stages COMPOSE: each operator's
+output schema feeds the next, filters only shrink the corpus, and the
+final packed batches are well-formed. This is the integration surface no
+per-operator test exercises.
+
+    documents
+      -> exact substring dedup (repeated-span removal)
+      -> whole-document exact dedup (hash, keep lowest id)
+      -> repetition gate (Gopher metrics)
+      -> language classification (NB trained on surviving labels)
+      -> unigram-LM quality score + threshold
+      -> deterministic mixture to a target language blend
+      -> BPE tokenize (merges learned on the final corpus)
+      -> sequence packing into fixed token budgets
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.functions import md5_int
+from seafowl_spark.operators.bpe import bpe_encode, learn_bpe
+from seafowl_spark.operators.classifier import fit_nb, nb_predict
+from seafowl_spark.operators.mixture import mixture_sample
+from seafowl_spark.operators.packing import pack_sequences
+from seafowl_spark.operators.repetition import repetition_metrics
+from seafowl_spark.operators.substring_dedup import remove_repeated_spans
+from seafowl_spark.operators.vocab import build_vocab, unigram_logprob
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestCorpusPipelineEndToEnd:
+    @pytest.fixture(scope="class")
+    def stages(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text", "lang"
+        )
+        n0 = docs.count()
+
+        # 1. repeated-span removal (keep-first), then drop docs emptied
+        deduped = (
+            remove_repeated_spans(docs, span_tokens=12)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .where(F.col("n_tokens") - F.col("n_removed_tokens") >= 5)
+            .select("doc_id", F.col("clean_text").alias("text"), "lang")
+        )
+        n1 = deduped.count()
+
+        # 2. whole-document exact dedup: one survivor per content hash
+        h = md5_int(F.col("text"), 15)
+        exact = (
+            deduped.withColumn("__h", h)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("__h")
+                    .orderBy("doc_id")
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__h", "__rn")
+        )
+        n2 = exact.count()
+
+        # 3. repetition gate
+        gated = repetition_metrics(exact, "text").where(
+            (F.col("dup_token_frac") < 0.95) & (F.col("max_run_len") <= 8)
+        ).select("doc_id", "text", "lang")
+        n3 = gated.count()
+
+        # 4. language classification on the surviving corpus
+        model = fit_nb(
+            gated.select("doc_id", "text", F.col("lang").alias("label")),
+            vocab_size=128,
+        )
+        pred = nb_predict(gated.select("doc_id", "text"), model)
+        classified = gated.join(
+            pred.select("doc_id", "predicted"), "doc_id"
+        )
+        n4 = classified.count()
+
+        # 5. unigram-LM quality: drop the least-typical tail
+        vocab = build_vocab(classified, top_k=256, min_count=2)
+        scored = classified.join(
+            unigram_logprob(classified, vocab), "doc_id"
+        )
+        cutoff = scored.agg(
+            F.expr("percentile(avg_neg_logprob, 0.95)").alias("p")
+        ).collect()[0]["p"]
+        quality = scored.where(F.col("avg_neg_logprob") <= cutoff).select(
+            "doc_id", "text", "predicted"
+        )
+        n5 = quality.count()
+
+        # 6. mix to a target blend over PREDICTED language
+        mixed = mixture_sample(
+            quality,
+            {"en": 0.4, "de": 0.2, "es": 0.2, "zh": 0.2},
+            category_col="predicted",
+        )
+        n6 = mixed.count()
+
+        # 7. BPE tokenize with merges learned on the final corpus
+        merges = learn_bpe(mixed, n_merges=8)
+        tokenized = bpe_encode(mixed, merges).select(
+            "doc_id",
+            "predicted",
+            F.size("bpe_tokens").alias("n_tok"),
+        )
+
+        # 8. pack into 512-token batches, sharded by predicted language
+        packed = pack_sequences(
+            tokenized,
+            token_col="n_tok",
+            order_cols=["doc_id"],
+            budget=512,
+            shard_cols=["predicted"],
+        )
+        return dict(
+            n=(n0, n1, n2, n3, n4, n5, n6),
+            merges=merges,
+            packed=packed,
+        )
+
+    def test_counts_monotone_and_nonempty(self, stages):
+        n = stages["n"]
+        assert all(a >= b for a, b in zip(n, n[1:])), n
+        assert n[-1] > 0
+
+    def test_bpe_learned_from_pipeline_output(self, stages):
+        assert len(stages["merges"]) == 8
+
+    def test_packs_well_formed(self, stages):
+        rows = stages["packed"].collect()
+        assert rows
+        per_pack: dict = {}
+        for r in rows:
+            per_pack.setdefault((r["predicted"], r["pack_id"]), []).append(r)
+        for members in per_pack.values():
+            members.sort(key=lambda m: m["offset_in_pack"])
+            offsets = [m["offset_in_pack"] for m in members]
+            # concat-and-chunk semantics: offsets strictly increase and
+            # stay inside the budget; the boundary flag is exactly
+            # offset + len > budget
+            assert offsets == sorted(set(offsets))
+            assert all(0 <= o < 512 for o in offsets)
+            for m in members:
+                assert m["spans_boundary"] == (
+                    m["offset_in_pack"] + m["n_tok"] > 512
+                )
+        # pack ids are contiguous from 0 within each shard
+        shards: dict = {}
+        for lang, pid in per_pack:
+            shards.setdefault(lang, set()).add(pid)
+        for pids in shards.values():
+            assert pids == set(range(len(pids)))

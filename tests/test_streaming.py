@@ -351,3 +351,82 @@ class TestStreamingModelScoring:
         )
         q2.awaitTermination(120)
         assert got[12] == "food"
+
+
+class TestStreamingIndexMaintenance:
+    def test_stream_appends_to_bm25_index(self, spark, tmp_path):
+        """Ingest-to-index: each micro-batch appends its documents to the
+        persisted BM25 index (append_bm25_index inside foreachBatch);
+        after two batches, retrieval equals an index built over the union
+        in one shot — the mergeable-stats design is what makes this
+        streaming sink exact."""
+        import json
+
+        from seafowl_spark.operators.bm25 import (
+            append_bm25_index,
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        idx = str(tmp_path / "stream_idx")
+        # bootstrap with an empty corpus so the stream owns every doc
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        write_bm25_index(empty, idx, n_buckets=8)
+
+        src = tmp_path / "ingest_src"
+        src.mkdir()
+        batch0 = [
+            {"doc_id": 1, "text": "spark shuffle executor task"},
+            {"doc_id": 2, "text": "butter flour oven"},
+        ]
+        batch1 = [
+            {"doc_id": 3, "text": "spark task stage spark"},
+            {"doc_id": 4, "text": "oven bake sugar"},
+        ]
+        (src / "b0.json").write_text(
+            "\n".join(json.dumps(r) for r in batch0) + "\n"
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+
+        def to_index(batch_df, _bid):
+            if batch_df.count():
+                append_bm25_index(batch_df, idx)
+
+        def run_once():
+            q = (
+                stream.writeStream.foreachBatch(to_index)
+                .option("checkpointLocation", str(tmp_path / "ckpt_idx"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        (src / "b1.json").write_text(
+            "\n".join(json.dumps(r) for r in batch1) + "\n"
+        )
+        run_once()
+
+        queries = spark.createDataFrame(
+            [(1, "spark task"), (2, "oven sugar")], ["query_id", "query_text"]
+        )
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, idx, queries, k=5).collect()
+        }
+
+        oneshot = str(tmp_path / "oneshot_idx")
+        all_docs = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in batch0 + batch1],
+            ["doc_id", "text"],
+        )
+        write_bm25_index(all_docs, oneshot, n_buckets=8)
+        expect = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, oneshot, queries, k=5).collect()
+        }
+        assert got == expect and got
+        # sanity: the spark-y query ranks the spark-heavy doc first
+        assert got[(1, 1)][0] == 3
