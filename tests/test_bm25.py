@@ -159,10 +159,11 @@ class TestBm25Plan:
     def test_broadcast_only_joins_and_bounded_exchanges(self, spark, frames):
         """100 TB gates on the static plan (same convention as
         test_plans.py): every join is broadcast (the one-row stats ride a
-        BNLJ), no sort-merge or cartesian anywhere, and every hash
-        exchange sits directly over aggregated or group-limited data —
-        never over raw postings, so corpus token instances are never
-        shuffled."""
+        BNLJ), no sort-merge or cartesian anywhere, and at most ONE hash
+        exchange carries non-aggregated rows — the term-keyed df window
+        over the query-pruned candidates; everything else ships
+        aggregated or group-limited data, so raw corpus token instances
+        never shuffle."""
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", "text"
         )
@@ -172,22 +173,28 @@ class TestBm25Plan:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
-        # 3 broadcast joins in the scoring branch + 1 pruning the df branch
-        assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+        # query-term prune + per-(query,term) join; df comes from a
+        # window (no extra broadcasts since the r6 one-scan change)
+        assert len(re.findall(r"BroadcastHashJoin", plan)) == 2
         lines = plan.splitlines()
-        n_exchanges = 0
+        n_exchanges = n_candidate_shuffles = 0
         for i, line in enumerate(lines):
             if "Exchange hashpartitioning" not in line:
                 continue
             n_exchanges += 1
             child = lines[i + 1]
-            # the exchange's input must already be aggregated (map-side
-            # partials) or group-limited — raw postings would show a
-            # Project/Generate here
-            assert re.search(
-                r"HashAggregate|WindowGroupLimit|Sort ", child
-            ), f"exchange over non-aggregated data:\n{line}\n{child}"
-        # df-of-query-terms, per-(query,doc) score agg, rank window,
+            if re.search(r"HashAggregate|WindowGroupLimit|Sort ", child):
+                continue  # aggregated / group-limited payload
+            # exactly ONE exchange may carry non-aggregated rows: the
+            # term-keyed window computing df over the QUERY-PRUNED
+            # candidates (the deliberate one-scan trade-off) — never a
+            # corpus-wide shuffle
+            assert re.search(r"hashpartitioning\(term", line), (
+                f"unexpected raw-data exchange:\n{line}\n{child}"
+            )
+            n_candidate_shuffles += 1
+        assert n_candidate_shuffles <= 1
+        # per-(query,doc) score agg, rank window, df window,
         # plus the tiny query-side distincts
         assert n_exchanges <= 6
 
