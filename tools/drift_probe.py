@@ -61,9 +61,12 @@ def run_probe(spark: SparkSession, sf_dir: str, n: int = 3) -> dict:
         t0 = time.perf_counter()
         frozen_q01(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
+    sec = round(best, 3)
     return {
         "frozen": "r1_q01(78377e8)",
-        "sec": round(best, 3),
+        "sec": sec,
         "baseline_sec": R6_BASELINE_SEC,
-        "ratio": round(best / R6_BASELINE_SEC, 3),
+        # ratio derives from the ROUNDED sec so the reported pair is
+        # self-consistent (ratio == round(sec/baseline, 3) exactly)
+        "ratio": round(sec / R6_BASELINE_SEC, 3),
     }
