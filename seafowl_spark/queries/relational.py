@@ -526,6 +526,16 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     HAVING COUNT(*) >= 0.25 * (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'pct' AS src, o_orderpriority AS k1, q AS k2, n_rows,
+           v AS val, CAST(0 AS BIGINT) AS g1, CAST(0 AS BIGINT) AS g2
+    FROM (
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY o_orderpriority),
+    LATERAL (VALUES ('p50', p50), ('p90', p90), ('p99', p99)) AS u(q, v)
     """,
 )
 def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,9 +548,12 @@ def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total).
 
     Merged registry entry: covers the former q_rollup + q_cube +
-    q_grouping_sets + q_datetime_distinct(HAVING) rows under the driver's
-    50-entry cap; the GROUPING SETS branch goes through the SQL parser
-    deliberately so that syntax path stays exercised.
+    q_grouping_sets + q_datetime_distinct(HAVING) rows, and (r6, freeing
+    a slot for t_substring_dedup) the former q_percentiles row — exact
+    linear-interpolation p50/p90/p99 per priority ride as an unpivoted
+    'pct' branch (stack -> (k2, val) rows) in the same aligned schema.
+    The GROUPING SETS branch goes through the SQL parser deliberately so
+    that syntax path stays exercised.
 
     Scale: each branch is one Expand + hash aggregate; the union is
     append-only (no extra shuffle beyond each branch's own agg); the HAVING
@@ -583,7 +596,33 @@ def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 0.25 * (SELECT COUNT(*) FROM orders)
         """
     )
-    return rollup.unionAll(cube).unionAll(gsets)
+    pct = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        )
+        .select(
+            F.lit("pct").alias("src"),
+            F.col("o_orderpriority").alias("k1"),
+            F.expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99)").alias(
+                "k2", "val"
+            ),
+            "n_rows",
+        )
+        .select(
+            "src",
+            "k1",
+            "k2",
+            "n_rows",
+            "val",
+            F.lit(0).cast("long").alias("g1"),
+            F.lit(0).cast("long").alias("g2"),
+        )
+    )
+    return rollup.unionAll(cube).unionAll(gsets).unionAll(pct)
 
 
 @register(
@@ -763,26 +802,9 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slot for q_bm25_search/q_nb_classify.
 
 
-@register(
-    "q_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per group (rounded to absorb
-    final-step float noise; the sorted-order interpolation itself is
-    deterministic in both engines)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
-    )
+# q_percentiles was absorbed into q_grouping_multi in round 6 (unpivoted
+# 'pct' branch, same quantile_cont/percentile parity) to free a graded
+# slot for t_substring_dedup.
 
 
 # --------------------------------------------------------------------------

@@ -650,3 +650,75 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (operators/substring_dedup.py) — graded in r6
+# --------------------------------------------------------------------------
+
+_SPAN = 4
+
+
+@register(
+    "t_substring_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+               AS tk
+      FROM documents),
+    occ AS (
+      SELECT doc_id, u.pos,
+             CAST(('0x' || substr(md5(
+               array_to_string(list_slice(tk, u.pos + 1, u.pos + {_SPAN}), ' ')
+             ), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(range(0, len(tk) - {_SPAN} + 1)) AS u(pos)
+      WHERE len(tk) >= {_SPAN}),
+    marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY h) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    covered AS (
+      SELECT DISTINCT doc_id, c.idx
+      FROM (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+           UNNEST(range(pos, pos + {_SPAN})) AS c(idx)),
+    cov AS (
+      SELECT doc_id, list_sort(list(idx)) AS cov
+      FROM covered GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed_tokens,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(0, len(t.tk)),
+                           i -> NOT list_contains(COALESCE(c.cov, []), i)),
+               i -> t.tk[i + 1]),
+             ' '), '') AS clean_text
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. repeated-span removal),
+    graded end-to-end over the documents table: every {span}-token window
+    hashes row-local, spans occurring twice corpus-wide keep only their
+    first (doc_id, pos) occurrence, and every other occurrence's tokens
+    are removed (operators/substring_dedup.remove_repeated_spans — the
+    4-token span makes the synthetic corpus's shared phrases genuinely
+    exercise the keep-first + interval-merge machinery: ~2.8k tokens
+    removed at sf0.001). The oracle rebuilds the pipeline in SQL: same
+    60-bit md5 span hashes, the same (doc_id, pos) keep-first window,
+    and covered-index removal via UNNEST(range)/DISTINCT — value- and
+    hash-comparable including the rebuilt clean_text.
+
+    Scale: span hashing is row-local; the ONE corpus-sized shuffle
+    carries (hash, doc, pos) triples (linear, span-length independent);
+    removal is a doc-keyed join + row-local interval merge. stride
+    trades recall for shuffle size at 100 TB (see the operator module).
+    """
+    from ..operators.substring_dedup import remove_repeated_spans
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_repeated_spans(d, span_tokens=_SPAN).select(
+        "doc_id", "n_tokens", "n_removed_tokens", "clean_text"
+    )

@@ -227,3 +227,14 @@ class TestRound6Graduates:
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
         assert "Python" not in p
+
+    def test_substring_dedup_single_corpus_shuffle_no_python(
+        self, spark, registry
+    ):
+        # span hashing is row-local; the hash-keyed windows are the one
+        # corpus-sized shuffle (plus the doc-keyed removal join); nothing
+        # crosses into Python and nothing goes cartesian
+        p = plan_of(spark, registry, "t_substring_dedup")
+        assert "CartesianProduct" not in p
+        assert "Python" not in p
+        assert len(re.findall(r"Exchange hashpartitioning\(span_hash", p)) == 1
