@@ -27,6 +27,8 @@ also how unwanted sources are excluded.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,8 +89,11 @@ def mixture_sample(
     rates = mixture_rates(df, targets, category_col, weight_col)
     rate = F.when(F.lit(False), F.lit(0))
     for c, r in sorted(rates.items()):
+        # half-up via floor(x + 0.5): one deterministic IEEE op chain,
+        # exactly mirrorable in SQL (Python round() is half-even)
         rate = rate.when(
-            F.col(category_col) == c, F.lit(int(round(r * _BUCKETS)))
+            F.col(category_col) == c,
+            F.lit(int(math.floor(r * _BUCKETS + 0.5))),
         )
     rate = rate.otherwise(F.lit(0))
     bucket = md5_int(F.col(id_col).cast("string")) % _BUCKETS

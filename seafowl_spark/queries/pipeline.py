@@ -575,3 +575,58 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_size=_NB_VOCAB,
     )
     return nb_predict(d.select("doc_id", "text"), model)
+
+
+# --------------------------------------------------------------------------
+# Deterministic data mixing (operators/mixture.py) — graded in r6
+# --------------------------------------------------------------------------
+
+# power-of-two fractions: every partial sum is exact in binary, so the
+# rate arithmetic is bit-identical no matter which engine (or iteration
+# order) computes it
+_MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.125, "zh": 0.125}
+
+
+@register(
+    "t_mixture_sample",
+    oracle=f"""
+    WITH t(label, w) AS (VALUES
+      {", ".join(f"('{c}', {w})" for c, w in _MIX_TARGETS.items())}),
+    c AS (SELECT lang AS label, COUNT(*) AS n FROM documents GROUP BY lang),
+    present AS (
+      SELECT t.label, t.w, c.n FROM t JOIN c USING (label)
+      WHERE c.n > 0 AND t.w > 0),
+    tot AS (SELECT SUM(w) AS tw FROM present),
+    norm AS (
+      SELECT label, w / tot.tw AS wn, CAST(n AS DOUBLE) AS n
+      FROM present CROSS JOIN tot),
+    nout AS (SELECT MIN(n / wn) AS n_out FROM norm),
+    rates AS (
+      SELECT label,
+             CAST(FLOOR(wn * nout.n_out / n * 10000 + 0.5) AS BIGINT)
+               AS rate_pct
+      FROM norm CROSS JOIN nout)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON r.label = d.lang
+    WHERE {oracle_md5_int("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate_pct
+    """,
+)
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing to a target language blend
+    (operators/mixture.mixture_sample), graded end-to-end: keep rates
+    derive from the power-of-two target fractions and observed counts
+    (largest no-upsampling output; binding category keeps 100%), then
+    the same md5-bucket filter as stratified sampling selects rows. The
+    oracle recomputes the rate arithmetic in SQL — exact because every
+    value in the chain (power-of-two weights, integer counts, one IEEE
+    division each) is order-independent — and applies the identical
+    bucket predicate, so the selected row set matches exactly.
+
+    Scale: one bounded per-category aggregate, then a pure scan +
+    codegen predicate — no shuffle, no rand() (plan-gated in
+    test_plans.py).
+    """
+    from ..operators.mixture import mixture_sample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(d, dict(_MIX_TARGETS))

@@ -811,31 +811,9 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Events: JSON, sessionization, time windows
 # --------------------------------------------------------------------------
 
-@register(
-    "q_json_extract",
-    oracle="""
-    SELECT CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1
-    """,
-)
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extract a field from the JSON props column and aggregate on it.
-
-    Spark side uses the native JSON path function (get_json_object); the
-    oracle mirrors it with a regexp since DuckDB's json extension may not be
-    loadable offline — same value either way for this payload shape.
-    """
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        e.groupBy((k % 10).alias("k_mod"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dec_sum(F.col("value")).alias("total_value"),
-        )
-    )
+# q_json_extract was absorbed into q_time_window in round 6 (the JSON
+# path extraction rides as a grouping key there) to free a graded slot
+# for t_mixture_sample.
 
 
 @register(
@@ -901,21 +879,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            EXTRACT(hour FROM ts) AS hour,
            event_type,
+           CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2, 3
+    FROM events GROUP BY 1, 2, 3, 4
     """,
 )
 def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour time-window aggregation (batch form; the streaming
-    variant uses F.window + watermark in seafowl_spark.streaming)."""
+    variant uses F.window + watermark in seafowl_spark.streaming), with a
+    JSON-extracted grouping key absorbed from the former q_json_extract
+    row in r6 (freeing a graded slot for t_mixture_sample): Spark uses
+    the native JSON path function (get_json_object), the oracle mirrors
+    it with a regexp since DuckDB's json extension may not be loadable
+    offline — same value either way for this payload shape."""
     e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
     return (
         e.groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
             F.hour("ts").cast("long").alias("hour"),
             "event_type",
+            (k % 10).alias("k_mod"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -238,3 +238,12 @@ class TestRound6Graduates:
         assert "CartesianProduct" not in p
         assert "Python" not in p
         assert len(re.findall(r"Exchange hashpartitioning\(span_hash", p)) == 1
+
+    def test_mixture_sample_is_pure_filter(self, spark, registry):
+        # rates are driver constants; the sample is one scan + codegen
+        # predicate — no shuffle, no Python, no rand()
+        p = plan_of(spark, registry, "t_mixture_sample")
+        assert "Exchange" not in p
+        assert "Python" not in p
+        assert "rand" not in p
+        assert "Filter" in p
