@@ -182,3 +182,48 @@ def strip_boilerplate_lines(
         )
     )
     return with_id.join(rebuilt, "__row").drop("__row")
+
+
+def frequent_lines_approx(
+    df: DataFrame,
+    doc_count: int,
+    text_col: str = "text",
+    max_doc_frac: float = 0.01,
+    min_words: int = 1,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Misra-Gries variant of :func:`frequent_lines` for corpora whose
+    DISTINCT-line universe is itself too large to shuffle comfortably
+    (every unique page footer, timestamped banner, ...). The per-partition
+    summary caps the shuffle at ``capacity`` x partitions rows, and the
+    boilerplate definition (> ``max_doc_frac`` of documents) sits far
+    above the MG survival threshold whenever
+    ``capacity >= 1/max_doc_frac``, so the approximate finder returns the
+    SAME frequent set as the exact one (survivors are exact-recounted
+    before thresholding — see operators/heavy_hitters.py). With the
+    default 1% threshold, capacity 4096 gives a 40x guarantee margin."""
+    from .heavy_hitters import approx_top_k
+
+    lines = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), "\n"))
+            ).alias("line")
+        )
+        .where(F.trim(F.col("line")) != "")
+        .where(
+            F.size(
+                F.filter(F.split(F.trim(F.col("line")), r"\s+"), lambda t: t != "")
+            )
+            >= min_words
+        )
+    )
+    threshold = max(int(doc_count * max_doc_frac), 1)
+    return (
+        approx_top_k(lines, "line", k=capacity, capacity=capacity)
+        .where(F.col("exact_weight") > threshold)
+        .select(
+            F.col("item").alias("line"),
+            F.col("exact_weight").alias("n_docs"),
+        )
+    )

@@ -103,3 +103,32 @@ class TestBoilerplate:
             i = r["doc_id"]
             assert r["stripped_text"] == f"alpha {i}.\nbeta {i}.\ngamma {i}."
             assert r["n_boilerplate_removed"] == 2
+
+
+class TestFrequentLinesApprox:
+    def test_matches_exact_finder(self, spark):
+        """With capacity >= 1/max_doc_frac the MG guarantee covers every
+        line above the boilerplate threshold, so the approximate finder
+        returns exactly the exact finder's set (with exact counts)."""
+        from seafowl_spark.operators.cleaning import (
+            frequent_lines,
+            frequent_lines_approx,
+        )
+
+        docs = [(i, f"unique line {i}\nall rights reserved.\n"
+                    + ("subscribe now!" if i % 3 == 0 else f"tail {i}"))
+                for i in range(60)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        exact = {
+            (r.line, r.n_docs)
+            for r in frequent_lines(df, 60, max_doc_frac=0.05).collect()
+        }
+        approx = {
+            (r.line, r.n_docs)
+            for r in frequent_lines_approx(
+                df, 60, max_doc_frac=0.05, capacity=64
+            ).collect()
+        }
+        assert approx == exact
+        assert ("all rights reserved.", 60) in approx
+        assert any(l == "subscribe now!" for l, _ in approx)
