@@ -195,13 +195,17 @@ def frequent_lines_approx(
     """Misra-Gries variant of :func:`frequent_lines` for corpora whose
     DISTINCT-line universe is itself too large to shuffle comfortably
     (every unique page footer, timestamped banner, ...). The per-partition
-    summary caps the shuffle at ``capacity`` x partitions rows, and the
-    boilerplate definition (> ``max_doc_frac`` of documents) sits far
-    above the MG survival threshold whenever
-    ``capacity >= 1/max_doc_frac``, so the approximate finder returns the
-    SAME frequent set as the exact one (survivors are exact-recounted
-    before thresholding — see operators/heavy_hitters.py). With the
-    default 1% threshold, capacity 4096 gives a 40x guarantee margin."""
+    summary caps the shuffle at ``capacity`` x partitions rows. The MG
+    survival threshold is ``total_exploded_rows / (capacity + 1)`` where
+    total counts (doc, distinct-line) pairs — NOT documents — so with
+    ``L`` = average distinct lines per document, a line appearing in
+    > ``max_doc_frac`` of docs is guaranteed to survive (and the finder
+    returns the SAME frequent set as the exact one, survivors being
+    exact-recounted before thresholding — see operators/heavy_hitters.py)
+    whenever ``capacity >= L / max_doc_frac``. The default 4096 covers
+    L <= ~40 at the default 1% threshold; beyond that, frequent lines
+    near the threshold may be missed — size ``capacity`` from a measured
+    lines-per-doc estimate when documents are long."""
     from .heavy_hitters import approx_top_k
 
     lines = (

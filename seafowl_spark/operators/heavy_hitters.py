@@ -53,16 +53,24 @@ def _mg_partition(capacity: int, item_col: str, weight_col: str | None):
                 elif len(counters) < capacity:
                     counters[item] = w
                 else:
-                    # MG decay: subtract the incoming weight from every
-                    # counter; drop the ones that hit zero. The incoming
-                    # item is absorbed by the decay.
-                    dead = []
-                    for k in counters:
-                        counters[k] -= w
-                        if counters[k] <= 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+                    # Weighted MG decay: admit the incoming item FIRST,
+                    # then repeatedly decay every counter by the current
+                    # minimum until we are back at capacity. Equivalent
+                    # to decaying by min(w, min(counters)) and keeping
+                    # the remainder of w, so a heavy incoming weight can
+                    # never erase itself (the naive "subtract w from
+                    # everyone and drop the arrival" variant loses the
+                    # total/(capacity+1) guarantee for weighted input).
+                    counters[item] = w
+                    while len(counters) > capacity:
+                        m = min(counters.values())
+                        dead = []
+                        for k in counters:
+                            counters[k] -= m
+                            if counters[k] <= 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
         yield pd.DataFrame(
             {
                 "item": list(counters.keys()),

@@ -49,15 +49,30 @@ from .kmeans import fit_kmeans
 from .quantize import _exact_rerank, _shortlist
 
 
-def _l2_normalized(col: Column) -> Column:
+def _with_l2_normalized(df: DataFrame, src_col: str, out_col: str) -> DataFrame:
+    """Add ``out_col`` = L2-normalized ``src_col`` with the norm STAGED as
+    its own column first. Inlining the O(d) norm aggregate inside
+    ``transform(x / norm)`` re-evaluates it per ELEMENT (lambda bodies are
+    not common-subexpression eliminated — the same O(d^2)-per-row trap
+    build_postings documents for __srt); staging keeps it one fold per
+    row, and CollapseProject preserves the split because it refuses to
+    duplicate non-cheap multiply-referenced expressions."""
+    tmp = f"__{out_col}__norm"
     norm = F.sqrt(
         F.aggregate(
-            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            F.transform(F.col(src_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
     )
-    return F.when(
-        norm > 0, F.transform(col, lambda x: x / norm)
-    ).otherwise(col)
+    staged = df.withColumn(tmp, norm)
+    return staged.withColumn(
+        out_col,
+        F.when(
+            F.col(tmp) > 0,
+            F.transform(F.col(src_col), lambda x: x / F.col(tmp)),
+        ).otherwise(F.col(src_col)),
+    ).drop(tmp)
 
 
 def fit_pq(
@@ -82,12 +97,9 @@ def fit_pq(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    base = df.select(
-        F.col(id_col),
-        (_l2_normalized(F.col(vec_col)) if normalize else F.col(vec_col)).alias(
-            vec_col
-        ),
-    )
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if normalize:
+        base = _with_l2_normalized(base, vec_col, vec_col)
     books = []
     for j in range(m):
         sub = base.select(
@@ -113,8 +125,12 @@ def pq_encode(
     from ..functions.vec import pq_encode_udf
 
     enc = pq_encode_udf(codebooks)
-    src = _l2_normalized(F.col(vec_col)) if normalize else F.col(vec_col)
-    return df.withColumn(out_col, enc(src))
+    if not normalize:
+        return df.withColumn(out_col, enc(F.col(vec_col)))
+    staged = _with_l2_normalized(df, vec_col, f"__{out_col}__nv")
+    return staged.withColumn(out_col, enc(F.col(f"__{out_col}__nv"))).drop(
+        f"__{out_col}__nv"
+    )
 
 
 def _adc_score(code_col: Column, lut_col: Column) -> Column:
@@ -151,12 +167,10 @@ def pq_topk(
         F.col(id_col), F.col("pq_code")
     )
     lut = pq_lut_udf(codebooks)
-    q = queries.select(
-        F.col(query_id_col),
-        lut(
-            _l2_normalized(F.col(emb_col)) if normalize else F.col(emb_col)
-        ).alias("__lut"),
-    )
+    qsrc = queries.select(F.col(query_id_col), F.col(emb_col))
+    if normalize:
+        qsrc = _with_l2_normalized(qsrc, emb_col, emb_col)
+    q = qsrc.select(F.col(query_id_col), lut(F.col(emb_col)).alias("__lut"))
     coarse = (
         enc.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col(query_id_col))
@@ -200,12 +214,17 @@ def ivf_pq_topk(
 
     lut = pq_lut_udf(codebooks)
     probes = nearest_cells_udf(centroids, nprobe, metric="l2")
+    qsrc = queries.select(F.col(query_id_col), F.col(emb_col))
+    if normalize:
+        # IVF probes use the RAW embedding (cells live in the original
+        # space); only the LUT input normalizes — keep both columns.
+        qsrc = _with_l2_normalized(qsrc, emb_col, "__lut_src")
+    else:
+        qsrc = qsrc.withColumn("__lut_src", F.col(emb_col))
     q = (
-        queries.select(
+        qsrc.select(
             F.col(query_id_col),
-            lut(
-                _l2_normalized(F.col(emb_col)) if normalize else F.col(emb_col)
-            ).alias("__lut"),
+            lut(F.col("__lut_src")).alias("__lut"),
             F.explode(probes(F.col(emb_col))).alias("__cell64"),
         )
         .withColumn("cell", F.col("__cell64").cast("int"))
@@ -232,8 +251,10 @@ def normalized(df: DataFrame, vec_col: str = "emb") -> DataFrame:
     """L2-normalize the vector column in place (zero-norm rows pass
     through). The residual IVF-PQ pipeline works entirely in this space:
     train IVF centroids AND residual codebooks on the normalized corpus,
-    then dot products equal cosines."""
-    return df.withColumn(vec_col, _l2_normalized(F.col(vec_col)))
+    then dot products equal cosines. The norm stages as its own column
+    (see :func:`_with_l2_normalized`) — one O(d) fold per row, not per
+    element."""
+    return _with_l2_normalized(df, vec_col, vec_col)
 
 
 def _centroids_df(df: DataFrame, centroids) -> DataFrame:

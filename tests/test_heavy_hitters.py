@@ -73,6 +73,35 @@ class TestMechanics:
         got = approx_top_k(df, "item", k=2, capacity=8, weight_col="w").collect()
         assert [(r.item, r.exact_weight) for r in got] == [("a", 150), ("b", 5)]
 
+    def test_heavy_weight_arriving_at_full_table_survives(self, spark):
+        """Adversarial weighted case: a huge-weight item arriving while
+        the counter table is full must survive the MG decay — the naive
+        "subtract w from everyone, drop the arrival" step wipes the
+        table and loses the item (the r6 bug: capacity=1 with (a,1),
+        (b,1000) returned an empty summary)."""
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 1000)], ["item", "w"]
+        ).coalesce(1)
+        got = approx_top_k(df, "item", k=1, capacity=1, weight_col="w").collect()
+        assert [(r.item, r.exact_weight) for r in got] == [("b", 1000)]
+        # and the summary's lower bound keeps the guarantee: underestimate
+        # by at most total/(capacity+1)
+        assert got[0].approx_weight >= 1000 - (1001 // 2)
+
+    def test_weighted_guarantee_under_churn(self, spark):
+        """Weighted MG guarantee on a stream engineered to keep the table
+        full: one dominant item mixed into a sea of distinct singletons.
+        The dominant item must survive with any capacity >= 1."""
+        rows = []
+        for i in range(400):
+            rows.append((f"noise_{i}", 3))
+            if i % 4 == 0:
+                rows.append(("hot", 50))
+        df = spark.createDataFrame(rows, ["item", "w"]).coalesce(1)
+        got = approx_top_k(df, "item", k=3, capacity=8, weight_col="w").collect()
+        assert got[0].item == "hot"
+        assert got[0].exact_weight == 100 * 50
+
     def test_nulls_and_nonpositive_weights_skipped(self, spark):
         df = spark.createDataFrame(
             [("a", 2), (None, 9), ("b", 0), ("b", -3), ("b", 1)],

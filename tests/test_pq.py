@@ -86,6 +86,30 @@ class TestEncode:
         for r, e in zip(rows, expect):
             assert got[r.vec_id] == list(e)
 
+    def test_normalize_norm_staged_not_inlined(self, emb):
+        """The L2 norm must appear ONCE in the optimized plan, staged as
+        its own projection — inlined into the divide transform it would
+        re-evaluate the O(d) fold per element (O(d^2)/row, the repo's
+        recorded lambda-CSE trap, reintroduced and fixed in r7)."""
+        from seafowl_spark.operators.pq import normalized
+
+        plan = (
+            normalized(emb)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("aggregate(") == 1, plan
+        # pq_encode's normalize path stages the same way
+        books = fit_pq(emb, m=8, ksub=16, max_iter=1)
+        plan2 = (
+            pq_encode(emb, books)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan2.count("aggregate(") == 1, plan2
+
     def test_plan_o1_in_codebook_size(self, emb):
         """ksub=16 -> ksub=64 must not grow the plan: the codebook lives
         in the UDF closure, not in plan literals (the r5 verdict's
