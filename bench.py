@@ -7,6 +7,20 @@ Execution is forced with the `noop` sink (measures scan+compute+shuffle,
 not driver collect). One warm-up query amortizes JVM/codegen startup the
 way a long-lived server session would (the reference keeps one hot
 DataFusion context; we keep one hot SparkSession).
+
+Timing protocol (r7+, self-arbitrating — the r6 verdict's task #1):
+
+* every headline query is timed min-of-3 (``queries``), the same protocol
+  as the frozen drift probe, so the two are finally comparable; the
+  first-run numbers are also reported (``queries_single_shot``) because
+  rounds <= 6 timed single-shot and cross-round diffs need like-for-like;
+* the frozen probe (tools/drift_probe.py, never edited) yields ``ratio`` =
+  this host's speed vs the round-6 host; ``normalized_value`` =
+  value / ratio is the cross-round comparable total;
+* ``r6_comparison`` states mechanically whether the totals moved after
+  normalization and lists any query > REGRESSION_GATE x its r6 time after
+  normalization — the bench itself says "regressed" or "drift", no
+  per-round forensics needed.
 """
 
 from __future__ import annotations
@@ -41,6 +55,32 @@ HEADLINE = [
     "m_payload_pipeline",
 ]
 
+N_RUNS = 3
+REGRESSION_GATE = 1.15
+
+# Round-6 single-shot per-query seconds and probe ratio (BENCH_r06.json),
+# frozen here so the bench can self-compare. r6's probe ratio was 0.956
+# against the same R6_BASELINE_SEC the probe still carries.
+R6_QUERIES = {
+    "q01_pricing_summary": 1.491,
+    "q03_shipping_priority": 1.975,
+    "q05_region_revenue": 1.702,
+    "q06_forecast_revenue": 0.487,
+    "q_window_topk": 0.884,
+    "q_sessionize": 1.232,
+    "q_time_window": 1.483,
+    "t_exact_dedup": 0.406,
+    "t_token_stats": 0.818,
+    "s_minhash_lsh_pairs": 3.615,
+    "s_simhash_candidates": 3.128,
+    "s_ann_cosine_bruteforce": 0.8,
+    "s_ann_lsh_topk": 1.447,
+    "q_asof_join": 1.223,
+    "q_combined_pushdown": 0.325,
+    "m_payload_pipeline": 0.492,
+}
+R6_RATIO = 0.956
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -70,46 +110,92 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        first_run[name] = round(runs[0], 3)
 
     # host-drift probe: a frozen r1 query (tools/drift_probe.py, never
-    # edited) timed on the same hot session — ratio > 1 means this host is
-    # slower than round 6's, so cross-round totals divide by it before
-    # being compared (r4 verdict asked for exactly this normalizer).
+    # edited) timed min-of-3 on the same hot session — ratio > 1 means this
+    # host is slower than round 6's, so cross-round totals divide by it.
     from tools.drift_probe import run_probe
 
     drift = run_probe(spark, sf_dir)
+    ratio = drift["ratio"] or 1.0
 
     total = round(sum(timings.values()), 3)
+    total_ss = round(sum(first_run.values()), 3)
+    normalized = round(total / ratio, 3)
+
+    # like-for-like vs r6: single-shot totals, each normalized by its own
+    # round's probe ratio (both ratios share the frozen R6 baseline).
+    # Only meaningful at the driver's sf0.1 (the r6 numbers are sf0.1).
+    comparable = sf == 0.1
+    r6_total_ss = round(sum(R6_QUERIES.values()), 3)
+    r6_norm = round(r6_total_ss / R6_RATIO, 3)
+    this_norm_ss = round(total_ss / ratio, 3)
+    regressions = {}
+    for name, r6_sec in R6_QUERIES.items():
+        if name not in first_run:
+            continue
+        rel = (first_run[name] / ratio) / (r6_sec / R6_RATIO)
+        if rel > REGRESSION_GATE:
+            regressions[name] = round(rel, 3)
+    moved = round(this_norm_ss / r6_norm, 3)
+    r6_comparison = (
+        {
+            "protocol": "single_shot_normalized",
+            "r6_total_normalized": r6_norm,
+            "this_total_normalized": this_norm_ss,
+            "moved_x": moved,
+            "verdict": (
+                "regressed"
+                if moved > REGRESSION_GATE
+                else ("improved" if moved < 1 / REGRESSION_GATE else "flat")
+            ),
+            "per_query_regressions": regressions,
+        }
+        if comparable
+        else {"verdict": "n/a", "reason": f"sf={sf}, r6 anchors are sf0.1"}
+    )
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "protocol": f"min_of_{N_RUNS}",
                 "queries": timings,
+                "queries_single_shot": first_run,
+                "single_shot_total": total_ss,
                 "sf": sf,
                 "drift_probe": drift,
+                "normalized_value": normalized,
+                "r6_comparison": r6_comparison,
             }
         )
     )
-    # Environment note for cross-round comparisons (r4 verdict asked for a
-    # root-cause on the uniform r2->r4 slowdown): the round-2 commit
-    # (86ee31d), run unmodified on the round-5 machine/testdata, takes
-    # 33.6 s for the 15 queries it can still run vs the 13.3 s it recorded
-    # in round 2 — i.e. the host/testdata got ~2.5x slower, not the code.
-    # Current code runs those same 15 queries in 28.0 s (min of 3) on the
-    # same host: strictly faster than the r2 code under identical
-    # conditions. Per-query wall-clock is therefore only comparable
-    # within a round, not across rounds.
+    # Cross-round history: the uniform r2->r4 "slowdown" was the host (r2
+    # code re-run on the r5 host was 2.5x its recorded numbers); the r5->r6
+    # +22% was arbitrated in r7 by running both rounds' exact code
+    # head-to-head on the r7 host (see tools/bench_arbitrate_r5_r6.md) —
+    # normalize by drift_probe.ratio before reading anything across rounds.
+    note = (
+        f"vs r6 (single-shot, normalized): {moved}x -> "
+        f"{r6_comparison['verdict']}."
+        if comparable
+        else "r6 comparison skipped (non-sf0.1 run)."
+    )
     sys.stderr.write(
-        "bench-note: cross-round wall-clock is not comparable — r2 code "
-        "re-run on this host is 2.5x its recorded numbers (env drift); "
-        "current code beats r2 code head-to-head on this host.\n"
+        f"bench-note: min-of-{N_RUNS} per query; cross-round comparisons "
+        f"use normalized_value (= value / drift_probe.ratio). {note}\n"
     )
 
 

@@ -79,6 +79,49 @@ class TestLearnBpe:
         # 'ab</w>' needs exactly 1 merge: (a, b</w>) -> done
         assert merges == [("a", "b</w>")]
 
+    def test_routes_produce_identical_merges(self, corpus):
+        """The driver-side incremental trainer and the Spark per-round
+        trainer are exactly equivalent — same counts, same lexicographic
+        tie-break, same early stop."""
+        local = learn_bpe(corpus, n_merges=20, route="local")
+        spark_side = learn_bpe(corpus, n_merges=20, route="spark")
+        assert local == spark_side == _py_bpe([t for _, t in CORPUS], 20)
+
+    def test_auto_route_engages_local_below_threshold(self, corpus, monkeypatch):
+        """route='auto' must train driver-side when the distinct-word
+        table fits under local_threshold (the r6 verdict's sequencing
+        requirement: no per-merge Spark jobs for vocab-sized tables) and
+        fall back to Spark rounds above it."""
+        import seafowl_spark.operators.bpe as bpe_mod
+
+        calls = []
+        real_local, real_spark = bpe_mod._learn_bpe_local, bpe_mod._learn_bpe_spark
+        monkeypatch.setattr(
+            bpe_mod,
+            "_learn_bpe_local",
+            lambda *a, **k: calls.append("local") or real_local(*a, **k),
+        )
+        monkeypatch.setattr(
+            bpe_mod,
+            "_learn_bpe_spark",
+            lambda *a, **k: calls.append("spark") or real_spark(*a, **k),
+        )
+        bpe_mod.learn_bpe(corpus, n_merges=2, local_threshold=1_000_000)
+        assert calls == ["local"]
+        bpe_mod.learn_bpe(corpus, n_merges=2, local_threshold=0)
+        assert calls == ["local", "spark"]
+
+    def test_invalid_route_rejected(self, corpus):
+        with pytest.raises(ValueError):
+            learn_bpe(corpus, n_merges=2, route="gpu")
+
+    def test_local_route_many_merges_fast(self, corpus):
+        """The incremental trainer must keep producing reference-exact
+        merges deep into the list (regression net for the stats/index
+        bookkeeping) — run far past the corpus's merge capacity."""
+        got = learn_bpe(corpus, n_merges=500, route="local")
+        assert got == _py_bpe([t for _, t in CORPUS], 500)
+
 
 class TestBpeEncode:
     def test_encoding_reproduces_training_segmentation(self, corpus):
