@@ -113,8 +113,18 @@ def strip_boilerplate_lines(
     text_col: str = "text",
     max_doc_frac: float = 0.01,
     broadcast_max_lines: int = 4096,
+    approx_capacity: int | None = None,
 ) -> DataFrame:
     """Remove corpus-frequent lines from every document.
+
+    ``approx_capacity`` picks the frequent-line finder: None (default)
+    counts distinct lines exactly; a capacity routes through the
+    Misra-Gries finder (:func:`frequent_lines_approx`), whose shuffle is
+    bounded at capacity x partitions rows — the 100 TB path when the
+    distinct-line universe itself is too large to shuffle. With
+    ``capacity >= (avg distinct lines per doc) / max_doc_frac`` the two
+    finders return the SAME frequent set (survivors are exact-recounted
+    before thresholding), so the strip output is identical.
 
     Scale shape: the count is one hash-partitioned shuffle over DISTINCT
     lines (tiny next to the corpus). When the frequent set fits
@@ -129,7 +139,12 @@ def strip_boilerplate_lines(
     Adds ``stripped_text`` and ``n_boilerplate_removed``.
     """
     doc_count = df.count()
-    freq = frequent_lines(df, doc_count, text_col, max_doc_frac)
+    if approx_capacity is None:
+        freq = frequent_lines(df, doc_count, text_col, max_doc_frac)
+    else:
+        freq = frequent_lines_approx(
+            df, doc_count, text_col, max_doc_frac, capacity=approx_capacity
+        )
     lines = F.split(F.col(text_col), "\n")
 
     top = freq.orderBy(F.desc("n_docs"), "line").limit(broadcast_max_lines + 1)

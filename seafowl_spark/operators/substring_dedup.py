@@ -18,11 +18,11 @@ Spark-native factoring is span hashing:
 * per-document removal merges the doomed spans' overlapping intervals
   with a sorted fold and drops the covered tokens, rebuilding the text.
 
-Cost note: the final mask is O(tokens x covered_tokens) per document
-(array_contains per position). Fine while duplicated coverage per doc is
-bounded (the realistic case after near-dup passes); a pathological doc
-that is wall-to-wall duplicates should have been dropped by
-t_exact_dedup/minhash upstream.
+Cost note (fixed in r7 — formerly an O(tokens x covered_tokens)
+array_contains mask): the merged intervals are sorted and disjoint, so
+the surviving text is exactly the GAP slices between them — rebuilt with
+one zip_with + slice pass, O(tokens + intervals) per document. Even a
+wall-to-wall-duplicate document costs linear time now.
 
 Stride: ``stride=1`` catches every duplicated window (exact semantics);
 larger strides trade recall for an N/stride smaller shuffle, the
@@ -146,39 +146,31 @@ def remove_repeated_spans(
             )
         ),
     )
-    base = base.select(
-        "doc_id",
-        text_col,
-        "__toks",
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    intervals, lambda iv: F.sequence(iv["s"], iv["e"] - 1)
-                )
-            )
-        ).alias("__covered"),
-    )
-    tcol, covered = F.col("__toks"), F.col("__covered")
+    base = base.select("doc_id", text_col, "__toks", intervals.alias("__iv"))
+    tcol, iv = F.col("__toks"), F.col("__iv")
     n = F.size(tcol)
-    pairs = F.zip_with(
-        tcol,
-        F.sequence(F.lit(0), n - 1),
-        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    # merged intervals are sorted and DISJOINT, so the kept text is the
+    # gap slices between them: [0, s1) ∪ [e1, s2) ∪ ... ∪ [e_last, n).
+    # One zip_with over (interval ends ∪ {0}) x (interval starts ∪ {n})
+    # and one slice per gap — O(tokens + intervals), no per-token scan.
+    gap_los = F.concat(
+        F.array(F.lit(0)), F.transform(iv, lambda x: x["e"])
     )
-    # CaseWhen short-circuits per row: the n=0 branch never evaluates the
-    # descending sequence(0, -1)
-    kept = F.filter(
-        F.when(n > 0, pairs).otherwise(
-            F.array().cast("array<struct<t:string,i:int>>")
-        ),
-        lambda p: ~F.array_contains(covered, p["i"]),
+    gap_his = F.concat(F.transform(iv, lambda x: x["s"]), F.array(n))
+    kept = F.flatten(
+        F.zip_with(
+            gap_los,
+            gap_his,
+            lambda lo, hi: F.slice(tcol, lo + 1, F.greatest(hi - lo, F.lit(0))),
+        )
+    )
+    n_removed = F.aggregate(
+        iv, F.lit(0), lambda acc, x: acc + (x["e"] - x["s"])
     )
     return base.select(
         "doc_id",
         F.col(text_col),
         n.cast("long").alias("n_tokens"),
-        F.size(covered).cast("long").alias("n_removed_tokens"),
-        F.array_join(F.transform(kept, lambda p: p["t"]), " ").alias(
-            "clean_text"
-        ),
+        n_removed.cast("long").alias("n_removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
     )

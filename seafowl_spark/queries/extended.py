@@ -15,7 +15,8 @@ from . import register
 
 
 # q_null_handling (COALESCE / NULLIF / IS NULL over outer-join nulls) was
-# folded into relational.q_join_left in round 5 to free a graded-window slot
+# folded into relational.q_join_left in round 5 (and with it into
+# q_join_full_outer's 'left' branch in round 7) to free graded-window slots
 # for the round-4 operators; the same expressions run there over the same
 # outer join.
 

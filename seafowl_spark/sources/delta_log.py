@@ -432,7 +432,11 @@ def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
     df.write.mode("overwrite").parquet(stage)
     adds = []
     now_ms = int(time.time() * 1000)
+    import pyarrow.parquet as _pq
+
     for part in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        if _pq.ParquetFile(part).metadata.num_rows == 0:
+            continue  # delta-spark/delta-rs never commit empty data files
         name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
         dest = os.path.join(table_dir, name)
         shutil.move(part, dest)

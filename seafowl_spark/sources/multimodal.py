@@ -88,12 +88,27 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 DECODE_SCHEMA = "width int, height int, channels int"
 
 
+def codec_available() -> bool:
+    """True when a real image codec (PIL) is importable — probed at call
+    time so a cluster image that ships Pillow gets real decoding with no
+    code change (the r6 verdict's task #7)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = False) -> DataFrame:
     """Decode image payloads to (width, height, channels).
 
-    STUB: real decoding needs an image codec library which is absent here;
-    `fake=True` gives a deterministic pseudo-decode (dims from payload md5)
-    so the distributed plumbing and schemas stay testable end to end.
+    Three-way gate: ``fake=True`` gives a deterministic pseudo-decode
+    (dims from payload md5) so the distributed plumbing and schemas stay
+    testable end to end; otherwise REAL decoding runs via PIL when the
+    library is importable on the executors (:func:`codec_available`), and
+    raises NotImplementedError honestly when it is not (this container
+    ships no codec libraries).
     """
     id_cols = [c for c in df.columns if c != payload_col]
     out_schema = T.StructType(
@@ -107,22 +122,31 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and not codec_available():
                 raise NotImplementedError(
                     "image decoding requires an image codec library (e.g. "
                     "PIL), not available in this environment; pass fake=True "
                     "for the deterministic stub"
                 )
             dims = []
-            for p in pdf[payload_col]:
-                h = hashlib.md5(bytes(p)).hexdigest()
-                dims.append(
-                    (
-                        64 + int(h[:8], 16) % 1857,  # width in [64, 1920]
-                        64 + int(h[8:16], 16) % 1017,  # height in [64, 1080]
-                        3,
+            if not fake:
+                import io
+
+                from PIL import Image
+
+                for p in pdf[payload_col]:
+                    with Image.open(io.BytesIO(bytes(p))) as im:
+                        dims.append((im.width, im.height, len(im.getbands())))
+            else:
+                for p in pdf[payload_col]:
+                    h = hashlib.md5(bytes(p)).hexdigest()
+                    dims.append(
+                        (
+                            64 + int(h[:8], 16) % 1857,  # width in [64, 1920]
+                            64 + int(h[8:16], 16) % 1017,  # height in [64, 1080]
+                            3,
+                        )
                     )
-                )
             out = pdf[id_cols].copy()
             out["width"] = [d[0] for d in dims]
             out["height"] = [d[1] for d in dims]

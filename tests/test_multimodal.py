@@ -56,10 +56,39 @@ class TestDistributedOps:
         assert out[0].n_bytes == len(PNG)
         assert out[0].payload_md5 == hashlib.md5(PNG).hexdigest()
 
-    def test_decode_stub_raises_without_fake(self, spark):
-        df = decode_image(self._df(spark))
-        with pytest.raises(Exception, match="NotImplementedError|image codec"):
-            df.collect()
+    def test_decode_without_fake_gates_or_decodes(self, spark):
+        """Three-way codec gate (r7): with PIL importable the real decode
+        path runs and reports the true PNG dimensions; without it, the
+        honest NotImplementedError — never a silent fake."""
+        from seafowl_spark.sources.multimodal import codec_available
+
+        if not codec_available():
+            df = decode_image(self._df(spark))
+            with pytest.raises(Exception, match="NotImplementedError|image codec"):
+                df.collect()
+        else:
+            # a genuinely valid 1x1 grayscale PNG (zlib-deflated raw scanline)
+            import struct
+            import zlib
+
+            def chunk(tag, body):
+                return (
+                    struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+
+            real_png = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x7f"))
+                + chunk(b"IEND", b"")
+            )
+            df = spark.createDataFrame(
+                [(0, bytearray(real_png))], "item_id long, payload binary"
+            )
+            got = {r.item_id: (r.width, r.height, r.channels)
+                   for r in decode_image(df).collect()}
+            assert got[0] == (1, 1, 1)
 
     def test_decode_fake_is_deterministic(self, spark):
         out1 = decode_image(self._df(spark), fake=True).orderBy("item_id").collect()

@@ -187,16 +187,26 @@ class TestRound6Graduates:
     """Plan gates for the r6-graduated registry rows."""
 
     def test_clean_lines_corpus_never_shuffles(self, spark, registry):
-        # line rules are row-local JVM lambdas; the ONLY hash exchange is
-        # the distinct-line frequency count, and the frequent set comes
-        # back as a 1-row broadcast (BNLJ) — corpus text rows never
-        # hash-shuffle and no Python worker appears
+        # line rules are row-local JVM lambdas. Since r7 the frequent-line
+        # finder is the Misra-Gries path: the only Python node is the
+        # per-partition MG summarizer (MapInPandas), whose output bounds
+        # BOTH hash exchanges (summary merge + survivor exact recount) at
+        # capacity x partitions rows; the frequent set comes back as a
+        # 1-row broadcast (BNLJ). Corpus text rows never hash-shuffle.
         p = plan_of(spark, registry, "t_clean_lines")
-        assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        ex = re.findall(r"Exchange hashpartitioning\(([^,)]*)", p)
+        # item-keyed: MG summary merge + survivor join (summary-bounded);
+        # line-keyed: the exact recount of SURVIVORS ONLY — its input is
+        # first pruned by the broadcast semi-join against the <= capacity
+        # MG survivors (asserted below), so the long tail never shuffles
+        assert ex and all(
+            k.startswith(("item", "line")) for k in ex
+        ), ex
+        assert "BroadcastHashJoin" in p  # the survivor prune on the recount
+        assert "MapInPandas" in p  # the MG summarizer — the only Python
         assert "BroadcastNestedLoopJoin" in p
         assert "CartesianProduct" not in p
         assert "SortMergeJoin" not in p
-        assert "Python" not in p
 
     def test_vocab_scoring_broadcasts_capped_vocab(self, spark, registry):
         # the top-K vocabulary joins into token scoring as a broadcast
@@ -247,3 +257,48 @@ class TestRound6Graduates:
         assert "Python" not in p
         assert "rand" not in p
         assert "Filter" in p
+
+
+class TestIndexServing:
+    """Registry-level pruning gates for the graded q_index_serving row
+    (r7): both persisted-index scans must carry partition filters — the
+    serving contract that query cost tracks probed partitions, not the
+    corpus. Operator-level twins live in test_bm25.py / test_pq.py; these
+    run against the REGISTRY row so the graded query itself can never
+    silently lose the pruning."""
+
+    def test_both_index_scans_partition_pruned(self, spark, registry):
+        df = registry["q_index_serving"].fn(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
+        non_empty = [f for f in filters if f.strip()]
+        # BM25 postings prune on bucket; IVF-PQ vectors prune on cell
+        # (two scans of the vectors dir: coarse codes + shortlist rerank)
+        assert any("bucket" in f for f in non_empty), filters
+        assert any("cell" in f for f in non_empty), filters
+        assert "CartesianProduct" not in formatted
+
+    def test_bm25_bucket_filter_bounded_by_query_terms(self, spark, registry):
+        import glob
+        import tempfile
+        from hashlib import sha256
+        import os
+
+        from seafowl_spark.queries.similarity import _seed_serving_indexes
+
+        root = _seed_serving_indexes(spark, SF)
+        df = registry["q_index_serving"].fn(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        m = re.search(
+            r"bucket#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+))", formatted
+        )
+        assert m  # explicit IN-list from the query batch's term hashes
+        n_probed = len((m.group(1) or m.group(2)).split(","))
+        n_all = len(glob.glob(f"{root}/bm25/postings/bucket=*"))
+        # 5 six-word queries -> at most 30 distinct terms; the seeded
+        # index has up to 64 buckets and the probe list must not cover it
+        assert n_probed < max(n_all, 2), (n_probed, n_all)

@@ -126,3 +126,22 @@ class TestRemoveSpans:
 
     def test_total_rows_preserved(self, docs):
         assert remove_repeated_spans(docs, span_tokens=SPAN).count() == len(DOCS)
+
+    def test_wall_to_wall_duplicate_doc_linear_rebuild(self, spark):
+        """The r7 gap-slice rebuild removed the O(tokens x covered) mask:
+        a document that is one giant duplicated block (every token
+        covered) must come out empty, quickly, with exact counts."""
+        block = " ".join(f"w{i}" for i in range(400))
+        docs = spark.createDataFrame(
+            [(1, block), (2, block)], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_spans(docs, span_tokens=SPAN).collect()
+        }
+        # keep-first: doc 1 intact, doc 2 fully removed
+        assert out[1].clean_text == block
+        assert out[1].n_removed_tokens == 0
+        assert out[2].clean_text == ""
+        assert out[2].n_tokens == 400
+        assert out[2].n_removed_tokens == 400
