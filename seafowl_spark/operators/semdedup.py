@@ -1,0 +1,146 @@
+"""SemDeDup — semantic deduplication via embedding clustering (Abbas et
+al. 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication").
+
+The sixth dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+embedding-LSH near-dup live in queries/text.py, queries/similarity.py,
+operators/neardup.py): where embedding_neardup finds NEAR-duplicates by
+LSH bucket, SemDeDup targets SEMANTIC duplicates — different surface
+text, same meaning — by comparing pairs only WITHIN k-means clusters of
+the (L2-normalized) embedding space.
+
+Spark-first factoring, the paper's algorithm step for step:
+
+1. cluster: reuse operators/kmeans.fit_kmeans / assign_cells (decimal-
+   exact, bit-reproducible centroids; codebook rides the UDF closure so
+   the plan is O(1) in k). At 100 TB, fit on a sample — assignment is
+   the only corpus-sized pass.
+2. per-row priority = cosine similarity to the OWN cluster centroid; the
+   paper keeps the example with the LOWEST centroid similarity from each
+   duplicate group, so priority orders ascending (ties break on id).
+3. candidate pairs: within-cluster self-join keyed on ``cell`` — never
+   all-pairs; a ROW_NUMBER cap bounds pathological clusters exactly like
+   the LSH-bucket cap in queries/similarity.py (capped rows pass through
+   as survivors rather than being silently dropped).
+4. a row is a duplicate iff some same-cluster row with strictly smaller
+   (priority, id) has cosine >= ``threshold``; ``dup_of`` records the
+   smallest such neighbor, NULL marks survivors. One join + one
+   aggregation, no iterative fixpoint — the same greedy survivor rule
+   embedding_neardup documents.
+
+Reference parity: the reference engine has no semantic dedup; this
+extends the training-data operator family it also lacks (SURVEY.md
+training-data section).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .kmeans import assign_cells, fit_kmeans
+from .pq import _centroids_df, _with_l2_normalized
+
+# bound the within-cluster self-join on pathological clusters: rows past
+# the cap survive unexamined (conservative — dedup may miss, never
+# over-drops), mirroring queries/similarity.MAX_BUCKET_ROWS
+MAX_CLUSTER_ROWS = 2000
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "emb",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    max_cluster_rows: int = MAX_CLUSTER_ROWS,
+) -> DataFrame:
+    """(id, cell, centroid_sim, dup_of, is_kept) for every input row.
+
+    ``dup_of`` is the lowest-(centroid_sim, id) same-cluster row whose
+    cosine with this row reaches ``threshold`` (NULL = survivor,
+    ``is_kept`` mirrors it as a boolean). Pass ``centroids`` (e.g. fit on
+    a sample) to skip training; otherwise ``fit_kmeans(k, max_iter)``
+    trains on the normalized input."""
+    norm = _with_l2_normalized(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, "__nv"
+    )
+    if centroids is None:
+        centroids = fit_kmeans(
+            norm.select(F.col(id_col), F.col("__nv").alias(vec_col)),
+            vec_col=vec_col,
+            id_col=id_col,
+            k=k,
+            max_iter=max_iter,
+        )
+    assigned = assign_cells(norm, centroids, "__nv").join(
+        F.broadcast(_centroids_df(df, centroids)), "cell"
+    )
+    # normalized vectors: dot(x, centroid)/|centroid| == cos(x, centroid)
+    cent_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__cent"), lambda c: c * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    dot_cent = F.aggregate(
+        F.zip_with(F.col("__nv"), F.col("__cent"), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    prio = assigned.select(
+        F.col(id_col),
+        "cell",
+        "__nv",
+        F.when(cent_norm > 0, dot_cent / cent_norm)
+        .otherwise(F.lit(0.0))
+        .alias("centroid_sim"),
+    )
+    w = Window.partitionBy("cell").orderBy("centroid_sim", id_col)
+    capped = prio.withColumn("__rn", F.row_number().over(w))
+    in_play = capped.where(F.col("__rn") <= max_cluster_rows)
+
+    a = in_play.select(
+        "cell",
+        F.col(id_col).alias("__id_a"),
+        F.col("__nv").alias("__nv_a"),
+        F.col("centroid_sim").alias("__cs_a"),
+    )
+    b = in_play.select(
+        "cell",
+        F.col(id_col).alias("__id_b"),
+        F.col("__nv").alias("__nv_b"),
+        F.col("centroid_sim").alias("__cs_b"),
+    )
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("__nv_a"), F.col("__nv_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(
+            (F.col("__cs_a") < F.col("__cs_b"))
+            | (
+                (F.col("__cs_a") == F.col("__cs_b"))
+                & (F.col("__id_a") < F.col("__id_b"))
+            )
+        )
+        .where(pair_cos >= threshold)
+        .groupBy(F.col("__id_b").alias(id_col))
+        .agg(F.min(F.struct("__cs_a", "__id_a"))["__id_a"].alias("dup_of"))
+    )
+    return (
+        capped.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            "centroid_sim",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
