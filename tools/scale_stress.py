@@ -43,6 +43,11 @@ QUERIES = [
     # round-6 graduates
     "t_clean_lines",
     "t_vocab_unigram",
+    # round-7 graduates (q_pagerank: nation graph is fixed-size, so only
+    # the edge-derivation join grows — growth ~N; q_bpe_train: one
+    # corpus word count + driver-side training — growth well under N)
+    "q_pagerank",
+    "q_bpe_train",
 ]
 
 
@@ -265,6 +270,70 @@ def main() -> None:
         ).format("noop").save()
         return round(time.perf_counter() - t0, 2)
 
+    def serving_stress(sf_dir: str) -> float:
+        """Persisted-index SERVING only (index build excluded): both
+        scans prune to probed partitions, so growth should sit well
+        UNDER N even though the corpus is Nx."""
+        from seafowl_spark.operators.bm25 import bm25_topk_indexed, write_bm25_index
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.pq import (
+            fit_pq_residual,
+            ivf_pq_topk_indexed,
+            normalized,
+            write_ivfpq_index,
+        )
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sfs_serve_stress_")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        write_bm25_index(docs, f"{d}/bm25", n_buckets=64)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cn = normalized(emb)
+        cents = fit_kmeans(cn.sample(0.2, seed=7), k=8, max_iter=2)
+        books = fit_pq_residual(cn.sample(0.2, seed=7), cents, m=8, ksub=16, max_iter=1)
+        write_ivfpq_index(emb, f"{d}/ivfpq", cents, books)
+        bq = spark.createDataFrame(
+            [(1, "spark merge join window"), (2, "batch stream filter")],
+            ["query_id", "query_text"],
+        )
+        vq = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        t0 = time.perf_counter()
+        bm25_topk_indexed(spark, f"{d}/bm25", bq, k=10).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        ivf_pq_topk_indexed(spark, f"{d}/ivfpq", vq, k=10, nprobe=2).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(d, ignore_errors=True)
+        return dt
+
+    def semdedup_stress(sf_dir: str) -> float:
+        """Fixed centroids (identical model both sizes): assignment is
+        corpus-linear, the within-cluster join is bounded by the cap —
+        growth ~N until clusters saturate the cap, then flat."""
+        from seafowl_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        dim, ncell = 64, 8
+        cents = [
+            [0.05 * ((c + d) % 9 - 4) for d in range(dim)] for c in range(ncell)
+        ]
+        t0 = time.perf_counter()
+        semdedup(emb, centroids=cents, threshold=0.3).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
     for name, fn in [
         ("bm25_topk", bm25_stress),
         ("ivf_pq_topk", ivf_pq_stress),
@@ -272,6 +341,8 @@ def main() -> None:
         ("bpe_train5", bpe_stress),
         ("substring_dedup", substring_stress),
         ("mixture_sample", mixture_stress),
+        ("index_serving", serving_stress),
+        ("semdedup", semdedup_stress),
     ]:
         t1, tn = fn(base), fn(out_dir)
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
