@@ -205,7 +205,7 @@ def frequent_lines_approx(
     text_col: str = "text",
     max_doc_frac: float = 0.01,
     min_words: int = 1,
-    capacity: int = 4096,
+    capacity: int | str = 4096,
 ) -> DataFrame:
     """Misra-Gries variant of :func:`frequent_lines` for corpora whose
     DISTINCT-line universe is itself too large to shuffle comfortably
@@ -219,8 +219,11 @@ def frequent_lines_approx(
     exact-recounted before thresholding — see operators/heavy_hitters.py)
     whenever ``capacity >= L / max_doc_frac``. The default 4096 covers
     L <= ~40 at the default 1% threshold; beyond that, frequent lines
-    near the threshold may be missed — size ``capacity`` from a measured
-    lines-per-doc estimate when documents are long."""
+    near the threshold may be missed. ``capacity="auto"`` MEASURES L
+    (one count over the exploded lines, already the frame this operator
+    builds) and sizes ``capacity = 2L / max_doc_frac`` — the exactness
+    guarantee then holds by construction at any document length, at the
+    cost of that one extra counting pass."""
     from .heavy_hitters import approx_top_k
 
     lines = (
@@ -237,6 +240,12 @@ def frequent_lines_approx(
             >= min_words
         )
     )
+    if capacity == "auto":
+        n_lines = lines.count()
+        l_per_doc = n_lines / max(doc_count, 1)
+        capacity = max(1024, int(2 * l_per_doc / max_doc_frac) + 1)
+    elif not isinstance(capacity, int):
+        raise ValueError(f"capacity must be an int or 'auto', got {capacity!r}")
     threshold = max(int(doc_count * max_doc_frac), 1)
     return (
         approx_top_k(lines, "line", k=capacity, capacity=capacity)

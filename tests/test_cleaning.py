@@ -132,3 +132,43 @@ class TestFrequentLinesApprox:
         assert approx == exact
         assert ("all rights reserved.", 60) in approx
         assert any(l == "subscribe now!" for l, _ in approx)
+
+    def test_auto_capacity_sizes_from_measured_lines_per_doc(self, spark):
+        """capacity='auto' measures lines/doc and sizes 2L/max_doc_frac,
+        so the exact-equivalence guarantee holds even for long documents
+        where the 4096 default would be too small."""
+        from seafowl_spark.operators.cleaning import (
+            frequent_lines,
+            frequent_lines_approx,
+        )
+
+        # 30 docs x ~50 distinct lines each: L ~ 51 > 40, the default
+        # capacity's guarantee limit at 1%
+        docs = [
+            (
+                i,
+                "\n".join(f"line {i} {j}" for j in range(50))
+                + "\nall rights reserved.",
+            )
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        exact = {
+            (r.line, r.n_docs)
+            for r in frequent_lines(df, 30, max_doc_frac=0.05).collect()
+        }
+        auto = {
+            (r.line, r.n_docs)
+            for r in frequent_lines_approx(
+                df, 30, max_doc_frac=0.05, capacity="auto"
+            ).collect()
+        }
+        assert auto == exact
+        assert ("all rights reserved.", 30) in auto
+
+    def test_bad_capacity_rejected(self, spark):
+        from seafowl_spark.operators.cleaning import frequent_lines_approx
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            frequent_lines_approx(df, 1, capacity="huge")

@@ -43,10 +43,10 @@ QUERIES = [
     # round-6 graduates
     "t_clean_lines",
     "t_vocab_unigram",
-    # round-7 graduates (q_pagerank: nation graph is fixed-size, so only
-    # the edge-derivation join grows — growth ~N; q_bpe_train: one
-    # corpus word count + driver-side training — growth well under N)
-    "q_pagerank",
+    # round-7 graduate (one corpus word count + driver-side training —
+    # growth well under N; q_pagerank instead gets a custom runner with
+    # an edge list that actually scales, since only documents/embeddings
+    # inflate)
     "q_bpe_train",
 ]
 
@@ -108,12 +108,27 @@ def inflate(base: str, out_dir: str, factor: int) -> None:
     print(f"inflated {n} docs/{m} vecs -> {n * factor}/{m * factor}", file=sys.stderr)
 
 
+def link_base_tables(base: str, out_dir: str) -> None:
+    """Symlink the non-inflated tables (TPC-H relations, events) into the
+    inflated dir so any registry query can run there; only documents and
+    embeddings scale with the factor."""
+    for f in os.listdir(base):
+        if not f.endswith(".parquet"):
+            continue
+        if f.split(".")[0] in ("documents", "embeddings"):
+            continue
+        dst = os.path.join(out_dir, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f), dst)
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_dir = f"/tmp/seafowl_spark_scale_{factor}x"
     if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         inflate(base, out_dir, factor)
+    link_base_tables(base, out_dir)
 
     from seafowl_spark.queries import load_all
     from seafowl_spark.session import build_session
@@ -315,6 +330,27 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
         return dt
 
+    def pagerank_stress(sf_dir: str) -> float:
+        """3 rounds over a synthetic edge list sized to the corpus
+        (the registry row's nation graph is fixed-size, so it cannot
+        measure scaling): per round one src-keyed join + one dst
+        aggregate — growth ~N."""
+        from seafowl_spark.operators.graph import pagerank
+
+        n_docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        n_edges, n_verts = n_docs * 8, max(n_docs // 4, 8)
+        edges = spark.range(n_edges).select(
+            (F.col("id") % n_verts).alias("src"),
+            ((F.col("id") * 7 + 3) % n_verts).alias("dst"),
+        )
+        t0 = time.perf_counter()
+        pagerank(edges, max_iter=3, tol=0.0).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.perf_counter() - t0, 2)
+
     def semdedup_stress(sf_dir: str) -> float:
         """Fixed centroids (identical model both sizes): assignment is
         corpus-linear, the within-cluster join is bounded by the cap —
@@ -343,6 +379,7 @@ def main() -> None:
         ("mixture_sample", mixture_stress),
         ("index_serving", serving_stress),
         ("semdedup", semdedup_stress),
+        ("pagerank3", pagerank_stress),
     ]:
         t1, tn = fn(base), fn(out_dir)
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
