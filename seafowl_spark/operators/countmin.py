@@ -40,16 +40,16 @@ def _cell(item_col, d: int, width: int):
     )
 
 
-def count_min_build(
+def count_min_cells(
     df: DataFrame,
     item_col: str,
     width: int = 1024,
     depth: int = 4,
     weight_col: str | None = None,
 ) -> DataFrame:
-    """Build the sketch: (d, col, cnt) rows, at most depth x width of
-    them. NULL items are skipped; non-positive weights are skipped (the
-    MG summary's rules, so the two sketches agree on what "counts")."""
+    """The stateless cell mapping: (d, col, __w) rows, ``depth`` per
+    input item. Shared by the batch build and streaming — it contains no
+    aggregation, so it composes with a streaming groupBy unchanged."""
     if width <= 0 or depth <= 0:
         raise ValueError("width and depth must be positive")
     w = (
@@ -60,7 +60,7 @@ def count_min_build(
     src = df.where(F.col(item_col).isNotNull()).where(w > 0).select(
         F.col(item_col).alias("__item"), w.alias("__w")
     )
-    cells = src.select(
+    return src.select(
         "__w",
         F.explode(
             F.array(
@@ -73,9 +73,29 @@ def count_min_build(
                 ]
             )
         ).alias("c"),
-    )
+    ).select(F.col("c.d").alias("d"), F.col("c.col").alias("col"), "__w")
+
+
+def count_min_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch: (d, col, cnt) rows, at most depth x width of
+    them. NULL items are skipped; non-positive weights are skipped (the
+    MG summary's rules, so the two sketches agree on what "counts").
+
+    Streaming: because the cell mapping is stateless and the key space is
+    the sketch itself, this same expression over a ``readStream`` source
+    is a FIXED-STATE streaming aggregation — at most depth x width state
+    rows no matter how many distinct items the stream carries, the
+    property that makes CM the right frequency summary for unbounded
+    token/URL/user streams (tested in test_streaming.py)."""
     return (
-        cells.groupBy(F.col("c.d").alias("d"), F.col("c.col").alias("col"))
+        count_min_cells(df, item_col, width, depth, weight_col)
+        .groupBy("d", "col")
         .agg(F.sum("__w").alias("cnt"))
     )
 

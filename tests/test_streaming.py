@@ -430,3 +430,69 @@ class TestStreamingIndexMaintenance:
         assert got == expect and got
         # sanity: the spark-y query ranks the spark-heavy doc first
         assert got[(1, 1)][0] == 3
+
+
+class TestStreamingCountMin:
+    def test_sketch_is_fixed_state_streaming_aggregate(self, spark, tmp_path):
+        """Count-Min over a stream: the cell mapping is stateless and the
+        groupBy key space IS the sketch (<= depth x width), so the same
+        count_min_build expression runs as a native streaming aggregation
+        with bounded state regardless of distinct-item cardinality.
+        Two micro-batches accumulate; estimates from the final sketch
+        must dominate the exact cross-batch counts."""
+        import json
+
+        from seafowl_spark.operators.countmin import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        W, D = 512, 4
+        src = tmp_path / "cm_src"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            "".join(
+                json.dumps({"token": t}) + "\n"
+                for t in ["spark"] * 5 + ["task"] * 2 + ["oven"]
+            )
+        )
+        stream = spark.readStream.schema("token string").json(str(src))
+        sketch = count_min_build(stream, "token", width=W, depth=D)
+        q = (
+            sketch.writeStream.format("memory")
+            .queryName("cm_sketch")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        (src / "b1.json").write_text(
+            "".join(
+                json.dumps({"token": t}) + "\n"
+                for t in ["spark"] * 3 + ["task"] + ["bake"] * 2
+            )
+        )
+        q2 = (
+            sketch.writeStream.format("memory")
+            .queryName("cm_sketch")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        final = spark.sql("SELECT * FROM cm_sketch")
+        assert final.count() <= W * D
+        exact = {"spark": 8, "task": 3, "oven": 1, "bake": 2}
+        qdf = spark.createDataFrame([(t,) for t in exact], ["token"])
+        got = {
+            r.token: r.est_count
+            for r in count_min_estimate(final, qdf, "token", width=W, depth=D).collect()
+        }
+        for t, n in exact.items():
+            assert got[t] >= n, (t, got[t], n)
+        # tiny live-cell count vs the 512x4 table: no collisions expected
+        assert got == exact
