@@ -8,6 +8,7 @@ per-operator test exercises.
     documents
       -> exact substring dedup (repeated-span removal)
       -> whole-document exact dedup (hash, keep lowest id)
+      -> semantic dedup (SemDeDup over the embeddings table, r7)
       -> repetition gate (Gopher metrics)
       -> language classification (NB trained on surviving labels)
       -> unigram-LM quality score + threshold
@@ -67,8 +68,25 @@ class TestCorpusPipelineEndToEnd:
         )
         n2 = exact.count()
 
+        # 2b. semantic dedup: SemDeDup over the embeddings table (vec_id
+        # aligns with doc_id in the synthetic corpus); docs without an
+        # embedding pass through as kept (left join, conservative)
+        from seafowl_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        ).join(exact.select("doc_id"), "doc_id")
+        sem_kept = semdedup(
+            emb, k=8, threshold=0.45, id_col="doc_id", max_iter=2
+        ).where(F.col("is_kept")).select("doc_id")
+        sem = exact.join(sem_kept, "doc_id", "left_semi").unionAll(
+            exact.join(emb.select("doc_id"), "doc_id", "left_anti")
+        )
+        n2b = sem.count()
+
         # 3. repetition gate
-        gated = repetition_metrics(exact, "text").where(
+        gated = repetition_metrics(sem, "text").where(
             (F.col("dup_token_frac") < 0.95) & (F.col("max_run_len") <= 8)
         ).select("doc_id", "text", "lang")
         n3 = gated.count()
@@ -122,7 +140,7 @@ class TestCorpusPipelineEndToEnd:
             shard_cols=["predicted"],
         )
         return dict(
-            n=(n0, n1, n2, n3, n4, n5, n6),
+            n=(n0, n1, n2, n2b, n3, n4, n5, n6),
             merges=merges,
             packed=packed,
         )
