@@ -864,6 +864,18 @@ class SeafowlContext:
         t.truncate()
         self._record(entry, t)
 
+    def _exec_add_column(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.add_column(stmt.column, stmt.dtype)
+        self._record(entry, t)
+
+    def _exec_drop_column(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.drop_column(stmt.column)
+        self._record(entry, t)
+
     def _exec_optimize(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))

@@ -972,6 +972,88 @@ class DeltaLiteTable:
             "UPDATE", dv_adds + new_adds, removes, base_version=snap.version
         )
 
+    # ------------------------------------------------- schema evolution
+
+    def add_column(self, name: str, dtype: str) -> Commit:
+        """ALTER TABLE ADD COLUMN — a METADATA-ONLY commit (beyond the
+        reference, which only supports RENAME: src/context/logical.rs:193
+        rejects every other AlterTableOperation). Existing data files are
+        untouched; reads use the snapshot schema explicitly
+        (:meth:`_scan_files`), so Spark null-fills the new column for old
+        files — the standard Delta add-column semantics. Time travel to a
+        pre-ALTER version sees the old schema (snapshot replays metadata
+        per version).
+
+        Re-adding a previously DROPPED name is rejected: without
+        column-mapping ids, old files still physically hold the dropped
+        values and they would silently resurface under the new column."""
+        snap = self.snapshot()
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        if name in schema.fieldNames():
+            raise DeltaLiteError(f"column {name!r} already exists")
+        dropped = snap.properties.get("dropped_columns") or []
+        if name in dropped:
+            raise DeltaLiteError(
+                f"column {name!r} was previously dropped; old data files "
+                "still contain it and its values would resurface — use a "
+                "fresh column name"
+            )
+        # validate the type by round-tripping it through the DDL parser
+        try:
+            T.StructType.fromDDL(f"__probe {dtype}")
+        except Exception as e:  # noqa: BLE001 — surface as engine error
+            raise DeltaLiteError(f"invalid column type {dtype!r}: {e}") from None
+        new_ddl = snap.schema_ddl + f", {name} {dtype}"
+        return self._next_commit(
+            "ADD COLUMN",
+            [],
+            [],
+            metadata={"schema_ddl": new_ddl, "properties": snap.properties},
+            base_version=snap.version,
+        )
+
+    def drop_column(self, name: str) -> Commit:
+        """ALTER TABLE DROP COLUMN — metadata-only: the column leaves the
+        read schema; bytes stay in the data files until those files are
+        rewritten by later DML/OPTIMIZE (Delta's semantics without a
+        purge). Rejected for bucket columns (the layout hashes on them)
+        and for the last remaining column. The name is remembered in
+        ``dropped_columns`` so :meth:`add_column` cannot resurrect it."""
+        snap = self.snapshot()
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        if name not in schema.fieldNames():
+            raise DeltaLiteError(f"no such column {name!r}")
+        if len(schema.fields) == 1:
+            raise DeltaLiteError("cannot drop the last column")
+        spec = snap.bucket_spec
+        if spec and name in spec[0]:
+            raise DeltaLiteError(
+                f"column {name!r} is a bucket column; the file layout "
+                "hashes on it — rewrite the table instead"
+            )
+        zcols = snap.properties.get("zorder_by")
+        zlist = (
+            zcols.split(",") if isinstance(zcols, str) else list(zcols or [])
+        )
+        props = dict(snap.properties)
+        if name in zlist:
+            props["zorder_by"] = [c for c in zlist if c != name]
+        new_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.name != name
+        )
+        props["dropped_columns"] = list(
+            (snap.properties.get("dropped_columns") or [])
+        ) + [name]
+        return self._next_commit(
+            "DROP COLUMN",
+            [],
+            [],
+            metadata={"schema_ddl": new_ddl, "properties": props},
+            base_version=snap.version,
+        )
+
     def truncate(self) -> Commit:
         """A14: new commit removing every file."""
         snap = self.snapshot()

@@ -392,6 +392,25 @@ def parse_statement(sql: str) -> Statement:
     if m:
         return Statement("rename_table", s, {"name": m.group(1), "new_name": m.group(2)})
 
+    m = re.match(
+        rf"(?i)^alter\s+table\s+({_QNAME})\s+add\s+column\s+({_IDENT})\s+(.+?)\s*$",
+        s,
+    )
+    if m:
+        return Statement(
+            "add_column",
+            s,
+            {"name": m.group(1), "column": m.group(2), "dtype": m.group(3)},
+        )
+
+    m = re.match(
+        rf"(?i)^alter\s+table\s+({_QNAME})\s+drop\s+column\s+({_IDENT})\s*$", s
+    )
+    if m:
+        return Statement(
+            "drop_column", s, {"name": m.group(1), "column": m.group(2)}
+        )
+
     m = re.match(rf"(?i)^drop\s+table\s+(if\s+exists\s+)?({_QNAME})\s*$", s)
     if m:
         return Statement("drop_table", s, {"if_exists": bool(m.group(1)), "name": m.group(2)})

@@ -101,9 +101,22 @@ class TestDeltaliteSnapshotReplay:
             # target small so compaction actually rewrites; folds DVs back
             _tbl(ctx, name).optimize(target_rows=64)
 
+        n_alters = [0]
+
+        def do_alter():
+            # metadata-only schema evolution mid-sequence: the column is
+            # all-NULL so the (k, v) model is unaffected, but snapshot
+            # replay must carry the per-version schema across checkpoints
+            n_alters[0] += 1
+            ctx.execute(
+                f"ALTER TABLE {name} ADD COLUMN extra_{n_alters[0]} DOUBLE"
+            )
+
         do_append()
         for _ in range(11):
-            rng.choice([do_append, do_append, do_delete, do_update, do_optimize])()
+            rng.choice(
+                [do_append, do_append, do_delete, do_update, do_optimize, do_alter]
+            )()
 
         t = _tbl(ctx, name)
         vs = t.versions()

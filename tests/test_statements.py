@@ -840,3 +840,83 @@ class TestMergeStatement:
                 "MERGE INTO mg5 t USING (SELECT 1 AS k) s ON t.k = s.k "
                 "WHEN MATCHED THEN UPDATE SET v = 'x'"
             )
+
+
+class TestSchemaEvolution:
+    """ALTER TABLE ADD/DROP COLUMN (r7, beyond the reference — its
+    planner rejects every AlterTableOperation except RenameTable,
+    reference src/context/logical.rs:193): metadata-only commits; old
+    files null-fill added columns on read; time travel keeps per-version
+    schemas; dropped names cannot be resurrected."""
+
+    def _seed(self, ctx, name="ev"):
+        ctx.execute(f"CREATE TABLE {name} (k BIGINT, v STRING)")
+        ctx.execute(f"INSERT INTO {name} VALUES (1, 'a'), (2, 'b')")
+        return name
+
+    def test_add_column_null_fills_old_rows(self, ctx):
+        n = self._seed(ctx)
+        ctx.execute(f"ALTER TABLE {n} ADD COLUMN score DOUBLE")
+        got = rows(ctx.execute(f"SELECT k, v, score FROM {n}"))
+        assert got == [(1, "a", None), (2, "b", None)]
+        ctx.execute(f"INSERT INTO {n} VALUES (3, 'c', 1.5)")
+        got = rows(ctx.execute(f"SELECT k, score FROM {n}"))
+        assert got == [(1, None), (2, None), (3, 1.5)]
+        # UPDATE can set the new column on pre-ALTER rows
+        ctx.execute(f"UPDATE {n} SET score = 9.0 WHERE k = 1")
+        got = rows(ctx.execute(f"SELECT k, score FROM {n} WHERE k = 1"))
+        assert got == [(1, 9.0)]
+
+    def test_time_travel_sees_per_version_schema(self, ctx):
+        n = self._seed(ctx, "ev_tt")
+        ctx.execute(f"ALTER TABLE {n} ADD COLUMN score DOUBLE")
+        pre = ctx.execute(f"SELECT * FROM {n} FOR VERSION AS OF 1")
+        assert pre.columns == ["k", "v"]
+        post = ctx.execute(f"SELECT * FROM {n}")
+        assert post.columns == ["k", "v", "score"]
+
+    def test_drop_column_hides_and_blocks_resurrection(self, ctx):
+        n = self._seed(ctx, "ev_drop")
+        ctx.execute(f"ALTER TABLE {n} DROP COLUMN v")
+        assert ctx.execute(f"SELECT * FROM {n}").columns == ["k"]
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="resurface|dropped"):
+            ctx.execute(f"ALTER TABLE {n} ADD COLUMN v STRING")
+        # a fresh name is fine
+        ctx.execute(f"ALTER TABLE {n} ADD COLUMN v2 STRING")
+        assert ctx.execute(f"SELECT * FROM {n}").columns == ["k", "v2"]
+
+    def test_invalid_alters_rejected(self, ctx):
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        n = self._seed(ctx, "ev_bad")
+        with _pt.raises((ExecutionError, DeltaLiteError), match="already exists"):
+            ctx.execute(f"ALTER TABLE {n} ADD COLUMN v STRING")
+        with _pt.raises((ExecutionError, DeltaLiteError), match="no such column"):
+            ctx.execute(f"ALTER TABLE {n} DROP COLUMN nope")
+        with _pt.raises((ExecutionError, DeltaLiteError), match="invalid column type"):
+            ctx.execute(f"ALTER TABLE {n} ADD COLUMN w NOTATYPE")
+        ctx.execute(f"ALTER TABLE {n} DROP COLUMN v")
+        with _pt.raises((ExecutionError, DeltaLiteError), match="last column"):
+            ctx.execute(f"ALTER TABLE {n} DROP COLUMN k")
+
+    def test_bucket_column_protected(self, ctx):
+        ctx.execute(
+            "CREATE TABLE ev_bkt (k BIGINT, v STRING) "
+            "WITH ('bucket_by' = 'k', 'buckets' = '4')"
+        )
+        ctx.execute("INSERT INTO ev_bkt VALUES (1, 'a')")
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="bucket column"):
+            ctx.execute("ALTER TABLE ev_bkt DROP COLUMN k")
