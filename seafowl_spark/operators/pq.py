@@ -431,6 +431,54 @@ def write_ivfpq_index(
     ).write.mode("overwrite").json(f"{path}/meta")
 
 
+def append_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to an existing IVF-PQ index: the NEW
+    rows encode with the index's OWN centroids/codebooks (read from the
+    JSON sidecar — the model is frozen at build time, the standard
+    serving contract) and append into the cell partitions they hash to;
+    no existing partition is rewritten. Work is proportional to the new
+    vectors only. The write-side twin of append_bm25_index.
+
+    Model-drift note: appended vectors quantize against the original
+    codebooks, so recall on the appended region degrades as its
+    distribution drifts from the training sample — rebuild when drift
+    matters, exactly as FAISS-style serving systems do."""
+    import json
+
+    spark = corpus.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/meta").select("meta").first()[0]
+    )
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+
+    from .kmeans import assign_cells
+
+    cn = normalized(corpus.select(F.col(id_col), F.col(emb_col)), emb_col)
+    cents_df = _centroids_df(corpus, centroids)
+    enc_src = (
+        assign_cells(cn, centroids, emb_col)
+        .join(F.broadcast(cents_df), "cell")
+        .select(
+            F.col(id_col),
+            F.col(emb_col),
+            "cell",
+            _residual(F.col(emb_col)).alias("__resid"),
+        )
+    )
+    enc = pq_encode(enc_src, codebooks, "__resid", normalize=False).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        "cell",
+        "pq_code",
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+
 def ivf_pq_topk_indexed(
     spark,
     path: str,

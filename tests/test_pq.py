@@ -298,3 +298,70 @@ class TestPersistedIvfPqIndex:
         # 3 queries x nprobe 3 -> at most 9 probed cells of the 8 total,
         # but at least the filter is present and bounded
         assert in_list and len(in_list.group(1).split(",")) <= 8
+
+
+class TestAppendIvfPqIndex:
+    def test_append_equals_full_rebuild(self, spark, emb, queries, tmp_path):
+        """Index seeded with half the corpus + append of the other half
+        must answer queries identically to an index built over the full
+        corpus with the SAME model (append encodes with the sidecar's
+        frozen centroids/codebooks)."""
+        from seafowl_spark.operators.pq import (
+            append_ivfpq_index,
+            fit_pq_residual,
+            ivf_pq_topk_indexed,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        cn = normalized(emb)
+        cents = fit_kmeans(cn, k=8, max_iter=2)
+        books = fit_pq_residual(cn, cents, m=8, ksub=16, max_iter=2)
+
+        half_a = emb.where(F.col("vec_id") % 2 == 0)
+        half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+        inc = str(tmp_path / "inc")
+        write_ivfpq_index(half_a, inc, cents, books)
+        append_ivfpq_index(half_b, inc)
+
+        full = str(tmp_path / "full")
+        write_ivfpq_index(emb, full, cents, books)
+
+        got_inc = {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+            for r in ivf_pq_topk_indexed(
+                spark, inc, queries, k=10, nprobe=3, shortlist=60
+            ).collect()
+        }
+        got_full = {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+            for r in ivf_pq_topk_indexed(
+                spark, full, queries, k=10, nprobe=3, shortlist=60
+            ).collect()
+        }
+        assert got_inc == got_full and got_inc
+
+    def test_append_touches_only_new_cells_files(self, spark, emb, tmp_path):
+        """Parquet append creates files only under the appended vectors'
+        cell partitions; pre-existing files are untouched (mtime-free
+        check via file-set diff: old files all still present)."""
+        import glob
+
+        from seafowl_spark.operators.pq import (
+            append_ivfpq_index,
+            fit_pq_residual,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        cn = normalized(emb)
+        cents = fit_kmeans(cn, k=8, max_iter=1)
+        books = fit_pq_residual(cn, cents, m=8, ksub=16, max_iter=1)
+        idx = str(tmp_path / "idx")
+        write_ivfpq_index(emb.where(F.col("vec_id") < 100), idx, cents, books)
+        before = set(glob.glob(f"{idx}/vectors/cell=*/part-*.parquet"))
+        append_ivfpq_index(emb.where(F.col("vec_id").between(100, 120)), idx)
+        after = set(glob.glob(f"{idx}/vectors/cell=*/part-*.parquet"))
+        assert before <= after
+        assert len(after) > len(before)

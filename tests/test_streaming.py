@@ -432,6 +432,94 @@ class TestStreamingIndexMaintenance:
         assert got[(1, 1)][0] == 3
 
 
+    def test_stream_appends_to_ivfpq_index(self, spark, tmp_path):
+        """Vector ingest-to-index: micro-batches append to the persisted
+        IVF-PQ index (append_ivfpq_index inside foreachBatch, encoding
+        with the index's frozen model); after two batches retrieval
+        equals a one-shot index over the union with the same model."""
+        import json
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.pq import (
+            append_ivfpq_index,
+            fit_pq_residual,
+            ivf_pq_topk_indexed,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        rng = np.random.RandomState(7)
+        vecs = {i: rng.randn(64).tolist() for i in range(40)}
+        all_df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, emb array<double>"
+        )
+        cn = normalized(all_df)
+        cents = fit_kmeans(cn, k=4, max_iter=2)
+        books = fit_pq_residual(cn, cents, m=8, ksub=16, max_iter=1)
+
+        idx = str(tmp_path / "vec_idx")
+        first = all_df.where(F.col("vec_id") < 20)
+        write_ivfpq_index(first, idx, cents, books)
+
+        src = tmp_path / "vec_src"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "emb": vecs[i]}) for i in range(20, 30)
+            )
+            + "\n"
+        )
+        stream = spark.readStream.schema("vec_id long, emb array<double>").json(
+            str(src)
+        )
+
+        def to_index(batch_df, _bid):
+            if batch_df.count():
+                append_ivfpq_index(batch_df, idx)
+
+        def run_once():
+            q = (
+                stream.writeStream.foreachBatch(to_index)
+                .option("checkpointLocation", str(tmp_path / "ckpt_vec"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        (src / "b1.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "emb": vecs[i]}) for i in range(30, 40)
+            )
+            + "\n"
+        )
+        run_once()
+
+        queries = all_df.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        )
+        got = {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+            for r in ivf_pq_topk_indexed(
+                spark, idx, queries, k=8, nprobe=2, shortlist=40
+            ).collect()
+        }
+        oneshot = str(tmp_path / "vec_oneshot")
+        write_ivfpq_index(all_df, oneshot, cents, books)
+        expect = {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+            for r in ivf_pq_topk_indexed(
+                spark, oneshot, queries, k=8, nprobe=2, shortlist=40
+            ).collect()
+        }
+        assert got == expect and got
+
+
+
+
 class TestStreamingCountMin:
     def test_sketch_is_fixed_state_streaming_aggregate(self, spark, tmp_path):
         """Count-Min over a stream: the cell mapping is stateless and the
