@@ -95,3 +95,160 @@ def unigram_logprob(
             / F.count(F.lit(1))
         ).alias("avg_neg_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM with interpolated smoothing (the CCNet-style perplexity gate)
+# --------------------------------------------------------------------------
+
+BOS = "<s>"
+UNK = "<unk>"
+
+
+def _pairs(text_col, lowercase: bool):
+    """Row-local (prev, cur) adjacent-token pairs incl. a <s> start pair —
+    zip of the token array with its own tail, NO shuffle and no per-token
+    join for pair formation (the doc-keyed window alternative shuffles the
+    whole token stream by document)."""
+    base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(F.split(base, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    body = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    start = F.when(
+        n > 0,
+        F.array(
+            F.struct(
+                F.lit(BOS).alias("prev"), F.element_at(toks, 1).alias("cur")
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    return F.concat(start, body)
+
+
+def _with_unk_mapped(df: DataFrame, vocab: DataFrame, cols: list[str]) -> DataFrame:
+    """Map each of ``cols`` to itself if in-vocab else <unk> (<s> passes
+    through) via one broadcast HASH join per column — O(1) membership per
+    row; an array_contains against a collected vocab would scan O(V) per
+    row, 4096 comparisons at the default size."""
+    out = df
+    for c in cols:
+        probe = f"__v_{c}"
+        vv = vocab.select(F.col("token").alias(probe)).distinct()
+        out = (
+            out.join(F.broadcast(vv), out[c] == F.col(probe), "left")
+            .withColumn(
+                c,
+                F.when(
+                    (F.col(c) == BOS) | F.col(probe).isNotNull(), F.col(c)
+                ).otherwise(F.lit(UNK)),
+            )
+            .drop(probe)
+        )
+    return out
+
+
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the model: returns ``(vocab, bigrams)`` where vocab is
+    build_vocab's (token, n) capped at ``vocab_size`` and bigrams is
+    (prev, cur, c, c_ctx) over UNK-mapped adjacent pairs (plus a <s>
+    start context per document).
+
+    Scale: pair formation is row-local (:func:`_pairs`); the only
+    shuffles are the vocab count and the bigram count, both carrying
+    map-side partials bounded by DISTINCT (mapped) keys — the UNK mapping
+    caps the bigram key space at (vocab_size+2)^2 and real corpora sit
+    far below it. UNK mapping is one broadcast hash join per pair side
+    (vocab-bounded, O(1) membership per row — the same contract as
+    unigram_logprob's broadcast join)."""
+    vocab = build_vocab(
+        df, text_col=text_col, top_k=vocab_size, min_count=min_count,
+        lowercase=lowercase,
+    )
+    pairs = _with_unk_mapped(
+        df.select(F.explode(_pairs(text_col, lowercase)).alias("p")).select(
+            F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+        ),
+        vocab,
+        ["prev", "cur"],
+    )
+    counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    # context totals re-aggregate the (model-sized) bigram table; the
+    # join back is context-count x bigram rows — broadcast, never a sort
+    # of the model frames
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("c_ctx"))
+    return vocab, counts.join(F.broadcast(ctx), "prev")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean -ln p(cur | prev) under the interpolated bigram
+    model: ``p = lam * c(prev,cur)/c_ctx(prev) + (1-lam) * p_uni(cur)``
+    with add-one unigram smoothing ``p_uni(w) = (n_w + 1)/(total + V + 1)``
+    over the UNK-mapped vocabulary — the cheap KenLM-perplexity stand-in
+    CCNet-style pipelines gate on. Adds ``n_scored`` and
+    ``avg_neg_logprob`` (lower = more corpus-typical).
+
+    Scale: pairs form row-locally; the model joins are all vocab-bounded
+    broadcasts; the per-doc mean is one aggregate. Decimal-quantized
+    -ln p sums keep scores bit-reproducible (the unigram_logprob rule).
+    """
+    stats = vocab.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__vsz")
+    )
+    mapped = _with_unk_mapped(
+        df.select(
+            F.col(id_col), F.explode(_pairs(text_col, lowercase)).alias("p")
+        ).select(
+            id_col,
+            F.col("p.prev").alias("prev"),
+            F.col("p.cur").alias("cur"),
+        ),
+        vocab,
+        ["prev", "cur"],
+    )
+    joined = (
+        mapped.join(
+            F.broadcast(bigrams.select("prev", "cur", "c", "c_ctx")),
+            ["prev", "cur"],
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("cur"), "n")),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    p_uni = (F.coalesce(F.col("n"), F.lit(0)) + 1) / (
+        F.col("__total") + F.col("__vsz") + 1
+    )
+    p_big = F.when(
+        F.col("c_ctx").isNotNull(),
+        F.col("c") / F.col("c_ctx"),
+    ).otherwise(F.lit(0.0))
+    p = F.lit(lam) * F.coalesce(p_big, F.lit(0.0)) + F.lit(1.0 - lam) * p_uni
+    scored = joined.select(id_col, (-F.log(p)).alias("nlp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.sum(F.col("nlp").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_neg_logprob"),
+    )
