@@ -876,6 +876,18 @@ class SeafowlContext:
         t.drop_column(stmt.column)
         self._record(entry, t)
 
+    def _exec_add_constraint(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.add_constraint(stmt.constraint, stmt.expr)
+        self._record(entry, t)
+
+    def _exec_drop_constraint(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.drop_constraint(stmt.constraint)
+        self._record(entry, t)
+
     def _exec_optimize(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))

@@ -670,7 +670,7 @@ class DeltaLiteTable:
         return t
 
     def append(self, df: DataFrame, operation: str = "INSERT", app_txn: dict | None = None) -> Commit:
-        df = self._align(df)
+        df = self._enforce_constraints(self._align(df))
         adds = self._write_data(df)
         # appends remove nothing, so losing the version race never
         # invalidates the work: re-read the latest version and re-commit the
@@ -684,7 +684,7 @@ class DeltaLiteTable:
         raise ConcurrentCommitError("append lost the commit race 16 times")
 
     def overwrite(self, df: DataFrame, operation: str = "OVERWRITE") -> Commit:
-        df = self._align(df)
+        df = self._enforce_constraints(self._align(df))
         snap = self.snapshot()
         adds = self._write_data(df)
         return self._next_commit(
@@ -797,7 +797,7 @@ class DeltaLiteTable:
                 for c in df.columns
             ]
         )
-        adds = self._write_data(projected)
+        adds = self._write_data(self._enforce_constraints(projected))
         return self._next_commit(
             "UPDATE", adds, self._retire(hit), base_version=snap.version
         )
@@ -961,7 +961,7 @@ class DeltaLiteTable:
                 for c in schema.fieldNames()
             ]
         )
-        new_adds = self._write_data(updated)
+        new_adds = self._write_data(self._enforce_constraints(updated))
         dv_adds, removes = self._encode_dvs(
             hit, matched.select("__sfs_fp", "__sfs_pos")
         )
@@ -1053,6 +1053,85 @@ class DeltaLiteTable:
             metadata={"schema_ddl": new_ddl, "properties": props},
             base_version=snap.version,
         )
+
+    # ------------------------------------------------- CHECK constraints
+
+    def add_constraint(self, name: str, expr_sql: str) -> Commit:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta-parity
+        table constraints (beyond the reference). The expression must be
+        valid over the current schema, and EXISTING rows must already
+        satisfy it (one scan, the same rule Delta applies); the
+        constraint then persists in table properties (so it survives
+        checkpoints and time travel) and every subsequent
+        INSERT/OVERWRITE/UPDATE/MERGE validates the data it writes.
+        NULL evaluations pass (standard SQL CHECK semantics)."""
+        snap = self.snapshot()
+        cons = dict(snap.properties.get("constraints") or {})
+        if name in cons:
+            raise DeltaLiteError(f"constraint {name!r} already exists")
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        probe = self.spark.createDataFrame([], schema)
+        try:
+            probe.where(F.expr(expr_sql)).schema  # analysis-time validation
+        except Exception as e:  # noqa: BLE001
+            raise DeltaLiteError(
+                f"invalid CHECK expression {expr_sql!r}: {e}"
+            ) from None
+        if snap.files:
+            bad = (
+                self._scan_files(snap.files, schema)
+                .where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+                .count()
+            )
+            if bad:
+                raise DeltaLiteError(
+                    f"cannot add constraint {name!r}: {bad} existing row(s) "
+                    f"violate CHECK ({expr_sql})"
+                )
+        cons[name] = expr_sql
+        props = dict(snap.properties, constraints=cons)
+        return self._next_commit(
+            "ADD CONSTRAINT",
+            [],
+            [],
+            metadata={"schema_ddl": snap.schema_ddl, "properties": props},
+            base_version=snap.version,
+        )
+
+    def drop_constraint(self, name: str) -> Commit:
+        snap = self.snapshot()
+        cons = dict(snap.properties.get("constraints") or {})
+        if name not in cons:
+            raise DeltaLiteError(f"no such constraint {name!r}")
+        del cons[name]
+        props = dict(snap.properties, constraints=cons)
+        return self._next_commit(
+            "DROP CONSTRAINT",
+            [],
+            [],
+            metadata={"schema_ddl": snap.schema_ddl, "properties": props},
+            base_version=snap.version,
+        )
+
+    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+        """Validate ``df`` against every table constraint; raises on the
+        first violation (with a count). One filter+count job per
+        constraint over the data being WRITTEN — rewrites of already-
+        validated data (DELETE keeps, OPTIMIZE) skip this, so compaction
+        never re-pays it."""
+        cons = (
+            self.snapshot().properties.get("constraints")
+            if self.exists()
+            else None
+        ) or {}
+        for name, expr_sql in sorted(cons.items()):
+            bad = df.where(~F.coalesce(F.expr(expr_sql), F.lit(True))).count()
+            if bad:
+                raise DeltaLiteError(
+                    f"CHECK constraint {name!r} violated by {bad} row(s): "
+                    f"({expr_sql})"
+                )
+        return df
 
     def truncate(self) -> Commit:
         """A14: new commit removing every file."""
@@ -1204,7 +1283,7 @@ class DeltaLiteTable:
                 out_cols.append(F.col(f"b.{c}").alias(c))
         is_delete = has_change & F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
         result = joined.where(~is_delete).select(*out_cols)
-        adds = self._write_data(result)
+        adds = self._write_data(self._enforce_constraints(result))
         return self._next_commit(
             "MERGE", adds, hit_paths, app_txn=app_txn, base_version=snap.version
         )

@@ -411,6 +411,27 @@ def parse_statement(sql: str) -> Statement:
             "drop_column", s, {"name": m.group(1), "column": m.group(2)}
         )
 
+    m = re.match(
+        rf"(?i)^alter\s+table\s+({_QNAME})\s+add\s+constraint\s+({_IDENT})"
+        r"\s+check\s*\((.+)\)\s*$",
+        s,
+    )
+    if m:
+        return Statement(
+            "add_constraint",
+            s,
+            {"name": m.group(1), "constraint": m.group(2), "expr": m.group(3)},
+        )
+
+    m = re.match(
+        rf"(?i)^alter\s+table\s+({_QNAME})\s+drop\s+constraint\s+({_IDENT})\s*$",
+        s,
+    )
+    if m:
+        return Statement(
+            "drop_constraint", s, {"name": m.group(1), "constraint": m.group(2)}
+        )
+
     m = re.match(rf"(?i)^drop\s+table\s+(if\s+exists\s+)?({_QNAME})\s*$", s)
     if m:
         return Statement("drop_table", s, {"if_exists": bool(m.group(1)), "name": m.group(2)})

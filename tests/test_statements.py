@@ -920,3 +920,74 @@ class TestSchemaEvolution:
 
         with _pt.raises((ExecutionError, DeltaLiteError), match="bucket column"):
             ctx.execute("ALTER TABLE ev_bkt DROP COLUMN k")
+
+
+class TestCheckConstraints:
+    """ALTER TABLE ADD/DROP CONSTRAINT ... CHECK (r7, Delta-parity table
+    constraints, beyond the reference): existing data validated at ADD,
+    every INSERT/UPDATE/MERGE validated after, NULL evaluations pass,
+    constraints persist through properties (checkpoints, time travel)."""
+
+    def test_insert_enforced_and_null_passes(self, ctx):
+        ctx.execute("CREATE TABLE ck (k BIGINT, v STRING)")
+        ctx.execute("INSERT INTO ck VALUES (1, 'a')")
+        ctx.execute("ALTER TABLE ck ADD CONSTRAINT pos CHECK (k > 0)")
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="pos.*violated|violated"):
+            ctx.execute("INSERT INTO ck VALUES (-1, 'bad')")
+        # the failed insert must not have committed anything
+        assert rows(ctx.execute("SELECT k FROM ck")) == [(1,)]
+        # NULL evaluation passes (SQL CHECK semantics)
+        ctx.execute("INSERT INTO ck VALUES (NULL, 'n')")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM ck")) == [(2,)]
+
+    def test_add_rejected_when_existing_rows_violate(self, ctx):
+        ctx.execute("CREATE TABLE ck2 (k BIGINT)")
+        ctx.execute("INSERT INTO ck2 VALUES (1), (-5)")
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="existing row"):
+            ctx.execute("ALTER TABLE ck2 ADD CONSTRAINT pos CHECK (k > 0)")
+
+    def test_update_and_merge_enforced(self, ctx):
+        ctx.execute("CREATE TABLE ck3 (k BIGINT, v BIGINT)")
+        ctx.execute("INSERT INTO ck3 VALUES (1, 10), (2, 20)")
+        ctx.execute("ALTER TABLE ck3 ADD CONSTRAINT vcap CHECK (v <= 100)")
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="vcap"):
+            ctx.execute("UPDATE ck3 SET v = 500 WHERE k = 1")
+        ctx.execute("UPDATE ck3 SET v = 99 WHERE k = 1")
+        assert rows(ctx.execute("SELECT v FROM ck3 WHERE k = 1")) == [(99,)]
+
+    def test_drop_constraint_lifts_enforcement(self, ctx):
+        ctx.execute("CREATE TABLE ck4 (k BIGINT)")
+        ctx.execute("ALTER TABLE ck4 ADD CONSTRAINT pos CHECK (k > 0)")
+        ctx.execute("ALTER TABLE ck4 DROP CONSTRAINT pos")
+        ctx.execute("INSERT INTO ck4 VALUES (-1)")
+        assert rows(ctx.execute("SELECT k FROM ck4")) == [(-1,)]
+
+    def test_invalid_expression_and_names(self, ctx):
+        ctx.execute("CREATE TABLE ck5 (k BIGINT)")
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="invalid CHECK"):
+            ctx.execute("ALTER TABLE ck5 ADD CONSTRAINT c CHECK (zz > 0)")
+        with _pt.raises((ExecutionError, DeltaLiteError), match="no such constraint"):
+            ctx.execute("ALTER TABLE ck5 DROP CONSTRAINT nope")
+        ctx.execute("ALTER TABLE ck5 ADD CONSTRAINT c CHECK (k > 0)")
+        with _pt.raises((ExecutionError, DeltaLiteError), match="already exists"):
+            ctx.execute("ALTER TABLE ck5 ADD CONSTRAINT c CHECK (k > 1)")
