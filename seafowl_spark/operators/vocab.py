@@ -157,6 +157,7 @@ def fit_bigram_lm(
     vocab_size: int = 4096,
     min_count: int = 1,
     lowercase: bool = True,
+    vocab: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the model: returns ``(vocab, bigrams)`` where vocab is
     build_vocab's (token, n) capped at ``vocab_size`` and bigrams is
@@ -170,10 +171,11 @@ def fit_bigram_lm(
     far below it. UNK mapping is one broadcast hash join per pair side
     (vocab-bounded, O(1) membership per row — the same contract as
     unigram_logprob's broadcast join)."""
-    vocab = build_vocab(
-        df, text_col=text_col, top_k=vocab_size, min_count=min_count,
-        lowercase=lowercase,
-    )
+    if vocab is None:
+        vocab = build_vocab(
+            df, text_col=text_col, top_k=vocab_size, min_count=min_count,
+            lowercase=lowercase,
+        )
     pairs = _with_unk_mapped(
         df.select(F.explode(_pairs(text_col, lowercase)).alias("p")).select(
             F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")

@@ -530,6 +530,9 @@ def t_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary + unigram-LM scoring (operators/vocab.py) — graded in r6
 # --------------------------------------------------------------------------
 
+_LM_LAM = 0.8
+
+
 @register(
     "t_vocab_unigram",
     oracle=r"""
@@ -543,36 +546,100 @@ def t_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT token, COUNT(*) AS n FROM toks GROUP BY token
         HAVING COUNT(*) >= 2
         ORDER BY n DESC, token LIMIT 512)),
-    tot AS (SELECT SUM(n) AS total FROM vocab),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS vsz FROM vocab),
     scored AS (
       SELECT t.doc_id,
              -ln(COALESCE(CAST(v.n AS DOUBLE), 1.0) / (tot.total + 1)) AS nlp
-      FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot)
-    SELECT doc_id, COUNT(*) AS n_scored,
-           CAST(SUM(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
-             AS avg_neg_logprob
-    FROM scored GROUP BY doc_id
+      FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot),
+    uni AS (
+      SELECT doc_id, COUNT(*) AS n_scored,
+             CAST(SUM(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               AS avg_neg_logprob
+      FROM scored GROUP BY doc_id),
+    tl AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> '') AS l
+      FROM documents),
+    pidx AS (
+      SELECT doc_id, l, unnest(range(0, len(l))) AS j
+      FROM tl WHERE len(l) > 0),
+    praw AS (
+      SELECT doc_id,
+             CASE WHEN j = 0 THEN '<s>' ELSE l[j] END AS prev_raw,
+             l[j + 1] AS cur_raw
+      FROM pidx),
+    pm AS (
+      SELECT doc_id,
+             CASE WHEN prev_raw = '<s>' OR vp.token IS NOT NULL
+                  THEN prev_raw ELSE '<unk>' END AS prev,
+             CASE WHEN vc.token IS NOT NULL
+                  THEN cur_raw ELSE '<unk>' END AS cur
+      FROM praw
+      LEFT JOIN vocab vp ON vp.token = praw.prev_raw
+      LEFT JOIN vocab vc ON vc.token = praw.cur_raw),
+    big AS (SELECT prev, cur, COUNT(*) AS c FROM pm GROUP BY prev, cur),
+    ctx AS (SELECT prev, SUM(c) AS c_ctx FROM big GROUP BY prev),
+    bscored AS (
+      SELECT pm.doc_id,
+             -ln(0.8 * COALESCE(CAST(b.c AS DOUBLE) / x.c_ctx, 0.0)
+                 + 0.19999999999999996
+                   * ((COALESCE(v.n, 0) + 1)
+                      / (tot.total + tot.vsz + 1))) AS nlp
+      FROM pm
+      LEFT JOIN big b ON b.prev = pm.prev AND b.cur = pm.cur
+      LEFT JOIN ctx x ON x.prev = b.prev
+      LEFT JOIN vocab v ON v.token = pm.cur
+      CROSS JOIN tot),
+    bi AS (
+      SELECT doc_id, COUNT(*) AS n_pairs,
+             CAST(SUM(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               AS avg_neg_logprob_bigram
+      FROM bscored GROUP BY doc_id)
+    SELECT uni.doc_id, uni.n_scored, uni.avg_neg_logprob,
+           bi.n_pairs, bi.avg_neg_logprob_bigram
+    FROM uni JOIN bi USING (doc_id)
     """,
 )
 def t_vocab_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary + unigram-LM scoring, graded end-to-end: a
-    top-512 / min-count-2 vocabulary built from corpus token counts
-    (operators/vocab.build_vocab — deterministic (n DESC, token)
-    truncation), then every document scored by mean -ln p(token) with
-    the add-one OOV floor (unigram_logprob). The per-term DECIMAL(25,6)
-    quantization makes the mean order-independent and engine-exact, so
-    the float scores hash-match the oracle.
+    """Corpus vocabulary + LM quality scoring, graded end-to-end — since
+    r7 BOTH language models score in one row: a top-512 / min-count-2
+    vocabulary (operators/vocab.build_vocab — deterministic
+    (n DESC, token) truncation), every document scored by mean
+    -ln p(token) under the unigram model with the add-one OOV floor
+    (unigram_logprob), AND by mean -ln p(cur|prev) under the interpolated
+    bigram model (fit_bigram_lm/bigram_logprob — the CCNet-style
+    perplexity gate; lam=0.8, UNK-mapped pairs with a <s> start symbol,
+    p = lam*c(prev,cur)/c(prev) + (1-lam)*add-one-unigram). The per-term
+    DECIMAL(25,6) quantization of each -ln p makes both means
+    order-independent and engine-exact, so all four score columns
+    hash-match the oracle — the FULL bigram training pipeline (pair
+    generation, UNK mapping, counts, context totals, interpolation) is
+    value-verified, not rows-only.
 
-    Scale: token counts partial-aggregate map-side (the shuffle carries
-    (token, partial_count), not instances); the capped vocabulary
-    broadcasts into the scoring join (plan-gated in test_plans.py) and
-    scoring is one scan + one per-doc aggregate.
+    Scale: token/bigram counts partial-aggregate map-side (shuffles carry
+    (key, partial_count), never instances); pair formation is row-local;
+    the capped vocabulary and model tables broadcast into scoring
+    (plan-gated in test_plans.py); scoring is one scan + one per-doc
+    aggregate per model.
     """
-    from ..operators.vocab import build_vocab, unigram_logprob
+    from ..operators.vocab import (
+        bigram_logprob,
+        build_vocab,
+        fit_bigram_lm,
+        unigram_logprob,
+    )
 
     d = table(spark, sf_dir, "documents")
     vocab = build_vocab(d, top_k=512, min_count=2)
-    return unigram_logprob(d, vocab)
+    uni = unigram_logprob(d, vocab)
+    _v, bigrams = fit_bigram_lm(d, vocab=vocab)
+    bi = bigram_logprob(d, vocab, bigrams, lam=_LM_LAM).select(
+        "doc_id",
+        F.col("n_scored").alias("n_pairs"),
+        F.col("avg_neg_logprob").alias("avg_neg_logprob_bigram"),
+    )
+    return uni.join(bi, "doc_id")
 
 
 # --------------------------------------------------------------------------
