@@ -597,17 +597,10 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s_embedding_stats",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, label, {_SQL_EMB} AS emb FROM embeddings)
-    SELECT label, COUNT(*) AS n_vecs,
-           CAST(SUM(CAST({_sql_norm('emb')} AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS avg_norm,
-           CAST(MIN({_sql_norm('emb')}) AS DOUBLE) AS min_norm,
-           CAST(MAX({_sql_norm('emb')}) AS DOUBLE) AS max_norm
-    FROM v GROUP BY label
-    """,
-)
+# s_embedding_stats left the graded window in round 7: its per-label norm
+# statistics now ride s_quantize_int8's 'norm_stats' branch (same decimal
+# arithmetic, same oracle strength — see that query's docstring), freeing
+# the slot for t_count_min. The function stays for direct use.
 def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics (decimal-cast sum keeps the
     cross-row aggregation order-independent)."""
@@ -688,14 +681,24 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(generate_series(1, len(qv)),
                     i -> CAST(qv[i] * qf[i] AS BIGINT))) AS BIGINT) AS int_dot_first
       FROM qq, f)
-    SELECT vec_id, q_scale,
-           CAST(list_sum(list_transform(qv, x -> CAST(x * x AS BIGINT))) AS BIGINT)
-             AS q_norm_sq,
-           int_dot_first,
-           q_scale * sf * CAST(int_dot_first AS DOUBLE) AS approx_dot_first,
+    SELECT 'quant' AS kind, CAST(vec_id AS VARCHAR) AS key,
+           q_scale AS v1,
+           q_scale * sf * CAST(int_dot_first AS DOUBLE) AS v2,
            list_max(list_transform(generate_series(1, len(qv)),
-                    i -> abs(qv[i] * q_scale - emb[i]))) AS recon_max
+                    i -> abs(qv[i] * q_scale - emb[i]))) AS v3,
+           CAST(list_sum(list_transform(qv, x -> CAST(x * x AS BIGINT))) AS BIGINT)
+             AS n1,
+           int_dot_first AS n2
     FROM d
+    UNION ALL
+    SELECT 'norm_stats' AS kind, CAST(label AS VARCHAR) AS key,
+           CAST(SUM(CAST({_sql_norm('emb')} AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS v1,
+           CAST(MIN({_sql_norm('emb')}) AS DOUBLE) AS v2,
+           CAST(MAX({_sql_norm('emb')}) AS DOUBLE) AS v3,
+           COUNT(*) AS n1,
+           CAST(NULL AS BIGINT) AS n2
+    FROM (SELECT vec_id, label, {_SQL_EMB} AS emb FROM embeddings)
+    GROUP BY label
     """,
 )
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,7 +707,13 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-norm, integer dot product against the min-vec_id vector, the
     rescaled approximate float dot, and the max per-element reconstruction
     error (max, not sum — order-independent, so it hash-matches DuckDB
-    without float-summation-order hazards).
+    without float-summation-order hazards). Since r7 the row also carries
+    the former s_embedding_stats registry row as its 'norm_stats' branch
+    (per-label norm mean/min/max with the same decimal-cast sums) —
+    consolidated to free a slot for t_count_min; both branches stay fully
+    hash-checked. Schema: (kind, key, v1, v2, v3, n1, n2) — quant rows
+    map (q_scale, approx_dot_first, recon_max, q_norm_sq, int_dot_first),
+    norm_stats rows map (avg_norm, min_norm, max_norm, n_vecs, NULL).
 
     Scale: quantization is a row-local projection (no shuffle); the single
     reference vector is a 1-row broadcast. At 100 TB the int8 vectors are
@@ -729,17 +738,12 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return j.select(
-        "vec_id",
-        "q_scale",
-        F.aggregate(
-            F.transform(F.col("q"), lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("q_norm_sq"),
-        int_dot.alias("int_dot_first"),
+    quant = j.select(
+        F.lit("quant").alias("kind"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("q_scale").alias("v1"),
         quantized_dot(F.col("q"), F.col("q_scale"), F.col("qf"), F.col("sf")).alias(
-            "approx_dot_first"
+            "v2"
         ),
         F.array_max(
             F.zip_with(
@@ -747,8 +751,40 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("emb"),
                 lambda qi, xi: F.abs(qi * F.col("q_scale") - xi),
             )
-        ).alias("recon_max"),
+        ).alias("v3"),
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n1"),
+        int_dot.alias("n2"),
     )
+    nrm = F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x)))
+    stats = (
+        table(spark, sf_dir, "embeddings")
+        .select("label", F.col("embedding").cast("array<double>").alias("emb"))
+        .select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            (
+                F.sum(F.col("nrm").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v1"),
+            F.min("nrm").alias("v2"),
+            F.max("nrm").alias("v3"),
+        )
+        .select(
+            F.lit("norm_stats").alias("kind"),
+            F.col("label").cast("string").alias("key"),
+            "v1",
+            "v2",
+            "v3",
+            "n1",
+            F.lit(None).cast("long").alias("n2"),
+        )
+    )
+    return quant.unionAll(stats)
 
 
 # --------------------------------------------------------------------------

@@ -872,3 +872,85 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.kind", "s.rank", "s.left", "s.right", "s.n")
     )
     return merge_rows.unionAll(stat_rows)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (operators/countmin.py) — graded r7 with a full oracle
+# --------------------------------------------------------------------------
+
+_CM_W, _CM_D = 256, 4
+_CM_PROBES = ["the", "data", "spark", "join", "zz_never_in_corpus"]
+
+
+def _cm_oracle() -> str:
+    dd = ", ".join(f"({d})" for d in range(_CM_D))
+    probes = ", ".join(f"('{t}')" for t in _CM_PROBES)
+    from ..functions import oracle_md5_int
+
+    cell = oracle_md5_int("('' || d || '|' || token)", 15)
+    return rf"""
+    WITH toks AS (
+      SELECT lower(unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> t <> ''))) AS token
+      FROM documents),
+    dd(d) AS (VALUES {dd}),
+    cells AS (
+      SELECT d, {cell} % {_CM_W} AS col FROM toks CROSS JOIN dd),
+    sketch AS (SELECT d, col, COUNT(*) AS cnt FROM cells GROUP BY d, col),
+    probes(token) AS (VALUES {probes}),
+    pcells AS (
+      SELECT token, d, {cell} % {_CM_W} AS col FROM probes CROSS JOIN dd),
+    est AS (
+      SELECT p.token, MIN(COALESCE(s.cnt, 0)) AS cnt
+      FROM pcells p LEFT JOIN sketch s ON s.d = p.d AND s.col = p.col
+      GROUP BY p.token)
+    SELECT 'cell' AS kind, CAST(d AS INTEGER) AS d, col,
+           CAST(NULL AS VARCHAR) AS token, cnt
+    FROM sketch
+    UNION ALL
+    SELECT 'est' AS kind, CAST(NULL AS INTEGER) AS d,
+           CAST(NULL AS BIGINT) AS col, token, cnt
+    FROM est
+    """
+
+
+@register("t_count_min", oracle=_cm_oracle())
+def t_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, graded with a FULL
+    value oracle (r7; took the former s_embedding_stats slot — that row
+    now rides s_quantize_int8's 'norm_stats' branch): the entire
+    {depth} x {width} counter table AND the min-over-cells estimates for
+    a fixed probe list hash-match DuckDB, because the cell hash is the
+    engine-portable md5_int and the build is pure integer counting. The
+    unseen-probe row pins the collision floor.
+
+    Scale: the cell mapping is a row-local JVM expression and the groupBy
+    key space IS the sketch, so map-side combine bounds the shuffle at
+    depth x width x partitions regardless of token cardinality (the same
+    bounded-shuffle contract as Misra-Gries; plan-gated in
+    test_countmin.py). Estimates broadcast-join the sketch.
+    """
+    from ..operators.countmin import count_min_build, count_min_estimate
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    sketch = count_min_build(toks, "token", width=_CM_W, depth=_CM_D)
+    cells = sketch.select(
+        F.lit("cell").alias("kind"),
+        F.col("d").cast("int").alias("d"),
+        F.col("col").cast("long").alias("col"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    q = spark.createDataFrame([(t,) for t in _CM_PROBES], "token string")
+    est = count_min_estimate(sketch, q, "token", width=_CM_W, depth=_CM_D).select(
+        F.lit("est").alias("kind"),
+        F.lit(None).cast("int").alias("d"),
+        F.lit(None).cast("long").alias("col"),
+        "token",
+        F.col("est_count").cast("long").alias("cnt"),
+    )
+    return cells.unionAll(est)
