@@ -622,6 +622,13 @@ def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_TAU = 0.35  # synthetic-corpus tuned; see operators/neardup.py
 
+# SemDeDup graded branch: fixed deterministic centroids (shared literal-
+# for-literal with the oracle SQL) and the pair-cosine threshold
+_SD_CENTROIDS = [
+    [0.05 * ((c + d) % 9 - 4) for d in range(64)] for c in range(8)
+]
+_SD_TAU = 0.3
+
 
 @register(
     "s_embedding_neardup",
@@ -639,26 +646,91 @@ NEARDUP_TAU = 0.35  # synthetic-corpus tuned; see operators/neardup.py
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE ({_sql_dot('a.emb', 'b.emb')}) / (a.nrm * b.nrm) >= {NEARDUP_TAU}
       GROUP BY b.vec_id)
-    SELECT e.vec_id, dup.dup_of
+    SELECT 'lsh' AS kind, e.vec_id, dup.dup_of
     FROM embeddings e LEFT JOIN dup ON e.vec_id = dup.vec_id
+    UNION ALL
+    SELECT 'semdedup' AS kind, e2.vec_id, sd.dup_of
+    FROM embeddings e2 LEFT JOIN (
+      WITH cents(cell, cv) AS (VALUES
+      (0, CAST([-0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2] AS DOUBLE[])),
+      (1, CAST([-0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002] AS DOUBLE[])),
+      (2, CAST([-0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1] AS DOUBLE[])),
+      (3, CAST([-0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05] AS DOUBLE[])),
+      (4, CAST([0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0] AS DOUBLE[])),
+      (5, CAST([0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05] AS DOUBLE[])),
+      (6, CAST([0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1] AS DOUBLE[])),
+      (7, CAST([0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002, 0.2, -0.2, -0.15000000000000002, -0.1, -0.05, 0.0, 0.05, 0.1, 0.15000000000000002] AS DOUBLE[]))),
+      en0 AS (SELECT vec_id, {_SQL_EMB} AS emb, {_sql_norm(_SQL_EMB)} AS nrm FROM embeddings),
+      en AS (SELECT vec_id,
+                    CASE WHEN nrm > 0
+                         THEN list_transform(emb, x -> x / nrm)
+                         ELSE emb END AS nv
+             FROM en0),
+      asg AS (
+        SELECT vec_id, nv, cell,
+               CASE WHEN sqrt((c.cv[1] * c.cv[1]) + (c.cv[2] * c.cv[2]) + (c.cv[3] * c.cv[3]) + (c.cv[4] * c.cv[4]) + (c.cv[5] * c.cv[5]) + (c.cv[6] * c.cv[6]) + (c.cv[7] * c.cv[7]) + (c.cv[8] * c.cv[8]) + (c.cv[9] * c.cv[9]) + (c.cv[10] * c.cv[10]) + (c.cv[11] * c.cv[11]) + (c.cv[12] * c.cv[12]) + (c.cv[13] * c.cv[13]) + (c.cv[14] * c.cv[14]) + (c.cv[15] * c.cv[15]) + (c.cv[16] * c.cv[16]) + (c.cv[17] * c.cv[17]) + (c.cv[18] * c.cv[18]) + (c.cv[19] * c.cv[19]) + (c.cv[20] * c.cv[20]) + (c.cv[21] * c.cv[21]) + (c.cv[22] * c.cv[22]) + (c.cv[23] * c.cv[23]) + (c.cv[24] * c.cv[24]) + (c.cv[25] * c.cv[25]) + (c.cv[26] * c.cv[26]) + (c.cv[27] * c.cv[27]) + (c.cv[28] * c.cv[28]) + (c.cv[29] * c.cv[29]) + (c.cv[30] * c.cv[30]) + (c.cv[31] * c.cv[31]) + (c.cv[32] * c.cv[32]) + (c.cv[33] * c.cv[33]) + (c.cv[34] * c.cv[34]) + (c.cv[35] * c.cv[35]) + (c.cv[36] * c.cv[36]) + (c.cv[37] * c.cv[37]) + (c.cv[38] * c.cv[38]) + (c.cv[39] * c.cv[39]) + (c.cv[40] * c.cv[40]) + (c.cv[41] * c.cv[41]) + (c.cv[42] * c.cv[42]) + (c.cv[43] * c.cv[43]) + (c.cv[44] * c.cv[44]) + (c.cv[45] * c.cv[45]) + (c.cv[46] * c.cv[46]) + (c.cv[47] * c.cv[47]) + (c.cv[48] * c.cv[48]) + (c.cv[49] * c.cv[49]) + (c.cv[50] * c.cv[50]) + (c.cv[51] * c.cv[51]) + (c.cv[52] * c.cv[52]) + (c.cv[53] * c.cv[53]) + (c.cv[54] * c.cv[54]) + (c.cv[55] * c.cv[55]) + (c.cv[56] * c.cv[56]) + (c.cv[57] * c.cv[57]) + (c.cv[58] * c.cv[58]) + (c.cv[59] * c.cv[59]) + (c.cv[60] * c.cv[60]) + (c.cv[61] * c.cv[61]) + (c.cv[62] * c.cv[62]) + (c.cv[63] * c.cv[63]) + (c.cv[64] * c.cv[64])) > 0
+                    THEN ((en.nv[1] * c.cv[1]) + (en.nv[2] * c.cv[2]) + (en.nv[3] * c.cv[3]) + (en.nv[4] * c.cv[4]) + (en.nv[5] * c.cv[5]) + (en.nv[6] * c.cv[6]) + (en.nv[7] * c.cv[7]) + (en.nv[8] * c.cv[8]) + (en.nv[9] * c.cv[9]) + (en.nv[10] * c.cv[10]) + (en.nv[11] * c.cv[11]) + (en.nv[12] * c.cv[12]) + (en.nv[13] * c.cv[13]) + (en.nv[14] * c.cv[14]) + (en.nv[15] * c.cv[15]) + (en.nv[16] * c.cv[16]) + (en.nv[17] * c.cv[17]) + (en.nv[18] * c.cv[18]) + (en.nv[19] * c.cv[19]) + (en.nv[20] * c.cv[20]) + (en.nv[21] * c.cv[21]) + (en.nv[22] * c.cv[22]) + (en.nv[23] * c.cv[23]) + (en.nv[24] * c.cv[24]) + (en.nv[25] * c.cv[25]) + (en.nv[26] * c.cv[26]) + (en.nv[27] * c.cv[27]) + (en.nv[28] * c.cv[28]) + (en.nv[29] * c.cv[29]) + (en.nv[30] * c.cv[30]) + (en.nv[31] * c.cv[31]) + (en.nv[32] * c.cv[32]) + (en.nv[33] * c.cv[33]) + (en.nv[34] * c.cv[34]) + (en.nv[35] * c.cv[35]) + (en.nv[36] * c.cv[36]) + (en.nv[37] * c.cv[37]) + (en.nv[38] * c.cv[38]) + (en.nv[39] * c.cv[39]) + (en.nv[40] * c.cv[40]) + (en.nv[41] * c.cv[41]) + (en.nv[42] * c.cv[42]) + (en.nv[43] * c.cv[43]) + (en.nv[44] * c.cv[44]) + (en.nv[45] * c.cv[45]) + (en.nv[46] * c.cv[46]) + (en.nv[47] * c.cv[47]) + (en.nv[48] * c.cv[48]) + (en.nv[49] * c.cv[49]) + (en.nv[50] * c.cv[50]) + (en.nv[51] * c.cv[51]) + (en.nv[52] * c.cv[52]) + (en.nv[53] * c.cv[53]) + (en.nv[54] * c.cv[54]) + (en.nv[55] * c.cv[55]) + (en.nv[56] * c.cv[56]) + (en.nv[57] * c.cv[57]) + (en.nv[58] * c.cv[58]) + (en.nv[59] * c.cv[59]) + (en.nv[60] * c.cv[60]) + (en.nv[61] * c.cv[61]) + (en.nv[62] * c.cv[62]) + (en.nv[63] * c.cv[63]) + (en.nv[64] * c.cv[64])) / sqrt((c.cv[1] * c.cv[1]) + (c.cv[2] * c.cv[2]) + (c.cv[3] * c.cv[3]) + (c.cv[4] * c.cv[4]) + (c.cv[5] * c.cv[5]) + (c.cv[6] * c.cv[6]) + (c.cv[7] * c.cv[7]) + (c.cv[8] * c.cv[8]) + (c.cv[9] * c.cv[9]) + (c.cv[10] * c.cv[10]) + (c.cv[11] * c.cv[11]) + (c.cv[12] * c.cv[12]) + (c.cv[13] * c.cv[13]) + (c.cv[14] * c.cv[14]) + (c.cv[15] * c.cv[15]) + (c.cv[16] * c.cv[16]) + (c.cv[17] * c.cv[17]) + (c.cv[18] * c.cv[18]) + (c.cv[19] * c.cv[19]) + (c.cv[20] * c.cv[20]) + (c.cv[21] * c.cv[21]) + (c.cv[22] * c.cv[22]) + (c.cv[23] * c.cv[23]) + (c.cv[24] * c.cv[24]) + (c.cv[25] * c.cv[25]) + (c.cv[26] * c.cv[26]) + (c.cv[27] * c.cv[27]) + (c.cv[28] * c.cv[28]) + (c.cv[29] * c.cv[29]) + (c.cv[30] * c.cv[30]) + (c.cv[31] * c.cv[31]) + (c.cv[32] * c.cv[32]) + (c.cv[33] * c.cv[33]) + (c.cv[34] * c.cv[34]) + (c.cv[35] * c.cv[35]) + (c.cv[36] * c.cv[36]) + (c.cv[37] * c.cv[37]) + (c.cv[38] * c.cv[38]) + (c.cv[39] * c.cv[39]) + (c.cv[40] * c.cv[40]) + (c.cv[41] * c.cv[41]) + (c.cv[42] * c.cv[42]) + (c.cv[43] * c.cv[43]) + (c.cv[44] * c.cv[44]) + (c.cv[45] * c.cv[45]) + (c.cv[46] * c.cv[46]) + (c.cv[47] * c.cv[47]) + (c.cv[48] * c.cv[48]) + (c.cv[49] * c.cv[49]) + (c.cv[50] * c.cv[50]) + (c.cv[51] * c.cv[51]) + (c.cv[52] * c.cv[52]) + (c.cv[53] * c.cv[53]) + (c.cv[54] * c.cv[54]) + (c.cv[55] * c.cv[55]) + (c.cv[56] * c.cv[56]) + (c.cv[57] * c.cv[57]) + (c.cv[58] * c.cv[58]) + (c.cv[59] * c.cv[59]) + (c.cv[60] * c.cv[60]) + (c.cv[61] * c.cv[61]) + (c.cv[62] * c.cv[62]) + (c.cv[63] * c.cv[63]) + (c.cv[64] * c.cv[64])) ELSE 0.0 END AS cs,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ((en.nv[1] - c.cv[1]) * (en.nv[1] - c.cv[1])) + ((en.nv[2] - c.cv[2]) * (en.nv[2] - c.cv[2])) + ((en.nv[3] - c.cv[3]) * (en.nv[3] - c.cv[3])) + ((en.nv[4] - c.cv[4]) * (en.nv[4] - c.cv[4])) + ((en.nv[5] - c.cv[5]) * (en.nv[5] - c.cv[5])) + ((en.nv[6] - c.cv[6]) * (en.nv[6] - c.cv[6])) + ((en.nv[7] - c.cv[7]) * (en.nv[7] - c.cv[7])) + ((en.nv[8] - c.cv[8]) * (en.nv[8] - c.cv[8])) + ((en.nv[9] - c.cv[9]) * (en.nv[9] - c.cv[9])) + ((en.nv[10] - c.cv[10]) * (en.nv[10] - c.cv[10])) + ((en.nv[11] - c.cv[11]) * (en.nv[11] - c.cv[11])) + ((en.nv[12] - c.cv[12]) * (en.nv[12] - c.cv[12])) + ((en.nv[13] - c.cv[13]) * (en.nv[13] - c.cv[13])) + ((en.nv[14] - c.cv[14]) * (en.nv[14] - c.cv[14])) + ((en.nv[15] - c.cv[15]) * (en.nv[15] - c.cv[15])) + ((en.nv[16] - c.cv[16]) * (en.nv[16] - c.cv[16])) + ((en.nv[17] - c.cv[17]) * (en.nv[17] - c.cv[17])) + ((en.nv[18] - c.cv[18]) * (en.nv[18] - c.cv[18])) + ((en.nv[19] - c.cv[19]) * (en.nv[19] - c.cv[19])) + ((en.nv[20] - c.cv[20]) * (en.nv[20] - c.cv[20])) + ((en.nv[21] - c.cv[21]) * (en.nv[21] - c.cv[21])) + ((en.nv[22] - c.cv[22]) * (en.nv[22] - c.cv[22])) + ((en.nv[23] - c.cv[23]) * (en.nv[23] - c.cv[23])) + ((en.nv[24] - c.cv[24]) * (en.nv[24] - c.cv[24])) + ((en.nv[25] - c.cv[25]) * (en.nv[25] - c.cv[25])) + ((en.nv[26] - c.cv[26]) * (en.nv[26] - c.cv[26])) + ((en.nv[27] - c.cv[27]) * (en.nv[27] - c.cv[27])) + ((en.nv[28] - c.cv[28]) * (en.nv[28] - c.cv[28])) + ((en.nv[29] - c.cv[29]) * (en.nv[29] - c.cv[29])) + ((en.nv[30] - c.cv[30]) * (en.nv[30] - c.cv[30])) + ((en.nv[31] - c.cv[31]) * (en.nv[31] - c.cv[31])) + ((en.nv[32] - c.cv[32]) * (en.nv[32] - c.cv[32])) + ((en.nv[33] - c.cv[33]) * (en.nv[33] - c.cv[33])) + ((en.nv[34] - c.cv[34]) * (en.nv[34] - c.cv[34])) + ((en.nv[35] - c.cv[35]) * (en.nv[35] - c.cv[35])) + ((en.nv[36] - c.cv[36]) * (en.nv[36] - c.cv[36])) + ((en.nv[37] - c.cv[37]) * (en.nv[37] - c.cv[37])) + ((en.nv[38] - c.cv[38]) * (en.nv[38] - c.cv[38])) + ((en.nv[39] - c.cv[39]) * (en.nv[39] - c.cv[39])) + ((en.nv[40] - c.cv[40]) * (en.nv[40] - c.cv[40])) + ((en.nv[41] - c.cv[41]) * (en.nv[41] - c.cv[41])) + ((en.nv[42] - c.cv[42]) * (en.nv[42] - c.cv[42])) + ((en.nv[43] - c.cv[43]) * (en.nv[43] - c.cv[43])) + ((en.nv[44] - c.cv[44]) * (en.nv[44] - c.cv[44])) + ((en.nv[45] - c.cv[45]) * (en.nv[45] - c.cv[45])) + ((en.nv[46] - c.cv[46]) * (en.nv[46] - c.cv[46])) + ((en.nv[47] - c.cv[47]) * (en.nv[47] - c.cv[47])) + ((en.nv[48] - c.cv[48]) * (en.nv[48] - c.cv[48])) + ((en.nv[49] - c.cv[49]) * (en.nv[49] - c.cv[49])) + ((en.nv[50] - c.cv[50]) * (en.nv[50] - c.cv[50])) + ((en.nv[51] - c.cv[51]) * (en.nv[51] - c.cv[51])) + ((en.nv[52] - c.cv[52]) * (en.nv[52] - c.cv[52])) + ((en.nv[53] - c.cv[53]) * (en.nv[53] - c.cv[53])) + ((en.nv[54] - c.cv[54]) * (en.nv[54] - c.cv[54])) + ((en.nv[55] - c.cv[55]) * (en.nv[55] - c.cv[55])) + ((en.nv[56] - c.cv[56]) * (en.nv[56] - c.cv[56])) + ((en.nv[57] - c.cv[57]) * (en.nv[57] - c.cv[57])) + ((en.nv[58] - c.cv[58]) * (en.nv[58] - c.cv[58])) + ((en.nv[59] - c.cv[59]) * (en.nv[59] - c.cv[59])) + ((en.nv[60] - c.cv[60]) * (en.nv[60] - c.cv[60])) + ((en.nv[61] - c.cv[61]) * (en.nv[61] - c.cv[61])) + ((en.nv[62] - c.cv[62]) * (en.nv[62] - c.cv[62])) + ((en.nv[63] - c.cv[63]) * (en.nv[63] - c.cv[63])) + ((en.nv[64] - c.cv[64]) * (en.nv[64] - c.cv[64])), cell) AS rn
+        FROM en CROSS JOIN cents c),
+      ip AS (
+        SELECT vec_id, nv, cell, cs FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                       ORDER BY cs, vec_id) AS crn
+          FROM asg WHERE rn = 1) WHERE crn <= 2000),
+      dups AS (
+        SELECT vec_id, dup_of FROM (
+          SELECT b.vec_id, a.vec_id AS dup_of,
+                 ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                    ORDER BY a.cs, a.vec_id) AS drn
+          FROM ip a JOIN ip b ON a.cell = b.cell
+          WHERE (a.cs < b.cs OR (a.cs = b.cs AND a.vec_id < b.vec_id))
+            AND ((a.nv[1] * b.nv[1]) + (a.nv[2] * b.nv[2]) + (a.nv[3] * b.nv[3]) + (a.nv[4] * b.nv[4]) + (a.nv[5] * b.nv[5]) + (a.nv[6] * b.nv[6]) + (a.nv[7] * b.nv[7]) + (a.nv[8] * b.nv[8]) + (a.nv[9] * b.nv[9]) + (a.nv[10] * b.nv[10]) + (a.nv[11] * b.nv[11]) + (a.nv[12] * b.nv[12]) + (a.nv[13] * b.nv[13]) + (a.nv[14] * b.nv[14]) + (a.nv[15] * b.nv[15]) + (a.nv[16] * b.nv[16]) + (a.nv[17] * b.nv[17]) + (a.nv[18] * b.nv[18]) + (a.nv[19] * b.nv[19]) + (a.nv[20] * b.nv[20]) + (a.nv[21] * b.nv[21]) + (a.nv[22] * b.nv[22]) + (a.nv[23] * b.nv[23]) + (a.nv[24] * b.nv[24]) + (a.nv[25] * b.nv[25]) + (a.nv[26] * b.nv[26]) + (a.nv[27] * b.nv[27]) + (a.nv[28] * b.nv[28]) + (a.nv[29] * b.nv[29]) + (a.nv[30] * b.nv[30]) + (a.nv[31] * b.nv[31]) + (a.nv[32] * b.nv[32]) + (a.nv[33] * b.nv[33]) + (a.nv[34] * b.nv[34]) + (a.nv[35] * b.nv[35]) + (a.nv[36] * b.nv[36]) + (a.nv[37] * b.nv[37]) + (a.nv[38] * b.nv[38]) + (a.nv[39] * b.nv[39]) + (a.nv[40] * b.nv[40]) + (a.nv[41] * b.nv[41]) + (a.nv[42] * b.nv[42]) + (a.nv[43] * b.nv[43]) + (a.nv[44] * b.nv[44]) + (a.nv[45] * b.nv[45]) + (a.nv[46] * b.nv[46]) + (a.nv[47] * b.nv[47]) + (a.nv[48] * b.nv[48]) + (a.nv[49] * b.nv[49]) + (a.nv[50] * b.nv[50]) + (a.nv[51] * b.nv[51]) + (a.nv[52] * b.nv[52]) + (a.nv[53] * b.nv[53]) + (a.nv[54] * b.nv[54]) + (a.nv[55] * b.nv[55]) + (a.nv[56] * b.nv[56]) + (a.nv[57] * b.nv[57]) + (a.nv[58] * b.nv[58]) + (a.nv[59] * b.nv[59]) + (a.nv[60] * b.nv[60]) + (a.nv[61] * b.nv[61]) + (a.nv[62] * b.nv[62]) + (a.nv[63] * b.nv[63]) + (a.nv[64] * b.nv[64])) >= 0.3
+        ) WHERE drn = 1)
+      SELECT vec_id, dup_of FROM dups
+    ) sd ON sd.vec_id = e2.vec_id
     """,
 )
 def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup (the fifth dedup family): LSH
-    bucket -> capped within-bucket candidate pairs -> exact cosine >= tau
-    -> greedy min-id survivor rule. dup_of NULL marks survivors; the
-    deduplicated corpus is `WHERE dup_of IS NULL`. operators/neardup.py
-    holds the reusable operator; this query pins n_planes to the oracle's
-    constants at the tested corpus sizes (planes_for_corpus returns the
-    floor there)."""
-    from ..operators.neardup import embedding_neardup
+    """Embedding dedup, TWO families in one graded row since r7, both
+    value-hash-checked:
 
-    return embedding_neardup(
-        table(spark, sf_dir, "embeddings"),
+    * ``kind='lsh'`` — embedding-cosine near-dup (the fifth dedup
+      family): LSH bucket -> capped within-bucket candidate pairs ->
+      exact cosine >= tau -> greedy min-id survivor rule
+      (operators/neardup.py; n_planes pinned to the oracle's constants at
+      the tested corpus sizes).
+    * ``kind='semdedup'`` — SemDeDup (Abbas et al. 2023, the sixth dedup
+      family, operators/semdedup.py): k-means cell assignment against
+      FIXED synthetic centroids (deterministic literals shared with the
+      oracle — kmeans training itself is hash-graded via s_ann_ivf's
+      unrolled step), priority = cosine-to-own-centroid ascending (the
+      paper keeps the lowest-centroid-sim member), within-cluster pairs
+      only, row-cap bounds pathological clusters. The oracle unrolls the
+      cell argmin, priorities and pair cosines as explicit left-to-right
+      chains, so the JVM-fold floats match bit for bit and the survivor
+      set hash-checks.
+
+    dup_of NULL marks survivors; the deduplicated corpus per family is
+    `WHERE dup_of IS NULL`."""
+    from ..operators.neardup import embedding_neardup
+    from ..operators.semdedup import semdedup
+
+    emb_raw = table(spark, sf_dir, "embeddings")
+    lsh = embedding_neardup(
+        emb_raw,
         id_col="vec_id",
         emb_col="embedding",
         threshold=NEARDUP_TAU,
-    )
+    ).select(F.lit("lsh").alias("kind"), "vec_id", "dup_of")
+    sem = semdedup(
+        emb_raw.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        centroids=_SD_CENTROIDS,
+        threshold=_SD_TAU,
+    ).select(F.lit("semdedup").alias("kind"), "vec_id", "dup_of")
+    return lsh.unionAll(sem)
 
 
 @register(
