@@ -1,0 +1,63 @@
+"""Deterministic weighted sampling without replacement (Efraimidis &
+Spirakis 2006, algorithm A-ES) — hash-derived randomness, no rand().
+
+The corpus-build need: "take exactly k documents, selection probability
+proportional to weight" (quality score, domain priority, token count) —
+and take the SAME k documents on every run, executor layout, and retry,
+because reproducibility is what makes a training corpus auditable. Spark's
+``sample()`` is neither weighted-without-replacement nor stable across
+layouts.
+
+A-ES: each row draws u ~ Uniform(0,1) and gets key ``-ln(u)/w`` (an
+Exponential(w) race); the k smallest keys are a correct weighted sample
+without replacement. Here u derives from ``md5(seed || id)`` — the same
+engine-portable hash the stratified sampler and mixture op use — so the
+draw is a pure column expression:
+
+* one scan computes keys row-locally (JVM md5 + ln);
+* the k smallest keys select via ``orderBy(key).limit(k)`` which executes
+  as TakeOrderedAndProject — per-partition top-k then one k-row merge,
+  never a global sort (plan-gated in tests);
+* different ``seed`` values give independent samples; the same seed is
+  bit-stable forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_int
+
+# 15 hex digits = 60 bits of mantissa-sized uniform
+_U_DENOM = float(1 << 60)
+
+
+def aes_key(id_col: Column, weight_col: Column, seed: str) -> Column:
+    """The A-ES race key ``-ln(u)/w`` with u = md5-uniform in (0, 1].
+    Exposed so callers can keep the key column for audit."""
+    u = (md5_int(F.concat(F.lit(f"{seed}|"), id_col.cast("string")), 15) + 1) / F.lit(
+        _U_DENOM
+    )
+    return -F.log(u) / weight_col
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "aes",
+) -> DataFrame:
+    """Exactly ``min(k, rows-with-positive-weight)`` rows, inclusion
+    probability proportional to ``weight_col`` (without replacement),
+    deterministic in (id, seed). Non-positive / NULL weights are never
+    selected. Adds ``__aes_key`` (ascending = earlier pick) for audit."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    eligible = df.where(w.isNotNull() & (w > 0))
+    keyed = eligible.withColumn(
+        "__aes_key", aes_key(F.col(id_col), w, seed)
+    )
+    return keyed.orderBy("__aes_key", id_col).limit(k)
