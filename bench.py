@@ -81,6 +81,16 @@ R6_QUERIES = {
 }
 R6_RATIO = 0.956
 
+# queries that absorbed another registry row AFTER r6 — they do strictly
+# more work than their r6 anchor, so a >gate ratio is explained, not a
+# regression (the r6 verdict's q_time_window precedent, made mechanical)
+ABSORBED = {
+    "q_window_topk": (
+        "absorbed q_window_running's lag/lead/rank/ntile/ROWS-frame "
+        "columns in r7 — strictly more computation than the r6 anchor"
+    ),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -141,12 +151,16 @@ def main() -> None:
     r6_norm = round(r6_total_ss / R6_RATIO, 3)
     this_norm_ss = round(total_ss / ratio, 3)
     regressions = {}
+    explained = {}
     for name, r6_sec in R6_QUERIES.items():
         if name not in first_run:
             continue
         rel = (first_run[name] / ratio) / (r6_sec / R6_RATIO)
         if rel > REGRESSION_GATE:
-            regressions[name] = round(rel, 3)
+            if name in ABSORBED:
+                explained[name] = {"x": round(rel, 3), "why": ABSORBED[name]}
+            else:
+                regressions[name] = round(rel, 3)
     moved = round(this_norm_ss / r6_norm, 3)
     r6_comparison = (
         {
@@ -160,6 +174,7 @@ def main() -> None:
                 else ("improved" if moved < 1 / REGRESSION_GATE else "flat")
             ),
             "per_query_regressions": regressions,
+            "explained_absorptions": explained,
         }
         if comparable
         else {"verdict": "n/a", "reason": f"sf={sf}, r6 anchors are sf0.1"}
