@@ -147,7 +147,15 @@ def strip_boilerplate_lines(
         )
     lines = F.split(F.col(text_col), "\n")
 
-    top = freq.orderBy(F.desc("n_docs"), "line").limit(broadcast_max_lines + 1)
+    # materialize the candidate frequent set once (<= broadcast_max_lines+1
+    # rows): the count gate and the broadcast agg below are separate
+    # ACTIONS, and without this each re-runs the whole finder — including
+    # its corpus-sized scan(s) — from scratch
+    top = (
+        freq.orderBy(F.desc("n_docs"), "line")
+        .limit(broadcast_max_lines + 1)
+        .localCheckpoint()
+    )
     if top.count() <= broadcast_max_lines:
         boiler = top.agg(F.collect_list("line").alias("__boiler_lines"))
         kept = F.filter(

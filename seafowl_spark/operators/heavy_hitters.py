@@ -87,6 +87,7 @@ def approx_top_k(
     k: int = 20,
     capacity: int = 256,
     weight_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """(item, approx_weight, exact_weight) for the top-``k`` items by
     exact weight among the Misra-Gries survivors. ``capacity`` bounds
@@ -109,9 +110,15 @@ def approx_top_k(
     summaries = src.mapInPandas(
         _mg_partition(capacity, item_col, weight_col), schema
     )
+    # materialize the merged summary (<= capacity x partitions rows): it
+    # feeds BOTH the recount's broadcast prune and the final join, and an
+    # unmaterialized subtree referenced twice re-executes the corpus-sized
+    # MG pass per reference (the repo's double-subtree trap)
     merged = summaries.groupBy("item").agg(
         F.sum("lower_weight").alias("approx_weight")
     )
+    if materialize:
+        merged = merged.localCheckpoint()
     # exact recount of the surviving candidates only: the corpus-side
     # filter is a broadcast semi-join against <= capacity x partitions
     # items — the long tail still never shuffles

@@ -184,11 +184,16 @@ def fit_bigram_lm(
         ["prev", "cur"],
     )
     counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
-    # context totals re-aggregate the (model-sized) bigram table; the
-    # join back is context-count x bigram rows — broadcast, never a sort
-    # of the model frames
-    ctx = counts.groupBy("prev").agg(F.sum("c").alias("c_ctx"))
-    return vocab, counts.join(F.broadcast(ctx), "prev")
+    # context totals via a WINDOW over the aggregated counts — one pass.
+    # An aggregate-and-join-back (ctx = counts.groupBy...; counts.join(ctx))
+    # references the counts subtree twice, re-executing the corpus-sized
+    # pair scan for each side (the repo's recorded double-subtree trap,
+    # measured 4.5x on BM25); the window reuses counts' own partitioning.
+    from pyspark.sql.window import Window
+
+    return vocab, counts.withColumn(
+        "c_ctx", F.sum("c").over(Window.partitionBy("prev"))
+    )
 
 
 def bigram_logprob(

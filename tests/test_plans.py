@@ -193,20 +193,38 @@ class TestRound6Graduates:
         # BOTH hash exchanges (summary merge + survivor exact recount) at
         # capacity x partitions rows; the frequent set comes back as a
         # 1-row broadcast (BNLJ). Corpus text rows never hash-shuffle.
+        # Since the r7 double-subtree fix the finder materializes behind
+        # localCheckpoints, so the COMPOSED plan shows only the strip:
+        # one corpus scan, the 1-row frequent-set broadcast (BNLJ), and
+        # NO hash exchange of corpus text at all.
         p = plan_of(spark, registry, "t_clean_lines")
-        ex = re.findall(r"Exchange hashpartitioning\(([^,)]*)", p)
-        # item-keyed: MG summary merge + survivor join (summary-bounded);
-        # line-keyed: the exact recount of SURVIVORS ONLY — its input is
-        # first pruned by the broadcast semi-join against the <= capacity
-        # MG survivors (asserted below), so the long tail never shuffles
-        assert ex and all(
-            k.startswith(("item", "line")) for k in ex
-        ), ex
-        assert "BroadcastHashJoin" in p  # the survivor prune on the recount
-        assert "MapInPandas" in p  # the MG summarizer — the only Python
+        assert "Exchange hashpartitioning" not in p
         assert "BroadcastNestedLoopJoin" in p
         assert "CartesianProduct" not in p
         assert "SortMergeJoin" not in p
+        # the finder's own (un-materialized) plan keeps the MG shape:
+        # Python appears only as the summarizer, every hash exchange is
+        # item-keyed or the broadcast-pruned survivor recount on line,
+        # and the recount prune is a broadcast join
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.operators.heavy_hitters import approx_top_k
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        lines = docs.select(
+            F.explode(F.split(F.col("text"), "\n")).alias("line")
+        )
+        fp = (
+            approx_top_k(lines, "line", k=64, capacity=64, materialize=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        ex = re.findall(r"Exchange hashpartitioning\(([^,)]*)", fp)
+        assert ex and all(k.startswith(("item", "line")) for k in ex), ex
+        assert "MapInPandas" in fp
+        assert "BroadcastHashJoin" in fp
+        assert "SortMergeJoin" not in fp
 
     def test_vocab_scoring_broadcasts_capped_vocab(self, spark, registry):
         # the top-K vocabulary joins into token scoring as a broadcast
