@@ -57,6 +57,7 @@ def semdedup(
     id_col: str = "vec_id",
     max_iter: int = 5,
     max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    persist_assignments: bool = False,
 ) -> DataFrame:
     """(id, cell, centroid_sim, dup_of, is_kept) for every input row.
 
@@ -102,6 +103,15 @@ def semdedup(
     )
     w = Window.partitionBy("cell").orderBy("centroid_sim", id_col)
     capped = prio.withColumn("__rn", F.row_number().over(w))
+    if persist_assignments:
+        # the self-join below references the assignment subtree on both
+        # sides (plus once more for the final output): persisting trades
+        # executor storage for recomputing the normalize+assign math
+        # twice. Default OFF — the math is cheap row-local JVM work and
+        # materializing corpus-sized normalized vectors is usually the
+        # worse deal; turn on when embeddings are wide and storage is
+        # plentiful.
+        capped = capped.persist()
     in_play = capped.where(F.col("__rn") <= max_cluster_rows)
 
     a = in_play.select(
