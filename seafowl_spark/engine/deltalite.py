@@ -1054,6 +1054,89 @@ class DeltaLiteTable:
             base_version=snap.version,
         )
 
+    # ------------------------------------------------- version diff (CDC)
+
+    def diff(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        pk_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level changes between two versions — the delta-table
+        analogue of CDC table_changes (beyond the reference; its sync
+        machinery CONSUMES change sets, this PRODUCES one from any two
+        snapshots). Returns one row per changed primary key with
+        ``_change`` in ('insert', 'delete', 'update_preimage' /
+        'update_postimage' pairs) and the full row values of the relevant
+        side.
+
+        ``pk_cols`` defaults to the table's sync primary key if recorded
+        in properties ('merge_pk'), else raises. Both snapshots resolve
+        through time travel, so the diff works across schema evolution
+        (columns added between versions read as NULL on the old side).
+
+        Scale: one full-outer join of the two snapshots hashed on the PK
+        — the same single-shuffle shape the CDC sync planner uses; files
+        unchanged between versions still scan (a content diff cannot
+        avoid reading both sides) but column pruning applies if callers
+        select a column subset afterwards."""
+        if v_to is None:
+            v_to = self.latest_version()
+        if pk_cols is None:
+            pk = self.snapshot(version=v_to).properties.get("merge_pk")
+            if not pk:
+                raise DeltaLiteError(
+                    "pk_cols not given and table has no recorded merge_pk"
+                )
+            pk_cols = pk.split(",") if isinstance(pk, str) else list(pk)
+        old = self.to_df(version=v_from)
+        new = self.to_df(version=v_to)
+        # align across schema evolution: compare over the UNION of columns
+        all_cols = list(
+            dict.fromkeys(list(old.columns) + list(new.columns))
+        )
+        def _pad(df):
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns else F.lit(None).alias(c)
+                    for c in all_cols
+                ]
+            )
+        o = _pad(old).alias("o")
+        n = _pad(new).alias("n")
+        cond = None
+        for c in pk_cols:
+            eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        j = o.join(n, cond, "full_outer")
+        val_cols = [c for c in all_cols if c not in pk_cols]
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        o_absent = F.col(f"o.{pk_cols[0]}").isNull() & F.lit(True)
+        n_absent = F.col(f"n.{pk_cols[0]}").isNull() & F.lit(True)
+        # a NULL pk on one side means "no row there" only if EVERY o/n
+        # column is null; with non-null PKs (the sync contract) the first
+        # pk column suffices
+        inserts = j.where(o_absent & ~n_absent).select(
+            F.lit("insert").alias("_change"),
+            *[F.col(f"n.{c}").alias(c) for c in all_cols],
+        )
+        deletes = j.where(~o_absent & n_absent).select(
+            F.lit("delete").alias("_change"),
+            *[F.col(f"o.{c}").alias(c) for c in all_cols],
+        )
+        changed = j.where(~o_absent & ~n_absent & ~same)
+        pre = changed.select(
+            F.lit("update_preimage").alias("_change"),
+            *[F.col(f"o.{c}").alias(c) for c in all_cols],
+        )
+        post = changed.select(
+            F.lit("update_postimage").alias("_change"),
+            *[F.col(f"n.{c}").alias(c) for c in all_cols],
+        )
+        return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
     # ------------------------------------------------- CHECK constraints
 
     def add_constraint(self, name: str, expr_sql: str) -> Commit:

@@ -991,3 +991,66 @@ class TestCheckConstraints:
         ctx.execute("ALTER TABLE ck5 ADD CONSTRAINT c CHECK (k > 0)")
         with _pt.raises((ExecutionError, DeltaLiteError), match="already exists"):
             ctx.execute("ALTER TABLE ck5 ADD CONSTRAINT c CHECK (k > 1)")
+
+
+class TestVersionDiff:
+    """deltalite.diff (r7): CDC-style row changes between any two
+    versions — inserts/deletes/update pre+post images keyed on a PK,
+    working across schema evolution."""
+
+    def _seed(self, ctx, name):
+        ctx.execute(f"CREATE TABLE {name} (k BIGINT, v STRING)")
+        ctx.execute(f"INSERT INTO {name} VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        return name
+
+    def _t(self, ctx, name):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = next(e for e in ctx.catalog.tables(ctx.database) if e.name == name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def test_insert_delete_update_classified(self, ctx):
+        n = self._seed(ctx, "dv1")
+        v1 = self._t(ctx, n).latest_version()
+        ctx.execute(f"INSERT INTO {n} VALUES (4, 'd')")
+        ctx.execute(f"DELETE FROM {n} WHERE k = 2")
+        ctx.execute(f"UPDATE {n} SET v = 'A' WHERE k = 1")
+        t = self._t(ctx, n)
+        got = {
+            (r._change, r.k): r.v
+            for r in t.diff(v1, pk_cols=["k"]).collect()
+        }
+        assert got == {
+            ("insert", 4): "d",
+            ("delete", 2): "b",
+            ("update_preimage", 1): "a",
+            ("update_postimage", 1): "A",
+        }
+
+    def test_no_changes_empty(self, ctx):
+        n = self._seed(ctx, "dv2")
+        t = self._t(ctx, n)
+        v = t.latest_version()
+        assert t.diff(v, v, pk_cols=["k"]).count() == 0
+
+    def test_across_schema_evolution(self, ctx):
+        n = self._seed(ctx, "dv3")
+        v1 = self._t(ctx, n).latest_version()
+        ctx.execute(f"ALTER TABLE {n} ADD COLUMN score DOUBLE")
+        ctx.execute(f"INSERT INTO {n} VALUES (9, 'z', 1.5)")
+        t = self._t(ctx, n)
+        rows_ = t.diff(v1, pk_cols=["k"]).collect()
+        by = {(r._change, r.k): r for r in rows_}
+        # old rows are NOT updates: their score reads NULL on both sides
+        assert set(by) == {("insert", 9)}
+        assert by[("insert", 9)].score == 1.5
+
+    def test_requires_pk(self, ctx):
+        import pytest as _pt
+
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        n = self._seed(ctx, "dv4")
+        t = self._t(ctx, n)
+        with _pt.raises(DeltaLiteError, match="merge_pk"):
+            t.diff(0)
