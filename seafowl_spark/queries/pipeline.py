@@ -692,7 +692,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-cast sums and double arithmetic (see _pr_oracle), so rank
     VALUES hash-match, not just row counts — the iterative operator can
     no longer regress silently (r6 verdict task #4 asked for rows-only;
-    the unroll gives strictly more).
+    the unroll gives strictly more). Slot donor: q_window_running, whose
+    lag/lead/rank/ntile/ROWS-frame columns folded into q_window_topk
+    (all still hash-checked there — see that query's docstring).
 
     Scale: the edge list is distinct-deduped and hash-partitioned on src
     once (cached); each round moves only the (vertex, rank) table through

@@ -907,6 +907,8 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no DuckDB mirror; parity/recall values are pinned in
     tests/test_bm25.py and tests/test_pq.py, and registry-level partition
     pruning is gate-tested in tests/test_plans.py::TestIndexServing).
+    Slot donor: q_join_left, folded into q_join_full_outer as a
+    hash-checked tagged union (see that query's docstring).
 
     Two methods, one schema (method, query_id, result_id, rank, score):
 
