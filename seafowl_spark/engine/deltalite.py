@@ -1367,8 +1367,22 @@ class DeltaLiteTable:
         is_delete = has_change & F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
         result = joined.where(~is_delete).select(*out_cols)
         adds = self._write_data(self._enforce_constraints(result))
+        # record the merge PK as a table property on first merge (enables
+        # diff()'s default key and documents the table's identity column
+        # set); never overwrite an explicit WITH ('merge_pk' ...) choice
+        meta = None
+        if not snap.properties.get("merge_pk"):
+            meta = {
+                "schema_ddl": snap.schema_ddl,
+                "properties": dict(snap.properties, merge_pk=",".join(pk_cols)),
+            }
         return self._next_commit(
-            "MERGE", adds, hit_paths, app_txn=app_txn, base_version=snap.version
+            "MERGE",
+            adds,
+            hit_paths,
+            metadata=meta,
+            app_txn=app_txn,
+            base_version=snap.version,
         )
 
     # ----------------------------------------------------------- maintenance

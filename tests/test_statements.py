@@ -1054,3 +1054,28 @@ class TestVersionDiff:
         t = self._t(ctx, n)
         with _pt.raises(DeltaLiteError, match="merge_pk"):
             t.diff(0)
+
+    def test_default_pk_from_merge_or_with(self, ctx):
+        """diff() without pk_cols uses the recorded merge_pk: set either
+        by WITH ('merge_pk' ...) at CREATE or automatically by the first
+        MERGE (never overwriting an explicit choice)."""
+        ctx.execute(
+            "CREATE TABLE dv5 (k BIGINT, v STRING) WITH ('merge_pk' = 'k')"
+        )
+        ctx.execute("INSERT INTO dv5 VALUES (1, 'a')")
+        t = self._t(ctx, "dv5")
+        v1 = t.latest_version()
+        ctx.execute("INSERT INTO dv5 VALUES (2, 'b')")
+        got = {(r._change, r.k) for r in self._t(ctx, "dv5").diff(v1).collect()}
+        assert got == {("insert", 2)}
+        # auto-record via MERGE
+        ctx.execute("CREATE TABLE dv6 (k BIGINT, v STRING)")
+        ctx.execute("INSERT INTO dv6 VALUES (1, 'a')")
+        ctx.execute(
+            "MERGE INTO dv6 USING (SELECT 2 AS k, 'b' AS v) s ON dv6.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        t6 = self._t(ctx, "dv6")
+        assert t6.snapshot().properties.get("merge_pk") == "k"
+        got = {(r._change, r.k) for r in t6.diff(1).collect()}
+        assert got == {("insert", 2)}
