@@ -239,6 +239,17 @@ class Catalog:
             self._conn.commit()
             return entry
 
+    def update_schema(self, table_uuid: str, schema_ddl: str) -> None:
+        """Refresh the catalog's cached DDL after schema evolution (the
+        table log stays authoritative — this keeps SHOW COLUMNS /
+        DESCRIBE / information_schema in sync)."""
+        with self._lock:
+            self._conn.execute(
+                "UPDATE tables SET schema_ddl=? WHERE uuid=?",
+                (schema_ddl, table_uuid),
+            )
+            self._conn.commit()
+
     def _get(self, database: str, schema: str, name: str):
         return self._conn.execute(
             "SELECT database, schema, name, uuid, schema_ddl FROM tables "

@@ -572,6 +572,26 @@ class SeafowlContext:
             return self.spark.createDataFrame(
                 rows, "table_schema string, table_name string"
             )
+        m = re.fullmatch(r"(?i)describe history ([\w.]+)", s)
+        if m:
+            # Delta-parity commit history (our extension; complements
+            # system.table_versions with per-commit add/remove counts)
+            t = self.delta_table(m.group(1))
+            rows = [
+                Row(
+                    version=c.version,
+                    timestamp_ms=c.timestamp_ms,
+                    operation=c.operation,
+                    n_adds=len(c.adds),
+                    n_removes=len(c.removes),
+                )
+                for c in t.history()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, timestamp_ms long, operation string, "
+                "n_adds long, n_removes long",
+            )
         m = re.fullmatch(r"(?i)(?:show columns (?:from|in)|describe(?: table)?) ([\w.]+)", s)
         if m:
             entry = self._resolve(m.group(1))
@@ -868,12 +888,16 @@ class SeafowlContext:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
         t.add_column(stmt.column, stmt.dtype)
+        # keep SHOW COLUMNS / DESCRIBE / information_schema in sync (the
+        # log is authoritative; the catalog caches the DDL)
+        self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
         self._record(entry, t)
 
     def _exec_drop_column(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
         t.drop_column(stmt.column)
+        self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
         self._record(entry, t)
 
     def _exec_add_constraint(self, stmt) -> None:

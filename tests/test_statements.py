@@ -1079,3 +1079,23 @@ class TestVersionDiff:
         assert t6.snapshot().properties.get("merge_pk") == "k"
         got = {(r._change, r.k) for r in t6.diff(1).collect()}
         assert got == {("insert", 2)}
+
+
+class TestDescribeAfterEvolution:
+    def test_describe_and_history_track_alters(self, ctx):
+        """r7 bug fix: the catalog caches schema_ddl and ALTER must
+        refresh it, or SHOW COLUMNS / DESCRIBE / information_schema show
+        the pre-ALTER schema forever. DESCRIBE HISTORY (new) lists the
+        commits incl. the ALTER."""
+        ctx.execute("CREATE TABLE dh (k BIGINT, v STRING)")
+        ctx.execute("INSERT INTO dh VALUES (1, 'a')")
+        ctx.execute("ALTER TABLE dh ADD COLUMN score DOUBLE")
+        cols = [r.column_name for r in ctx.execute("DESCRIBE dh").collect()]
+        assert cols == ["k", "v", "score"]
+        ctx.execute("ALTER TABLE dh DROP COLUMN v")
+        cols = [r.column_name for r in ctx.execute("DESCRIBE dh").collect()]
+        assert cols == ["k", "score"]
+        hist = ctx.execute("DESCRIBE HISTORY dh").collect()
+        ops = [r.operation for r in sorted(hist, key=lambda r: r.version)]
+        assert ops == ["CREATE TABLE", "INSERT", "ADD COLUMN", "DROP COLUMN"]
+        assert all(r.n_adds == 0 for r in hist if "COLUMN" in r.operation)
