@@ -1099,3 +1099,15 @@ class TestDescribeAfterEvolution:
         ops = [r.operation for r in sorted(hist, key=lambda r: r.version)]
         assert ops == ["CREATE TABLE", "INSERT", "ADD COLUMN", "DROP COLUMN"]
         assert all(r.n_adds == 0 for r in hist if "COLUMN" in r.operation)
+
+    def test_information_schema_tracks_alters(self, ctx):
+        ctx.execute("CREATE TABLE dh2 (k BIGINT)")
+        ctx.execute("ALTER TABLE dh2 ADD COLUMN extra STRING")
+        cols = [
+            r.column_name
+            for r in ctx.execute(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = 'dh2' ORDER BY ordinal_position"
+            ).collect()
+        ]
+        assert cols == ["k", "extra"]
