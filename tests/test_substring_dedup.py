@@ -145,3 +145,38 @@ class TestRemoveSpans:
         assert out[2].clean_text == ""
         assert out[2].n_tokens == 400
         assert out[2].n_removed_tokens == 400
+
+    def test_random_corpus_parity_sweep(self, spark):
+        """Seeded-random corpus with engineered repeats: heavy coverage of
+        the interval-merge + gap-slice rebuild (nested/overlapping/
+        adjacent doomed spans) vs the python reference in one Spark
+        call."""
+        import random
+
+        rng = random.Random(11)
+        blocks = [
+            " ".join(f"b{b}_{i}" for i in range(rng.randint(4, 9)))
+            for b in range(6)
+        ]
+        docs = []
+        for d in range(60):
+            parts = []
+            for _ in range(rng.randint(1, 6)):
+                if rng.random() < 0.5:
+                    parts.append(blocks[rng.randrange(len(blocks))])
+                else:
+                    parts.append(
+                        " ".join(
+                            f"u{d}_{rng.randrange(10000)}"
+                            for _ in range(rng.randint(1, 7))
+                        )
+                    )
+            docs.append((d, " ".join(parts)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed_tokens, r.clean_text)
+            for r in remove_repeated_spans(df, span_tokens=SPAN).collect()
+        }
+        expect = _py_remove(docs, SPAN)
+        mismatch = {d: (got[d], expect[d]) for d in expect if got.get(d) != expect[d]}
+        assert not mismatch, dict(list(mismatch.items())[:3])
