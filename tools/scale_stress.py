@@ -352,15 +352,20 @@ def main() -> None:
         return round(time.perf_counter() - t0, 2)
 
     def semdedup_stress(sf_dir: str) -> float:
-        """Fixed centroids (identical model both sizes): assignment is
-        corpus-linear, the within-cluster join is bounded by the cap —
-        growth ~N until clusters saturate the cap, then flat."""
+        """k scales WITH the corpus (clusters stay ~64 rows — the
+        production SemDeDup deployment shape, where the paper uses
+        k ~ sqrt(n) to n/100): assignment is corpus-linear and per-
+        cluster pairwise work is constant, so growth ~N. A FIXED k would
+        instead grow clusters linearly and the within-cluster pairwise
+        verify quadratically until the row cap bites (measured 8-12x at
+        10x with k=8 — the documented quadratic-under-cap region)."""
         from seafowl_spark.operators.semdedup import semdedup
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-        dim, ncell = 64, 8
+        n = emb.count()
+        dim, ncell = 64, max(8, n // 64)
         cents = [
             [0.05 * ((c + d) % 9 - 4) for d in range(dim)] for c in range(ncell)
         ]
