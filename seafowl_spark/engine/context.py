@@ -915,7 +915,10 @@ class SeafowlContext:
     def _exec_optimize(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        t.optimize(zorder_by=stmt.fields.get("zorder_by"))
+        t.optimize(
+            zorder_by=stmt.fields.get("zorder_by"),
+            predicate_sql=stmt.fields.get("predicate"),
+        )
         self._record(entry, t)
 
     def _exec_vacuum_table(self, stmt) -> None:

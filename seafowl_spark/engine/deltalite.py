@@ -1447,6 +1447,7 @@ class DeltaLiteTable:
         self,
         target_rows: int = MAX_ROWS_PER_FILE,
         zorder_by: list[str] | None = None,
+        predicate_sql: str | None = None,
     ) -> Commit:
         """Compact small files into ~target_rows files (the OPTIMIZE
         equivalent of Delta; the reference instead re-chunks on write,
@@ -1466,12 +1467,26 @@ class DeltaLiteTable:
         range pruning on several keys at once.
         """
         if zorder_by:
+            if predicate_sql:
+                raise DeltaLiteError(
+                    "OPTIMIZE WHERE cannot combine with ZORDER BY "
+                    "(z-order is a whole-table layout)"
+                )
             return self._optimize_zorder(target_rows, zorder_by)
         snap = self.snapshot()
+        candidates = snap.files
+        if predicate_sql:
+            # scoped compaction (Delta's OPTIMIZE ... WHERE, generalized
+            # from partition columns to footer-stats pruning): only files
+            # the predicate can touch participate; rewriting a file never
+            # changes its content, so scoping is always safe
+            from .pruning import prune_files
+
+            candidates = prune_files(candidates, predicate_sql)
         # MoR-deleted files always qualify: compaction is what folds their
         # deletion vectors back into clean data files
         small = [
-            f for f in snap.files if f.rows < target_rows // 2 or f.dv
+            f for f in candidates if f.rows < target_rows // 2 or f.dv
         ]
         if len(small) <= 1 and not any(f.dv for f in small):
             return self._next_commit("OPTIMIZE", [], [], base_version=snap.version)

@@ -368,16 +368,25 @@ def parse_statement(sql: str) -> Statement:
 
     m = re.match(
         rf"(?i)^optimize\s+(?:table\s+)?({_QNAME})"
+        r"(?:\s+where\s+(.+?))?"
         r"(?:\s+zorder\s+by\s*\(\s*([^)]+?)\s*\))?\s*$",
         s,
     )
     if m:
         zcols = (
-            [c.strip().strip('`"') for c in m.group(2).split(",")]
-            if m.group(2)
+            [c.strip().strip('`"') for c in m.group(3).split(",")]
+            if m.group(3)
             else None
         )
-        return Statement("optimize", s, {"name": m.group(1), "zorder_by": zcols})
+        return Statement(
+            "optimize",
+            s,
+            {
+                "name": m.group(1),
+                "predicate": m.group(2),
+                "zorder_by": zcols,
+            },
+        )
 
     m = re.match(rf"(?i)^vacuum\s+table\s+({_QNAME})\s*$", s)
     if m:

@@ -1111,3 +1111,50 @@ class TestDescribeAfterEvolution:
             ).collect()
         ]
         assert cols == ["k", "extra"]
+
+
+class TestScopedOptimize:
+    """OPTIMIZE ... WHERE (r7): compaction scoped to files the predicate
+    can touch (Delta's partition-scoped OPTIMIZE, generalized to
+    footer-stats pruning). Content never changes; out-of-scope files are
+    untouched."""
+
+    def _t(self, ctx, name):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = next(e for e in ctx.catalog.tables(ctx.database) if e.name == name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def test_scoped_compaction_leaves_other_files(self, ctx):
+        ctx.execute("CREATE TABLE so1 (k BIGINT, v STRING)")
+        # two stats-disjoint small files per range via separate inserts
+        for lo in (0, 0, 1000, 1000):
+            ctx.execute(
+                f"INSERT INTO so1 SELECT id, CAST(id AS STRING) "
+                f"FROM range({lo}, {lo + 50})"
+            )
+        t = self._t(ctx, "so1")
+        before = {f.path for f in t.snapshot().files}
+        assert len(before) >= 4
+        ctx.execute("OPTIMIZE so1 WHERE k < 500")
+        snap = self._t(ctx, "so1").snapshot()
+        after = {f.path for f in snap.files}
+        # high-range files untouched; low-range files compacted
+        high = {
+            f.path for f in snap.files
+            if f.stats.get("k", {}).get("min", 0) >= 1000
+        }
+        assert high and high <= before
+        assert after != before
+        got = rows(ctx.execute("SELECT count(*) AS n, sum(k) AS s FROM so1"))
+        assert got == [(200, 2 * sum(range(0, 50)) + 2 * sum(range(1000, 1050)))]
+
+    def test_where_with_zorder_rejected(self, ctx):
+        ctx.execute("CREATE TABLE so2 (k BIGINT)")
+        import pytest as _pt
+
+        from seafowl_spark.engine.context import ExecutionError
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises((ExecutionError, DeltaLiteError), match="ZORDER"):
+            ctx.execute("OPTIMIZE so2 WHERE k < 5 ZORDER BY (k)")
