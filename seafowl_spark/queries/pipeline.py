@@ -359,43 +359,152 @@ def _sql_rate() -> str:
     return f"CASE {whens} ELSE {_SAMPLE_DEFAULT} END"
 
 
+# DSIR branch constants: hashed-unigram+bigram feature buckets, English
+# as the target distribution, Gumbel-top-k resample size
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_K = 200
+
+
+def _dsir_ctes() -> str:
+    """CTE chain for the DSIR branch's oracle, mirroring
+    operators/dsir.py value for value: the same md5-hashed unigram+bigram
+    buckets, the same Laplace-smoothed DECIMAL(25,6)-quantized log ratios
+    (order-independent per-doc sums, the graded-NB discipline), and the
+    same deterministic Gumbel key u=(md5(doc_id)+0.5)/2^32."""
+    b = _DSIR_BUCKETS
+    return rf"""
+    d AS (
+      SELECT doc_id, lang, source, n_chars,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM d),
+    bi AS (
+      SELECT doc_id, lang,
+             list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS g
+      FROM (SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d WHERE len(toks) > 1)),
+    grams AS (
+      SELECT doc_id, lang,
+             {oracle_md5_int("g")} % {b} AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    tcnt AS (SELECT bucket, COUNT(*) AS c FROM grams
+             WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket),
+    rcnt AS (SELECT bucket, COUNT(*) AS c FROM grams GROUP BY bucket),
+    ttot AS (SELECT COUNT(*) AS n FROM grams
+             WHERE lang = '{_DSIR_TARGET_LANG}'),
+    rtot AS (SELECT COUNT(*) AS n FROM grams),
+    bk AS (SELECT unnest(generate_series(0, {b} - 1)) AS bucket),
+    lam AS (
+      SELECT bk.bucket,
+             CAST(ln((COALESCE(t.c, 0) + 1.0) / (ttot.n + {b}.0))
+                  - ln((COALESCE(r.c, 0) + 1.0) / (rtot.n + {b}.0))
+                  AS DECIMAL(25,6)) AS lam
+      FROM bk LEFT JOIN tcnt t USING (bucket) LEFT JOIN rcnt r USING (bucket)
+      CROSS JOIN ttot CROSS JOIN rtot),
+    inst AS (SELECT d.doc_id, g.bucket
+             FROM (SELECT doc_id FROM d) d LEFT JOIN grams g USING (doc_id)),
+    scored AS (
+      SELECT i.doc_id,
+             CAST(SUM(COALESCE(l.lam, CAST(0 AS DECIMAL(25,6)))) AS DOUBLE)
+               AS logw
+      FROM inst i LEFT JOIN lam l USING (bucket) GROUP BY i.doc_id),
+    sel AS (
+      SELECT doc_id, round(logw, 6) AS logw,
+             round(logw - ln(-ln(
+               ({oracle_md5_int("CAST(doc_id AS VARCHAR)")} + 0.5)
+                / 4294967296.0)), 6) AS sel_key
+      FROM scored
+      ORDER BY sel_key DESC, doc_id
+      LIMIT {_DSIR_K})
+    """
+
+
 @register(
     "t_sample_stratified",
     oracle=f"""
-    SELECT doc_id, lang, source, n_chars,
+    WITH {_dsir_ctes()}
+    SELECT 'rate' AS branch, doc_id, lang, source, n_chars,
            {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % 100 AS bucket,
-           {_sql_rate()} AS rate_pct
+           {_sql_rate()} AS rate_pct,
+           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS sel_key
     FROM documents
     WHERE {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % 100 < {_sql_rate()}
+    UNION ALL
+    SELECT 'dsir' AS branch, s.doc_id, d.lang, d.source, d.n_chars,
+           CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS rate_pct,
+           s.logw, s.sel_key
+    FROM sel s JOIN d USING (doc_id)
     """,
 )
 def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: each language stratum keeps a
-    configured percentage of its documents, selected by doc_id hash bucket
-    — re-running the pipeline reproduces the exact same sample (unlike
-    TABLESAMPLE/rand(), which is the property that matters for auditable
-    corpus builds).
+    """Deterministic data selection, TWO families in one graded row since
+    r7, both value-hash-checked:
 
-    Scale: a pure filter — no shuffle, no sort, pushes down to a scan +
-    codegen'd predicate; sampling 100 TB costs one read pass.
+    * ``branch='rate'`` — stratified sampling: each language stratum
+      keeps a configured percentage of its documents, selected by doc_id
+      hash bucket — re-running the pipeline reproduces the exact same
+      sample (unlike TABLESAMPLE/rand(), the property that matters for
+      auditable corpus builds). Scale: a pure filter — no shuffle, no
+      sort, pushes down to a scan + codegen'd predicate (still plan-gated
+      standalone in test_plans.py); sampling 100 TB costs one read pass.
+    * ``branch='dsir'`` — DSIR importance resampling (Xie et al. 2023,
+      operators/dsir.py): hashed unigram+bigram bucket features, Laplace-
+      smoothed log importance ratios of the English subset over the whole
+      corpus (the model is {_DSIR_BUCKETS} DECIMAL(25,6) rows and
+      BROADCASTS into scoring — plan-gated), per-doc log weights, and a
+      deterministic Gumbel-top-k resample of {_DSIR_K} docs. The oracle
+      rebuilds features, model, scores and Gumbel keys in SQL, so
+      selected ids, weights AND keys hash-match.
     """
+    from ..operators.dsir import dsir_select, fit_dsir
+
     d = table(spark, sf_dir, "documents")
     rate = F.when(F.lit(False), F.lit(0))
     for k, v in _SAMPLE_RATES.items():
         rate = rate.when(F.col("lang") == k, F.lit(v))
     rate = rate.otherwise(F.lit(_SAMPLE_DEFAULT))
     bucket = md5_int(F.col("doc_id").cast("string")) % 100
-    return (
+    null_d = F.lit(None).cast("double")
+    stratified = (
         d.select(
+            F.lit("rate").alias("branch"),
             "doc_id",
             "lang",
             "source",
             "n_chars",
             bucket.alias("bucket"),
             rate.cast("long").alias("rate_pct"),
+            null_d.alias("logw"),
+            null_d.alias("sel_key"),
         )
         .where(F.col("bucket") < F.col("rate_pct"))
     )
+    corpus = d.select("doc_id", "text", "lang")
+    model = fit_dsir(
+        corpus.where(F.col("lang") == _DSIR_TARGET_LANG),
+        corpus,
+        n_buckets=_DSIR_BUCKETS,
+    )
+    null_l = F.lit(None).cast("long")
+    dsir = (
+        dsir_select(corpus, model, _DSIR_K, n_buckets=_DSIR_BUCKETS)
+        .join(d.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select(
+            F.lit("dsir").alias("branch"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            null_l.alias("bucket"),
+            null_l.alias("rate_pct"),
+            "logw",
+            "sel_key",
+        )
+    )
+    return stratified.unionAll(dsir)
 
 
 @register(

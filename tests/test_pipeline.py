@@ -120,11 +120,20 @@ class TestContamination:
 
 class TestStratifiedSample:
     def test_deterministic_and_rate_bounded(self, spark):
-        a = sorted(r.doc_id for r in _q("t_sample_stratified", spark).collect())
-        b = sorted(r.doc_id for r in _q("t_sample_stratified", spark).collect())
-        assert a == b  # re-run == same sample
+        a = sorted(
+            (r.branch, r.doc_id)
+            for r in _q("t_sample_stratified", spark).collect()
+        )
+        b = sorted(
+            (r.branch, r.doc_id)
+            for r in _q("t_sample_stratified", spark).collect()
+        )
+        assert a == b  # re-run == same sample (both branches)
         out = _q("t_sample_stratified", spark).collect()
-        assert all(r.bucket < r.rate_pct for r in out)
+        assert all(
+            r.bucket < r.rate_pct for r in out if r.branch == "rate"
+        )
+        assert all(r.sel_key is not None for r in out if r.branch == "dsir")
 
     def test_en_downsampled_hardest(self, spark):
         from seafowl_spark.queries.pipeline import _SAMPLE_RATES
@@ -134,6 +143,7 @@ class TestStratifiedSample:
         kept = {
             r.lang: r.n
             for r in _q("t_sample_stratified", spark)
+            .where(F.col("branch") == "rate")  # dsir branch picks en docs
             .groupBy("lang")
             .agg(F.count("*").alias("n"))
             .collect()

