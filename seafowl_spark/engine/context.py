@@ -884,6 +884,14 @@ class SeafowlContext:
         t.truncate()
         self._record(entry, t)
 
+    def _exec_restore(self, stmt) -> None:
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        t.restore(version=stmt.version, timestamp=stmt.timestamp)
+        # restore can rewind schema evolution — resync the cached DDL
+        self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
+        self._record(entry, t)
+
     def _exec_add_column(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))

@@ -276,7 +276,9 @@ class DeltaLiteTable:
             ts_ms = c.timestamp_ms
             if c.metadata and c.metadata.get("schema_ddl"):
                 schema_ddl = c.metadata["schema_ddl"]
-            if c.metadata and c.metadata.get("properties"):
+            # key-presence, not truthiness: RESTORE writes properties={}
+            # to reset a table to its pre-properties state
+            if c.metadata and c.metadata.get("properties") is not None:
                 properties = c.metadata["properties"]
             for r in c.removes:
                 files.pop(r, None)
@@ -1221,6 +1223,64 @@ class DeltaLiteTable:
         snap = self.snapshot()
         return self._next_commit(
             "TRUNCATE", [], self._retire(snap.files), base_version=snap.version
+        )
+
+    def restore(
+        self, version: int | None = None, timestamp: str | None = None
+    ) -> Commit:
+        """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (Delta-parity,
+        beyond the reference): commit a NEW version whose live state —
+        files, DVs, schema, properties — equals the target snapshot's, so
+        history is preserved (time travel still reaches the undone
+        versions) and the restore itself is one more undoable commit.
+
+        Data files the target references must still exist: VACUUM after a
+        later rewrite may have GC'd them, in which case restore fails
+        loudly BEFORE committing anything (Delta errors the same way) —
+        an ERROR-level check, not best-effort, because a restored
+        snapshot with missing files would read partial data silently.
+
+        Scale: O(|current| + |target|) commit metadata, zero data I/O —
+        restoring a 100 TB table moves no bytes."""
+        cur = self.snapshot()
+        target = self.snapshot(version=version, timestamp=timestamp)
+        missing = [
+            p
+            for f in target.files
+            for p in ([f.path] + ([f.dv["path"]] if f.dv else []))
+            if not self.store.exists(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise DeltaLiteError(
+                f"cannot restore to version {target.version}: "
+                f"{len(missing)} data file(s) vacuumed, e.g. {missing[0]}"
+            )
+        cur_by_path = {f.path: f for f in cur.files}
+        # re-add every target file whose AddFile differs from (or is
+        # absent in) the live state — snapshot replay overwrites by path,
+        # so matching entries can be skipped to keep the commit small
+        adds = [
+            f
+            for f in target.files
+            if cur_by_path.get(f.path) is None
+            or cur_by_path[f.path].to_json() != f.to_json()
+        ]
+        tgt_paths = {f.path for f in target.files}
+        removes = self._retire(
+            [f for f in cur.files if f.path not in tgt_paths]
+        )
+        meta = {
+            "schema_ddl": target.schema_ddl,
+            # always present (even {}): replay applies properties on key
+            # presence, so restoring across a property add resets it
+            "properties": target.properties,
+        }
+        return self._next_commit(
+            f"RESTORE VERSION {target.version}",
+            adds,
+            removes,
+            metadata=meta,
+            base_version=cur.version,
         )
 
     def _fine_prune(

@@ -388,6 +388,23 @@ def parse_statement(sql: str) -> Statement:
             },
         )
 
+    m = re.match(
+        rf"(?i)^restore\s+(?:table\s+)?({_QNAME})\s+(?:to\s+)?"
+        r"(?:version\s+as\s+of\s+(\d+)"
+        r"|timestamp\s+as\s+of\s+'([^']+)')\s*$",
+        s,
+    )
+    if m:
+        return Statement(
+            "restore",
+            s,
+            {
+                "name": m.group(1),
+                "version": int(m.group(2)) if m.group(2) else None,
+                "timestamp": m.group(3),
+            },
+        )
+
     m = re.match(rf"(?i)^vacuum\s+table\s+({_QNAME})\s*$", s)
     if m:
         return Statement("vacuum_table", s, {"name": m.group(1)})

@@ -1,0 +1,111 @@
+"""RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (engine/deltalite.py
+restore): rewind a table's live state to an earlier snapshot via one
+metadata-only commit, preserving history. Delta-parity surface beyond
+the reference (its planner has no RESTORE)."""
+
+import pytest
+
+from seafowl_spark.engine.deltalite import DeltaLiteError, DeltaLiteTable
+
+
+def _t(ctx, name) -> DeltaLiteTable:
+    e = next(e for e in ctx.catalog.tables(ctx.database) if e.name == name)
+    return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+
+def _rows(ctx, name):
+    return sorted(
+        tuple(r) for r in ctx.execute(f"SELECT * FROM {name}").collect()
+    )
+
+
+class TestRestore:
+    def test_restore_rewinds_data_keeps_history(self, ctx):
+        ctx.execute("CREATE TABLE r1 (k BIGINT, v STRING)")
+        ctx.execute("INSERT INTO r1 VALUES (1, 'a'), (2, 'b')")
+        want = _rows(ctx, "r1")
+        v1 = _t(ctx, "r1").latest_version()
+        ctx.execute("INSERT INTO r1 VALUES (3, 'c')")
+        ctx.execute("DELETE FROM r1 WHERE k = 1")
+        assert _rows(ctx, "r1") != want
+        ctx.execute(f"RESTORE TABLE r1 TO VERSION AS OF {v1}")
+        assert _rows(ctx, "r1") == want
+        # history preserved: the undone versions still travel
+        t = _t(ctx, "r1")
+        assert t.latest_version() > v1 + 2
+        assert t.snapshot(version=v1 + 1).num_rows == 3  # the insert of 3
+        # and the restore commit records what it did
+        assert t.read_commit(t.latest_version()).operation == (
+            f"RESTORE VERSION {v1}"
+        )
+
+    def test_restore_is_metadata_only(self, ctx):
+        ctx.execute("CREATE TABLE r2 (k BIGINT)")
+        ctx.execute("INSERT INTO r2 VALUES (1), (2)")
+        v1 = _t(ctx, "r2").latest_version()
+        files_v1 = {f.path for f in _t(ctx, "r2").snapshot(version=v1).files}
+        ctx.execute("INSERT INTO r2 VALUES (3)")
+        ctx.execute(f"RESTORE TABLE r2 TO VERSION AS OF {v1}")
+        t = _t(ctx, "r2")
+        # live files are exactly v1's physical files — nothing rewritten
+        assert {f.path for f in t.snapshot().files} == files_v1
+
+    def test_restore_across_schema_evolution_resyncs_catalog(self, ctx):
+        ctx.execute("CREATE TABLE r3 (k BIGINT)")
+        ctx.execute("INSERT INTO r3 VALUES (1)")
+        v1 = _t(ctx, "r3").latest_version()
+        ctx.execute("ALTER TABLE r3 ADD COLUMN extra STRING")
+        ctx.execute("INSERT INTO r3 (k, extra) VALUES (2, 'x')")
+        ctx.execute(f"RESTORE TABLE r3 TO VERSION AS OF {v1}")
+        df = ctx.execute("SELECT * FROM r3")
+        assert df.columns == ["k"]
+        cols = [
+            r[0]
+            for r in ctx.execute("SHOW COLUMNS IN r3").collect()
+        ]
+        assert cols == ["k"]
+
+    def test_restore_rejects_vacuumed_target(self, ctx):
+        ctx.execute("CREATE TABLE r4 (k BIGINT)")
+        ctx.execute("INSERT INTO r4 VALUES (1)")
+        v1 = _t(ctx, "r4").latest_version()
+        # overwrite retires v1's file; vacuum GCs it
+        ctx.execute("INSERT INTO r4 (k) SELECT 9")
+        ctx.execute("DELETE FROM r4")  # no predicate: remove-only commit
+        ctx.execute("VACUUM TABLE r4")
+        with pytest.raises(DeltaLiteError, match="vacuumed"):
+            _t(ctx, "r4").restore(version=v1)
+
+    def test_restore_by_timestamp_and_undo_of_restore(self, ctx):
+        ctx.execute("CREATE TABLE r5 (k BIGINT)")
+        ctx.execute("INSERT INTO r5 VALUES (1)")
+        t = _t(ctx, "r5")
+        v1 = t.latest_version()
+        ts1 = t.read_commit(v1).timestamp_ms
+        ctx.execute("INSERT INTO r5 VALUES (2)")
+        import datetime as dt
+
+        iso = (
+            dt.datetime.fromtimestamp(ts1 / 1000, dt.timezone.utc)
+            .isoformat()
+            .replace("+00:00", "Z")
+        )
+        ctx.execute(f"RESTORE TABLE r5 TO TIMESTAMP AS OF '{iso}'")
+        assert _rows(ctx, "r5") == [(1,)]
+        # a restore is itself undoable: restore to the pre-restore version
+        ctx.execute("RESTORE TABLE r5 TO VERSION AS OF 2")
+        assert _rows(ctx, "r5") == [(1,), (2,)]
+
+    def test_restore_resets_later_properties(self, ctx):
+        ctx.execute("CREATE TABLE r6 (k BIGINT)")
+        ctx.execute("INSERT INTO r6 VALUES (1)")
+        v1 = _t(ctx, "r6").latest_version()
+        ctx.execute(
+            "ALTER TABLE r6 ADD CONSTRAINT pos CHECK (k > 0)"
+        )
+        assert _t(ctx, "r6").snapshot().properties  # constraint recorded
+        ctx.execute(f"RESTORE TABLE r6 TO VERSION AS OF {v1}")
+        assert _t(ctx, "r6").snapshot().properties == {}
+        # constraint gone: negative insert passes again
+        ctx.execute("INSERT INTO r6 VALUES (-5)")
+        assert (-5,) in _rows(ctx, "r6")
