@@ -112,11 +112,30 @@ class TestDeltaliteSnapshotReplay:
                 f"ALTER TABLE {name} ADD COLUMN extra_{n_alters[0]} DOUBLE"
             )
 
+        # per-version model snapshots so RESTORE can rewind the model too
+        hist: dict[int, dict[int, str]] = {}
+
+        def do_restore():
+            nonlocal model
+            target = rng.choice(sorted(hist))
+            ctx.execute(f"RESTORE TABLE {name} TO VERSION AS OF {target}")
+            model = dict(hist[target])
+
         do_append()
+        hist[_tbl(ctx, name).latest_version()] = dict(model)
         for _ in range(11):
             rng.choice(
-                [do_append, do_append, do_delete, do_update, do_optimize, do_alter]
+                [
+                    do_append,
+                    do_append,
+                    do_delete,
+                    do_update,
+                    do_optimize,
+                    do_alter,
+                    do_restore,
+                ]
             )()
+            hist[_tbl(ctx, name).latest_version()] = dict(model)
 
         t = _tbl(ctx, name)
         vs = t.versions()
