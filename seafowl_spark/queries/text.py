@@ -652,6 +652,7 @@ _BM25_QUERIES = [
     (3, "table scan vector dup"),
 ]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+_RRF_K = 60  # the Cormack et al. constant
 
 
 @register(
@@ -696,35 +697,92 @@ _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
     per_doc AS (
       SELECT query_id, doc_id,
              CAST(SUM(CAST(term_score AS DECIMAL(25,6))) AS DOUBLE) AS score
-      FROM scored GROUP BY query_id, doc_id)
-    SELECT query_id, doc_id, score, rank FROM (
-      SELECT query_id, doc_id, score,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS rank
-      FROM per_doc)
-    WHERE rank <= {_BM25_K}
+      FROM scored GROUP BY query_id, doc_id),
+    bmtop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM per_doc)
+      WHERE rank <= {_BM25_K}),
+    ovl AS (
+      SELECT qt.query_id, p.doc_id,
+             CAST(COUNT(DISTINCT p.term) AS DOUBLE) AS score
+      FROM postings p JOIN qterms qt USING (term)
+      GROUP BY qt.query_id, p.doc_id),
+    ovltop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM ovl)
+      WHERE rank <= {_BM25_K}),
+    contrib AS (
+      SELECT query_id, doc_id,
+             CAST(CAST(1 AS DOUBLE) / ({_RRF_K} + rank) AS DECIMAL(25,6)) AS c
+      FROM bmtop
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(CAST(1 AS DOUBLE) / ({_RRF_K} + rank) AS DECIMAL(25,6)) AS c
+      FROM ovltop),
+    fused AS (
+      SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    ftop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM fused)
+      WHERE rank <= {_BM25_K})
+    SELECT 'bm25' AS branch, query_id, doc_id, score, rank FROM bmtop
+    UNION ALL
+    SELECT 'rrf' AS branch, query_id, doc_id, score, rank FROM ftop
     """,
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval over the documents corpus for a fixed
-    three-query batch (operators/bm25.bm25_topk), graded end-to-end:
-    row-local postings, query-term pruning, broadcast-only joins, decimal
-    per-term score quantization, deterministic (score DESC, doc_id) rank.
-    The oracle recomputes the identical pipeline in SQL — same
-    tokenization, same idf/tf shape with the same expression association,
-    same DECIMAL(25,6) sum, so scores hash-match.
+    """Retrieval, TWO families in one graded row since r7, both
+    value-hash-checked:
+
+    * ``branch='bm25'`` — BM25 top-k over the documents corpus for a
+      fixed three-query batch (operators/bm25.bm25_topk): row-local
+      postings, query-term pruning, broadcast-only joins, decimal
+      per-term score quantization, deterministic (score DESC, doc_id)
+      rank. The oracle recomputes the identical pipeline in SQL — same
+      tokenization, same idf/tf shape with the same expression
+      association, same DECIMAL(25,6) sum, so scores hash-match.
+    * ``branch='rrf'`` — reciprocal-rank fusion (operators/fusion.py,
+      Cormack et al. 2009): the BM25 list fused with a distinct-term-
+      overlap list (deliberately uncalibrated scales — fusing them IS
+      the point) via 1/({_RRF_K}+rank) contributions quantized at
+      DECIMAL(25,6); the hybrid-serving combiner, graded with fused
+      scores AND ranks value-checked.
 
     Scale: see operators/bm25.py — the corpus never shuffles for a join
     (plan-gated in test_plans.py); the only hash exchanges carry pruned
-    or aggregated data.
+    or aggregated data. Fusion runs over the retrieved lists only
+    (queries x top-k rows), never the corpus.
     """
     from ..operators.bm25 import bm25_topk
+    from ..operators.fusion import rank_topk, rrf_fuse, term_overlap_scores
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
-    return bm25_topk(
+    bm = bm25_topk(
         d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     ).withColumn("rank", F.col("rank").cast("long"))
+    ovl = rank_topk(term_overlap_scores(d, queries), top_k=_BM25_K)
+    fused = rrf_fuse([bm, ovl], topn=_BM25_K, rrf_k=_RRF_K)
+    cols = ["query_id", "doc_id", "score", "rank"]
+    out_bm = bm.select(F.lit("bm25").alias("branch"), *cols)
+    out_rrf = fused.select(
+        F.lit("rrf").alias("branch"),
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return out_bm.unionByName(out_rrf)
 
 
 # --------------------------------------------------------------------------
