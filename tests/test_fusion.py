@@ -100,3 +100,66 @@ class TestTermOverlap:
             for r in term_overlap_scores(docs, qs).collect()
         }
         assert out == {1: 2.0, 2: 1.0}  # doc 3 retrieved by nothing
+
+
+class TestHybridServing:
+    """The production hybrid shape end to end: a PERSISTED bucket-pruned
+    BM25 index and a vector cosine ranking over the same id space, fused
+    with RRF — the serving stack a retrieval deployment actually runs."""
+
+    def test_bm25_index_plus_vector_list_fuse(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.functions import cosine_similarity
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk,
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark shuffle join window", [1.0, 0.0, 0.0]),
+                (2, "join window rank", [0.9, 0.1, 0.0]),
+                (3, "stream batch state", [0.0, 1.0, 0.0]),
+                (4, "vector cosine search", [0.0, 0.9, 0.4]),
+                (5, "unrelated prose entirely", [0.0, 0.0, 1.0]),
+            ],
+            ["doc_id", "text", "emb"],
+        )
+        qs = spark.createDataFrame(
+            [(1, "spark join", [1.0, 0.05, 0.0])],
+            ["query_id", "query_text", "q_emb"],
+        )
+        idx = str(tmp_path / "bm25_idx")
+        write_bm25_index(docs.select("doc_id", "text"), idx, n_buckets=8)
+        lex = bm25_topk_indexed(
+            spark, idx, qs.select("query_id", "query_text"), k=3
+        )
+        # indexed serving == ad-hoc scoring (the persisted-index contract)
+        adhoc = bm25_topk(
+            docs.select("doc_id", "text"),
+            qs.select("query_id", "query_text"),
+            k=3,
+        )
+        assert sorted(map(tuple, lex.collect())) == sorted(
+            map(tuple, adhoc.collect())
+        )
+        vec = rank_topk(
+            docs.crossJoin(
+                F.broadcast(qs.select("query_id", "q_emb"))
+            ).select(
+                "query_id",
+                "doc_id",
+                cosine_similarity(F.col("emb"), F.col("q_emb")).alias(
+                    "score"
+                ),
+            ),
+            top_k=3,
+        )
+        fused = rrf_fuse([lex, vec], topn=5)
+        rows = {r["doc_id"]: r["rank"] for r in fused.collect()}
+        # doc 1 tops both lists -> must top the fusion; doc 2 is second in
+        # both; docs retrieved by only one list still appear
+        assert rows[1] == 1 and rows[2] == 2
+        assert len(rows) >= 3
