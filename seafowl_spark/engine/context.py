@@ -603,6 +603,38 @@ class SeafowlContext:
             return self.spark.createDataFrame(
                 rows, "column_name string, data_type string, nullable boolean"
             )
+        m = re.fullmatch(r"(?i)show create table ([\w.]+)", s)
+        if m:
+            entry = self._resolve(m.group(1))
+            t = DeltaLiteTable(self.spark, self.table_root(entry))
+            snap = t.snapshot()
+            schema = T.StructType.fromDDL(snap.schema_ddl)
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in schema.fields
+            )
+            ddl = f"CREATE TABLE {entry.schema}.{entry.name} (\n  {cols}\n)"
+            props = {
+                k: v
+                for k, v in (snap.properties or {}).items()
+                if k != "constraints"
+            }
+            if props:
+                kv = ", ".join(
+                    f"'{k}' = '{','.join(v) if isinstance(v, list) else v}'"
+                    for k, v in sorted(props.items())
+                )
+                ddl += f"\nWITH ({kv})"
+            qual = f"{entry.schema}.{entry.name}"
+            for name, expr in (snap.properties or {}).get(
+                "constraints", {}
+            ).items():
+                # constraints re-apply as their own executable statements
+                # (CREATE TABLE has no inline CHECK syntax here)
+                ddl += f";\nALTER TABLE {qual} ADD CONSTRAINT {name} CHECK ({expr})"
+            return self.spark.createDataFrame(
+                [Row(create_statement=ddl)], "create_statement string"
+            )
         return None
 
     # ---- DDL

@@ -109,3 +109,34 @@ class TestRestore:
         # constraint gone: negative insert passes again
         ctx.execute("INSERT INTO r6 VALUES (-5)")
         assert (-5,) in _rows(ctx, "r6")
+
+
+class TestShowCreate:
+    """SHOW CREATE TABLE: re-executable DDL from the live snapshot —
+    schema (post-evolution), WITH properties, and constraints as
+    follow-up ALTER statements."""
+
+    def test_round_trip(self, ctx):
+        ctx.execute(
+            "CREATE TABLE sc1 (k BIGINT, v STRING) "
+            "WITH ('bucket_by' = 'k', 'buckets' = '4')"
+        )
+        ctx.execute("ALTER TABLE sc1 ADD COLUMN w DOUBLE")
+        ctx.execute("ALTER TABLE sc1 ADD CONSTRAINT pos CHECK (k > 0)")
+        ddl = ctx.execute("SHOW CREATE TABLE sc1").collect()[0][0]
+        assert "k BIGINT" in ddl and "w DOUBLE" in ddl
+        assert "'bucket_by' = 'k'" in ddl and "'buckets' = '4'" in ddl
+        assert "ADD CONSTRAINT pos CHECK (k > 0)" in ddl
+        # the emitted statements execute and reproduce the table shape
+        for stmt in ddl.replace("sc1", "sc2").split(";"):
+            ctx.execute(stmt)
+        orig = ctx.execute("SHOW COLUMNS IN sc1").collect()
+        twin = ctx.execute("SHOW COLUMNS IN sc2").collect()
+        assert orig == twin
+        # twin enforces the constraint too
+        import pytest as _pt
+
+        from seafowl_spark.engine.deltalite import DeltaLiteError
+
+        with _pt.raises(DeltaLiteError, match="constraint"):
+            ctx.execute("INSERT INTO sc2 VALUES (-1, 'x', 0.0)")
