@@ -175,6 +175,13 @@ class TestPipelineOpPlans:
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
         assert "Python" not in p
+        # and the full graded row: Gumbel top-k fuses into
+        # TakeOrderedAndProject (no global sort materialized), still no
+        # cartesian products or Python anywhere
+        full = plan_of(spark, registry, "t_sample_stratified")
+        assert "TakeOrderedAndProject" in full
+        assert "CartesianProduct" not in full
+        assert "Python" not in full
 
     def test_pii_scan_jvm_only_no_shuffle(self, spark, registry):
         p = plan_of(spark, registry, "t_pii_scan")
