@@ -155,3 +155,68 @@ class TestDsir:
         # noise); the multi-token de/es docs carry real signal
         other = [got[i] for i, _t, lg in DOCS if lg in ("de", "es")]
         assert min(en) > max(other)
+
+
+class TestDsirStreaming:
+    def test_frozen_model_scores_a_stream(self, spark, tmp_path):
+        """DSIR-as-stream-stage: a model fit batch-side (the n_buckets-row
+        log-ratio table) scores a document STREAM — the model broadcasts
+        into each micro-batch's scoring exactly as in batch, so quality
+        gating by importance weight composes with corpus ingest (the same
+        foreachBatch deployment shape as streaming NB scoring)."""
+        import json
+
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(i, t, lg) for i, (t, lg) in enumerate([
+                ("the cat sat on the mat", "en"),
+                ("the dog ate the food", "en"),
+                ("der hund und die katze hier", "de"),
+                ("el gato y el perro aqui", "es"),
+            ])],
+            ["doc_id", "text", "lang"],
+        )
+        model = fit_dsir(
+            docs.where(F.col("lang") == "en"), docs, n_buckets=B
+        ).localCheckpoint()  # freeze: stream batches must not refit
+
+        src = tmp_path / "dsir_src"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            json.dumps({"doc_id": 100, "text": "the cat ate the mat"}) + "\n"
+            + json.dumps({"doc_id": 101, "text": "die katze und der hund"}) + "\n"
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        got = {}
+
+        def score_batch(batch_df, _bid):
+            for r in dsir_score(batch_df, model, n_buckets=B).collect():
+                got[r["doc_id"]] = r["logw"]
+
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt_dsir"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert set(got) == {100, 101}
+        # en-like stream doc outscores the de-like one under the en-target
+        # model, and the batch scorer agrees exactly
+        assert got[100] > got[101]
+        batch = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_score(
+                spark.createDataFrame(
+                    [(100, "the cat ate the mat"),
+                     (101, "die katze und der hund")],
+                    ["doc_id", "text"],
+                ),
+                model,
+                n_buckets=B,
+            ).collect()
+        }
+        assert got == batch
