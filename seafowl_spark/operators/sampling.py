@@ -61,3 +61,56 @@ def weighted_sample(
         "__aes_key", aes_key(F.col(id_col), w, seed)
     )
     return keyed.orderBy("__aes_key", id_col).limit(k)
+
+
+def deterministic_shuffle_key(
+    id_col: Column, seed: str = "shuffle"
+) -> Column:
+    """Seeded pseudo-random permutation key: ``md5(seed || id)`` as a
+    60-bit integer. ORDER BY this key is a deterministic global shuffle —
+    the "randomize the training corpus before packing" step, reproducible
+    across runs/layouts/retries (rand() is neither). Different seeds give
+    independent permutations (epoch reshuffling = bump the seed).
+
+    Scale note: a global ORDER BY is a range exchange — the one
+    full-corpus sort a training-data build legitimately pays, and Spark's
+    sort is external/spill-safe. For shard-local shuffling (often enough
+    when downstream packing is per-shard anyway), sortWithinPartitions on
+    the same key keeps it exchange-free."""
+    return md5_int(
+        F.concat(F.lit(f"{seed}|"), id_col.cast("string")), 15
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain/source cap a
+    crawl pipeline applies so no single site dominates the corpus.
+    Deterministic: rows rank by ``weight_col`` DESC (quality-first) when
+    given, else by the seeded shuffle key (an unbiased random cap), ties
+    broken by id; re-running keeps the same rows.
+
+    One window over the group key — a single hash exchange; no collect,
+    no skew beyond the group sizes themselves (a pathological group
+    still ranks in its own partition stream — Spark's window spills)."""
+    from pyspark.sql.window import Window
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    order = (
+        [F.col(weight_col).desc(), F.col(id_col)]
+        if weight_col
+        else [deterministic_shuffle_key(F.col(id_col), f"cap|{group_col}"),
+              F.col(id_col)]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .where(F.col("__cap_rn") <= n)
+        .drop("__cap_rn")
+    )

@@ -91,3 +91,81 @@ class TestPlan:
         )
         assert "TakeOrderedAndProject" in p
         assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+class TestDeterministicShuffle:
+    def test_permutation_is_stable_and_seed_dependent(self, spark):
+        from seafowl_spark.operators.sampling import deterministic_shuffle_key
+
+        import pyspark.sql.functions as F
+
+        df = spark.range(200).select(F.col("id").alias("doc_id"))
+        def order(seed):
+            return [
+                r["doc_id"]
+                for r in df.orderBy(
+                    deterministic_shuffle_key(F.col("doc_id"), seed), "doc_id"
+                ).collect()
+            ]
+        a, b = order("s1"), order("s1")
+        assert a == b  # reproducible
+        assert a != order("s2")  # epochs reshuffle
+        assert sorted(a) == list(range(200))  # a permutation
+
+    def test_shard_local_variant_has_no_exchange(self, spark):
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.operators.sampling import deterministic_shuffle_key
+
+        df = spark.range(100).select(F.col("id").alias("doc_id"))
+        local = df.sortWithinPartitions(
+            deterministic_shuffle_key(F.col("doc_id"), "s")
+        )
+        p = local._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+
+
+class TestCapPerGroup:
+    def _df(self, spark):
+        rows = [(i, "a" if i < 50 else "b", float(i % 7)) for i in range(60)]
+        return spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+
+    def test_caps_and_is_deterministic(self, spark):
+        from seafowl_spark.operators.sampling import cap_per_group
+
+        df = self._df(spark)
+        out = cap_per_group(df, "source", 10)
+        got = [tuple(r) for r in out.orderBy("doc_id").collect()]
+        counts = {}
+        for _id, s, _q in got:
+            counts[s] = counts.get(s, 0) + 1
+        assert counts == {"a": 10, "b": 10}
+        again = [
+            tuple(r)
+            for r in cap_per_group(df, "source", 10).orderBy("doc_id").collect()
+        ]
+        assert got == again
+
+    def test_small_groups_untouched(self, spark):
+        from seafowl_spark.operators.sampling import cap_per_group
+
+        df = self._df(spark)
+        assert cap_per_group(df, "source", 1000).count() == 60
+
+    def test_quality_first_keeps_best(self, spark):
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.operators.sampling import cap_per_group
+
+        df = self._df(spark)
+        out = cap_per_group(df, "source", 5, weight_col="quality")
+        mins = {
+            r["source"]: r["mn"]
+            for r in out.groupBy("source")
+            .agg(F.min("quality").alias("mn"))
+            .collect()
+        }
+        # group a (50 rows, quality i%7): seven rows at 6.0 -> top-5 all 6.0
+        # group b (10 rows, qualities {0,1,1,2,2,3,3,4,5,6}) -> top-5 min 3.0
+        assert mins["a"] == 6.0
+        assert mins["b"] == 3.0
