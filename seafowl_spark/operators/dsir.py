@@ -134,6 +134,47 @@ def fit_dsir(
     )
 
 
+def fit_dsir_labeled(
+    corpus: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """:func:`fit_dsir` for the common case where the target is a LABELED
+    subset of the raw corpus (lang == 'en', a quality flag, ...): ONE
+    featurize pass and ONE shuffle — the target histogram is a
+    conditional sum inside the same aggregate instead of a second
+    corpus read. Identical output to fit_dsir(corpus.where(is_target),
+    corpus) by construction (asserted in test_dsir.py)."""
+    spark = SparkSession.getActiveSession()
+    inst = ngram_buckets(
+        corpus.select(is_target.alias("__t"), F.col(text_col)),
+        text_col,
+        n_buckets,
+    ).select("__t", F.explode("buckets").alias("bucket"))
+    hist = inst.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
+        F.count(F.lit(1)).alias("rc"),
+    )
+    full = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = full.join(hist, "bucket", "left").select(
+        "bucket",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+    )
+    totals = joined.agg(
+        F.sum("tc").alias("ttot"), F.sum("rc").alias("rtot")
+    )
+    b = float(n_buckets)
+    lam = (
+        F.log((F.col("tc") + 1.0) / (F.col("ttot") + b))
+        - F.log((F.col("rc") + 1.0) / (F.col("rtot") + b))
+    ).cast("decimal(25,6)")
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket", lam.alias("lam")
+    )
+
+
 def dsir_score(
     df: DataFrame,
     model: DataFrame,

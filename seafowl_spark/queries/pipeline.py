@@ -459,7 +459,7 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       rebuilds features, model, scores and Gumbel keys in SQL, so
       selected ids, weights AND keys hash-match.
     """
-    from ..operators.dsir import dsir_select, fit_dsir
+    from ..operators.dsir import dsir_select, fit_dsir_labeled
 
     d = table(spark, sf_dir, "documents")
     rate = F.when(F.lit(False), F.lit(0))
@@ -483,9 +483,11 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket") < F.col("rate_pct"))
     )
     corpus = d.select("doc_id", "text", "lang")
-    model = fit_dsir(
-        corpus.where(F.col("lang") == _DSIR_TARGET_LANG),
+    # one-pass fit: the target is a labeled subset of the corpus, so the
+    # target histogram is a conditional sum in the same aggregate
+    model = fit_dsir_labeled(
         corpus,
+        F.col("lang") == _DSIR_TARGET_LANG,
         n_buckets=_DSIR_BUCKETS,
     )
     null_l = F.lit(None).cast("long")

@@ -220,3 +220,22 @@ class TestDsirStreaming:
             ).collect()
         }
         assert got == batch
+
+
+class TestLabeledFit:
+    def test_one_pass_fit_equals_two_pass(self, spark, docs_df):
+        from seafowl_spark.operators.dsir import fit_dsir_labeled
+
+        two = {
+            r["bucket"]: r["lam"]
+            for r in fit_dsir(
+                docs_df.where(F.col("lang") == "en"), docs_df, n_buckets=B
+            ).collect()
+        }
+        one = {
+            r["bucket"]: r["lam"]
+            for r in fit_dsir_labeled(
+                docs_df, F.col("lang") == "en", n_buckets=B
+            ).collect()
+        }
+        assert one == two
