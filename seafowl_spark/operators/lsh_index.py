@@ -1,0 +1,198 @@
+"""Persisted MinHash-LSH near-dup index: the DEDUP-AT-INGEST serving
+shape — "is this new document a near-duplicate of anything already in
+the corpus?" answered without rescanning the corpus.
+
+The batch pair-finder (queries/similarity.s_minhash_lsh_pairs) and the
+cross-corpus checker (operators/cross_contamination.py) both recompute
+signatures for every involved corpus per run. At 100 TB the corpus side
+must be computed ONCE and persisted — this module is the index-serving
+twin, with the same layout contract as the BM25/IVF-PQ indexes
+(operators/bm25.py / pq.py):
+
+* :func:`write_lsh_index` — one corpus pass: minhash signatures (the
+  exact graded pipeline: 3-token shingles, md5 hashes, 16 affine
+  permutations), band keys, rows land under ``{path}/bands``
+  partitioned by ``bucket = pmod(xxhash64(band, key), n_buckets)``.
+  ``{path}/meta`` records bands/n_buckets.
+* :func:`neardup_lookup` — probe a batch of NEW documents: their band
+  keys hash to a bounded bucket list (<= new_docs x bands entries,
+  driver-collected like the BM25 term buckets), the scan carries a
+  ``bucket IN (...)`` partition filter (gate-tested via inputFiles), the
+  band-key equi-join yields candidates, and signature agreement >=
+  threshold verifies them. Probe cost scales with the NEW batch, never
+  the corpus.
+* :func:`append_lsh_index` — new documents' band rows append into the
+  same hash partitions; append == full rebuild (gate-tested). Lookup
+  then append = exactly-once ingest-with-dedup; composed for streams in
+  tests/test_lsh_index.py via foreachBatch.
+
+Per-bucket candidate rows cap deterministically (ORDER BY id) like every
+bucketed join in this repo — a pathological boilerplate bucket degrades
+to "not probed beyond the cap", never a blow-up.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .cross_contamination import _banded, minhash_signatures
+
+N_PERM = 16
+DEFAULT_BANDS = 4
+DEFAULT_BUCKETS = 64
+MAX_BUCKET_ROWS = 1000
+
+
+def _band_rows(
+    docs: DataFrame,
+    bands: int,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    sigs = minhash_signatures(docs, text_col, id_col)
+    return _banded(sigs, id_col, bands).select(
+        F.col(id_col),
+        "sigs",
+        "band",
+        "key",
+        F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    bands: int = DEFAULT_BANDS,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus's LSH band index under ``path``."""
+    if N_PERM % bands != 0:
+        raise ValueError(f"bands must divide {N_PERM}")
+    rows = _band_rows(docs, bands, n_buckets, text_col, id_col)
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/bands"
+    )
+    meta = json.dumps({"bands": bands, "n_buckets": n_buckets, "id_col": id_col})
+    spark = docs.sparkSession
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.parquet(f"{path}/meta").first()["meta"])
+
+
+def append_lsh_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Add documents incrementally: their band rows land in the same
+    hash partitions (parquet append touches only those buckets), so
+    append == full rebuild over the union corpus."""
+    spark = docs.sparkSession
+    meta = _read_meta(spark, path)
+    rows = _band_rows(
+        docs, meta["bands"], meta["n_buckets"], text_col, id_col
+    )
+    rows.write.mode("append").partitionBy("bucket").parquet(f"{path}/bands")
+
+
+def neardup_lookup(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_rows: int = MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """(new_id, index_id, n_equal_sigs, est_jaccard) for every indexed
+    document whose estimated Jaccard with a new document reaches
+    ``threshold``. The index scan reads ONLY the partitions the new
+    batch's band keys hash into."""
+    meta = _read_meta(spark, path)
+    probe = _band_rows(
+        new_docs, meta["bands"], meta["n_buckets"], text_col, id_col
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col("sigs").alias("sigs_n"),
+        "band",
+        "key",
+        "bucket",
+    )
+    # bounded driver state: <= new_docs x bands bucket ids (the same
+    # contract as bm25_topk_indexed's query-term bucket list)
+    buckets = [r["bucket"] for r in probe.select("bucket").distinct().collect()]
+    if not buckets:
+        return spark.createDataFrame(
+            [],
+            "new_id long, index_id long, n_equal_sigs int, est_jaccard double",
+        )
+    idx = (
+        spark.read.parquet(f"{path}/bands")
+        .where(F.col("bucket").isin(buckets))
+        .select(
+            F.col(meta["id_col"]).alias("index_id"),
+            F.col("sigs").alias("sigs_i"),
+            "band",
+            "key",
+        )
+    )
+    w = Window.partitionBy("band", "key").orderBy("index_id")
+    idx = idx.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= max_bucket_rows
+    )
+    cand = (
+        probe.join(idx, ["band", "key"])
+        .where(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id", "sigs_n", "sigs_i")
+        .distinct()
+    )
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sigs_n"), F.col("sigs_i"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.withColumn("n_equal_sigs", n_eq)
+        .withColumn(
+            "est_jaccard", F.col("n_equal_sigs") / F.lit(float(N_PERM))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "n_equal_sigs", "est_jaccard")
+    )
+
+
+def ingest_with_dedup(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The ingest gate: look up near-dups, append only the CLEAN
+    documents to the index, return (accepted_docs, dup_pairs). Batch
+    twin of the foreachBatch streaming stage in test_lsh_index.py.
+
+    new_docs is read twice (lookup + append) and dup ids drive an
+    anti-join — persist new_docs upstream if it is expensive to
+    recompute; batches are ingest-sized, not corpus-sized."""
+    dups = neardup_lookup(
+        spark, path, new_docs, threshold, text_col, id_col
+    ).localCheckpoint()
+    dup_ids = dups.select(F.col("new_id").alias(id_col)).distinct()
+    accepted = new_docs.join(dup_ids, id_col, "left_anti")
+    append_lsh_index(accepted, path, text_col, id_col)
+    return accepted, dups

@@ -1,0 +1,156 @@
+"""Persisted MinHash-LSH near-dup index (operators/lsh_index.py):
+lookup parity with the ad-hoc cross-corpus checker, bucket partition
+pruning, append == rebuild, and the streaming ingest-with-dedup stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.operators.cross_contamination import cross_contamination
+from seafowl_spark.operators.lsh_index import (
+    append_lsh_index,
+    ingest_with_dedup,
+    neardup_lookup,
+    write_lsh_index,
+)
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "a completely different document about spark shuffle partitions and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (4, "numerical linear algebra routines decompose matrices into simpler factors"),
+    (5, "streaming state stores checkpoint their changelog to remote storage"),
+]
+# 10 is a near-dup of 1/3; 11 is novel
+NEW = [
+    (10, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (11, "wholly novel content mentioning nothing seen before in this corpus"),
+]
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(BASE, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def newdocs(spark):
+    return spark.createDataFrame(NEW, ["doc_id", "text"])
+
+
+class TestLshIndex:
+    def test_lookup_matches_adhoc_cross_check(self, spark, tmp_path, corpus, newdocs):
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        got = {
+            (r["new_id"], r["index_id"]): r["est_jaccard"]
+            for r in neardup_lookup(spark, idx, newdocs, threshold=0.5).collect()
+        }
+        want = {
+            (r["eval_id"], r["train_id"]): r["est_jaccard"]
+            for r in cross_contamination(
+                corpus, newdocs, threshold=0.5
+            ).collect()
+        }
+        assert got == want
+        assert any(k[0] == 10 for k in got)  # the near-dup is found
+        assert not any(k[0] == 11 for k in got)  # the novel doc is clean
+
+    def test_probe_prunes_partitions(self, spark, tmp_path, corpus, newdocs):
+        import glob
+        import re
+
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        n_parts = len(glob.glob(f"{idx}/bands/bucket=*"))
+        one = newdocs.where(F.col("doc_id") == 11)
+        out = neardup_lookup(spark, idx, one, threshold=0.0)
+        formatted = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # the bands scan carries an explicit bucket partition filter
+        # bounded by the probe's band keys (<= 4 for one doc), while the
+        # index holds strictly more partitions (the serving contract —
+        # same gate shape as TestIndexServing's bm25 check)
+        m = re.search(
+            r"bucket#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+))", formatted
+        )
+        assert m, formatted
+        n_probed = len((m.group(1) or m.group(2)).split(","))
+        assert n_probed <= 4 < n_parts
+
+    def test_append_equals_rebuild(self, spark, tmp_path, corpus, newdocs):
+        a = str(tmp_path / "appended")
+        b = str(tmp_path / "rebuilt")
+        write_lsh_index(corpus, a, n_buckets=16)
+        append_lsh_index(newdocs, a)
+        write_lsh_index(corpus.unionByName(newdocs), b, n_buckets=16)
+        rows_a = sorted(
+            map(tuple, spark.read.parquet(f"{a}/bands").collect())
+        )
+        rows_b = sorted(
+            map(tuple, spark.read.parquet(f"{b}/bands").collect())
+        )
+        assert rows_a == rows_b
+
+    def test_ingest_gate_rejects_dups_accepts_novel(
+        self, spark, tmp_path, corpus, newdocs
+    ):
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        accepted, dups = ingest_with_dedup(spark, idx, newdocs, threshold=0.5)
+        assert [r["doc_id"] for r in accepted.collect()] == [11]
+        assert {r["new_id"] for r in dups.collect()} == {10}
+        # the accepted doc is now part of the index: re-ingesting it dedups
+        again = spark.createDataFrame(
+            [(20, NEW[1][1] + " extra")], ["doc_id", "text"]
+        )
+        _acc2, dups2 = ingest_with_dedup(spark, idx, again, threshold=0.5)
+        assert {r["index_id"] for r in dups2.collect()} == {11}
+
+    def test_streaming_ingest_with_dedup(self, spark, tmp_path, corpus):
+        """The stream-ingest gate: each micro-batch looks up near-dups
+        against the PERSISTED index and appends only clean docs — the
+        index itself is the cross-batch dedup state (no unbounded
+        streaming state), same shape as the BM25/IVF-PQ stream-to-index
+        tests."""
+        import json
+
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            json.dumps({"doc_id": 10, "text": NEW[0][1]}) + "\n"
+            + json.dumps({"doc_id": 11, "text": NEW[1][1]}) + "\n"
+        )
+        accepted_ids = []
+
+        def gate(batch_df, _bid):
+            acc, _d = ingest_with_dedup(
+                spark, idx, batch_df.localCheckpoint(), threshold=0.5
+            )
+            accepted_ids.extend(r["doc_id"] for r in acc.collect())
+
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert accepted_ids == [11]
+        # second batch: a near-dup of the doc batch 1 ingested is caught
+        (src / "b1.json").write_text(
+            json.dumps({"doc_id": 12, "text": NEW[1][1] + " and more"}) + "\n"
+        )
+        q2 = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert accepted_ids == [11]  # 12 rejected as dup of 11
