@@ -253,6 +253,38 @@ class SeafowlContext:
                         is_nullable="YES",
                     )
                 )
+        # CHECK constraints live in each table's snapshot properties (the
+        # log is authoritative); surfacing them here gives the standard
+        # table_constraints/check_constraints pair (constraint_type is
+        # always CHECK — no PK/FK surface, same as the reference)
+        tc_rows, cc_rows = [], []
+        for e in entries:
+            try:
+                props = DeltaLiteTable(
+                    self.spark, self.table_root(e)
+                ).snapshot().properties
+            except DeltaLiteError:
+                continue
+            for cname, expr in (props.get("constraints") or {}).items():
+                tc_rows.append(
+                    Row(
+                        constraint_catalog=e.database,
+                        constraint_schema=e.schema,
+                        constraint_name=cname,
+                        table_catalog=e.database,
+                        table_schema=e.schema,
+                        table_name=e.name,
+                        constraint_type="CHECK",
+                    )
+                )
+                cc_rows.append(
+                    Row(
+                        constraint_catalog=e.database,
+                        constraint_schema=e.schema,
+                        constraint_name=cname,
+                        check_clause=expr,
+                    )
+                )
         return {
             "tables": self.spark.createDataFrame(
                 t_rows,
@@ -262,6 +294,17 @@ class SeafowlContext:
                 c_rows,
                 "table_catalog string, table_schema string, table_name string, "
                 "column_name string, ordinal_position int, data_type string, is_nullable string",
+            ),
+            "table_constraints": self.spark.createDataFrame(
+                tc_rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, table_catalog string, "
+                "table_schema string, table_name string, constraint_type string",
+            ),
+            "check_constraints": self.spark.createDataFrame(
+                cc_rows,
+                "constraint_catalog string, constraint_schema string, "
+                "constraint_name string, check_clause string",
             ),
         }
 

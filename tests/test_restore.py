@@ -140,3 +140,26 @@ class TestShowCreate:
 
         with _pt.raises(DeltaLiteError, match="constraint"):
             ctx.execute("INSERT INTO sc2 VALUES (-1, 'x', 0.0)")
+
+
+class TestInformationSchemaConstraints:
+    def test_constraints_surface_and_track_drops(self, ctx):
+        ctx.execute("CREATE TABLE ic1 (k BIGINT)")
+        ctx.execute("ALTER TABLE ic1 ADD CONSTRAINT pos CHECK (k > 0)")
+        tc = ctx.execute(
+            "SELECT table_name, constraint_name, constraint_type "
+            "FROM information_schema.table_constraints"
+        ).collect()
+        assert ("ic1", "pos", "CHECK") in [tuple(r) for r in tc]
+        cc = ctx.execute(
+            "SELECT constraint_name, check_clause "
+            "FROM information_schema.check_constraints"
+        ).collect()
+        assert ("pos", "k > 0") in [tuple(r) for r in cc]
+        ctx.execute("ALTER TABLE ic1 DROP CONSTRAINT pos")
+        tc2 = ctx.execute(
+            "SELECT constraint_name "
+            "FROM information_schema.table_constraints "
+            "WHERE table_name = 'ic1'"
+        ).collect()
+        assert tc2 == []
