@@ -878,14 +878,19 @@ def _seed_serving_indexes(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.kmeans import fit_kmeans
     from ..operators.pq import fit_pq_residual, normalized, write_ivfpq_index
 
+    from ..operators.lsh_index import write_lsh_index
+
     key = sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"sfs_serving_{key}")
+    # v2: the LSH dedup index joined the serving suite in r7 session B —
+    # the version suffix forces a reseed over any v1 tempdir
+    d = os.path.join(tempfile.gettempdir(), f"sfs_serving_{key}v2")
     marker = os.path.join(d, "_SEEDED")
     if not os.path.exists(marker):
         stage = f"{d}.stage{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         write_bm25_index(docs, f"{stage}/bm25", n_buckets=64)
+        write_lsh_index(docs, f"{stage}/lsh", n_buckets=64)
         emb = table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
@@ -910,7 +915,7 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     Slot donor: q_join_left, folded into q_join_full_outer as a
     hash-checked tagged union (see that query's docstring).
 
-    Two methods, one schema (method, query_id, result_id, rank, score):
+    Three methods, one schema (method, query_id, result_id, rank, score):
 
     * ``bm25_indexed`` — 5 document-prefix queries against the term-hash
       bucketed inverted index; the postings scan carries a
@@ -919,13 +924,21 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
       index; the vectors scan reads only probed cells' partitions, coarse
       scoring touches (id, pq_code) columns only, exact re-rank reads the
       float embeddings for the shortlist.
+    * ``lsh_lookup`` (r7 session B) — 3 probe documents against the
+      persisted MinHash-LSH dedup index (operators/lsh_index.py); the
+      bands scan reads only the partitions the probes' band keys hash
+      into — the dedup-at-ingest serving shape (measured flat at a 10x
+      corpus), score = estimated Jaccard, ranked per probe.
 
-    Scale: both serve query batches at cost proportional to the probed
-    partitions, never the corpus — index build cost amortizes across all
-    future query batches (write once in _seed_serving_indexes).
+    Scale: all three serve query batches at cost proportional to the
+    probed partitions, never the corpus — index build cost amortizes
+    across all future query batches (write once in
+    _seed_serving_indexes).
     """
     from ..operators.bm25 import bm25_topk_indexed
+    from ..operators.lsh_index import neardup_lookup
     from ..operators.pq import ivf_pq_topk_indexed
+    from pyspark.sql.window import Window
 
     root = _seed_serving_indexes(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
@@ -962,4 +975,19 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("cosine").alias("score"),
     )
-    return bm.unionAll(ann)
+    probes = docs.where(F.col("doc_id") < 3).select("doc_id", "text")
+    wl = Window.partitionBy("new_id").orderBy(
+        F.desc("est_jaccard"), "index_id"
+    )
+    lsh = (
+        neardup_lookup(spark, f"{root}/lsh", probes, threshold=0.2)
+        .withColumn("rank", F.row_number().over(wl))
+        .select(
+            F.lit("lsh_lookup").alias("method"),
+            F.col("new_id").cast("long").alias("query_id"),
+            F.col("index_id").cast("long").alias("result_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("est_jaccard").alias("score"),
+        )
+    )
+    return bm.unionAll(ann).unionAll(lsh)

@@ -337,9 +337,10 @@ class TestIndexServing:
         )
         filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
         non_empty = [f for f in filters if f.strip()]
-        # BM25 postings prune on bucket; IVF-PQ vectors prune on cell
-        # (two scans of the vectors dir: coarse codes + shortlist rerank)
-        assert any("bucket" in f for f in non_empty), filters
+        # BM25 postings AND the LSH bands dir both prune on bucket;
+        # IVF-PQ vectors prune on cell (two scans of the vectors dir:
+        # coarse codes + shortlist rerank)
+        assert sum("bucket" in f for f in non_empty) >= 2, filters
         assert any("cell" in f for f in non_empty), filters
         assert "CartesianProduct" not in formatted
 
