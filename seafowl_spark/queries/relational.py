@@ -719,16 +719,50 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Bare ORDER BY + LIMIT top-k is exercised — and plan-asserted as
 # TakeOrderedAndProject — by q03_shipping_priority and q_explode_words.)
 
+# the recursive branch of q_subqueries: one SQL text, two engines
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey),
+reach(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE r.depth < 3 AND r.src <> e.dst)
+SELECT 'reach_3hop' AS tag, src AS key, CAST(dst AS STRING) AS name,
+       CAST(MIN(depth) AS DOUBLE) AS metric
+FROM reach GROUP BY src, dst
+"""
+
+
 @register(
     "q_subqueries",
     oracle="""
-    WITH nation_avg AS (
+    WITH RECURSIVE nation_avg AS (
       SELECT s_nationkey,
              CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS nation_avg_bal
       FROM supplier GROUP BY s_nationkey),
     stats AS (
       SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price
-      FROM orders)
+      FROM orders),
+    edges AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey),
+    reach(src, dst, depth) AS (
+      SELECT src, dst, 1 FROM edges
+      UNION ALL
+      SELECT r.src, e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.depth < 3 AND r.src <> e.dst)
     SELECT 'above_nation_avg' AS tag, s.s_suppkey AS key, s.s_name AS name,
            s.s_acctbal AS metric
     FROM supplier s JOIN nation_avg na ON s.s_nationkey = na.s_nationkey
@@ -744,6 +778,10 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders, stats
     WHERE o_totalprice > stats.avg_price
     GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'reach_3hop' AS tag, src AS key, CAST(dst AS STRING) AS name,
+           CAST(MIN(depth) AS DOUBLE) AS metric
+    FROM reach GROUP BY src, dst
     """,
 )
 def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,7 +789,12 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     form Catalyst produces for correlated scalar subqueries) UNION ALL an
     IN-subquery -> LEFT SEMI join on the top-3 distinct part sizes UNION ALL
     a CTE + broadcast scalar subquery (orders above global average price —
-    absorbed from the former q_cte_scalar_subquery registry row)."""
+    absorbed from the former q_cte_scalar_subquery registry row) UNION ALL
+    a RECURSIVE CTE (r7 session B): 3-hop transitive closure over the
+    nation trade graph via Spark 4's WITH RECURSIVE — the SQL text runs
+    VERBATIM on both engines (the test_tpch discipline), min-hop counts
+    hash-checked. Recursion is depth-bounded (depth < 3 in the recursive
+    member), so the iterative union terminates identically everywhere."""
     s = _t(spark, sf_dir, "supplier")
     na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
     above = (
@@ -793,7 +836,16 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double").alias("metric"),
         )
     )
-    return above.unionAll(in_top).unionAll(above_global)
+    # recursive CTE branch: no DataFrame API exists for recursion, so this
+    # branch IS SQL — the identical text the oracle appends (runs verbatim
+    # on Spark 4 and DuckDB)
+    from ..io import register_views
+
+    register_views(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier"]
+    )
+    reach = spark.sql(_REACH_SQL)
+    return above.unionAll(in_top).unionAll(above_global).unionAll(reach)
 
 
 # --------------------------------------------------------------------------
