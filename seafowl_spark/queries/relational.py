@@ -739,6 +739,19 @@ SELECT 'reach_3hop' AS tag, src AS key, CAST(dst AS STRING) AS name,
 FROM reach GROUP BY src, dst
 """
 
+# the LATERAL branch of q_subqueries: per-nation top-2 suppliers through
+# a correlated LATERAL subquery — one SQL text, two engines
+_LATERAL_SQL = """
+SELECT 'lateral_top2' AS tag, n.n_nationkey AS key, t.s_name AS name,
+       t.s_acctbal AS metric
+FROM nation n,
+LATERAL (
+  SELECT s_name, s_acctbal FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2
+) t
+"""
+
 
 @register(
     "q_subqueries",
@@ -782,6 +795,15 @@ FROM reach GROUP BY src, dst
     SELECT 'reach_3hop' AS tag, src AS key, CAST(dst AS STRING) AS name,
            CAST(MIN(depth) AS DOUBLE) AS metric
     FROM reach GROUP BY src, dst
+    UNION ALL
+    SELECT 'lateral_top2' AS tag, n.n_nationkey AS key, t.s_name AS name,
+           t.s_acctbal AS metric
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2
+    ) t
     """,
 )
 def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,7 +816,9 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation trade graph via Spark 4's WITH RECURSIVE — the SQL text runs
     VERBATIM on both engines (the test_tpch discipline), min-hop counts
     hash-checked. Recursion is depth-bounded (depth < 3 in the recursive
-    member), so the iterative union terminates identically everywhere."""
+    member), so the iterative union terminates identically everywhere.
+    UNION ALL a correlated LATERAL subquery (r7 session B): per-nation
+    top-2 suppliers — also one verbatim SQL text on both engines."""
     s = _t(spark, sf_dir, "supplier")
     na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
     above = (
@@ -842,10 +866,17 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import register_views
 
     register_views(
-        spark, sf_dir, ["lineitem", "orders", "customer", "supplier"]
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "nation"],
     )
     reach = spark.sql(_REACH_SQL)
-    return above.unionAll(in_top).unionAll(above_global).unionAll(reach)
+    lateral = spark.sql(_LATERAL_SQL)
+    return (
+        above.unionAll(in_top)
+        .unionAll(above_global)
+        .unionAll(reach)
+        .unionAll(lateral)
+    )
 
 
 # --------------------------------------------------------------------------
