@@ -655,22 +655,61 @@ def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_pivot",
     oracle="""
-    SELECT l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_A,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_N,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_R
-    FROM lineitem GROUP BY l_linestatus
+    WITH piv AS (
+      SELECT l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_A,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_N,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_R
+      FROM lineitem GROUP BY l_linestatus)
+    SELECT 'pivot' AS branch, l_linestatus, qty_A, qty_N, qty_R,
+           CAST(NULL AS VARCHAR) AS metric_name,
+           CAST(NULL AS DOUBLE) AS metric_value
+    FROM piv
+    UNION ALL
+    SELECT 'unpivot' AS branch, l_linestatus,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           metric_name, metric_value
+    FROM piv UNPIVOT (metric_value FOR metric_name IN (qty_A, qty_N, qty_R))
     """,
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT on return flag (DuckDB mirror uses FILTERed aggregates)."""
+    """PIVOT on return flag (DuckDB mirror uses FILTERed aggregates) —
+    and since r7 session B the row also UNPIVOTs the pivoted result back
+    to long form (Spark's DataFrame.unpivot vs DuckDB's SQL-standard
+    UNPIVOT), so both reshaping directions are value-checked in one
+    graded round-trip."""
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    piv = (
         l.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(dec_sum(F.col("l_quantity")))
         .withColumnsRenamed({"A": "qty_A", "N": "qty_N", "R": "qty_R"})
     )
+    null_d = F.lit(None).cast("double")
+    wide = piv.select(
+        F.lit("pivot").alias("branch"),
+        "l_linestatus",
+        "qty_A",
+        "qty_N",
+        "qty_R",
+        F.lit(None).cast("string").alias("metric_name"),
+        null_d.alias("metric_value"),
+    )
+    long = piv.unpivot(
+        ["l_linestatus"],
+        ["qty_A", "qty_N", "qty_R"],
+        "metric_name",
+        "metric_value",
+    ).select(
+        F.lit("unpivot").alias("branch"),
+        "l_linestatus",
+        null_d.alias("qty_A"),
+        null_d.alias("qty_N"),
+        null_d.alias("qty_R"),
+        "metric_name",
+        "metric_value",
+    )
+    return wide.unionAll(long)
 
 
 # --------------------------------------------------------------------------
