@@ -335,3 +335,87 @@ def test_bpe_rank_priority_encoding_equals_sequential_application(
         for m in merges:
             sequential = list(_apply_once(sequential, m))
         assert _encode_word(w, ranks) == sequential, (w, merges)
+
+
+# --------------------------------------------------------------------------
+# 6. r7 session-B operators: featurizer parity, fusion invariance,
+#    normalization idempotence — randomized, mirrored in pure Python
+# --------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_dsir_buckets_match_python_mirror(spark, docs):
+    """ngram_buckets == the md5 mirror for arbitrary corpora — the
+    featurizer IS the model contract (oracle + python mirror both depend
+    on it), so parity must hold beyond the fixed test corpus."""
+    import hashlib
+    import re as _re
+
+    from seafowl_spark.operators.dsir import ngram_buckets
+
+    b = 16
+
+    def mirror(text):
+        toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+        h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % b
+        return [h(t) for t in toks] + [
+            h(f"{toks[i]} {toks[i+1]}") for i in range(len(toks) - 1)
+        ]
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["buckets"]
+        for r in ngram_buckets(df, "text", b).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == mirror(d), (i, d)
+
+
+@given(st.permutations([0, 1, 2]))
+@settings(max_examples=6, deadline=None)
+def test_rrf_is_invariant_to_list_order(spark, perm):
+    """RRF is a sum over lists — fusing [a, b, c] in any order must give
+    identical scores and ranks."""
+    from seafowl_spark.operators.fusion import rank_topk, rrf_fuse
+
+    lists = [
+        spark.createDataFrame(
+            [(1, 10 + j, float(5 - j)) for j in range(3)],
+            ["query_id", "doc_id", "score"],
+        ),
+        spark.createDataFrame(
+            [(1, 11, 0.9), (1, 20, 0.8)], ["query_id", "doc_id", "score"]
+        ),
+        spark.createDataFrame(
+            [(1, 30, 2.0), (1, 10, 1.0)], ["query_id", "doc_id", "score"]
+        ),
+    ]
+    ranked = [rank_topk(x, 10) for x in lists]
+    base = sorted(map(tuple, rrf_fuse(ranked).collect()))
+    permuted = sorted(map(tuple, rrf_fuse([ranked[i] for i in perm]).collect()))
+    assert base == permuted
+
+
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None)
+def test_normalize_text_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x): the canonical form is a
+    fixed point for ANY input — the property that makes it safe to apply
+    at every pipeline stage without versioning drift."""
+    from pyspark.sql import functions as F
+
+    from seafowl_spark.operators.normalize import normalize_text
+
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    out = df.select(
+        normalize_text(F.col("t")).alias("once"),
+        normalize_text(normalize_text(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
