@@ -6,12 +6,14 @@ final packed batches are well-formed. This is the integration surface no
 per-operator test exercises.
 
     documents
+      -> text normalization (canonical whitespace form, r7 session B)
       -> exact substring dedup (repeated-span removal)
       -> whole-document exact dedup (hash, keep lowest id)
       -> semantic dedup (SemDeDup over the embeddings table, r7)
       -> repetition gate (Gopher metrics)
       -> language classification (NB trained on surviving labels)
       -> unigram-LM quality score + threshold
+      -> DSIR importance selection toward the en profile (r7 session B)
       -> deterministic mixture to a target language blend
       -> BPE tokenize (merges learned on the final corpus)
       -> sequence packing into fixed token budgets
@@ -37,8 +39,12 @@ SF_DIR = "/root/testdata/sf0.001"
 class TestCorpusPipelineEndToEnd:
     @pytest.fixture(scope="class")
     def stages(self, spark):
+        from seafowl_spark.operators.normalize import normalize_text
+
+        # 0. canonical whitespace form FIRST — every downstream hash,
+        # shingle and token derives from the normalized text
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-            "doc_id", "text", "lang"
+            "doc_id", normalize_text(F.col("text")).alias("text"), "lang"
         )
         n0 = docs.count()
 
@@ -110,14 +116,35 @@ class TestCorpusPipelineEndToEnd:
         cutoff = scored.agg(
             F.expr("percentile(avg_neg_logprob, 0.95)").alias("p")
         ).collect()[0]["p"]
+        # materialize the stage boundary: the DSIR stage below references
+        # this frame three times (fit histogram, scoring, join-back) and
+        # an unpersisted subtree would re-run the whole upstream chain per
+        # reference (the repo's documented double-subtree trap)
         quality = scored.where(F.col("avg_neg_logprob") <= cutoff).select(
             "doc_id", "text", "predicted"
-        )
+        ).localCheckpoint()
         n5 = quality.count()
+
+        # 5b. DSIR importance selection: resample toward the corpus's en
+        # profile (one-pass labeled fit), keeping ~80% by Gumbel-top-k —
+        # quality filtering by distribution match, not just LM score
+        from seafowl_spark.operators.dsir import dsir_select, fit_dsir_labeled
+
+        dsir_model = fit_dsir_labeled(
+            quality, F.col("predicted") == "en", n_buckets=64
+        )
+        k5b = max(int(n5 * 0.8), 1)
+        selected = quality.join(
+            dsir_select(quality, dsir_model, k5b, n_buckets=64).select(
+                "doc_id"
+            ),
+            "doc_id",
+        ).localCheckpoint()
+        n5b = selected.count()
 
         # 6. mix to a target blend over PREDICTED language
         mixed = mixture_sample(
-            quality,
+            selected,
             {"en": 0.4, "de": 0.2, "es": 0.2, "zh": 0.2},
             category_col="predicted",
         )
@@ -140,7 +167,7 @@ class TestCorpusPipelineEndToEnd:
             shard_cols=["predicted"],
         )
         return dict(
-            n=(n0, n1, n2, n2b, n3, n4, n5, n6),
+            n=(n0, n1, n2, n2b, n3, n4, n5, n5b, n6),
             merges=merges,
             packed=packed,
         )
