@@ -375,6 +375,39 @@ def main() -> None:
         ).format("noop").save()
         return round(time.perf_counter() - t0, 2)
 
+    def lsh_lookup_stress(sf_dir: str) -> float:
+        """Persisted LSH dedup index: LOOKUP only (build excluded, it is
+        data-linear by construction). The probe reads only the buckets
+        the new batch's band keys hash into, so growth should be ~flat
+        (measured 0.94x at 10x when first added, r7 session B)."""
+        import shutil
+        import tempfile
+
+        from seafowl_spark.operators.lsh_index import (
+            neardup_lookup,
+            write_lsh_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="sfs_lsh_stress_")
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        write_lsh_index(docs, d, n_buckets=64)
+        new = spark.createDataFrame(
+            [
+                (900000001, "the quick brown fox jumps over the lazy dog"),
+                (900000002, "spark adaptive query execution replans at runtime"),
+            ],
+            ["doc_id", "text"],
+        )
+        t0 = time.perf_counter()
+        neardup_lookup(spark, d, new, threshold=0.3).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(d, ignore_errors=True)
+        return dt
+
     for name, fn in [
         ("bm25_topk", bm25_stress),
         ("ivf_pq_topk", ivf_pq_stress),
@@ -383,6 +416,7 @@ def main() -> None:
         ("substring_dedup", substring_stress),
         ("mixture_sample", mixture_stress),
         ("index_serving", serving_stress),
+        ("lsh_lookup", lsh_lookup_stress),
         ("semdedup", semdedup_stress),
         ("pagerank3", pagerank_stress),
     ]:
