@@ -136,6 +136,26 @@ def read_external(
                     )
         return df
 
+    # malformed-row contract for the text formats (a 100 TB crawl WILL
+    # contain broken lines; the failure mode must be a declared choice,
+    # not whatever the reader defaults to): on_error = 'permissive'
+    # (default — malformed rows surface as NULLs, and with an explicit
+    # schema a `_corrupt_record STRING` column captures the raw line),
+    # 'skip' (drop malformed rows), or 'fail' (first bad row raises)
+    _ON_ERROR_MODES = {
+        "permissive": "PERMISSIVE",
+        "skip": "DROPMALFORMED",
+        "fail": "FAILFAST",
+    }
+    if fmt in ("csv", "ndjson", "json") and "on_error" in options:
+        choice = options.pop("on_error").lower()
+        if choice not in _ON_ERROR_MODES:
+            raise ExternalTableError(
+                f"on_error must be one of {sorted(_ON_ERROR_MODES)}, "
+                f"got {choice!r}"
+            )
+        options["mode"] = _ON_ERROR_MODES[choice]
+
     if fmt == "csv":
         r = spark.read.option("header", options.pop("has_header", "true"))
         if "delimiter" in options:

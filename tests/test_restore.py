@@ -163,3 +163,90 @@ class TestInformationSchemaConstraints:
             "WHERE table_name = 'ic1'"
         ).collect()
         assert tc2 == []
+
+
+class TestExternalOnError:
+    """Malformed-row contract for text external tables (sources/
+    external.py on_error): permissive surfaces NULLs + _corrupt_record,
+    skip drops, fail raises — a declared choice, not a reader default."""
+
+    def _write_bad_ndjson(self, tmp_path):
+        p = tmp_path / "bad.ndjson"
+        p.write_text(
+            '{"k": 1, "v": "a"}\n'
+            "this is not json\n"
+            '{"k": 3, "v": "c"}\n'
+        )
+        return str(p)
+
+    def test_permissive_captures_corrupt_record(self, spark, tmp_path):
+        from seafowl_spark.sources.external import read_external
+
+        loc = self._write_bad_ndjson(tmp_path)
+        df = read_external(
+            spark,
+            "ndjson",
+            loc,
+            columns=[("k", "bigint"), ("v", "string"),
+                     ("_corrupt_record", "string")],
+            options={"on_error": "permissive"},
+        ).cache()  # Spark requires materialization before _corrupt_record filters
+        try:
+            assert df.count() == 3
+            bad = df.where("_corrupt_record IS NOT NULL").collect()
+            assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("this is")
+        finally:
+            df.unpersist()
+
+    def test_skip_drops_malformed(self, spark, tmp_path):
+        from seafowl_spark.sources.external import read_external
+
+        loc = self._write_bad_ndjson(tmp_path)
+        df = read_external(
+            spark, "ndjson", loc,
+            columns=[("k", "bigint"), ("v", "string")],
+            options={"on_error": "skip"},
+        )
+        assert sorted(r["k"] for r in df.collect()) == [1, 3]
+
+    def test_fail_raises_on_first_bad_row(self, spark, tmp_path):
+        from seafowl_spark.sources.external import read_external
+
+        loc = self._write_bad_ndjson(tmp_path)
+        df = read_external(
+            spark, "ndjson", loc,
+            columns=[("k", "bigint"), ("v", "string")],
+            options={"on_error": "fail"},
+        )
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="(?i)malformed|FAILFAST"):
+            df.collect()
+
+    def test_unknown_choice_rejected(self, spark, tmp_path):
+        from seafowl_spark.sources.external import (
+            ExternalTableError,
+            read_external,
+        )
+
+        loc = self._write_bad_ndjson(tmp_path)
+        import pytest as _pt
+
+        with _pt.raises(ExternalTableError, match="on_error"):
+            read_external(
+                spark, "ndjson", loc,
+                columns=[("k", "bigint")],
+                options={"on_error": "explode"},
+            )
+
+    def test_csv_skip(self, spark, tmp_path):
+        from seafowl_spark.sources.external import read_external
+
+        p = tmp_path / "bad.csv"
+        p.write_text("k,v\n1,a\nthis,line,has,too,many,fields\n3,c\n")
+        df = read_external(
+            spark, "csv", str(p),
+            columns=[("k", "bigint"), ("v", "string")],
+            options={"on_error": "skip"},
+        )
+        assert sorted(r["k"] for r in df.collect()) == [1, 3]
