@@ -366,3 +366,32 @@ class TestIndexServing:
         # 5 six-word queries -> at most 30 distinct terms; the seeded
         # index has up to 64 buckets and the probe list must not cover it
         assert n_probed < max(n_all, 2), (n_probed, n_all)
+
+
+class TestRegistryWideHygiene:
+    def test_no_cartesian_no_row_python_anywhere(self, spark, registry):
+        """Registry-wide invariant sweep: NO graded query may plan a
+        CartesianProduct or row-at-a-time Python evaluation
+        (BatchEvalPython) — the two plan shapes that do not survive a
+        100x scale-up. Per-query gates above catch specific regressions;
+        this net catches a violation introduced by ANY future row
+        without needing a bespoke gate first."""
+        offenders = {}
+        for name, ent in registry.items():
+            p = (
+                ent.fn(spark, SF)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            flags = [
+                f
+                for f, tok in (
+                    ("cartesian", "CartesianProduct"),
+                    ("row-python", "BatchEvalPython"),
+                )
+                if tok in p
+            ]
+            if flags:
+                offenders[name] = flags
+        assert offenders == {}, offenders
