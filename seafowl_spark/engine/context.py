@@ -646,6 +646,33 @@ class SeafowlContext:
             return self.spark.createDataFrame(
                 rows, "column_name string, data_type string, nullable boolean"
             )
+        m = re.fullmatch(r"(?i)describe detail ([\w.]+)", s)
+        if m:
+            # Delta-parity one-row table summary from the live snapshot
+            entry = self._resolve(m.group(1))
+            t = DeltaLiteTable(self.spark, self.table_root(entry))
+            snap = t.snapshot()
+            import json as _json
+
+            rows = [
+                Row(
+                    format="deltalite",
+                    name=f"{entry.schema}.{entry.name}",
+                    location=self.table_root(entry),
+                    version=snap.version,
+                    num_files=len(snap.files),
+                    size_bytes=sum(f.size_bytes for f in snap.files),
+                    num_rows=snap.num_rows,
+                    num_deletion_vectors=sum(1 for f in snap.files if f.dv),
+                    properties=_json.dumps(snap.properties, sort_keys=True),
+                )
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "format string, name string, location string, version long, "
+                "num_files long, size_bytes long, num_rows long, "
+                "num_deletion_vectors long, properties string",
+            )
         m = re.fullmatch(r"(?i)show create table ([\w.]+)", s)
         if m:
             entry = self._resolve(m.group(1))

@@ -250,3 +250,16 @@ class TestExternalOnError:
             options={"on_error": "skip"},
         )
         assert sorted(r["k"] for r in df.collect()) == [1, 3]
+
+
+class TestDescribeDetail:
+    def test_one_row_summary_tracks_state(self, ctx):
+        ctx.execute("CREATE TABLE dd1 (k BIGINT)")
+        ctx.execute("INSERT INTO dd1 VALUES (1), (2), (3)")
+        r = ctx.execute("DESCRIBE DETAIL dd1").collect()[0]
+        assert r["format"] == "deltalite"
+        assert r["num_rows"] == 3 and r["num_files"] >= 1
+        assert r["version"] >= 1 and r["size_bytes"] > 0
+        ctx.execute("DELETE FROM dd1 WHERE k = 2")
+        r2 = ctx.execute("DESCRIBE DETAIL dd1").collect()[0]
+        assert r2["num_rows"] == 2 and r2["version"] > r["version"]
