@@ -17,10 +17,10 @@ twin, with the same layout contract as the BM25/IVF-PQ indexes
 * :func:`neardup_lookup` — probe a batch of NEW documents: their band
   keys hash to a bounded bucket list (<= new_docs x bands entries,
   driver-collected like the BM25 term buckets), the scan carries a
-  ``bucket IN (...)`` partition filter (gate-tested via inputFiles), the
-  band-key equi-join yields candidates, and signature agreement >=
-  threshold verifies them. Probe cost scales with the NEW batch, never
-  the corpus.
+  ``bucket IN (...)`` partition filter (gate-tested via the explain's
+  PartitionFilters — inputFiles ignores pruning), the band-key equi-join
+  yields candidates, and signature agreement >= threshold verifies them.
+  Probe cost scales with the NEW batch, never the corpus.
 * :func:`append_lsh_index` — new documents' band rows append into the
   same hash partitions; append == full rebuild (gate-tested). Lookup
   then append = exactly-once ingest-with-dedup; composed for streams in
@@ -196,3 +196,25 @@ def ingest_with_dedup(
     accepted = new_docs.join(dup_ids, id_col, "left_anti")
     append_lsh_index(accepted, path, text_col, id_col)
     return accepted, dups
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the bands directory to one file per bucket. Every
+    :func:`append_lsh_index` batch adds a small file to each bucket it
+    touches; at a high ingest rate the probe's per-partition file count
+    (and open-file overhead) grows with batch COUNT, not data size —
+    compaction restores one-file-per-bucket without changing a row.
+    Run it on the same cadence as any small-file compaction (the
+    deltalite OPTIMIZE discipline applied to the index)."""
+    bands = f"{path}/bands"
+    staged = spark.read.parquet(bands).repartition(1, "bucket")
+    tmp = f"{path}/bands__compact"
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    # atomic-enough swap for a local/posix store: readers pick up the new
+    # directory on next query; on an object store, write to a versioned
+    # prefix and flip a pointer instead (documented, not implemented —
+    # the persisted indexes are path-addressed)
+    import shutil
+
+    shutil.rmtree(bands)
+    shutil.move(tmp, bands)

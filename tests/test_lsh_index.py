@@ -154,3 +154,36 @@ class TestLshIndex:
         )
         q2.awaitTermination(120)
         assert accepted_ids == [11]  # 12 rejected as dup of 11
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_prunes_files(
+        self, spark, tmp_path, corpus, newdocs
+    ):
+        import glob
+
+        from seafowl_spark.operators.lsh_index import compact_lsh_index
+
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=8)
+        for i in range(3):  # several ingest batches -> small files pile up
+            batch = newdocs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 100)
+            )
+            append_lsh_index(batch, idx)
+        before_rows = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/bands").collect())
+        )
+        n_files_before = len(glob.glob(f"{idx}/bands/bucket=*/*.parquet"))
+        compact_lsh_index(spark, idx)
+        after_rows = sorted(
+            map(tuple, spark.read.parquet(f"{idx}/bands").collect())
+        )
+        n_files_after = len(glob.glob(f"{idx}/bands/bucket=*/*.parquet"))
+        assert after_rows == before_rows
+        assert n_files_after < n_files_before
+        n_buckets = len(glob.glob(f"{idx}/bands/bucket=*"))
+        assert n_files_after == n_buckets  # one file per bucket
+        # lookups still work and still prune
+        hits = neardup_lookup(spark, idx, newdocs, threshold=0.5).count()
+        assert hits > 0

@@ -263,3 +263,18 @@ class TestDescribeDetail:
         ctx.execute("DELETE FROM dd1 WHERE k = 2")
         r2 = ctx.execute("DESCRIBE DETAIL dd1").collect()[0]
         assert r2["num_rows"] == 2 and r2["version"] > r["version"]
+
+    def test_on_error_via_sql_surface(self, ctx, tmp_path):
+        p = tmp_path / "bad.ndjson"
+        p.write_text('{"k": 1}\nnot json\n{"k": 3}\n')
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE exterr (k BIGINT) STORED AS NDJSON "
+            f"OPTIONS ('on_error' 'skip') LOCATION '{p}'"
+        )
+        got = [
+            r.k
+            for r in ctx.execute(
+                "SELECT k FROM staging.exterr ORDER BY k"
+            ).collect()
+        ]
+        assert got == [1, 3]
