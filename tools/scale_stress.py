@@ -352,13 +352,16 @@ def main() -> None:
         return round(time.perf_counter() - t0, 2)
 
     def semdedup_stress(sf_dir: str) -> float:
-        """k scales WITH the corpus (clusters stay ~64 rows — the
-        production SemDeDup deployment shape, where the paper uses
-        k ~ sqrt(n) to n/100): assignment is corpus-linear and per-
-        cluster pairwise work is constant, so growth ~N. A FIXED k would
-        instead grow clusters linearly and the within-cluster pairwise
-        verify quadratically until the row cap bites (measured 8-12x at
-        10x with k=8 — the documented quadratic-under-cap region)."""
+        """k scales WITH the corpus (clusters stay ~64 rows): per-cluster
+        pairwise work stays constant, but the brute-force ASSIGNMENT is
+        n x k dot products — with k ~ n/64 that is ~N^2 total work, so
+        this runner's growth is parallelism-dependent and noisy between
+        runs (measured 3.7x and 11.3x at 10x in r7). A FIXED k instead
+        grows the within-cluster pairwise verify quadratically until the
+        row cap bites (measured 8-12x at 10x with k=8). The true scale
+        path replaces brute-force argmin assignment with the ANN index
+        machinery (ivf_quantized_topk / ivf_pq) — this runner measures
+        the honest brute-force baseline, not that deployment."""
         from seafowl_spark.operators.semdedup import semdedup
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
