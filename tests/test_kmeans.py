@@ -167,3 +167,95 @@ class TestIvfTopk:
             per_q.setdefault(r["query_id"], []).append(r["rank"])
         for ranks in per_q.values():
             assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+class TestHierarchicalAssignment:
+    def _data(self, spark, n=400, k=64, dim=16):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        cents = rng.randn(k, dim) * 3
+        rows = []
+        for i in range(n):
+            c = i % k
+            rows.append((i, (cents[c] + rng.randn(dim) * 0.3).tolist()))
+        return (
+            spark.createDataFrame(rows, ["vec_id", "emb"]),
+            cents.tolist(),
+        )
+
+    def test_agreement_with_exact(self, spark):
+        from seafowl_spark.operators.kmeans import assign_cells
+
+        df, cents = self._data(spark)
+        exact = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(df, cents, metric="l2").collect()
+        }
+        approx = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(
+                df, cents, metric="l2", mode="hierarchical", nprobe=2
+            ).collect()
+        }
+        agree = sum(exact[i] == approx[i] for i in exact) / len(exact)
+        # well-separated clusters: the two-level probe finds the true
+        # cell almost always; the bound is deliberately loose because
+        # boundary points legitimately differ
+        assert agree >= 0.9, agree
+
+    def test_more_probes_monotone_agreement(self, spark):
+        from seafowl_spark.operators.kmeans import assign_cells
+
+        df, cents = self._data(spark, n=200, k=36)
+        exact = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(df, cents, metric="l2").collect()
+        }
+
+        def rate(p):
+            a = {
+                r["vec_id"]: r["cell"]
+                for r in assign_cells(
+                    df, cents, metric="l2", mode="hierarchical", nprobe=p
+                ).collect()
+            }
+            return sum(exact[i] == a[i] for i in exact) / len(exact)
+
+        r1, r6 = rate(1), rate(6)  # probing all sqrt(k)=6 groups == exact
+        assert r6 == 1.0
+        assert r1 <= r6
+
+    def test_plan_stays_o1_in_k(self, spark):
+        from seafowl_spark.operators.kmeans import assign_cells
+
+        df, cents = self._data(spark, n=20, k=256)
+        p = (
+            assign_cells(df, cents, metric="l2", mode="hierarchical")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # codebook rides the closure, not the plan (same property the
+        # exact path gates in test_k256_plan_stays_small)
+        assert len(p) < 20_000
+
+    def test_semdedup_hierarchical_mode_runs(self, spark):
+        from seafowl_spark.operators.semdedup import semdedup
+
+        df, cents = self._data(spark, n=100, k=16)
+        out = semdedup(
+            df, centroids=cents, threshold=0.99, assign_mode="hierarchical"
+        ).collect()
+        assert len(out) == 100
+        kept = [r for r in out if r["is_kept"]]
+        assert kept  # survivors exist; duplicates point at smaller prio
+
+    def test_unknown_mode_rejected(self, spark):
+        import pytest as _pt
+
+        from seafowl_spark.operators.kmeans import assign_cells
+
+        df, cents = self._data(spark, n=5, k=4)
+        with _pt.raises(ValueError, match="mode"):
+            assign_cells(df, cents, mode="magic")
