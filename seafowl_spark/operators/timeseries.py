@@ -1,0 +1,95 @@
+"""Time-series resampling and gap filling over event streams — the
+"regularize this event table to a fixed grid" operators an analytics
+engine needs next to its windowed aggregates (queries/relational.py
+q_time_window covers watermark/tumbling aggregation; this module covers
+the COMPLETE grid: buckets with no events exist as rows, and carried
+values fill them).
+
+* :func:`resample` — aggregate events into fixed intervals per key AND
+  densify: the per-key grid spans that key's [min, max] bucket via one
+  row-local ``sequence()`` explode (no driver loop, no cross join), so
+  empty buckets materialize with NULL aggregates. Grid generation is
+  O(buckets) rows — the same cardinality the result needs anyway.
+* :func:`forward_fill` — carry the last non-NULL observation forward
+  within each key (``last_value(..., ignorenulls) OVER (ORDER BY ts ROWS
+  UNBOUNDED PRECEDING)``) — the standard LOCF imputation, one window
+  pass, no shuffle beyond the per-key partition.
+
+Scale: both are one shuffle on the key (the partitionBy every windowed
+time-series op pays); the grid explode is row-local JVM work. Keys
+partition independently, so a million device streams parallelize — the
+pathological case is ONE key spanning years at 1 s resolution, which is
+a documented data-modeling smell (shard the key), not an operator trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bucket(ts: Column, interval_s: int) -> Column:
+    """Truncate a timestamp to its interval bucket start (epoch-aligned,
+    the same arithmetic DuckDB's time_bucket uses for plain intervals)."""
+    secs = ts.cast("long")
+    return F.timestamp_seconds((secs - secs % interval_s))
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    interval_s: int,
+    aggs: dict[str, Column],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """(key..., bucket_ts, <agg columns>) on a DENSE per-key grid: every
+    interval between a key's first and last event exists as a row; empty
+    buckets carry NULL aggregates (feed :func:`forward_fill` to impute).
+    ``aggs`` maps output column name -> aggregate Column."""
+    if interval_s <= 0:
+        raise ValueError("interval_s must be positive")
+    keys = list(key_cols or [])
+    b = _bucket(F.col(ts_col), interval_s)
+    agged = df.groupBy(*keys, b.alias("bucket_ts")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    # per-key dense grid: sequence() over that key's own span — row-local
+    # after one per-key min/max aggregate
+    span = agged.groupBy(*keys).agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {interval_s} SECOND"),
+            )
+        ).alias("bucket_ts"),
+    )
+    return grid.join(agged, keys + ["bucket_ts"], "left")
+
+
+def forward_fill(
+    df: DataFrame,
+    value_cols: list[str],
+    ts_col: str = "bucket_ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """LOCF imputation: each NULL in ``value_cols`` takes the latest
+    non-NULL value at or before its timestamp within its key. Leading
+    NULLs (no prior observation) stay NULL — honesty over invention."""
+    keys = list(key_cols or [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

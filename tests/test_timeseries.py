@@ -1,0 +1,127 @@
+"""Resampling + gap filling (operators/timeseries.py): dense grids,
+bucket arithmetic, LOCF semantics, and a run over the real events
+table."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from seafowl_spark.operators.timeseries import forward_fill, resample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def sparse(spark):
+    rows = [
+        ("a", _ts("2026-01-01T00:00:05"), 1.0),
+        ("a", _ts("2026-01-01T00:00:07"), 3.0),
+        # 10-20 s: gap for key a
+        ("a", _ts("2026-01-01T00:00:25"), 5.0),
+        ("b", _ts("2026-01-01T00:00:12"), 10.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+class TestResample:
+    def test_dense_grid_with_null_gaps(self, spark, sparse):
+        out = resample(
+            sparse,
+            "ts",
+            10,
+            {"v_sum": F.sum("v"), "n": F.count(F.lit(1))},
+            key_cols=["k"],
+        ).orderBy("k", "bucket_ts")
+        rows = [(r["k"], r["bucket_ts"].second, r["v_sum"], r["n"]) for r in out.collect()]
+        assert rows == [
+            ("a", 0, 4.0, 2),     # 05 + 07 share the :00 bucket
+            ("a", 10, None, None),  # the gap EXISTS as a row
+            ("a", 20, 5.0, 1),
+            ("b", 10, 10.0, 1),   # b's grid spans only b's data
+        ]
+
+    def test_bucket_is_epoch_aligned(self, spark):
+        df = spark.createDataFrame(
+            [(_ts("2026-01-01T00:00:59"),)], ["ts"]
+        )
+        out = resample(df, "ts", 60, {"n": F.count(F.lit(1))}).collect()
+        assert out[0]["bucket_ts"].second == 0
+
+    def test_invalid_interval(self, spark, sparse):
+        with pytest.raises(ValueError):
+            resample(sparse, "ts", 0, {"n": F.count(F.lit(1))})
+
+
+class TestForwardFill:
+    def test_locf_fills_gaps_leading_nulls_stay(self, spark, sparse):
+        grid = resample(
+            sparse, "ts", 10, {"v_sum": F.sum("v")}, key_cols=["k"]
+        )
+        filled = forward_fill(grid, ["v_sum"], key_cols=["k"]).orderBy(
+            "k", "bucket_ts"
+        )
+        rows = [(r["k"], r["bucket_ts"].second, r["v_sum"]) for r in filled.collect()]
+        assert rows == [
+            ("a", 0, 4.0),
+            ("a", 10, 4.0),  # carried forward across the gap
+            ("a", 20, 5.0),
+            ("b", 10, 10.0),
+        ]
+
+    def test_leading_null_not_invented(self, spark):
+        rows = [
+            ("a", _ts("2026-01-01T00:00:15"), 2.0),
+            ("a", _ts("2026-01-01T00:00:05"), None),
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        grid = resample(df, "ts", 10, {"v_last": F.max("v")}, key_cols=["k"])
+        filled = forward_fill(grid, ["v_last"], key_cols=["k"]).orderBy(
+            "bucket_ts"
+        )
+        vals = [r["v_last"] for r in filled.collect()]
+        assert vals == [None, 2.0]  # nothing to carry into the first bucket
+
+    def test_events_table_end_to_end(self, spark):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        grid = resample(
+            ev,
+            "ts",
+            3600,
+            {"v_sum": F.sum(F.col("value").cast("decimal(25,6)")).cast("double")},
+            key_cols=["event_type"],
+        )
+        filled = forward_fill(grid, ["v_sum"], key_cols=["event_type"])
+        # dense: per key, bucket count == span/interval + 1
+        import datetime as _dt
+
+        spans = grid.groupBy("event_type").agg(
+            F.min("bucket_ts").alias("lo"),
+            F.max("bucket_ts").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for r in spans.collect():
+            want = int((r["hi"] - r["lo"]).total_seconds() // 3600) + 1
+            assert r["n"] == want, r["event_type"]
+        # forward fill leaves no NULLs after each key's first observation
+        w = (
+            filled.withColumn(
+                "first_obs",
+                F.min(F.when(F.col("v_sum").isNotNull(), F.col("bucket_ts"))).over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("event_type")
+                ),
+            )
+            .where(
+                (F.col("bucket_ts") >= F.col("first_obs"))
+                & F.col("v_sum").isNull()
+            )
+            .count()
+        )
+        assert w == 0
