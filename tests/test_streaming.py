@@ -584,3 +584,62 @@ class TestStreamingCountMin:
             assert got[t] >= n, (t, got[t], n)
         # tiny live-cell count vs the 512x4 table: no collisions expected
         assert got == exact
+
+
+class TestStreamStreamJoin:
+    def test_watermarked_interval_join(self, spark, tmp_path):
+        """Stream-stream inner join with watermarks + an event-time
+        interval condition — the Structured Streaming capability the
+        batch as-of/join family doesn't exercise: BOTH sides are
+        unbounded, state is bounded by the watermark + interval, and
+        matches land incrementally as micro-batches arrive."""
+        import json
+
+        impressions = tmp_path / "imp"
+        clicks = tmp_path / "clk"
+        impressions.mkdir(), clicks.mkdir()
+        (impressions / "b0.json").write_text(
+            json.dumps({"ad": 1, "its": "2026-01-01T00:00:00"}) + "\n"
+            + json.dumps({"ad": 2, "its": "2026-01-01T00:00:05"}) + "\n"
+        )
+        (clicks / "b0.json").write_text(
+            # ad 1 clicked 8 s after impression (inside the 10 s window);
+            # ad 2 clicked 30 s after (outside) — must NOT join
+            json.dumps({"ad": 1, "cts": "2026-01-01T00:00:08"}) + "\n"
+            + json.dumps({"ad": 2, "cts": "2026-01-01T00:00:35"}) + "\n"
+        )
+        imp = (
+            spark.readStream.schema("ad long, its string")
+            .json(str(impressions))
+            .select("ad", F.col("its").cast("timestamp").alias("its"))
+            .withWatermark("its", "20 seconds")
+        )
+        clk = (
+            spark.readStream.schema("ad long, cts string")
+            .json(str(clicks))
+            .select(
+                F.col("ad").alias("c_ad"),
+                F.col("cts").cast("timestamp").alias("cts"),
+            )
+            .withWatermark("cts", "20 seconds")
+        )
+        joined = imp.join(
+            clk,
+            F.expr(
+                "ad = c_ad AND cts >= its AND cts <= its + INTERVAL 10 SECONDS"
+            ),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [
+            (r["ad"], r["cts"].second)
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        ]
+        assert got == [(1, 8)]  # within-interval click only
