@@ -257,3 +257,31 @@ class TestCors:
             assert r.status == 200
             assert r.headers["Access-Control-Allow-Origin"] == "https://example.org"
             assert "Origin" in r.headers.get_all("Vary", [""])[-1]
+
+
+class TestNewStatementsOverHttp:
+    def test_restore_and_introspection_round_trip(self, server):
+        """The r7 statements ride the same POST /q dispatch: a RESTORE
+        undoes a delete over HTTP, and SHOW CREATE / DESCRIBE DETAIL
+        return their rows as JSON lines."""
+        code, _b, _h = _post_q(
+            server.port,
+            "CREATE TABLE hr (k bigint); INSERT INTO hr VALUES (1), (2); "
+            "SELECT count(*) AS n FROM hr",
+        )
+        assert code == 200
+        code, _b, _h = _post_q(server.port, "DELETE FROM hr WHERE k = 1")
+        assert code == 200
+        code, body, _h = _post_q(
+            server.port,
+            "RESTORE TABLE hr TO VERSION AS OF 1; "  # CREATE=0, INSERT=1
+            "SELECT count(*) AS n FROM hr",
+        )
+        assert code == 200
+        assert json.loads(body.strip().split("\n")[-1])["n"] == 2
+        code, body, _h = _post_q(server.port, "SHOW CREATE TABLE hr")
+        assert code == 200 and "CREATE TABLE" in body and "k BIGINT" in body
+        code, body, _h = _post_q(server.port, "DESCRIBE DETAIL hr")
+        assert code == 200
+        row = json.loads(body.strip().split("\n")[0])
+        assert row["format"] == "deltalite" and row["num_rows"] == 2
