@@ -643,3 +643,51 @@ class TestStreamStreamJoin:
             for r in spark.sql("SELECT * FROM ssj").collect()
         ]
         assert got == [(1, 8)]  # within-interval click only
+
+
+class TestNativeSessionWindow:
+    def test_session_window_aggregate_with_watermark(self, spark, tmp_path):
+        """Spark's NATIVE session_window aggregate (dynamic gap-based
+        windows merged at aggregation time) — the third streaming window
+        mechanism next to tumbling window() and the
+        applyInPandasWithState custom sessionizer; state is bounded by
+        the watermark, sessions close after the 10 s gap."""
+        import json
+
+        src = tmp_path / "sess_src"
+        src.mkdir()
+        rows = [
+            {"u": 1, "ts": "2026-01-01T00:00:00", "v": 1.0},
+            {"u": 1, "ts": "2026-01-01T00:00:06", "v": 2.0},  # same session
+            {"u": 1, "ts": "2026-01-01T00:00:30", "v": 4.0},  # gap > 10s
+            {"u": 2, "ts": "2026-01-01T00:00:02", "v": 8.0},
+        ]
+        (src / "b0.json").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+        stream = (
+            spark.readStream.schema("u long, ts string, v double")
+            .json(str(src))
+            .select("u", F.col("ts").cast("timestamp").alias("ts"), "v")
+            .withWatermark("ts", "30 seconds")
+        )
+        agg = stream.groupBy(
+            "u", F.session_window("ts", "10 seconds").alias("w")
+        ).agg(F.sum("v").alias("v_sum"), F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("native_sess")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["u"], r["w"]["start"].second, r["v_sum"], r["n"])
+            for r in spark.sql("SELECT * FROM native_sess").collect()
+        )
+        assert got == [
+            (1, 0, 3.0, 2),   # 00:00 + 00:06 merged into one session
+            (1, 30, 4.0, 1),  # the post-gap event is its own session
+            (2, 2, 8.0, 1),
+        ]
