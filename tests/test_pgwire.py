@@ -397,3 +397,23 @@ class TestDescribeBeforeExecute:
         )
         assert names == ["v", "shifted"]
         assert oids == [701, 701]
+
+
+class TestNewStatementsOverPgWire:
+    def test_restore_and_describe_detail(self, pg):
+        """The r7 statements through the PG simple-query path: psql-style
+        clients can RESTORE and introspect."""
+        ctx, client = pg
+        client.query("CREATE TABLE pr (k bigint)")
+        client.query("INSERT INTO pr VALUES (1), (2)")
+        client.query("DELETE FROM pr WHERE k = 1")
+        _c, rows, err = client.query("SELECT count(*) FROM pr")
+        assert not err and rows == [("1",)]
+        _c, _r, err = client.query("RESTORE TABLE pr TO VERSION AS OF 1")  # CREATE=0, INSERT=1
+        assert not err
+        _c, rows, err = client.query("SELECT count(*) FROM pr")
+        assert not err and rows == [("2",)]
+        cols, rows, err = client.query("DESCRIBE DETAIL pr")
+        assert not err and rows
+        d = dict(zip(cols, rows[0]))
+        assert d["format"] == "deltalite" and d["num_rows"] == "2"
