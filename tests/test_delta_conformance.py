@@ -118,8 +118,28 @@ class TestDeltaliteSnapshotReplay:
         def do_restore():
             nonlocal model
             target = rng.choice(sorted(hist))
-            ctx.execute(f"RESTORE TABLE {name} TO VERSION AS OF {target}")
+            try:
+                ctx.execute(
+                    f"RESTORE TABLE {name} TO VERSION AS OF {target}"
+                )
+            except Exception as e:
+                # a VACUUM in the sequence may have GC'd the target's
+                # files — restore must REFUSE loudly and leave the live
+                # state untouched (the vacuumed-target contract); drop
+                # the dead target so the fuzz converges
+                from seafowl_spark.engine.deltalite import DeltaLiteError
+
+                assert isinstance(
+                    e, DeltaLiteError
+                ) or "vacuumed" in str(e), e
+                hist.pop(target, None)
+                return
             model = dict(hist[target])
+
+        def do_vacuum():
+            # GC every unreferenced file: restore targets whose files die
+            # here must be refused by do_restore, never half-applied
+            _tbl(ctx, name).vacuum()
 
         do_append()
         hist[_tbl(ctx, name).latest_version()] = dict(model)
@@ -133,6 +153,7 @@ class TestDeltaliteSnapshotReplay:
                     do_optimize,
                     do_alter,
                     do_restore,
+                    do_vacuum,
                 ]
             )()
             hist[_tbl(ctx, name).latest_version()] = dict(model)
