@@ -125,6 +125,10 @@ class SeafowlContext:
         self.catalog = Catalog(catalog_path or os.path.join(self.data_dir, "catalog.sqlite"))
         self.database = DEFAULT_DB
         self.search_schema = DEFAULT_SCHEMA
+        # per-reload snapshot properties (uuid -> dict): lets
+        # information_schema surface constraints without replaying every
+        # table's log a second time per statement
+        self._props_cache: dict = {}
         # python UDFs run arbitrary source via exec(); embedders get them by
         # default, network frontends must opt in explicitly (tools/serve.py)
         self.allow_python_udfs = allow_python_udfs
@@ -256,15 +260,21 @@ class SeafowlContext:
         # CHECK constraints live in each table's snapshot properties (the
         # log is authoritative); surfacing them here gives the standard
         # table_constraints/check_constraints pair (constraint_type is
-        # always CHECK — no PK/FK surface, same as the reference)
+        # always CHECK — no PK/FK surface, same as the reference).
+        # reload_views snapshots every table right before calling this —
+        # its per-uuid property capture avoids a second full log replay
+        # per table per statement
         tc_rows, cc_rows = [], []
         for e in entries:
-            try:
-                props = DeltaLiteTable(
-                    self.spark, self.table_root(e)
-                ).snapshot().properties
-            except DeltaLiteError:
-                continue
+            if e.uuid in self._props_cache:
+                props = self._props_cache[e.uuid]
+            else:
+                try:
+                    props = DeltaLiteTable(
+                        self.spark, self.table_root(e)
+                    ).snapshot().properties
+                except DeltaLiteError:
+                    continue
             for cname, expr in (props.get("constraints") or {}).items():
                 tc_rows.append(
                     Row(
@@ -317,8 +327,12 @@ class SeafowlContext:
         always-fresh-catalog semantics as the reference's reload_schema.
         """
         mapping: dict[str, str] = {}
+        self._props_cache = {}
         for e in self.catalog.tables(self.database):
-            df = DeltaLiteTable(self.spark, self.table_root(e)).to_df()
+            t = DeltaLiteTable(self.spark, self.table_root(e))
+            snap = t.snapshot()
+            self._props_cache[e.uuid] = snap.properties
+            df = t.to_df(_snap=snap)
             mangled = _mangle(e.schema, e.name)
             df.createOrReplaceTempView(mangled)
             mapping[f"{e.schema}.{e.name}"] = mangled

@@ -388,8 +388,11 @@ class DeltaLiteTable:
         version: int | None = None,
         timestamp: str | None = None,
         predicate_sql: str | None = None,
+        _snap: Snapshot | None = None,
     ) -> DataFrame:
-        snap = self.snapshot(version, timestamp)
+        # _snap: caller already resolved the snapshot (reload_views reads
+        # every table per statement — one log replay, not two)
+        snap = _snap if _snap is not None else self.snapshot(version, timestamp)
         schema = T.StructType.fromDDL(snap.schema_ddl)
         files = snap.files
         if predicate_sql:
