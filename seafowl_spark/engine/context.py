@@ -907,7 +907,13 @@ class SeafowlContext:
             if len(df.columns) > len(target_cols):
                 raise ExecutionError("INSERT has more expressions than target columns")
             df = df.toDF(*target_cols[: len(df.columns)])
-        t.append(df)
+        if stmt.fields.get("overwrite"):
+            # INSERT OVERWRITE: one atomic commit replaces the live file
+            # set (deltalite.overwrite aligns + enforces constraints, and
+            # its OCC base-version rejects racing writers)
+            self._retry_conflicts(lambda: t.overwrite(df, operation="INSERT OVERWRITE"))
+        else:
+            t.append(df)
         self._record(entry, t)
 
     @staticmethod

@@ -317,13 +317,22 @@ def parse_statement(sql: str) -> Statement:
         )
 
     m = re.match(
-        rf"(?i)^insert\s+into\s+({_QNAME})\s*(\(([^)]*)\))?\s*(values\s*\(.*|select\s+.*|with\s+.*|table\s+.*)$",
+        rf"(?i)^insert\s+(into|overwrite(?:\s+table)?)\s+({_QNAME})\s*(\(([^)]*)\))?\s*(values\s*\(.*|select\s+.*|with\s+.*|table\s+.*)$",
         s,
         re.DOTALL,
     )
     if m:
-        cols = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
-        return Statement("insert", s, {"name": m.group(1), "columns": cols, "query": m.group(4)})
+        cols = [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
+        return Statement(
+            "insert",
+            s,
+            {
+                "name": m.group(2),
+                "columns": cols,
+                "query": m.group(5),
+                "overwrite": m.group(1).lower() != "into",
+            },
+        )
 
     m = re.match(
         rf"(?i)^update\s+({_QNAME})\s+set\s+(.*?)(?:\s+where\s+(.*))?$", s, re.DOTALL

@@ -278,3 +278,32 @@ class TestDescribeDetail:
             ).collect()
         ]
         assert got == [1, 3]
+
+
+class TestInsertOverwrite:
+    def test_replaces_contents_atomically(self, ctx):
+        ctx.execute("CREATE TABLE io1 (k BIGINT, v STRING)")
+        ctx.execute("INSERT INTO io1 VALUES (1, 'a'), (2, 'b')")
+        v_before = _t(ctx, "io1").latest_version()
+        ctx.execute("INSERT OVERWRITE io1 VALUES (9, 'z')")
+        assert _rows(ctx, "io1") == [(9, "z")]
+        t = _t(ctx, "io1")
+        assert t.latest_version() == v_before + 1  # ONE commit
+        # the old contents still time-travel
+        assert t.snapshot(version=v_before).num_rows == 2
+
+    def test_overwrite_table_keyword_and_select(self, ctx):
+        ctx.execute("CREATE TABLE io2 (k BIGINT)")
+        ctx.execute("INSERT INTO io2 VALUES (1), (2), (3)")
+        ctx.execute(
+            "INSERT OVERWRITE TABLE io2 SELECT k * 10 FROM io2 WHERE k <= 2"
+        )
+        assert _rows(ctx, "io2") == [(10,), (20,)]
+
+    def test_overwrite_enforces_constraints(self, ctx):
+        ctx.execute("CREATE TABLE io3 (k BIGINT)")
+        ctx.execute("ALTER TABLE io3 ADD CONSTRAINT pos CHECK (k > 0)")
+        ctx.execute("INSERT INTO io3 VALUES (5)")
+        with pytest.raises(DeltaLiteError, match="constraint"):
+            ctx.execute("INSERT OVERWRITE io3 VALUES (-1)")
+        assert _rows(ctx, "io3") == [(5,)]  # nothing replaced
