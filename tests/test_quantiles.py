@@ -91,3 +91,48 @@ class TestQuantileSummary:
         assert set(got) == {0, 20}
         assert abs(got[0][0] - 110) <= 1 and abs(got[20][0] - 130) <= 1
         assert abs(got[0][1] - 119) <= 1 and abs(got[20][1] - 139) <= 1
+
+
+class TestStreamingApproxDistinct:
+    def test_windowed_hll_distinct_counts(self, spark, tmp_path):
+        """approx_count_distinct as bounded per-window streaming state —
+        the HLL member of the sketch family over a watermarked stream
+        (Count-Min and quantiles already have streaming twins)."""
+        import json
+
+        src = tmp_path / "hll_src"
+        src.mkdir()
+        rows = [
+            {"ts": f"2026-01-01T00:00:{s:02d}", "u": s % 7}
+            for s in range(40)
+        ]
+        (src / "b0.json").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+        stream = (
+            spark.readStream.schema("ts string, u long")
+            .json(str(src))
+            .select(F.col("ts").cast("timestamp").alias("ts"), "u")
+            .withWatermark("ts", "10 seconds")
+        )
+        agg = stream.groupBy(F.window("ts", "20 seconds").alias("w")).agg(
+            F.approx_count_distinct("u").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hlltest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["w"]["start"].second: (r["nd"], r["n"])
+            for r in spark.sql("SELECT * FROM hlltest").collect()
+        }
+        assert set(got) == {0, 20}
+        for sec, (nd, n) in got.items():
+            assert n == 20
+            # 7 distinct values; HLL at default rsd is exact at this size
+            assert nd == 7, (sec, nd)
