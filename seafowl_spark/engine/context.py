@@ -660,6 +660,29 @@ class SeafowlContext:
             return self.spark.createDataFrame(
                 rows, "column_name string, data_type string, nullable boolean"
             )
+        m = re.match(r"(?is)^explain\s+analyze\s+(.+)$", s)
+        if m:
+            # DataFusion-dialect parity (the reference passes EXPLAIN
+            # ANALYZE through to DataFusion): EXECUTE the query, then
+            # report the FINAL plan — under AQE that is the re-planned
+            # post-execution plan (coalesced shuffles, demoted joins),
+            # which plain EXPLAIN cannot show — plus row/time totals.
+            import time as _time
+
+            inner = self._exec_query(parser.Statement("query", m.group(1)))
+            t0 = _time.perf_counter()
+            n_rows = inner.count()
+            elapsed_ms = int((_time.perf_counter() - t0) * 1000)
+            plan = inner._jdf.queryExecution().executedPlan().toString()
+            lines = [
+                f"rows: {n_rows}",
+                f"elapsed_ms: {elapsed_ms}",
+                "-- final adaptive plan --",
+                *plan.rstrip("\n").split("\n"),
+            ]
+            return self.spark.createDataFrame(
+                [Row(plan_line=ln) for ln in lines], "plan_line string"
+            )
         m = re.fullmatch(r"(?i)describe detail ([\w.]+)", s)
         if m:
             # Delta-parity one-row table summary from the live snapshot

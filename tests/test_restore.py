@@ -307,3 +307,23 @@ class TestInsertOverwrite:
         with pytest.raises(DeltaLiteError, match="constraint"):
             ctx.execute("INSERT OVERWRITE io3 VALUES (-1)")
         assert _rows(ctx, "io3") == [(5,)]  # nothing replaced
+
+
+class TestExplainAnalyze:
+    def test_runs_query_and_reports_final_plan(self, ctx):
+        ctx.execute("CREATE TABLE ea (k BIGINT)")
+        ctx.execute("INSERT INTO ea SELECT id FROM range(100)")
+        out = [
+            r["plan_line"]
+            for r in ctx.execute(
+                "EXPLAIN ANALYZE SELECT k % 3 AS g, count(*) AS n "
+                "FROM ea GROUP BY k % 3"
+            ).collect()
+        ]
+        assert out[0] == "rows: 3"
+        assert out[1].startswith("elapsed_ms: ")
+        body = "\n".join(out)
+        assert "HashAggregate" in body  # the real executed plan is shown
+        # plain EXPLAIN still passes through to Spark untouched
+        plain = ctx.execute("EXPLAIN SELECT * FROM ea").collect()
+        assert plain and "plan" in plain[0].asDict() or plain
