@@ -114,3 +114,33 @@ def cap_per_group(
         .where(F.col("__cap_rn") <= n)
         .drop("__cap_rn")
     )
+
+
+def split_assign(
+    id_col: Column,
+    fractions: dict[str, float],
+    seed: str = "split",
+) -> Column:
+    """Deterministic dataset split label ('train'/'val'/'test'/...):
+    md5-bucket the id and carve [0,1) by cumulative fraction. The same
+    row lands in the same split on every run/layout/engine (rand()-based
+    splits are neither reproducible nor disjoint under retries) — and
+    because assignment is a pure column expression, the split column can
+    be written once and audited forever. Fractions must sum to 1 within
+    1e-9; order follows the dict (insertion-ordered)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9 or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and sum to 1")
+    u = (
+        md5_int(F.concat(F.lit(f"{seed}|"), id_col.cast("string")), 15)
+        / F.lit(_U_DENOM)
+    )
+    out = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (out.otherwise(F.lit(last)) if out is not None else F.lit(last))

@@ -169,3 +169,52 @@ class TestCapPerGroup:
         # group b (10 rows, qualities {0,1,1,2,2,3,3,4,5,6}) -> top-5 min 3.0
         assert mins["a"] == 6.0
         assert mins["b"] == 3.0
+
+
+class TestSplitAssign:
+    def test_disjoint_stable_and_proportional(self, spark):
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.operators.sampling import split_assign
+
+        df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        lab = df.withColumn("split", split_assign(F.col("doc_id"), fr))
+        counts = {
+            r["split"]: r["n"]
+            for r in lab.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(counts) == set(fr)
+        for name, frac in fr.items():
+            assert abs(counts[name] / 10_000 - frac) < 0.02, (name, counts)
+        again = {
+            r["doc_id"]: r["split"]
+            for r in lab.collect()
+        }
+        twice = {
+            r["doc_id"]: r["split"]
+            for r in df.withColumn(
+                "split", split_assign(F.col("doc_id"), fr)
+            ).collect()
+        }
+        assert again == twice  # bit-stable
+
+    def test_seed_changes_assignment(self, spark):
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.operators.sampling import split_assign
+
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        fr = {"a": 0.5, "b": 0.5}
+        one = [r["s"] for r in df.select(split_assign(F.col("doc_id"), fr, "s1").alias("s")).collect()]
+        two = [r["s"] for r in df.select(split_assign(F.col("doc_id"), fr, "s2").alias("s")).collect()]
+        assert one != two
+
+    def test_bad_fractions_rejected(self, spark):
+        import pyspark.sql.functions as F
+        import pytest as _pt
+
+        from seafowl_spark.operators.sampling import split_assign
+
+        with _pt.raises(ValueError):
+            split_assign(F.col("x"), {"a": 0.5, "b": 0.6})
