@@ -670,10 +670,16 @@ class SeafowlContext:
             import time as _time
 
             inner = self._exec_query(parser.Statement("query", m.group(1)))
+            qe = inner._jdf.queryExecution()
             t0 = _time.perf_counter()
-            n_rows = inner.count()
+            # execute the query's OWN physical plan (an RDD count — no
+            # driver-side data collect): a separate .count() would build
+            # a new column-pruned Dataset and leave this plan's AQE
+            # unfinalized (isFinalPlan=false — the initial plan, which is
+            # exactly what plain EXPLAIN already shows)
+            n_rows = qe.executedPlan().execute().count()
             elapsed_ms = int((_time.perf_counter() - t0) * 1000)
-            plan = inner._jdf.queryExecution().executedPlan().toString()
+            plan = qe.executedPlan().toString()
             lines = [
                 f"rows: {n_rows}",
                 f"elapsed_ms: {elapsed_ms}",

@@ -692,8 +692,10 @@ class DeltaLiteTable:
         df = self._enforce_constraints(self._align(df))
         snap = self.snapshot()
         adds = self._write_data(df)
+        # _retire, not bare paths: a replaced file's DV sidecar must enter
+        # the remove list too, or vacuum can never GC the orphaned .bin
         return self._next_commit(
-            operation, adds, [f.path for f in snap.files], base_version=snap.version
+            operation, adds, self._retire(snap.files), base_version=snap.version
         )
 
     def _align(self, df: DataFrame) -> DataFrame:
@@ -1268,10 +1270,21 @@ class DeltaLiteTable:
             if cur_by_path.get(f.path) is None
             or cur_by_path[f.path].to_json() != f.to_json()
         ]
-        tgt_paths = {f.path for f in target.files}
+        tgt_paths = {f.path: f for f in target.files}
         removes = self._retire(
             [f for f in cur.files if f.path not in tgt_paths]
         )
+        # a surviving path whose CURRENT AddFile carries a DV the target
+        # lacks (or a different one) supersedes that sidecar — retire it
+        # explicitly or vacuum can never GC the orphaned .bin
+        for f in cur.files:
+            t = tgt_paths.get(f.path)
+            if (
+                t is not None
+                and f.dv
+                and (t.dv or {}).get("path") != f.dv["path"]
+            ):
+                removes.append(f.dv["path"])
         meta = {
             "schema_ddl": target.schema_ddl,
             # always present (even {}): replay applies properties on key

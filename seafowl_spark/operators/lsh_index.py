@@ -121,6 +121,10 @@ def neardup_lookup(
     ``threshold``. The index scan reads ONLY the partitions the new
     batch's band keys hash into."""
     meta = _read_meta(spark, path)
+    # materialize the probe band rows (batch x bands rows, bounded): they
+    # feed the driver-side bucket collect AND the candidate join, and an
+    # unpersisted subtree would re-tokenize/re-permute the batch per
+    # reference (the repo's double-subtree trap)
     probe = _band_rows(
         new_docs, meta["bands"], meta["n_buckets"], text_col, id_col
     ).select(
@@ -129,14 +133,24 @@ def neardup_lookup(
         "band",
         "key",
         "bucket",
-    )
+    ).localCheckpoint()
     # bounded driver state: <= new_docs x bands bucket ids (the same
     # contract as bm25_topk_indexed's query-term bucket list)
     buckets = [r["bucket"] for r in probe.select("bucket").distinct().collect()]
     if not buckets:
+        # empty frame with the REAL id types (probe side for new_id, the
+        # persisted index's schema for index_id) — a hardcoded long would
+        # break string-id callers' joins/unions
+        new_t = probe.schema["new_id"].dataType.simpleString()
+        idx_t = (
+            spark.read.parquet(f"{path}/bands")
+            .schema[meta["id_col"]]
+            .dataType.simpleString()
+        )
         return spark.createDataFrame(
             [],
-            "new_id long, index_id long, n_equal_sigs int, est_jaccard double",
+            f"new_id {new_t}, index_id {idx_t}, "
+            "n_equal_sigs int, est_jaccard double",
         )
     idx = (
         spark.read.parquet(f"{path}/bands")
@@ -186,12 +200,55 @@ def ingest_with_dedup(
     documents to the index, return (accepted_docs, dup_pairs). Batch
     twin of the foreachBatch streaming stage in test_lsh_index.py.
 
-    new_docs is read twice (lookup + append) and dup ids drive an
-    anti-join — persist new_docs upstream if it is expensive to
-    recompute; batches are ingest-sized, not corpus-sized."""
-    dups = neardup_lookup(
+    The gate checks BOTH directions: against the persisted index AND
+    within the batch itself (band self-join, keep-lowest-id — the greedy
+    min-id survivor rule every dedup family here uses), so two
+    near-identical documents arriving in one micro-batch cannot both
+    slip past an index that contains neither. Intra-batch pairs report
+    with the surviving lower id as ``index_id`` (it IS entering the
+    index).
+
+    new_docs is read several times (lookup + self-check + append) and
+    dup ids drive an anti-join — persist new_docs upstream if it is
+    expensive to recompute; batches are ingest-sized, not corpus-sized."""
+    meta = _read_meta(spark, path)
+    idx_dups = neardup_lookup(
         spark, path, new_docs, threshold, text_col, id_col
-    ).localCheckpoint()
+    )
+    b = _band_rows(
+        new_docs, meta["bands"], meta["n_buckets"], text_col, id_col
+    )
+    lo = b.select(
+        F.col(id_col).alias("index_id"),
+        F.col("sigs").alias("sigs_a"),
+        "band",
+        "key",
+    )
+    hi = b.select(
+        F.col(id_col).alias("new_id"),
+        F.col("sigs").alias("sigs_b"),
+        "band",
+        "key",
+    )
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sigs_a"), F.col("sigs_b"), lambda a, x: a == x),
+            lambda x: x,
+        )
+    )
+    intra = (
+        lo.join(hi, ["band", "key"])
+        .where(F.col("index_id") < F.col("new_id"))
+        .select("new_id", "index_id", "sigs_a", "sigs_b")
+        .distinct()
+        .withColumn("n_equal_sigs", n_eq)
+        .withColumn(
+            "est_jaccard", F.col("n_equal_sigs") / F.lit(float(N_PERM))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "n_equal_sigs", "est_jaccard")
+    )
+    dups = idx_dups.unionByName(intra).localCheckpoint()
     dup_ids = dups.select(F.col("new_id").alias(id_col)).distinct()
     accepted = new_docs.join(dup_ids, id_col, "left_anti")
     append_lsh_index(accepted, path, text_col, id_col)
@@ -210,11 +267,15 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     staged = spark.read.parquet(bands).repartition(1, "bucket")
     tmp = f"{path}/bands__compact"
     staged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    # atomic-enough swap for a local/posix store: readers pick up the new
-    # directory on next query; on an object store, write to a versioned
-    # prefix and flip a pointer instead (documented, not implemented —
-    # the persisted indexes are path-addressed)
+    # rename-aside swap: the live dir is moved out FIRST and deleted
+    # LAST, so a crash at any point leaves either the old or the new
+    # bands dir in place — never neither (on an object store, write to a
+    # versioned prefix and flip a pointer instead; the persisted indexes
+    # here are path-addressed)
     import shutil
 
-    shutil.rmtree(bands)
+    old = f"{path}/bands__old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(bands, old)
     shutil.move(tmp, bands)
+    shutil.rmtree(old)

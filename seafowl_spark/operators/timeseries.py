@@ -31,9 +31,11 @@ from pyspark.sql.window import Window
 
 def _bucket(ts: Column, interval_s: int) -> Column:
     """Truncate a timestamp to its interval bucket start (epoch-aligned,
-    the same arithmetic DuckDB's time_bucket uses for plain intervals)."""
+    the same FLOOR arithmetic DuckDB's time_bucket uses). pmod, not %:
+    Spark's % keeps the dividend's sign, so a pre-epoch timestamp would
+    round toward zero and land in a bucket that starts AFTER it."""
     secs = ts.cast("long")
-    return F.timestamp_seconds((secs - secs % interval_s))
+    return F.timestamp_seconds(secs - F.pmod(secs, F.lit(interval_s)))
 
 
 def resample(

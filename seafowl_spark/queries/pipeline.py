@@ -366,6 +366,32 @@ _DSIR_TARGET_LANG = "en"
 _DSIR_K = 200
 
 
+def _stratified_rate_branch(d: DataFrame) -> DataFrame:
+    """The rate branch of t_sample_stratified, exposed standalone so the
+    no-shuffle/pushed-filter plan gate (test_plans.py) tests the SHIPPED
+    code path, not a replica."""
+    rate = F.when(F.lit(False), F.lit(0))
+    for k, v in _SAMPLE_RATES.items():
+        rate = rate.when(F.col("lang") == k, F.lit(v))
+    rate = rate.otherwise(F.lit(_SAMPLE_DEFAULT))
+    bucket = md5_int(F.col("doc_id").cast("string")) % 100
+    null_d = F.lit(None).cast("double")
+    return (
+        d.select(
+            F.lit("rate").alias("branch"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            bucket.alias("bucket"),
+            rate.cast("long").alias("rate_pct"),
+            null_d.alias("logw"),
+            null_d.alias("sel_key"),
+        )
+        .where(F.col("bucket") < F.col("rate_pct"))
+    )
+
+
 def _dsir_ctes() -> str:
     """CTE chain for the DSIR branch's oracle, mirroring
     operators/dsir.py value for value: the same md5-hashed unigram+bigram
@@ -462,26 +488,7 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dsir import dsir_select, fit_dsir_labeled
 
     d = table(spark, sf_dir, "documents")
-    rate = F.when(F.lit(False), F.lit(0))
-    for k, v in _SAMPLE_RATES.items():
-        rate = rate.when(F.col("lang") == k, F.lit(v))
-    rate = rate.otherwise(F.lit(_SAMPLE_DEFAULT))
-    bucket = md5_int(F.col("doc_id").cast("string")) % 100
-    null_d = F.lit(None).cast("double")
-    stratified = (
-        d.select(
-            F.lit("rate").alias("branch"),
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            bucket.alias("bucket"),
-            rate.cast("long").alias("rate_pct"),
-            null_d.alias("logw"),
-            null_d.alias("sel_key"),
-        )
-        .where(F.col("bucket") < F.col("rate_pct"))
-    )
+    stratified = _stratified_rate_branch(d)
     corpus = d.select("doc_id", "text", "lang")
     # one-pass fit: the target is a labeled subset of the corpus, so the
     # target histogram is a conditional sum in the same aggregate

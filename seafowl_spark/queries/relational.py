@@ -695,12 +695,15 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("metric_name"),
         null_d.alias("metric_value"),
     )
+    # DuckDB's UNPIVOT drops NULL cells by default while Spark's
+    # DataFrame.unpivot keeps them — filter to the oracle's semantics, or
+    # a corpus with an empty (linestatus, returnflag) cell hash-mismatches
     long = piv.unpivot(
         ["l_linestatus"],
         ["qty_A", "qty_N", "qty_R"],
         "metric_name",
         "metric_value",
-    ).select(
+    ).where(F.col("metric_value").isNotNull()).select(
         F.lit("unpivot").alias("branch"),
         "l_linestatus",
         null_d.alias("qty_A"),

@@ -125,13 +125,10 @@ class TestDeltaliteSnapshotReplay:
             except Exception as e:
                 # a VACUUM in the sequence may have GC'd the target's
                 # files — restore must REFUSE loudly and leave the live
-                # state untouched (the vacuumed-target contract); drop
-                # the dead target so the fuzz converges
-                from seafowl_spark.engine.deltalite import DeltaLiteError
-
-                assert isinstance(
-                    e, DeltaLiteError
-                ) or "vacuumed" in str(e), e
+                # state untouched. ONLY the vacuumed-target refusal is a
+                # legitimate outcome here; any other error is a real
+                # restore bug and must fail the fuzz, not be absorbed.
+                assert "vacuumed" in str(e), e
                 hist.pop(target, None)
                 return
             model = dict(hist[target])

@@ -187,3 +187,25 @@ class TestCompaction:
         # lookups still work and still prune
         hits = neardup_lookup(spark, idx, newdocs, threshold=0.5).count()
         assert hits > 0
+
+
+class TestIntraBatchDedup:
+    def test_batch_internal_neardups_gated(self, spark, tmp_path, corpus):
+        """Two near-identical docs in ONE batch, neither matching the
+        index: only the lower id may enter (review finding: the gate
+        previously only checked index-vs-batch)."""
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        base = (
+            "completely novel sentence about gradient descent on curved "
+            "manifolds with momentum and adaptive learning rates in very "
+            "large models"
+        )
+        twins = spark.createDataFrame(
+            [(30, base + " today"), (31, base + " tonight")],
+            ["doc_id", "text"],
+        )
+        accepted, dups = ingest_with_dedup(spark, idx, twins, threshold=0.5)
+        assert [r["doc_id"] for r in accepted.collect()] == [30]
+        pairs = {(r["new_id"], r["index_id"]) for r in dups.collect()}
+        assert (31, 30) in pairs

@@ -131,18 +131,12 @@ class TestPipelineOpPlans:
 
     def test_sample_is_pushed_filter_no_shuffle(self, spark, registry):
         # the graded row is a union of the rate branch and the DSIR branch
-        # since r7 — the no-shuffle property belongs to the rate branch, so
-        # gate it on the standalone operator shape
-        import pyspark.sql.functions as F
-
-        from seafowl_spark.functions import md5_int
+        # since r7 — the no-shuffle property belongs to the rate branch;
+        # gate the SHIPPED branch function, not a replica
         from seafowl_spark.io import table
+        from seafowl_spark.queries.pipeline import _stratified_rate_branch
 
-        d = table(spark, SF, "documents")
-        df = d.where(
-            md5_int(F.col("doc_id").cast("string")) % 100
-            < F.when(F.col("lang") == "en", 10).otherwise(50)
-        )
+        df = _stratified_rate_branch(table(spark, SF, "documents"))
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )

@@ -327,3 +327,60 @@ class TestExplainAnalyze:
         # plain EXPLAIN still passes through to Spark untouched
         plain = ctx.execute("EXPLAIN SELECT * FROM ea").collect()
         assert plain and "plan" in plain[0].asDict() or plain
+
+    def test_reports_finalized_adaptive_plan(self, ctx):
+        ctx.execute("CREATE TABLE ea2 (k BIGINT)")
+        ctx.execute("INSERT INTO ea2 SELECT id FROM range(50)")
+        body = "\n".join(
+            r["plan_line"]
+            for r in ctx.execute(
+                "EXPLAIN ANALYZE SELECT k, count(*) FROM ea2 GROUP BY k"
+            ).collect()
+        )
+        # the whole point vs plain EXPLAIN: the plan shown is the
+        # post-execution FINAL adaptive plan
+        assert "isFinalPlan=true" in body
+        assert "rows: 50" in body
+
+
+class TestDvSidecarRetirement:
+    """Superseded deletion-vector sidecars must enter remove lists so
+    VACUUM can GC them (review finding: overwrite and restore leaked
+    .bin files forever)."""
+
+    def _dv_files(self, ctx, name):
+        import glob
+
+        e = next(
+            x for x in ctx.catalog.tables(ctx.database) if x.name == name
+        )
+        return glob.glob(f"{ctx.table_root(e)}/**/*.bin", recursive=True)
+
+    def test_insert_overwrite_retires_dvs(self, ctx):
+        ctx.execute(
+            "CREATE TABLE dvr (k BIGINT) WITH ('delete_mode' = 'mor')"
+        )
+        ctx.execute("INSERT INTO dvr SELECT id FROM range(100)")
+        ctx.execute("DELETE FROM dvr WHERE k % 2 = 0")  # MoR -> DV sidecar
+        assert self._dv_files(ctx, "dvr")
+        ctx.execute("INSERT OVERWRITE dvr VALUES (1)")
+        ctx.execute("VACUUM TABLE dvr")
+        assert self._dv_files(ctx, "dvr") == []  # GC'd, not leaked
+
+    def test_restore_across_dv_retires_superseded_sidecar(self, ctx):
+        ctx.execute(
+            "CREATE TABLE dvs (k BIGINT) WITH ('delete_mode' = 'mor')"
+        )
+        ctx.execute("INSERT INTO dvs SELECT id FROM range(100)")
+        v_clean = _t(ctx, "dvs").latest_version()
+        ctx.execute("DELETE FROM dvs WHERE k % 2 = 0")  # DV on the file
+        assert self._dv_files(ctx, "dvs")
+        # restore to the pre-delete version: same data file path survives,
+        # its DV is superseded and must be vacuumable
+        ctx.execute(f"RESTORE TABLE dvs TO VERSION AS OF {v_clean}")
+        assert _t(ctx, "dvs").snapshot().num_rows == 100
+        ctx.execute("VACUUM TABLE dvs")
+        assert self._dv_files(ctx, "dvs") == []
+        # and the restored table still reads all rows
+        n = ctx.execute("SELECT count(*) AS n FROM dvs").collect()[0]["n"]
+        assert n == 100

@@ -125,3 +125,15 @@ class TestForwardFill:
             .count()
         )
         assert w == 0
+
+
+class TestPreEpoch:
+    def test_pre_epoch_buckets_floor(self, spark):
+        rows = [("a", _ts("1969-12-31T23:59:55"), 1.0)]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        out = resample(
+            df, "ts", 10, {"n": F.count(F.lit(1))}, key_cols=["k"]
+        ).collect()
+        b = out[0]["bucket_ts"]
+        # floor semantics: the bucket STARTS at or before the event
+        assert (b.year, b.second) == (1969, 50), b
