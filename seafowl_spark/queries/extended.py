@@ -420,3 +420,83 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + LOCF (operators/timeseries.py) — graded in r7
+# --------------------------------------------------------------------------
+
+_TS_INTERVAL_S = 3600
+
+
+@register(
+    "q_timeseries",
+    oracle=f"""
+    WITH agged AS (
+      SELECT event_type,
+             to_timestamp(
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - ((CAST(floor(epoch(ts)) AS BIGINT) % {_TS_INTERVAL_S}
+                   + {_TS_INTERVAL_S}) % {_TS_INTERVAL_S})) AS bucket_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM agged GROUP BY 1),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL {_TS_INTERVAL_S} SECOND))
+               AS bucket_ts
+      FROM span),
+    j AS (
+      SELECT g.event_type, g.bucket_ts, a.n_events, a.sum_value
+      FROM grid g LEFT JOIN agged a USING (event_type, bucket_ts))
+    SELECT event_type,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_str,
+           n_events, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM j
+    """,
+)
+def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py, graduated per
+    COVERAGE.md's round-8 plan; its slot came from merging the former
+    p_chunk_documents row into p_pack_sequences): events resampled to a
+    DENSE per-type hourly grid — buckets with no events exist as rows with
+    NULL aggregates — then LOCF forward fill carries the last observed
+    hourly sum into the gaps (leading gaps stay NULL: honesty over
+    invention). The raw and filled columns ride side by side so the oracle
+    checks both the grid join and the IGNORE NULLS window.
+
+    Scale: one hash exchange on event_type for the bucket aggregate; the
+    dense grid is a row-local sequence() explode off a per-key min/max (no
+    driver loop, no cross join); the fill is one window pass over the
+    already-partitioned grid. A million device streams parallelize per
+    key; sums are decimal-cast so the oracle hash-matches bit for bit.
+    """
+    from ..operators.timeseries import forward_fill, resample
+
+    e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    grid = resample(
+        e,
+        "ts",
+        _TS_INTERVAL_S,
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dec_sum(F.col("value")),
+        },
+        key_cols=["event_type"],
+    ).withColumn("filled_sum", F.col("sum_value"))
+    filled = forward_fill(
+        grid, ["filled_sum"], ts_col="bucket_ts", key_cols=["event_type"]
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_str"),
+        "n_events",
+        "sum_value",
+        "filled_sum",
+    )

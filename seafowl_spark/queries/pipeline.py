@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import md5_int, oracle_md5_int
 from ..io import table
@@ -387,9 +388,84 @@ def _stratified_rate_branch(d: DataFrame) -> DataFrame:
             rate.cast("long").alias("rate_pct"),
             null_d.alias("logw"),
             null_d.alias("sel_key"),
+            F.lit(None).cast("string").alias("label"),
         )
         .where(F.col("bucket") < F.col("rate_pct"))
     )
+
+
+# sampling-family branch knobs (operators/sampling.py, graduated r7):
+# per-source cap, deterministic-shuffle prefix size, weighted-sample size,
+# split fractions (insertion order = carve order)
+_CAP_PER_SOURCE = 10
+_SHUFFLE_K = 100
+_WSAMPLE_K = 100
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+# 2^60 — must match sampling._U_DENOM
+_SQL_U_DENOM = "1152921504606846976.0"
+
+
+def _sampling_branches_sql() -> str:
+    """Oracle SQL for the cap/shuffle/wsample/split branches — mirrors
+    operators/sampling.py expression for expression: the same md5-derived
+    uniforms (60-bit hex prefix / 2^60), the same A-ES race key
+    -ln(u)/w, the same cumulative-fraction carve (boundary literals are
+    the PYTHON-accumulated doubles, e.g. 0.8+0.1 = 0.9000000000000001 —
+    a plain 0.9 here would be a different double and misgrade boundary
+    rows)."""
+    sh_key = oracle_md5_int("'shuffle|' || CAST(doc_id AS VARCHAR)", 15)
+    aes_md5 = oracle_md5_int("'aes|' || CAST(doc_id AS VARCHAR)", 15)
+    split_md5 = oracle_md5_int("'split|' || CAST(doc_id AS VARCHAR)", 15)
+    aes_u = f"({aes_md5} + 1) / {_SQL_U_DENOM}"
+    split_u = f"{split_md5} / {_SQL_U_DENOM}"
+    bounds = []
+    acc = 0.0
+    items = list(_SPLIT_FRACTIONS.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        bounds.append((name, repr(acc)))
+    split_case = "CASE " + " ".join(
+        f"WHEN {split_u} < CAST({b} AS DOUBLE) THEN '{name}'"
+        for name, b in bounds
+    ) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+    SELECT 'cap' AS branch, doc_id, lang, source, n_chars,
+           CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS rate_pct,
+           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS sel_key,
+           CAST(NULL AS VARCHAR) AS label
+    FROM (SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_CAP_PER_SOURCE}
+    UNION ALL
+    SELECT 'shuffle' AS branch, doc_id, lang, source, n_chars,
+           skey AS bucket, rn AS rate_pct,
+           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS sel_key,
+           CAST(NULL AS VARCHAR) AS label
+    FROM (SELECT doc_id, lang, source, n_chars, {sh_key} AS skey,
+                 ROW_NUMBER() OVER (ORDER BY {sh_key}, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_SHUFFLE_K}
+    UNION ALL
+    SELECT 'wsample' AS branch, doc_id, lang, source, n_chars,
+           CAST(NULL AS BIGINT) AS bucket, rn AS rate_pct,
+           CAST(NULL AS DOUBLE) AS logw, round(akey, 6) AS sel_key,
+           CAST(NULL AS VARCHAR) AS label
+    FROM (SELECT doc_id, lang, source, n_chars, akey,
+                 ROW_NUMBER() OVER (ORDER BY akey, doc_id) AS rn
+          FROM (SELECT doc_id, lang, source, n_chars,
+                       -ln({aes_u}) / CAST(n_chars AS DOUBLE) AS akey
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0))
+    WHERE rn <= {_WSAMPLE_K}
+    UNION ALL
+    SELECT 'split' AS branch, doc_id, lang, source, n_chars,
+           CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS rate_pct,
+           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS sel_key,
+           {split_case} AS label
+    FROM documents
+    """
 
 
 def _dsir_ctes() -> str:
@@ -455,19 +531,41 @@ def _dsir_ctes() -> str:
     SELECT 'rate' AS branch, doc_id, lang, source, n_chars,
            {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % 100 AS bucket,
            {_sql_rate()} AS rate_pct,
-           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS sel_key
+           CAST(NULL AS DOUBLE) AS logw, CAST(NULL AS DOUBLE) AS sel_key,
+           CAST(NULL AS VARCHAR) AS label
     FROM documents
     WHERE {oracle_md5_int('CAST(doc_id AS VARCHAR)')} % 100 < {_sql_rate()}
     UNION ALL
     SELECT 'dsir' AS branch, s.doc_id, d.lang, d.source, d.n_chars,
            CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS rate_pct,
-           s.logw, s.sel_key
+           s.logw, s.sel_key, CAST(NULL AS VARCHAR) AS label
     FROM sel s JOIN d USING (doc_id)
+    UNION ALL
+    {_sampling_branches_sql()}
     """,
 )
 def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic data selection, TWO families in one graded row since
-    r7, both value-hash-checked:
+    """Deterministic data selection — SIX branches in one graded row
+    since r7 session C, all value-hash-checked. Beyond 'rate' and 'dsir'
+    (below), the operators/sampling.py family graduated here per
+    COVERAGE.md's round-8 plan:
+
+    * ``branch='cap'`` — cap_per_group: at most N docs per source,
+      quality-first (n_chars DESC, doc_id ties) — the per-domain cap a
+      crawl pipeline applies. One window over the group key.
+    * ``branch='shuffle'`` — deterministic_shuffle_key: the first K docs
+      of the seeded md5 permutation with key (bucket) and position
+      (rate_pct) — reproducible corpus shuffling; limit-first executes as
+      TakeOrderedAndProject, never a global sort.
+    * ``branch='wsample'`` — weighted_sample (Efraimidis-Spirakis A-ES):
+      exactly K docs, inclusion probability proportional to n_chars,
+      race key -ln(md5-uniform)/weight emitted rounded (sel_key).
+    * ``branch='split'`` — split_assign: disjoint train/val/test labels
+      by cumulative-fraction md5 carve, a pure column expression (the
+      oracle embeds the PYTHON-accumulated boundary doubles, so the
+      carve hash-matches to the last ULP).
+
+    The two founding branches:
 
     * ``branch='rate'`` — stratified sampling: each language stratum
       keeps a configured percentage of its documents, selected by doc_id
@@ -498,6 +596,8 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_DSIR_BUCKETS,
     )
     null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
     dsir = (
         dsir_select(corpus, model, _DSIR_K, n_buckets=_DSIR_BUCKETS)
         .join(d.select("doc_id", "lang", "source", "n_chars"), "doc_id")
@@ -511,9 +611,104 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_l.alias("rate_pct"),
             "logw",
             "sel_key",
+            null_s.alias("label"),
         )
     )
-    return stratified.unionAll(dsir)
+
+    # sampling-family branches (operators/sampling.py, graduated r7 per
+    # COVERAGE.md's round-8 plan — all four run the SHIPPED operators):
+    from ..operators.sampling import (
+        cap_per_group,
+        deterministic_shuffle_key,
+        split_assign,
+        weighted_sample,
+    )
+
+    base = d.select("doc_id", "lang", "source", "n_chars")
+    # per-source quality-first cap: keep the _CAP_PER_SOURCE longest docs
+    # per source (membership IS the operator's contract; one window over
+    # the group key, a single hash exchange)
+    cap = cap_per_group(
+        base, "source", _CAP_PER_SOURCE, weight_col="n_chars"
+    ).select(
+        F.lit("cap").alias("branch"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        null_l.alias("bucket"),
+        null_l.alias("rate_pct"),
+        null_d.alias("logw"),
+        null_d.alias("sel_key"),
+        null_s.alias("label"),
+    )
+    # deterministic-shuffle prefix: the first _SHUFFLE_K docs of the
+    # seeded permutation, with key and position. limit-first keeps it
+    # TakeOrderedAndProject (per-partition top-k, k-row merge); the
+    # row_number then ranks only the k survivors
+    skey = deterministic_shuffle_key(F.col("doc_id"))
+    sh_w = Window.orderBy("bucket", "doc_id")
+    shuffle = (
+        base.withColumn("bucket", skey)
+        .orderBy("bucket", "doc_id")
+        .limit(_SHUFFLE_K)
+        .withColumn("rate_pct", F.row_number().over(sh_w).cast("long"))
+        .select(
+            F.lit("shuffle").alias("branch"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "bucket",
+            "rate_pct",
+            null_d.alias("logw"),
+            null_d.alias("sel_key"),
+            null_s.alias("label"),
+        )
+    )
+    # A-ES weighted sample without replacement: _WSAMPLE_K docs with
+    # inclusion probability proportional to n_chars; the race key is
+    # emitted rounded (ln differs by ULPs across libms — rounding the
+    # OUTPUT is the dsir logw discipline; ordering is ULP-robust because
+    # keys are continuous)
+    ws_w = Window.orderBy("__aes_key", "doc_id")
+    wsample = (
+        weighted_sample(base, _WSAMPLE_K, "n_chars")
+        .withColumn("rate_pct", F.row_number().over(ws_w).cast("long"))
+        .select(
+            F.lit("wsample").alias("branch"),
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            null_l.alias("bucket"),
+            "rate_pct",
+            null_d.alias("logw"),
+            F.round(F.col("__aes_key"), 6).alias("sel_key"),
+            null_s.alias("label"),
+        )
+    )
+    # disjoint train/val/test labels: a pure column expression over every
+    # doc — no shuffle, auditable forever
+    split = base.select(
+        F.lit("split").alias("branch"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        null_l.alias("bucket"),
+        null_l.alias("rate_pct"),
+        null_d.alias("logw"),
+        null_d.alias("sel_key"),
+        split_assign(F.col("doc_id"), dict(_SPLIT_FRACTIONS)).alias("label"),
+    )
+    return (
+        stratified.unionAll(dsir)
+        .unionAll(cap)
+        .unionAll(shuffle)
+        .unionAll(wsample)
+        .unionAll(split)
+    )
 
 
 @register(
@@ -529,29 +724,67 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COALESCE(SUM(n_tok) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-      FROM d)
-    SELECT doc_id, source, n_tok,
+      FROM d),
+    ch_d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    ch_c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN greatest(CAST(ceil((len(toks) - 16) / 112.0) AS INT), 1)
+                  ELSE 0 END AS n_chunks
+      FROM ch_d),
+    ch_e AS (
+      SELECT doc_id, toks, unnest(generate_series(1, n_chunks)) AS i FROM ch_c)
+    SELECT 'pack' AS branch, doc_id, source, n_tok,
            CAST(floor(cb / 512) AS BIGINT) AS pack_id,
            CAST(cb % 512 AS BIGINT) AS offset_in_pack,
-           (cb % 512 + n_tok) > 512 AS spans_boundary
+           CAST((cb % 512 + n_tok) > 512 AS BIGINT) AS spans_boundary,
+           CAST(NULL AS BIGINT) AS chunk_id,
+           CAST(NULL AS BIGINT) AS n_chunk_tokens,
+           CAST(NULL AS VARCHAR) AS chunk_text
     FROM c
+    UNION ALL
+    SELECT 'chunk' AS branch, doc_id,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_tok,
+           CAST(NULL AS BIGINT) AS pack_id,
+           CAST(NULL AS BIGINT) AS offset_in_pack,
+           CAST(NULL AS BIGINT) AS spans_boundary,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, (i - 1) * 112 + 1, (i - 1) * 112 + 128)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, (i - 1) * 112 + 1, (i - 1) * 112 + 128), ' ')
+             AS chunk_text
+    FROM ch_e
     """,
 )
 def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing for LLM training batches
-    (operators/packing.py, graduated into the graded window): documents are
-    ordered by doc_id within each `source` shard, conceptually concatenated,
-    and split every 512 tokens; each doc gets the pack its first token lands
-    in, its offset, and a straddles-boundary flag.
+    """Sequence packing AND overlapping-window chunking for LLM training
+    batches (operators/packing.py), as a tagged union — this row absorbed
+    the former p_chunk_documents registry entry in r7 (same family, both
+    branches still fully hash-checked; the slot freed went to
+    q_timeseries per COVERAGE.md's round-8 plan).
 
-    Scale: the cumulative sum runs per `source` shard (window partitionBy),
-    so there is no global sort — at 100 TB each shard's stream is packed
-    and reproducible independently, and shards parallelize across the
-    cluster. The oracle is the same windowed cumsum in SQL (all-integer
-    math, exact).
+    'pack' branch: documents ordered by doc_id within each `source` shard
+    are conceptually concatenated and split every 512 tokens; each doc
+    gets the pack its first token lands in, its offset, and a
+    straddles-boundary flag. 'chunk' branch: 128-token windows with
+    16-token overlap (stride 112), final partial window kept, empty
+    documents produce no chunks.
+
+    Scale: packing's cumulative sum runs per `source` shard (window
+    partitionBy — no global sort; shards parallelize independently);
+    chunk starts come from a `sequence` over the token count and each
+    chunk slices the token array — row-local JVM work, zero exchanges
+    (plan-gated). The union is append-only: neither branch adds a
+    shuffle beyond its own.
     """
-    from ..operators.packing import pack_sequences
+    from ..operators.packing import chunk_documents, pack_sequences
 
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -559,55 +792,37 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
-    return pack_sequences(
+    pack = pack_sequences(
         d, "n_tok", order_cols=["doc_id"], budget=512, shard_cols=["source"]
-    ).select("doc_id", "source", "n_tok", "pack_id", "offset_in_pack", "spans_boundary")
-
-
-@register(
-    "p_chunk_documents",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
-      FROM documents),
-    c AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             CASE WHEN len(toks) > 0
-                  THEN greatest(CAST(ceil((len(toks) - 16) / 112.0) AS INT), 1)
-                  ELSE 0 END AS n_chunks
-      FROM d),
-    e AS (
-      SELECT doc_id, toks, unnest(generate_series(1, n_chunks)) AS i FROM c)
-    SELECT doc_id,
-           CAST(i - 1 AS BIGINT) AS chunk_id,
-           CAST(len(list_slice(toks, (i - 1) * 112 + 1, (i - 1) * 112 + 128)) AS BIGINT)
-             AS n_chunk_tokens,
-           array_to_string(list_slice(toks, (i - 1) * 112 + 1, (i - 1) * 112 + 128), ' ')
-             AS chunk_text
-    FROM e
-    """,
-)
-def p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping-token-window document chunking (operators/packing.py
-    chunk_documents, graduated into the graded window): 128-token windows
-    with 16-token overlap (stride 112), final partial window kept, empty
-    documents produce no chunks.
-
-    Scale: chunk starts come from a `sequence` over the token count and
-    each chunk slices the token array — row-local JVM work, one scan,
-    zero exchanges (plan-gated). The oracle mirrors the start arithmetic
-    with generate_series + list_slice.
-    """
-    from ..operators.packing import chunk_documents
-
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_documents(d, chunk_tokens=128, overlap=16).select(
+    ).select(
+        F.lit("pack").alias("branch"),
         "doc_id",
+        "source",
+        "n_tok",
+        "pack_id",
+        "offset_in_pack",
+        F.col("spans_boundary").cast("long").alias("spans_boundary"),
+        null_l.alias("chunk_id"),
+        null_l.alias("n_chunk_tokens"),
+        null_s.alias("chunk_text"),
+    )
+    chunk = chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=128,
+        overlap=16,
+    ).select(
+        F.lit("chunk").alias("branch"),
+        "doc_id",
+        null_s.alias("source"),
+        null_l.alias("n_tok"),
+        null_l.alias("pack_id"),
+        null_l.alias("offset_in_pack"),
+        null_l.alias("spans_boundary"),
         F.col("chunk_id").cast("long").alias("chunk_id"),
         "n_chunk_tokens",
         "chunk_text",
     )
+    return pack.unionAll(chunk)
 
 
 # --------------------------------------------------------------------------

@@ -563,6 +563,15 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(quantile_cont(o_totalprice, 0.99), 4) AS p99
       FROM orders GROUP BY o_orderpriority),
     LATERAL (VALUES ('p50', p50), ('p90', p90), ('p99', p99)) AS u(q, v)
+    UNION ALL
+    SELECT 'gk' AS src, o_orderpriority AS k1, q AS k2, n_rows,
+           v AS val, CAST(0 AS BIGINT) AS g1, CAST(0 AS BIGINT) AS g2
+    FROM (
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             quantile_disc(o_totalprice, [0.25, 0.5, 0.9, 0.99]) AS qs
+      FROM orders GROUP BY o_orderpriority),
+    LATERAL (VALUES ('q25', qs[1]), ('q50', qs[2]),
+                    ('q90', qs[3]), ('q99', qs[4])) AS u(q, v)
     """,
 )
 def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,7 +658,43 @@ def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("g2"),
         )
     )
-    return rollup.unionAll(cube).unionAll(gsets).unionAll(pct)
+    # 'gk' branch (graduated r7, COVERAGE.md round-8 plan): the SAME
+    # per-priority quantiles through the Greenwald-Khanna sketch operator
+    # (operators/quantiles.py quantile_summary — the 100 TB path: one
+    # mergeable sketch per group crosses the shuffle, never rows). Graded
+    # via the exactness trick the Misra-Gries cleaning row uses: rank
+    # error <= n/accuracy, so accuracy >= n makes the sketch return the
+    # exact discrete quantile — DuckDB's quantile_disc, hash-matched. At
+    # production scale you'd run accuracy ~1e4 and accept the bounded
+    # error (test_quantiles.py asserts the bound); the plan is identical.
+    from ..operators.quantiles import quantile_summary
+
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    gk = (
+        quantile_summary(
+            o,
+            "o_totalprice",
+            [0.25, 0.5, 0.9, 0.99],
+            group_cols=["o_orderpriority"],
+            accuracy=10_000_000,
+        )
+        .join(F.broadcast(counts), "o_orderpriority")
+        .select(
+            F.lit("gk").alias("src"),
+            F.col("o_orderpriority").alias("k1"),
+            F.concat(
+                F.lit("q"),
+                F.round(F.col("q") * 100, 0).cast("int").cast("string"),
+            ).alias("k2"),
+            "n_rows",
+            F.col("value").alias("val"),
+            F.lit(0).cast("long").alias("g1"),
+            F.lit(0).cast("long").alias("g2"),
+        )
+    )
+    return rollup.unionAll(cube).unionAll(gsets).unionAll(pct).unionAll(gk)
 
 
 @register(

@@ -215,9 +215,23 @@ class TestRound5Graduates:
         assert "Exchange rangepartitioning" not in p
         assert "Exchange SinglePartition" not in p
 
-    def test_chunk_documents_row_local(self, spark, registry):
-        # sequence+slice chunking is row-local: no shuffle of any kind
-        p = plan_of(spark, registry, "p_chunk_documents")
+    def test_chunk_documents_row_local(self, spark):
+        # sequence+slice chunking is row-local: no shuffle of any kind.
+        # The former p_chunk_documents row merged into p_pack_sequences'
+        # 'chunk' branch in r7; gate the shipped operator directly (the
+        # merged row's single-exchange gate above proves the union adds
+        # nothing on top).
+        from seafowl_spark.io import table
+        from seafowl_spark.operators.packing import chunk_documents
+
+        df = chunk_documents(
+            table(spark, SF, "documents").select("doc_id", "text"),
+            chunk_tokens=128,
+            overlap=16,
+        )
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
         assert "Exchange" not in p
         assert "Python" not in p
 
@@ -389,3 +403,72 @@ class TestRegistryWideHygiene:
             if flags:
                 offenders[name] = flags
         assert offenders == {}, offenders
+
+
+class TestRound7SessionCGraduates:
+    """Plan gates for the r7 session-C graduations (COVERAGE.md round-8
+    candidates: time-series, GK quantiles, the sampling family)."""
+
+    def test_timeseries_single_corpus_scan(self, spark, registry):
+        # resample truncates at the bucket-level aggregate, so the dense
+        # grid's two consumers (span + join) share ONE materialized RDD
+        # instead of re-scanning the events source per consumer (the
+        # double-subtree trap). The plan must show the checkpoint scans
+        # and NO residual parquet scan of the corpus.
+        p = plan_of(spark, registry, "q_timeseries")
+        assert "Scan parquet" not in p
+        assert p.count("Scan ExistingRDD") == 2
+        # the LOCF window sorts within the key partitions — never a
+        # global range exchange; nothing drops to Python
+        assert "Exchange rangepartitioning" not in p
+        assert "Python" not in p
+
+    def test_grouping_multi_gk_uses_sketch_aggregate(self, spark, registry):
+        # the 'gk' branch must go through the Greenwald-Khanna sketch
+        # aggregate (mergeable partial state — the 100 TB path), not the
+        # exact sort-based percentile the 'pct' branch demonstrates
+        p = plan_of(spark, registry, "q_grouping_multi")
+        assert "approx_percentile" in p or "percentile_approx" in p
+
+    def test_shuffle_prefix_is_top_k_not_global_sort(self, spark):
+        # the deterministic-shuffle branch takes its K-row prefix via
+        # TakeOrderedAndProject (per-partition top-k + k-row merge);
+        # a global rangepartitioning sort of the corpus would not
+        # survive a 100x scale-up
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.io import table
+        from seafowl_spark.operators.sampling import (
+            deterministic_shuffle_key,
+        )
+
+        base = table(spark, SF, "documents").select("doc_id")
+        df = (
+            base.withColumn(
+                "skey", deterministic_shuffle_key(F.col("doc_id"))
+            )
+            .orderBy("skey", "doc_id")
+            .limit(100)
+        )
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange rangepartitioning" not in p
+
+    def test_wsample_is_top_k_not_global_sort(self, spark):
+        # weighted_sample's k-smallest-keys select must execute as
+        # TakeOrderedAndProject too (the operator's documented contract)
+        from seafowl_spark.io import table
+        from seafowl_spark.operators.sampling import weighted_sample
+
+        df = weighted_sample(
+            table(spark, SF, "documents").select("doc_id", "n_chars"),
+            100,
+            "n_chars",
+        )
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange rangepartitioning" not in p

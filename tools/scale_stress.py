@@ -38,8 +38,8 @@ QUERIES = [
     # round-5 graduates
     "t_repetition",
     "s_quantize_int8",
+    # p_chunk_documents merged into p_pack_sequences' 'chunk' branch (r7)
     "p_pack_sequences",
-    "p_chunk_documents",
     # round-6 graduates
     "t_clean_lines",
     "t_vocab_unigram",
