@@ -20,7 +20,13 @@ Timing protocol (r7+, self-arbitrating — the r6 verdict's task #1):
 * ``r6_comparison`` states mechanically whether the totals moved after
   normalization and lists any query > REGRESSION_GATE x its r6 time after
   normalization — the bench itself says "regressed" or "drift", no
-  per-round forensics needed.
+  per-round forensics needed;
+* ``prev_round_comparison`` (r7 session C) compares min-of-3 against the
+  newest driver-recorded BENCH_r{N}.json that used the min-of-3 protocol
+  — protocol-clean, so once BENCH_r07.json exists every later round gets
+  per-query regression flags free of single-shot interference noise (the
+  r6-path per-query flags stay, but are only actionable when this
+  comparison agrees or the query's code actually changed).
 """
 
 from __future__ import annotations
@@ -90,6 +96,38 @@ ABSORBED = {
         "columns in r7 — strictly more computation than the r6 anchor"
     ),
 }
+
+
+def _latest_recorded_bench(search_dir: str | None = None) -> tuple[int, dict] | None:
+    """Newest driver-recorded BENCH_r{N}.json that carries min-of-3
+    per-query timings AND a drift-probe ratio — the like-for-like anchor
+    for rounds after 7 (rounds <= 6 were single-shot and stay compared
+    via the frozen R6_QUERIES path)."""
+    import glob
+
+    here = search_dir or os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps the bench's JSON line under "parsed"
+        rec = rec.get("parsed", rec) or {}
+        if (
+            rec.get("protocol") == f"min_of_{N_RUNS}"
+            and rec.get("queries")
+            and (rec.get("drift_probe") or {}).get("ratio")
+            and rec.get("sf") == 0.1
+            and (best is None or n > best[0])
+        ):
+            best = (n, rec)
+    return best
 
 
 def main() -> None:
@@ -180,6 +218,47 @@ def main() -> None:
         else {"verdict": "n/a", "reason": f"sf={sf}, r6 anchors are sf0.1"}
     )
 
+    # min-of-3 vs min-of-3 against the newest driver-recorded bench —
+    # the protocol-clean comparison (single-shot per-query numbers carry
+    # +-20% interference noise, so per-query flags from the r6 path are
+    # only actionable when THIS comparison agrees or the code changed)
+    prev = _latest_recorded_bench() if comparable else None
+    if prev:
+        prev_n, prev_rec = prev
+        prev_ratio = prev_rec["drift_probe"]["ratio"] or 1.0
+        prev_norm_by_q = {
+            k: v / prev_ratio
+            for k, v in prev_rec["queries"].items()
+            if k in timings
+        }
+        prev_regressions = {
+            k: round((timings[k] / ratio) / pv, 3)
+            for k, pv in prev_norm_by_q.items()
+            if (timings[k] / ratio) / pv > REGRESSION_GATE
+            and k not in ABSORBED
+        }
+        prev_total = round(sum(prev_norm_by_q.values()), 3)
+        this_total = round(
+            sum(timings[k] / ratio for k in prev_norm_by_q), 3
+        )
+        prev_comparison = {
+            "vs_round": prev_n,
+            "protocol": "min_of_3_normalized",
+            "prev_total_normalized": prev_total,
+            "this_total_normalized": this_total,
+            "moved_x": round(this_total / prev_total, 3)
+            if prev_total
+            else None,
+            "per_query_regressions": prev_regressions,
+        }
+    else:
+        prev_comparison = {
+            "verdict": "n/a",
+            "reason": "no recorded min-of-3 BENCH_r*.json yet"
+            if comparable
+            else f"sf={sf}, anchors are sf0.1",
+        }
+
     print(
         json.dumps(
             {
@@ -194,6 +273,7 @@ def main() -> None:
                 "drift_probe": drift,
                 "normalized_value": normalized,
                 "r6_comparison": r6_comparison,
+                "prev_round_comparison": prev_comparison,
             }
         )
     )

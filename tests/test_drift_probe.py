@@ -40,3 +40,58 @@ class TestDriftProbe:
         assert out["baseline_sec"] == R6_BASELINE_SEC
         assert out["sec"] > 0
         assert out["ratio"] == round(out["sec"] / R6_BASELINE_SEC, 3)
+
+
+class TestLatestRecordedBench:
+    """bench.py's prev-round anchor loader: picks the NEWEST recorded
+    round with min-of-3 protocol + probe ratio at sf0.1, skips
+    single-shot rounds (<= r6) and malformed files."""
+
+    def _write(self, d, n, parsed):
+        import json
+
+        (d / f"BENCH_r{n}.json").write_text(
+            json.dumps({"n": n, "parsed": parsed})
+        )
+
+    def test_picks_newest_min_of_3_and_skips_single_shot(self, tmp_path):
+        from bench import _latest_recorded_bench
+
+        # r6-style: no protocol field -> excluded
+        self._write(
+            tmp_path,
+            6,
+            {
+                "queries": {"q01_pricing_summary": 1.4},
+                "drift_probe": {"ratio": 0.95},
+                "sf": 0.1,
+            },
+        )
+        ok = {
+            "protocol": "min_of_3",
+            "queries": {"q01_pricing_summary": 1.2},
+            "drift_probe": {"ratio": 0.9},
+            "sf": 0.1,
+        }
+        self._write(tmp_path, 7, ok)
+        self._write(tmp_path, 8, dict(ok, queries={"q01_pricing_summary": 1.1}))
+        # newer but wrong sf -> excluded
+        self._write(tmp_path, 9, dict(ok, sf=0.01))
+        (tmp_path / "BENCH_r10.json").write_text("{not json")
+        n, rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 8
+        assert rec["queries"]["q01_pricing_summary"] == 1.1
+
+    def test_none_when_only_single_shot_rounds(self, tmp_path):
+        from bench import _latest_recorded_bench
+
+        self._write(
+            tmp_path,
+            6,
+            {
+                "queries": {"q01_pricing_summary": 1.4},
+                "drift_probe": {"ratio": 0.95},
+                "sf": 0.1,
+            },
+        )
+        assert _latest_recorded_bench(str(tmp_path)) is None
