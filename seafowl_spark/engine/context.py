@@ -46,7 +46,16 @@ class ExecutionError(Exception):
 
 
 def _mangle(schema: str, name: str) -> str:
-    return f"__sfs__{schema}__{name}"
+    raw = f"__sfs__{schema}__{name}"
+    if re.fullmatch(r"[A-Za-z0-9_]+", raw):
+        return raw
+    # schema/table names with special chars (ANSI-quoted, e.g. the
+    # reference's "new_./-~:schema") can't be Spark temp-view names
+    # verbatim — sanitize, keep a hash so distinct raw names stay distinct
+    import hashlib
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", raw)
+    return f"{safe}_{hashlib.md5(raw.encode()).hexdigest()[:8]}"
 
 
 # One WHERE conjunct that Spark reliably offers to pushFilters AND
@@ -337,7 +346,21 @@ class SeafowlContext:
             df.createOrReplaceTempView(mangled)
             mapping[f"{e.schema}.{e.name}"] = mangled
             mapping[f"{e.database}.{e.schema}.{e.name}"] = mangled
-            if e.schema == self.search_schema:
+            # ANSI double-quoted reference forms, ONLY for names that need
+            # quoting (the reference dialect writes special-char names as
+            # SELECT ... FROM "new_./-~:schema".t; restricting to these
+            # avoids touching plain double-quoted STRING literals, which
+            # Spark SQL still parses as strings)
+            plain = r"[A-Za-z_][A-Za-z0-9_]*"
+            s_quoted = not re.fullmatch(plain, e.schema)
+            n_quoted = not re.fullmatch(plain, e.name)
+            if s_quoted or n_quoted:
+                mapping[f'"{e.schema}"."{e.name}"'] = mangled
+            if s_quoted:
+                mapping[f'"{e.schema}".{e.name}'] = mangled
+            if n_quoted:
+                mapping[f'{e.schema}."{e.name}"'] = mangled
+            if e.schema == self.search_schema and not n_quoted:
                 df.createOrReplaceTempView(e.name)
         for name, df in self.staging.items():
             df.createOrReplaceTempView(name)
@@ -759,8 +782,17 @@ class SeafowlContext:
         db, _, name = parser.parse_qualified(stmt.name)
         self.catalog.create_schema(db or self.database, name, stmt.if_not_exists)
 
+    def _guard_staging(self, schema: str | None) -> None:
+        """The staging schema is session-scoped and write-protected — the
+        reference's exact guard (ddl.rs:488-507 asserts this wording)."""
+        if schema == STAGING_SCHEMA:
+            raise ExecutionError(
+                "The staging schema can only be referenced via CREATE EXTERNAL TABLE"
+            )
+
     def _exec_create_table(self, stmt) -> None:
         db, schema, name = parser.parse_qualified(stmt.name)
+        self._guard_staging(schema)
         db, schema = db or self.database, schema or self.search_schema
         if stmt.if_not_exists and self.catalog.get_table(db, schema, name):
             return
@@ -870,6 +902,7 @@ class SeafowlContext:
     def _exec_rename_table(self, stmt) -> None:
         db, schema, name = parser.parse_qualified(stmt.name)
         db2, schema2, name2 = parser.parse_qualified(stmt.new_name)
+        self._guard_staging(schema2)
         db, schema = db or self.database, schema or self.search_schema
         db2, schema2 = db2 or self.database, schema2 or schema
         if db != db2:
@@ -890,6 +923,7 @@ class SeafowlContext:
 
     def _exec_drop_schema(self, stmt) -> None:
         db, _, name = parser.parse_qualified(stmt.name)
+        self._guard_staging(name)
         try:
             dropped = self.catalog.drop_schema(db or self.database, name)
         except CatalogError:

@@ -128,7 +128,11 @@ def is_read_only(stmt: str) -> bool:
 # --------------------------------------------------------------------------
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
-_QNAME = rf"{_IDENT}(?:\.{_IDENT}){{0,2}}"
+# a name part: bare identifier, or ANSI double-quoted (reference ddl.rs
+# exercises schemas like "new_./-~:schema"; doubled-"" escapes are not
+# supported — no reference test needs them)
+_QIDENT = rf'(?:"[^"]+"|{_IDENT})'
+_QNAME = rf"{_QIDENT}(?:\.{_QIDENT}){{0,2}}"
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -159,8 +163,26 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+def split_name_parts(name: str) -> list[str]:
+    """Split a (possibly double-quoted) qualified name on dots OUTSIDE
+    quotes, stripping the quotes — `"a.b".c` -> ['a.b', 'c']."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_q = False
+    for ch in name:
+        if ch == '"':
+            in_q = not in_q
+        elif ch == "." and not in_q:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_qualified(name: str) -> tuple[str | None, str | None, str]:
-    parts = name.split(".")
+    parts = split_name_parts(name)
     if len(parts) == 1:
         return None, None, parts[0]
     if len(parts) == 2:
