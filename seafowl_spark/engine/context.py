@@ -870,6 +870,13 @@ class SeafowlContext:
     def _exec_convert_to_delta(self, stmt) -> None:
         db, schema, name = parser.parse_qualified(stmt.name)
         db, schema = db or self.database, schema or self.search_schema
+        existing = self.catalog.get_table(db, schema, name)
+        if existing is not None and os.path.realpath(
+            self.table_root(existing)
+        ) == os.path.realpath(stmt.path):
+            # idempotent re-CONVERT of the same path under the same name
+            # (reference convert.rs:168-200 runs the statement twice)
+            return
         t = DeltaLiteTable.convert_from_parquet(self.spark, stmt.path)
         # conversion registers the existing directory; catalog points at it
         # via a dedicated uuid row whose root IS that path: store relative

@@ -140,6 +140,55 @@ class Snapshot:
         return cols, int(n)
 
 
+def _footer_stats(md) -> dict[str, dict[str, Any]]:
+    """Per-file column min/max/nulls from a parquet footer's row-group
+    statistics — the stats every AddFile carries for scan/DML pruning.
+    Footer-only (no data read); shared by fresh writes (_harvest_adds)
+    and in-place CONVERT, so converted tables prune like written ones."""
+    import math
+    from decimal import Decimal
+
+    stats: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            cname = col.path_in_schema
+            if "." in cname:  # nested: keep top-level only
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't cast stats for every physical type
+                # (e.g. some FLBA columns raise NotImplemented);
+                # skipping means "no stats" -> pruning stays
+                # conservative for that column
+                continue
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            elif isinstance(mn, Decimal):
+                # JSON-able and prune-safe: widen by one ulp each way
+                mn = math.nextafter(float(mn), -math.inf)
+                mx = math.nextafter(float(mx), math.inf)
+            cur = stats.get(cname)
+            nulls = st.null_count if st.null_count is not None else 0
+            if cur is None:
+                stats[cname] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                cur["nulls"] += nulls
+    return stats
+
+
 class DeltaLiteTable:
     """Handle to one versioned table directory."""
 
@@ -482,9 +531,6 @@ class DeltaLiteTable:
     def _harvest_adds(self, data_dir_rel: str) -> list[AddFile]:
         """Collect Add actions (+footer stats) for parquet files Spark just
         wrote under root/data_dir_rel. Footer-only: no data re-scan."""
-        import math
-        from decimal import Decimal
-
         adds = []
         absdir = os.path.join(self.root, data_dir_rel)
         for name in self.store.list(absdir):
@@ -499,46 +545,10 @@ class DeltaLiteTable:
                 # an empty one (reference DELETE commits pure removes)
                 self.store.delete(full)
                 continue
-            stats: dict[str, dict[str, Any]] = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    cname = col.path_in_schema
-                    if "." in cname:  # nested: keep top-level only
-                        continue
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    try:
-                        mn, mx = st.min, st.max
-                    except Exception:
-                        # pyarrow can't cast stats for every physical type
-                        # (e.g. some FLBA columns raise NotImplemented);
-                        # skipping means "no stats" -> pruning stays
-                        # conservative for that column
-                        continue
-                    if isinstance(mn, bytes):
-                        try:
-                            mn, mx = mn.decode(), mx.decode()
-                        except UnicodeDecodeError:
-                            continue
-                    if hasattr(mn, "isoformat"):
-                        mn, mx = mn.isoformat(), mx.isoformat()
-                    elif isinstance(mn, Decimal):
-                        # JSON-able and prune-safe: widen by one ulp each way
-                        mn = math.nextafter(float(mn), -math.inf)
-                        mx = math.nextafter(float(mx), math.inf)
-                    cur = stats.get(cname)
-                    nulls = st.null_count if st.null_count is not None else 0
-                    if cur is None:
-                        stats[cname] = {"min": mn, "max": mx, "nulls": nulls}
-                    else:
-                        cur["min"] = min(cur["min"], mn)
-                        cur["max"] = max(cur["max"], mx)
-                        cur["nulls"] += nulls
             adds.append(
-                AddFile(rel, md.num_rows, self.store.size(full), stats)
+                AddFile(
+                    rel, md.num_rows, self.store.size(full), _footer_stats(md)
+                )
             )
         return adds
 
@@ -1695,7 +1705,14 @@ class DeltaLiteTable:
                 )
             names = [os.path.relpath(p, root) for p in live_adds]
         else:
-            names = [n for n in t.store.list(t.root) if n.endswith(".parquet")]
+            # recursive: COPY/Spark writers produce DIRECTORIES of part
+            # files (possibly named *.parquet themselves) — every leaf
+            # parquet object in the tree is table data
+            names = [
+                n
+                for n in t.store.list_recursive(t.root)
+                if n.endswith(".parquet")
+            ]
         if not names:
             raise DeltaLiteError(f"no parquet files to convert in {root}")
         df = spark.read.parquet(t._data_url(names[0]))
@@ -1705,6 +1722,11 @@ class DeltaLiteTable:
             full = os.path.join(t.root, n)
             with t.store.open_input(full) as src:
                 md = pq.ParquetFile(src).metadata
-            adds.append(AddFile(n, md.num_rows, t.store.size(full), {}))
+            # real footer stats, not {}: a converted table must prune
+            # scans and DML exactly like a written one (the reference
+            # pins the same behavior via delta-rs PR 2491)
+            adds.append(
+                AddFile(n, md.num_rows, t.store.size(full), _footer_stats(md))
+            )
         t._next_commit(operation, adds, [], metadata={"schema_ddl": ddl})
         return t

@@ -779,3 +779,65 @@ class TestDdlParity:
             ctx.execute("DROP SCHEMA staging")
         with pytest.raises(Exception, match=guard):
             ctx.execute("ALTER TABLE some_table RENAME TO staging.some_table")
+
+
+class TestConvertParity:
+    def test_convert_from_flat_parquet_table(self, ctx, tmp_path):
+        """convert.rs:37-166: three COPY-produced parquet files convert
+        in place (CONVERT is a log-only commit — the original files are
+        NOT rewritten), running CONVERT twice doesn't error, the 6-row
+        golden reads back, and per-file column stats land in the add
+        entries (min 1/3/5, max 2/4/6; string min/max per file)."""
+        import glob
+        import os
+
+        table_path = tmp_path / "flat"
+        table_path.mkdir()
+        for i, vals in enumerate(
+            ("(1, 'one'), (2, 'two')", "(3, 'three'), (4, 'four')",
+             "(5, 'five'), (6, 'six')"),
+            start=1,
+        ):
+            ctx.execute(
+                f"COPY (SELECT * FROM (VALUES {vals}) AS t(column1, column2)) "
+                f"TO '{table_path}/file_{i}.parquet'"
+            )
+        before = sorted(
+            glob.glob(str(table_path / "**/*.parquet"), recursive=True)
+        )
+        assert len(before) >= 3
+
+        ctx.execute(f"CONVERT '{table_path}' TO DELTA table_converted")
+        # idempotency: converting again must not error or duplicate
+        ctx.execute(f"CONVERT '{table_path}' TO DELTA table_converted")
+
+        got = [
+            tuple(r)
+            for r in ctx.execute(
+                "SELECT * FROM table_converted ORDER BY column1"
+            ).collect()
+        ]
+        assert got == [
+            (1, "one"), (2, "two"), (3, "three"),
+            (4, "four"), (5, "five"), (6, "six"),
+        ]
+        # log-only conversion: the original data files are untouched
+        assert (
+            sorted(glob.glob(str(table_path / "**/*.parquet"), recursive=True))
+            == before
+        )
+
+        # add-entry stats (the delta-rs PR 2491 behavior the reference
+        # pins): per-file min/max for both columns
+        t = ctx.delta_table("table_converted")
+        files = t.snapshot().files
+        assert sorted(f.stats["column1"]["min"] for f in files) == [1, 3, 5]
+        assert sorted(f.stats["column1"]["max"] for f in files) == [2, 4, 6]
+        assert sorted(f.stats["column2"]["min"] for f in files) == [
+            "five", "four", "one",
+        ]
+        assert sorted(f.stats["column2"]["max"] for f in files) == [
+            "six", "three", "two",
+        ]
+        assert sum(f.rows for f in files) == 6
+        assert all(f.stats["column1"]["nulls"] == 0 for f in files)
