@@ -448,7 +448,19 @@ class SeafowlContext:
             handler = getattr(self, f"_exec_{stmt.kind}", None)
             if handler is None:
                 raise ExecutionError(f"no handler for {stmt.kind}")
-            return handler(stmt)
+            # the engine speaks the reference's ANSI dialect, where
+            # double quotes delimit IDENTIFIERS ("date field"), not
+            # strings (query.rs:163-280 queries a quoted column). Spark's
+            # default silently parses "x" as the string 'x' — scoped
+            # set/restore under the execution lock, so embedders using
+            # the same session outside execute() keep Spark defaults.
+            conf_key = "spark.sql.ansi.doubleQuotedIdentifiers"
+            prev = self.spark.conf.get(conf_key, "false")
+            try:
+                self.spark.conf.set(conf_key, "true")
+                return handler(stmt)
+            finally:
+                self.spark.conf.set(conf_key, prev)
 
     def query(self, sql: str) -> DataFrame:
         return self._exec_query(parser.Statement("query", sql))
