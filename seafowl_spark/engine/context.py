@@ -967,8 +967,20 @@ class SeafowlContext:
     # ---- DML
 
     def _record(self, entry: TableEntry, t: DeltaLiteTable) -> None:
-        c = t.read_commit(t.latest_version())
-        self.catalog.record_version(entry.uuid, c.version, c.timestamp_ms, c.operation)
+        # mirror EVERY not-yet-recorded commit, not just the latest: a
+        # CTAS lands two commits (CREATE + data) before its single
+        # _record call, and skipping v0 left system.table_versions
+        # missing a version that time travel can reach
+        recorded = {
+            v for (_, v, _, _) in self.catalog.table_versions(entry.uuid)
+        }
+        for v in range(t.latest_version() + 1):
+            if v in recorded:
+                continue
+            c = t.read_commit(v)
+            self.catalog.record_version(
+                entry.uuid, c.version, c.timestamp_ms, c.operation
+            )
 
     def _exec_insert(self, stmt) -> None:
         entry = self._resolve(stmt.name)
