@@ -419,3 +419,63 @@ def test_normalize_text_idempotent(spark, texts):
     ).collect()
     for r in out:
         assert r["once"] == r["twice"]
+
+
+# ---- quoted-identifier name splitting (r7 session C: ANSI "..." parts)
+
+_plain_part = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+_special_part = st.text(
+    alphabet=st.characters(
+        blacklist_characters='".', min_codepoint=32, max_codepoint=126
+    ),
+    min_size=1,
+    max_size=10,
+).filter(lambda s: s.strip())
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.one_of(_plain_part, _special_part)),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_split_name_parts_round_trip(parts):
+    """Rendering parts (quoting any that need or request it) then
+    splitting recovers the original parts exactly — including dots and
+    specials INSIDE quotes."""
+    import re
+
+    from seafowl_spark.engine.parser import split_name_parts
+
+    rendered = []
+    for force_quote, p in parts:
+        plain = re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p)
+        rendered.append(f'"{p}"' if force_quote or not plain else p)
+    got = split_name_parts(".".join(rendered))
+    assert got == [p for _, p in parts]
+
+
+@given(st.lists(st.one_of(_plain_part, _special_part), min_size=1, max_size=3))
+@settings(max_examples=300, deadline=None)
+def test_parse_qualified_quoted_equals_plain(parts):
+    """parse_qualified gives identical results whether every part is
+    quoted or only the ones that need it (dots force quoting)."""
+    import re
+
+    from seafowl_spark.engine.parser import ParseError, parse_qualified
+
+    all_quoted = ".".join(f'"{p}"' for p in parts)
+    minimal = ".".join(
+        p if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p) else f'"{p}"'
+        for p in parts
+    )
+    try:
+        a = parse_qualified(all_quoted)
+    except ParseError:
+        # >3 effective parts (unquoted dots) — must fail both ways
+        with __import__("pytest").raises(ParseError):
+            parse_qualified(minimal)
+        return
+    assert a == parse_qualified(minimal)
