@@ -384,19 +384,26 @@ class SeafowlContext:
 
     def _rewrite_names(self, sql: str, mapping: dict[str, str]) -> str:
         """Replace qualified table references with mangled view names,
-        outside string literals, longest-first."""
+        outside string literals, longest-first. ONE combined alternation
+        pass instead of one regex pass per key: with N tables the old
+        loop re-scanned every statement N times — linear in catalog size
+        per statement, exactly the serving-layer overhead a many-table
+        deployment would feel."""
         parts = re.split(r"('(?:[^']|'')*')", sql)  # keep literals intact
         keys = sorted(mapping, key=len, reverse=True)
+        if not keys:
+            return sql
+        by_lower = {k.lower(): v for k, v in mapping.items()}
+        pat = re.compile(
+            r"(?<![A-Za-z0-9_.`])(?:"
+            + "|".join(re.escape(k) for k in keys)
+            + r")(?![A-Za-z0-9_.`])",
+            re.IGNORECASE,
+        )
         for i in range(0, len(parts), 2):
-            seg = parts[i]
-            for k in keys:
-                seg = re.sub(
-                    rf"(?<![A-Za-z0-9_.`]){re.escape(k)}(?![A-Za-z0-9_.`])",
-                    f"`{mapping[k]}`",
-                    seg,
-                    flags=re.IGNORECASE,
-                )
-            parts[i] = seg
+            parts[i] = pat.sub(
+                lambda m: f"`{by_lower[m.group(0).lower()]}`", parts[i]
+            )
         return "".join(parts)
 
     # ------------------------------------------------------------ functions

@@ -285,3 +285,57 @@ class TestNewStatementsOverHttp:
         assert code == 200
         row = json.loads(body.strip().split("\n")[0])
         assert row["format"] == "deltalite" and row["num_rows"] == 2
+
+
+class TestErrorParity:
+    """HTTP error behavior parity with the reference's frontend unit
+    tests (src/frontend/http.rs:1131-1215): every client-side failure —
+    parse error, malformed CREATE FUNCTION, missing table, runtime
+    execution error — is a 400 whose body names the actual problem
+    (message WORDING is ours; status and substance are the contract)."""
+
+    @staticmethod
+    def _post(port, query):
+        import urllib.error
+
+        try:
+            return _post_q(port, query)
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode(), dict(e.headers)
+
+    def test_parse_error_400(self, server):
+        code, body, _ = self._post(server.port, "SLEECT 1")
+        assert code == 400
+        assert "SLEECT" in body or "statement" in body.lower()
+
+    def test_create_function_missing_as_400(self, server):
+        code, body, _ = self._post(server.port, "CREATE FUNCTION what_function")
+        assert code == 400
+
+    def test_missing_table_names_table_400(self, server):
+        code, body, _ = self._post(server.port, "SELECT * FROM missing_table")
+        assert code == 400
+        assert "missing_table" in body
+
+    def test_execution_error_400(self, server):
+        # reference test_error_execution uses a runtime failure; ANSI
+        # mode makes division by zero one
+        code, body, _ = self._post(server.port, "SELECT 1/0 AS boom")
+        assert code == 400
+
+    def test_cached_get_bad_encoding_400(self, server):
+        """http.rs:1041-1055: an undecodable percent-encoded query header
+        is a 400, not a 500."""
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/q/{'0' * 64}",
+            headers={"X-Seafowl-Query": "%zz%%%"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                code, body = resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            code, body = e.code, e.read().decode()
+        assert code == 400
