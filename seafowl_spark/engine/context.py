@@ -1191,12 +1191,12 @@ class SeafowlContext:
             return
         if stmt.format == "delta":
             # real Delta Lake export (readable by delta-rs / delta-spark);
-            # appends a commit per COPY, like the iceberg path
-            if part:
-                raise ExecutionError("PARTITIONED BY is not supported with DELTA")
+            # appends a commit per COPY, like the iceberg path.
+            # PARTITIONED BY writes the protocol's hive layout with
+            # partitionValues in the add actions (r7 session C)
             from ..sources.delta_log import write_delta_table
 
-            write_delta_table(self.spark, df, stmt.path)
+            write_delta_table(self.spark, df, stmt.path, partition_by=part)
             return
         fmt = {"csv": "csv", "parquet": "parquet", "ndjson": "json", "json": "json"}.get(
             stmt.format

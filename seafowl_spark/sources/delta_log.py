@@ -175,8 +175,17 @@ def delta_snapshot_adds(
                     live[act["add"]["path"]] = act["add"]
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
+    # add.path is percent-encoded per the delta spec (a literal % in a
+    # file name arrives as %25) — decode when resolving to the store;
+    # add/remove matching above stays on the raw encoded strings
+    from urllib.parse import unquote as _unq
+
     return {
-        (p if os.path.isabs(p) else os.path.join(table_dir, p)): a
+        (
+            p
+            if os.path.isabs(p)
+            else os.path.join(table_dir, _unq(p))
+        ): a
         for p, a in live.items()
     }, meta
 
@@ -260,14 +269,12 @@ def prune_adds(adds: dict[str, dict], predicate_sql: str | None) -> dict[str, di
     out: dict[str, dict] = {}
     for path, add in adds.items():
         raw = add.get("stats")
-        if not raw:
-            out[path] = add
-            continue
-        try:
-            s = json.loads(raw) if isinstance(raw, str) else raw
-        except (TypeError, ValueError):
-            out[path] = add
-            continue
+        s: dict = {}
+        if raw:
+            try:
+                s = json.loads(raw) if isinstance(raw, str) else raw
+            except (TypeError, ValueError):
+                s = {}
         mins = s.get("minValues") or {}
         maxs = s.get("maxValues") or {}
         nulls = s.get("nullCount") or {}
@@ -275,7 +282,28 @@ def prune_adds(adds: dict[str, dict], predicate_sql: str | None) -> dict[str, di
             c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c)}
             for c in set(mins) | set(maxs) | set(nulls)
         }
-        if _may_match(ast, stats, int(s.get("numRecords") or 0)):
+        # partition columns never appear in data-file stats (the spec
+        # keeps them out of the files) — their partitionValues are exact
+        # point stats, so a partition-column predicate prunes whole
+        # directories. Values are protocol strings; coerce numerics so
+        # comparisons against numeric literals stay ordered correctly.
+        n_rec = int(s.get("numRecords") or 0)
+        for c, v in (add.get("partitionValues") or {}).items():
+            if c in stats:
+                continue
+            if v is None:
+                stats[c] = {"min": None, "max": None, "nulls": max(n_rec, 1)}
+                continue
+            tv: object = v
+            try:
+                tv = int(v)
+            except ValueError:
+                try:
+                    tv = float(v)
+                except ValueError:
+                    pass
+            stats[c] = {"min": tv, "max": tv, "nulls": 0}
+        if not stats or _may_match(ast, stats, n_rec):
             out[path] = add
     return out
 
@@ -410,41 +438,89 @@ def _apply_column_mapping(df: DataFrame, meta: dict) -> DataFrame:
     return df.select(*cols)
 
 
-def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
+def write_delta_table(
+    spark: SparkSession,
+    df,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+) -> int:
     """Commit ``df`` as one append to a REAL Delta Lake table at
     ``table_dir`` (creating it on first write); returns the committed
     version. Output is readable by delta-rs / delta-spark: parquet data
     files plus a ``_delta_log`` JSON commit with protocol / metaData /
     add / commitInfo actions (``schemaString`` is Spark's schema JSON —
     the same representation Delta uses). Writer-side interop twin of
-    ``read_delta``."""
+    ``read_delta``.
+
+    ``partition_by`` writes the protocol's partitioned layout: hive
+    ``col=val`` directories, partition values in each add action's
+    ``partitionValues`` (NOT in the data files — per spec the columns
+    live only in metadata/paths), ``partitionColumns`` in metaData.
+    Appends must keep the table's existing partitioning."""
     import glob
     import shutil
     import time
+    import urllib.parse as _up
     import uuid as _uuid
 
+    part_cols = list(partition_by or [])
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise DeltaLogError(f"partition columns not in data: {missing}")
     log_dir = os.path.join(table_dir, _LOG)
     os.makedirs(log_dir, exist_ok=True)
     versions = _commit_versions(log_dir)
     version = (versions[-1] + 1) if versions else 0
+    if version > 0:
+        _, meta = delta_snapshot_adds(table_dir)
+        existing = (meta or {}).get("partitionColumns") or []
+        if existing != part_cols:
+            raise DeltaLogError(
+                f"append partitioning {part_cols} != table's {existing}"
+            )
 
     stage = os.path.join(table_dir, f"_stage_{_uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(stage)
     adds = []
     now_ms = int(time.time() * 1000)
     import pyarrow.parquet as _pq
 
-    for part in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+    for part in sorted(
+        glob.glob(os.path.join(stage, "**", "part-*.parquet"), recursive=True)
+    ):
         if _pq.ParquetFile(part).metadata.num_rows == 0:
             continue  # delta-spark/delta-rs never commit empty data files
+        rel_dir = os.path.relpath(os.path.dirname(part), stage)
+        pvals: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _up.unquote(v)
+                )
+        if set(pvals) != set(part_cols):
+            raise DeltaLogError(
+                f"staged layout {rel_dir!r} does not match partitioning "
+                f"{part_cols}"
+            )
         name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
-        dest = os.path.join(table_dir, name)
+        rel = os.path.join(rel_dir, name) if rel_dir != "." else name
+        dest = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
         shutil.move(part, dest)
         adds.append(
             {
                 "add": {
-                    "path": name,
-                    "partitionValues": {},
+                    # add.path is percent-encoded per the delta spec;
+                    # '=' and '/' stay literal (delta-rs convention),
+                    # spaces/specials encode. The reader unquotes.
+                    "path": _up.quote(rel, safe="/="),
+                    "partitionValues": pvals,
                     "size": os.path.getsize(dest),
                     "modificationTime": now_ms,
                     "dataChange": True,
@@ -463,7 +539,7 @@ def write_delta_table(spark: SparkSession, df, table_dir: str) -> int:
                     "id": str(_uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,
                 }

@@ -508,3 +508,104 @@ class TestWriterCheckpoints:
         dl._write_checkpoint(d, 0)
         assert not os.path.exists(os.path.join(log, f"{0:020d}.checkpoint.parquet"))
         assert not os.path.exists(os.path.join(log, "_last_checkpoint"))
+
+
+class TestPartitionedDeltaWriter:
+    """Partitioned delta writes (r7 session C): hive col=val layout,
+    partitionValues in add actions, partitionColumns in metaData, reads
+    re-derive the columns, and partition-column predicates prune whole
+    directories from the file list."""
+
+    def test_partitioned_roundtrip_and_log_shape(self, spark, tmp_path):
+        import glob
+
+        from seafowl_spark.sources.delta_log import write_delta_table
+
+        d = str(tmp_path / "pw")
+        df = spark.createDataFrame(
+            [(1, "x", "a b"), (2, "y", "a b"), (3, "z", "c")],
+            "k int, v string, part string",
+        )
+        assert write_delta_table(spark, df, d, partition_by=["part"]) == 0
+        # hive layout on disk (Spark keeps the literal space in the dir
+        # name; the LOG path is what gets percent-encoded)
+        dirs = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(d, "part=*"))
+        }
+        assert dirs == {"part=a b", "part=c"}
+        # add actions carry decoded partitionValues + encoded paths
+        with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as f:
+            acts = [json.loads(ln) for ln in f if ln.strip()]
+        adds = [a["add"] for a in acts if "add" in a]
+        assert {a["partitionValues"]["part"] for a in adds} == {"a b", "c"}
+        assert any(a["path"].startswith("part=a%20b/") for a in adds)
+        assert all("part=" in a["path"] and " " not in a["path"] for a in adds)
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        assert meta["partitionColumns"] == ["part"]
+        # read back: partition column re-derived, all rows intact
+        out = read_delta(spark, d).collect()
+        assert sorted((r["k"], r["part"]) for r in out) == [
+            (1, "a b"), (2, "a b"), (3, "c"),
+        ]
+
+    def test_append_must_keep_partitioning(self, spark, tmp_path):
+        import pytest
+
+        from seafowl_spark.sources.delta_log import (
+            DeltaLogError,
+            write_delta_table,
+        )
+
+        d = str(tmp_path / "pa")
+        df = spark.createDataFrame([(1, "a")], "k int, part string")
+        write_delta_table(spark, df, d, partition_by=["part"])
+        with pytest.raises(DeltaLogError, match="partitioning"):
+            write_delta_table(spark, df, d)  # unpartitioned append
+        # matching append works and accumulates
+        write_delta_table(spark, df, d, partition_by=["part"])
+        assert read_delta(spark, d).count() == 2
+
+    def test_partition_predicate_prunes_files(self, spark, tmp_path):
+        from seafowl_spark.sources.delta_log import (
+            delta_snapshot_adds,
+            prune_adds,
+            write_delta_table,
+        )
+
+        d = str(tmp_path / "pp")
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(30)], "k int, part string"
+        )
+        write_delta_table(spark, df, d, partition_by=["part"])
+        adds, _ = delta_snapshot_adds(d)
+        assert len(adds) >= 3
+        kept = prune_adds(adds, "part = 's1'")
+        assert 0 < len(kept) < len(adds)
+        assert all("part=s1" in p for p in kept)
+        # numeric partition values prune with numeric comparisons
+        d2 = str(tmp_path / "pp2")
+        df2 = spark.createDataFrame(
+            [(i, i % 4) for i in range(40)], "k int, bucket int"
+        )
+        write_delta_table(spark, df2, d2, partition_by=["bucket"])
+        adds2, _ = delta_snapshot_adds(d2)
+        kept2 = prune_adds(adds2, "bucket > 2")
+        assert all("bucket=3" in p for p in kept2) and kept2
+
+    def test_copy_statement_partitioned_delta(self, ctx, tmp_path):
+        ctx.execute("CREATE TABLE psrc (k int, part text)")
+        ctx.execute(
+            "INSERT INTO psrc VALUES (1, 'a'), (2, 'a'), (3, 'b')"
+        )
+        dest = str(tmp_path / "copy_pd")
+        ctx.execute(
+            f"COPY psrc TO '{dest}' STORED AS DELTA PARTITIONED BY (part)"
+        )
+        ctx.execute(
+            f"CREATE EXTERNAL TABLE pdl STORED AS DELTA LOCATION '{dest}'"
+        )
+        out = ctx.execute(
+            "SELECT k, part FROM staging.pdl ORDER BY k"
+        ).collect()
+        assert [(r.k, r.part) for r in out] == [(1, "a"), (2, "a"), (3, "b")]
