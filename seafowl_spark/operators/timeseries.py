@@ -81,6 +81,51 @@ def resample(
     return grid.join(agged, keys + ["bucket_ts"], "left")
 
 
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    window: int,
+    ts_col: str = "bucket_ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Trailing-window mean/variance/z-score + anomaly flag per key —
+    the monitoring pass a regularized series feeds next. Adds
+    ``roll_mean``, ``roll_var``, ``zscore`` (NULL while the window has
+    zero variance or no data), ``is_anomaly`` (|z| > 3, as BIGINT).
+
+    Determinism: the window sums go through DECIMAL(25,6) casts
+    (order-independent, engine-exact — the dec_sum discipline), and the
+    mean/variance/z arithmetic is plain IEEE double ops over those
+    exact inputs, so results hash-match DuckDB bit for bit. One window
+    pass over the key partitions; no extra shuffle beyond the
+    partitionBy every windowed op pays."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    keys = list(key_cols or [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    v = F.col(value_col)
+    s = F.sum(v.cast("decimal(25,6)")).over(w).cast("double")
+    n = F.count(v).over(w)
+    s2 = F.sum((v * v).cast("decimal(25,6)")).over(w).cast("double")
+    # n = 0 when every value in the trailing window is NULL (leading
+    # gaps) — guard the divisions or ANSI mode raises DIVIDE_BY_ZERO
+    mean = F.when(n > 0, s / n)
+    var = F.when(n > 0, F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    z = F.when(var > 0, (v - mean) / F.sqrt(var))
+    return (
+        df.withColumn("roll_mean", mean)
+        .withColumn("roll_var", var)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly", (F.abs(F.col("zscore")) > 3).cast("long")
+        )
+    )
+
+
 def forward_fill(
     df: DataFrame,
     value_cols: list[str],

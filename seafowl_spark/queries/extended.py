@@ -451,14 +451,39 @@ _TS_INTERVAL_S = 3600
       FROM span),
     j AS (
       SELECT g.event_type, g.bucket_ts, a.n_events, a.sum_value
-      FROM grid g LEFT JOIN agged a USING (event_type, bucket_ts))
+      FROM grid g LEFT JOIN agged a USING (event_type, bucket_ts)),
+    filled AS (
+      SELECT event_type, bucket_ts, n_events, sum_value,
+             last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+      FROM j),
+    rolled AS (
+      SELECT *,
+             CAST(SUM(CAST(filled_sum AS DECIMAL(25,6))) OVER tw AS DOUBLE) AS rs,
+             COUNT(filled_sum) OVER tw AS rn,
+             CAST(SUM(CAST(filled_sum * filled_sum AS DECIMAL(25,6))) OVER tw AS DOUBLE) AS rs2
+      FROM filled
+      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
     SELECT event_type,
            strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_str,
-           n_events, sum_value,
-           last_value(sum_value IGNORE NULLS) OVER (
-             PARTITION BY event_type ORDER BY bucket_ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
-    FROM j
+           n_events, sum_value, filled_sum,
+           CASE WHEN rn > 0 THEN rs / rn END AS roll_mean,
+           CASE WHEN rn > 0
+                THEN greatest(rs2 / rn - (rs / rn) * (rs / rn), 0.0) END
+             AS roll_var,
+           CASE WHEN rn > 0
+                 AND greatest(rs2 / rn - (rs / rn) * (rs / rn), 0.0) > 0
+                THEN (filled_sum - rs / rn)
+                     / sqrt(greatest(rs2 / rn - (rs / rn) * (rs / rn), 0.0))
+           END AS zscore,
+           CAST(abs(CASE WHEN rn > 0
+                 AND greatest(rs2 / rn - (rs / rn) * (rs / rn), 0.0) > 0
+                THEN (filled_sum - rs / rn)
+                     / sqrt(greatest(rs2 / rn - (rs / rn) * (rs / rn), 0.0))
+           END) > 3 AS BIGINT) AS is_anomaly
+    FROM rolled
     """,
 )
 def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +502,7 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-partitioned grid. A million device streams parallelize per
     key; sums are decimal-cast so the oracle hash-matches bit for bit.
     """
-    from ..operators.timeseries import forward_fill, resample
+    from ..operators.timeseries import forward_fill, resample, rolling_stats
 
     e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
     grid = resample(
@@ -493,10 +518,25 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = forward_fill(
         grid, ["filled_sum"], ts_col="bucket_ts", key_cols=["event_type"]
     )
-    return filled.select(
+    # rolling monitoring pass over the regularized+filled series (r7
+    # session C, closing the round-8 rolling-analytics candidate):
+    # trailing 24-bucket mean/variance and a |z| > 3 anomaly flag,
+    # decimal-exact window sums so the oracle hash-matches
+    rolled = rolling_stats(
+        filled,
+        "filled_sum",
+        window=24,
+        ts_col="bucket_ts",
+        key_cols=["event_type"],
+    )
+    return rolled.select(
         "event_type",
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_str"),
         "n_events",
         "sum_value",
         "filled_sum",
+        "roll_mean",
+        "roll_var",
+        "zscore",
+        "is_anomaly",
     )

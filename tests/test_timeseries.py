@@ -7,7 +7,7 @@ import datetime as dt
 import pyspark.sql.functions as F
 import pytest
 
-from seafowl_spark.operators.timeseries import forward_fill, resample
+from seafowl_spark.operators.timeseries import forward_fill, resample, rolling_stats
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -137,3 +137,43 @@ class TestPreEpoch:
         b = out[0]["bucket_ts"]
         # floor semantics: the bucket STARTS at or before the event
         assert (b.year, b.second) == (1969, 50), b
+
+
+class TestRollingStats:
+    def test_matches_numpy_trailing_window(self, spark):
+        import math
+
+        rows = [("a", _ts(f"2024-01-01T{h:02d}:00:00"), float(v))
+                for h, v in enumerate([1, 2, 4, 8, 16, 3, 3, 3])]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        out = {
+            r["ts"].hour: r
+            for r in rolling_stats(
+                df, "v", window=4, ts_col="ts", key_cols=["k"]
+            ).collect()
+        }
+        vals = [1, 2, 4, 8, 16, 3, 3, 3]
+        for h in range(8):
+            w = vals[max(0, h - 3): h + 1]
+            mean = sum(w) / len(w)
+            var = max(sum(x * x for x in w) / len(w) - mean * mean, 0.0)
+            assert abs(out[h]["roll_mean"] - mean) < 1e-9, h
+            assert abs(out[h]["roll_var"] - var) < 1e-9, h
+            if var > 0:
+                z = (vals[h] - mean) / math.sqrt(var)
+                assert abs(out[h]["zscore"] - z) < 1e-9, h
+                assert out[h]["is_anomaly"] == int(abs(z) > 3)
+            else:
+                assert out[h]["zscore"] is None
+
+    def test_all_null_window_stays_null(self, spark):
+        rows = [("a", _ts("2024-01-01T00:00:00"), None),
+                ("a", _ts("2024-01-01T01:00:00"), None),
+                ("a", _ts("2024-01-01T02:00:00"), 5.0)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = rolling_stats(
+            df, "v", window=2, ts_col="ts", key_cols=["k"]
+        ).orderBy("ts").collect()
+        # leading all-NULL windows: no mean, no z, no ANSI div-by-zero
+        assert out[0]["roll_mean"] is None and out[0]["zscore"] is None
+        assert out[2]["roll_mean"] == 5.0
