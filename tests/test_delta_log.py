@@ -609,3 +609,32 @@ class TestPartitionedDeltaWriter:
             "SELECT k, part FROM staging.pdl ORDER BY k"
         ).collect()
         assert [(r.k, r.part) for r in out] == [(1, "a"), (2, "a"), (3, "b")]
+
+
+class TestPartitionValueEncoding:
+    def test_special_partition_values_round_trip(self, spark, tmp_path):
+        """The protocol's encoding corners: spaces, '/', ':', '%', '=',
+        unicode, dots — Spark hive-escapes the DIRECTORY name, the log
+        percent-encodes add.path on top (a literal '%2F' in a dir name
+        logs as '%252F'), and the reader's unquote lands back on the
+        real file. Empty-string partitions collapse to NULL (the hive
+        __HIVE_DEFAULT_PARTITION__ convention, same as delta-spark)."""
+        from seafowl_spark.sources.delta_log import write_delta_table
+
+        vals = ["plain", "a b", "a/b", "a:b", "a%b", "a=b",
+                "ünïcode", "", None, "dot.dot"]
+        d = str(tmp_path / "pv")
+        df = spark.createDataFrame(
+            list(enumerate(vals)), "k int, part string"
+        )
+        write_delta_table(spark, df, d, partition_by=["part"])
+        out = {r["k"]: r["part"] for r in read_delta(spark, d).collect()}
+        for i, v in enumerate(vals):
+            want = None if v in ("", None) else v
+            assert out[i] == want, (v, out[i])
+        # and the decoded partitionValues in the log match the reads
+        from seafowl_spark.sources.delta_log import delta_snapshot_adds
+
+        adds, _ = delta_snapshot_adds(d)
+        logged = {a["partitionValues"]["part"] for a in adds.values()}
+        assert logged == {v for v in vals if v not in ("", None)} | {None}
