@@ -20,6 +20,7 @@ import base64
 import os
 import re
 import threading
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Any
 from hashlib import sha256
@@ -360,6 +361,10 @@ class SeafowlContext:
                 mapping[f'"{e.schema}".{e.name}'] = mangled
             if n_quoted:
                 mapping[f'{e.schema}."{e.name}"'] = mangled
+                if e.schema == self.search_schema:
+                    # unqualified quoted reference resolves against the
+                    # search schema, like unquoted names do
+                    mapping[f'"{e.name}"'] = mangled
             if e.schema == self.search_schema and not n_quoted:
                 df.createOrReplaceTempView(e.name)
         for name, df in self.staging.items():
@@ -390,20 +395,38 @@ class SeafowlContext:
         per statement, exactly the serving-layer overhead a many-table
         deployment would feel."""
         parts = re.split(r"('(?:[^']|'')*')", sql)  # keep literals intact
-        keys = sorted(mapping, key=len, reverse=True)
-        if not keys:
+        if not mapping:
             return sql
-        by_lower = {k.lower(): v for k, v in mapping.items()}
-        pat = re.compile(
-            r"(?<![A-Za-z0-9_.`])(?:"
-            + "|".join(re.escape(k) for k in keys)
-            + r")(?![A-Za-z0-9_.`])",
-            re.IGNORECASE,
-        )
+        # Bare identifiers match case-insensitively (the engine's unquoted
+        # names fold, like the reference dialect's); double-quoted forms
+        # are CASE-SENSITIVE identifiers — "Foo" and "foo" are distinct
+        # tables and must not collapse through a lowercase lookup.
+        bare = sorted((k for k in mapping if '"' not in k), key=len, reverse=True)
+        quoted = sorted((k for k in mapping if '"' in k), key=len, reverse=True)
+        by_lower = {k.lower(): v for k, v in mapping.items() if '"' not in k}
+        pats: list[tuple[re.Pattern, Any]] = []
+        if quoted:
+            pats.append((
+                re.compile(
+                    r"(?<![A-Za-z0-9_.`])(?:"
+                    + "|".join(re.escape(k) for k in quoted)
+                    + r")(?![A-Za-z0-9_.`])"
+                ),
+                lambda m: f"`{mapping[m.group(0)]}`",
+            ))
+        if bare:
+            pats.append((
+                re.compile(
+                    r"(?<![A-Za-z0-9_.`\"])(?:"
+                    + "|".join(re.escape(k) for k in bare)
+                    + r")(?![A-Za-z0-9_.`\"])",
+                    re.IGNORECASE,
+                ),
+                lambda m: f"`{by_lower[m.group(0).lower()]}`",
+            ))
         for i in range(0, len(parts), 2):
-            parts[i] = pat.sub(
-                lambda m: f"`{by_lower[m.group(0).lower()]}`", parts[i]
-            )
+            for pat, repl in pats:
+                parts[i] = pat.sub(repl, parts[i])
         return "".join(parts)
 
     # ------------------------------------------------------------ functions
@@ -449,28 +472,36 @@ class SeafowlContext:
             finally:
                 self.search_schema = old
 
+    @contextmanager
+    def _ansi_dialect(self):
+        """Scoped spark.sql.ansi.doubleQuotedIdentifiers=true. The engine
+        speaks the reference's ANSI dialect, where double quotes delimit
+        IDENTIFIERS ("date field"), not strings (query.rs:163-280 queries
+        a quoted column). Spark's default silently parses "x" as the
+        string 'x' — set/restore under the execution lock, so embedders
+        using the same session outside the engine keep Spark defaults."""
+        conf_key = "spark.sql.ansi.doubleQuotedIdentifiers"
+        prev = self.spark.conf.get(conf_key, "false")
+        try:
+            self.spark.conf.set(conf_key, "true")
+            yield
+        finally:
+            self.spark.conf.set(conf_key, prev)
+
     def execute_statement(self, sql: str) -> DataFrame | None:
         with self._exec_lock:
             stmt = parser.parse_statement(sql)
             handler = getattr(self, f"_exec_{stmt.kind}", None)
             if handler is None:
                 raise ExecutionError(f"no handler for {stmt.kind}")
-            # the engine speaks the reference's ANSI dialect, where
-            # double quotes delimit IDENTIFIERS ("date field"), not
-            # strings (query.rs:163-280 queries a quoted column). Spark's
-            # default silently parses "x" as the string 'x' — scoped
-            # set/restore under the execution lock, so embedders using
-            # the same session outside execute() keep Spark defaults.
-            conf_key = "spark.sql.ansi.doubleQuotedIdentifiers"
-            prev = self.spark.conf.get(conf_key, "false")
-            try:
-                self.spark.conf.set(conf_key, "true")
+            with self._ansi_dialect():
                 return handler(stmt)
-            finally:
-                self.spark.conf.set(conf_key, prev)
 
     def query(self, sql: str) -> DataFrame:
-        return self._exec_query(parser.Statement("query", sql))
+        # same dialect + lock as execute(): "x" must parse as an
+        # identifier through BOTH entry points, not just execute()
+        with self._exec_lock, self._ansi_dialect():
+            return self._exec_query(parser.Statement("query", sql))
 
     # ---- reads
 

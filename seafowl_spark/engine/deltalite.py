@@ -148,7 +148,17 @@ def _footer_stats(md) -> dict[str, dict[str, Any]]:
     import math
     from decimal import Decimal
 
-    stats: dict[str, dict[str, Any]] = {}
+    bounds: dict[str, tuple[Any, Any]] = {}
+    nulls: dict[str, int] = {}
+    # A row group whose column chunk lacks stats (or whose byte min/max
+    # fails UTF-8 decode / pyarrow cast) makes that column's FILE-wide
+    # bounds unknowable: emitting bounds that cover only some row groups
+    # would let prune_files wrongly skip a file whose stats-less row
+    # group holds matches. Track such columns in suppression sets and
+    # drop their min/max (resp. null counts) at the end — mirrors
+    # _file_stats_json in sources/delta_log.py.
+    no_bounds: set[str] = set()
+    no_nulls: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -157,20 +167,29 @@ def _footer_stats(md) -> dict[str, dict[str, Any]]:
             if "." in cname:  # nested: keep top-level only
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                no_bounds.add(cname)
+                no_nulls.add(cname)
+                continue
+            if st.null_count is None:
+                no_nulls.add(cname)
+            else:
+                nulls[cname] = nulls.get(cname, 0) + st.null_count
+            if not st.has_min_max:
+                no_bounds.add(cname)
                 continue
             try:
                 mn, mx = st.min, st.max
             except Exception:
                 # pyarrow can't cast stats for every physical type
-                # (e.g. some FLBA columns raise NotImplemented);
-                # skipping means "no stats" -> pruning stays
-                # conservative for that column
+                # (e.g. some FLBA columns raise NotImplemented)
+                no_bounds.add(cname)
                 continue
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    no_bounds.add(cname)
                     continue
             if hasattr(mn, "isoformat"):
                 mn, mx = mn.isoformat(), mx.isoformat()
@@ -178,14 +197,23 @@ def _footer_stats(md) -> dict[str, dict[str, Any]]:
                 # JSON-able and prune-safe: widen by one ulp each way
                 mn = math.nextafter(float(mn), -math.inf)
                 mx = math.nextafter(float(mx), math.inf)
-            cur = stats.get(cname)
-            nulls = st.null_count if st.null_count is not None else 0
+            cur = bounds.get(cname)
             if cur is None:
-                stats[cname] = {"min": mn, "max": mx, "nulls": nulls}
+                bounds[cname] = (mn, mx)
             else:
-                cur["min"] = min(cur["min"], mn)
-                cur["max"] = max(cur["max"], mx)
-                cur["nulls"] += nulls
+                bounds[cname] = (min(cur[0], mn), max(cur[1], mx))
+    stats: dict[str, dict[str, Any]] = {}
+    for cname, (mn, mx) in bounds.items():
+        if cname in no_bounds:
+            continue
+        stats[cname] = {"min": mn, "max": mx}
+        if cname not in no_nulls:
+            stats[cname]["nulls"] = nulls.get(cname, 0)
+    # null-count-only entries (bounds suppressed but nulls known) still
+    # let prune_files answer IS NULL / IS NOT NULL predicates
+    for cname, n in nulls.items():
+        if cname not in stats and cname not in no_nulls:
+            stats[cname] = {"nulls": n}
     return stats
 
 

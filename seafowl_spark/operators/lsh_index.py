@@ -206,7 +206,10 @@ def ingest_with_dedup(
     near-identical documents arriving in one micro-batch cannot both
     slip past an index that contains neither. Intra-batch pairs report
     with the surviving lower id as ``index_id`` (it IS entering the
-    index).
+    index): survivor selection is resolved AFTER subtracting index dups,
+    so a batch-mate that the index itself rejects suppresses nobody —
+    ids ascending, a doc is removed only by an ACCEPTED smaller
+    near-dup, never by one that was itself rejected.
 
     new_docs is read several times (lookup + self-check + append) and
     dup ids drive an anti-join — persist new_docs upstream if it is
@@ -248,7 +251,38 @@ def ingest_with_dedup(
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "index_id", "n_equal_sigs", "est_jaccard")
     )
-    dups = idx_dups.unionByName(intra).localCheckpoint()
+    idx_dups = idx_dups.localCheckpoint()
+    # Greedy min-id survivor selection, index-aware. Both collects are
+    # bounded by ONE ingest batch (near-dup pairs within it + its
+    # index-rejected ids), the same driver-bounded discipline as the
+    # probe bucket lists above — never corpus-sized.
+    idx_rejected = {
+        r["new_id"] for r in idx_dups.select("new_id").distinct().collect()
+    }
+    intra_rows = intra.collect()
+    incoming: dict = {}
+    for r in intra_rows:
+        incoming.setdefault(r["new_id"], []).append(r)
+    ids = sorted(
+        {r["new_id"] for r in intra_rows}
+        | {r["index_id"] for r in intra_rows}
+    )
+    ok: dict = {}
+    kept_rows = []
+    for i in ids:
+        if i in idx_rejected:
+            ok[i] = False  # rejected by the index: suppresses nobody
+            continue
+        blockers = [r for r in incoming.get(i, []) if ok.get(r["index_id"])]
+        ok[i] = not blockers
+        # report only pairs whose index_id actually enters the index
+        kept_rows.extend(blockers)
+    intra_kept = (
+        spark.createDataFrame(kept_rows, intra.schema)
+        if kept_rows
+        else intra.limit(0)
+    )
+    dups = idx_dups.unionByName(intra_kept).localCheckpoint()
     dup_ids = dups.select(F.col("new_id").alias(id_col)).distinct()
     accepted = new_docs.join(dup_ids, id_col, "left_anti")
     append_lsh_index(accepted, path, text_col, id_col)

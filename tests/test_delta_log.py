@@ -638,3 +638,68 @@ class TestPartitionValueEncoding:
         adds, _ = delta_snapshot_adds(d)
         logged = {a["partitionValues"]["part"] for a in adds.values()}
         assert logged == {v for v in vals if v not in ("", None)} | {None}
+
+
+class TestFooterStatsSuppression:
+    """engine.deltalite._footer_stats must drop a column's file-wide
+    bounds when ANY row group lacks usable stats for it — partial bounds
+    would let prune_files skip a file whose stats-less row group holds
+    matches (same suppression contract as _file_stats_json above)."""
+
+    def _write_two_row_groups(self, path, t1, t2):
+        import pyarrow.parquet as pq
+
+        with pq.ParquetWriter(path, t1.schema) as w:
+            w.write_table(t1)
+            w.write_table(t2)
+        return pq.ParquetFile(path).metadata
+
+    def test_undecodable_binary_rowgroup_suppresses_bounds(self, tmp_path):
+        import pyarrow as pa
+
+        from seafowl_spark.engine.deltalite import _footer_stats
+
+        p = str(tmp_path / "two_rg.parquet")
+        good = pa.table(
+            {"k": pa.array([1, 2]), "b": pa.array([b"aa", b"bb"], pa.binary())}
+        )
+        # invalid UTF-8 min/max in the second row group
+        bad = pa.table(
+            {"k": pa.array([3, 4]), "b": pa.array([b"\xff\xfe", b"\xff\xff"], pa.binary())}
+        )
+        md = self._write_two_row_groups(p, good, bad)
+        assert md.num_row_groups == 2
+        stats = _footer_stats(md)
+        # k aggregates across both row groups
+        assert stats["k"]["min"] == 1 and stats["k"]["max"] == 4
+        assert stats["k"]["nulls"] == 0
+        # b's bounds are suppressed (rg2 min/max are not UTF-8), but its
+        # null count — valid in both row groups — survives
+        assert "min" not in stats.get("b", {}) and "max" not in stats.get("b", {})
+        assert stats.get("b", {}).get("nulls") == 0
+
+    def test_multi_rowgroup_bounds_aggregate(self, tmp_path):
+        import pyarrow as pa
+
+        from seafowl_spark.engine.deltalite import _footer_stats
+
+        p = str(tmp_path / "agg.parquet")
+        t1 = pa.table({"k": pa.array([5, 9]), "s": pa.array(["m", "z"])})
+        t2 = pa.table({"k": pa.array([1, 7]), "s": pa.array(["a", "q", ])})
+        stats = _footer_stats(self._write_two_row_groups(p, t1, t2))
+        assert stats["k"] == {"min": 1, "max": 9, "nulls": 0}
+        assert stats["s"] == {"min": "a", "max": "z", "nulls": 0}
+
+    def test_stats_disabled_column_fully_suppressed(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from seafowl_spark.engine.deltalite import _footer_stats
+
+        p = str(tmp_path / "nostats.parquet")
+        t = pa.table({"k": pa.array([1, 2]), "v": pa.array([10, 20])})
+        with pq.ParquetWriter(p, t.schema, write_statistics=["k"]) as w:
+            w.write_table(t)
+        stats = _footer_stats(pq.ParquetFile(p).metadata)
+        assert "v" not in stats
+        assert stats["k"]["min"] == 1

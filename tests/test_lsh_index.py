@@ -209,3 +209,67 @@ class TestIntraBatchDedup:
         assert [r["doc_id"] for r in accepted.collect()] == [30]
         pairs = {(r["new_id"], r["index_id"]) for r in dups.collect()}
         assert (31, 30) in pairs
+
+
+class TestIngestSurvivorRule:
+    """Greedy min-id survivor selection must be INDEX-AWARE: a batch doc
+    rejected by the index suppresses nobody, and dup_pairs never reports
+    an index_id that did not actually enter (or already live in) the
+    index."""
+
+    @staticmethod
+    def _triangle():
+        # deterministic under the module's fixed md5/affine permutations:
+        # sig agreement X-B = 8/16 (band-collides), B-C = 7/16
+        # (band-collides), X-C = 0/16 (no collision) — verified offline
+        m = [f"m2x{i}" for i in range(24)]
+        a = [f"a2x{i}" for i in range(4)]
+        z = [f"z2x{i}" for i in range(24)]
+        q = [f"q2x{i}" for i in range(4)]
+        return " ".join(m + a), " ".join(m + z), " ".join(z + q)
+
+    def test_index_rejected_doc_suppresses_nobody(self, spark, tmp_path):
+        X, B, C = self._triangle()
+        path = str(tmp_path / "tri_idx")
+        write_lsh_index(
+            spark.createDataFrame([(1, X)], "doc_id bigint, text string"), path
+        )
+        batch = spark.createDataFrame(
+            [(100, B), (200, C)], "doc_id bigint, text string"
+        )
+        accepted, dups = ingest_with_dedup(spark, path, batch, threshold=0.3)
+        # B (100) is a near-dup of index doc 1 -> rejected. C (200) is a
+        # near-dup ONLY of B; B never entered the index, so C survives.
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [200]
+        pairs = {(r["new_id"], r["index_id"]) for r in dups.collect()}
+        assert (100, 1) in pairs
+        # no pair may cite the rejected doc 100 as a surviving index_id
+        assert all(ix != 100 for _, ix in pairs)
+        # and C's later lookups hit the index through C itself
+        again = neardup_lookup(
+            spark,
+            path,
+            spark.createDataFrame([(300, C)], "doc_id bigint, text string"),
+            threshold=0.3,
+        )
+        assert {(r["new_id"], r["index_id"]) for r in again.collect()} == {(300, 200)}
+
+    def test_intra_batch_chain_reports_only_survivors(self, spark, tmp_path):
+        path = str(tmp_path / "chain_idx")
+        write_lsh_index(
+            spark.createDataFrame(
+                [(1, "wholly unrelated seed document about storage engines")],
+                "doc_id bigint, text string",
+            ),
+            path,
+        )
+        d = "the quick brown fox jumps over the lazy dog near the river bank"
+        batch = spark.createDataFrame(
+            [(10, d), (20, d), (30, d)], "doc_id bigint, text string"
+        )
+        accepted, dups = ingest_with_dedup(spark, path, batch, threshold=0.5)
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [10]
+        pairs = {(r["new_id"], r["index_id"]) for r in dups.collect()}
+        # 20 and 30 are dups OF THE SURVIVOR 10 — never of each other
+        # (20 is not entering the index, so (30, 20) must not appear)
+        assert pairs == {(20, 10), (30, 10)}

@@ -1158,3 +1158,38 @@ class TestScopedOptimize:
 
         with _pt.raises((ExecutionError, DeltaLiteError), match="ZORDER"):
             ctx.execute("OPTIMIZE so2 WHERE k < 5 ZORDER BY (k)")
+
+
+# ------------------------------------------- ANSI quoted-identifier dialect
+
+
+class TestQuotedIdentifierCase:
+    """Double-quoted names are CASE-SENSITIVE identifiers in the reference
+    dialect (ddl.rs quoted-schema tests); two special-char tables differing
+    only by case must stay distinct through query rewriting."""
+
+    def test_quoted_names_differing_only_by_case(self, ctx):
+        ctx.execute('CREATE TABLE "my-Table" (v int)')
+        ctx.execute('CREATE TABLE "my-table" (v int)')
+        ctx.execute('INSERT INTO "my-Table" VALUES (1)')
+        ctx.execute('INSERT INTO "my-table" VALUES (2)')
+        assert rows(ctx.execute('SELECT v FROM "my-Table"')) == [(1,)]
+        assert rows(ctx.execute('SELECT v FROM "my-table"')) == [(2,)]
+        assert rows(
+            ctx.execute('SELECT v FROM public."my-Table"')
+        ) == [(1,)]
+        assert rows(
+            ctx.execute('SELECT v FROM public."my-table"')
+        ) == [(2,)]
+
+    def test_query_entrypoint_same_dialect(self, ctx):
+        """query() routes through the same scoped ANSI conf as execute():
+        "c_int" parses as an identifier, not the string literal 'c_int'."""
+        seed(ctx)
+        out = ctx.query('SELECT "c_int" AS v FROM t ORDER BY "c_int"')
+        assert rows(out) == [(1,), (2,), (3,)]
+        # and the session default is restored afterwards
+        assert (
+            ctx.spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers")
+            == "false"
+        )
