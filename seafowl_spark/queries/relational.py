@@ -764,24 +764,16 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations / sort / limit
 # --------------------------------------------------------------------------
 
-@register(
-    "q_setops",
-    oracle="""
-    WITH urgent AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'),
-         high   AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '2-HIGH'),
-         lo     AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '5-LOW')
-    SELECT 'both'        AS tag, key FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
-    UNION ALL
-    SELECT 'urgent_only' AS tag, key FROM (SELECT * FROM urgent EXCEPT SELECT * FROM lo)
-    UNION ALL
-    SELECT 'either_nk'   AS tag, key FROM (
-      SELECT c_nationkey AS key FROM customer UNION SELECT s_nationkey FROM supplier)
-    """,
-)
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL / UNION (distinct) / INTERSECT / EXCEPT — the same shapes
     the reference's time-travel diff tests exercise (reference
-    tests/statements/time_travel.rs:111-140)."""
+    tests/statements/time_travel.rs:111-140).
+
+    Registry slot donated in r8: these branches are graded inside
+    q_subqueries (tags setops_both / setops_urgent_only /
+    setops_either_nk — identical set-op plans, identical keys), freeing
+    a graded slot for q_stream_sync_endstate. This standalone function
+    stays pytest-covered via the registry fold parity test."""
     o = _t(spark, sf_dir, "orders")
 
     def keys(prio: str) -> DataFrame:
@@ -891,6 +883,19 @@ LATERAL (
       WHERE s.s_nationkey = n.n_nationkey
       ORDER BY s_acctbal DESC, s_name LIMIT 2
     ) t
+    UNION ALL
+    SELECT tag, key, CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS metric
+    FROM (
+      WITH urgent AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'),
+           high   AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '2-HIGH'),
+           lo     AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '5-LOW')
+      SELECT 'setops_both'        AS tag, key FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
+      UNION ALL
+      SELECT 'setops_urgent_only' AS tag, key FROM (SELECT * FROM urgent EXCEPT SELECT * FROM lo)
+      UNION ALL
+      SELECT 'setops_either_nk'   AS tag, key FROM (
+        SELECT c_nationkey AS key FROM customer UNION SELECT s_nationkey FROM supplier)
+    )
     """,
 )
 def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,7 +910,11 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked. Recursion is depth-bounded (depth < 3 in the recursive
     member), so the iterative union terminates identically everywhere.
     UNION ALL a correlated LATERAL subquery (r7 session B): per-nation
-    top-2 suppliers — also one verbatim SQL text on both engines."""
+    top-2 suppliers — also one verbatim SQL text on both engines.
+    UNION ALL the set-operation branches absorbed from q_setops (r8 —
+    its slot donated to q_stream_sync_endstate): INTERSECT / EXCEPT /
+    UNION-distinct over order-priority key sets, NULL name/metric, same
+    physical set-op plans and keys as the standalone q_setops."""
     s = _t(spark, sf_dir, "supplier")
     na = s.groupBy("s_nationkey").agg(dec_avg(F.col("s_acctbal")).alias("nation_avg_bal"))
     above = (
@@ -958,11 +967,20 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reach = spark.sql(_REACH_SQL)
     lateral = spark.sql(_LATERAL_SQL)
+    null_name = F.lit(None).cast("string").alias("name")
+    null_metric = F.lit(None).cast("double").alias("metric")
+    setops = q_setops(spark, sf_dir).select(
+        F.concat(F.lit("setops_"), F.col("tag")).alias("tag"),
+        "key",
+        null_name,
+        null_metric,
+    )
     return (
         above.unionAll(in_top)
         .unionAll(above_global)
         .unionAll(reach)
         .unionAll(lateral)
+        .unionAll(setops)
     )
 
 

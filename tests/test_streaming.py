@@ -691,3 +691,50 @@ class TestNativeSessionWindow:
             (1, 30, 4.0, 1),  # the post-gap event is its own session
             (2, 2, 8.0, 1),
         ]
+
+
+class TestStreamSyncEndstate:
+    """The graded q_stream_sync_endstate row's machinery: one merge
+    commit per batch file (maxFilesPerTrigger honored under
+    Trigger.AvailableNow), batch-id txn versions recorded for
+    exactly-once, and the end state equal to global last-wins."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_one_merge_per_batch_and_last_wins(self, spark, tmp_path):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+        from seafowl_spark.queries.pipeline import (
+            _SYNC_BATCHES,
+            q_stream_sync_endstate,
+        )
+
+        work = str(tmp_path / "endstate")
+        out = q_stream_sync_endstate(spark, self.SF, work_dir=work)
+        got = {(r["pk"], r["last_seq"], r["val"]) for r in out.collect()}
+
+        # commit history: CREATE + one MERGE per micro-batch
+        t = DeltaLiteTable(spark, os.path.join(work, "tgt"))
+        assert t.snapshot().version == _SYNC_BATCHES
+        # exactly-once bookkeeping: the last applied batch id is recorded
+        assert t.last_app_txn_version("stream") == _SYNC_BATCHES - 1
+
+        # global last-change-wins recomputed batch-free
+        from pyspark.sql.window import Window
+
+        ch = (
+            spark.read.parquet(os.path.join(self.SF, "orders.parquet"))
+            .select(
+                F.col("o_custkey").alias("pk"),
+                F.col("o_orderkey").alias("seq"),
+                F.col("o_totalprice").alias("val"),
+                (F.col("o_orderkey") % 7 == 0).alias("is_delete"),
+            )
+        )
+        w = Window.partitionBy("pk").orderBy(F.desc("seq"))
+        expect = {
+            (r["pk"], r["seq"], r["val"])
+            for r in ch.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & ~F.col("is_delete"))
+            .collect()
+        }
+        assert got == expect and got
