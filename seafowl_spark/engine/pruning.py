@@ -258,7 +258,14 @@ def _may_match(node, stats: dict[str, dict], rows: int) -> bool:
         return nulls > 0
     if isinstance(node, Cmp):
         st = stats.get(node.col)
-        if st is None or st.get("min") is None:
+        if st is None:
+            return True
+        nulls = st.get("nulls")
+        if nulls is not None and rows > 0 and nulls >= rows:
+            # every value is NULL: no comparison can evaluate true
+            # (SQL three-valued logic — NULL <op> literal is never TRUE)
+            return False
+        if st.get("min") is None:
             return True
         try:
             mn, lit = _coerce(st["min"], node.value)

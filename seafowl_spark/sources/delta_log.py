@@ -54,6 +54,25 @@ def _commit_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _map_fields_to_dicts(action: dict | None) -> dict | None:
+    """Checkpoint parquet stores string-map fields (partitionValues,
+    tags, configuration, format.options) as arrow MAP columns, which
+    ``to_pylist`` hands back as LISTS of (k, v) tuples — every consumer
+    expects dicts (the JSON-commit shape), so normalize here. A JSON
+    replay never hits this; only checkpoint-sourced actions do."""
+    if not action:
+        return action
+    out = dict(action)
+    for k in ("partitionValues", "tags", "configuration"):
+        v = out.get(k)
+        if isinstance(v, list):
+            out[k] = dict(v)
+    fmt = out.get("format")
+    if isinstance(fmt, dict) and isinstance(fmt.get("options"), list):
+        out["format"] = dict(fmt, options=dict(fmt["options"]))
+    return out
+
+
 def _checkpoint_adds(log_dir: str, upto: int | None):
     """(seed live-file dict from the newest usable checkpoint, its version,
     the checkpoint's metaData action or {}) — ({}, -1, {}) when no
@@ -89,10 +108,10 @@ def _checkpoint_adds(log_dir: str, upto: int | None):
         for row in t.to_pylist():
             a = row.get("add")
             if a and a.get("path"):
-                live[a["path"]] = a
+                live[a["path"]] = _map_fields_to_dicts(a)
             m = row.get("metaData")
             if m and m.get("schemaString"):
-                meta = m
+                meta = _map_fields_to_dicts(m)
     return live, v, meta
 
 

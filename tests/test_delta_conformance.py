@@ -272,3 +272,351 @@ class TestRealDeltaWriterConformance:
             return
         dt = DeltaTable(d)
         assert sorted(dt.to_pandas()["k"].tolist()) == list(range(0, commits[-1][1]))
+
+
+class TestGoldenDeltaRsFixture:
+    """r8 (r7 verdict task #5, no `deltalake` wheel in this env): a
+    HAND-WRITTEN delta-rs-style table — JSON commits, a multi-part
+    parquet checkpoint, an inline (z85) deletion vector, special-char
+    and NULL hive partitions — built with zero engine code. Our reader
+    must resolve it exactly; our writer must emit the same byte-level
+    conventions the fixture uses, so any third-party reader accepting
+    the fixture accepts our logs too."""
+
+    PART_COLS = ["part"]
+
+    def _write_data(self, d, rel, ks):
+        import pyarrow as pa
+
+        p = os.path.join(d, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": ks, "v": [f"v{k}" for k in ks]}), p
+        )
+        return os.path.getsize(p)
+
+    @staticmethod
+    def _add(path, size, pvals, ks, dv=None):
+        a = {
+            "path": path,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": len(ks),
+                    "minValues": {"k": min(ks), "v": f"v{min(ks)}"},
+                    "maxValues": {"k": max(ks), "v": f"v{max(ks)}"},
+                    "nullCount": {"k": 0, "v": 0},
+                }
+            ),
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return a
+
+    def _build(self, root):
+        """Returns (table_dir, adds-by-name dict)."""
+        from seafowl_spark.sources.delta_dv import encode_rbm_array, z85_encode
+
+        d = os.path.join(root, "golden")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        # data files: partition column NOT in the files (per spec); the
+        # directory name uses hive escaping (literal space), the LOG
+        # path percent-encodes on top
+        s1 = self._write_data(d, "part=a b/f1.parquet", [0, 1, 2, 3, 4])
+        s2 = self._write_data(d, "part=c/f2.parquet", [10, 11, 12, 13, 14])
+        s3 = self._write_data(d, "part=a b/f3.parquet", [20, 21, 22, 23, 24])
+        s4 = self._write_data(d, "part=c/f4.parquet", [30, 31, 32, 33, 34])
+        s5 = self._write_data(
+            d, "part=__HIVE_DEFAULT_PARTITION__/f5.parquet", [40, 41, 42, 43, 44]
+        )
+        # inline deletion vector killing f4's row index 1 (k=31):
+        # z85 payload padded to a 4-byte multiple, sizeInBytes = true size
+        rbm = encode_rbm_array([1])
+        pad = (-len(rbm)) % 4
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(rbm + b"\x00" * pad),
+            "sizeInBytes": len(rbm),
+            "cardinality": 1,
+        }
+        proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        meta = {
+            "metaData": {
+                "id": "11111111-2222-3333-4444-555555555555",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": ["part"],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        }
+        a1 = self._add("part=a%20b/f1.parquet", s1, {"part": "a b"}, [0, 1, 2, 3, 4])
+        a2 = self._add("part=c/f2.parquet", s2, {"part": "c"}, [10, 11, 12, 13, 14])
+        a3 = self._add("part=a%20b/f3.parquet", s3, {"part": "a b"}, [20, 21, 22, 23, 24])
+        a4 = self._add("part=c/f4.parquet", s4, {"part": "c"}, [30, 31, 32, 33, 34], dv=dv)
+        a5 = self._add(
+            "part=__HIVE_DEFAULT_PARTITION__/f5.parquet",
+            s5,
+            {"part": None},
+            [40, 41, 42, 43, 44],
+        )
+
+        def commit(v, actions):
+            with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+                f.write(
+                    json.dumps(
+                        {"commitInfo": {"timestamp": 1700000000000 + v * 1000}}
+                    )
+                    + "\n"
+                )
+
+        commit(0, [proto, meta, {"add": a1}, {"add": a2}])
+        commit(1, [{"add": a3}, {"remove": {"path": a2["path"], "dataChange": True}}])
+        commit(2, [{"add": a4}])
+        commit(3, [{"add": a5}])
+
+        # multi-part checkpoint at v2 (state AFTER v2: a1, a3, a4+DV),
+        # with the arrow schema delta-rs writes: string-map fields are
+        # MAP columns (to_pylist returns them as tuple lists — the
+        # reader must normalize), the DV descriptor a nested struct
+        import pyarrow as pa
+
+        str_map = pa.map_(pa.string(), pa.string())
+        ck_schema = pa.schema(
+            [
+                pa.field("protocol", pa.struct([
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                ])),
+                pa.field("metaData", pa.struct([
+                    ("id", pa.string()),
+                    ("format", pa.struct([
+                        ("provider", pa.string()),
+                        ("options", str_map),
+                    ])),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", str_map),
+                    ("createdTime", pa.int64()),
+                ])),
+                pa.field("add", pa.struct([
+                    ("path", pa.string()),
+                    ("partitionValues", str_map),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                    ("deletionVector", pa.struct([
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ])),
+                ])),
+            ]
+        )
+        part1 = pa.Table.from_pylist(
+            [
+                {"protocol": proto["protocol"], "metaData": None, "add": None},
+                {"protocol": None, "metaData": meta["metaData"], "add": None},
+                {"protocol": None, "metaData": None, "add": a1},
+            ],
+            schema=ck_schema,
+        )
+        part2 = pa.Table.from_pylist(
+            [
+                {"protocol": None, "metaData": None, "add": a3},
+                {"protocol": None, "metaData": None, "add": a4},
+            ],
+            schema=ck_schema,
+        )
+        pq.write_table(
+            part1,
+            os.path.join(log, f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+        )
+        pq.write_table(
+            part2,
+            os.path.join(log, f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+        )
+        with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": 2, "size": 5, "parts": 2}, f)
+        return d, {"a1": a1, "a2": a2, "a3": a3, "a4": a4, "a5": a5}
+
+    def test_reader_resolves_fixture_exactly(self, spark, tmp_path):
+        d, _ = self._build(str(tmp_path))
+        got = {
+            (r["k"], r["part"])
+            for r in delta_log.read_delta(spark, d).collect()
+        }
+        want = (
+            {(k, "a b") for k in [0, 1, 2, 3, 4, 20, 21, 22, 23, 24]}
+            | {(k, "c") for k in [30, 32, 33, 34]}  # DV dropped k=31
+            | {(k, None) for k in [40, 41, 42, 43, 44]}
+        )
+        assert got == want
+
+    def test_time_travel_replays_pre_checkpoint_json(self, spark, tmp_path):
+        d, _ = self._build(str(tmp_path))
+        v0 = {r["k"] for r in delta_log.read_delta(spark, d, version=0).collect()}
+        assert v0 == set(range(0, 5)) | set(range(10, 15))
+        v1 = {r["k"] for r in delta_log.read_delta(spark, d, version=1).collect()}
+        assert v1 == set(range(0, 5)) | set(range(20, 25))
+
+    def test_checkpoint_truncated_log_resolves(self, spark, tmp_path):
+        """delta-rs vacuums expired commits below the checkpoint; the
+        snapshot must then come from the checkpoint alone."""
+        d, _ = self._build(str(tmp_path))
+        full = {
+            (r["k"], r["part"])
+            for r in delta_log.read_delta(spark, d).collect()
+        }
+        for v in (0, 1, 2):
+            os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+        trunc = {
+            (r["k"], r["part"])
+            for r in delta_log.read_delta(spark, d).collect()
+        }
+        assert trunc == full
+
+    def test_partition_pruning_on_fixture(self, spark, tmp_path):
+        d, _ = self._build(str(tmp_path))
+        adds, _m = delta_log.delta_snapshot_adds(d)
+        kept = delta_log.prune_adds(adds, "part = 'a b'")
+        assert {os.path.basename(p) for p in kept} == {"f1.parquet", "f3.parquet"}
+        # decoded absolute paths land on the real files
+        assert all(os.path.exists(p) for p in adds)
+
+    def test_writer_matches_fixture_conventions(self, spark, tmp_path):
+        """Byte-level convention parity: for the same logical partitions,
+        our writer's add actions use the exact encoding the hand-built
+        delta-rs fixture uses (percent-encoded log path over the
+        hive-escaped dir, decoded partitionValues, NULL as
+        __HIVE_DEFAULT_PARTITION__, partition cols absent from data
+        files) — so a reader accepting the fixture accepts ours."""
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.sources.delta_log import write_delta_table
+
+        d = str(tmp_path / "ours")
+        rows = [(k, f"v{k}", "a b") for k in range(5)] + [
+            (k, f"v{k}", "c") for k in range(30, 35)
+        ] + [(k, f"v{k}", None) for k in range(40, 45)]
+        df = spark.createDataFrame(rows, "k long, v string, part string")
+        write_delta_table(spark, df, d, partition_by=["part"])
+        with open(os.path.join(d, "_delta_log", f"{0:020d}.json")) as f:
+            acts = [json.loads(ln) for ln in f if ln.strip()]
+        adds = [a["add"] for a in acts if "add" in a]
+        conventions = {
+            (a["path"].rsplit("/", 1)[0], a["partitionValues"]["part"])
+            for a in adds
+        }
+        assert conventions == {
+            ("part=a%20b", "a b"),
+            ("part=c", "c"),
+            ("part=__HIVE_DEFAULT_PARTITION__", None),
+        }
+        # partition column absent from the data files themselves
+        import glob as _g
+
+        for p in _g.glob(os.path.join(d, "part=*", "*.parquet")):
+            assert "part" not in pq.read_schema(p).names
+        # and the logical contents equal the fixture's same-partition rows
+        ours = {
+            (r["k"], r["part"])
+            for r in delta_log.read_delta(spark, d).collect()
+        }
+        assert ours == {(k, "a b") for k in range(5)} | {
+            (k, "c") for k in range(30, 35)
+        } | {(k, None) for k in range(40, 45)}
+
+
+class TestPartitionedWriterConformance:
+    """Partitioned appends in the real-writer fuzz (the r7 COVERAGE
+    round-8 queue item): random partitioned appends crossing the
+    checkpoint cadence; partitionValues must survive the checkpoint
+    round-trip AS DICTS (arrow MAP columns come back as tuple lists from
+    to_pylist — the reader normalizes), version travel and full-replay
+    equality must hold, and partition predicates must keep pruning
+    through a checkpoint-sourced snapshot."""
+
+    @pytest.mark.parametrize("seed", [5, 23])
+    def test_partitioned_append_fuzz(self, spark, tmp_path, monkeypatch, seed):
+        monkeypatch.setattr(delta_log, "CHECKPOINT_EVERY", 3)
+        rng = random.Random(seed)
+        d = str(tmp_path / "pt")
+        parts = ["a b", "c", None, "x%y"]
+        model: list[tuple[int, str | None]] = []
+        commits = []
+        nxt = 0
+        for _ in range(rng.randint(7, 9)):
+            n = rng.randint(1, 8)
+            batch = [
+                (nxt + i, rng.choice(parts)) for i in range(n)
+            ]
+            nxt += n
+            model.extend(batch)
+            df = spark.createDataFrame(batch, "k long, part string")
+            v = delta_log.write_delta_table(
+                spark, df, d, partition_by=["part"]
+            )
+            commits.append((v, list(model)))
+
+        log_dir = os.path.join(d, "_delta_log")
+        assert any(
+            f.endswith(".checkpoint.parquet") for f in os.listdir(log_dir)
+        )
+
+        # checkpoint-sourced adds carry DICT partitionValues
+        adds, meta = delta_log.delta_snapshot_adds(d)
+        assert meta["partitionColumns"] == ["part"]
+        for a in adds.values():
+            assert isinstance(a["partitionValues"], dict)
+        logged = {a["partitionValues"]["part"] for a in adds.values()}
+        want_parts = {p for _, p in model}
+        assert logged == {p if p is not None else None for p in want_parts}
+
+        # every version reads its cumulative prefix, partitions intact
+        for v, snap_model in commits:
+            got = sorted(
+                (r["k"], r["part"])
+                for r in delta_log.read_delta(spark, d, version=v).collect()
+            )
+            assert got == sorted(snap_model), f"version {v}"
+
+        # partition predicate prunes through the checkpoint path
+        kept = delta_log.prune_adds(adds, "part = 'a b'")
+        assert all(v["partitionValues"]["part"] == "a b" for v in kept.values())
+        if "a b" in want_parts:
+            assert kept
+
+        # full JSON replay == checkpoint resolution
+        d2 = str(tmp_path / "replay")
+        shutil.copytree(d, d2)
+        for f in os.listdir(os.path.join(d2, "_delta_log")):
+            if "checkpoint" in f or f == "_last_checkpoint":
+                os.remove(os.path.join(d2, "_delta_log", f))
+        a2, m2 = delta_log.delta_snapshot_adds(d2)
+        k1 = {
+            os.path.relpath(p, d): (a["size"], a["partitionValues"])
+            for p, a in adds.items()
+        }
+        k2 = {
+            os.path.relpath(p, d2): (a["size"], a["partitionValues"])
+            for p, a in a2.items()
+        }
+        assert k1 == k2

@@ -8,9 +8,16 @@ factor well below N^2 — ideally ~N — is the pass condition. At 10x docs
 (50k) the plane count leaves its floor (9 planes at 20k vectors), so the
 adaptive path itself is exercised, not just measured.
 
-Usage: python tools/scale_stress.py [factor] [base_sf_dir]
+Usage: python tools/scale_stress.py [factor] [base_sf_dir] [--out FILE]
 Writes one JSON line: {"factor": N, "queries": {name: {"t1": s, "tN": s,
-"growth": x}}}.
+"growth": x}}, "flagged": {...}, "documented_exceptions": {...}} — and,
+with --out, the same record to FILE (the STRESS_r{N}.json artifact the
+judge diffs round over round, r7 verdict task #4).
+
+Gate: any op whose growth exceeds GROWTH_GATE x the data factor and is
+NOT in DOCUMENTED_SUPERLINEAR lands in "flagged" and the process exits
+nonzero — super-linear growth in a new operator fails the harness the
+way bench regressions fail the bench, instead of hiding in prose.
 """
 
 from __future__ import annotations
@@ -48,7 +55,32 @@ QUERIES = [
     # an edge list that actually scales, since only documents/embeddings
     # inflate)
     "q_bpe_train",
+    # round-8 graduate: featurize (one explode + one agg) + one
+    # aggregate per epoch + scoring projection — growth ~N
+    # (q_stream_sync_endstate reads orders, which the inflater symlinks
+    # unscaled, so it has no meaningful growth to measure here)
+    "q_quality_classifier",
 ]
+
+
+# growth above GROWTH_GATE x the data factor fails the harness unless
+# the op is documented here (reason strings match COVERAGE.md prose)
+GROWTH_GATE = 1.5
+DOCUMENTED_SUPERLINEAR = {
+    "t_ngram_jaccard": (
+        "capped blocked verify: replicas saturate the per-block pair "
+        "budget; cap bites by design (COVERAGE.md, documented since r5)"
+    ),
+    "t_contamination": (
+        "replica-generator shingle-saturation artifact (documented "
+        "since r5): inflated docs share shingles with every replica"
+    ),
+    "semdedup": (
+        "brute-force centroid ASSIGNMENT is n x k dot products with "
+        "k ~ n/64 — the honest baseline runner, not the ANN-assisted "
+        "production shape; measurement-noisy between runs (3.7x-11.3x)"
+    ),
+}
 
 
 def inflate(base: str, out_dir: str, factor: int) -> None:
@@ -123,8 +155,14 @@ def link_base_tables(base: str, out_dir: str) -> None:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = list(sys.argv[1:])
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    factor = int(args[0]) if len(args) > 0 else 10
+    base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out_dir = f"/tmp/seafowl_spark_scale_{factor}x"
     if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         inflate(base, out_dir, factor)
@@ -427,7 +465,36 @@ def main() -> None:
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
         print(json.dumps({name: out[name]}), file=sys.stderr)
 
-    print(json.dumps({"factor": factor, "queries": out}))
+    gate = GROWTH_GATE * factor
+    flagged = {
+        name: rec
+        for name, rec in out.items()
+        if rec["growth"] > gate and name not in DOCUMENTED_SUPERLINEAR
+    }
+    documented = {
+        name: DOCUMENTED_SUPERLINEAR[name]
+        for name, rec in out.items()
+        if rec["growth"] > gate and name in DOCUMENTED_SUPERLINEAR
+    }
+    record = {
+        "factor": factor,
+        "growth_gate": gate,
+        "queries": out,
+        "flagged": flagged,
+        "documented_exceptions": documented,
+    }
+    line = json.dumps(record)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    if flagged:
+        print(
+            f"GATE FAILED: undocumented super-linear growth (> {gate}x "
+            f"at {factor}x data): {sorted(flagged)}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
