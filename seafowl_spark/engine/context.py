@@ -1070,10 +1070,51 @@ class SeafowlContext:
         self._record(entry, t)
 
     def _exec_delete(self, stmt) -> None:
+        _, schema, tbl = parser.parse_qualified(stmt.name)
+        if schema == STAGING_SCHEMA:
+            self._delete_staging_iceberg(tbl, stmt.where)
+            return
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
         self._retry_conflicts(lambda: t.delete(stmt.where))
         self._record(entry, t)
+
+    def _delete_staging_iceberg(self, name: str, where: str | None) -> None:
+        """DELETE on an iceberg staging table: commits a positional-delete
+        (merge-on-read) snapshot via sources.iceberg.iceberg_delete_where
+        and re-pins the staging view to it — the deltalite DELETE surface
+        extended to the one external format with a write path. Other
+        staging formats stay read-only (reference parity: externals are
+        scan-only there, iceberg.rs is read-only too — this exceeds it)."""
+        from ..sources.external import read_external
+        from ..sources.iceberg import iceberg_delete_where
+
+        spec = self.staging_specs.get(name)
+        if name not in self.staging:
+            raise ExecutionError(f"staging table {name} does not exist")
+        if spec is None or spec[0] != "iceberg":
+            raise ExecutionError(
+                "staging tables are read-only external tables "
+                "(DELETE is supported only for STORED AS ICEBERG)"
+            )
+        fmt, location, options = spec
+        if not where:
+            raise ExecutionError(
+                "DELETE on an iceberg staging table requires a WHERE "
+                "clause (unscoped truncation of an external table is "
+                "refused; drop and re-create instead)"
+            )
+        new_meta, _n = iceberg_delete_where(self.spark, location, where, options)
+        if new_meta is None:
+            return  # nothing matched: no new snapshot, keep the pin
+        from ..sources.iceberg import resolve_snapshot_id
+
+        opts = dict(options)
+        opts["snapshot-id"] = str(resolve_snapshot_id(new_meta))
+        self.staging[name] = read_external(
+            self.spark, fmt, new_meta, options=opts
+        )
+        self.staging_specs[name] = (fmt, new_meta, opts)
 
     def _exec_merge(self, stmt) -> None:
         """ANSI MERGE INTO (restricted subset) over the engine's merge

@@ -539,9 +539,17 @@ def read_iceberg(
     data = spark.read.parquet(*[p for p, _ in files])
     if not scan.pos_delete_files and not scan.eq_delete_files:
         return data
+    out_cols = data.columns
+    return _apply_mor_deletes(spark, scan, data).select(*out_cols)
+
+
+def _apply_mor_deletes(spark: SparkSession, scan: IcebergScan, data: DataFrame) -> DataFrame:
+    """Filter a raw data-file scan through the snapshot's positional and
+    equality deletes; the returned frame keeps the ``__sfs_fp`` /
+    ``__sfs_pos`` identity columns (read_iceberg projects them away;
+    iceberg_delete_where keeps them to address the surviving rows)."""
     from pyspark.sql import functions as F
 
-    out_cols = data.columns
     data = data.withColumn(
         "__sfs_fp", F.regexp_replace(F.col("_metadata.file_path"), *_FP_NORM)
     ).withColumn("__sfs_pos", F.col("_metadata.row_index"))
@@ -581,7 +589,7 @@ def read_iceberg(
                 cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"e.{c}"))
             data = data.alias("d").join(F.broadcast(dels.alias("e")), cond, "left_anti")
 
-    return data.select(*out_cols)
+    return data
 
 
 # --------------------------------------------------------------------------
@@ -1077,3 +1085,63 @@ def append_iceberg_deletes(
     with open(out, "w") as f:
         json.dump(meta, f)
     return out
+
+
+def iceberg_delete_where(
+    spark: SparkSession,
+    metadata_path: str,
+    predicate_sql: str,
+    options: dict[str, str] | None = None,
+) -> tuple[str | None, int]:
+    """DELETE FROM an iceberg v2 table by predicate, merge-on-read: the
+    engine-side write twin of read_iceberg's delete support (the SQL
+    surface deltalite DELETE has, applied to an iceberg staging table).
+    Selects the LIVE rows matching ``predicate_sql`` — existing
+    positional/equality deletes applied first, so dead rows are never
+    re-deleted — as (data file path, row position) pairs and commits ONE
+    positional-delete file + delete manifest through
+    ``append_iceberg_deletes`` (sequence-number scoped, data files never
+    move). Returns (new metadata path, rows deleted); a predicate
+    matching nothing commits nothing and returns (None, 0).
+
+    Always resolves the table's LATEST metadata version (a DELETE must
+    never fork from a pinned older snapshot).
+
+    Scale: file pruning bounds the scan to files that can match; the
+    matched (path, pos) pairs collect to the driver — bounded by the
+    DELETE's selectivity, the same contract as the reference's
+    delete-planning collect — and the delete file itself is
+    metadata-sized next to the data.
+    """
+    import glob
+
+    meta_dir = os.path.dirname(os.path.abspath(metadata_path))
+    table_dir = os.path.dirname(meta_dir)
+    latest = sorted(
+        glob.glob(os.path.join(meta_dir, "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    if not latest:
+        raise IcebergError(f"no iceberg metadata under {meta_dir}")
+    current = latest[-1]
+    opts = dict(options or {})
+    opts.pop("snapshot-id", None)  # latest snapshot, never a pinned one
+    opts.pop("as-of", None)
+    scan = scan_snapshot(current, opts)
+    if not scan.data_files:
+        return None, 0
+    files = prune_data_files(scan, predicate_sql)
+    if not files:
+        return None, 0
+    data = spark.read.parquet(*[p for p, _ in files])
+    hit = (
+        _apply_mor_deletes(spark, scan, data)
+        .where(predicate_sql)
+        .select("__sfs_fp", "__sfs_pos")
+        .collect()
+    )
+    pairs = sorted((r["__sfs_fp"], int(r["__sfs_pos"])) for r in hit)
+    if not pairs:
+        return None, 0
+    new_meta = append_iceberg_deletes(table_dir, pos_deletes=pairs)
+    return new_meta, len(pairs)
