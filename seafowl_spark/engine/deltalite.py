@@ -25,6 +25,7 @@ src/config/schema.rs:283) with zstd parquet.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -67,6 +68,48 @@ class DeltaLiteError(Exception):
     pass
 
 
+# ---------------------------------------------------------------- blooms
+# Footer min/max stats are powerless on high-cardinality point predicates
+# (and the bucketed layout covers only the declared PK columns): a table
+# created WITH ('bloom_by' 'col[,col]') gets a compact per-file bloom
+# bitmap per listed column, stored in the Add entry, consulted by _prune
+# on equality conjuncts BEFORE scheduling file scans. Hashing is
+# md5-based (same cross-engine primitive as functions.md5_int), computed
+# identically JVM-side at write and Python-side at check.
+
+BLOOM_BITS_DEFAULT = 8192  # 1 KiB bitmap per (file, column)
+BLOOM_HASHES = 4
+_BLOOM_TYPES = "tinyint smallint int bigint string varchar".split()
+
+
+def _bloom_positions(value_str: str, m: int) -> list[int]:
+    """Bit positions for one value: four 8-hex-digit slices of md5."""
+    import hashlib
+
+    h = hashlib.md5(value_str.encode("utf-8")).hexdigest()
+    return [int(h[i * 8:(i + 1) * 8], 16) % m for i in range(BLOOM_HASHES)]
+
+
+def _bloom_literal(value) -> str | None:
+    """Predicate literal -> the CAST(col AS STRING) form hashed at write
+    time; None = not safely normalizable (prune conservatively)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None  # float/temporal literals: formatting is not bit-stable
+
+
+def _bloom_may_contain(bitmap_b64: str, value_str: str, m: int) -> bool:
+    bits = base64.b64decode(bitmap_b64)
+    for p in _bloom_positions(value_str, m):
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False  # definitely absent
+    return True
+
+
 class ConcurrentCommitError(DeltaLiteError):
     pass
 
@@ -86,6 +129,10 @@ class AddFile:
     # rows/stats stay PHYSICAL (conservative for pruning); live rows are
     # rows - cardinality, applied as an anti-join at read time.
     dv: dict | None = None
+    # per-file bloom bitmaps for point-lookup pruning on high-cardinality
+    # columns: col -> base64(m-bit bitmap); membership = BLOOM_HASHES
+    # md5-derived bit positions all set (see _bloom_positions)
+    blooms: dict[str, str] | None = None
 
     def to_json(self) -> dict:
         d = {"path": self.path, "rows": self.rows, "size_bytes": self.size_bytes, "stats": self.stats}
@@ -93,13 +140,15 @@ class AddFile:
             d["bucket"] = self.bucket
         if self.dv is not None:
             d["dv"] = self.dv
+        if self.blooms is not None:
+            d["blooms"] = self.blooms
         return d
 
     @staticmethod
     def from_json(d: dict) -> "AddFile":
         return AddFile(
             d["path"], d["rows"], d["size_bytes"], d.get("stats", {}),
-            d.get("bucket"), d.get("dv"),
+            d.get("bucket"), d.get("dv"), d.get("blooms"),
         )
 
 
@@ -473,11 +522,9 @@ class DeltaLiteTable:
         schema = T.StructType.fromDDL(snap.schema_ddl)
         files = snap.files
         if predicate_sql:
-            # stats-based file skipping for reads — the same conservative
-            # evaluator UPDATE/DELETE rewrites use (engine/pruning.py)
-            from .pruning import prune_files
-
-            files = prune_files(files, predicate_sql)
+            # stats + bloom file skipping for reads — the same conservative
+            # path UPDATE/DELETE rewrites use (_prune)
+            files = self._prune(snap, predicate_sql)
         if not files:
             return self.spark.createDataFrame([], schema)
         return self._scan_files(files, schema)
@@ -580,12 +627,79 @@ class DeltaLiteTable:
             )
         return adds
 
+    def _attach_blooms(self, adds: list[AddFile], props: dict) -> None:
+        """Compute per-file bloom bitmaps for the table's ``bloom_by``
+        columns over freshly written adds. ONE distributed pass: each
+        value maps to BLOOM_HASHES md5 bit positions, distinct (file,
+        position) pairs aggregate map-side, and the driver receives at
+        most files x bloom_bits booleans (KB-scale) — never values."""
+        cols_prop = props.get("bloom_by")
+        if not cols_prop or not adds:
+            return
+        m = int(props.get("bloom_bits", BLOOM_BITS_DEFAULT))
+        cols = (
+            [c.strip() for c in cols_prop.split(",")]
+            if isinstance(cols_prop, str)
+            else list(cols_prop)
+        )
+        schema = self.schema()
+        cols = [
+            c
+            for c in cols
+            if c in schema.names
+            and schema[c].dataType.simpleString() in _BLOOM_TYPES
+        ]
+        if not cols:
+            return
+        urls = [self._data_url(a.path) for a in adds]
+        df = self.spark.read.parquet(*urls)
+        by_file: dict[str, dict[str, set[int]]] = {}
+        for c in cols:
+            h = F.md5(F.col(c).cast("string"))
+            poss = F.array(
+                *[
+                    F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long")
+                    % m
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+            rows = (
+                df.where(F.col(c).isNotNull())
+                .select(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("f"),
+                    F.explode(poss).alias("p"),
+                )
+                .distinct()
+                .collect()
+            )
+            for r in rows:
+                by_file.setdefault(r["f"], {}).setdefault(c, set()).add(
+                    int(r["p"])
+                )
+        for a in adds:
+            per_col = by_file.get(os.path.basename(a.path))
+            if not per_col:
+                continue
+            blooms = {}
+            for c, positions in per_col.items():
+                bits = bytearray((m + 7) // 8)
+                for p in positions:
+                    bits[p // 8] |= 1 << (p % 8)
+                blooms[c] = base64.b64encode(bytes(bits)).decode("ascii")
+            a.blooms = blooms
+
     def _write_data(self, df: DataFrame) -> list[AddFile]:
         txn = f"data/txn-{uuid.uuid4().hex}"
         out = os.path.join(self.root, txn)
-        spec = self.snapshot().bucket_spec if self.exists() else None
+        snap = self.snapshot() if self.exists() else None
+        props = snap.properties if snap else {}
+        spec = snap.bucket_spec if snap else None
         if spec is not None:
-            return self._write_bucketed(df, txn, out, spec)
+            adds = self._write_bucketed(df, txn, out, spec)
+            self._attach_blooms(adds, props)
+            return adds
         try:
             plan = df._jdf.queryExecution().optimizedPlan().toString()
             # VALUES/local relations: one file, not one per parallelism slot
@@ -600,7 +714,9 @@ class DeltaLiteTable:
         )
         # drop Spark's _SUCCESS marker; log is the source of truth
         self.store.delete(os.path.join(out, "_SUCCESS"))
-        return self._harvest_adds(txn)
+        adds = self._harvest_adds(txn)
+        self._attach_blooms(adds, props)
+        return adds
 
     def _write_bucketed(
         self, df: DataFrame, txn: str, out: str, spec: tuple[list[str], int]
@@ -708,6 +824,25 @@ class DeltaLiteTable:
                 if n < 1:
                     raise DeltaLiteError(f"buckets must be >= 1, got {n}")
                 properties = dict(properties, bucket_by=cols, buckets=n)
+            bl = properties.get("bloom_by")
+            if bl:
+                bcols = [c.strip() for c in str(bl).split(",")]
+                missing = [c for c in bcols if c not in schema.names]
+                if missing:
+                    raise DeltaLiteError(f"bloom_by columns not in schema: {missing}")
+                bad = [
+                    c
+                    for c in bcols
+                    if schema[c].dataType.simpleString() not in _BLOOM_TYPES
+                ]
+                if bad:
+                    raise DeltaLiteError(
+                        f"bloom_by supports integer/string columns only, got: {bad}"
+                    )
+                m = int(properties.get("bloom_bits", BLOOM_BITS_DEFAULT))
+                if m < 64:
+                    raise DeltaLiteError(f"bloom_bits must be >= 64, got {m}")
+                properties = dict(properties, bloom_by=bcols, bloom_bits=m)
             meta["properties"] = properties
         t._next_commit(operation, [], [], metadata=meta)
         return t
@@ -752,12 +887,31 @@ class DeltaLiteTable:
     # ----------------------------------------------------------- DML
 
     def _prune(self, snap: Snapshot, predicate_sql: str | None) -> list[AddFile]:
-        """File-level pruning by footer stats. Conservative: a file is kept
-        unless the predicate provably excludes it (mirrors PruningPredicate
-        use in reference physical.rs:274-299)."""
-        from .pruning import prune_files
+        """File-level pruning by footer stats, then per-file bloom bitmaps
+        (point-lookup pruning on high-cardinality columns, where min/max
+        is powerless). Conservative: a file is kept unless the predicate
+        provably excludes it (mirrors PruningPredicate use in reference
+        physical.rs:274-299; the bloom layer exceeds the reference)."""
+        from .pruning import equality_conjuncts, prune_files
 
-        return prune_files(snap.files, predicate_sql)
+        hit = prune_files(snap.files, predicate_sql)
+        eqs = [
+            (c, s)
+            for c, v in equality_conjuncts(predicate_sql)
+            if (s := _bloom_literal(v)) is not None
+        ]
+        if not eqs or not any(f.blooms for f in hit):
+            return hit
+        m = int(snap.properties.get("bloom_bits", BLOOM_BITS_DEFAULT))
+        return [
+            f
+            for f in hit
+            if all(
+                _bloom_may_contain(f.blooms[c], s, m)
+                for c, s in eqs
+                if f.blooms and c in f.blooms
+            )
+        ]
 
     def _bucket_hits(self, snap: Snapshot, predicate_sql: str | None) -> set[int] | None:
         """For bucketed tables, resolve a conjunctive predicate that pins

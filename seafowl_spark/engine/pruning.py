@@ -295,3 +295,26 @@ def prune_files(files, predicate_sql: str | None):
     if ast is None:
         return list(files)
     return [f for f in files if _may_match(ast, f.stats, f.rows)]
+
+
+def equality_conjuncts(predicate_sql: str | None) -> list[tuple[str, Any]]:
+    """Top-level AND-ed equality comparisons (col, literal) from a WHERE
+    expression — the conjuncts that MUST hold for any matching row, so a
+    per-file membership structure (bloom bitmap, bucket id) may veto the
+    file on any one of them. Children under OR/NOT are never extracted
+    (they are not obligations)."""
+    if not predicate_sql:
+        return []
+    ast = parse_predicate(predicate_sql)
+    out: list[tuple[str, Any]] = []
+
+    def walk(node):
+        if isinstance(node, Cmp) and node.op == "=":
+            out.append((node.col, node.value))
+        elif isinstance(node, BoolOp) and node.op == "and":
+            for a in node.args:
+                walk(a)
+
+    if ast is not None:
+        walk(ast)
+    return out

@@ -1,0 +1,131 @@
+"""Per-file bloom-filter point-lookup pruning (engine/deltalite.py,
+r8 — the r7 verdict's task #7): tables created WITH ('bloom_by' 'col')
+carry a compact md5-bloom bitmap per (file, column) in the Add entry;
+equality predicates prune files that min/max stats cannot (hex digests
+span the full range in every file)."""
+
+import hashlib
+
+import pytest
+
+from seafowl_spark.engine.deltalite import (
+    BLOOM_BITS_DEFAULT,
+    DeltaLiteError,
+    DeltaLiteTable,
+    _bloom_may_contain,
+    _bloom_positions,
+)
+
+
+class TestBloomPrimitives:
+    def test_positions_deterministic_and_bounded(self):
+        m = 4096
+        p1 = _bloom_positions("hello", m)
+        assert p1 == _bloom_positions("hello", m)
+        assert len(p1) == 4 and all(0 <= p < m for p in p1)
+        assert p1 != _bloom_positions("hellp", m)
+
+    def test_membership(self):
+        import base64
+
+        m = 512
+        bits = bytearray(m // 8)
+        for p in _bloom_positions("present", m):
+            bits[p // 8] |= 1 << (p % 8)
+        b64 = base64.b64encode(bytes(bits)).decode()
+        assert _bloom_may_contain(b64, "present", m)
+        assert not _bloom_may_contain(b64, "absent-value", m)
+
+
+def _md5(i: int) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+class TestBloomPruning:
+    def _seed(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bt (k BIGINT, v STRING) WITH ('bloom_by' = 'v')"
+        )
+        # two files whose v (hex digests) SPAN THE SAME RANGE — min/max
+        # stats cannot separate them, only the bloom can
+        ctx.execute(
+            "INSERT INTO bt SELECT id, md5(CAST(id AS STRING)) FROM range(0, 100)"
+        )
+        ctx.execute(
+            "INSERT INTO bt SELECT id, md5(CAST(id AS STRING)) FROM range(100, 200)"
+        )
+
+    def test_equality_scans_fewer_files(self, ctx):
+        self._seed(ctx)
+        full = ctx.execute("SELECT * FROM bt")
+        assert len(full.inputFiles()) >= 2
+        probe = _md5(5)  # lives in the first file only
+        hitq = ctx.execute(f"SELECT k FROM bt WHERE v = '{probe}'")
+        assert [r.k for r in hitq.collect()] == [5]  # results identical
+        assert len(hitq.inputFiles()) < len(full.inputFiles())
+        # a value in NO file prunes everything
+        missq = ctx.execute("SELECT k FROM bt WHERE v = 'not-a-digest'")
+        assert missq.count() == 0
+        assert len(missq.inputFiles()) == 0
+
+    def test_dml_rewrites_only_bloom_hit_files(self, ctx):
+        self._seed(ctx)
+        t = DeltaLiteTable(
+            ctx.spark,
+            ctx.table_root(ctx.catalog.get_table("default", "public", "bt")),
+        )
+        snap = t.snapshot()
+        assert len(snap.files) >= 2
+        assert all(f.blooms and "v" in f.blooms for f in snap.files)
+        hit = t._prune(snap, f"v = '{_md5(150)}'")
+        assert len(hit) < len(snap.files)
+        ctx.execute(f"DELETE FROM bt WHERE v = '{_md5(150)}'")
+        got = ctx.execute("SELECT count(*) AS n FROM bt").collect()[0]["n"]
+        assert got == 199
+
+    def test_conjunct_with_or_branch_never_uses_bloom(self, ctx):
+        """Equality under OR is not an obligation — both files stay."""
+        self._seed(ctx)
+        q = ctx.execute(
+            f"SELECT k FROM bt WHERE v = '{_md5(5)}' OR v = '{_md5(150)}'"
+        )
+        assert sorted(r.k for r in q.collect()) == [5, 150]
+
+    def test_integer_bloom_column(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bi (k BIGINT, grp BIGINT) "
+            "WITH ('bloom_by' = 'k', 'bloom_bits' = '2048')"
+        )
+        # interleaved ids: both files cover [0, 1000) by min/max
+        ctx.execute("INSERT INTO bi SELECT id * 2, id % 7 FROM range(0, 500)")
+        ctx.execute("INSERT INTO bi SELECT id * 2 + 1, id % 7 FROM range(0, 500)")
+        full = ctx.execute("SELECT * FROM bi")
+        q = ctx.execute("SELECT grp FROM bi WHERE k = 42")
+        assert q.count() == 1
+        assert len(q.inputFiles()) < len(full.inputFiles())
+
+    def test_bloom_by_rejects_unsupported_types(self, ctx):
+        with pytest.raises(Exception, match="integer/string"):
+            ctx.execute(
+                "CREATE TABLE bd (x DOUBLE) WITH ('bloom_by' = 'x')"
+            )
+        with pytest.raises(Exception, match="not in schema"):
+            ctx.execute(
+                "CREATE TABLE bm (x BIGINT) WITH ('bloom_by' = 'nope')"
+            )
+
+    def test_blooms_survive_log_roundtrip_and_updates(self, ctx):
+        self._seed(ctx)
+        t = DeltaLiteTable(
+            ctx.spark,
+            ctx.table_root(ctx.catalog.get_table("default", "public", "bt")),
+        )
+        # fresh handle replays the log: blooms persist in the add JSON
+        snap2 = DeltaLiteTable(ctx.spark, t.root_url).snapshot()
+        assert all(f.blooms for f in snap2.files)
+        # UPDATE rewrites files; the rewritten files get fresh blooms
+        ctx.execute(f"UPDATE bt SET v = 'rewritten' WHERE v = '{_md5(7)}'")
+        snap3 = DeltaLiteTable(ctx.spark, t.root_url).snapshot()
+        assert all(f.blooms and "v" in f.blooms for f in snap3.files)
+        q = ctx.execute("SELECT k FROM bt WHERE v = 'rewritten'")
+        assert [r.k for r in q.collect()] == [7]
