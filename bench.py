@@ -95,6 +95,11 @@ ABSORBED = {
         "absorbed q_window_running's lag/lead/rank/ntile/ROWS-frame "
         "columns in r7 — strictly more computation than the r6 anchor"
     ),
+    "m_payload_pipeline": (
+        "absorbed m_frame_sample's frame-explosion branch in r8 (slot "
+        "donated to q_quality_classifier) — a second mapInPandas pass "
+        "plus a union on top of the r7 anchor's work"
+    ),
 }
 
 
