@@ -792,6 +792,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN = 4
 
 
+_PD_WM = "all rights reserved watermark"
+_PD_PROMO = "subscribe to our newsletter today"
+
+
 @register(
     "t_substring_dedup",
     oracle=rf"""
@@ -818,17 +822,58 @@ _SPAN = 4
            UNNEST(range(pos, pos + {_SPAN})) AS c(idx)),
     cov AS (
       SELECT doc_id, list_sort(list(idx)) AS cov
-      FROM covered GROUP BY doc_id)
-    SELECT t.doc_id,
-           CAST(len(t.tk) AS BIGINT) AS n_tokens,
-           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed_tokens,
-           COALESCE(array_to_string(
-             list_transform(
-               list_filter(range(0, len(t.tk)),
-                           i -> NOT list_contains(COALESCE(c.cov, []), i)),
-               i -> t.tk[i + 1]),
-             ' '), '') AS clean_text
-    FROM toks t LEFT JOIN cov c USING (doc_id)
+      FROM covered GROUP BY doc_id),
+    span_out AS (
+      SELECT 'span' AS branch, t.doc_id,
+             CAST(len(t.tk) AS BIGINT) AS n_units,
+             CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+             COALESCE(array_to_string(
+               list_transform(
+                 list_filter(range(0, len(t.tk)),
+                             i -> NOT list_contains(COALESCE(c.cov, []), i)),
+                 i -> t.tk[i + 1]),
+               ' '), '') AS clean_text
+      FROM toks t LEFT JOIN cov c USING (doc_id)),
+    stagedP AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             GREATEST(CAST(CEIL(len(tk) / 3.0) AS INT), 1) AS L
+      FROM toks),
+    parasRaw AS (
+      SELECT doc_id,
+             [array_to_string(list_slice(tk, 1, L), ' '),
+              array_to_string(list_slice(tk, L + 1, 2 * L), ' '),
+              array_to_string(list_slice(tk, 2 * L + 1, n), ' '),
+              '{_PD_WM}']
+             || CASE WHEN doc_id % 5 = 0 THEN ['{_PD_PROMO}']
+                ELSE [] END AS ps
+      FROM stagedP),
+    pe AS (
+      SELECT doc_id, u.i AS pos, ps[u.i + 1] AS para,
+             regexp_replace(lower(trim(ps[u.i + 1])), '\s+', ' ', 'g')
+               AS nrm
+      FROM parasRaw, UNNEST(range(0, len(ps))) AS u(i)),
+    ph AS (
+      SELECT doc_id, pos, para, nrm,
+             CAST(('0x' || substr(md5(nrm), 1, 15)) AS BIGINT) AS h
+      FROM pe),
+    pk AS (
+      SELECT doc_id, pos, para,
+             (nrm = '' OR ROW_NUMBER() OVER (
+                PARTITION BY h ORDER BY doc_id, pos) = 1) AS keep
+      FROM ph),
+    para_out AS (
+      SELECT 'para' AS branch, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+             array_to_string(
+               list_transform(
+                 list_sort(COALESCE(
+                   list([lpad(pos::VARCHAR, 4, '0'), para])
+                     FILTER (WHERE keep), [])),
+                 x -> x[2]),
+               chr(10) || chr(10)) AS clean_text
+      FROM pk GROUP BY doc_id)
+    SELECT * FROM span_out UNION ALL SELECT * FROM para_out
     """,
 )
 def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,12 +894,46 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal is a doc-keyed join + row-local interval merge. stride
     trades recall for shuffle size at 100 TB (see the operator module).
     """
+    from ..operators.paragraph_dedup import dedup_paragraphs
     from ..operators.substring_dedup import remove_repeated_spans
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return remove_repeated_spans(d, span_tokens=_SPAN).select(
-        "doc_id", "n_tokens", "n_removed_tokens", "clean_text"
+    span = remove_repeated_spans(d, span_tokens=_SPAN).select(
+        F.lit("span").alias("branch"),
+        "doc_id",
+        F.col("n_tokens").alias("n_units"),
+        F.col("n_removed_tokens").alias("n_removed"),
+        "clean_text",
     )
+    # paragraph branch: stage deterministic multi-paragraph documents
+    # (token thirds + a watermark every doc repeats + a promo paragraph
+    # on every 5th doc — the cross-document duplicates the dedup must
+    # collapse to their first occurrence), then CCNet-style dedup
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    L = F.greatest(F.ceil(n / F.lit(3.0)).cast("int"), F.lit(1))
+    paras = F.concat(
+        F.array(
+            F.array_join(F.slice(toks, F.lit(1), L), " "),
+            F.array_join(F.slice(toks, L + F.lit(1), L), " "),
+            F.array_join(F.slice(toks, L + L + F.lit(1), n), " "),
+            F.lit(_PD_WM),
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.array(F.lit(_PD_PROMO))
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    staged = d.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("staged")
+    )
+    para = dedup_paragraphs(staged, text_col="staged").select(
+        F.lit("para").alias("branch"),
+        "doc_id",
+        F.col("n_paragraphs").alias("n_units"),
+        F.col("n_removed_paragraphs").alias("n_removed"),
+        "clean_text",
+    )
+    return span.unionAll(para)
 
 
 # --------------------------------------------------------------------------

@@ -180,3 +180,79 @@ class TestRemoveSpans:
         expect = _py_remove(docs, SPAN)
         mismatch = {d: (got[d], expect[d]) for d in expect if got.get(d) != expect[d]}
         assert not mismatch, dict(list(mismatch.items())[:3])
+
+
+class TestParagraphDedup:
+    """CCNet-style paragraph-level exact dedup
+    (operators/paragraph_dedup.py, r8): first corpus-wide occurrence by
+    (doc_id, position) survives, normalization collapses case/whitespace,
+    empty paragraphs pass through."""
+
+    def test_keep_first_occurrence(self, spark):
+        from seafowl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta\n\nshared footer text\n\ngamma"),
+                (2, "delta\n\nshared footer text\n\nepsilon"),
+                (3, "shared footer text\n\nzeta"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_paragraphs"], r["n_removed_paragraphs"], r["clean_text"])
+            for r in dedup_paragraphs(docs).collect()
+        }
+        assert out[1] == (3, 0, "alpha beta\n\nshared footer text\n\ngamma")
+        assert out[2] == (3, 1, "delta\n\nepsilon")
+        assert out[3] == (2, 1, "zeta")
+
+    def test_normalized_copies_deduplicate(self, spark):
+        from seafowl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello   World"),
+                (2, "hello world"),
+                (3, "  HELLO\tWORLD  "),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r["n_removed_paragraphs"]
+            for r in dedup_paragraphs(docs).collect()
+        }
+        # doc 1 is first; 2 and 3 are reformatted copies
+        assert out == {1: 0, 2: 1, 3: 1}
+
+    def test_empty_paragraphs_survive(self, spark):
+        from seafowl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "a\n\n\n\nb"), (2, "a\n\n\n\nc")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_removed_paragraphs"], r["clean_text"])
+            for r in dedup_paragraphs(docs).collect()
+        }
+        # the middle empty paragraph is formatting, kept in BOTH docs;
+        # 'a' deduplicates to doc 1
+        assert out[1] == (0, "a\n\n\n\nb")
+        assert out[2] == (1, "\n\nc")
+
+    def test_single_shuffle_no_python(self, spark):
+        from seafowl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(i, f"p{i % 3}\n\nq{i}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        plan = (
+            dedup_paragraphs(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
