@@ -129,3 +129,51 @@ class TestBloomPruning:
         assert all(f.blooms and "v" in f.blooms for f in snap3.files)
         q = ctx.execute("SELECT k FROM bt WHERE v = 'rewritten'")
         assert [r.k for r in q.collect()] == [7]
+
+
+class TestBloomLifecycle:
+    def test_show_create_round_trip(self, ctx):
+        """bloom_by/bloom_bits survive SHOW CREATE TABLE -> re-execute,
+        and the rebuilt table attaches blooms on insert."""
+        ctx.execute(
+            "CREATE TABLE bl (k BIGINT, v STRING) "
+            "WITH ('bloom_by' = 'k,v', 'bloom_bits' = '1024')"
+        )
+        ddl = ctx.execute("SHOW CREATE TABLE bl").collect()[0][0]
+        assert "'bloom_by' = 'k,v'" in ddl and "'bloom_bits' = '1024'" in ddl
+        ctx.execute("DROP TABLE bl")
+        ctx.execute(ddl)
+        ctx.execute("INSERT INTO bl VALUES (1, 'x'), (2, 'y')")
+        t = DeltaLiteTable(
+            ctx.spark,
+            ctx.table_root(ctx.catalog.get_table("default", "public", "bl")),
+        )
+        snap = t.snapshot()
+        assert snap.properties["bloom_by"] == ["k", "v"]
+        assert all(set(f.blooms) == {"k", "v"} for f in snap.files)
+
+    def test_optimize_rewrites_keep_blooms(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bo (k BIGINT, v STRING) WITH ('bloom_by' = 'v')"
+        )
+        for lo in (0, 50, 100, 150):
+            ctx.execute(
+                f"INSERT INTO bo SELECT id, md5(CAST(id AS STRING)) "
+                f"FROM range({lo}, {lo + 50})"
+            )
+        t = DeltaLiteTable(
+            ctx.spark,
+            ctx.table_root(ctx.catalog.get_table("default", "public", "bo")),
+        )
+        before = len(t.snapshot().files)
+        t.optimize(target_rows=100000)  # compacts into fewer files
+        snap = t.snapshot()
+        assert len(snap.files) < before
+        assert all(f.blooms and "v" in f.blooms for f in snap.files)
+        # the compacted blooms still answer lookups
+        hit = t._prune(snap, f"v = '{_md5(175)}'")
+        assert hit and len(hit) <= len(snap.files)
+        probe = ctx.execute(
+            f"SELECT k FROM bo WHERE v = '{_md5(175)}'"
+        ).collect()
+        assert [r.k for r in probe] == [175]
