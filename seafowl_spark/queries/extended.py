@@ -37,7 +37,24 @@ from . import register
            EXTRACT(dow FROM o_orderdate) AS dow,
            EXTRACT(year FROM o_orderdate) AS y,
            EXTRACT(quarter FROM o_orderdate) AS q,
-           EXTRACT(month FROM o_orderdate) AS m
+           EXTRACT(month FROM o_orderdate) AS m,
+           CAST(sign(o_totalprice - 100000.0) AS BIGINT) AS sgn,
+           CAST(GREATEST(o_orderkey % 7, 3) AS BIGINT) AS gr,
+           CAST(LEAST(o_orderkey % 7, 3) AS BIGINT) AS le,
+           CAST(o_orderkey & 255 AS BIGINT) AS band,
+           CAST(o_orderkey | 4096 AS BIGINT) AS bor,
+           CAST(xor(o_orderkey, 15) AS BIGINT) AS bxor,
+           CAST((o_orderkey % 1024) << 3 AS BIGINT) AS shl,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+           ascii(o_orderpriority) AS asc_c,
+           left(o_orderpriority, 3) AS l3,
+           lpad(o_orderpriority, 12, '*') AS pad,
+           reverse(o_orderpriority) AS rev,
+           translate(o_orderpriority, '-', '_') AS tr,
+           CAST(levenshtein(o_orderpriority, '1-URGENT') AS BIGINT) AS lev,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+           sha256(o_orderpriority) AS prio_sha,
+           NULLIF(CAST(o_orderkey % 3 AS BIGINT), 0) AS nz
     FROM orders
     """,
 )
@@ -46,7 +63,10 @@ def q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (abs/ceil/floor/sqrt/ln/mod, rounded where the final libm step could
     differ in the last bit) plus date arithmetic (interval add, datediff,
     truncation, day-of-week; DuckDB dow: Sunday=0 == Spark dayofweek-1;
-    EXTRACT year/quarter/month absorbed from q_datetime_distinct in r6)."""
+    EXTRACT year/quarter/month absorbed from q_datetime_distinct in r6),
+    and since r8 the comparison/bit/string surface: sign, greatest/least,
+    bitwise and/or/xor + shifts, ascii/left/lpad/reverse/translate,
+    levenshtein, regexp_extract, sha256, NULLIF — all value-compared."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -65,6 +85,25 @@ def q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("y"),
         F.quarter("o_orderdate").cast("long").alias("q"),
         F.month("o_orderdate").cast("long").alias("m"),
+        F.signum(F.col("o_totalprice") - 100000.0).cast("long").alias("sgn"),
+        F.greatest(F.col("o_orderkey") % 7, F.lit(3)).cast("long").alias("gr"),
+        F.least(F.col("o_orderkey") % 7, F.lit(3)).cast("long").alias("le"),
+        F.col("o_orderkey").bitwiseAND(255).cast("long").alias("band"),
+        F.col("o_orderkey").bitwiseOR(4096).cast("long").alias("bor"),
+        F.col("o_orderkey").bitwiseXOR(15).cast("long").alias("bxor"),
+        F.shiftleft(F.col("o_orderkey") % 1024, 3).cast("long").alias("shl"),
+        F.shiftright(F.col("o_orderkey"), 2).cast("long").alias("shr"),
+        F.ascii("o_orderpriority").alias("asc_c"),
+        F.substring("o_orderpriority", 1, 3).alias("l3"),
+        F.lpad("o_orderpriority", 12, "*").alias("pad"),
+        F.reverse(F.col("o_orderpriority")).alias("rev"),
+        F.translate(F.col("o_orderpriority"), "-", "_").alias("tr"),
+        F.levenshtein(F.col("o_orderpriority"), F.lit("1-URGENT"))
+        .cast("long")
+        .alias("lev"),
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).alias("prio_num"),
+        F.sha2(F.col("o_orderpriority").cast("binary"), 256).alias("prio_sha"),
+        F.nullif((F.col("o_orderkey") % 3).cast("long"), F.lit(0)).alias("nz"),
     )
 
 
