@@ -147,3 +147,51 @@ def forward_fill(
             c, F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_cols: list[str],
+    ts_col: str = "bucket_ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear-interpolation imputation: each NULL in ``value_cols`` takes
+    the straight line between its nearest non-NULL neighbors (by time,
+    within the key) — the physical-sensor companion to LOCF. Edge gaps
+    with only one neighbor stay NULL (honesty over invention, the
+    forward_fill stance). Two window passes over the already-partitioned
+    grid; the t/prev/next arithmetic is a fixed IEEE chain
+    ``prev + (next - prev) * ((t - t_prev) / (t_next - t_prev))`` over
+    whole-second doubles, so it mirrors into SQL bit for bit."""
+    keys = list(key_cols or [])
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(ts_col).cast("double")
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        obs_t = F.when(v.isNotNull(), t)
+        pv = F.last(v, ignorenulls=True).over(wb)
+        pt = F.last(obs_t, ignorenulls=True).over(wb)
+        nv = F.first(v, ignorenulls=True).over(wf)
+        nt = F.first(obs_t, ignorenulls=True).over(wf)
+        # prev_t == next_t is impossible on the NULL branch (the
+        # neighbors are distinct grid rows), so the division is safe
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v).otherwise(
+                F.when(
+                    pv.isNotNull() & nv.isNotNull(),
+                    pv + (nv - pv) * ((t - pt) / (nt - pt)),
+                )
+            ),
+        )
+    return out

@@ -493,10 +493,20 @@ _TS_INTERVAL_S = 3600
       FROM grid g LEFT JOIN agged a USING (event_type, bucket_ts)),
     filled AS (
       SELECT event_type, bucket_ts, n_events, sum_value,
-             last_value(sum_value IGNORE NULLS) OVER (
-               PARTITION BY event_type ORDER BY bucket_ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
-      FROM j),
+             last_value(sum_value IGNORE NULLS) OVER wprev AS filled_sum,
+             last_value(sum_value IGNORE NULLS) OVER wprev AS pv,
+             last_value(CASE WHEN sum_value IS NOT NULL
+                             THEN CAST(epoch(bucket_ts) AS DOUBLE) END
+                        IGNORE NULLS) OVER wprev AS pt,
+             first_value(sum_value IGNORE NULLS) OVER wnext AS nv,
+             first_value(CASE WHEN sum_value IS NOT NULL
+                              THEN CAST(epoch(bucket_ts) AS DOUBLE) END
+                         IGNORE NULLS) OVER wnext AS nt
+      FROM j
+      WINDOW wprev AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
     rolled AS (
       SELECT *,
              CAST(SUM(CAST(filled_sum AS DECIMAL(25,6))) OVER tw AS DOUBLE) AS rs,
@@ -508,6 +518,11 @@ _TS_INTERVAL_S = 3600
     SELECT event_type,
            strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_str,
            n_events, sum_value, filled_sum,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv)
+                     * ((CAST(epoch(bucket_ts) AS DOUBLE) - pt) / (nt - pt))
+           END AS interp_sum,
            CASE WHEN rn > 0 THEN rs / rn END AS roll_mean,
            CASE WHEN rn > 0
                 THEN greatest(rs2 / rn - (rs / rn) * (rs / rn), 0.0) END
@@ -541,7 +556,12 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-partitioned grid. A million device streams parallelize per
     key; sums are decimal-cast so the oracle hash-matches bit for bit.
     """
-    from ..operators.timeseries import forward_fill, resample, rolling_stats
+    from ..operators.timeseries import (
+        forward_fill,
+        interpolate_linear,
+        resample,
+        rolling_stats,
+    )
 
     e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
     grid = resample(
@@ -553,9 +573,16 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value": dec_sum(F.col("value")),
         },
         key_cols=["event_type"],
-    ).withColumn("filled_sum", F.col("sum_value"))
+    ).withColumn("filled_sum", F.col("sum_value")).withColumn(
+        "interp_sum", F.col("sum_value")
+    )
     filled = forward_fill(
         grid, ["filled_sum"], ts_col="bucket_ts", key_cols=["event_type"]
+    )
+    # linear-interpolation imputation rides next to LOCF (r8): same
+    # grid, same partitioning, straight line between nearest neighbors
+    filled = interpolate_linear(
+        filled, ["interp_sum"], ts_col="bucket_ts", key_cols=["event_type"]
     )
     # rolling monitoring pass over the regularized+filled series (r7
     # session C, closing the round-8 rolling-analytics candidate):
@@ -574,6 +601,7 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
         "filled_sum",
+        "interp_sum",
         "roll_mean",
         "roll_var",
         "zscore",

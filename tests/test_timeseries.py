@@ -177,3 +177,58 @@ class TestRollingStats:
         # leading all-NULL windows: no mean, no z, no ANSI div-by-zero
         assert out[0]["roll_mean"] is None and out[0]["zscore"] is None
         assert out[2]["roll_mean"] == 5.0
+
+
+class TestInterpolateLinear:
+    """Linear interpolation (operators/timeseries.interpolate_linear,
+    r8): straight line between nearest non-NULL neighbors; edge gaps
+    stay NULL; observed points pass through untouched."""
+
+    def test_interpolates_interior_gaps(self, spark):
+        import datetime as dt
+
+        from seafowl_spark.operators.timeseries import interpolate_linear
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0, 10.0),
+            ("a", t0 + dt.timedelta(hours=1), None),
+            ("a", t0 + dt.timedelta(hours=2), None),
+            ("a", t0 + dt.timedelta(hours=3), 40.0),
+            ("a", t0 + dt.timedelta(hours=4), None),  # trailing: stays NULL
+            ("b", t0, None),  # leading: stays NULL
+            ("b", t0 + dt.timedelta(hours=1), 7.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, bucket_ts timestamp, v double")
+        out = {
+            (r["k"], r["bucket_ts"].hour): r["v"]
+            for r in interpolate_linear(
+                df, ["v"], key_cols=["k"]
+            ).collect()
+        }
+        assert out[("a", 0)] == 10.0
+        assert out[("a", 1)] == 20.0
+        assert out[("a", 2)] == 30.0
+        assert out[("a", 3)] == 40.0
+        assert out[("a", 4)] is None
+        assert out[("b", 0)] is None
+        assert out[("b", 1)] == 7.0
+
+    def test_uneven_spacing_uses_time_weights(self, spark):
+        import datetime as dt
+
+        from seafowl_spark.operators.timeseries import interpolate_linear
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0, 0.0),
+            ("a", t0 + dt.timedelta(seconds=100), None),
+            ("a", t0 + dt.timedelta(seconds=400), 4.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, bucket_ts timestamp, v double")
+        out = sorted(
+            r["v"]
+            for r in interpolate_linear(df, ["v"], key_cols=["k"]).collect()
+        )
+        # 100/400 of the way from 0 to 4 -> 1.0 exactly
+        assert out == [0.0, 1.0, 4.0]
