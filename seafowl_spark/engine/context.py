@@ -873,6 +873,135 @@ class SeafowlContext:
         t.append(df, operation="CTAS")
         self._record(entry, t)
 
+    def _exec_create_matview(self, stmt) -> None:
+        """CREATE MATERIALIZED VIEW: materialize the (restricted) group
+        aggregate into a deltalite table and record the incremental spec
+        in its properties (engine/matview.py — beyond the reference,
+        which has no view machinery)."""
+        from .matview import MATVIEW_PROP, MvSpec, parse_mv_select, query_at_version
+
+        db, schema, name = parser.parse_qualified(stmt.name)
+        self._guard_staging(schema)
+        db, schema = db or self.database, schema or self.search_schema
+        if stmt.if_not_exists and self.catalog.get_table(db, schema, name):
+            return
+        base, group_cols = parse_mv_select(stmt.query)
+        base_t = self.delta_table(base)  # must be a managed table
+        base_version = base_t.latest_version()
+        pinned = query_at_version(stmt.query, base, base_version)
+        df = self._exec_query(parser.Statement("query", pinned))
+        missing = [c for c in group_cols if c not in df.columns]
+        if missing:
+            raise ExecutionError(
+                f"group column(s) {missing} not in the view output "
+                f"{df.columns} (group columns must pass through unaliased)"
+            )
+        spec = MvSpec(base, group_cols, stmt.query, base_version)
+        entry = self.catalog.create_table(
+            db, schema, name,
+            ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            ),
+        )
+        t = DeltaLiteTable.create(
+            self.spark,
+            self.table_root(entry),
+            df.schema,
+            operation="CREATE MATERIALIZED VIEW",
+            properties={MATVIEW_PROP: spec.to_json()},
+        )
+        t.append(df, operation="MATERIALIZE")
+        self._record(entry, t)
+
+    def _matview_spec(self, t: DeltaLiteTable):
+        from .matview import MATVIEW_PROP, MvSpec
+
+        raw = t.snapshot().properties.get(MATVIEW_PROP)
+        return MvSpec.from_json(raw) if raw else None
+
+    def _guard_matview(self, t: DeltaLiteTable, what: str) -> None:
+        if self._matview_spec(t) is not None:
+            raise ExecutionError(
+                f"{what} is not allowed on a materialized view "
+                "(its contents are derived; run REFRESH MATERIALIZED VIEW)"
+            )
+
+    def _exec_refresh_matview(self, stmt) -> None:
+        """Incremental refresh: recompute ONLY the groups whose base
+        files changed between the recorded and latest snapshots, merge
+        them in, delete vanished groups — full-overwrite fallback when
+        incremental is not possible (see engine/matview.py)."""
+        from pyspark.sql import functions as F
+
+        from .matview import (
+            MATVIEW_PROP,
+            affected_group_values,
+            group_predicate,
+            query_at_version,
+        )
+
+        entry = self._resolve(stmt.name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        spec = self._matview_spec(t)
+        if spec is None:
+            raise ExecutionError(f"{stmt.name} is not a materialized view")
+        base_t = self.delta_table(spec.base)
+        v_to = base_t.latest_version()
+        if v_to == spec.base_version:
+            return  # already current
+        vals = affected_group_values(
+            self.spark, base_t, spec.base_version, v_to, spec.group_cols
+        )
+        pinned = query_at_version(spec.query, spec.base, v_to)
+        if vals is None:
+            # full refresh: atomic overwrite at the new snapshot
+            df = self._exec_query(parser.Statement("query", pinned))
+            t.overwrite(df, operation="REFRESH MATERIALIZED VIEW")
+        elif vals:
+            pred = group_predicate(spec.group_cols, vals)
+            recompute = self._exec_query(
+                parser.Statement(
+                    "query", f"SELECT * FROM ({pinned}) __mv WHERE {pred}"
+                )
+            ).localCheckpoint()
+            affected = self.spark.createDataFrame(
+                vals, recompute.select(*spec.group_cols).schema
+            )
+            vanished = affected.join(
+                recompute.select(*spec.group_cols), spec.group_cols, "left_anti"
+            )
+            value_cols = [
+                c for c in recompute.columns if c not in spec.group_cols
+            ]
+            change = recompute.withColumn(
+                "__mv_delete", F.lit(False)
+            ).unionByName(
+                vanished.select(
+                    *spec.group_cols,
+                    *[
+                        F.lit(None).cast(recompute.schema[c].dataType).alias(c)
+                        for c in value_cols
+                    ],
+                    F.lit(True).alias("__mv_delete"),
+                )
+            )
+            t.merge(change, spec.group_cols, delete_col="__mv_delete")
+        # record the new base version (metadata-only commit)
+        snap = t.snapshot()
+        spec.base_version = v_to
+        t._next_commit(
+            "REFRESH VERSION",
+            [],
+            [],
+            metadata={
+                "schema_ddl": snap.schema_ddl,
+                "properties": dict(
+                    snap.properties, **{MATVIEW_PROP: spec.to_json()}
+                ),
+            },
+        )
+        self._record(entry, t)
+
     def _exec_create_external_table(self, stmt) -> None:
         from ..sources.external import read_external
 
@@ -1023,6 +1152,7 @@ class SeafowlContext:
     def _exec_insert(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_matview(t, "INSERT")
         df = self._exec_query(parser.Statement("query", stmt.query))
         target_cols = [f.name for f in t.schema().fields]
         if stmt.columns:
@@ -1066,6 +1196,7 @@ class SeafowlContext:
     def _exec_update(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_matview(t, "UPDATE")
         self._retry_conflicts(lambda: t.update(stmt.sets, stmt.where))
         self._record(entry, t)
 
@@ -1076,6 +1207,7 @@ class SeafowlContext:
             return
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_matview(t, "DELETE")
         self._retry_conflicts(lambda: t.delete(stmt.where))
         self._record(entry, t)
 
@@ -1133,6 +1265,7 @@ class SeafowlContext:
         from pyspark.sql import functions as F
 
         t = self.delta_table(stmt.name)
+        self._guard_matview(t, "MERGE")
         cl = stmt.clauses
         if cl["update"] and not cl["insert"]:
             raise ExecutionError(

@@ -1,0 +1,212 @@
+"""Incremental materialized views over deltalite tables (beyond the
+reference, like MoR DML / RESTORE / CDC diff — the reference has no view
+machinery at all).
+
+`CREATE MATERIALIZED VIEW mv AS SELECT g..., <any aggregates> FROM base
+GROUP BY g...` materializes the aggregate into a regular deltalite table
+and records (base table, group columns, query, base version) in the
+table properties. `REFRESH MATERIALIZED VIEW mv` then brings it up to
+date INCREMENTALLY:
+
+1. diff the base's file sets between the recorded and latest snapshots
+   (Add identity = path + DV descriptor — a deletion-vector change IS a
+   content change); commits in between never matter, only endpoints;
+2. scan ONLY the changed files (deletion vectors applied, so exactly
+   the rows live on each side) for their DISTINCT group values — the
+   affected groups, a driver-bounded list capped at
+   ``MAX_INCREMENTAL_GROUPS``;
+3. re-run the view query at the latest base version restricted to those
+   groups (the group predicate is a static IN/OR filter on the OUTER
+   query — Catalyst pushes it below the aggregate, and the base scan
+   prunes files by stats/blooms/buckets on it);
+4. MERGE the recomputed groups into the view (group columns are the
+   merge PK) and DELETE groups that vanished;
+5. one metadata commit records the new base version.
+
+Because refresh RECOMPUTES affected groups rather than algebraically
+patching them, ANY aggregate Spark can express is maintainable —
+MIN/MAX/AVG/percentiles included, not just the self-maintainable
+SUM/COUNT family. Refresh cost is proportional to changed data plus the
+affected groups' partitions, never the base table: the 100 TB shape.
+
+Fallback: too many affected groups, a NULL group value (the merge PK
+cannot carry NULLs), or unreadable old files (vacuumed past the
+recorded version) downgrade to a FULL refresh (atomic overwrite) —
+always correct, never an error.
+
+Restrictions (validated at CREATE): single base table, no joins or set
+ops, GROUP BY bare columns that appear unaliased in the select list.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+from dataclasses import dataclass
+
+MATVIEW_PROP = "matview"
+MAX_INCREMENTAL_GROUPS = 10_000
+
+
+class MatViewError(Exception):
+    pass
+
+
+@dataclass
+class MvSpec:
+    base: str
+    group_cols: list[str]
+    query: str
+    base_version: int
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "base": self.base,
+                "group": self.group_cols,
+                "query": self.query,
+                "base_version": self.base_version,
+            }
+        )
+
+    @staticmethod
+    def from_json(raw: str) -> "MvSpec":
+        d = json.loads(raw)
+        return MvSpec(d["base"], list(d["group"]), d["query"], int(d["base_version"]))
+
+
+_IDENT = r'(?:"[^"]+"|[A-Za-z_][A-Za-z0-9_]*)'
+_QNAME = rf"{_IDENT}(?:\.{_IDENT})*"
+
+
+def parse_mv_select(query: str) -> tuple[str, list[str]]:
+    """Validate the restricted view shape; returns (base table reference
+    as written, group-by column names)."""
+    q = query.strip().rstrip(";")
+    if re.search(r"(?i)\b(join|union|intersect|except)\b", q):
+        raise MatViewError(
+            "materialized views support a single base table (no joins "
+            "or set operations)"
+        )
+    if len(re.findall(r"(?i)\bselect\b", q)) != 1:
+        raise MatViewError("materialized views support one SELECT (no subqueries)")
+    m = re.search(rf"(?i)\bfrom\s+({_QNAME})", q)
+    if not m:
+        raise MatViewError("could not find the FROM table")
+    base = m.group(1)
+    gb = re.search(
+        r"(?i)\bgroup\s+by\s+(.+?)(?:\border\s+by\b|\bhaving\b|$)", q, re.DOTALL
+    )
+    if not gb:
+        raise MatViewError("materialized views require GROUP BY")
+    cols = [c.strip() for c in gb.group(1).split(",") if c.strip()]
+    bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
+    if bad:
+        raise MatViewError(
+            f"GROUP BY must list bare column names, got: {bad}"
+        )
+    head = q[: m.start()]  # the select list
+    for c in cols:
+        # bare occurrence: not part of a longer name, not a function
+        # argument/name (paren-adjacent) — CREATE re-validates against
+        # the actual output schema, this is the early lint
+        if not re.search(
+            rf"(?i)(?<![A-Za-z0-9_.(]){re.escape(c)}(?![A-Za-z0-9_(])", head
+        ):
+            raise MatViewError(
+                f"group column {c!r} must appear (unaliased) in the select list"
+            )
+    return base, cols
+
+
+def query_at_version(query: str, base: str, version: int) -> str:
+    """The view query pinned to one base snapshot via FOR VERSION AS OF."""
+    return re.sub(
+        rf"(?i)(\bfrom\s+{re.escape(base)})(?![A-Za-z0-9_.])",
+        rf"\1 FOR VERSION AS OF {version}",
+        query.strip().rstrip(";"),
+        count=1,
+    )
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        raise MatViewError("NULL group value")  # callers pre-check
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def group_predicate(group_cols: list[str], values: list[tuple]) -> str:
+    """Static SQL predicate selecting exactly ``values`` — an IN list for
+    one group column, an OR of conjunctions otherwise. Static literals,
+    so the filter pushes into the base scan and prunes files."""
+    if len(group_cols) == 1:
+        lits = ", ".join(_sql_literal(v[0]) for v in values)
+        return f"{group_cols[0]} IN ({lits})"
+    parts = []
+    for tup in values:
+        conj = " AND ".join(
+            f"{c} = {_sql_literal(v)}" for c, v in zip(group_cols, tup)
+        )
+        parts.append(f"({conj})")
+    return " OR ".join(parts)
+
+
+def changed_files(base_t, v_from: int, v_to: int):
+    """(files only live at v_from, files only live at v_to) — Add
+    identity includes the deletion-vector descriptor, so MoR deletes
+    register as changes."""
+    s_old = base_t.snapshot(version=v_from)
+    s_new = base_t.snapshot(version=v_to)
+
+    def key(f):
+        dv = f.dv or {}
+        return (f.path, dv.get("path"), dv.get("cardinality"))
+
+    old = {key(f): f for f in s_old.files}
+    new = {key(f): f for f in s_new.files}
+    only_old = [f for k, f in old.items() if k not in new]
+    only_new = [f for k, f in new.items() if k not in old]
+    return s_old, only_old, s_new, only_new
+
+
+def affected_group_values(
+    spark, base_t, v_from: int, v_to: int, group_cols: list[str]
+) -> list[tuple] | None:
+    """Distinct group values touched between the two snapshots, or None
+    when an incremental refresh is not worthwhile/possible (too many
+    groups, NULL group values, old files no longer readable)."""
+    from pyspark.sql import types as T
+
+    _s_old, only_old, _s_new, only_new = changed_files(base_t, v_from, v_to)
+    if not only_old and not only_new:
+        return []
+    frames = []
+    try:
+        for files, snap in ((only_old, _s_old), (only_new, _s_new)):
+            if files:
+                schema = T.StructType.fromDDL(snap.schema_ddl)
+                frames.append(
+                    base_t._scan_files(files, schema).select(*group_cols)
+                )
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        rows = df.distinct().limit(MAX_INCREMENTAL_GROUPS + 1).collect()
+    except Exception:  # noqa: BLE001 — vacuumed old files etc.: full refresh
+        return None
+    if len(rows) > MAX_INCREMENTAL_GROUPS:
+        return None
+    vals = [tuple(r[c] for c in group_cols) for r in rows]
+    if any(v is None for tup in vals for v in tup):
+        return None  # merge PK cannot carry NULL group keys
+    return vals

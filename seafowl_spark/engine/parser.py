@@ -311,6 +311,38 @@ def parse_statement(sql: str) -> Statement:
         return Statement("drop_function", s, {"if_exists": bool(m.group(1)), "names": names})
 
     m = re.match(
+        rf"(?i)^create\s+materialized\s+view\s+(if\s+not\s+exists\s+)?"
+        rf"({_QNAME})\s+as\s+(select\b.*)$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        return Statement(
+            "create_matview",
+            s,
+            {
+                "if_not_exists": bool(m.group(1)),
+                "name": m.group(2),
+                "query": m.group(3),
+            },
+        )
+
+    m = re.match(
+        rf"(?i)^refresh\s+materialized\s+view\s+({_QNAME})\s*$", s
+    )
+    if m:
+        return Statement("refresh_matview", s, {"name": m.group(1)})
+
+    m = re.match(
+        rf"(?i)^drop\s+materialized\s+view\s+(if\s+exists\s+)?({_QNAME})\s*$", s
+    )
+    if m:
+        # a materialized view IS a table; DROP reuses the table path
+        return Statement(
+            "drop_table", s, {"if_exists": bool(m.group(1)), "name": m.group(2)}
+        )
+
+    m = re.match(
         rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s+as\s+(.*)$", s, re.DOTALL
     )
     if m:
