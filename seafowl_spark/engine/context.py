@@ -794,6 +794,20 @@ class SeafowlContext:
             entry = self._resolve(m.group(1))
             t = DeltaLiteTable(self.spark, self.table_root(entry))
             snap = t.snapshot()
+            from .matview import MATVIEW_PROP, MvSpec
+
+            raw = (snap.properties or {}).get(MATVIEW_PROP)
+            if raw:
+                # a materialized view re-creates as its defining query,
+                # not as the materialized table shape
+                spec = MvSpec.from_json(raw)
+                ddl = (
+                    f"CREATE MATERIALIZED VIEW {entry.schema}.{entry.name} "
+                    f"AS {spec.query}"
+                )
+                return self.spark.createDataFrame(
+                    [Row(create_statement=ddl)], "create_statement string"
+                )
             schema = T.StructType.fromDDL(snap.schema_ddl)
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
@@ -871,6 +885,63 @@ class SeafowlContext:
         )
         t = DeltaLiteTable.create(self.spark, self.table_root(entry), df.schema)
         t.append(df, operation="CTAS")
+        self._record(entry, t)
+
+    def _exec_shallow_clone(self, stmt) -> None:
+        """CREATE TABLE x SHALLOW CLONE y [FOR VERSION/TIMESTAMP AS OF]:
+        a metadata-only copy (Delta-parity, beyond the reference) — the
+        new table's first commit references the SOURCE's data files (and
+        deletion vectors) by absolute path; zero bytes move, whatever
+        the source size. The clone then lives its own life: DML rewrites
+        land under the clone's root, its vacuum never touches borrowed
+        files (deltalite.vacuum skips absolute remove paths), and the
+        documented Delta caveat applies — vacuuming the SOURCE can
+        orphan clone references."""
+        from .deltalite import AddFile
+        from .matview import MATVIEW_PROP
+
+        db, schema, name = parser.parse_qualified(stmt.name)
+        self._guard_staging(schema)
+        db, schema = db or self.database, schema or self.search_schema
+        if stmt.if_not_exists and self.catalog.get_table(db, schema, name):
+            return
+        src_entry = self._resolve(stmt.source)
+        src = DeltaLiteTable(self.spark, self.table_root(src_entry))
+        snap = src.snapshot(
+            version=stmt.fields.get("version"),
+            timestamp=stmt.fields.get("timestamp"),
+        )
+
+        def _absolute(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(src.root, p)
+
+        adds = []
+        for f in snap.files:
+            dv = dict(f.dv, path=_absolute(f.dv["path"])) if f.dv else None
+            adds.append(
+                AddFile(
+                    _absolute(f.path), f.rows, f.size_bytes, f.stats,
+                    f.bucket, dv, f.blooms,
+                )
+            )
+        # properties carry over (bucketing/blooms/constraints keep
+        # working); a clone of a materialized view is a PLAIN table —
+        # its contents are now independent data, not a derived view.
+        # List-valued props re-stringify: create() re-normalizes them.
+        props = {
+            k: (",".join(v) if isinstance(v, list) else v)
+            for k, v in (snap.properties or {}).items()
+            if k != MATVIEW_PROP
+        }
+        entry = self.catalog.create_table(db, schema, name, snap.schema_ddl)
+        t = DeltaLiteTable.create(
+            self.spark,
+            self.table_root(entry),
+            T.StructType.fromDDL(snap.schema_ddl),
+            operation="SHALLOW CLONE",
+            properties=props or None,
+        )
+        t._next_commit("CLONE FILES", adds, [])
         self._record(entry, t)
 
     def _exec_create_matview(self, stmt) -> None:

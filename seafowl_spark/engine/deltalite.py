@@ -1831,6 +1831,11 @@ class DeltaLiteTable:
         dead: list[str] = []
         for c in history:
             for r in c.removes:
+                if os.path.isabs(r):
+                    # borrowed file from a SHALLOW CLONE source: the
+                    # source's own log governs its lifetime — a clone
+                    # vacuum must never delete outside its root
+                    continue
                 if r not in live and now - c.timestamp_ms >= retention_ms:
                     full = os.path.join(self.root, r)
                     if self.store.exists(full):

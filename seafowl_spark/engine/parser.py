@@ -343,6 +343,26 @@ def parse_statement(sql: str) -> Statement:
         )
 
     m = re.match(
+        rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s+"
+        rf"shallow\s+clone\s+({_QNAME})\s*"
+        rf"(?:for\s+version\s+as\s+of\s+(\d+)\s*)?"
+        rf"(?:for\s+timestamp\s+as\s+of\s+'([^']+)'\s*)?$",
+        s,
+    )
+    if m:
+        return Statement(
+            "shallow_clone",
+            s,
+            {
+                "if_not_exists": bool(m.group(1)),
+                "name": m.group(2),
+                "source": m.group(3),
+                "version": int(m.group(4)) if m.group(4) else None,
+                "timestamp": m.group(5),
+            },
+        )
+
+    m = re.match(
         rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s+as\s+(.*)$", s, re.DOTALL
     )
     if m:

@@ -213,3 +213,16 @@ class TestMatViewScale:
         assert any(
             c.operation == "REFRESH MATERIALIZED VIEW" for c in mv.history()
         )
+
+
+class TestMatViewIntrospection:
+    def test_show_create_emits_view_ddl_and_round_trips(self, ctx):
+        seed_base(ctx)
+        ctx.execute(MV_SQL)
+        ddl = ctx.execute("SHOW CREATE TABLE mv").collect()[0][0]
+        assert ddl.startswith("CREATE MATERIALIZED VIEW public.mv AS SELECT")
+        ctx.execute("DROP MATERIALIZED VIEW mv")
+        ctx.execute(ddl.replace("public.mv", "mv"))
+        assert rows(
+            ctx.execute("SELECT total FROM mv WHERE region = 'east'")
+        ) == [(30,)]
