@@ -339,3 +339,35 @@ class TestErrorParity:
         except urllib.error.HTTPError as e:
             code, body = e.code, e.read().decode()
         assert code == 400
+
+
+class TestHttpMatViewClone:
+    def test_matview_and_clone_over_http(self, server):
+        """The r8 statements work through the HTTP frontend verbatim:
+        multi-statement POST creates base + view, refresh + read round-trip,
+        shallow clone readable."""
+        port = server.port
+        status, _, _ = _post_q(
+            port,
+            "CREATE TABLE hb (g TEXT, v BIGINT); "
+            "INSERT INTO hb VALUES ('a', 1), ('a', 2), ('b', 3); "
+            "CREATE MATERIALIZED VIEW hmv AS "
+            "SELECT g, SUM(v) AS s FROM hb GROUP BY g",
+        )
+        assert status == 200
+        status, body, _ = _post_q(
+            port,
+            "INSERT INTO hb VALUES ('b', 10); "
+            "REFRESH MATERIALIZED VIEW hmv; "
+            "SELECT g, s FROM hmv ORDER BY g",
+        )
+        assert status == 200
+        lines = [json.loads(ln) for ln in body.strip().splitlines()]
+        assert lines == [{"g": "a", "s": 3}, {"g": "b", "s": 13}]
+        status, body, _ = _post_q(
+            port,
+            "CREATE TABLE hclone SHALLOW CLONE hb; "
+            "SELECT count(*) AS n FROM hclone",
+        )
+        assert status == 200
+        assert json.loads(body.strip().splitlines()[-1]) == {"n": 4}

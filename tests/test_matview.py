@@ -226,3 +226,50 @@ class TestMatViewIntrospection:
         assert rows(
             ctx.execute("SELECT total FROM mv WHERE region = 'east'")
         ) == [(30,)]
+
+
+class TestStreamingRefreshComposition:
+    def test_stream_merge_then_refresh_keeps_view_current(self, ctx, tmp_path):
+        """The CDC composition: a file stream merges into the base via
+        foreachBatch, REFRESH runs per batch, and the view tracks the
+        stream's end state — the materialized-serving pipeline shape."""
+        import json as _json
+
+        from seafowl_spark.streaming.sync import foreach_batch_merge
+
+        ctx.execute("CREATE TABLE ev (pk BIGINT, g STRING, amt BIGINT)")
+        ctx.execute("INSERT INTO ev VALUES (1, 'a', 10), (2, 'b', 5)")
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW agg AS "
+            "SELECT g, SUM(amt) AS total, COUNT(*) AS n FROM ev GROUP BY g"
+        )
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "ev")
+        )
+        src = tmp_path / "feed"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"pk": 1, "g": "a", "amt": 100},   # update
+                    {"pk": 3, "g": "c", "amt": 7},     # new group
+                ]
+            )
+        )
+
+        def apply(batch_df, batch_id):
+            foreach_batch_merge(root, ["pk"])(batch_df, batch_id)
+            ctx.execute("REFRESH MATERIALIZED VIEW agg")
+
+        q = (
+            ctx.spark.readStream.schema("pk bigint, g string, amt bigint")
+            .json(str(src))
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = rows(ctx.execute("SELECT g, total, n FROM agg ORDER BY g"))
+        assert got == [("a", 100, 1), ("b", 5, 1), ("c", 7, 1)]
