@@ -273,3 +273,59 @@ class TestStreamingRefreshComposition:
         q.awaitTermination(300)
         got = rows(ctx.execute("SELECT g, total, n FROM agg ORDER BY g"))
         assert got == [("a", 100, 1), ("b", 5, 1), ("c", 7, 1)]
+
+
+class TestMatViewFuzz:
+    @pytest.mark.parametrize("seed", [13, 47])
+    def test_random_dml_sequence_refresh_equals_recompute(self, ctx, seed):
+        """Seeded-random INSERT/UPDATE/DELETE sequences on the base with a
+        refresh after every step: the view must always equal the direct
+        aggregate — the snapshot-replay fuzz discipline applied to
+        incremental view maintenance."""
+        import random
+
+        rng = random.Random(seed)
+        ctx.execute("CREATE TABLE fz (pk BIGINT, g STRING, v BIGINT)")
+        groups = ["a", "b", "c", "d"]
+        nxt = 0
+
+        def ins():
+            nonlocal nxt
+            vals = ", ".join(
+                f"({nxt + i}, '{rng.choice(groups)}', {rng.randint(-5, 20)})"
+                for i in range(rng.randint(1, 6))
+            )
+            nxt += 6
+            ctx.execute(f"INSERT INTO fz VALUES {vals}")
+
+        def upd():
+            g = rng.choice(groups)
+            ctx.execute(
+                f"UPDATE fz SET v = v + {rng.randint(1, 9)} WHERE g = '{g}'"
+            )
+
+        def dele():
+            m = rng.choice([3, 5])
+            ctx.execute(f"DELETE FROM fz WHERE pk % {m} = {rng.randrange(m)}")
+
+        ins()
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW fmv AS "
+            "SELECT g, SUM(v) AS s, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx "
+            "FROM fz GROUP BY g"
+        )
+        for _ in range(8):
+            rng.choice([ins, ins, upd, dele])()
+            ctx.execute("REFRESH MATERIALIZED VIEW fmv")
+            got = sorted(
+                rows(ctx.execute("SELECT g, s, n, mn, mx FROM fmv"))
+            )
+            want = sorted(
+                rows(
+                    ctx.execute(
+                        "SELECT g, SUM(v) AS s, COUNT(*) AS n, "
+                        "MIN(v) AS mn, MAX(v) AS mx FROM fz GROUP BY g"
+                    )
+                )
+            )
+            assert got == want
