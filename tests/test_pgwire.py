@@ -417,3 +417,24 @@ class TestNewStatementsOverPgWire:
         assert not err and rows
         d = dict(zip(cols, rows[0]))
         assert d["format"] == "deltalite" and d["num_rows"] == "2"
+
+
+class TestPgWireMatView:
+    def test_matview_lifecycle_over_the_wire(self, pg):
+        """r8 statements through the PostgreSQL wire protocol: create,
+        refresh, read — simple-query flow, same as psql would issue."""
+        ctx, client = pg
+        for stmt in (
+            "CREATE TABLE wt (g text, v bigint)",
+            "INSERT INTO wt VALUES ('a', 1), ('a', 2), ('b', 3)",
+            "CREATE MATERIALIZED VIEW wmv AS "
+            "SELECT g, SUM(v) AS s FROM wt GROUP BY g",
+            "INSERT INTO wt VALUES ('b', 10)",
+            "REFRESH MATERIALIZED VIEW wmv",
+        ):
+            _, _, err = client.query(stmt)
+            assert not err, (stmt, err)
+        cols, rows_, err = client.query("SELECT g, s FROM wmv ORDER BY g")
+        assert not err
+        assert [c[0] for c in cols] == ["g", "s"]
+        assert [list(r) for r in rows_] == [["a", "3"], ["b", "13"]]
