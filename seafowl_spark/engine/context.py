@@ -231,6 +231,40 @@ class SeafowlContext:
             "table_schema string, table_name string, path string, "
             "rows bigint, size_bytes bigint, bucket int, dv_deleted_rows bigint"
         )
+        from .matview import MATVIEW_PROP, MvSpec
+
+        mv_rows = []
+        for e in self.catalog.tables(self.database):
+            props = self._props_cache.get(e.uuid)
+            if props is None:
+                t = DeltaLiteTable(self.spark, self.table_root(e))
+                props = t.snapshot().properties if t.exists() else {}
+            raw = (props or {}).get(MATVIEW_PROP)
+            if not raw:
+                continue
+            spec = MvSpec.from_json(raw)
+            try:
+                base_latest = self.delta_table(spec.base).latest_version()
+            except ExecutionError:
+                base_latest = None  # base dropped: permanently stale
+            mv_rows.append(
+                Row(
+                    view_schema=e.schema,
+                    view_name=e.name,
+                    base_table=spec.base,
+                    group_columns=",".join(spec.group_cols),
+                    base_version=spec.base_version,
+                    base_latest_version=base_latest,
+                    is_stale=(
+                        base_latest is None or base_latest > spec.base_version
+                    ),
+                )
+            )
+        mv_schema = T.StructType.fromDDL(
+            "view_schema string, view_name string, base_table string, "
+            "group_columns string, base_version bigint, "
+            "base_latest_version bigint, is_stale boolean"
+        )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
             "dropped_tables": self.spark.createDataFrame(dt_rows, dt_schema),
@@ -238,6 +272,8 @@ class SeafowlContext:
             # DESCRIBE DETAIL story — lets users see compaction/bucketing/
             # z-order effects without filesystem access)
             "table_files": self.spark.createDataFrame(tf_rows, tf_schema),
+            # materialized-view freshness: which views lag their base
+            "matviews": self.spark.createDataFrame(mv_rows, mv_schema),
         }
 
     def _information_schema(self) -> dict[str, DataFrame]:

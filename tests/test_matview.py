@@ -329,3 +329,24 @@ class TestMatViewFuzz:
                 )
             )
             assert got == want
+
+
+class TestSystemMatviews:
+    def test_staleness_tracking(self, ctx):
+        seed_base(ctx)
+        ctx.execute(MV_SQL)
+        got = rows(
+            ctx.execute(
+                "SELECT view_name, base_table, group_columns, is_stale "
+                "FROM system.matviews"
+            )
+        )
+        assert got == [("mv", "sales", "region", False)]
+        ctx.execute("INSERT INTO sales VALUES ('east', 1, 1)")
+        assert rows(
+            ctx.execute("SELECT is_stale FROM system.matviews")
+        ) == [(True,)]
+        ctx.execute("REFRESH MATERIALIZED VIEW mv")
+        assert rows(
+            ctx.execute("SELECT is_stale FROM system.matviews")
+        ) == [(False,)]
