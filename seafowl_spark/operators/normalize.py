@@ -87,3 +87,39 @@ def extract_registrable_domain(url_col: Column) -> Column:
     return F.when(host.isNull() | (n <= 2), host).otherwise(
         F.when(last2.isin(*_MULTI_SUFFIXES), last3).otherwise(last2)
     )
+
+
+# utm_*/fbclid/gclid-style tracking parameters every URL-dedup pipeline
+# strips before hashing (the crawl world's biggest source of spurious
+# near-duplicate URLs)
+_TRACKING_PARAM = (
+    r"(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)"
+)
+
+
+def canonicalize_url(url_col: Column) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme+host, default ports
+    dropped, tracking query parameters removed, empty query and fragment
+    stripped, trailing slash on a bare path dropped. One codegen regex
+    chain — row-local, no UDF, safe in a 100 TB dedup shuffle key."""
+    u = F.trim(url_col)
+    # fragment never reaches the server: drop it first
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase ONLY the scheme://host[:port] prefix
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""),
+    )
+    # default ports
+    u = F.regexp_replace(u, r"^(https://[^/:?]+):443(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?]+):80(?=[/?]|$)", r"$1")
+    # tracking params, wherever they sit in the query string
+    u = F.regexp_replace(u, rf"([?&]){_TRACKING_PARAM}=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")   # leading stripped params
+    u = F.regexp_replace(u, r"&&+", "&")    # interior runs
+    u = F.regexp_replace(u, r"[?&]$", "")   # empty trailing query
+    # bare-path trailing slash (never after ? and not the root-only "/")
+    u = F.regexp_replace(
+        u, r"^([a-z][a-z0-9+.-]*://[^/?]+/[^?]*[^/?])/$", r"$1"
+    )
+    return F.when(u == "", None).otherwise(u)

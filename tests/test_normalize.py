@@ -78,3 +78,50 @@ class TestDomains:
             for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
         }
         assert counts == {"site0.com": 3, "site1.com": 3}
+
+
+class TestCanonicalizeUrl:
+    def test_canonical_forms(self, spark):
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.operators.normalize import canonicalize_url
+
+        cases = [
+            ("HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+             "https://example.com/Path/?q=1"),
+            ("http://Example.com:80/a/", "http://example.com/a"),
+            ("https://example.com/a?utm_campaign=c&utm_medium=m",
+             "https://example.com/a"),
+            ("https://example.com/a?x=1&fbclid=abc&y=2",
+             "https://example.com/a?x=1&y=2"),
+            ("https://example.com/", "https://example.com/"),
+            ("https://example.com/a", "https://example.com/a"),
+            ("https://example.com/a?gclid=1&ref=tw",
+             "https://example.com/a"),
+        ]
+        df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (cases[i][0], got[i])
+
+    def test_dedup_key_collapses_tracking_variants(self, spark):
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.operators.normalize import canonicalize_url
+
+        urls = [
+            "https://a.com/x?utm_source=tw",
+            "HTTPS://A.com/x",
+            "https://a.com:443/x#top",
+            "https://b.com/y",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        n = (
+            df.select(canonicalize_url(F.col("u")).alias("c"))
+            .distinct()
+            .count()
+        )
+        assert n == 2
