@@ -204,3 +204,50 @@ class TestCorpusPipelineEndToEnd:
             shards.setdefault(lang, set()).add(pid)
         for pids in shards.values():
             assert pids == set(range(len(pids)))
+
+
+class TestClusterBalancedSampling:
+    def test_kmeans_cluster_cap_composition(self, spark):
+        """Topic-balance composition (r8): k-means clusters over
+        embeddings -> deterministic per-cluster cap — the
+        cluster-proportional selection step a diversity-balancing corpus
+        pipeline runs between dedup and mixing. Every stage is an
+        existing operator; this pins the composed end-to-end shape."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.operators.kmeans import assign_cells, fit_kmeans
+        from seafowl_spark.operators.pq import normalized
+        from seafowl_spark.operators.sampling import cap_per_group
+
+        sf = "/root/testdata/sf0.001"
+        emb = (
+            spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+            .select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+            )
+        )
+        cn = normalized(emb)
+        cents = fit_kmeans(cn, k=6, max_iter=3)
+        assigned = assign_cells(cn, cents)
+        capped = cap_per_group(
+            assigned, group_col="cell", n=40, id_col="vec_id"
+        )
+        sizes = {
+            r["cell"]: r["n"]
+            for r in capped.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert sizes and all(n <= 40 for n in sizes.values())
+        # deterministic: the same inputs select the same rows
+        again = cap_per_group(
+            assigned, group_col="cell", n=40, id_col="vec_id"
+        )
+        assert sorted(r["vec_id"] for r in capped.collect()) == sorted(
+            r["vec_id"] for r in again.collect()
+        )
+        # nothing selected twice, selection is a subset
+        ids = [r["vec_id"] for r in capped.collect()]
+        assert len(ids) == len(set(ids)) <= emb.count()
