@@ -1303,3 +1303,88 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred",
     )
     return weights.unionAll(scores)
+
+
+# --------------------------------------------------------------------------
+# Materialized-view refresh end state (graded r8 session D)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_matview_refresh",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderpriority AS pri,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0)
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           MIN(price) AS lo, MAX(price) AS hi
+    FROM live GROUP BY pri
+    """,
+)
+def q_matview_refresh(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Incremental materialized-view maintenance, graded END TO END
+    through the engine's SQL plane (engine/matview.py — beyond the
+    reference, which has no view machinery): ingest a deterministic
+    slice of `orders` into a deltalite table (CTAS over a staging
+    external table, o_orderkey % 3 = 0), CREATE MATERIALIZED VIEW with
+    COUNT / decimal-exact SUM / MIN / MAX per priority, then run the
+    full DML alphabet against the base — INSERT (the % 3 = 1 cohort),
+    UPDATE (price + 1 where o_orderkey % 5 = 0), DELETE (% 7 = 0) —
+    and REFRESH. The returned DataFrame is the VIEW's final contents,
+    so the oracle — the same aggregate over the same deterministically
+    transformed feed — proves the refresh path (endpoint file-set diff
+    -> affected-group recompute -> merge + vanished-group delete)
+    reaches the exact end state, MIN/MAX included (the aggregates
+    algebraic maintenance cannot patch). Slot donor: q_join_non_equi
+    (its theta-join branches graded inside q_join_full_outer since r8
+    session D).
+
+    Scale: refresh cost is proportional to changed files + affected
+    groups' partitions, never the base table (matview.py's contract,
+    asserted incremental — MERGE, not overwrite — in
+    tests/test_matview.py::TestGradedMatviewRow); the DML itself is
+    stats-pruned copy-on-write. Only the bounded testdata feed is
+    test-shaped.
+    """
+    import shutil
+    import tempfile
+
+    work = work_dir or tempfile.mkdtemp(prefix="sfs_matview_row_")
+    try:
+        from ..engine.context import SeafowlContext
+
+        ctx = SeafowlContext(spark, os.path.join(work, "data"))
+        src = os.path.join(sf_dir, "orders.parquet")
+        ctx.execute(
+            "CREATE EXTERNAL TABLE orders_src STORED AS PARQUET "
+            f"LOCATION '{src}'"
+        )
+        ctx.execute(
+            "CREATE TABLE base AS SELECT o_orderpriority AS pri, "
+            "o_totalprice AS price, o_orderkey AS ok "
+            "FROM staging.orders_src WHERE o_orderkey % 3 = 0"
+        )
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mv AS SELECT pri, COUNT(*) AS n, "
+            "CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total, "
+            "MIN(price) AS lo, MAX(price) AS hi FROM base GROUP BY pri"
+        )
+        ctx.execute(
+            "INSERT INTO base SELECT o_orderpriority, o_totalprice, "
+            "o_orderkey FROM staging.orders_src WHERE o_orderkey % 3 = 1"
+        )
+        ctx.execute("UPDATE base SET price = price + 1.0 WHERE ok % 5 = 0")
+        ctx.execute("DELETE FROM base WHERE ok % 7 = 0")
+        ctx.execute("REFRESH MATERIALIZED VIEW mv")
+        out = ctx.query("SELECT pri, n, total, lo, hi FROM mv")
+        # the work dir is deleted below; pin the result rows first
+        return out.localCheckpoint()
+    finally:
+        if work_dir is None:
+            shutil.rmtree(work, ignore_errors=True)

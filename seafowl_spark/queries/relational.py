@@ -302,6 +302,25 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spent
       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_custkey, c.c_name)
+    UNION ALL
+    SELECT 'nonequi_' || kind AS tag, key, a AS name,
+           CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           FALSE AS flag, b AS bucket,
+           CAST(NULL AS DOUBLE) AS val
+    FROM (
+      SELECT 'size_bucket' AS kind, p.p_partkey AS key,
+             CAST(p.p_size AS VARCHAR) AS a, b.bucket AS b
+      FROM part p JOIN (VALUES ('small', 0, 17), ('medium', 17, 34), ('large', 34, 51))
+           AS b(bucket, lo, hi)
+        ON p.p_size >= b.lo AND p.p_size < b.hi
+      UNION ALL
+      SELECT 'region_pair' AS kind, x.r_regionkey * 10 + y.r_regionkey AS key,
+             x.r_name || '|' || y.r_name AS a, v.hemisphere AS b
+      FROM region x CROSS JOIN region y
+      JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
+                   (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
+        ON v.rk = y.r_regionkey
+      WHERE x.r_regionkey < y.r_regionkey)
     """,
 )
 def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,9 +330,15 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     free a graded-window slot): LEFT OUTER join preserving customers with
     zero orders plus the null-handling surface over the outer-join result
     (COALESCE / NULLIF / IS-NULL flag / CASE bucketing, themselves absorbed
-    from the former q_null_handling in an earlier round). Both branches
-    remain value-hash-checked against the oracle; one schema-aligned tagged
-    union, one FullOuter + one LeftOuter physical join in the plan."""
+    from the former q_null_handling in an earlier round). Since r8
+    session D the row also carries the former q_join_non_equi registry
+    row as `nonequi_size_bucket` / `nonequi_region_pair` branches (slot
+    donated to q_matview_refresh) — the theta-join surface keeps its
+    exact prior plans (BroadcastNestedLoopJoin range join + tiny
+    crossJoin with an inline VALUES relation), schema-aligned with NULL
+    fills. All branches remain value-hash-checked against the oracle;
+    one FullOuter + one LeftOuter + one BNLJ + one Cross physical join
+    in the plan."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
@@ -363,31 +388,27 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n == 0, "none").when(n < 10, "few").otherwise("many").alias("bucket"),
         F.col("total_spent").alias("val"),
     )
-    return full.unionAll(left)
+    null_b = F.lit(None).cast("bigint")
+    nonequi = q_join_non_equi(spark, sf_dir).select(
+        F.concat(F.lit("nonequi_"), F.col("kind")).alias("tag"),
+        F.col("key").cast("bigint").alias("key"),
+        F.col("a").alias("name"),
+        null_b.alias("n1"),
+        null_b.alias("n2"),
+        F.lit(False).alias("flag"),
+        F.col("b").alias("bucket"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return full.unionAll(left).unionAll(nonequi)
 
 
-@register(
-    "q_join_non_equi",
-    oracle="""
-    SELECT 'size_bucket' AS kind, p.p_partkey AS key,
-           CAST(p.p_size AS VARCHAR) AS a, b.bucket AS b
-    FROM part p JOIN (VALUES ('small', 0, 17), ('medium', 17, 34), ('large', 34, 51))
-         AS b(bucket, lo, hi)
-      ON p.p_size >= b.lo AND p.p_size < b.hi
-    UNION ALL
-    SELECT 'region_pair' AS kind, x.r_regionkey * 10 + y.r_regionkey AS key,
-           x.r_name || '|' || y.r_name AS a, v.hemisphere AS b
-    FROM region x CROSS JOIN region y
-    JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
-                 (3, 'north'), (4, 'east')) AS v(rk, hemisphere)
-      ON v.rk = y.r_regionkey
-    WHERE x.r_regionkey < y.r_regionkey
-    """,
-)
 def q_join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-join surface, two physical shapes in one schema-aligned
     union (absorbed the former q_cross_join row in r6 to free a graded
-    slot — judge-diffable: both branches keep their exact prior plans):
+    slot — judge-diffable: both branches keep their exact prior plans).
+    Standalone registry row until r8 session D, when its slot was
+    donated to q_matview_refresh; both branches remain value-graded as
+    q_join_full_outer's `nonequi_*` branches, which call this function:
 
     * ``size_bucket`` — non-equi (range) join against an inline VALUES
       relation; the tiny bucket side makes BroadcastNestedLoopJoin the

@@ -4,6 +4,8 @@ aggregate; refresh recomputes ONLY the groups whose base files changed
 (endpoint file-set diff incl. deletion-vector identity), merges them in
 and deletes vanished groups; fallbacks downgrade to a full overwrite."""
 
+import os
+
 import pytest
 
 from seafowl_spark.engine.context import ExecutionError
@@ -350,3 +352,55 @@ class TestSystemMatviews:
         assert rows(
             ctx.execute("SELECT is_stale FROM system.matviews")
         ) == [(False,)]
+
+
+class TestGradedMatviewRow:
+    """The graded q_matview_refresh registry row must take the
+    INCREMENTAL refresh path (MERGE, not overwrite) and land on the
+    direct recomputation of its final base state — the registry oracle
+    checks end-state values vs DuckDB; this pins the path."""
+
+    def test_refresh_is_incremental_and_exact(self, spark, tmp_path):
+        from seafowl_spark.engine.context import SeafowlContext
+        from seafowl_spark.queries import load_all
+
+        work = str(tmp_path / "mvrow")
+        out = load_all()["q_matview_refresh"].fn(
+            spark, "/root/testdata/sf0.001", work_dir=work
+        )
+        got = sorted(rows(out))
+
+        # replay the same deterministic feed directly (no view machinery)
+        import pyspark.sql.functions as F
+
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        live = (
+            o.where((F.col("o_orderkey") % 3 <= 1) & (F.col("o_orderkey") % 7 != 0))
+            .select(
+                F.col("o_orderpriority").alias("pri"),
+                F.when(
+                    F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+                ).otherwise(F.col("o_totalprice")).alias("price"),
+            )
+        )
+        want = sorted(
+            rows(
+                live.groupBy("pri").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("price").cast("decimal(25,6)"))
+                    .cast("double")
+                    .alias("total"),
+                    F.min("price").alias("lo"),
+                    F.max("price").alias("hi"),
+                )
+            )
+        )
+        assert got == want
+
+        # the row's REFRESH took the incremental path: the view's history
+        # after creation shows MERGE commits, never a full overwrite
+        ctx = SeafowlContext(spark, os.path.join(work, "data"))
+        mv = _mv_table(ctx)
+        ops = [c.operation for c in mv.history()]
+        assert "MERGE" in ops
+        assert "OVERWRITE" not in ops and "REFRESH MATERIALIZED VIEW" not in ops
