@@ -88,6 +88,22 @@ def _lang_score_sql(lang: str) -> str:
     return f"len(list_filter({_sql_tokens('text')}, t -> t IN ({markers})))"
 
 
+def _gopher_oracle_cols() -> str:
+    from ..operators.gopher import gopher_oracle_exprs
+
+    exprs = gopher_oracle_exprs("text", _sql_tokens("text"))
+    return ",\n             ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+
+
+def _gopher_oracle_gate() -> str:
+    from ..operators.gopher import gopher_oracle_gate, gopher_oracle_mask
+
+    return (
+        f"{gopher_oracle_mask()} AS gopher_fail_mask,\n           "
+        f"{gopher_oracle_gate()} AS gopher_pass"
+    )
+
+
 @register(
     "t_langid_quality",
     oracle=f"""
@@ -104,7 +120,8 @@ def _lang_score_sql(lang: str) -> str:
                  t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fp,
              md5(array_to_string(list_sort(list_distinct({_sql_tokens('lower(text)')})), ' ')) AS bag_fp,
-             CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fp_int
+             CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15)) AS BIGINT) AS fp_int,
+             {_gopher_oracle_cols()}
       FROM documents)
     SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr,
            CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
@@ -116,7 +133,10 @@ def _lang_score_sql(lang: str) -> str:
            n_stop / n_tokens AS stopword_ratio,
            n_punct / n_chars AS punct_ratio,
            (n_tokens >= 20 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.01) AS passes_filter,
-           content_fp, bag_fp, fp_int
+           content_fp, bag_fp, fp_int,
+           mean_word_len, sym_word_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, n_req_stop,
+           {_gopher_oracle_gate()}
     FROM scored
     """,
 )
@@ -125,9 +145,21 @@ def t_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax precedence en > de > es > fr) plus quality
     scoring (length, punctuation density, stopword ratio and a boolean
     keep/drop gate — the standard pre-training corpus filter shape), in a
-    single pass over the token array."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "text", _tokens(F.col("text")).alias("toks")
+    single pass over the token array. Since r8 session D the row also
+    carries the full Gopher rule set (operators/gopher.py — Rae et al.
+    2021 §A1.1: mean word length, symbol-to-word ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, required-stopword count,
+    and the combined gopher_pass gate), each metric and the gate
+    hash-matched against the oracle."""
+    from ..operators.gopher import add_gopher_quality
+
+    d = add_gopher_quality(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "text",
+            _tokens(F.col("text")).alias("toks"),
+        ),
+        text_col="text",
+        toks_col="toks",
     )
     toks = F.col("toks")
 
@@ -159,6 +191,14 @@ def t_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(_fp_norm_col()), 1, 15), 16, 10)
         .cast("long")
         .alias("fp_int"),
+        "mean_word_len",
+        "sym_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_req_stop",
+        "gopher_fail_mask",
+        "gopher_pass",
     )
     s = {k: F.col(f"s_{k}") for k in ("en", "de", "es", "fr")}
     predicted = (
@@ -191,6 +231,14 @@ def t_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_fp",
         "bag_fp",
         "fp_int",
+        "mean_word_len",
+        "sym_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_req_stop",
+        "gopher_fail_mask",
+        "gopher_pass",
     )
 
 
