@@ -985,16 +985,95 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# BPE tokenizer training (graded r7 — the r6 verdict's task #2)
+# BPE tokenizer training (graded r7 — the r6 verdict's task #2; r8
+# session D upgraded it from rows-only to a FULL value oracle)
 # --------------------------------------------------------------------------
 
-@register("q_bpe_train", oracle=None)
+_BPE_MERGES = 40
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    r"""Unrolled BPE training in ANSI SQL — the q_pagerank/_logreg_oracle
+    discipline applied to the merge loop. Words live as space-padded,
+    DOUBLE-space-joined symbol strings (' h  e  l  l  o</w> '): symbols
+    never contain spaces, and replace(s, ' a  b ', ' ab ') then has
+    exactly the training fold's greedy left-to-right non-overlapping
+    semantics — a match consumes its trailing space, so the NEXT
+    adjacent occurrence still has its own leading space and matches,
+    while an overlapping one (the middle 'a' of 'a a a') does not.
+    Each round is one pair-count aggregate, one deterministic argmax
+    (count DESC, then lexicographic pair — byte order, identical in
+    Python/Spark/DuckDB for UTF-8), and one replace; an exhausted round
+    (no pairs left) replaces a chr(1) sentinel, i.e. is a no-op, and
+    emits no merge row — the operator's early-break."""
+    parts = [r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT s, CAST(SUM(cnt) AS BIGINT) AS weight FROM (
+        SELECT ' ' || array_to_string(
+                 list_concat(chars[1:len(chars)-1],
+                             [chars[len(chars)] || '</w>']), '  ') || ' ' AS s,
+               cnt
+        FROM (
+          SELECT string_split(word, '') AS chars, COUNT(*) AS cnt
+          FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      t -> t <> '')) AS word
+            FROM documents)
+          GROUP BY word))
+      GROUP BY s)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+      SELECT a, b, SUM(weight) AS c FROM (
+        SELECT l[j] AS a, l[j + 1] AS b, weight FROM (
+          SELECT string_split(trim(s), '  ') AS l, weight,
+                 unnest(range(1, len(string_split(trim(s), '  ')))) AS j
+          FROM w{p}))
+      GROUP BY a, b),
+    win{i} AS MATERIALIZED (
+      SELECT a, b, ' ' || a || '  ' || b || ' ' AS pat,
+             ' ' || a || b || ' ' AS rep
+      FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT replace(s, COALESCE((SELECT pat FROM win{i}), chr(1)),
+                        COALESCE((SELECT rep FROM win{i}), chr(1))) AS s,
+             weight
+      FROM w{p})""")
+    merge_rows = "\n    UNION ALL\n".join(
+        f"    SELECT 'merge' AS kind, CAST({i - 1} AS BIGINT) AS rank,"
+        f" a AS \"left\", b AS \"right\", CAST(NULL AS BIGINT) AS n"
+        f" FROM win{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f""",
+    toks AS (
+      SELECT string_split(trim(s), '  ') AS l, weight FROM w{n_merges})
+{merge_rows}
+    UNION ALL
+    SELECT 'total_tokens', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(SUM(weight * len(l)) AS BIGINT)
+    FROM toks
+    UNION ALL
+    SELECT 'distinct_tokens', NULL, NULL, NULL, COUNT(DISTINCT tok)
+    FROM (SELECT unnest(l) AS tok FROM toks)
+    UNION ALL
+    SELECT 'n_docs', NULL, NULL, NULL, COUNT(*) FROM documents
+    """)
+    return "".join(parts)
+
+
+@register("q_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE training + encoding, graded end-to-end (rows-only:
-    the merge loop is iterative, outside DuckDB's vocabulary; values are
-    pinned against the Sennrich reference in tests/test_bpe.py). Took the
-    former q_approx_distinct slot per COVERAGE.md's graduation plan — the
-    HLL row was rows-only too, so the swap costs no oracle strength
+    """Distributed BPE training + encoding, graded end-to-end — since r8
+    session D with a FULL value oracle: the merge loop is unrolled into
+    CTE SQL (_bpe_oracle — rounds as materialized CTEs, merges applied
+    via double-space-joined symbol strings whose replace() semantics
+    equal the training fold's greedy left-to-right pass), so the learned
+    merge list AND the encoding stats hash-match DuckDB every round, on
+    top of the Sennrich-reference pins in tests/test_bpe.py. Took the
+    former q_approx_distinct slot per COVERAGE.md's graduation plan
     (approx_count_distinct stays verified in
     tests/test_operators.py::TestApproxDistinct).
 
@@ -1011,7 +1090,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_encode, learn_bpe
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = learn_bpe(docs, n_merges=40)
+    merges = learn_bpe(docs, n_merges=_BPE_MERGES)
     merge_rows = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank bigint, left string, right string",
