@@ -46,6 +46,12 @@ class ExecutionError(Exception):
     pass
 
 
+# table property carrying a logical view's defining query (the matview
+# analogue is MATVIEW_PROP in engine/matview.py); an entry with this
+# property stores ZERO rows — reload_views re-expands the query instead
+VIEW_PROP = "view_sql"
+
+
 def _mangle(schema: str, name: str) -> str:
     raw = f"__sfs__{schema}__{name}"
     if re.fullmatch(r"[A-Za-z0-9_]+", raw):
@@ -285,7 +291,11 @@ class SeafowlContext:
                 table_catalog=e.database,
                 table_schema=e.schema,
                 table_name=e.name,
-                table_type="BASE TABLE",
+                table_type=(
+                    "VIEW"
+                    if (self._props_cache.get(e.uuid) or {}).get(VIEW_PROP)
+                    else "BASE TABLE"
+                ),
             )
             for e in entries
         ]
@@ -374,13 +384,20 @@ class SeafowlContext:
         """
         mapping: dict[str, str] = {}
         self._props_cache = {}
+        # logical views register AFTER every table/staging/system name is
+        # in the mapping (their defining queries may reference any of
+        # them); catalog order = creation order, so a view over an
+        # earlier view expands too
+        deferred_views: list[tuple[TableEntry, str, str, str | None]] = []
         for e in self.catalog.tables(self.database):
             t = DeltaLiteTable(self.spark, self.table_root(e))
             snap = t.snapshot()
             self._props_cache[e.uuid] = snap.properties
-            df = t.to_df(_snap=snap)
+            view_sql = (snap.properties or {}).get(VIEW_PROP)
             mangled = _mangle(e.schema, e.name)
-            df.createOrReplaceTempView(mangled)
+            if view_sql is None:
+                df = t.to_df(_snap=snap)
+                df.createOrReplaceTempView(mangled)
             mapping[f"{e.schema}.{e.name}"] = mangled
             mapping[f"{e.database}.{e.schema}.{e.name}"] = mangled
             # ANSI double-quoted reference forms, ONLY for names that need
@@ -401,8 +418,13 @@ class SeafowlContext:
                     # unqualified quoted reference resolves against the
                     # search schema, like unquoted names do
                     mapping[f'"{e.name}"'] = mangled
-            if e.schema == self.search_schema and not n_quoted:
-                df.createOrReplaceTempView(e.name)
+            plain = (
+                e.name if e.schema == self.search_schema and not n_quoted else None
+            )
+            if view_sql is not None:
+                deferred_views.append((e, view_sql, mangled, plain))
+            elif plain:
+                df.createOrReplaceTempView(plain)
         for name, df in self.staging.items():
             df.createOrReplaceTempView(name)
             mapping[f"{STAGING_SCHEMA}.{name}"] = name
@@ -414,6 +436,18 @@ class SeafowlContext:
             mangled = _mangle("information_schema", name)
             df.createOrReplaceTempView(mangled)
             mapping[f"information_schema.{name}"] = mangled
+        for e, view_sql, mangled, plain in deferred_views:
+            try:
+                df = self.spark.sql(self._rewrite_names(view_sql, mapping))
+                df.createOrReplaceTempView(mangled)
+                if plain:
+                    df.createOrReplaceTempView(plain)
+            except Exception:
+                # broken view (e.g. a dropped base table): unregister its
+                # names so only statements REFERENCING it fail (with an
+                # unresolved-relation error), not every statement
+                for k in [k for k, v in mapping.items() if v == mangled]:
+                    del mapping[k]
         registered = set(mapping.values()) | {
             e.name for e in self.catalog.tables(self.database) if e.schema == self.search_schema
         }
@@ -552,6 +586,11 @@ class SeafowlContext:
                 df = self._staging_travel(tbl, ts)
             else:
                 t = self.delta_table(name)
+                if (t.snapshot().properties or {}).get(VIEW_PROP):
+                    raise ExecutionError(
+                        "time travel over a view is not supported (the "
+                        "view stores no data; travel its base tables)"
+                    )
                 if ts.startswith("version="):
                     df = t.to_df(version=int(ts[len("version="):]))
                 else:
@@ -844,6 +883,12 @@ class SeafowlContext:
                 return self.spark.createDataFrame(
                     [Row(create_statement=ddl)], "create_statement string"
                 )
+            vsql = (snap.properties or {}).get(VIEW_PROP)
+            if vsql:
+                ddl = f"CREATE VIEW {entry.schema}.{entry.name} AS {vsql}"
+                return self.spark.createDataFrame(
+                    [Row(create_statement=ddl)], "create_statement string"
+                )
             schema = T.StructType.fromDDL(snap.schema_ddl)
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
@@ -994,6 +1039,12 @@ class SeafowlContext:
             return
         base, group_cols = parse_mv_select(stmt.query)
         base_t = self.delta_table(base)  # must be a managed table
+        if (base_t.snapshot().properties or {}).get(VIEW_PROP):
+            raise ExecutionError(
+                "materialized views must be defined over a base table, "
+                "not a logical view (its file-diff refresh needs stored "
+                "data)"
+            )
         base_version = base_t.latest_version()
         pinned = query_at_version(stmt.query, base, base_version)
         df = self._exec_query(parser.Statement("query", pinned))
@@ -1027,11 +1078,83 @@ class SeafowlContext:
         return MvSpec.from_json(raw) if raw else None
 
     def _guard_matview(self, t: DeltaLiteTable, what: str) -> None:
-        if self._matview_spec(t) is not None:
+        props = t.snapshot().properties or {}
+        if props.get("matview") is not None:
             raise ExecutionError(
                 f"{what} is not allowed on a materialized view "
                 "(its contents are derived; run REFRESH MATERIALIZED VIEW)"
             )
+        if props.get(VIEW_PROP) is not None:
+            raise ExecutionError(
+                f"{what} is not allowed on a view (it stores no rows; "
+                "write to its base tables instead)"
+            )
+
+    def _exec_create_view(self, stmt) -> None:
+        """CREATE [OR REPLACE] VIEW: a logical view — the defining query
+        is stored in the catalog (the entry holds ZERO data files) and
+        re-expanded against the live catalog at every statement, so
+        reads always see the CURRENT base tables with no refresh step
+        (contrast _exec_create_matview). Beyond the reference, which
+        rejects CreateView outright (src/context/physical.rs:573-575,
+        "Creating views is currently unsupported!").
+
+        Views may reference tables and previously created views.
+        Staging tables are session-scoped, so a persistent view over
+        one is refused at creation."""
+        db, schema, name = parser.parse_qualified(stmt.name)
+        self._guard_staging(schema)
+        db, schema = db or self.database, schema or self.search_schema
+        if re.search(rf"(?i)\b{STAGING_SCHEMA}\s*\.", stmt.query):
+            raise ExecutionError(
+                "a view cannot reference session-scoped staging tables "
+                "(CREATE TABLE ... AS SELECT them into a managed table first)"
+            )
+        existing = self.catalog.get_table(db, schema, name)
+        if existing is not None:
+            if not stmt.or_replace:
+                raise ExecutionError(f"{schema}.{name} already exists")
+            old = DeltaLiteTable(self.spark, self.table_root(existing))
+            if (old.snapshot().properties or {}).get(VIEW_PROP) is None:
+                raise ExecutionError(
+                    f"{schema}.{name} is not a view — CREATE OR REPLACE "
+                    "VIEW cannot replace a table"
+                )
+        # validate + capture the output schema (analysis only, no action)
+        df = self._exec_query(parser.Statement("query", stmt.query))
+        if existing is not None:
+            self.catalog.drop_table(db, schema, name)
+            DeltaLiteTable(self.spark, self.table_root(existing)).drop_data()
+        entry = self.catalog.create_table(
+            db, schema, name,
+            ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            ),
+        )
+        t = DeltaLiteTable.create(
+            self.spark,
+            self.table_root(entry),
+            df.schema,
+            operation="CREATE VIEW",
+            properties={VIEW_PROP: stmt.query},
+        )
+        self._record(entry, t)
+
+    def _exec_drop_view(self, stmt) -> None:
+        db, schema, name = parser.parse_qualified(stmt.name)
+        db, schema = db or self.database, schema or self.search_schema
+        entry = self.catalog.get_table(db, schema, name)
+        if entry is None:
+            if stmt.if_exists:
+                return
+            raise ExecutionError(f"view {schema}.{name} does not exist")
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        if (t.snapshot().properties or {}).get(VIEW_PROP) is None:
+            raise ExecutionError(
+                f"{schema}.{name} is not a view (use DROP TABLE)"
+            )
+        self._exec_drop_table(stmt)
 
     def _exec_refresh_matview(self, stmt) -> None:
         """Incremental refresh: recompute ONLY the groups whose base

@@ -343,6 +343,29 @@ def parse_statement(sql: str) -> Statement:
         )
 
     m = re.match(
+        rf"(?i)^create\s+(or\s+replace\s+)?view\s+({_QNAME})\s+as\s+"
+        rf"((?:select|with)\b.*)$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        return Statement(
+            "create_view",
+            s,
+            {
+                "or_replace": bool(m.group(1)),
+                "name": m.group(2),
+                "query": m.group(3),
+            },
+        )
+
+    m = re.match(rf"(?i)^drop\s+view\s+(if\s+exists\s+)?({_QNAME})\s*$", s)
+    if m:
+        return Statement(
+            "drop_view", s, {"if_exists": bool(m.group(1)), "name": m.group(2)}
+        )
+
+    m = re.match(
         rf"(?i)^create\s+table\s+(if\s+not\s+exists\s+)?({_QNAME})\s+"
         rf"shallow\s+clone\s+({_QNAME})\s*"
         rf"(?:for\s+version\s+as\s+of\s+(\d+)\s*)?"

@@ -371,3 +371,18 @@ class TestHttpMatViewClone:
         )
         assert status == 200
         assert json.loads(body.strip().splitlines()[-1]) == {"n": 4}
+        # logical view (r8 session D): create + read + drop, no refresh —
+        # the base INSERT below is visible immediately
+        status, body, _ = _post_q(
+            port,
+            "CREATE VIEW hv AS SELECT g, COUNT(*) AS n FROM hb GROUP BY g; "
+            "INSERT INTO hb VALUES ('c', 9); "
+            "SELECT g, n FROM hv ORDER BY g",
+        )
+        assert status == 200
+        lines = [json.loads(ln) for ln in body.strip().splitlines()]
+        assert lines == [
+            {"g": "a", "n": 2}, {"g": "b", "n": 2}, {"g": "c", "n": 1},
+        ]
+        status, _, _ = _post_q(port, "DROP VIEW hv")
+        assert status == 200

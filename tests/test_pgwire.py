@@ -438,3 +438,15 @@ class TestPgWireMatView:
         assert not err
         assert [c[0] for c in cols] == ["g", "s"]
         assert [list(r) for r in rows_] == [["a", "3"], ["b", "13"]]
+        # logical view (r8 session D): tracks the base with no refresh
+        _, _, err = client.query(
+            "CREATE VIEW wv AS SELECT g, COUNT(*) AS n FROM wt GROUP BY g"
+        )
+        assert not err
+        _, _, err = client.query("INSERT INTO wt VALUES ('c', 5)")
+        assert not err
+        _, rows_, err = client.query("SELECT g, n FROM wv ORDER BY g")
+        assert not err
+        assert [list(r) for r in rows_] == [["a", "2"], ["b", "2"], ["c", "1"]]
+        _, _, err = client.query("DROP VIEW wv")
+        assert not err

@@ -1,0 +1,173 @@
+"""Logical (non-materialized) views (engine/context.py VIEW_PROP, r8
+session D — beyond the reference, which rejects CreateView outright:
+src/context/physical.rs:573-575). The defining query is stored in the
+catalog with zero data files and re-expanded at every statement, so
+reads always track the live base tables with no refresh step."""
+
+import pytest
+
+from seafowl_spark.engine.context import ExecutionError
+from tests.conftest import rows
+
+
+def seed(ctx):
+    ctx.execute("CREATE TABLE sales (region string, amount bigint)")
+    ctx.execute(
+        "INSERT INTO sales VALUES ('east', 10), ('east', 20), ('west', 5)"
+    )
+
+
+class TestViewLifecycle:
+    def test_create_select_tracks_base_dml(self, ctx):
+        seed(ctx)
+        ctx.execute(
+            "CREATE VIEW v AS SELECT region, SUM(amount) AS total "
+            "FROM sales GROUP BY region"
+        )
+        assert rows(ctx.execute("SELECT * FROM v ORDER BY region")) == [
+            ("east", 30), ("west", 5),
+        ]
+        # no refresh step: DML on the base is visible immediately
+        ctx.execute("INSERT INTO sales VALUES ('west', 100)")
+        ctx.execute("DELETE FROM sales WHERE amount = 10")
+        assert rows(ctx.execute("SELECT * FROM v ORDER BY region")) == [
+            ("east", 20), ("west", 105),
+        ]
+
+    def test_view_over_view_and_joins_back_to_base(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v1 AS SELECT region, amount FROM sales")
+        ctx.execute(
+            "CREATE VIEW v2 AS SELECT region, SUM(amount) AS t FROM v1 "
+            "GROUP BY region"
+        )
+        got = rows(
+            ctx.execute(
+                "SELECT s.region, s.amount, v.t FROM sales s "
+                "JOIN v2 v ON v.region = s.region WHERE s.amount > 9 "
+                "ORDER BY s.amount"
+            )
+        )
+        assert got == [("east", 10, 30), ("east", 20, 30)]
+
+    def test_or_replace_changes_definition(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region FROM sales")
+        with pytest.raises(ExecutionError, match="already exists"):
+            ctx.execute("CREATE VIEW v AS SELECT amount FROM sales")
+        ctx.execute(
+            "CREATE OR REPLACE VIEW v AS SELECT COUNT(*) AS n FROM sales"
+        )
+        assert rows(ctx.execute("SELECT n FROM v")) == [(3,)]
+
+    def test_or_replace_refuses_tables(self, ctx):
+        seed(ctx)
+        with pytest.raises(ExecutionError, match="cannot replace a table"):
+            ctx.execute(
+                "CREATE OR REPLACE VIEW sales AS SELECT 1 AS x FROM sales"
+            )
+
+    def test_drop_view(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region FROM sales")
+        ctx.execute("DROP VIEW v")
+        with pytest.raises(Exception):
+            ctx.execute("SELECT * FROM v")
+        ctx.execute("DROP VIEW IF EXISTS v")  # no error
+        with pytest.raises(ExecutionError, match="does not exist"):
+            ctx.execute("DROP VIEW v")
+        with pytest.raises(ExecutionError, match="is not a view"):
+            ctx.execute("DROP VIEW sales")
+
+    def test_broken_view_only_fails_statements_referencing_it(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE TABLE doomed (x bigint)")
+        ctx.execute("CREATE VIEW v AS SELECT x FROM doomed")
+        ctx.execute("DROP TABLE doomed")
+        # other statements keep working
+        assert rows(ctx.execute("SELECT COUNT(*) AS n FROM sales")) == [(3,)]
+        with pytest.raises(Exception):
+            ctx.execute("SELECT * FROM v")
+
+
+class TestViewGuards:
+    def test_dml_rejected(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region, amount FROM sales")
+        for sql, what in [
+            ("INSERT INTO v VALUES ('x', 1)", "INSERT"),
+            ("UPDATE v SET amount = 1 WHERE region = 'east'", "UPDATE"),
+            ("DELETE FROM v WHERE amount > 0", "DELETE"),
+        ]:
+            with pytest.raises(ExecutionError, match="not allowed on a view"):
+                ctx.execute(sql)
+
+    def test_refresh_rejected(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region FROM sales")
+        with pytest.raises(ExecutionError, match="not a materialized view"):
+            ctx.execute("REFRESH MATERIALIZED VIEW v")
+
+    def test_staging_base_rejected(self, ctx):
+        seed(ctx)
+        with pytest.raises(ExecutionError, match="staging"):
+            ctx.execute(
+                "CREATE VIEW v AS SELECT * FROM staging.anything"
+            )
+
+    def test_time_travel_rejected(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region FROM sales")
+        with pytest.raises(ExecutionError, match="time travel over a view"):
+            ctx.execute("SELECT * FROM v FOR VERSION AS OF 0")
+
+    def test_matview_over_view_rejected(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region, amount FROM sales")
+        with pytest.raises(ExecutionError, match="base table"):
+            ctx.execute(
+                "CREATE MATERIALIZED VIEW mv AS "
+                "SELECT region, SUM(amount) AS t FROM v GROUP BY region"
+            )
+
+
+class TestViewMetadata:
+    def test_show_create_round_trips(self, ctx):
+        seed(ctx)
+        ctx.execute(
+            "CREATE VIEW v AS SELECT region, SUM(amount) AS total "
+            "FROM sales GROUP BY region"
+        )
+        ddl = ctx.execute("SHOW CREATE TABLE v").collect()[0][0]
+        assert ddl.startswith("CREATE VIEW public.v AS SELECT")
+        ctx.execute("DROP VIEW v")
+        ctx.execute(ddl.replace("public.v", "v2"))
+        assert rows(ctx.execute("SELECT * FROM v2 ORDER BY region")) == [
+            ("east", 30), ("west", 5),
+        ]
+
+    def test_information_schema_table_type(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW v AS SELECT region FROM sales")
+        got = dict(
+            rows(
+                ctx.execute(
+                    "SELECT table_name, table_type FROM "
+                    "information_schema.tables "
+                    "WHERE table_name IN ('sales', 'v')"
+                )
+            )
+        )
+        assert got == {"sales": "BASE TABLE", "v": "VIEW"}
+
+    def test_ctas_and_insert_select_from_view(self, ctx):
+        seed(ctx)
+        ctx.execute(
+            "CREATE VIEW v AS SELECT region, SUM(amount) AS total "
+            "FROM sales GROUP BY region"
+        )
+        ctx.execute("CREATE TABLE snap AS SELECT * FROM v")
+        ctx.execute("INSERT INTO snap SELECT * FROM v")
+        assert rows(
+            ctx.execute("SELECT COUNT(*) AS n FROM snap")
+        ) == [(4,)]
