@@ -50,11 +50,23 @@ def engines(spark, tmp_path_factory):
         "CREATE TABLE fz AS SELECT o_orderkey, o_custkey, o_orderstatus, "
         "o_totalprice, o_orderpriority FROM staging.orders_src"
     )
+    ctx.execute(
+        "CREATE EXTERNAL TABLE customer_src STORED AS PARQUET "
+        f"LOCATION '{SF_DIR}/customer.parquet'"
+    )
+    ctx.execute(
+        "CREATE TABLE fzc AS SELECT c_custkey, c_nationkey, c_mktsegment "
+        "FROM staging.customer_src"
+    )
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW fz AS SELECT o_orderkey, o_custkey, o_orderstatus, "
         "o_totalprice, o_orderpriority "
         f"FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW fzc AS SELECT c_custkey, c_nationkey, c_mktsegment "
+        f"FROM read_parquet('{SF_DIR}/customer.parquet')"
     )
     # literal pools drawn from the data so predicates actually split it
     strs = {
@@ -132,8 +144,34 @@ def _scalar_exprs(rng: random.Random) -> list[str]:
 
 
 def gen_query(rng: random.Random, strs, ints) -> str:
+    roll = rng.random()
     where = _where(rng, strs, ints)
-    if rng.random() < 0.55:
+    if roll < 0.2:
+        # join path: orders x customer through the engine's rewrite plane
+        jt = rng.choice(["JOIN", "LEFT JOIN"])
+        group = rng.sample(
+            ["o_orderpriority", "c_mktsegment", "c_nationkey"],
+            k=rng.randrange(1, 3),
+        )
+        aggs = rng.sample(
+            [
+                "COUNT(*) AS a0",
+                "COUNT(c.c_custkey) AS a1",
+                "CAST(SUM(o.o_orderkey) AS BIGINT) AS a2",
+                "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+                " AS a3",
+                "MIN(o.o_orderstatus) AS a4",
+            ],
+            k=rng.randrange(1, 3),
+        )
+        # customer on the LEFT so LEFT JOIN actually null-extends
+        # (customers with no orders exist; every order has a customer)
+        return (
+            f"SELECT {', '.join(group + aggs)} FROM fzc c {jt} fz o "
+            f"ON o.o_custkey = c.c_custkey{where}"
+            f" GROUP BY {', '.join(group)}"
+        )
+    if roll < 0.6:
         group = rng.sample(STR_COLS, k=rng.randrange(0, 3))
         aggs = _agg_exprs(rng)
         sel = ", ".join(group + aggs)
