@@ -123,3 +123,43 @@ def canonicalize_url(url_col: Column) -> Column:
         u, r"^([a-z][a-z0-9+.-]*://[^/?]+/[^?]*[^/?])/$", r"$1"
     )
     return F.when(u == "", None).otherwise(u)
+
+
+def canonicalize_url_oracle_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`canonicalize_url` for graded oracles.
+
+    Dialect deltas handled here: RE2 has no lookahead, so the
+    default-port rules consume the following char and re-emit it as a
+    capture; DuckDB regexp_replace is first-match-only without the 'g'
+    flag (Spark's is always global), so the multi-occurrence steps pass
+    'g'; replacement backrefs are \\1, not $1. RE2's NFA alternation
+    still matches `ref_src` over the `ref` prefix (simultaneous-branch
+    simulation), so the tracking alternation transfers verbatim."""
+    track = "utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid"
+    u = f"trim({expr})"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    prefix = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+    u = (
+        f"(lower(regexp_extract({u}, '({prefix})', 1))"
+        f" || regexp_replace({u}, '{prefix}', ''))"
+    )
+    u = (
+        f"regexp_replace({u}, '^(https://[^/:?]+):443([/?]|$)', "
+        r"'\1\2')"
+    )
+    u = (
+        f"regexp_replace({u}, '^(http://[^/:?]+):80([/?]|$)', "
+        r"'\1\2')"
+    )
+    u = (
+        f"regexp_replace({u}, '([?&])({track})=[^&#]*', "
+        r"'\1', 'g')"
+    )
+    u = f"regexp_replace({u}, '\\?&+', '?')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '')"
+    u = (
+        f"regexp_replace({u}, "
+        r"'^([a-z][a-z0-9+.-]*://[^/?]+/[^?]*[^/?])/$', '\1')"
+    )
+    return f"NULLIF({u}, '')"

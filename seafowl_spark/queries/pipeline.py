@@ -201,6 +201,21 @@ _SQL_PII_AUG = """
 """
 
 
+def _canon_url_oracle() -> str:
+    """DuckDB canonicalization of the same deterministic provenance URL
+    the Spark row synthesizes (operators/normalize mirror)."""
+    from ..operators.normalize import canonicalize_url_oracle_sql
+
+    url = (
+        "'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/' "
+        "|| doc_id || CASE doc_id % 4 "
+        "WHEN 0 THEN '/?utm_source=feed&q=1&utm_campaign=a#frag' "
+        "WHEN 1 THEN '/' WHEN 2 THEN '?fbclid=abc' "
+        "ELSE '?q=' || doc_id || '&ref=x&y=2' END"
+    )
+    return canonicalize_url_oracle_sql(url)
+
+
 @register(
     "t_pii_scan",
     oracle=f"""
@@ -217,14 +232,20 @@ _SQL_PII_AUG = """
            len(regexp_extract_all(t, '{_PAT_PHONE}')) AS n_phones,
            len(regexp_extract_all(t, '{_PAT_IP}')) AS n_ips,
            md5(redacted) AS redacted_md5,
-           length(redacted) AS redacted_len
+           length(redacted) AS redacted_len,
+           {_canon_url_oracle()} AS canon_url
     FROM red
     """,
 )
 def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: count email/phone/IPv4 matches per doc and
     emit the md5 of the redacted text (emails, then phones, then IPs each
-    replaced with a typed placeholder).
+    replaced with a typed placeholder). Since r8 session D the row also
+    grades URL canonicalization (operators/normalize.canonicalize_url —
+    the dedup-key transform): a deterministic provenance URL synthesized
+    from doc_id exercises every rule (tracking params, default ports,
+    scheme/host case, fragment, trailing slash), value-checked against
+    the RE2-safe DuckDB mirror (canonicalize_url_oracle_sql).
 
     Scale: pure JVM regexp expressions inside whole-stage codegen — one
     pass over the text column, no shuffle, no Python. The md5-of-redacted
@@ -266,6 +287,19 @@ def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAT_IP,
         "<IP>",
     )
+    from ..operators.normalize import canonicalize_url
+
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (k % 7).cast("string"),
+        F.lit(".COM:443/Path/"),
+        k.cast("string"),
+        F.when(k % 4 == 0, F.lit("/?utm_source=feed&q=1&utm_campaign=a#frag"))
+        .when(k % 4 == 1, F.lit("/"))
+        .when(k % 4 == 2, F.lit("?fbclid=abc"))
+        .otherwise(F.concat(F.lit("?q="), k.cast("string"), F.lit("&ref=x&y=2"))),
+    )
     return d.select("doc_id", aug.alias("t")).select(
         "doc_id",
         F.regexp_count(t, F.lit(_PAT_EMAIL)).cast("long").alias("n_emails"),
@@ -273,6 +307,11 @@ def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(_PAT_IP)).cast("long").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).cast("long").alias("redacted_len"),
+        # canonical URL dedup key (operators/normalize.canonicalize_url,
+        # graded since r8 session D): provenance URLs synthesized
+        # deterministically from doc_id so every rule fires — tracking
+        # params, default port, scheme/host case, fragment, trailing slash
+        canonicalize_url(url).alias("canon_url"),
     )
 
 

@@ -125,3 +125,38 @@ class TestCanonicalizeUrl:
             .count()
         )
         assert n == 2
+
+    def test_oracle_mirror_matches_spark(self, spark):
+        """canonicalize_url_oracle_sql (the RE2-safe DuckDB mirror that
+        grades the t_pii_scan canon_url column) must agree with the
+        Spark operator on every rule and on non-URL/empty inputs."""
+        import duckdb
+
+        from seafowl_spark.operators.normalize import (
+            canonicalize_url,
+            canonicalize_url_oracle_sql,
+        )
+
+        urls = [
+            "HTTPS://WWW.Ex0.COM:443/Path/1/?utm_source=f&q=1&utm_campaign=a#z",
+            "https://Example.com:443/Path/3/",
+            "http://a.b.C.com:80?fbclid=abc",
+            "https://x.com/p?q=17&ref=x&y=2",
+            "https://x.com:443",
+            "http://x.com:8080/keep:80/",
+            "  https://Y.com/a/b/  ",
+            "ftp://Host.Com/File",
+            "https://x.com/?utm_id=1",
+            "https://x.com/p/?ref_src=tw&q=2",
+            "not a url",
+            "",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+        con = duckdb.connect()
+        sql = canonicalize_url_oracle_sql("url")
+        want = [
+            con.execute(f"SELECT {sql} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+            for u in urls
+        ]
+        assert got == want
