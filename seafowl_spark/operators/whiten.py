@@ -1,0 +1,128 @@
+"""Embedding whitening (PCA whitening), factored for scale.
+
+Whitening decorrelates an embedding corpus before product quantization
+or cosine ANN (the OPQ/ZCA preprocessing step every large retrieval
+pipeline runs: after whitening, per-subspace quantizers see isotropic
+residuals). It factors into:
+
+* **Distributed moments** (:func:`moment_sums`): the second-moment
+  (Gram) upper triangle and the mean vector in ONE pass — per row a
+  d(d+1)/2 products array is built JVM-side, posexploded, and hash-
+  aggregated with decimal-exact sums. Map-side partial aggregation
+  collapses each partition to d(d+1)/2 + d rows, so the shuffle carries
+  O(d^2 x partitions) scalars, never vectors — the 100 TB shape (at
+  d=64 that is 2,080 doubles per partition).
+* **Driver-side fit** (:func:`fit_whitening`): assemble the covariance
+  from the moment sums (cov = E[xx^T] - mu mu^T), eigendecompose, and
+  return the d x d whitening matrix W = diag(1/sqrt(eig+eps)) V^T —
+  numpy on a d x d matrix, O(d^3) once, independent of corpus size
+  (the k-means / PQ codebook discipline).
+* **Application** (:func:`apply_whitening`): y = W (x - mu) as an
+  Arrow-batched pandas UDF — one matmul per batch, the codebook-as-
+  closure design; the plan is O(1) in d.
+
+The distributed moments are value-graded as s_quantize_int8's 'gram' /
+'mean' branches (queries/similarity.py); the fit/apply pair is pinned
+in tests/test_whiten.py (whitened sample covariance == identity).
+
+Cross-engine parity: decimal casts of dyadic-rational products (float32
+x float32 multiplies are EXACT in double) can land on exact decimal
+ties, where Spark rounds half-up and DuckDB half-even — so sums here
+use FIXED-POINT integers instead: floor(term * SCALE) as BIGINT. The
+scaling multiply and floor are bit-identical IEEE operations on both
+engines, and integer sums are order-free, so the statistic is
+deterministic by construction (precision 1/SCALE per term,
+documented)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed-point scale: 1e-9 per-term precision; headroom before BIGINT
+# overflow is ~9.2e18 / (SCALE * max|term|) rows per cell
+SCALE = 1_000_000_000
+
+
+def _fx(col) -> F.Column:
+    return F.floor(col * float(SCALE)).cast("long")
+
+
+def moment_sums(df: DataFrame, col: str, dim: int) -> DataFrame:
+    """Second-moment sums over an ``array<double>`` column: one row per
+    upper-triangle cell (i <= j) with (i, j, sum_fx BIGINT, sum_prod
+    DOUBLE = sum_fx / SCALE). Deterministic, shuffle = one hash
+    aggregate on (i, j); map-side combine collapses each partition to
+    d(d+1)/2 rows."""
+    v = F.col("__w_v")
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    _fx(
+                        F.element_at(v, i.cast("int") + 1)
+                        * F.element_at(v, j.cast("int") + 1)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(col).alias("__w_v"))
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("sum_fx"))
+        .withColumn(
+            "sum_prod", F.col("sum_fx").cast("double") / float(SCALE)
+        )
+    )
+
+
+def mean_sums(df: DataFrame, col: str, dim: int) -> DataFrame:
+    """Per-coordinate fixed-point sums and the row count:
+    (i, sum_fx BIGINT, sum_x DOUBLE, n)."""
+    ex = df.select(F.posexplode(F.col(col)).alias("i", "x"))
+    return (
+        ex.groupBy("i")
+        .agg(
+            F.sum(_fx(F.col("x"))).alias("sum_fx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("sum_x", F.col("sum_fx").cast("double") / float(SCALE))
+    )
+
+
+def fit_whitening(
+    df: DataFrame, col: str, dim: int, eps: float = 1e-6
+):
+    """Fit PCA whitening driver-side from the distributed moments.
+    Returns (W, mu): numpy arrays, W is d x d with
+    W = diag(1/sqrt(eig + eps)) V^T of the covariance."""
+    import numpy as np
+
+    g = {(r["i"], r["j"]): r["sum_prod"] for r in moment_sums(df, col, dim).collect()}
+    m_rows = mean_sums(df, col, dim).collect()  # dim rows — bounded
+    n = int(m_rows[0]["n"])
+    mu = np.zeros(dim)
+    for r in m_rows:
+        mu[r["i"]] = r["sum_x"] / n
+    second = np.zeros((dim, dim))
+    for (i, j), s in g.items():
+        second[i, j] = second[j, i] = s / n
+    cov = second - np.outer(mu, mu)
+    eig, vec = np.linalg.eigh(cov)
+    w = (vec / np.sqrt(np.clip(eig, 0.0, None) + eps)).T
+    return w, mu
+
+
+def apply_whitening(df: DataFrame, col: str, w, mu, out_col: str = "whitened"):
+    """y = W (x - mu), Arrow-batched (matrix in the UDF closure —
+    functions/whiten.py, kept outside this module because postponed
+    annotations break pandas_udf hint resolution)."""
+    from ..functions.whiten import whiten_udf
+
+    return df.withColumn(out_col, whiten_udf(w, mu)(F.col(col)))

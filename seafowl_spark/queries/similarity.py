@@ -771,6 +771,31 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS n2
     FROM (SELECT vec_id, label, {_SQL_EMB} AS emb FROM embeddings)
     GROUP BY label
+    UNION ALL
+    SELECT kind, key, CAST(sum_fx AS DOUBLE) / 1000000000.0 AS v1,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           sum_fx AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM (
+      SELECT 'gram' AS kind, CAST(p.i * {EMB_DIM} + p.j AS VARCHAR) AS key,
+             SUM(CAST(floor(e.v[p.i + 1] * e.v[p.j + 1] * 1000000000.0)
+                      AS BIGINT)) AS sum_fx
+      FROM (SELECT {_SQL_EMB} AS v FROM embeddings) e,
+           (SELECT i.i, j.j
+            FROM (SELECT unnest(range(0, {EMB_DIM})) AS i) i,
+                 (SELECT unnest(range(0, {EMB_DIM})) AS j) j
+            WHERE j.j >= i.i) p
+      GROUP BY p.i, p.j)
+    UNION ALL
+    SELECT 'mean' AS kind, CAST(i AS VARCHAR) AS key,
+           (CAST(SUM(CAST(floor(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000000.0) / COUNT(*) AS v1,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           COUNT(*) AS n1,
+           SUM(CAST(floor(x * 1000000000.0) AS BIGINT)) AS n2
+    FROM (SELECT unnest(range(0, {EMB_DIM})) AS i,
+                 unnest({_SQL_EMB}) AS x
+          FROM embeddings)
+    GROUP BY i
     """,
 )
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,9 +808,20 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the former s_embedding_stats registry row as its 'norm_stats' branch
     (per-label norm mean/min/max with the same decimal-cast sums) —
     consolidated to free a slot for t_count_min; both branches stay fully
-    hash-checked. Schema: (kind, key, v1, v2, v3, n1, n2) — quant rows
+    hash-checked. Since r8 session D two more branches grade the
+    whitening-prep moment statistics (operators/whiten.py): 'gram' rows
+    carry the second-moment upper triangle and 'mean' rows the
+    per-coordinate means, both as FIXED-POINT integer sums
+    (floor(term * 1e9) as BIGINT — float32 products are exact doubles
+    whose decimal casts can tie, and Spark rounds half-up where DuckDB
+    rounds half-even; scaled floor + integer sums are bit-deterministic
+    on both engines and order-free). PCA whitening's driver-side
+    fit/apply over these moments is pinned in tests/test_whiten.py.
+    Schema: (kind, key, v1, v2, v3, n1, n2) — quant rows
     map (q_scale, approx_dot_first, recon_max, q_norm_sq, int_dot_first),
-    norm_stats rows map (avg_norm, min_norm, max_norm, n_vecs, NULL).
+    norm_stats rows map (avg_norm, min_norm, max_norm, n_vecs, NULL),
+    gram rows (sum_prod, ..., sum_fx, NULL), mean rows
+    (mean, ..., n, sum_fx).
 
     Scale: quantization is a row-local projection (no shuffle); the single
     reference vector is a 1-row broadcast. At 100 TB the int8 vectors are
@@ -856,7 +892,32 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n2"),
         )
     )
-    return quant.unionAll(stats)
+    # 'gram'/'mean' branches (r8 session D): the whitening-prep moment
+    # statistics (operators/whiten.py) — the distributed HALF of PCA
+    # whitening, value-graded; fit/apply are pinned in test_whiten.py
+    from ..operators.whiten import mean_sums, moment_sums
+
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    gram = moment_sums(v, "emb", EMB_DIM).select(
+        F.lit("gram").alias("kind"),
+        (F.col("i") * EMB_DIM + F.col("j")).cast("string").alias("key"),
+        F.col("sum_prod").alias("v1"),
+        null_d.alias("v2"),
+        null_d.alias("v3"),
+        F.col("sum_fx").alias("n1"),
+        null_l.alias("n2"),
+    )
+    mean = mean_sums(v, "emb", EMB_DIM).select(
+        F.lit("mean").alias("kind"),
+        F.col("i").cast("string").alias("key"),
+        (F.col("sum_x") / F.col("n")).alias("v1"),
+        null_d.alias("v2"),
+        null_d.alias("v3"),
+        F.col("n").alias("n1"),
+        F.col("sum_fx").alias("n2"),
+    )
+    return quant.unionAll(stats).unionAll(gram).unionAll(mean)
 
 
 # --------------------------------------------------------------------------
