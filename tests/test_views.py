@@ -171,3 +171,50 @@ class TestViewMetadata:
         assert rows(
             ctx.execute("SELECT COUNT(*) AS n FROM snap")
         ) == [(4,)]
+
+
+class TestViewDmlFuzz:
+    """Seeded DML churn: after EVERY engine mutation of the base, the
+    view must equal direct recomputation of its defining query — guards
+    the reload/expansion path (deferred registration, name rewriting)
+    under the same churn the matview refresh fuzz applies."""
+
+    def test_view_tracks_base_under_random_dml(self, ctx):
+        import random
+
+        rng = random.Random(43)
+        ctx.execute("CREATE TABLE fz (g string, v bigint)")
+        ctx.execute(
+            "INSERT INTO fz VALUES ('a', 1), ('b', 2), ('c', 3), ('a', 4)"
+        )
+        ctx.execute(
+            "CREATE VIEW vz AS SELECT g, COUNT(*) AS n, SUM(v) AS s, "
+            "MIN(v) AS mn, MAX(v) AS mx FROM fz GROUP BY g"
+        )
+        groups = ["a", "b", "c", "d", "e"]
+        for step in range(12):
+            op = rng.randrange(3)
+            g = rng.choice(groups)
+            if op == 0:
+                ctx.execute(
+                    f"INSERT INTO fz VALUES ('{g}', {rng.randrange(100)})"
+                )
+            elif op == 1:
+                ctx.execute(
+                    f"UPDATE fz SET v = v + {rng.randrange(10)} "
+                    f"WHERE g = '{g}'"
+                )
+            else:
+                ctx.execute(
+                    f"DELETE FROM fz WHERE g = '{g}' AND v % 3 = {step % 3}"
+                )
+            got = sorted(rows(ctx.execute("SELECT * FROM vz")))
+            want = sorted(
+                rows(
+                    ctx.execute(
+                        "SELECT g, COUNT(*) AS n, SUM(v) AS s, "
+                        "MIN(v) AS mn, MAX(v) AS mx FROM fz GROUP BY g"
+                    )
+                )
+            )
+            assert got == want, f"step {step}"
