@@ -556,3 +556,30 @@ class TestRound8Graduates:
         # hash-partition shuffles only: dedup window (+AQE may reuse) and
         # the doc-keyed reassembly — never a global range sort
         assert "rangepartitioning" not in p.lower()
+
+
+class TestWhiteningMoments:
+    def test_gram_partial_aggregates_before_shuffle(self, spark):
+        """The whitening Gram pass (graded as s_quantize_int8's 'gram'
+        branch) must map-side combine: partial_sum BEFORE the (i, j)
+        exchange, so the shuffle carries d(d+1)/2 scalars per partition
+        instead of exploded per-row cells; the scan reads ONLY the
+        embedding column; floor stays in codegen (no Python)."""
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.io import table
+        from seafowl_spark.operators.whiten import moment_sums
+
+        emb = table(spark, SF, "embeddings").select(
+            F.col("embedding").cast("array<double>").alias("emb")
+        )
+        p = (
+            moment_sums(emb, "emb", 64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_sum" in p
+        assert p.index("partial_sum") > p.index("Exchange")  # plan prints top-down
+        assert "ReadSchema: struct<embedding:array<float>>" in p
+        assert "BatchEvalPython" not in p and "CartesianProduct" not in p
