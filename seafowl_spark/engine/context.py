@@ -445,9 +445,18 @@ class SeafowlContext:
             except Exception:
                 # broken view (e.g. a dropped base table): unregister its
                 # names so only statements REFERENCING it fail (with an
-                # unresolved-relation error), not every statement
+                # unresolved-relation error), not every statement — and
+                # drop any temp views from a previous healthy reload, or
+                # an unqualified reference would silently read the STALE
+                # pre-break plan
                 for k in [k for k, v in mapping.items() if v == mangled]:
                     del mapping[k]
+                for stale_name in (mangled, plain):
+                    if stale_name:
+                        try:
+                            self.spark.catalog.dropTempView(stale_name)
+                        except Exception:
+                            pass
         registered = set(mapping.values()) | {
             e.name for e in self.catalog.tables(self.database) if e.schema == self.search_schema
         }

@@ -218,3 +218,20 @@ class TestViewDmlFuzz:
                 )
             )
             assert got == want, f"step {step}"
+
+
+class TestBrokenViewStaleness:
+    def test_unqualified_reference_never_reads_stale_plan(self, ctx):
+        """If a view's re-expansion breaks (here: the base drops a column
+        the view selects), an unqualified reference must FAIL — not
+        silently serve the temp view left by the last healthy reload."""
+        ctx.execute("CREATE TABLE bt (x bigint, y bigint)")
+        ctx.execute("INSERT INTO bt VALUES (1, 2)")
+        ctx.execute("CREATE VIEW bv AS SELECT x, y FROM bt")
+        assert rows(ctx.execute("SELECT * FROM bv")) == [(1, 2)]  # healthy
+        ctx.execute("ALTER TABLE bt DROP COLUMN y")
+        # other statements keep working
+        assert rows(ctx.execute("SELECT x FROM bt")) == [(1,)]
+        for sql in ("SELECT * FROM bv", "SELECT * FROM public.bv"):
+            with pytest.raises(Exception):
+                ctx.execute(sql)
