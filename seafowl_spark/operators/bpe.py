@@ -229,3 +229,56 @@ def bpe_encode(
 
     enc = bpe_encode_udf(merges, lowercase=lowercase)
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def merges_to_text(merges: list[tuple[str, str]]) -> str:
+    """Serialize a learned merge list in the subword-nmt ``merges.txt``
+    interchange format (one ``a b`` pair per line, rank order, ``#version``
+    header) — the file HF tokenizers' BPE loader consumes, so a vocabulary
+    trained here drops into an existing tokenizer stack."""
+    lines = ["#version: 0.2"]
+    lines += [f"{a} {b}" for a, b in merges]
+    return "\n".join(lines) + "\n"
+
+
+def merges_from_text(text: str) -> list[tuple[str, str]]:
+    """Parse ``merges.txt`` content back to the ordered merge list
+    (inverse of :func:`merges_to_text`; header and blank lines skipped,
+    rank = line order)."""
+    merges: list[tuple[str, str]] = []
+    for line in text.splitlines():
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        a, _, b = line.partition(" ")
+        if not b or " " in b:
+            raise ValueError(f"malformed merges line: {line!r}")
+        merges.append((a, b))
+    return merges
+
+
+def vocab_from_merges(merges: list[tuple[str, str]], alphabet) -> dict[str, int]:
+    """token -> id table in HF ``vocab.json`` shape: the sorted alphabet
+    (single characters + their ``</w>`` forms) first, then each merge's
+    product in rank order — the id assignment HF's BPE trainer uses, so
+    (vocab.json, merges.txt) pairs round-trip into other stacks."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(alphabet)):
+        vocab[ch] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def corpus_alphabet(df: DataFrame, text_col: str = "text", lowercase: bool = True) -> list[str]:
+    """The initial symbol alphabet of a corpus (distinct characters of
+    every whitespace word, word-final ones in their ``</w>`` form) — one
+    explode + distinct, the companion corpus pass for
+    :func:`vocab_from_merges`."""
+    words = _word_counts(df, text_col, lowercase).select("word")
+    syms = words.select(
+        F.explode(_initial_symbols()).alias("sym")
+    ).distinct()
+    return [r["sym"] for r in syms.collect()]  # alphabet-sized collect
