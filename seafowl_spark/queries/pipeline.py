@@ -977,9 +977,33 @@ _MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.125, "zh": 0.125}
       SELECT label,
              CAST(FLOOR(wn * nout.n_out / n * 10000 + 0.5) AS BIGINT)
                AS rate_pct
-      FROM norm CROSS JOIN nout)
-    SELECT d.doc_id, d.lang
+      FROM norm CROSS JOIN nout),
+    ac AS (
+      SELECT lang AS label, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang HAVING COUNT(*) > 0),
+    atw AS (
+      SELECT list_reduce(list(sqrt(n) ORDER BY label), (a, b) -> a + b)
+             AS tw
+      FROM ac),
+    ashare AS (
+      SELECT label, n, FLOOR(sqrt(n) / atw.tw * 4096 + 0.5) / 4096 AS w
+      FROM ac CROSS JOIN atw),
+    apresent AS (SELECT label, w, n FROM ashare WHERE w > 0),
+    atot AS (SELECT SUM(w) AS twq FROM apresent),
+    anorm AS (
+      SELECT label, w / atot.twq AS wn, n FROM apresent CROSS JOIN atot),
+    anout AS (SELECT MIN(n / wn) AS n_out FROM anorm),
+    arates AS (
+      SELECT label,
+             CAST(FLOOR(wn * anout.n_out / n * 10000 + 0.5) AS BIGINT)
+               AS rate_pct
+      FROM anorm CROSS JOIN anout)
+    SELECT 'fixed' AS branch, d.doc_id, d.lang
     FROM documents d JOIN rates r ON r.label = d.lang
+    WHERE {oracle_md5_int("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate_pct
+    UNION ALL
+    SELECT 'alpha' AS branch, d.doc_id, d.lang
+    FROM documents d JOIN arates r ON r.label = d.lang
     WHERE {oracle_md5_int("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate_pct
     """,
 )
@@ -994,14 +1018,30 @@ def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     division each) is order-independent — and applies the identical
     bucket predicate, so the selected row set matches exactly.
 
+    Since r8 session D the row carries a second, 'alpha' branch grading
+    TEMPERATURE sampling (operators/mixture.temperature_targets — the
+    XLM-R/mT5 multilingual knob): targets derive from the observed
+    counts as n^0.5 shares (sqrt is IEEE-correctly-rounded, the
+    normalizer is an ordered left fold mirrored by DuckDB's
+    list_reduce), quantized to exact 1/4096 binary rationals so the
+    downstream rate re-normalization is order-independent — the whole
+    chain stays bit-deterministic cross-engine.
+
     Scale: one bounded per-category aggregate, then a pure scan +
     codegen predicate — no shuffle, no rand() (plan-gated in
     test_plans.py).
     """
-    from ..operators.mixture import mixture_sample
+    from ..operators.mixture import mixture_sample, temperature_targets
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return mixture_sample(d, dict(_MIX_TARGETS))
+    fixed = mixture_sample(d, dict(_MIX_TARGETS)).select(
+        F.lit("fixed").alias("branch"), "doc_id", "lang"
+    )
+    at = temperature_targets(d, alpha=0.5)
+    alpha = mixture_sample(d, at).select(
+        F.lit("alpha").alias("branch"), "doc_id", "lang"
+    )
+    return fixed.unionAll(alpha)
 
 
 # --------------------------------------------------------------------------

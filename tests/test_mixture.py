@@ -136,3 +136,57 @@ class TestWeightedMixture:
         assert set(got) == {"en", "zh"}
         # per-doc hash granularity over a 500-doc corpus: coarse tolerance
         assert got["en"] / total == pytest.approx(0.5, abs=0.15)
+
+
+class TestTemperatureTargets:
+    """temperature_targets (r8 session D): n^alpha shares, ordered-fold
+    normalizer, 1/4096 quantization for cross-engine-exact downstream
+    rate arithmetic."""
+
+    def _df(self, spark, counts):
+        rows_ = [
+            (f"{c}_{i}", c) for c, n in counts.items() for i in range(n)
+        ]
+        return spark.createDataFrame(rows_, "doc_id string, lang string")
+
+    def test_alpha_one_is_natural_distribution(self, spark):
+        from seafowl_spark.operators.mixture import temperature_targets
+
+        df = self._df(spark, {"en": 30, "de": 10})
+        t = temperature_targets(df, alpha=1.0)
+        assert t["en"] == pytest.approx(0.75, abs=1 / 4096)
+        assert t["de"] == pytest.approx(0.25, abs=1 / 4096)
+
+    def test_alpha_zero_is_uniform(self, spark):
+        from seafowl_spark.operators.mixture import temperature_targets
+
+        df = self._df(spark, {"en": 30, "de": 10, "fr": 1})
+        t = temperature_targets(df, alpha=0.0)
+        assert all(w == pytest.approx(1 / 3, abs=1 / 4096) for w in t.values())
+
+    def test_sqrt_upweights_tail(self, spark):
+        from seafowl_spark.operators.mixture import temperature_targets
+
+        df = self._df(spark, {"en": 90, "de": 10})
+        t = temperature_targets(df, alpha=0.5)
+        assert 0.10 < t["de"] < 0.5  # above natural 0.1, below uniform 0.5
+        assert t["en"] > t["de"]
+
+    def test_quantized_shares_are_binary_rationals(self, spark):
+        from seafowl_spark.operators.mixture import temperature_targets
+
+        df = self._df(spark, {"en": 7, "de": 13, "fr": 29})
+        for w in temperature_targets(df, alpha=0.5).values():
+            assert (w * 4096) == int(w * 4096)  # exact multiple of 2^-12
+
+    def test_composes_with_mixture_sample_deterministically(self, spark):
+        from seafowl_spark.operators.mixture import (
+            mixture_sample,
+            temperature_targets,
+        )
+
+        df = self._df(spark, {"en": 60, "de": 20, "fr": 5})
+        t = temperature_targets(df, alpha=0.5)
+        a = sorted(r["doc_id"] for r in mixture_sample(df, t).collect())
+        b = sorted(r["doc_id"] for r in mixture_sample(df, t).collect())
+        assert a == b and len(a) > 0
