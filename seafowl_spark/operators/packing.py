@@ -99,3 +99,76 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Whole-document bin packing (first-fit-decreasing) — the NO-SPLIT
+    variant SFT/instruction-tuning pipelines use, where a training
+    example must never straddle sequences. Adds (bin_id, bin_fill,
+    oversize): every document lands wholly in one bin; documents longer
+    than ``budget`` get a dedicated bin and an ``oversize`` flag
+    (callers truncate or drop upstream).
+
+    Runs per shard via ``applyInPandas``: FFD is inherently sequential
+    within its stream, so the distributed shape is many independent
+    shard-local packings (the same (source, date)-shard discipline
+    pack_sequences documents) — at 100 TB each shard's group fits one
+    task and shards pack in parallel. Deterministic: items sort by
+    (-tokens, id), bins probe in creation order, so re-running
+    reproduces the exact assignment. Unsharded input packs as ONE group
+    (fine at test scale; shard in production).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard_cols = shard_cols or []
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    out_fields = (
+        ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}"
+            for c in ([*shard_cols, id_col, token_col])
+        )
+        + ", bin_id bigint, bin_fill bigint, oversize boolean"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bin_ids, bin_fills, oversize = [], [], []
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if tok > budget:
+                fills.append(tok)
+                bin_ids.append(len(fills) - 1)
+                bin_fills.append(tok)
+                oversize.append(True)
+                continue
+            for b, f in enumerate(fills):
+                if f + tok <= budget:
+                    fills[b] = f + tok
+                    bin_ids.append(b)
+                    bin_fills.append(fills[b])
+                    oversize.append(False)
+                    break
+            else:
+                fills.append(tok)
+                bin_ids.append(len(fills) - 1)
+                bin_fills.append(tok)
+                oversize.append(False)
+        res = pdf[[*shard_cols, id_col, token_col]].copy()
+        res["bin_id"] = bin_ids
+        # bin_fill reports the FINAL fill of each bin, not the running one
+        res["bin_fill"] = [fills[b] for b in bin_ids]
+        res["oversize"] = oversize
+        return res
+
+    grouped = df.groupBy(*shard_cols) if shard_cols else df.groupBy()
+    return grouped.applyInPandas(pack, out_fields)

@@ -326,3 +326,66 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_tokens=0)
         with _pt.raises(ValueError):
             chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+class TestFfdBinPacking:
+    """pack_bins_ffd (r8 session D): whole-document first-fit-decreasing
+    per shard — no example ever straddles a bin, oversize docs isolate."""
+
+    def _df(self, spark, rows_):
+        return spark.createDataFrame(
+            rows_, "src string, doc_id bigint, n_tok bigint"
+        )
+
+    def test_no_bin_exceeds_budget_and_nothing_splits(self, spark):
+        from seafowl_spark.operators.packing import pack_bins_ffd
+
+        rows_ = [("a", i, (i * 37) % 90 + 10) for i in range(40)]
+        out = pack_bins_ffd(
+            self._df(spark, rows_), "n_tok", "doc_id", budget=128,
+            shard_cols=["src"],
+        ).collect()
+        assert len(out) == 40  # every doc exactly once
+        fills = {}
+        for r in out:
+            assert not r["oversize"]
+            fills.setdefault(r["bin_id"], 0)
+            fills[r["bin_id"]] += r["n_tok"]
+        assert all(f <= 128 for f in fills.values())
+        # reported bin_fill is the final fill of that bin
+        for r in out:
+            assert r["bin_fill"] == fills[r["bin_id"]]
+
+    def test_oversize_isolated_and_flagged(self, spark):
+        from seafowl_spark.operators.packing import pack_bins_ffd
+
+        rows_ = [("a", 1, 500), ("a", 2, 60), ("a", 3, 60)]
+        out = {r["doc_id"]: r for r in pack_bins_ffd(
+            self._df(spark, rows_), "n_tok", "doc_id", budget=128
+        ).collect()}
+        assert out[1]["oversize"] and out[1]["bin_fill"] == 500
+        assert not out[2]["oversize"] and not out[3]["oversize"]
+        assert out[2]["bin_id"] == out[3]["bin_id"]  # 60+60 fits one bin
+        assert out[1]["bin_id"] != out[2]["bin_id"]
+
+    def test_deterministic_and_shard_independent(self, spark):
+        from seafowl_spark.operators.packing import pack_bins_ffd
+
+        rows_ = [(s, i, (i * 13) % 70 + 5) for s in ("a", "b") for i in range(25)]
+        df = self._df(spark, rows_)
+        a = sorted(map(tuple, pack_bins_ffd(df, "n_tok", "doc_id", 96, ["src"]).collect()))
+        b = sorted(map(tuple, pack_bins_ffd(
+            df.repartition(7), "n_tok", "doc_id", 96, ["src"]
+        ).collect()))
+        assert a == b
+
+    def test_ffd_beats_or_matches_naive_bin_count(self, spark):
+        from math import ceil
+
+        from seafowl_spark.operators.packing import pack_bins_ffd
+
+        rows_ = [("a", i, t) for i, t in enumerate([70, 70, 60, 40, 40, 30, 20, 20])]
+        out = pack_bins_ffd(self._df(spark, rows_), "n_tok", "doc_id", 100).collect()
+        n_bins = len({r["bin_id"] for r in out})
+        lower_bound = ceil(sum(r[2] for r in rows_) / 100)
+        assert n_bins <= lower_bound + 1  # FFD is within 11/9 OPT + 1
