@@ -251,3 +251,92 @@ class TestClusterBalancedSampling:
         # nothing selected twice, selection is a subset
         ids = [r["vec_id"] for r in capped.collect()]
         assert len(ids) == len(set(ids)) <= emb.count()
+
+
+class TestSessionDCompositions:
+    """r8 session-D operators composed as one curation flow: Gopher
+    quality gate -> canonical-URL exact dedup -> temperature mixing ->
+    whole-document FFD packing. Each stage is individually graded or
+    pinned; this asserts they CHAIN (schemas, determinism, and the
+    interstage invariants a real corpus build relies on)."""
+
+    def test_quality_dedup_mix_pack_chain(self, spark):
+        import pyspark.sql.functions as F
+
+        from seafowl_spark.operators.gopher import add_gopher_quality
+        from seafowl_spark.operators.mixture import (
+            mixture_sample,
+            temperature_targets,
+        )
+        from seafowl_spark.operators.normalize import canonicalize_url
+        from seafowl_spark.operators.packing import pack_bins_ffd
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang", "text")
+            .withColumn(
+                "url",
+                F.concat(
+                    F.lit("HTTPS://Site"),
+                    (F.col("doc_id") % 40).cast("string"),
+                    F.lit(".COM/p/"),
+                    # duplicate every pair of ids onto one canonical URL
+                    (F.col("doc_id") / 2).cast("long").cast("string"),
+                    F.lit("/?utm_source=x"),
+                ),
+            )
+        )
+        # 1. quality gate: keep docs passing the word-count +
+        # alphabetic-word rules (the full gate is constant-false on this
+        # synthetic corpus — see COVERAGE); bitmask selects rule subset
+        scored = add_gopher_quality(docs, toks_col=None)
+        kept = scored.where(
+            F.col("gopher_fail_mask").bitwiseAND(F.lit(1 | (1 << 5))) == 0
+        ).localCheckpoint()
+        n_kept = kept.count()
+        assert 0 < n_kept < docs.count()
+
+        # 2. canonical-URL exact dedup: min doc_id survives per key
+        canon = kept.withColumn("curl", canonicalize_url(F.col("url")))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("curl").orderBy("doc_id")
+        deduped = (
+            canon.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+        n_keys = deduped.select("curl").distinct().count()
+        assert deduped.count() == n_keys  # exactly one doc per canon URL
+
+        # 3. temperature mixing over the surviving language mix
+        targets = temperature_targets(deduped, alpha=0.5)
+        mixed = mixture_sample(deduped, targets).localCheckpoint()
+        assert 0 < mixed.count() <= deduped.count()
+
+        # 4. whole-document packing of the mixed corpus by language shard
+        sized = mixed.withColumn(
+            "n_tok", F.size(F.split("text", " ")).cast("long")
+        )
+        packed = pack_bins_ffd(
+            sized.select("lang", "doc_id", "n_tok"),
+            "n_tok",
+            "doc_id",
+            budget=256,
+            shard_cols=["lang"],
+        )
+        rows_ = packed.collect()
+        assert len(rows_) == mixed.count()  # nothing lost or split
+        fills = {}
+        for r in rows_:
+            key = (r["lang"], r["bin_id"])
+            fills[key] = fills.get(key, 0) + r["n_tok"]
+            if not r["oversize"]:
+                assert r["n_tok"] <= 256
+        for (lang, b), f in fills.items():
+            over = [
+                r for r in rows_
+                if r["lang"] == lang and r["bin_id"] == b and r["oversize"]
+            ]
+            assert f <= 256 or over
