@@ -436,27 +436,45 @@ class SeafowlContext:
             mangled = _mangle("information_schema", name)
             df.createOrReplaceTempView(mangled)
             mapping[f"information_schema.{name}"] = mangled
-        for e, view_sql, mangled, plain in deferred_views:
-            try:
-                df = self.spark.sql(self._rewrite_names(view_sql, mapping))
-                df.createOrReplaceTempView(mangled)
-                if plain:
-                    df.createOrReplaceTempView(plain)
-            except Exception:
-                # broken view (e.g. a dropped base table): unregister its
-                # names so only statements REFERENCING it fail (with an
-                # unresolved-relation error), not every statement — and
-                # drop any temp views from a previous healthy reload, or
-                # an unqualified reference would silently read the STALE
-                # pre-break plan
-                for k in [k for k, v in mapping.items() if v == mangled]:
-                    del mapping[k]
-                for stale_name in (mangled, plain):
-                    if stale_name:
-                        try:
-                            self.spark.catalog.dropTempView(stale_name)
-                        except Exception:
-                            pass
+        # fixpoint expansion: catalog order is (schema, name), NOT
+        # dependency order — a view named before one it reads would bind
+        # a stale (or missing) temp view. Every pass expands whatever
+        # now resolves; registered views unlock their dependents on the
+        # next pass; views still failing at the fixpoint are broken.
+        # First, drop ALL deferred views' temp views from the previous
+        # reload so no pass can silently bind a stale plan.
+        for _e, _sql, mangled, plain in deferred_views:
+            for name_ in (mangled, plain):
+                if name_:
+                    try:
+                        self.spark.catalog.dropTempView(name_)
+                    except Exception:
+                        pass
+        pending = list(deferred_views)
+        while pending:
+            progressed = False
+            still = []
+            for item in pending:
+                e, view_sql, mangled, plain = item
+                try:
+                    df = self.spark.sql(
+                        self._rewrite_names(view_sql, mapping)
+                    )
+                    df.createOrReplaceTempView(mangled)
+                    if plain:
+                        df.createOrReplaceTempView(plain)
+                    progressed = True
+                except Exception:
+                    still.append(item)
+            pending = still
+            if not progressed:
+                break
+        for e, view_sql, mangled, plain in pending:
+            # broken view (e.g. a dropped base table): unregister its
+            # names so only statements REFERENCING it fail (with an
+            # unresolved-relation error), not every statement
+            for k in [k for k, v in mapping.items() if v == mangled]:
+                del mapping[k]
         registered = set(mapping.values()) | {
             e.name for e in self.catalog.tables(self.database) if e.schema == self.search_schema
         }
@@ -1087,17 +1105,25 @@ class SeafowlContext:
         return MvSpec.from_json(raw) if raw else None
 
     def _guard_matview(self, t: DeltaLiteTable, what: str) -> None:
+        from .matview import MATVIEW_PROP
+
         props = t.snapshot().properties or {}
-        if props.get("matview") is not None:
+        if props.get(MATVIEW_PROP) is not None:
             raise ExecutionError(
                 f"{what} is not allowed on a materialized view "
                 "(its contents are derived; run REFRESH MATERIALIZED VIEW)"
             )
-        if props.get(VIEW_PROP) is not None:
+        self._guard_view_props(props, what)
+
+    def _guard_view_props(self, props: dict, what: str) -> None:
+        if (props or {}).get(VIEW_PROP) is not None:
             raise ExecutionError(
                 f"{what} is not allowed on a view (it stores no rows; "
-                "write to its base tables instead)"
+                "apply it to the base tables instead)"
             )
+
+    def _guard_view(self, t: DeltaLiteTable, what: str) -> None:
+        self._guard_view_props(t.snapshot().properties or {}, what)
 
     def _exec_create_view(self, stmt) -> None:
         """CREATE [OR REPLACE] VIEW: a logical view — the defining query
@@ -1114,10 +1140,29 @@ class SeafowlContext:
         db, schema, name = parser.parse_qualified(stmt.name)
         self._guard_staging(schema)
         db, schema = db or self.database, schema or self.search_schema
-        if re.search(rf"(?i)\b{STAGING_SCHEMA}\s*\.", stmt.query):
+        # staging tables are session-scoped: a persistent view over one
+        # would break on the next session. Textual check (qualified form
+        # plus every live staging table's bare name) — conservative: a
+        # string literal containing a staging name also rejects, which
+        # beats silently creating a view that dies with the session.
+        staging_names = [re.escape(STAGING_SCHEMA) + r"\s*\."] + [
+            rf"\b{re.escape(n)}\b" for n in self.staging
+        ]
+        for pat in staging_names:
+            if re.search(rf"(?i){pat}", stmt.query):
+                raise ExecutionError(
+                    "a view cannot reference session-scoped staging "
+                    "tables (CREATE TABLE ... AS SELECT them into a "
+                    "managed table first)"
+                )
+        # time-travel clauses pin a snapshot through a code path raw
+        # reload expansion does not run — reject rather than create a
+        # view that can never re-expand
+        _, travels = parser.extract_time_travel(stmt.query)
+        if travels:
             raise ExecutionError(
-                "a view cannot reference session-scoped staging tables "
-                "(CREATE TABLE ... AS SELECT them into a managed table first)"
+                "a view cannot use time travel in its defining query "
+                "(materialize the snapshot with CTAS instead)"
             )
         existing = self.catalog.get_table(db, schema, name)
         if existing is not None:
@@ -1163,7 +1208,7 @@ class SeafowlContext:
             raise ExecutionError(
                 f"{schema}.{name} is not a view (use DROP TABLE)"
             )
-        self._exec_drop_table(stmt)
+        self._exec_drop_table(stmt, _allow_view=True)
 
     def _exec_refresh_matview(self, stmt) -> None:
         """Incremental refresh: recompute ONLY the groups whose base
@@ -1334,9 +1379,18 @@ class SeafowlContext:
             raise ExecutionError("cannot move tables across databases")  # reference parity
         self.catalog.rename_table(db, schema, name, schema2, name2)
 
-    def _exec_drop_table(self, stmt) -> None:
+    def _exec_drop_table(self, stmt, _allow_view: bool = False) -> None:
         db, schema, name = parser.parse_qualified(stmt.name)
         db, schema = db or self.database, schema or self.search_schema
+        if not _allow_view:
+            # symmetric with DROP VIEW refusing tables
+            existing = self.catalog.get_table(db, schema, name)
+            if existing is not None:
+                t = DeltaLiteTable(self.spark, self.table_root(existing))
+                if (t.snapshot().properties or {}).get(VIEW_PROP) is not None:
+                    raise ExecutionError(
+                        f"{schema}.{name} is a view (use DROP VIEW)"
+                    )
         try:
             entry = self.catalog.drop_table(db, schema, name)
         except CatalogError:
@@ -1548,12 +1602,14 @@ class SeafowlContext:
     def _exec_truncate(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "TRUNCATE")
         t.truncate()
         self._record(entry, t)
 
     def _exec_restore(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "RESTORE")
         t.restore(version=stmt.version, timestamp=stmt.timestamp)
         # restore can rewind schema evolution — resync the cached DDL
         self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
@@ -1562,6 +1618,7 @@ class SeafowlContext:
     def _exec_add_column(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "ALTER TABLE ADD COLUMN")
         t.add_column(stmt.column, stmt.dtype)
         # keep SHOW COLUMNS / DESCRIBE / information_schema in sync (the
         # log is authoritative; the catalog caches the DDL)
@@ -1571,6 +1628,7 @@ class SeafowlContext:
     def _exec_drop_column(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "ALTER TABLE DROP COLUMN")
         t.drop_column(stmt.column)
         self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
         self._record(entry, t)
@@ -1578,18 +1636,21 @@ class SeafowlContext:
     def _exec_add_constraint(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "ALTER TABLE ADD CONSTRAINT")
         t.add_constraint(stmt.constraint, stmt.expr)
         self._record(entry, t)
 
     def _exec_drop_constraint(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "ALTER TABLE DROP CONSTRAINT")
         t.drop_constraint(stmt.constraint)
         self._record(entry, t)
 
     def _exec_optimize(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
+        self._guard_view(t, "OPTIMIZE")
         t.optimize(
             zorder_by=stmt.fields.get("zorder_by"),
             predicate_sql=stmt.fields.get("predicate"),

@@ -243,12 +243,14 @@ def merges_to_text(merges: list[tuple[str, str]]) -> str:
 
 def merges_from_text(text: str) -> list[tuple[str, str]]:
     """Parse ``merges.txt`` content back to the ordered merge list
-    (inverse of :func:`merges_to_text`; header and blank lines skipped,
-    rank = line order)."""
+    (inverse of :func:`merges_to_text`; rank = line order). ONLY the
+    ``#version`` header and blank lines are skipped — other lines
+    starting with ``#`` are real merges whose left symbol is the hash
+    character (the format reserves just the version header)."""
     merges: list[tuple[str, str]] = []
     for line in text.splitlines():
         line = line.rstrip("\n")
-        if not line or line.startswith("#"):
+        if not line or line.startswith("#version"):
             continue
         a, _, b = line.partition(" ")
         if not b or " " in b:

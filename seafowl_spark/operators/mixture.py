@@ -128,8 +128,6 @@ def temperature_targets(
     IEEE arithmetic, keeping the whole rate chain deterministic. Shares
     that quantize to 0 drop their category (documented behavior: a
     <1/8192 share is below the mixing granularity anyway)."""
-    import math
-
     if alpha < 0:
         raise ValueError("alpha must be non-negative")
     mass = (

@@ -62,6 +62,14 @@ def mine_hard_negatives(
         query_text_col=query_text_col,
         query_id_col=query_id_col,
     )
+    # bm25_topk emits the FIXED schema (query_id, doc_id, score, rank)
+    # regardless of its input column names — restore the caller's names
+    hits = hits.select(
+        F.col("query_id").alias(query_id_col),
+        F.col("doc_id").alias(id_col),
+        "score",
+        "rank",
+    )
     pos = positives.select(
         F.col(query_id_col).alias("__p_qid"), F.col(id_col).alias("__p_did")
     ).distinct()

@@ -64,3 +64,7 @@ class TestMergesInterchange:
         }
         missing = toks - set(vocab)
         assert missing == set()
+
+    def test_hash_left_symbol_round_trips(self):
+        m = [("#", "t"), ("#t", "ag</w>")]
+        assert merges_from_text(merges_to_text(m)) == m

@@ -73,3 +73,16 @@ class TestHardNegatives:
             for r in bm25_topk(corpus, queries, k=k + 1).collect()
         }
         assert neg <= deep
+
+    def test_custom_column_names(self, spark, corpus, queries):
+        docs2 = corpus.withColumnsRenamed({"doc_id": "docid"})
+        q2 = queries.withColumnsRenamed(
+            {"query_id": "qid", "query_text": "qtext"}
+        )
+        pos = q2.select("qid", F.col("qid").alias("docid"))
+        out = mine_hard_negatives(
+            docs2, q2, pos, k=3,
+            id_col="docid", query_id_col="qid", query_text_col="qtext",
+        )
+        assert set(out.columns) == {"qid", "docid", "score", "rank"}
+        assert out.count() > 0

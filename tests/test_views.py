@@ -235,3 +235,65 @@ class TestBrokenViewStaleness:
         for sql in ("SELECT * FROM bv", "SELECT * FROM public.bv"):
             with pytest.raises(Exception):
                 ctx.execute(sql)
+
+
+class TestViewDependencyOrder:
+    """Catalog order is (schema, name), not creation order — expansion
+    must reach a fixpoint so a view alphabetically BEFORE its dependency
+    still binds the current snapshot (review finding, r8 session D)."""
+
+    def test_dependent_sorting_first_sees_fresh_base(self, ctx):
+        ctx.execute("CREATE TABLE zt (x bigint)")
+        ctx.execute("INSERT INTO zt VALUES (1)")
+        ctx.execute("CREATE VIEW z_view AS SELECT x FROM zt")
+        # 'a_view' sorts BEFORE 'z_view' but depends on it
+        ctx.execute("CREATE VIEW a_view AS SELECT x + 1 AS y FROM z_view")
+        assert rows(ctx.execute("SELECT y FROM a_view")) == [(2,)]
+        ctx.execute("INSERT INTO zt VALUES (10)")
+        # the dependent must see the INSERT in the SAME statement's
+        # reload — a name-ordered expansion binds the stale z_view plan
+        assert sorted(rows(ctx.execute("SELECT y FROM a_view"))) == [
+            (2,), (11,),
+        ]
+
+    def test_dependent_of_broken_view_breaks_too(self, ctx):
+        ctx.execute("CREATE TABLE bt2 (x bigint)")
+        ctx.execute("CREATE VIEW z2 AS SELECT x FROM bt2")
+        ctx.execute("CREATE VIEW a2 AS SELECT x FROM z2")
+        ctx.execute("DROP TABLE bt2")
+        for sql in ("SELECT * FROM a2", "SELECT * FROM z2"):
+            with pytest.raises(Exception):
+                ctx.execute(sql)
+
+
+class TestViewDdlGuards:
+    def test_storage_ddl_rejected_on_views(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW gv AS SELECT region, amount FROM sales")
+        for sql in (
+            "TRUNCATE gv",
+            "ALTER TABLE gv ADD COLUMN zz BIGINT",
+            "ALTER TABLE gv DROP COLUMN amount",
+            "OPTIMIZE gv",
+        ):
+            with pytest.raises(ExecutionError, match="not allowed on a view"):
+                ctx.execute(sql)
+        with pytest.raises(ExecutionError, match="use DROP VIEW"):
+            ctx.execute("DROP TABLE gv")
+
+    def test_bare_staging_name_rejected(self, ctx):
+        seed(ctx)
+        ctx.execute(
+            "CREATE EXTERNAL TABLE ext_docs STORED AS PARQUET "
+            "LOCATION '/root/testdata/sf0.001/documents.parquet'"
+        )
+        with pytest.raises(ExecutionError, match="staging"):
+            ctx.execute("CREATE VIEW sv AS SELECT doc_id FROM ext_docs")
+
+    def test_time_travel_in_definition_rejected(self, ctx):
+        seed(ctx)
+        with pytest.raises(ExecutionError, match="time travel"):
+            ctx.execute(
+                "CREATE VIEW tv AS SELECT * FROM sales "
+                "FOR VERSION AS OF 0"
+            )
