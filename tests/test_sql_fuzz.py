@@ -171,6 +171,15 @@ def gen_query(rng: random.Random, strs, ints) -> str:
             f"ON o.o_custkey = c.c_custkey{where}"
             f" GROUP BY {', '.join(group)}"
         )
+    if roll < 0.35:
+        # deterministic top-k: ORDER BY the unique key, so LIMIT is
+        # well-defined on both engines
+        desc = rng.choice(["", " DESC"])
+        n = rng.randrange(1, 40)
+        return (
+            f"SELECT {', '.join(_scalar_exprs(rng))} FROM fz{where}"
+            f" ORDER BY o_orderkey{desc} LIMIT {n}"
+        )
     if roll < 0.6:
         group = rng.sample(STR_COLS, k=rng.randrange(0, 3))
         aggs = _agg_exprs(rng)
