@@ -1,0 +1,75 @@
+"""Leakage-safe splits (operators/leakage.py, r8 session D): near-dup
+clusters are atomic across train/val/test; singletons match plain
+split_assign exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafowl_spark.operators.leakage import leakage_safe_splits
+from seafowl_spark.operators.sampling import split_assign
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id bigint"
+    )
+
+
+def _pairs(spark, pair_list):
+    return spark.createDataFrame(pair_list, "id_a bigint, id_b bigint")
+
+
+class TestLeakageSafeSplits:
+    def test_pairs_never_straddle_splits(self, spark, docs):
+        # chains and a triangle: components {0,1,2}, {10,11}, {20,21,22}
+        pairs = _pairs(
+            spark, [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (20, 22)]
+        )
+        out = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_splits(docs, pairs, FRACS).collect()
+        }
+        assert out[0] == out[1] == out[2]
+        assert out[10] == out[11]
+        assert out[20] == out[21] == out[22]
+
+    def test_singletons_match_plain_split_assign(self, spark, docs):
+        pairs = _pairs(spark, [(0, 1)])
+        out = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_splits(docs, pairs, FRACS).collect()
+        }
+        plain = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", split_assign(F.col("doc_id"), FRACS).alias("s")
+            ).collect()
+        }
+        for i in range(2, 300):
+            assert out[i] == plain[i]
+        # clustered docs inherit the component MIN id's plain split
+        assert out[0] == out[1] == plain[0]
+
+    def test_distribution_roughly_matches_fractions(self, spark, docs):
+        pairs = _pairs(spark, [(i, i + 1) for i in range(0, 40, 2)])
+        out = leakage_safe_splits(docs, pairs, FRACS).groupBy("split").count()
+        counts = {r["split"]: r["count"] for r in out.collect()}
+        assert sum(counts.values()) == 300
+        assert counts["train"] > counts.get("val", 0)
+        assert counts["train"] > counts.get("test", 0)
+
+    def test_deterministic_across_partitionings(self, spark, docs):
+        pairs = _pairs(spark, [(0, 5), (5, 9), (100, 200)])
+        a = sorted(map(tuple, leakage_safe_splits(docs, pairs, FRACS).collect()))
+        b = sorted(
+            map(
+                tuple,
+                leakage_safe_splits(
+                    docs.repartition(7), pairs, FRACS
+                ).collect(),
+            )
+        )
+        assert a == b
