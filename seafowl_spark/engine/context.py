@@ -450,7 +450,31 @@ class SeafowlContext:
                         self.spark.catalog.dropTempView(name_)
                     except Exception:
                         pass
-        pending = list(deferred_views)
+        # cheap textual topo-sort first: order views so ones mentioning
+        # another deferred view's name expand after it — the common DAG
+        # then converges in ONE pass and the fixpoint below is only the
+        # fallback (missed textual deps, e.g. quoted forms)
+        names_of: list[set[str]] = []
+        for e, _sql, _m, plain in deferred_views:
+            forms = {f"{e.schema}.{e.name}", f"{e.database}.{e.schema}.{e.name}"}
+            if plain:
+                forms.add(plain)
+            names_of.append(forms)
+        dep_count = []
+        for i, (_e, view_sql, _m, _p) in enumerate(deferred_views):
+            n = 0
+            for j, forms in enumerate(names_of):
+                if j != i and any(
+                    re.search(rf"(?<![\w.]){re.escape(f)}\b", view_sql)
+                    for f in forms
+                ):
+                    n += 1
+            dep_count.append(n)
+        pending = [
+            v for _, v in sorted(
+                zip(dep_count, deferred_views), key=lambda p: p[0]
+            )
+        ]
         while pending:
             progressed = False
             still = []
@@ -1145,8 +1169,11 @@ class SeafowlContext:
         # plus every live staging table's bare name) — conservative: a
         # string literal containing a staging name also rejects, which
         # beats silently creating a view that dies with the session.
+        # bare names must not be schema-qualified references to a managed
+        # table that merely shares the name — the lookbehind exempts
+        # `public.docs` while still catching `FROM docs`
         staging_names = [re.escape(STAGING_SCHEMA) + r"\s*\."] + [
-            rf"\b{re.escape(n)}\b" for n in self.staging
+            rf"(?<![\w.]){re.escape(n)}\b" for n in self.staging
         ]
         for pat in staging_names:
             if re.search(rf"(?i){pat}", stmt.query):
@@ -1383,11 +1410,20 @@ class SeafowlContext:
         db, schema, name = parser.parse_qualified(stmt.name)
         db, schema = db or self.database, schema or self.search_schema
         if not _allow_view:
-            # symmetric with DROP VIEW refusing tables
+            # symmetric with DROP VIEW refusing tables. Best-effort: a
+            # table whose storage is missing/corrupt must stay droppable
+            # (the pre-guard behavior), so a failed log replay means
+            # "not provably a view" and the drop proceeds
             existing = self.catalog.get_table(db, schema, name)
             if existing is not None:
-                t = DeltaLiteTable(self.spark, self.table_root(existing))
-                if (t.snapshot().properties or {}).get(VIEW_PROP) is not None:
+                try:
+                    t = DeltaLiteTable(self.spark, self.table_root(existing))
+                    is_view = (t.snapshot().properties or {}).get(
+                        VIEW_PROP
+                    ) is not None
+                except Exception:
+                    is_view = False
+                if is_view:
                     raise ExecutionError(
                         f"{schema}.{name} is a view (use DROP VIEW)"
                     )
@@ -1602,14 +1638,16 @@ class SeafowlContext:
     def _exec_truncate(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        self._guard_view(t, "TRUNCATE")
+        # matviews too: these rewrite derived contents / desync MvSpec
+        self._guard_matview(t, "TRUNCATE")
         t.truncate()
         self._record(entry, t)
 
     def _exec_restore(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        self._guard_view(t, "RESTORE")
+        # matviews too: these rewrite derived contents / desync MvSpec
+        self._guard_matview(t, "RESTORE")
         t.restore(version=stmt.version, timestamp=stmt.timestamp)
         # restore can rewind schema evolution — resync the cached DDL
         self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
@@ -1618,7 +1656,8 @@ class SeafowlContext:
     def _exec_add_column(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        self._guard_view(t, "ALTER TABLE ADD COLUMN")
+        # matviews too: these rewrite derived contents / desync MvSpec
+        self._guard_matview(t, "ALTER TABLE ADD COLUMN")
         t.add_column(stmt.column, stmt.dtype)
         # keep SHOW COLUMNS / DESCRIBE / information_schema in sync (the
         # log is authoritative; the catalog caches the DDL)
@@ -1628,7 +1667,8 @@ class SeafowlContext:
     def _exec_drop_column(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        self._guard_view(t, "ALTER TABLE DROP COLUMN")
+        # matviews too: these rewrite derived contents / desync MvSpec
+        self._guard_matview(t, "ALTER TABLE DROP COLUMN")
         t.drop_column(stmt.column)
         self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
         self._record(entry, t)

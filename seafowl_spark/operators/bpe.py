@@ -248,9 +248,11 @@ def merges_from_text(text: str) -> list[tuple[str, str]]:
     starting with ``#`` are real merges whose left symbol is the hash
     character (the format reserves just the version header)."""
     merges: list[tuple[str, str]] = []
-    for line in text.splitlines():
+    for i, line in enumerate(text.splitlines()):
         line = line.rstrip("\n")
-        if not line or line.startswith("#version"):
+        # only the FIRST line may be the version header — a later line
+        # starting '#version' is a real merge ('#version', x)
+        if not line or (i == 0 and line.startswith("#version")):
             continue
         a, _, b = line.partition(" ")
         if not b or " " in b:

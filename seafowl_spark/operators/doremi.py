@@ -56,7 +56,8 @@ def per_domain_loss(
         y * F.log(clipped) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - clipped)
     )
     agg = (
-        scored.groupBy(F.col(domain_col).alias("d"))
+        scored.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("d"))
         .agg(
             F.sum(nll.cast(_DEC)).cast("double").alias("s"),
             F.count(F.lit(1)).alias("n"),
@@ -83,12 +84,22 @@ def reweight_domains(
     if isinstance(ref_losses, (int, float)):
         ref = {d: float(ref_losses) for d in domains}
     else:
-        ref = {d: float(ref_losses.get(d, 0.0)) for d in domains}
-    w = (
-        {d: float(init[d]) for d in domains}
-        if init
-        else {d: 1.0 / len(domains) for d in domains}
-    )
+        missing = [d for d in domains if d not in ref_losses]
+        if missing:
+            # a silently-defaulted reference of 0 would treat the whole
+            # loss as excess and let that domain dominate the mixture
+            raise ValueError(
+                f"ref_losses missing domain(s) {missing}; pass a scalar "
+                "baseline to apply one reference everywhere"
+            )
+        ref = {d: float(ref_losses[d]) for d in domains}
+    if init:
+        missing = [d for d in domains if d not in init]
+        if missing:
+            raise ValueError(f"init missing domain(s) {missing}")
+        w = {d: float(init[d]) for d in domains}
+    else:
+        w = {d: 1.0 / len(domains) for d in domains}
     excess = {d: max(0.0, losses[d] - ref[d]) for d in domains}
     for _ in range(max(0, iters)):
         for d in domains:

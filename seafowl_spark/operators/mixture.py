@@ -37,11 +37,31 @@ from ..functions import md5_int
 _BUCKETS = 10_000
 
 
+def category_mass(
+    df: DataFrame,
+    category_col: str = "lang",
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """One bounded aggregate: category -> float mass (row count, or
+    ``weight_col`` sum). Share the result between temperature_targets
+    and mixture_rates/mixture_sample to avoid scanning the corpus twice
+    for the same counts."""
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("n")
+    return {
+        r["c"]: float(r["n"])
+        for r in df.groupBy(F.col(category_col).alias("c")).agg(mass).collect()
+        if r["n"] is not None and r["c"] is not None
+    }
+
+
 def mixture_rates(
     df: DataFrame,
     targets: dict[str, float],
     category_col: str = "lang",
     weight_col: str | None = None,
+    counts: dict[str, float] | None = None,
 ) -> dict[str, float]:
     """Per-category keep rates (0..1) achieving the target mixture at the
     maximum size that needs no upsampling. Bounded driver state: one row
@@ -54,16 +74,8 @@ def mixture_rates(
     few huge documents mixes coarsely by construction."""
     if not targets or any(w < 0 for w in targets.values()):
         raise ValueError("targets must be non-negative fractions")
-    mass = (
-        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
-    ).alias("n")
-    # float-coerce: a decimal-typed weight column would otherwise make
-    # counts Decimal and the rate division below a Decimal/float TypeError
-    counts = {
-        r["c"]: float(r["n"])
-        for r in df.groupBy(F.col(category_col).alias("c")).agg(mass).collect()
-        if r["n"] is not None
-    }
+    if counts is None:
+        counts = category_mass(df, category_col, weight_col)
     present = {c: w for c, w in targets.items() if counts.get(c) and w > 0}
     if not present:
         return {c: 0.0 for c in counts}
@@ -81,12 +93,13 @@ def mixture_sample(
     category_col: str = "lang",
     id_col: str = "doc_id",
     weight_col: str | None = None,
+    counts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Filter ``df`` to the target mixture (by document count, or by
     ``weight_col`` mass — e.g. tokens). Deterministic: the same rows
     survive on every run. The filter compiles to one codegen predicate —
     sampling cost is one read pass at any scale."""
-    rates = mixture_rates(df, targets, category_col, weight_col)
+    rates = mixture_rates(df, targets, category_col, weight_col, counts=counts)
     rate = F.when(F.lit(False), F.lit(0))
     for c, r in sorted(rates.items()):
         # half-up via floor(x + 0.5): one deterministic IEEE op chain,
@@ -106,6 +119,7 @@ def temperature_targets(
     category_col: str = "lang",
     weight_col: str | None = None,
     quantize: int | None = 4096,
+    counts: dict[str, float] | None = None,
 ) -> dict[str, float]:
     """Temperature-based target fractions: ``w_c = n_c^alpha / sum_c
     n_c^alpha`` — the multilingual sampling knob (XLM-R / mT5): alpha=1
@@ -130,14 +144,9 @@ def temperature_targets(
     <1/8192 share is below the mixing granularity anyway)."""
     if alpha < 0:
         raise ValueError("alpha must be non-negative")
-    mass = (
-        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
-    ).alias("n")
-    counts = {
-        r["c"]: float(r["n"])
-        for r in df.groupBy(F.col(category_col).alias("c")).agg(mass).collect()
-        if r["n"] is not None and r["c"] is not None and r["n"] > 0
-    }
+    if counts is None:
+        counts = category_mass(df, category_col, weight_col)
+    counts = {c: n for c, n in counts.items() if n > 0}
     if not counts:
         return {}
     powed = {

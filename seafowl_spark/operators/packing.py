@@ -142,26 +142,23 @@ def pack_bins_ffd(
             [token_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
         fills: list[int] = []
-        bin_ids, bin_fills, oversize = [], [], []
+        bin_ids, oversize = [], []
         for tok in pdf[token_col]:
             tok = int(tok)
             if tok > budget:
                 fills.append(tok)
                 bin_ids.append(len(fills) - 1)
-                bin_fills.append(tok)
                 oversize.append(True)
                 continue
             for b, f in enumerate(fills):
                 if f + tok <= budget:
                     fills[b] = f + tok
                     bin_ids.append(b)
-                    bin_fills.append(fills[b])
                     oversize.append(False)
                     break
             else:
                 fills.append(tok)
                 bin_ids.append(len(fills) - 1)
-                bin_fills.append(tok)
                 oversize.append(False)
         res = pdf[[*shard_cols, id_col, token_col]].copy()
         res["bin_id"] = bin_ids

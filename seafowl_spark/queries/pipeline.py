@@ -1031,14 +1031,19 @@ def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen predicate — no shuffle, no rand() (plan-gated in
     test_plans.py).
     """
-    from ..operators.mixture import mixture_sample, temperature_targets
+    from ..operators.mixture import (
+        category_mass,
+        mixture_sample,
+        temperature_targets,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    fixed = mixture_sample(d, dict(_MIX_TARGETS)).select(
+    mass = category_mass(d)  # ONE bounded aggregate, shared by all stages
+    fixed = mixture_sample(d, dict(_MIX_TARGETS), counts=mass).select(
         F.lit("fixed").alias("branch"), "doc_id", "lang"
     )
-    at = temperature_targets(d, alpha=0.5)
-    alpha = mixture_sample(d, at).select(
+    at = temperature_targets(d, alpha=0.5, counts=mass)
+    alpha = mixture_sample(d, at, counts=mass).select(
         F.lit("alpha").alias("branch"), "doc_id", "lang"
     )
     return fixed.unionAll(alpha)
