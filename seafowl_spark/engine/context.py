@@ -54,11 +54,14 @@ VIEW_PROP = "view_sql"
 
 def _mangle(schema: str, name: str) -> str:
     raw = f"__sfs__{schema}__{name}"
-    if re.fullmatch(r"[A-Za-z0-9_]+", raw):
+    if re.fullmatch(r"[A-Za-z0-9_]+", raw) and raw == raw.lower():
         return raw
-    # schema/table names with special chars (ANSI-quoted, e.g. the
-    # reference's "new_./-~:schema") can't be Spark temp-view names
-    # verbatim — sanitize, keep a hash so distinct raw names stay distinct
+    # Two reasons a raw name can't be the temp-view name verbatim:
+    # special chars (ANSI-quoted, e.g. the reference's "new_./-~:schema")
+    # aren't legal view names, and UPPERCASE letters would collapse with
+    # a case-sibling under Spark's case-INSENSITIVE view namespace
+    # ("Foo" vs "foo" are distinct quoted identifiers in the dialect).
+    # Sanitize + hash so distinct raw names stay distinct either way.
     import hashlib
 
     safe = re.sub(r"[^A-Za-z0-9_]", "_", raw)
@@ -389,7 +392,23 @@ class SeafowlContext:
         # them); catalog order = creation order, so a view over an
         # earlier view expands too
         deferred_views: list[tuple[TableEntry, str, str, str | None]] = []
-        for e in self.catalog.tables(self.database):
+        entries = self.catalog.tables(self.database)
+        # case-fold sibling groups: when "Foo" and "foo" both exist, only
+        # the exact-lowercase one may own the bare temp-view name (the
+        # unquoted-reference fold target, PG-style); the sibling stays
+        # reachable through its case-sensitive quoted forms
+        lower_groups: dict[tuple, int] = {}
+        for x in entries:
+            key = (x.schema, x.name.lower())
+            lower_groups[key] = lower_groups.get(key, 0) + 1
+
+        def _casefold_collision(x) -> bool:
+            return (
+                lower_groups[(x.schema, x.name.lower())] > 1
+                and x.name != x.name.lower()
+            )
+
+        for e in entries:
             t = DeltaLiteTable(self.spark, self.table_root(e))
             snap = t.snapshot()
             self._props_cache[e.uuid] = snap.properties
@@ -404,10 +423,19 @@ class SeafowlContext:
             # quoting (the reference dialect writes special-char names as
             # SELECT ... FROM "new_./-~:schema".t; restricting to these
             # avoids touching plain double-quoted STRING literals, which
-            # Spark SQL still parses as strings)
+            # Spark SQL still parses as strings). A plain-charset name
+            # containing UPPERCASE also needs the quoted forms: "Foo"
+    # and "foo" are distinct case-sensitive identifiers in the
+            # dialect, while Spark's temp-view namespace is
+            # case-insensitive — such names get the hash-suffixed mangle
+            # and resolve only via the mapping.
             plain = r"[A-Za-z_][A-Za-z0-9_]*"
-            s_quoted = not re.fullmatch(plain, e.schema)
-            n_quoted = not re.fullmatch(plain, e.name)
+            s_quoted = (
+                not re.fullmatch(plain, e.schema) or e.schema != e.schema.lower()
+            )
+            n_quoted = (
+                not re.fullmatch(plain, e.name) or e.name != e.name.lower()
+            )
             if s_quoted or n_quoted:
                 mapping[f'"{e.schema}"."{e.name}"'] = mangled
             if s_quoted:
@@ -419,7 +447,11 @@ class SeafowlContext:
                     # search schema, like unquoted names do
                     mapping[f'"{e.name}"'] = mangled
             plain = (
-                e.name if e.schema == self.search_schema and not n_quoted else None
+                e.name
+                if e.schema == self.search_schema
+                and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e.name)
+                and not _casefold_collision(e)
+                else None
             )
             if view_sql is not None:
                 deferred_views.append((e, view_sql, mangled, plain))
@@ -500,7 +532,7 @@ class SeafowlContext:
             for k in [k for k, v in mapping.items() if v == mangled]:
                 del mapping[k]
         registered = set(mapping.values()) | {
-            e.name for e in self.catalog.tables(self.database) if e.schema == self.search_schema
+            e.name for e in entries if e.schema == self.search_schema
         }
         for stale in self._registered_views - registered:
             self.spark.catalog.dropTempView(stale)
@@ -524,16 +556,44 @@ class SeafowlContext:
         # tables and must not collapse through a lowercase lookup.
         bare = sorted((k for k in mapping if '"' not in k), key=len, reverse=True)
         quoted = sorted((k for k in mapping if '"' in k), key=len, reverse=True)
-        by_lower = {k.lower(): v for k, v in mapping.items() if '"' not in k}
+        # bare-key fold target: on a case-fold collision (public.Foo vs
+        # public.foo) the ALL-LOWERCASE original wins — an unquoted
+        # reference folds to lowercase, PG-style
+        by_lower: dict[str, str] = {}
+        for k, v in mapping.items():
+            if '"' in k:
+                continue
+            kl = k.lower()
+            if kl not in by_lower or k == kl:
+                by_lower[kl] = v
+
+        # quoted keys: QUOTED segments match case-sensitively, the
+        # unquoted segments of a mixed reference still fold (`public` in
+        # public."my-Table" may appear as PUBLIC)
+        def _qsegs(k: str) -> list[str]:
+            return [s for s in re.split(r'("(?:[^"]|"")*")', k) if s]
+
+        def _qpat(k: str) -> str:
+            return "".join(
+                re.escape(s) if s.startswith('"') else f"(?i:{re.escape(s)})"
+                for s in _qsegs(k)
+            )
+
+        def _qnorm(k: str) -> str:
+            return "".join(
+                s if s.startswith('"') else s.lower() for s in _qsegs(k)
+            )
+
+        by_qnorm = {_qnorm(k): mapping[k] for k in quoted}
         pats: list[tuple[re.Pattern, Any]] = []
         if quoted:
             pats.append((
                 re.compile(
                     r"(?<![A-Za-z0-9_.`])(?:"
-                    + "|".join(re.escape(k) for k in quoted)
+                    + "|".join(_qpat(k) for k in quoted)
                     + r")(?![A-Za-z0-9_.`])"
                 ),
-                lambda m: f"`{mapping[m.group(0)]}`",
+                lambda m: f"`{by_qnorm[_qnorm(m.group(0))]}`",
             ))
         if bare:
             pats.append((
@@ -1269,7 +1329,19 @@ class SeafowlContext:
             df = self._exec_query(parser.Statement("query", pinned))
             t.overwrite(df, operation="REFRESH MATERIALIZED VIEW")
         elif vals:
-            pred = group_predicate(spec.group_cols, vals)
+            from .matview import MatViewError
+
+            try:
+                pred = group_predicate(spec.group_cols, vals)
+            except MatViewError:
+                # non-representable group literal (e.g. NaN): downgrade
+                # to the full-overwrite path — always correct
+                df = self._exec_query(parser.Statement("query", pinned))
+                t.overwrite(df, operation="REFRESH MATERIALIZED VIEW")
+                pred = None
+            if pred is None:
+                recompute = None
+        if vals and pred is not None:
             recompute = self._exec_query(
                 parser.Statement(
                     "query", f"SELECT * FROM ({pinned}) __mv WHERE {pred}"

@@ -246,6 +246,14 @@ def _footer_stats(md) -> dict[str, dict[str, Any]]:
                 # JSON-able and prune-safe: widen by one ulp each way
                 mn = math.nextafter(float(mn), -math.inf)
                 mx = math.nextafter(float(mx), math.inf)
+            if isinstance(mn, float) and (mn != mn or mx != mx):
+                # NaN bounds are unorderable: every pruning comparison
+                # against them is False, so a file holding NaN plus real
+                # values would be wrongly skipped by scans AND DML
+                # (merge target pruning) — suppress, like stats-less
+                # row groups
+                no_bounds.add(cname)
+                continue
             cur = bounds.get(cname)
             if cur is None:
                 bounds[cname] = (mn, mx)
@@ -653,9 +661,15 @@ class DeltaLiteTable:
             return
         urls = [self._data_url(a.path) for a in adds]
         df = self.spark.read.parquet(*urls)
-        by_file: dict[str, dict[str, set[int]]] = {}
-        for c in cols:
-            h = F.md5(F.col(c).cast("string"))
+        # ALL bloom columns in one job: per row, each column contributes
+        # its (col, position) structs; flatten + explode + distinct is
+        # one scan however many columns are bloomed
+        empty = F.array().cast("array<struct<c:string,p:bigint>>")
+
+        def _tagged(col_name: str):
+            # NOTE: a two-parameter transform lambda means (element,
+            # index) to pyspark — close over the name instead
+            h = F.md5(F.col(col_name).cast("string"))
             poss = F.array(
                 *[
                     F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long")
@@ -663,21 +677,31 @@ class DeltaLiteTable:
                     for i in range(BLOOM_HASHES)
                 ]
             )
-            rows = (
-                df.where(F.col(c).isNotNull())
-                .select(
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("f"),
-                    F.explode(poss).alias("p"),
-                )
-                .distinct()
-                .collect()
+            return F.transform(
+                poss,
+                lambda p: F.struct(F.lit(col_name).alias("c"), p.alias("p")),
             )
-            for r in rows:
-                by_file.setdefault(r["f"], {}).setdefault(c, set()).add(
-                    int(r["p"])
-                )
+
+        per_col = [
+            F.when(F.col(c).isNotNull(), _tagged(c)).otherwise(empty)
+            for c in cols
+        ]
+        rows = (
+            df.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("f"),
+                F.explode(F.flatten(F.array(*per_col))).alias("cp"),
+            )
+            .select("f", F.col("cp.c").alias("c"), F.col("cp.p").alias("p"))
+            .distinct()
+            .collect()
+        )
+        by_file: dict[str, dict[str, set[int]]] = {}
+        for r in rows:
+            by_file.setdefault(r["f"], {}).setdefault(r["c"], set()).add(
+                int(r["p"])
+            )
         for a in adds:
             per_col = by_file.get(os.path.basename(a.path))
             if not per_col:
@@ -895,10 +919,35 @@ class DeltaLiteTable:
         from .pruning import equality_conjuncts, prune_files
 
         hit = prune_files(snap.files, predicate_sql)
+        # bloom bitmaps hash CAST(col AS STRING); a literal of a DIFFERENT
+        # type family can be numerically equal but textually different
+        # (code = 5 on a string column holding '05' — Spark matches after
+        # cast, the bitmap has bits only for '05'). Only same-family
+        # pairs are textually faithful; everything else skips the bloom
+        # (conservative, stats pruning already ran)
+        _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+        col_fam = {}
+        for fld in T.StructType.fromDDL(snap.schema_ddl).fields:
+            s_ = fld.dataType.simpleString()
+            col_fam[fld.name] = (
+                "int" if s_ in _INT_TYPES else "string" if s_ == "string" else None
+            )
+
+        def _lit_fam(v) -> str | None:
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, str):
+                return "string"
+            return None
+
         eqs = [
             (c, s)
             for c, v in equality_conjuncts(predicate_sql)
-            if (s := _bloom_literal(v)) is not None
+            if _lit_fam(v) is not None
+            and col_fam.get(c) == _lit_fam(v)
+            and (s := _bloom_literal(v)) is not None
         ]
         if not eqs or not any(f.blooms for f in hit):
             return hit

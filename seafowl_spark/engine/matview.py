@@ -135,6 +135,10 @@ def _sql_literal(v) -> str:
         raise MatViewError("NULL group value")  # callers pre-check
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # repr() would emit invalid SQL ('nan'/'inf'); the caller
+        # downgrades to a full refresh, same as the NULL-group path
+        raise MatViewError("non-finite group value")
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dt.datetime):

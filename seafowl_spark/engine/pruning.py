@@ -272,6 +272,10 @@ def _may_match(node, stats: dict[str, dict], rows: int) -> bool:
             mx, _ = _coerce(st["max"], node.value)
         except (TypeError, ValueError):
             return True
+        if isinstance(mn, float) and (mn != mn or mx != mx):
+            # NaN bounds (logs written before the writers suppressed
+            # them): unorderable — keep the file, never prune on them
+            return True
         if node.op == "=":
             return mn <= lit <= mx
         if node.op == "<":

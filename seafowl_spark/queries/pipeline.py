@@ -1242,7 +1242,14 @@ def q_stream_sync_endstate(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # a partial end state must never be graded, and the finally
+            # below would rmtree under a still-running stream
+            q.stop()
+            raise RuntimeError(
+                "CDC stream did not drain within 600s — end state "
+                "would be partial"
+            )
         out = t.to_df().select(
             "pk", F.col("seq").alias("last_seq"), "val"
         )

@@ -245,6 +245,15 @@ def _file_stats_json(parquet_path: str) -> dict:
             if not st.has_min_max:
                 no_bounds.add(name)
                 continue
+            if isinstance(st.min, float) and (
+                st.min != st.min or st.max != st.max
+            ):
+                # NaN bounds are unorderable — every comparison against
+                # them is False, so emitting them would let prune_adds
+                # wrongly drop the file (same suppression as deltalite's
+                # _footer_stats)
+                no_bounds.add(name)
+                continue
             if name not in mins or st.min < mins[name]:
                 mins[name] = st.min
             if name not in maxs or st.max > maxs[name]:

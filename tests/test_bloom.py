@@ -177,3 +177,30 @@ class TestBloomLifecycle:
             f"SELECT k FROM bo WHERE v = '{_md5(175)}'"
         ).collect()
         assert [r.k for r in probe] == [175]
+
+
+class TestBloomTypeSafety:
+    """Cross-type equality literals must NOT bloom-prune (review finding,
+    r8 session D): the bitmap hashes CAST(col AS STRING), so a
+    numerically-equal but textually-different literal would wrongly drop
+    files Spark's comparison would match."""
+
+    def test_int_literal_on_string_column_not_pruned(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bts (code string, v bigint) WITH ('bloom_by' 'code')"
+        )
+        ctx.execute("INSERT INTO bts VALUES ('05', 1), ('7', 2)")
+        # Spark casts: code = 5 matches the row with code = '05'
+        got = ctx.execute("SELECT v FROM bts WHERE code = 5").collect()
+        assert [r["v"] for r in got] == [1]
+        # same-family predicate still prunes and still answers correctly
+        got = ctx.execute("SELECT v FROM bts WHERE code = '7'").collect()
+        assert [r["v"] for r in got] == [2]
+
+    def test_string_literal_on_int_column_not_pruned(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bti (k bigint, v bigint) WITH ('bloom_by' 'k')"
+        )
+        ctx.execute("INSERT INTO bti VALUES (7, 1), (8, 2)")
+        got = ctx.execute("SELECT v FROM bti WHERE k = '007'").collect()
+        assert [r["v"] for r in got] == [1]

@@ -404,3 +404,28 @@ class TestGradedMatviewRow:
         ops = [c.operation for c in mv.history()]
         assert "MERGE" in ops
         assert "OVERWRITE" not in ops and "REFRESH MATERIALIZED VIEW" not in ops
+
+
+class TestNanGroupFallback:
+    def test_nan_group_value_downgrades_to_full_refresh(self, ctx):
+        """A NaN group value cannot render as a SQL literal — refresh
+        must fall back to the full-overwrite path, not error forever
+        (review finding, r8 session D)."""
+        ctx.execute("CREATE TABLE nb (g double, v bigint)")
+        ctx.execute("INSERT INTO nb VALUES (1.0, 10), (2.0, 20)")
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW nmv AS "
+            "SELECT g, SUM(v) AS s FROM nb GROUP BY g"
+        )
+        ctx.execute(
+            "INSERT INTO nb SELECT CAST('NaN' AS DOUBLE), 30"
+        )
+        ctx.execute("REFRESH MATERIALIZED VIEW nmv")  # must not raise
+        got = rows(ctx.execute("SELECT s FROM nmv ORDER BY s"))
+        assert got == [(10,), (20,), (30,)]
+        # and refresh keeps working afterwards
+        ctx.execute("INSERT INTO nb VALUES (1.0, 5)")
+        ctx.execute("REFRESH MATERIALIZED VIEW nmv")
+        assert rows(
+            ctx.execute("SELECT s FROM nmv ORDER BY s")
+        ) == [(15,), (20,), (30,)]

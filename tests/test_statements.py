@@ -1193,3 +1193,38 @@ class TestQuotedIdentifierCase:
             ctx.spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers")
             == "false"
         )
+
+
+class TestPlainCharsetQuotedCase:
+    """Plain-charset names differing only by case ("Foo" vs "foo") are
+    distinct quoted identifiers in the dialect, while Spark's temp-view
+    namespace is case-insensitive — the mangle hash-tags mixed-case
+    names and quoted references resolve case-sensitively (review
+    finding, r8 session D)."""
+
+    def test_foo_and_Foo_stay_distinct(self, ctx):
+        ctx.execute('CREATE TABLE "Cased" (v int)')
+        ctx.execute('CREATE TABLE "cased" (v int)')
+        ctx.execute('INSERT INTO "Cased" VALUES (1)')
+        ctx.execute('INSERT INTO "cased" VALUES (2)')
+        assert rows(ctx.execute('SELECT v FROM "Cased"')) == [(1,)]
+        assert rows(ctx.execute('SELECT v FROM "cased"')) == [(2,)]
+        assert rows(ctx.execute('SELECT v FROM public."Cased"')) == [(1,)]
+        # an UNQUOTED reference folds to lowercase (PG-style): it means
+        # the all-lowercase sibling
+        assert rows(ctx.execute("SELECT v FROM cased")) == [(2,)]
+        assert rows(ctx.execute("SELECT v FROM CASED")) == [(2,)]
+
+    def test_single_mixed_case_table_keeps_bare_access(self, ctx):
+        ctx.execute('CREATE TABLE "Solo" (v int)')
+        ctx.execute('INSERT INTO "Solo" VALUES (7)')
+        # no case-sibling: unquoted references still reach it
+        assert rows(ctx.execute("SELECT v FROM solo")) == [(7,)]
+        assert rows(ctx.execute('SELECT v FROM "Solo"')) == [(7,)]
+
+    def test_mixed_quoted_reference_folds_unquoted_schema(self, ctx):
+        ctx.execute('CREATE TABLE "my-Table" (v int)')
+        ctx.execute('INSERT INTO "my-Table" VALUES (3)')
+        # the quoted table part is case-sensitive; the unquoted schema
+        # part still folds
+        assert rows(ctx.execute('SELECT v FROM PUBLIC."my-Table"')) == [(3,)]

@@ -159,6 +159,8 @@ def main() -> None:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: scale_stress.py [N] [BASE] --out FILE")
         out_path = args[i + 1]
         del args[i : i + 2]
     factor = int(args[0]) if len(args) > 0 else 10
