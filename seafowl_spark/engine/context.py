@@ -1103,6 +1103,15 @@ class SeafowlContext:
             version=stmt.fields.get("version"),
             timestamp=stmt.fields.get("timestamp"),
         )
+        if (snap.properties or {}).get(VIEW_PROP) is not None:
+            # a view stores no files: the "clone" would inherit VIEW_PROP
+            # and track the LIVE base tables, silently ignoring any
+            # AS OF clause — refuse; CTAS materializes a snapshot
+            raise ExecutionError(
+                "SHALLOW CLONE of a view is not supported (a view has no "
+                "data files; use CREATE TABLE ... AS SELECT to "
+                "materialize it)"
+            )
 
         def _absolute(p: str) -> str:
             return p if os.path.isabs(p) else os.path.join(src.root, p)

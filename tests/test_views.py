@@ -297,3 +297,14 @@ class TestViewDdlGuards:
                 "CREATE VIEW tv AS SELECT * FROM sales "
                 "FOR VERSION AS OF 0"
             )
+
+
+class TestViewCloneGuard:
+    def test_shallow_clone_of_view_refused(self, ctx):
+        seed(ctx)
+        ctx.execute("CREATE VIEW cv AS SELECT region FROM sales")
+        with pytest.raises(ExecutionError, match="SHALLOW CLONE of a view"):
+            ctx.execute("CREATE TABLE cc SHALLOW CLONE cv")
+        # CTAS is the supported materialization
+        ctx.execute("CREATE TABLE cc AS SELECT * FROM cv")
+        assert rows(ctx.execute("SELECT COUNT(*) AS n FROM cc")) == [(3,)]
