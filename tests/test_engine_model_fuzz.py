@@ -96,20 +96,63 @@ def _step(ctx, model: Model, rng: random.Random) -> str:
     return f"truncate {name}"
 
 
+def _latest_version(ctx, name: str) -> int:
+    from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+    e = next(
+        x for x in ctx.catalog.tables(ctx.database) if x.name == name
+    )
+    return DeltaLiteTable(ctx.spark, ctx.table_root(e)).latest_version()
+
+
 class TestEngineModelFuzz:
     @pytest.mark.parametrize("seed", [101, 211])
     def test_random_statement_sequences_match_model(self, ctx, seed):
         rng = random.Random(seed)
         model = Model()
         trace = []
+        # (name, version) -> frozen expected contents; copy-on-write DML
+        # keeps old files until VACUUM, so EVERY recorded version must
+        # replay exactly at any later point
+        history: dict[tuple[str, int], list] = {}
         for step in range(28):
             trace.append(_step(ctx, model, rng))
+            # snapshot the mutated table's (version -> state) pair
+            touched = trace[-1].split()[1]
+            if touched in model.tables:
+                v = _latest_version(ctx, touched)
+                history[(touched, v)] = model.expect(touched)
+            history = {
+                (n, v): s for (n, v), s in history.items() if n in model.tables
+            }
             # verify one random live table fully, every step
             name = rng.choice(list(model.tables))
             got = sorted(rows(ctx.execute(f"SELECT k, g, v FROM {name}")))
             want = model.expect(name)
             assert got == want, (seed, step, trace[-3:], name)
-        # final sweep: every table matches
+            # and one random HISTORICAL version via time travel
+            if history and rng.random() < 0.5:
+                (hn, hv), hs = rng.choice(list(history.items()))
+                got = sorted(
+                    rows(
+                        ctx.execute(
+                            f"SELECT k, g, v FROM {hn} "
+                            f"FOR VERSION AS OF {hv}"
+                        )
+                    )
+                )
+                assert got == hs, (seed, step, "travel", hn, hv)
+        # final sweep: every table matches, and every recorded version
+        # still replays
         for name in model.tables:
             got = sorted(rows(ctx.execute(f"SELECT k, g, v FROM {name}")))
             assert got == model.expect(name), (seed, "final", name)
+        for (hn, hv), hs in history.items():
+            got = sorted(
+                rows(
+                    ctx.execute(
+                        f"SELECT k, g, v FROM {hn} FOR VERSION AS OF {hv}"
+                    )
+                )
+            )
+            assert got == hs, (seed, "final-travel", hn, hv)
