@@ -605,9 +605,53 @@ class SeafowlContext:
                 ),
                 lambda m: f"`{by_lower[m.group(0).lower()]}`",
             ))
+        # Case-variant guard: an UNQUALIFIED quoted plain-charset reference
+        # that survived the exact-case rewrite above would fall through to
+        # Spark's case-INSENSITIVE temp-view lookup and silently resolve a
+        # case-variant table (with only "Foo" in the catalog, "foo" resolved
+        # to it — the exact collapse the hash-mangling set out to prevent;
+        # qualified wrong-case refs already fail because temp views only
+        # resolve unqualified). For any quoted name that case-insensitively
+        # matches a search-schema table: an exact-case hit passes through
+        # untouched (mixed-case exact hits were already rewritten by the
+        # quoted alternation above; all-lowercase ones resolve correctly
+        # via their bare temp view — leaving them alone also keeps quoted
+        # COLUMN refs that share a lowercase table's exact name working),
+        # and a case-variant MISS is rejected (quoted identifiers are
+        # case-sensitive in the dialect). Only fires on names colliding
+        # with a table name, so quoted column references stay untouched
+        # unless they shadow a table case-variant — the same (accepted)
+        # clobber scope the exact-case quoted keys already have.
+        guard: dict[str, dict[str, str]] = {}
+        pref = f"{self.search_schema}."
+        for k, v in mapping.items():
+            if '"' in k or not k.startswith(pref):
+                continue
+            nm = k[len(pref):]
+            if "." not in nm and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
+                guard.setdefault(nm.lower(), {})[nm] = v
+        guard_pat = re.compile(
+            r'(?<![A-Za-z0-9_.`])"([A-Za-z_][A-Za-z0-9_]*)"(?![A-Za-z0-9_.`])'
+        )
+
+        def _guard_repl(m: re.Match) -> str:
+            inner = m.group(1)
+            variants = guard.get(inner.lower())
+            if variants is None:
+                return m.group(0)  # no table of that name: not ours
+            if inner in variants:
+                return m.group(0)  # exact case: resolves correctly as-is
+            raise ExecutionError(
+                f'relation "{inner}" does not exist (quoted identifiers '
+                f"are case-sensitive; did you mean one of "
+                f"{sorted(variants)}?)"
+            )
+
         for i in range(0, len(parts), 2):
             for pat, repl in pats:
                 parts[i] = pat.sub(repl, parts[i])
+            if guard:
+                parts[i] = guard_pat.sub(_guard_repl, parts[i])
         return "".join(parts)
 
     # ------------------------------------------------------------ functions
@@ -1269,6 +1313,28 @@ class SeafowlContext:
                 raise ExecutionError(
                     f"{schema}.{name} is not a view — CREATE OR REPLACE "
                     "VIEW cannot replace a table"
+                )
+            # A replacement whose query references the view being replaced
+            # would VALIDATE against the old view's temp registration, then
+            # persist a self-referential defining query that reload_views'
+            # fixpoint can never expand (its own temp view is dropped
+            # first) — silently destroying a working view. Textual check,
+            # same conservative style as the staging guard: a string
+            # literal containing the name also rejects, which beats the
+            # silent destruction.
+            self_forms = [
+                rf"(?i)(?<![\w.\"]){re.escape(name)}\b",
+                rf'"{re.escape(name)}"',
+            ]
+            if any(re.search(p, stmt.query) for p in self_forms) or re.search(
+                rf"(?i)(?<![\w.]){re.escape(schema)}\s*\.\s*"
+                rf"(?:\"{re.escape(name)}\"|{re.escape(name)}\b)",
+                stmt.query,
+            ):
+                raise ExecutionError(
+                    f"CREATE OR REPLACE VIEW {schema}.{name} cannot "
+                    "reference the view it replaces (a view cannot be "
+                    "defined in terms of itself)"
                 )
         # validate + capture the output schema (analysis only, no action)
         df = self._exec_query(parser.Statement("query", stmt.query))

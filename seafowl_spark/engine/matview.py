@@ -145,7 +145,12 @@ def _sql_literal(v) -> str:
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
-    s = str(v).replace("'", "''")
+    # Spark SQL string literals process backslash escapes by default
+    # (spark.sql.parser.escapedStringLiterals=false), so a bare backslash
+    # in a group value (e.g. 'C:\new') would denote a DIFFERENT string and
+    # the refresh would silently miss/delete that group. Escape backslashes
+    # first, then double quotes.
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 

@@ -39,12 +39,15 @@ def dedup_paragraphs(
     FIRST corpus-wide occurrence (by id, then position) of each
     normalized paragraph; later occurrences are removed and the kept
     paragraphs rejoin in document order. Empty paragraphs pass through
-    untouched (they are formatting, not content)."""
+    untouched (they are formatting, not content). NULL text is coalesced
+    to '' before splitting so every input document appears in the output
+    (split(NULL) -> NULL array would otherwise emit no rows under
+    posexplode and silently drop the document)."""
     paras = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
-            "__pos", "__para"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep))
+        ).alias("__pos", "__para"),
     )
     hashed = paras.withColumn("__norm", _norm(F.col("__para"))).withColumn(
         "__h",

@@ -106,6 +106,13 @@ def fit_whitening(
 
     g = {(r["i"], r["j"]): r["sum_prod"] for r in moment_sums(df, col, dim).collect()}
     m_rows = mean_sums(df, col, dim).collect()  # dim rows — bounded
+    if not m_rows:
+        raise ValueError("fit_whitening: empty corpus (no embedding rows)")
+    if len(m_rows) != dim:
+        raise ValueError(
+            f"fit_whitening: expected {dim} coordinates, got {len(m_rows)} "
+            "(dim mismatch between `dim` and the embedding column)"
+        )
     n = int(m_rows[0]["n"])
     mu = np.zeros(dim)
     for r in m_rows:

@@ -777,8 +777,8 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum_fx AS n1, CAST(NULL AS BIGINT) AS n2
     FROM (
       SELECT 'gram' AS kind, CAST(p.i * {EMB_DIM} + p.j AS VARCHAR) AS key,
-             SUM(CAST(floor(e.v[p.i + 1] * e.v[p.j + 1] * 1000000000.0)
-                      AS BIGINT)) AS sum_fx
+             CAST(SUM(CAST(floor(e.v[p.i + 1] * e.v[p.j + 1] * 1000000000.0)
+                      AS BIGINT)) AS BIGINT) AS sum_fx
       FROM (SELECT {_SQL_EMB} AS v FROM embeddings) e,
            (SELECT i.i, j.j
             FROM (SELECT unnest(range(0, {EMB_DIM})) AS i) i,
@@ -791,7 +791,7 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000000.0) / COUNT(*) AS v1,
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            COUNT(*) AS n1,
-           SUM(CAST(floor(x * 1000000000.0) AS BIGINT)) AS n2
+           CAST(SUM(CAST(floor(x * 1000000000.0) AS BIGINT)) AS BIGINT) AS n2
     FROM (SELECT unnest(range(0, {EMB_DIM})) AS i,
                  unnest({_SQL_EMB}) AS x
           FROM embeddings)

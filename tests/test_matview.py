@@ -69,6 +69,12 @@ class TestMvSpecParsing:
         two = group_predicate(["g", "h"], [("x", 1)])
         assert two == "(g = 'x' AND h = 1)"
 
+    def test_group_predicate_escapes_backslashes(self):
+        # Spark string literals process backslash escapes: an unescaped
+        # 'C:\new' would denote 'C:<LF>ew' and the refresh would silently
+        # drop the real group (r8 review finding)
+        assert group_predicate(["g"], [("C:\\new",)]) == "g IN ('C:\\\\new')"
+
 
 class TestMatViewLifecycle:
     def test_create_materializes_initial_state(self, ctx):
@@ -159,6 +165,23 @@ class TestMatViewLifecycle:
         seed_base(ctx)
         with pytest.raises(ExecutionError, match="not a materialized view"):
             ctx.execute("REFRESH MATERIALIZED VIEW sales")
+
+    def test_backslash_group_value_survives_refresh(self, ctx):
+        # the predicate literal must escape backslashes or the recompute
+        # WHERE misses the group and wrongly deletes it from the view
+        ctx.execute(
+            "CREATE TABLE sales (region string, amount bigint, qty bigint)"
+        )
+        ctx.execute(
+            r"INSERT INTO sales VALUES ('C:\\new', 10, 1), ('east', 20, 2)"
+        )
+        ctx.execute(MV_SQL)
+        ctx.execute(r"INSERT INTO sales VALUES ('C:\\new', 5, 1)")
+        ctx.execute("REFRESH MATERIALIZED VIEW mv")
+        got = rows(
+            ctx.execute("SELECT region, total, n FROM mv ORDER BY region")
+        )
+        assert got == [("C:\\new", 15, 2), ("east", 20, 1)]
 
     def test_consecutive_refreshes(self, ctx):
         seed_base(ctx)

@@ -1222,6 +1222,34 @@ class TestPlainCharsetQuotedCase:
         assert rows(ctx.execute("SELECT v FROM solo")) == [(7,)]
         assert rows(ctx.execute('SELECT v FROM "Solo"')) == [(7,)]
 
+    def test_wrong_case_quoted_reference_errors(self, ctx):
+        # with only "Solo" in the catalog the quoted variant "solo" used
+        # to fall through to Spark's case-INSENSITIVE temp-view lookup
+        # and silently resolve to "Solo" — the exact collapse the
+        # mangling prevents when both siblings exist (r8 review finding)
+        from seafowl_spark.engine.context import ExecutionError
+
+        ctx.execute('CREATE TABLE "Solo" (v int)')
+        ctx.execute('INSERT INTO "Solo" VALUES (7)')
+        for ref in ('"solo"', '"SOLO"', '"sOlO"'):
+            with pytest.raises(ExecutionError, match="case-sensitive"):
+                ctx.execute(f"SELECT v FROM {ref}")
+        # exact-case quoted and unquoted folding still work
+        assert rows(ctx.execute('SELECT v FROM "Solo"')) == [(7,)]
+        assert rows(ctx.execute("SELECT v FROM SOLO")) == [(7,)]
+
+    def test_wrong_case_quoted_with_siblings_errors(self, ctx):
+        from seafowl_spark.engine.context import ExecutionError
+
+        ctx.execute('CREATE TABLE "Cased" (v int)')
+        ctx.execute('CREATE TABLE "cased" (v int)')
+        ctx.execute('INSERT INTO "cased" VALUES (2)')
+        # a variant matching NEITHER sibling errors instead of silently
+        # resolving to whichever owns the bare temp-view name
+        with pytest.raises(ExecutionError, match="case-sensitive"):
+            ctx.execute('SELECT v FROM "CASED"')
+        assert rows(ctx.execute('SELECT v FROM "cased"')) == [(2,)]
+
     def test_mixed_quoted_reference_folds_unquoted_schema(self, ctx):
         ctx.execute('CREATE TABLE "my-Table" (v int)')
         ctx.execute('INSERT INTO "my-Table" VALUES (3)')

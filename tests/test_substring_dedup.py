@@ -241,6 +241,24 @@ class TestParagraphDedup:
         assert out[1] == (0, "a\n\n\n\nb")
         assert out[2] == (1, "\n\nc")
 
+    def test_null_text_documents_pass_through(self, spark):
+        # split(NULL) -> NULL array emits no posexplode rows; without the
+        # coalesce those doc_ids would vanish from the output entirely —
+        # a silent row-count change for corpus reassembly (r8 review).
+        from seafowl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "alpha"), (2, None), (3, "alpha")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_paragraphs"], r["n_removed_paragraphs"], r["clean_text"])
+            for r in dedup_paragraphs(docs).collect()
+        }
+        assert set(out) == {1, 2, 3}  # every input document appears
+        assert out[2] == (1, 0, "")  # NULL text -> one empty paragraph
+        assert out[3] == (1, 1, "")  # 'alpha' deduped to doc 1
+
     def test_single_shuffle_no_python(self, spark):
         from seafowl_spark.operators.paragraph_dedup import dedup_paragraphs
 

@@ -298,6 +298,25 @@ class TestViewDdlGuards:
                 "FOR VERSION AS OF 0"
             )
 
+    def test_replace_view_with_self_reference_rejected(self, ctx):
+        # the replacement would VALIDATE against the old view's temp
+        # registration then persist a query reload_views can never
+        # re-expand, silently destroying the view (r8 review finding)
+        seed(ctx)
+        ctx.execute("CREATE VIEW sr AS SELECT region, amount FROM sales")
+        for q in (
+            "SELECT region FROM sr",
+            "SELECT region FROM public.sr",
+            'SELECT region FROM "sr"',
+        ):
+            with pytest.raises(ExecutionError, match="terms of itself"):
+                ctx.execute(f"CREATE OR REPLACE VIEW sr AS {q}")
+        # the original view is intact after the rejections
+        assert rows(ctx.execute("SELECT COUNT(*) AS n FROM sr")) == [(3,)]
+        # and a legitimate replacement still works
+        ctx.execute("CREATE OR REPLACE VIEW sr AS SELECT region FROM sales")
+        assert rows(ctx.execute("SELECT COUNT(*) AS n FROM sr")) == [(3,)]
+
 
 class TestViewCloneGuard:
     def test_shallow_clone_of_view_refused(self, ctx):

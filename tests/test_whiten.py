@@ -88,3 +88,22 @@ class TestFitApply:
         for r in out:
             want = w @ (np.array(r["emb"]) - mu)
             assert np.allclose(np.array(r["whitened"]), want)
+
+    def test_empty_corpus_raises_clear_error(self, spark, vecs):
+        # previously IndexError on m_rows[0] (r8 review finding)
+        import pytest
+
+        df, _ = vecs
+        with pytest.raises(ValueError, match="empty corpus"):
+            fit_whitening(df.limit(0), "emb", DIM)
+
+    def test_dim_mismatch_raises_clear_error(self, spark, vecs):
+        # zero-filled moments from a wrong `dim` would silently produce a
+        # degenerate covariance; the guard surfaces it instead
+        import pytest
+
+        df, _ = vecs
+        with pytest.raises(ValueError, match="dim mismatch"):
+            # dim smaller than the arrays: moments run (subset of cells)
+            # but the coordinate count disagrees — must not silently fit
+            fit_whitening(df, "emb", DIM - 3)

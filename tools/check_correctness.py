@@ -30,6 +30,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
+def _dtype_class(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith("datetime"):
+        return "datetime"
+    return "object"
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -56,6 +69,20 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> lis
     if len(sn) != len(on):
         problems.append(f"rowcount: spark={len(sn)} oracle={len(on)}")
         return problems
+    # Dtype parity gate: the driver hashes canonicalized frames, so an int64
+    # vs float64 column (DuckDB SUM(BIGINT)->HUGEINT->float64 via fetchdf)
+    # hash-mismatches even when every value compares equal — the exact
+    # s_quantize_int8 r08 sealed-red failure (see tools/audit_dtypes.py).
+    # Enforce it here so the value mirror can never pass a row the driver
+    # would hash-fail. Canonicalization matches the observed driver rule:
+    # integer WIDTHS unify (q_bm25_search's int64-vs-int32 query_id
+    # hash-passed in r08), but int-vs-float is a real mismatch.
+    for c in sn.columns:
+        sd, od = _dtype_class(sn[c].dtype), _dtype_class(on[c].dtype)
+        if sd != od:
+            problems.append(
+                f"dtype {c}: spark={sn[c].dtype}({sd}) oracle={on[c].dtype}({od})"
+            )
     for c in sn.columns:
         sv, ov = sn[c].tolist(), on[c].tolist()
         bad = [
