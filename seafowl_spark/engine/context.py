@@ -256,6 +256,14 @@ class SeafowlContext:
                 base_latest = self.delta_table(spec.base).latest_version()
             except ExecutionError:
                 base_latest = None  # base dropped: permanently stale
+            # a changed dimension also makes the view stale (r9 joins)
+            dims_stale = False
+            for dname, dver in (spec.dim_versions or {}).items():
+                try:
+                    if self.delta_table(dname).latest_version() != dver:
+                        dims_stale = True
+                except ExecutionError:
+                    dims_stale = True  # dim dropped
             mv_rows.append(
                 Row(
                     view_schema=e.schema,
@@ -265,7 +273,9 @@ class SeafowlContext:
                     base_version=spec.base_version,
                     base_latest_version=base_latest,
                     is_stale=(
-                        base_latest is None or base_latest > spec.base_version
+                        base_latest is None
+                        or base_latest > spec.base_version
+                        or dims_stale
                     ),
                 )
             )
@@ -482,6 +492,22 @@ class SeafowlContext:
                         self.spark.catalog.dropTempView(name_)
                     except Exception:
                         pass
+        # stale temp views from the PREVIOUS reload must go BEFORE the
+        # fixpoint, not after: a renamed base table leaves its old name's
+        # temp view behind (rename is catalog-only, the files survive), and
+        # a view whose defining query references the old name would
+        # otherwise expand against that stale registration and silently
+        # SUCCEED on the first statement after the rename — then fail on
+        # the next. Text-based views must break deterministically when
+        # their name no longer resolves.
+        current = set(mapping.values()) | {
+            e.name for e in entries if e.schema == self.search_schema
+        }
+        for stale in self._registered_views - current:
+            try:
+                self.spark.catalog.dropTempView(stale)
+            except Exception:  # noqa: BLE001
+                pass
         # cheap textual topo-sort first: order views so ones mentioning
         # another deferred view's name expand after it — the common DAG
         # then converges in ONE pass and the fixpoint below is only the
@@ -1194,14 +1220,15 @@ class SeafowlContext:
         aggregate into a deltalite table and record the incremental spec
         in its properties (engine/matview.py — beyond the reference,
         which has no view machinery)."""
-        from .matview import MATVIEW_PROP, MvSpec, parse_mv_select, query_at_version
+        from .matview import MATVIEW_PROP, MvSpec, parse_mv_query, query_at_version
 
         db, schema, name = parser.parse_qualified(stmt.name)
         self._guard_staging(schema)
         db, schema = db or self.database, schema or self.search_schema
         if stmt.if_not_exists and self.catalog.get_table(db, schema, name):
             return
-        base, group_cols = parse_mv_select(stmt.query)
+        shape = parse_mv_query(stmt.query)
+        base, group_cols = shape.base, shape.group_cols
         base_t = self.delta_table(base)  # must be a managed table
         if (base_t.snapshot().properties or {}).get(VIEW_PROP):
             raise ExecutionError(
@@ -1209,6 +1236,18 @@ class SeafowlContext:
                 "not a logical view (its file-diff refresh needs stored "
                 "data)"
             )
+        # joined dimensions must also be managed tables (their versions
+        # gate the incremental path: any dim change -> full refresh)
+        dim_versions: dict[str, int] = {}
+        for dim in shape.dims:
+            dim_t = self.delta_table(dim)
+            if (dim_t.snapshot().properties or {}).get(VIEW_PROP):
+                raise ExecutionError(
+                    "materialized views may only join managed tables "
+                    f"({dim} is a logical view — version tracking needs "
+                    "stored data)"
+                )
+            dim_versions[dim] = dim_t.latest_version()
         base_version = base_t.latest_version()
         pinned = query_at_version(stmt.query, base, base_version)
         df = self._exec_query(parser.Statement("query", pinned))
@@ -1218,7 +1257,9 @@ class SeafowlContext:
                 f"group column(s) {missing} not in the view output "
                 f"{df.columns} (group columns must pass through unaliased)"
             )
-        spec = MvSpec(base, group_cols, stmt.query, base_version)
+        spec = MvSpec(
+            base, group_cols, stmt.query, base_version, dim_versions or None
+        )
         entry = self.catalog.create_table(
             db, schema, name,
             ", ".join(
@@ -1382,7 +1423,9 @@ class SeafowlContext:
         from .matview import (
             MATVIEW_PROP,
             affected_group_values,
+            affected_groups_via_query,
             group_predicate,
+            parse_mv_query,
             query_at_version,
         )
 
@@ -1393,11 +1436,34 @@ class SeafowlContext:
             raise ExecutionError(f"{stmt.name} is not a materialized view")
         base_t = self.delta_table(spec.base)
         v_to = base_t.latest_version()
-        if v_to == spec.base_version:
+        # dimension versions gate the incremental path: the file-diff is
+        # fact-only, so ANY dim change means the always-correct full
+        # overwrite (dims are small and change rarely — the refresh cost
+        # stays proportional to changed fact data in the common case)
+        dims_now: dict[str, int] = {}
+        dims_changed = False
+        for dname, dver in (spec.dim_versions or {}).items():
+            dv = self.delta_table(dname).latest_version()
+            dims_now[dname] = dv
+            if dv != dver:
+                dims_changed = True
+        if v_to == spec.base_version and not dims_changed:
             return  # already current
-        vals = affected_group_values(
-            self.spark, base_t, spec.base_version, v_to, spec.group_cols
-        )
+        if dims_changed:
+            vals = None  # full refresh
+        elif spec.dim_versions:
+            vals = affected_groups_via_query(
+                self.spark,
+                base_t,
+                spec.base_version,
+                v_to,
+                parse_mv_query(spec.query),
+                lambda s: self._exec_query(parser.Statement("query", s)),
+            )
+        else:
+            vals = affected_group_values(
+                self.spark, base_t, spec.base_version, v_to, spec.group_cols
+            )
         pinned = query_at_version(spec.query, spec.base, v_to)
         if vals is None:
             # full refresh: atomic overwrite at the new snapshot
@@ -1447,6 +1513,8 @@ class SeafowlContext:
         # record the new base version (metadata-only commit)
         snap = t.snapshot()
         spec.base_version = v_to
+        if dims_now:
+            spec.dim_versions = dims_now
         t._next_commit(
             "REFRESH VERSION",
             [],

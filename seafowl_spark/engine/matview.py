@@ -34,8 +34,25 @@ cannot carry NULLs), or unreadable old files (vacuumed past the
 recorded version) downgrade to a FULL refresh (atomic overwrite) —
 always correct, never an error.
 
-Restrictions (validated at CREATE): single base table, no joins or set
-ops, GROUP BY bare columns that appear unaliased in the select list.
+Since r9 the defining query may JOIN the fact base to DIMENSION tables
+(INNER/LEFT only — the q05-shaped rollup: fact joins small dims,
+groups by a dim attribute). The incremental diff stays on the single
+FACT base; each dimension's version is recorded in the spec, and a
+refresh that finds ANY dimension changed downgrades to the
+always-correct full overwrite (dimensions are small and change rarely
+— the 100 TB shape is "re-aggregate affected fact partitions", never
+"re-scan the fact because a dim row moved" unless it actually did).
+When only the fact changed, the affected groups are computed by
+re-running the view's own FROM/JOIN/WHERE clause with the fact swapped
+for the changed-files scan — so group columns may come from a
+dimension (changed fact rows join to the UNCHANGED dims to name their
+groups).
+
+Restrictions (validated at CREATE): one FACT base table (the first
+FROM table) plus INNER/LEFT joined dimension tables; no RIGHT/FULL/
+CROSS joins (dim-driven rows have no fact files to diff); no set ops
+or subqueries; GROUP BY bare columns that appear unaliased in the
+select list.
 """
 
 from __future__ import annotations
@@ -59,35 +76,67 @@ class MvSpec:
     group_cols: list[str]
     query: str
     base_version: int
+    # dimension tables (reference as written -> version at create/last
+    # refresh); empty for single-table views — absent in pre-r9 specs
+    dim_versions: dict[str, int] | None = None
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "base": self.base,
-                "group": self.group_cols,
-                "query": self.query,
-                "base_version": self.base_version,
-            }
-        )
+        d = {
+            "base": self.base,
+            "group": self.group_cols,
+            "query": self.query,
+            "base_version": self.base_version,
+        }
+        if self.dim_versions:
+            d["dims"] = self.dim_versions
+        return json.dumps(d)
 
     @staticmethod
     def from_json(raw: str) -> "MvSpec":
         d = json.loads(raw)
-        return MvSpec(d["base"], list(d["group"]), d["query"], int(d["base_version"]))
+        return MvSpec(
+            d["base"],
+            list(d["group"]),
+            d["query"],
+            int(d["base_version"]),
+            {k: int(v) for k, v in d.get("dims", {}).items()} or None,
+        )
 
 
 _IDENT = r'(?:"[^"]+"|[A-Za-z_][A-Za-z0-9_]*)'
 _QNAME = rf"{_IDENT}(?:\.{_IDENT})*"
+# keywords that may follow a table reference and must not be mistaken
+# for its alias
+_KEYWORDS = {
+    "join", "inner", "left", "right", "full", "cross", "outer",
+    "on", "using", "where", "group", "having", "order",
+}
 
 
-def parse_mv_select(query: str) -> tuple[str, list[str]]:
-    """Validate the restricted view shape; returns (base table reference
-    as written, group-by column names)."""
+@dataclass
+class MvShape:
+    """Parsed shape of a matview defining query."""
+
+    base: str                 # fact reference as written
+    base_alias: str | None    # alias after the fact reference, if any
+    dims: list[str]           # joined dimension references as written
+    group_cols: list[str]
+    from_sql: str             # FROM ... [JOIN ...] [WHERE ...] clause text
+    base_span: tuple[int, int]  # span of the fact reference WITHIN from_sql
+
+
+def parse_mv_query(query: str) -> MvShape:
+    """Validate the restricted view shape: one FACT base plus optional
+    INNER/LEFT-joined dimensions, single SELECT, GROUP BY bare columns
+    that appear unaliased in the select list."""
     q = query.strip().rstrip(";")
-    if re.search(r"(?i)\b(join|union|intersect|except)\b", q):
+    if re.search(r"(?i)\b(union|intersect|except)\b", q):
+        raise MatViewError("materialized views do not support set operations")
+    if re.search(r"(?i)\b(right|full|cross)\s+(?:outer\s+)?join\b", q):
         raise MatViewError(
-            "materialized views support a single base table (no joins "
-            "or set operations)"
+            "materialized views support INNER/LEFT joins to dimension "
+            "tables only (RIGHT/FULL/CROSS produce rows with no fact "
+            "files to diff)"
         )
     if len(re.findall(r"(?i)\bselect\b", q)) != 1:
         raise MatViewError("materialized views support one SELECT (no subqueries)")
@@ -95,11 +144,25 @@ def parse_mv_select(query: str) -> tuple[str, list[str]]:
     if not m:
         raise MatViewError("could not find the FROM table")
     base = m.group(1)
+    alias_m = re.match(
+        r"(?i)\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*)", q[m.end():]
+    )
+    base_alias = None
+    if alias_m and alias_m.group(1).lower() not in _KEYWORDS:
+        base_alias = alias_m.group(1)
     gb = re.search(
         r"(?i)\bgroup\s+by\s+(.+?)(?:\border\s+by\b|\bhaving\b|$)", q, re.DOTALL
     )
     if not gb:
         raise MatViewError("materialized views require GROUP BY")
+    from_sql = q[m.start(): gb.start()].rstrip()
+    dims = [
+        dm.group(1)
+        for dm in re.finditer(
+            rf"(?i)\b(?:inner\s+|left\s+(?:outer\s+)?)?join\s+({_QNAME})",
+            from_sql,
+        )
+    ]
     cols = [c.strip() for c in gb.group(1).split(",") if c.strip()]
     bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
     if bad:
@@ -117,7 +180,20 @@ def parse_mv_select(query: str) -> tuple[str, list[str]]:
             raise MatViewError(
                 f"group column {c!r} must appear (unaliased) in the select list"
             )
-    return base, cols
+    return MvShape(
+        base,
+        base_alias,
+        dims,
+        cols,
+        from_sql,
+        (m.start(1) - m.start(), m.end(1) - m.start()),
+    )
+
+
+def parse_mv_select(query: str) -> tuple[str, list[str]]:
+    """Back-compat wrapper: (base table reference, group columns)."""
+    shape = parse_mv_query(query)
+    return shape.base, shape.group_cols
 
 
 def query_at_version(query: str, base: str, version: int) -> str:
@@ -186,6 +262,66 @@ def changed_files(base_t, v_from: int, v_to: int):
     only_old = [f for k, f in old.items() if k not in new]
     only_new = [f for k, f in new.items() if k not in old]
     return s_old, only_old, s_new, only_new
+
+
+def _bare_alias(ref: str) -> str:
+    """Alias to stand in for an unaliased fact reference after the swap:
+    the last path component, unquoted (qualified column refs in the view
+    query can only use this form — the qualified original never resolves
+    against a temp view anyway)."""
+    last = re.split(r"\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", ref)[-1]
+    return last.strip('"')
+
+
+def affected_groups_via_query(
+    spark, base_t, v_from: int, v_to: int, shape: MvShape, exec_query
+) -> list[tuple] | None:
+    """Affected groups for a JOIN view: re-run the view's own FROM/JOIN/
+    WHERE clause with the FACT reference swapped for the changed-files
+    scan (registered as a temp view), so group columns may come from the
+    (unchanged) dimensions — changed fact rows join to the dims to name
+    their groups. Same contract as affected_group_values: [] when
+    nothing changed, None when incremental is not possible (too many
+    groups, NULL group values — e.g. a LEFT-join miss — or unreadable
+    old files)."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    s_old, only_old, s_new, only_new = changed_files(base_t, v_from, v_to)
+    if not only_old and not only_new:
+        return []
+    view = f"__mv_changed_{_uuid.uuid4().hex[:8]}"
+    try:
+        frames = []
+        for files, snap in ((only_old, s_old), (only_new, s_new)):
+            if files:
+                schema = T.StructType.fromDDL(snap.schema_ddl)
+                frames.append(base_t._scan_files(files, schema))
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        df.createOrReplaceTempView(view)
+        a, b = shape.base_span
+        swap = f"`{view}`"
+        if shape.base_alias is None:
+            swap += f" AS `{_bare_alias(shape.base)}`"
+        swapped = shape.from_sql[:a] + swap + shape.from_sql[b:]
+        sql = f"SELECT DISTINCT {', '.join(shape.group_cols)} {swapped}"
+        rows = exec_query(sql).limit(MAX_INCREMENTAL_GROUPS + 1).collect()
+    except Exception:  # noqa: BLE001 — vacuumed old files etc.: full refresh
+        return None
+    finally:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:  # noqa: BLE001
+            pass
+    if len(rows) > MAX_INCREMENTAL_GROUPS:
+        return None
+    vals = [tuple(r[c] for c in shape.group_cols) for r in rows]
+    if any(v is None for tup in vals for v in tup):
+        return None  # merge PK cannot carry NULL group keys
+    return vals
 
 
 def affected_group_values(

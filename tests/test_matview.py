@@ -48,9 +48,7 @@ class TestMvSpecParsing:
         )
         assert base == "sch.tbl" and cols == ["a", "b"]
 
-    def test_rejects_joins_and_subqueries(self):
-        with pytest.raises(MatViewError, match="single base"):
-            parse_mv_select("SELECT a, SUM(x) FROM t JOIN u USING (a) GROUP BY a")
+    def test_rejects_subqueries_setops_outer_joins(self):
         with pytest.raises(MatViewError, match="one SELECT"):
             parse_mv_select(
                 "SELECT a, SUM(x) FROM (SELECT * FROM t) GROUP BY a"
@@ -59,6 +57,42 @@ class TestMvSpecParsing:
             parse_mv_select("SELECT SUM(x) FROM t")
         with pytest.raises(MatViewError, match="unaliased"):
             parse_mv_select("SELECT upper(a) AS u, SUM(x) FROM t GROUP BY a")
+        with pytest.raises(MatViewError, match="set operations"):
+            parse_mv_select(
+                "SELECT a, SUM(x) FROM t GROUP BY a "
+                "UNION ALL SELECT a, SUM(x) FROM u GROUP BY a"
+            )
+        for jk in ("RIGHT JOIN", "FULL OUTER JOIN", "CROSS JOIN"):
+            with pytest.raises(MatViewError, match="INNER/LEFT"):
+                parse_mv_select(
+                    f"SELECT a, SUM(x) FROM t {jk} u ON t.a = u.a GROUP BY a"
+                )
+
+    def test_parse_join_shape(self):
+        from seafowl_spark.engine.matview import parse_mv_query
+
+        shape = parse_mv_query(
+            "SELECT r_name, SUM(amount) AS total FROM sales s "
+            "JOIN region r ON s.rkey = r.r_key "
+            "LEFT JOIN nation n ON s.nkey = n.n_key "
+            "WHERE amount > 0 GROUP BY r_name"
+        )
+        assert shape.base == "sales" and shape.base_alias == "s"
+        assert shape.dims == ["region", "nation"]
+        assert shape.group_cols == ["r_name"]
+        assert shape.from_sql.startswith("FROM sales s")
+        assert shape.from_sql.rstrip().endswith("WHERE amount > 0")
+        a, b = shape.base_span
+        assert shape.from_sql[a:b] == "sales"
+
+    def test_parse_unaliased_base_keeps_no_alias(self):
+        from seafowl_spark.engine.matview import parse_mv_query
+
+        shape = parse_mv_query(
+            "SELECT g, SUM(x) AS s FROM t JOIN d ON g = d.k GROUP BY g"
+        )
+        assert shape.base == "t" and shape.base_alias is None
+        assert shape.dims == ["d"]
 
     def test_query_at_version_pins_the_from(self):
         q = query_at_version("SELECT a, SUM(x) AS s FROM t GROUP BY a", "t", 7)
@@ -240,6 +274,132 @@ class TestMatViewScale:
         )
 
 
+def seed_join_base(ctx):
+    ctx.execute("CREATE TABLE fsales (rkey bigint, amount bigint)")
+    ctx.execute(
+        "INSERT INTO fsales VALUES (1, 10), (1, 20), (2, 5), (3, 7)"
+    )
+    ctx.execute("CREATE TABLE fregion (r_key bigint, r_name string)")
+    ctx.execute(
+        "INSERT INTO fregion VALUES (1, 'east'), (2, 'west'), (3, 'north')"
+    )
+
+
+JOIN_MV_SQL = (
+    "CREATE MATERIALIZED VIEW jmv AS "
+    "SELECT r_name, SUM(amount) AS total, COUNT(*) AS n "
+    "FROM fsales s JOIN fregion r ON s.rkey = r.r_key "
+    "GROUP BY r_name"
+)
+
+
+class TestMatViewJoinDimensions:
+    """r9: the q05 shape — fact joined to a dimension, grouped by a DIM
+    attribute. Incremental refresh still diffs only the fact's files;
+    affected groups come from joining the changed fact rows to the
+    (version-gated, unchanged) dimension."""
+
+    def test_create_materializes_join_aggregate(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(JOIN_MV_SQL)
+        got = rows(ctx.execute("SELECT r_name, total, n FROM jmv"))
+        assert sorted(got) == [("east", 30, 2), ("north", 7, 1), ("west", 5, 1)]
+
+    def test_fact_insert_refreshes_incrementally(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(JOIN_MV_SQL)
+        mv = _mv_table(ctx, "jmv")
+        v_created = mv.latest_version()
+        ctx.execute("INSERT INTO fsales VALUES (2, 100)")
+        ctx.execute("REFRESH MATERIALIZED VIEW jmv")
+        got = rows(ctx.execute("SELECT r_name, total, n FROM jmv"))
+        assert sorted(got) == [
+            ("east", 30, 2), ("north", 7, 1), ("west", 105, 2),
+        ]
+        # incremental: MERGE, not overwrite — the dim was unchanged and
+        # the changed fact rows named their group through the join
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+        assert "REFRESH MATERIALIZED VIEW" not in ops
+
+    def test_fact_delete_vanishes_group(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(JOIN_MV_SQL)
+        ctx.execute("DELETE FROM fsales WHERE rkey = 3")
+        ctx.execute("REFRESH MATERIALIZED VIEW jmv")
+        got = rows(ctx.execute("SELECT r_name, total FROM jmv"))
+        assert sorted(got) == [("east", 30), ("west", 5)]
+
+    def test_dim_change_downgrades_to_full_refresh(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(JOIN_MV_SQL)
+        mv = _mv_table(ctx, "jmv")
+        v_created = mv.latest_version()
+        # renaming a region moves EVERY east row to a new group — the
+        # fact diff alone cannot see it, so the refresh must go full
+        ctx.execute("UPDATE fregion SET r_name = 'orient' WHERE r_key = 1")
+        ctx.execute("REFRESH MATERIALIZED VIEW jmv")
+        got = rows(ctx.execute("SELECT r_name, total, n FROM jmv"))
+        assert sorted(got) == [
+            ("north", 7, 1), ("orient", 30, 2), ("west", 5, 1),
+        ]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "REFRESH MATERIALIZED VIEW" in ops  # the full-overwrite op
+
+    def test_dim_and_fact_change_together_full_refresh_correct(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(JOIN_MV_SQL)
+        ctx.execute("INSERT INTO fsales VALUES (2, 11)")
+        ctx.execute("INSERT INTO fregion VALUES (4, 'south')")
+        ctx.execute("INSERT INTO fsales VALUES (4, 3)")
+        ctx.execute("REFRESH MATERIALIZED VIEW jmv")
+        got = rows(ctx.execute("SELECT r_name, total, n FROM jmv"))
+        assert sorted(got) == [
+            ("east", 30, 2), ("north", 7, 1), ("south", 3, 1), ("west", 16, 2),
+        ]
+
+    def test_left_join_null_group_falls_back_full(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW ljmv AS "
+            "SELECT r_name, SUM(amount) AS total "
+            "FROM fsales s LEFT JOIN fregion r ON s.rkey = r.r_key "
+            "GROUP BY r_name"
+        )
+        # rkey 9 has no dim match: its group is NULL -> full fallback,
+        # values still correct
+        ctx.execute("INSERT INTO fsales VALUES (9, 42)")
+        ctx.execute("REFRESH MATERIALIZED VIEW ljmv")
+        got = sorted(
+            rows(ctx.execute("SELECT r_name, total FROM ljmv")),
+            key=lambda r: (r[0] is not None, r[0]),
+        )
+        assert got == [(None, 42), ("east", 30), ("north", 7), ("west", 5)]
+
+    def test_unaliased_fact_join_works(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW umv AS "
+            "SELECT r_name, SUM(amount) AS total "
+            "FROM fsales JOIN fregion ON rkey = r_key GROUP BY r_name"
+        )
+        ctx.execute("INSERT INTO fsales VALUES (1, 1)")
+        ctx.execute("REFRESH MATERIALIZED VIEW umv")
+        got = rows(ctx.execute("SELECT r_name, total FROM umv"))
+        assert sorted(got) == [("east", 31), ("north", 7), ("west", 5)]
+
+    def test_dim_must_be_managed_table(self, ctx):
+        seed_join_base(ctx)
+        ctx.execute("CREATE VIEW vdim AS SELECT r_key, r_name FROM fregion")
+        with pytest.raises(ExecutionError, match="logical view"):
+            ctx.execute(
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT r_name, SUM(amount) AS total "
+                "FROM fsales s JOIN vdim v ON s.rkey = v.r_key "
+                "GROUP BY r_name"
+            )
+
+
 class TestMatViewIntrospection:
     def test_show_create_emits_view_ddl_and_round_trips(self, ctx):
         seed_base(ctx)
@@ -350,6 +510,67 @@ class TestMatViewFuzz:
                     ctx.execute(
                         "SELECT g, SUM(v) AS s, COUNT(*) AS n, "
                         "MIN(v) AS mn, MAX(v) AS mx FROM fz GROUP BY g"
+                    )
+                )
+            )
+            assert got == want
+
+
+    @pytest.mark.parametrize("seed", [29])
+    def test_join_view_random_fact_and_dim_churn(self, ctx, seed):
+        """The join-view variant: random fact DML (incremental path) mixed
+        with occasional DIM updates (full-refresh path) — after every
+        refresh the view must equal the direct join-aggregate."""
+        import random
+
+        rng = random.Random(seed)
+        ctx.execute("CREATE TABLE jf (pk BIGINT, dk BIGINT, v BIGINT)")
+        ctx.execute("CREATE TABLE jd (dk BIGINT, label STRING)")
+        ctx.execute(
+            "INSERT INTO jd VALUES (1, 'x'), (2, 'y'), (3, 'z'), (4, 'w')"
+        )
+        nxt = 0
+
+        def ins():
+            nonlocal nxt
+            vals = ", ".join(
+                f"({nxt + i}, {rng.randint(1, 4)}, {rng.randint(-5, 20)})"
+                for i in range(rng.randint(1, 5))
+            )
+            nxt += 5
+            ctx.execute(f"INSERT INTO jf VALUES {vals}")
+
+        def upd_fact():
+            ctx.execute(
+                f"UPDATE jf SET v = v + {rng.randint(1, 9)} "
+                f"WHERE dk = {rng.randint(1, 4)}"
+            )
+
+        def dele():
+            m = rng.choice([3, 5])
+            ctx.execute(f"DELETE FROM jf WHERE pk % {m} = {rng.randrange(m)}")
+
+        def upd_dim():
+            k = rng.randint(1, 4)
+            ctx.execute(
+                f"UPDATE jd SET label = label || '{k}' WHERE dk = {k}"
+            )
+
+        ins()
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW jfmv AS "
+            "SELECT label, SUM(v) AS s, COUNT(*) AS n "
+            "FROM jf f JOIN jd d ON f.dk = d.dk GROUP BY label"
+        )
+        for _ in range(8):
+            rng.choice([ins, ins, upd_fact, dele, upd_dim])()
+            ctx.execute("REFRESH MATERIALIZED VIEW jfmv")
+            got = sorted(rows(ctx.execute("SELECT label, s, n FROM jfmv")))
+            want = sorted(
+                rows(
+                    ctx.execute(
+                        "SELECT label, SUM(v) AS s, COUNT(*) AS n "
+                        "FROM jf f JOIN jd d ON f.dk = d.dk GROUP BY label"
                     )
                 )
             )
