@@ -141,3 +141,20 @@ def logreg_scores(
         p.alias("p"),
         F.when(p >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
     )
+
+
+def logreg_scored_with_label(
+    feat: DataFrame,
+    weights: list[float],
+    bias: float,
+    dim: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, y, p): the quantized sigmoid alongside the training label —
+    the frame loss-style consumers (doremi.per_domain_loss) read. Pure
+    projection, same quantization as logreg_scores."""
+    return feat.select(
+        F.col(id_col),
+        "y",
+        _p_quantized(weights, bias, dim).alias("p"),
+    )

@@ -1268,6 +1268,14 @@ _LR_DIM = 8
 _LR_EPOCHS = 2
 _LR_RATE = 0.5
 
+# DoReMi graduation (r9): multiplicative-weights domain reweighting over
+# the logreg proxy's per-domain excess loss (operators/doremi.py). The
+# reference loss is a fixed scalar baseline chosen so some domains clip
+# to zero excess and some stay positive (both paths graded).
+_DRM_REF = 0.66
+_DRM_ITERS = 4
+_DRM_LR = 2.0
+
 
 def _logreg_oracle(dim: int, epochs: int, lr: float) -> str:
     """Unrolled fixed-epoch logistic-regression training in ANSI SQL —
@@ -1289,13 +1297,13 @@ def _logreg_oracle(dim: int, epochs: int, lr: float) -> str:
     chain = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
     parts = [rf"""
     WITH toks AS (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
              lower(unnest(list_filter(regexp_split_to_array(text, '\s+'),
                                       t -> t <> ''))) AS token
       FROM documents),
     feat AS (
-      SELECT doc_id, ANY_VALUE(y) AS y,
+      SELECT doc_id, ANY_VALUE(y) AS y, ANY_VALUE(lang) AS lang,
              {feat_cols}
       FROM toks GROUP BY doc_id),
     nn AS (SELECT COUNT(*) AS n FROM feat),
@@ -1324,6 +1332,43 @@ def _logreg_oracle(dim: int, epochs: int, lr: float) -> str:
       SELECT {upd},
              w.wb - {lr} * (g.gb / nn.n) AS wb
       FROM w{p} w CROSS JOIN g{i} g CROSS JOIN nn)""")
+    # DoReMi suffix: per-domain proxy loss over the FINAL model's scores
+    # (clip -> nll quantized at DECIMAL(25,6), the q_nb_classify ln()
+    # discipline), then _DRM_ITERS multiplicative-weights rounds mirroring
+    # operators/doremi.reweight_domains step for step — the normalizer is
+    # the same ordered left fold (list_reduce over sorted domains ==
+    # Python's sorted-dict fold), exp() is bit-identical libm on both
+    # engines, so the weights hash-match. AS MATERIALIZED per round
+    # (DuckDB CTE-inlining blowup on unrolled loops).
+    parts.append(f""",
+    dl AS MATERIALIZED (
+      SELECT lang AS d,
+             CAST(SUM(CAST(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))
+                           AS DECIMAL(25,6))) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM (
+        SELECT f.y, f.lang,
+               LEAST(GREATEST(
+                 CAST(CAST(1.0 / (1.0 + exp(-(({chain}) + w.wb)))
+                      AS DECIMAL(25,6)) AS DOUBLE), 0.000001),
+                 1.0 - 0.000001) AS pc
+        FROM feat f CROSS JOIN w{epochs} w)
+      WHERE lang IS NOT NULL GROUP BY lang),
+    dd AS MATERIALIZED (
+      SELECT d, s / n AS loss, GREATEST(0.0, s / n - {_DRM_REF}) AS ex
+      FROM dl),
+    dk AS (SELECT COUNT(*) AS k FROM dd),
+    dw0 AS MATERIALIZED (
+      SELECT d, ex, 1.0 / dk.k AS w FROM dd CROSS JOIN dk)""")
+    for r in range(1, _DRM_ITERS + 1):
+        parts.append(f""",
+    du{r} AS MATERIALIZED (
+      SELECT d, ex, w * exp({_DRM_LR} * ex) AS w FROM dw{r - 1}),
+    dt{r} AS MATERIALIZED (
+      SELECT list_reduce(list(w ORDER BY d), (a, b) -> a + b) AS t
+      FROM du{r}),
+    dw{r} AS MATERIALIZED (
+      SELECT d, ex, u.w / dt{r}.t AS w FROM du{r} u CROSS JOIN dt{r})""")
     weight_rows = "\n    UNION ALL\n".join(
         f"    SELECT 'weight' AS branch, CAST({j} AS BIGINT) AS key,"
         f" round(w{j}, 9) AS metric, CAST(NULL AS INT) AS pred FROM w{epochs}"
@@ -1331,6 +1376,15 @@ def _logreg_oracle(dim: int, epochs: int, lr: float) -> str:
     )
     parts.append(f"""
 {weight_rows}
+    UNION ALL
+    SELECT 'dloss' AS branch,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS key,
+           round(loss, 9) AS metric, CAST(NULL AS INT) AS pred FROM dd
+    UNION ALL
+    SELECT 'dweight' AS branch,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS key,
+           round(w, 9) AS metric, CAST(NULL AS INT) AS pred
+    FROM dw{_DRM_ITERS}
     UNION ALL
     SELECT 'weight' AS branch, CAST({dim} AS BIGINT) AS key,
            round(wb, 9) AS metric, CAST(NULL AS INT) AS pred FROM w{epochs}
@@ -1362,14 +1416,32 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     regress silently. Slot donor: m_frame_sample (its frame fan-out now
     graded inside m_payload_pipeline's 'frames' branch).
 
+    Since r9 the row also graduates DoReMi (operators/doremi.py): the
+    'dloss' branch carries each domain's mean proxy log-loss (one
+    map-side-combined aggregate over the scored frame, nll terms
+    quantized at DECIMAL(25,6)), and 'dweight' the final mixture weights
+    after _DRM_ITERS multiplicative-weights rounds against the fixed
+    scalar reference loss — both hash-matched against the unrolled-round
+    SQL suffix of the oracle (key = index of the domain in sorted
+    order), so the reweighting LOOP itself is value-graded.
+
     Scale: featurize is one explode + one hash aggregate (persisted once
     via localCheckpoint — the 100 TB discipline of materializing the
     design matrix); each epoch is ONE map-side-combined aggregate over
     dim+1 decimal sums; the model is dim+1 plain literals (broadcast by
-    construction, no join); scoring is a pure projection. No Python
-    runs on corpus rows (registry-wide BatchEvalPython gate).
+    construction, no join); scoring is a pure projection; the DoReMi
+    pass adds one doc_id-keyed join (lang onto the featurized frame) and
+    one |domains|-row aggregate, with the reweighting itself pure
+    O(|domains| x iters) driver arithmetic. No Python runs on corpus
+    rows (registry-wide BatchEvalPython gate).
     """
-    from ..operators.logreg import hashed_features, logreg_scores, train_logreg
+    from ..operators.doremi import per_domain_loss, reweight_domains
+    from ..operators.logreg import (
+        hashed_features,
+        logreg_scored_with_label,
+        logreg_scores,
+        train_logreg,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     feat = hashed_features(
@@ -1393,7 +1465,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("metric"),
         "pred",
     )
-    return weights.unionAll(scores)
+    scored = logreg_scored_with_label(feat, w, b, _LR_DIM).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    losses = per_domain_loss(scored, domain_col="lang")
+    wts = reweight_domains(
+        losses, ref_losses=_DRM_REF, iters=_DRM_ITERS, lr=_DRM_LR
+    )
+    doms = sorted(losses)
+    doremi = spark.createDataFrame(
+        [("dloss", i, losses[dm]) for i, dm in enumerate(doms)]
+        + [("dweight", i, wts[dm]) for i, dm in enumerate(doms)],
+        "branch string, key bigint, metric double",
+    ).select(
+        "branch",
+        "key",
+        F.round(F.col("metric"), 9).alias("metric"),
+        F.lit(None).cast("int").alias("pred"),
+    )
+    return weights.unionAll(scores).unionAll(doremi)
 
 
 # --------------------------------------------------------------------------
