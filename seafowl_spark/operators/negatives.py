@@ -35,6 +35,8 @@ def mine_hard_negatives(
     positives: DataFrame,
     k: int = 10,
     overfetch: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
@@ -57,6 +59,8 @@ def mine_hard_negatives(
         docs,
         queries,
         k=overfetch,
+        k1=k1,
+        b=b,
         text_col=text_col,
         id_col=id_col,
         query_text_col=query_text_col,
@@ -73,8 +77,12 @@ def mine_hard_negatives(
     pos = positives.select(
         F.col(query_id_col).alias("__p_qid"), F.col(id_col).alias("__p_did")
     ).distinct()
+    # positives are training labels (queries x labeled docs) — broadcast
+    # EXPLICITLY: the frame is often derived (windows/aggregates), so the
+    # planner can't size it and would fall back to a sort-merge anti-join
+    # that shuffles the retrieval lists
     neg = hits.join(
-        pos,
+        F.broadcast(pos),
         (hits[query_id_col] == pos.__p_qid) & (hits[id_col] == pos.__p_did),
         "left_anti",
     )

@@ -701,6 +701,11 @@ _BM25_QUERIES = [
 ]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
 _RRF_K = 60  # the Cormack et al. constant
+# hard-negative mining (r9 graduation): the "labeled positives" are a
+# deterministic SCATTERED subset of the retrieval list (top-5 hits with
+# even doc_id), so the anti-join genuinely removes interior ranks and the
+# survivor re-ranking is non-trivial
+_HN_POS_DEPTH = 5
 
 
 @register(
@@ -782,10 +787,36 @@ _RRF_K = 60  # the Cormack et al. constant
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, doc_id) AS rank
         FROM fused)
-      WHERE rank <= {_BM25_K})
+      WHERE rank <= {_BM25_K}),
+    pos AS MATERIALIZED (
+      SELECT query_id, doc_id FROM bmtop
+      WHERE rank <= {_HN_POS_DEPTH} AND doc_id % 2 = 0),
+    posmax AS (
+      SELECT COALESCE(MAX(n), 0) AS m FROM (
+        SELECT query_id, COUNT(*) AS n FROM pos GROUP BY query_id)),
+    nhits AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM per_doc),
+    nover AS (
+      SELECT h.query_id, h.doc_id, h.score
+      FROM nhits h CROSS JOIN posmax
+      WHERE h.rank <= {_BM25_K} + posmax.m),
+    nneg AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM nover o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.query_id = o.query_id AND p.doc_id = o.doc_id))
     SELECT 'bm25' AS branch, query_id, doc_id, score, rank FROM bmtop
     UNION ALL
     SELECT 'rrf' AS branch, query_id, doc_id, score, rank FROM ftop
+    UNION ALL
+    SELECT 'hardneg' AS branch, query_id, doc_id, score, rank FROM nneg
+    WHERE rank <= {_BM25_K}
     """,
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,13 +837,27 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       DECIMAL(25,6); the hybrid-serving combiner, graded with fused
       scores AND ranks value-checked.
 
+    Since r9 a third family graduates in the same row:
+
+    * ``branch='hardneg'`` — hard-negative mining
+      (operators/negatives.mine_hard_negatives, the DPR/contrastive
+      training-data step): "labeled positives" are the top-{_HN_POS_DEPTH}
+      BM25 hits with even doc_id (a deterministic scattered subset, so the
+      anti-join removes INTERIOR ranks), retrieval over-fetches by the
+      largest per-query positive count, positives drop via LEFT ANTI, and
+      the survivors re-rank per query — negatives' scores AND ranks
+      hash-match the oracle's NOT EXISTS mirror.
+
     Scale: see operators/bm25.py — the corpus never shuffles for a join
     (plan-gated in test_plans.py); the only hash exchanges carry pruned
     or aggregated data. Fusion runs over the retrieved lists only
-    (queries x top-k rows), never the corpus.
+    (queries x top-k rows), never the corpus; mining adds one
+    broadcast-small anti-join and one window over <= k + positives rows
+    per query.
     """
     from ..operators.bm25 import bm25_topk
     from ..operators.fusion import rank_topk, rrf_fuse, term_overlap_scores
+    from ..operators.negatives import mine_hard_negatives
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
@@ -821,6 +866,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
     ovl = rank_topk(term_overlap_scores(d, queries), top_k=_BM25_K)
     fused = rrf_fuse([bm, ovl], topn=_BM25_K, rrf_k=_RRF_K)
+    positives = bm.where(
+        (F.col("rank") <= _HN_POS_DEPTH) & (F.col("doc_id") % 2 == 0)
+    ).select("query_id", "doc_id")
+    neg = mine_hard_negatives(
+        d, queries, positives, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
     cols = ["query_id", "doc_id", "score", "rank"]
     out_bm = bm.select(F.lit("bm25").alias("branch"), *cols)
     out_rrf = fused.select(
@@ -830,7 +881,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rank").cast("long").alias("rank"),
     )
-    return out_bm.unionByName(out_rrf)
+    out_neg = neg.select(
+        F.lit("hardneg").alias("branch"),
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return out_bm.unionByName(out_rrf).unionByName(out_neg)
 
 
 # --------------------------------------------------------------------------
