@@ -1541,14 +1541,26 @@ class DeltaLiteTable:
         )
 
     def _fine_prune(
-        self, hit: list[AddFile], changes: DataFrame, pk_cols: list[str]
+        self,
+        hit: list[AddFile],
+        changes: DataFrame,
+        pk_cols: list[str],
+        snap: Snapshot | None = None,
     ) -> list[AddFile]:
         """Per-file PK-membership pruning (reference get_prune_map,
         sync/utils.rs:321+, engaged by planner.rs:612 above the row
         criteria): a file survives only if, for every PK column with
         stats, at least one ACTUAL change-set value falls inside that
         file's [min, max] — the coarse global range keeps files that sit
-        between change clusters; this drops them."""
+        between change clusters; this drops them.
+
+        r9: per-file BLOOM membership joins the probe (the read-side
+        _prune's bloom layer applied to the sync merge, the reference
+        planner.rs:552-628 analog). On hashed-key layouts every file
+        spans the full PK range so min/max is powerless — a file whose
+        ``bloom_by`` bitmap provably lacks EVERY change value for some
+        PK column drops. Bit positions are computed once per value, so
+        the probe costs |values| md5s + 4-bit tests per (file, value)."""
         import bisect
 
         rows = (
@@ -1565,16 +1577,65 @@ class DeltaLiteTable:
                 vals[c] = sorted({r[c] for r in rows if r[c] is not None})
             except TypeError:
                 vals[c] = []  # unorderable type: skip this column's probe
+        # bloom probe prep: positions per change value, None when any
+        # value is not bit-stably normalizable (conservative skip) or the
+        # column's type family differs from what the bitmap hashed
+        m_bits = BLOOM_BITS_DEFAULT
+        col_fam: dict[str, str | None] = {}
+        if snap is not None:
+            m_bits = int(snap.properties.get("bloom_bits", BLOOM_BITS_DEFAULT))
+            _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+            for fld in T.StructType.fromDDL(snap.schema_ddl).fields:
+                s_ = fld.dataType.simpleString()
+                col_fam[fld.name] = (
+                    "int" if s_ in _INT_TYPES
+                    else "string" if s_ == "string" else None
+                )
+        any_blooms = any(f.blooms for f in hit)
+        positions: dict[str, list[list[int]] | None] = {}
+        for c in pk_cols:
+            positions[c] = None
+            if not any_blooms or col_fam.get(c) is None:
+                continue
+            pos_lists = []
+            ok = True
+            for r in rows:
+                v = r[c]
+                if v is None:
+                    continue  # NULL never equality-matches a stored row
+                fam = (
+                    "int" if isinstance(v, int) and not isinstance(v, bool)
+                    else "string" if isinstance(v, str) else None
+                )
+                s = _bloom_literal(v)
+                if s is None or fam != col_fam.get(c):
+                    ok = False
+                    break
+                pos_lists.append(_bloom_positions(s, m_bits))
+            if ok and pos_lists:
+                positions[c] = pos_lists
+
+        def _any_may_contain(bitmap_b64: str, pos_lists: list[list[int]]) -> bool:
+            bits = base64.b64decode(bitmap_b64)
+            for ps in pos_lists:
+                if all((bits[p // 8] >> (p % 8)) & 1 for p in ps):
+                    return True
+            return False
+
         kept = []
         for f in hit:
             keep = True
             for c in pk_cols:
                 st = f.stats.get(c) or {}
                 vs = vals.get(c) or []
-                if st.get("min") is None or st.get("max") is None or not vs:
-                    continue  # no stats / no values: stay conservative
-                i = bisect.bisect_left(vs, st["min"])
-                if i >= len(vs) or vs[i] > st["max"]:
+                if st.get("min") is not None and st.get("max") is not None and vs:
+                    i = bisect.bisect_left(vs, st["min"])
+                    if i >= len(vs) or vs[i] > st["max"]:
+                        keep = False
+                        break
+                bm = (f.blooms or {}).get(c)
+                ps = positions.get(c)
+                if bm and ps and not _any_may_contain(bm, ps):
                     keep = False
                     break
             if keep:
@@ -1642,7 +1703,7 @@ class DeltaLiteTable:
             }
             hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if hit and sum(f.rows for f in hit) > fine_grained_rows:
-            hit = self._fine_prune(hit, changes, pk_cols)
+            hit = self._fine_prune(hit, changes, pk_cols, snap=snap)
         hit_paths = self._retire(hit)
         if hit:
             base = self._scan_files(hit, schema)

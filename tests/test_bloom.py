@@ -131,6 +131,82 @@ class TestBloomPruning:
         assert [r.k for r in q.collect()] == [7]
 
 
+class TestBloomMergePruning:
+    """r9: the sync merge consumes blooms through _fine_prune — on a
+    hashed/interleaved layout every file spans the full PK range, so
+    stats keep everything and only bloom membership can drop files
+    (reference planner.rs:552-628 two-stage pruning, bloom layer beyond
+    it)."""
+
+    def _twin(self, ctx, name, bloomed):
+        props = " WITH ('bloom_by' = 'k')" if bloomed else ""
+        ctx.execute(f"CREATE TABLE {name} (k BIGINT, v STRING){props}")
+        # interleaved ids, ONE file per insert (range 4th arg = slices):
+        # both files cover [0, 1000) by min/max, so stats cannot separate
+        ctx.execute(
+            f"INSERT INTO {name} SELECT id * 2, 'a' FROM range(0, 500, 1, 1)"
+        )
+        ctx.execute(
+            f"INSERT INTO {name} SELECT id * 2 + 1, 'b' FROM range(0, 500, 1, 1)"
+        )
+        return DeltaLiteTable(
+            ctx.spark,
+            ctx.table_root(ctx.catalog.get_table("default", "public", name)),
+        )
+
+    def test_merge_rewrites_fewer_files_with_blooms(self, ctx):
+        tb = self._twin(ctx, "msb", bloomed=True)
+        tp = self._twin(ctx, "msp", bloomed=False)
+        changes = ctx.spark.createDataFrame(
+            [(4, "upd"), (10, "upd"), (42, "upd")], "k bigint, v string"
+        )  # all EVEN ids: live in one file only
+        n_files = len(tp.snapshot().files)
+        cb = tb.merge(changes, ["k"], fine_grained_rows=0)
+        cp = tp.merge(changes, ["k"], fine_grained_rows=0)
+        # stats alone cannot separate the interleaved files (every file
+        # spans the full range, so ALL rewrite); blooms drop the files
+        # that provably lack every change key
+        assert len(cp.removes) == n_files
+        assert len(cb.removes) < len(cp.removes)
+        for name in ("msb", "msp"):
+            got = sorted(
+                r.k
+                for r in ctx.execute(
+                    f"SELECT k FROM {name} WHERE v = 'upd'"
+                ).collect()
+            )
+            assert got == [4, 10, 42]
+            n = ctx.execute(
+                f"SELECT COUNT(*) AS n FROM {name}"
+            ).collect()[0]["n"]
+            assert n == 1000
+
+    def test_merge_bloom_insert_only_changeset_skips_all_files(self, ctx):
+        tb = self._twin(ctx, "msi", bloomed=True)
+        changes = ctx.spark.createDataFrame(
+            [(5000, "new"), (5002, "new")], "k bigint, v string"
+        )  # outside every bloom AND every stats range
+        c = tb.merge(changes, ["k"], fine_grained_rows=0)
+        assert len(c.removes) == 0  # pure insert: nothing rewrites
+        n = ctx.execute("SELECT COUNT(*) AS n FROM msi").collect()[0]["n"]
+        assert n == 1002
+
+    def test_merge_bloom_delete_path_correct(self, ctx):
+        tb = self._twin(ctx, "msd", bloomed=True)
+        changes = ctx.spark.createDataFrame(
+            [(4, None, True), (7, None, True)],
+            "k bigint, v string, __del boolean",
+        )
+        n_files = len(tb.snapshot().files)
+        c = tb.merge(changes, ["k"], delete_col="__del", fine_grained_rows=0)
+        # one even + one odd key: only their bloom-hit files rewrite
+        # (strict < is layout-dependent; the pruning claim is gated by
+        # test_merge_rewrites_fewer_files_with_blooms)
+        assert 0 < len(c.removes) <= n_files
+        n = ctx.execute("SELECT COUNT(*) AS n FROM msd").collect()[0]["n"]
+        assert n == 998
+
+
 class TestBloomLifecycle:
     def test_show_create_round_trip(self, ctx):
         """bloom_by/bloom_bits survive SHOW CREATE TABLE -> re-execute,
