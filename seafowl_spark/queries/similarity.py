@@ -990,11 +990,19 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
       bands scan reads only the partitions the probes' band keys hash
       into — the dedup-at-ingest serving shape (measured flat at a 10x
       corpus), score = estimated Jaccard, ranked per probe.
+    * ``whitened_cosine`` (r9) — PCA-whitened cosine top-k: fit from the
+      distributed moments (operators/whiten.py — the 'gram'/'mean'
+      branches of s_quantize_int8 value-grade those sums), APPLY through
+      the Arrow-batched pandas UDF (one matmul per batch), then a pure
+      JVM zip_with dot against the whitened-query literal. This puts the
+      whitening apply path under the registry plan sweep: the UDF shows
+      as ArrowEvalPython, never row-at-a-time BatchEvalPython.
 
-    Scale: all three serve query batches at cost proportional to the
-    probed partitions, never the corpus — index build cost amortizes
+    Scale: the index methods serve query batches at cost proportional to
+    the probed partitions, never the corpus — index build cost amortizes
     across all future query batches (write once in
-    _seed_serving_indexes).
+    _seed_serving_indexes); the whitened scan is one Arrow projection +
+    one TakeOrdered top-k, with the d x d model a UDF-closure broadcast.
     """
     from ..operators.bm25 import bm25_topk_indexed
     from ..operators.lsh_index import neardup_lookup
@@ -1051,4 +1059,49 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_jaccard").alias("score"),
         )
     )
-    return bm.unionAll(ann).unionAll(lsh)
+    # whitened-cosine (r9): fit driver-side from distributed moments,
+    # apply via the Arrow-batched UDF, dot JVM-side against the
+    # whitened query (vec_id 0), top-5 by cosine
+    from ..operators.whiten import apply_whitening, fit_whitening
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    wmat, mu = fit_whitening(emb, "emb", EMB_DIM)
+    import numpy as np
+
+    q0 = np.array(
+        emb.where(F.col("vec_id") == 0).select("emb").collect()[0]["emb"]
+    )  # 1-row scalar collect
+    wq = wmat @ (q0 - mu)
+    wq = wq / (np.linalg.norm(wq) or 1.0)
+    wqc = F.array(*[F.lit(float(x)) for x in wq])
+    wdf = apply_whitening(emb, "emb", wmat, mu, out_col="wv")
+    dot = F.aggregate(
+        F.zip_with("wv", wqc, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate("wv", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    wcos = (
+        wdf.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.when(norm > 0, dot / norm).otherwise(F.lit(0.0)).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(5)
+        .select(
+            F.lit("whitened_cosine").alias("method"),
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("result_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "vec_id"))
+            .cast("long")
+            .alias("rank"),
+            F.col("cos").alias("score"),
+        )
+    )
+    return bm.unionAll(ann).unionAll(lsh).unionAll(wcos)
