@@ -105,6 +105,108 @@ def _latest_version(ctx, name: str) -> int:
     return DeltaLiteTable(ctx.spark, ctx.table_root(e)).latest_version()
 
 
+class TestEngineModelFuzzViews:
+    """r9 extension (the r8 verdict's task #6): the DDL/DML alphabet
+    gains ALTER TABLE RENAME and CREATE/REPLACE/DROP VIEW. Views are
+    TEXT-based — they bind their base by NAME at every re-expansion — so
+    the model tracks (view -> base name) and expects: a view whose base
+    name is live equals that table's contents (even if the name now
+    belongs to a DIFFERENT table than at creation), and a view whose
+    base name is unbound errors cleanly."""
+
+    @pytest.mark.parametrize("seed", [313, 599])
+    def test_rename_and_view_churn_matches_model(self, ctx, seed):
+        rng = random.Random(seed)
+        model = Model()
+        views: dict[str, str] = {}  # view name -> base TABLE NAME
+        trace = []
+
+        def fresh_table_name():
+            # small pool so renames/creates can REBIND a name a view holds
+            for _ in range(50):
+                n = f"mt{rng.randrange(6)}"
+                if n not in model.tables and n not in views:
+                    return n
+            return None
+
+        for step in range(30):
+            names = list(model.tables)
+            roll = rng.random()
+            if not names or (roll < 0.12 and len(names) < 4):
+                name = fresh_table_name()
+                if name:
+                    ctx.execute(f"CREATE TABLE {name} ({COLS})")
+                    model.create(name)
+                    trace.append(f"create {name}")
+            elif roll < 0.24:
+                # RENAME under live views: the old name unbinds (views
+                # over it break), the new name must be free
+                src = rng.choice(names)
+                dst = fresh_table_name()
+                if dst:
+                    ctx.execute(f"ALTER TABLE {src} RENAME TO {dst}")
+                    model.tables[dst] = model.tables.pop(src)
+                    trace.append(f"rename {src}->{dst}")
+            elif roll < 0.34 and len(names) > 1:
+                name = rng.choice(names)
+                ctx.execute(f"DROP TABLE {name}")
+                model.drop(name)
+                trace.append(f"drop {name}")
+            elif roll < 0.46 and len(views) < 3:
+                vn = f"mv{rng.randrange(4)}"
+                base = rng.choice(names)
+                if vn not in views and vn not in model.tables:
+                    ctx.execute(
+                        f"CREATE VIEW {vn} AS SELECT k, g, v FROM {base}"
+                    )
+                    views[vn] = base
+                    trace.append(f"view {vn}->{base}")
+            elif roll < 0.52 and views:
+                # CREATE OR REPLACE rebases an existing view (never onto
+                # itself — the engine rejects self-reference)
+                vn = rng.choice(list(views))
+                base = rng.choice(names)
+                ctx.execute(
+                    f"CREATE OR REPLACE VIEW {vn} AS "
+                    f"SELECT k, g, v FROM {base}"
+                )
+                views[vn] = base
+                trace.append(f"replace {vn}->{base}")
+            elif roll < 0.58 and views:
+                vn = rng.choice(list(views))
+                ctx.execute(f"DROP VIEW {vn}")
+                del views[vn]
+                trace.append(f"dropview {vn}")
+            elif roll < 0.80:
+                name = rng.choice(names)
+                new = model.insert(name, rng.randrange(1, 5), rng)
+                vals = ", ".join(f"({k}, '{g}', {v})" for k, g, v in new)
+                ctx.execute(f"INSERT INTO {name} VALUES {vals}")
+                trace.append(f"insert {name}")
+            else:
+                name = rng.choice(names)
+                g, d = rng.choice(GROUPS), rng.randrange(1, 9)
+                ctx.execute(f"UPDATE {name} SET v = v + {d} WHERE g = '{g}'")
+                model.update(name, g, d)
+                trace.append(f"update {name}")
+            # verify a random table AND every view, each step
+            if model.tables:
+                name = rng.choice(list(model.tables))
+                got = sorted(rows(ctx.execute(f"SELECT k, g, v FROM {name}")))
+                assert got == model.expect(name), (seed, step, trace[-3:], name)
+            for vn, base in views.items():
+                if base in model.tables:
+                    got = sorted(
+                        rows(ctx.execute(f"SELECT k, g, v FROM {vn}"))
+                    )
+                    assert got == model.expect(base), (
+                        seed, step, trace[-3:], vn, base,
+                    )
+                else:
+                    with pytest.raises(Exception):
+                        ctx.execute(f"SELECT k, g, v FROM {vn}")
+
+
 class TestEngineModelFuzz:
     @pytest.mark.parametrize("seed", [101, 211])
     def test_random_statement_sequences_match_model(self, ctx, seed):
