@@ -59,7 +59,12 @@ QUERIES = [
     # aggregate per epoch + scoring projection — growth ~N
     # (q_stream_sync_endstate reads orders, which the inflater symlinks
     # unscaled, so it has no meaningful growth to measure here)
+    # r9: also carries the DoReMi branches (one more corpus aggregate)
     "q_quality_classifier",
+    # round-9 graduate: BM25 + RRF + hard-negative mining — postings
+    # build is the dominant corpus-linear term; mining adds one
+    # broadcast anti-join over retrieved lists only
+    "q_bm25_search",
 ]
 
 
