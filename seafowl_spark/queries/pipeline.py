@@ -134,7 +134,15 @@ def propagate_min_labels(
       GROUP BY d.doc_id),
     sz AS (SELECT component_id, COUNT(*) AS component_size FROM lbl GROUP BY 1)
     SELECT l.doc_id, l.component_id, s.component_size,
-           l.doc_id = l.component_id AS is_canonical
+           l.doc_id = l.component_id AS is_canonical,
+           CASE
+             WHEN {oracle_md5_int("'split|' || CAST(l.component_id AS VARCHAR)", 15)}
+                  / 1152921504606846976.0 < CAST(0.8 AS DOUBLE) THEN 'train'
+             WHEN {oracle_md5_int("'split|' || CAST(l.component_id AS VARCHAR)", 15)}
+                  / 1152921504606846976.0
+                  < CAST(0.9000000000000001 AS DOUBLE) THEN 'val'
+             ELSE 'test'
+           END AS split
     FROM lbl l JOIN sz s USING (component_id)
     """,
 )
@@ -154,6 +162,13 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates the iterative lineage. The oracle mirrors it with a
     recursive-CTE transitive closure, exact only because oracle-scale
     components are small; the Spark formulation is the one that scales.
+
+    r9: the row also grades LEAKAGE-SAFE SPLITS (operators/leakage.py's
+    assignment step): every document's train/val/test label derives from
+    its COMPONENT id via the deterministic md5 carve
+    (operators/sampling.split_assign), so near-duplicate cluster members
+    can never straddle splits — the property is hash-checked because the
+    oracle carves the same component key with the same boundary doubles.
     """
     pairs = (
         s_minhash_lsh_pairs(spark, sf_dir)
@@ -172,6 +187,8 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
     )
     sizes = full.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    from ..operators.sampling import split_assign
+
     return (
         full.join(sizes, "comp")
         .select(
@@ -179,6 +196,9 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").alias("component_id"),
             "component_size",
             (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+            split_assign(
+                F.col("comp"), dict(_SPLIT_FRACTIONS), seed="split"
+            ).alias("split"),
         )
     )
 

@@ -36,6 +36,42 @@ class TestLeakageSafeSplits:
         assert out[10] == out[11]
         assert out[20] == out[21] == out[22]
 
+    def test_graded_row_split_is_leakage_safe_and_matches_operator(
+        self, spark
+    ):
+        """The d_dedup_components registry row (r9) carries the
+        leakage-safe split: component members share a label, and the
+        label equals leakage_safe_splits run on the same pair graph."""
+        from seafowl_spark.queries import load_all
+
+        sf = "/root/testdata/sf0.001"
+        out = load_all()["d_dedup_components"].fn(spark, sf).collect()
+        by_comp: dict[int, set] = {}
+        for r in out:
+            by_comp.setdefault(r["component_id"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_comp.values())  # atomic clusters
+        # cross-check against the operator on the identical pair graph
+        from seafowl_spark.queries.pipeline import (
+            COMPONENT_MIN_EQUAL_SIGS,
+        )
+        from seafowl_spark.queries.similarity import s_minhash_lsh_pairs
+        from seafowl_spark.io import table
+
+        pairs = (
+            s_minhash_lsh_pairs(spark, sf)
+            .where(F.col("n_equal_sigs") >= COMPONENT_MIN_EQUAL_SIGS)
+            .select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            )
+        )
+        docs_sf = table(spark, sf, "documents").select("doc_id")
+        want = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_splits(docs_sf, pairs, FRACS).collect()
+        }
+        got = {r["doc_id"]: r["split"] for r in out}
+        assert got == want
+
     def test_singletons_match_plain_split_assign(self, spark, docs):
         pairs = _pairs(spark, [(0, 1)])
         out = {
