@@ -942,11 +942,17 @@ def _seed_serving_indexes(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.lsh_index import write_lsh_index
 
     key = sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    # v2: the LSH dedup index joined the serving suite in r7 session B —
-    # the version suffix forces a reseed over any v1 tempdir
-    d = os.path.join(tempfile.gettempdir(), f"sfs_serving_{key}v2")
+    # v3: the whitening model joined the serving suite in r9 (fit ONCE at
+    # seed time — per-query fitting would re-scan the corpus on every
+    # batch, exactly the cost the persisted-index design exists to avoid);
+    # the version suffix forces a reseed over any v1/v2 tempdir
+    d = os.path.join(tempfile.gettempdir(), f"sfs_serving_{key}v3")
     marker = os.path.join(d, "_SEEDED")
     if not os.path.exists(marker):
+        import json as _json
+
+        from ..operators.whiten import fit_whitening
+
         stage = f"{d}.stage{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -959,6 +965,9 @@ def _seed_serving_indexes(spark: SparkSession, sf_dir: str) -> str:
         cents = fit_kmeans(cn, k=8, max_iter=3)
         books = fit_pq_residual(cn, cents, m=8, ksub=16, max_iter=2)
         write_ivfpq_index(emb, f"{stage}/ivfpq", cents, books)
+        wmat, mu = fit_whitening(emb, "emb", EMB_DIM)
+        with open(os.path.join(stage, "whiten.json"), "w") as fh:
+            _json.dump({"w": wmat.tolist(), "mu": mu.tolist()}, fh)
         open(os.path.join(stage, "_SEEDED"), "w").write("ok")
         shutil.rmtree(d, ignore_errors=True)
         os.replace(stage, d)  # atomic: concurrent seeders converge
@@ -1059,16 +1068,22 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_jaccard").alias("score"),
         )
     )
-    # whitened-cosine (r9): fit driver-side from distributed moments,
-    # apply via the Arrow-batched UDF, dot JVM-side against the
-    # whitened query (vec_id 0), top-5 by cosine
-    from ..operators.whiten import apply_whitening, fit_whitening
+    # whitened-cosine (r9): the model was FIT ONCE at index-seed time
+    # (distributed moments — _seed_serving_indexes); serving only loads
+    # (W, mu), applies via the Arrow-batched UDF, and dots JVM-side
+    # against the whitened query (vec_id 0), top-5 by cosine
+    import json as _json
 
+    from ..operators.whiten import apply_whitening
+
+    with open(f"{root}/whiten.json") as fh:
+        _wm = _json.load(fh)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    wmat, mu = fit_whitening(emb, "emb", EMB_DIM)
     import numpy as np
+
+    wmat, mu = np.asarray(_wm["w"]), np.asarray(_wm["mu"])
 
     q0 = np.array(
         emb.where(F.col("vec_id") == 0).select("emb").collect()[0]["emb"]
