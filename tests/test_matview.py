@@ -414,6 +414,57 @@ class TestMatViewIntrospection:
 
 
 class TestStreamingRefreshComposition:
+    def test_stream_merge_then_refresh_join_view(self, ctx, tmp_path):
+        """r9: the CDC composition over a JOIN matview — the stream
+        merges into the FACT, the dimension stays put, and per-batch
+        REFRESH takes the incremental path (dims version-gated
+        unchanged) while the view groups by a DIM attribute."""
+        import json as _json
+
+        from seafowl_spark.streaming.sync import foreach_batch_merge
+
+        ctx.execute("CREATE TABLE jev (pk BIGINT, dk BIGINT, amt BIGINT)")
+        ctx.execute("INSERT INTO jev VALUES (1, 1, 10), (2, 2, 5)")
+        ctx.execute("CREATE TABLE jdim (dk BIGINT, label STRING)")
+        ctx.execute("INSERT INTO jdim VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW jagg AS "
+            "SELECT label, SUM(amt) AS total, COUNT(*) AS n "
+            "FROM jev f JOIN jdim d ON f.dk = d.dk GROUP BY label"
+        )
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "jev")
+        )
+        src = tmp_path / "jfeed"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"pk": 1, "dk": 1, "amt": 100},  # update in group x
+                    {"pk": 3, "dk": 3, "amt": 7},    # new group z
+                ]
+            )
+        )
+
+        def apply(batch_df, batch_id):
+            foreach_batch_merge(root, ["pk"])(batch_df, batch_id)
+            ctx.execute("REFRESH MATERIALIZED VIEW jagg")
+
+        q = (
+            ctx.spark.readStream.schema("pk bigint, dk bigint, amt bigint")
+            .json(str(src))
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", str(tmp_path / "jckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = rows(
+            ctx.execute("SELECT label, total, n FROM jagg ORDER BY label")
+        )
+        assert got == [("x", 100, 1), ("y", 5, 1), ("z", 7, 1)]
+
     def test_stream_merge_then_refresh_keeps_view_current(self, ctx, tmp_path):
         """The CDC composition: a file stream merges into the base via
         foreachBatch, REFRESH runs per batch, and the view tracks the
