@@ -284,6 +284,40 @@ class SeafowlContext:
             "group_columns string, base_version bigint, "
             "base_latest_version bigint, is_stale boolean"
         )
+        # search indexes (r9): freshness by FILE-SET fingerprint, so
+        # metadata-only commits never flag a fresh index stale
+        from .search_index import load_specs as _si_load, snapshot_fp as _si_fp
+
+        si_rows = []
+        for e in self.catalog.tables(self.database):
+            props = self._props_cache.get(e.uuid)
+            t = None
+            if props is None:
+                t = DeltaLiteTable(self.spark, self.table_root(e))
+                props = t.snapshot().properties if t.exists() else {}
+            specs = _si_load(props or {})
+            if not specs:
+                continue
+            if t is None:
+                t = DeltaLiteTable(self.spark, self.table_root(e))
+            cur_fp = _si_fp(t.snapshot())
+            for n, s in sorted(specs.items()):
+                si_rows.append(
+                    Row(
+                        table_schema=e.schema,
+                        table_name=e.name,
+                        index_name=n,
+                        method=s.method,
+                        column_name=s.column,
+                        built_version=s.built_version,
+                        is_stale=s.file_fp != cur_fp,
+                    )
+                )
+        si_schema = T.StructType.fromDDL(
+            "table_schema string, table_name string, index_name string, "
+            "method string, column_name string, built_version bigint, "
+            "is_stale boolean"
+        )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
             "dropped_tables": self.spark.createDataFrame(dt_rows, dt_schema),
@@ -293,6 +327,8 @@ class SeafowlContext:
             "table_files": self.spark.createDataFrame(tf_rows, tf_schema),
             # materialized-view freshness: which views lag their base
             "matviews": self.spark.createDataFrame(mv_rows, mv_schema),
+            # search-index freshness (r9): which indexes lag their table
+            "search_indexes": self.spark.createDataFrame(si_rows, si_schema),
         }
 
     def _information_schema(self) -> dict[str, DataFrame]:
@@ -761,6 +797,11 @@ class SeafowlContext:
         if meta is not None:
             return meta
         sql, travels = parser.extract_time_travel(stmt.text)
+        sql, si_aliases = (
+            self._expand_search_index_calls(sql)
+            if "search_index" in sql.lower()
+            else (sql, [])
+        )
         for alias, name, ts in travels:
             _, schema_name, tbl = parser.parse_qualified(name)
             if schema_name == STAGING_SCHEMA:
@@ -786,6 +827,8 @@ class SeafowlContext:
             return self.spark.sql(rewritten)
         finally:
             for alias, _, _ in travels:
+                self.spark.catalog.dropTempView(alias)
+            for alias in si_aliases:
                 self.spark.catalog.dropTempView(alias)
 
     def _maybe_prune_scans(self, sql: str) -> None:
@@ -1076,10 +1119,12 @@ class SeafowlContext:
                 for f in schema.fields
             )
             ddl = f"CREATE TABLE {entry.schema}.{entry.name} (\n  {cols}\n)"
+            from .search_index import INDEX_PROP, load_specs
+
             props = {
                 k: v
                 for k, v in (snap.properties or {}).items()
-                if k != "constraints"
+                if k not in ("constraints", INDEX_PROP)
             }
             if props:
                 kv = ", ".join(
@@ -1094,6 +1139,19 @@ class SeafowlContext:
                 # constraints re-apply as their own executable statements
                 # (CREATE TABLE has no inline CHECK syntax here)
                 ddl += f";\nALTER TABLE {qual} ADD CONSTRAINT {name} CHECK ({expr})"
+            for iname, ispec in sorted(
+                load_specs(snap.properties or {}).items()
+            ):
+                # search indexes re-create as their own DDL (the artifact
+                # rebuilds; the JSON spec prop is internal bookkeeping)
+                with_items = [
+                    f"'{k}' = '{v}'" for k, v in sorted(ispec.params.items())
+                ]
+                ddl += (
+                    f";\nCREATE SEARCH INDEX {iname} ON {qual} "
+                    f"({ispec.column}) USING {ispec.method}"
+                    + (f" WITH ({', '.join(with_items)})" if with_items else "")
+                )
             return self.spark.createDataFrame(
                 [Row(create_statement=ddl)], "create_statement string"
             )
@@ -1345,6 +1403,14 @@ class SeafowlContext:
                 "a view cannot use time travel in its defining query "
                 "(materialize the snapshot with CTAS instead)"
             )
+        # search_index() relations expand through the same query-only
+        # pre-pass time travel does — a view holding one would validate
+        # here and then break on every reload
+        if re.search(r"(?i)\bsearch_index\s*\(", stmt.query):
+            raise ExecutionError(
+                "a view cannot use search_index() in its defining query "
+                "(materialize the lookup with CTAS instead)"
+            )
         existing = self.catalog.get_table(db, schema, name)
         if existing is not None:
             if not stmt.or_replace:
@@ -1527,6 +1593,193 @@ class SeafowlContext:
             },
         )
         self._record(entry, t)
+
+    # ------------------------------------------------------- search indexes
+
+    def _search_index_target(self, table_name: str):
+        """(entry, DeltaLiteTable, snapshot, specs) for index DDL."""
+        from .search_index import load_specs
+
+        entry = self._resolve(table_name)
+        t = DeltaLiteTable(self.spark, self.table_root(entry))
+        snap = t.snapshot()
+        props = snap.properties or {}
+        self._guard_view_props(props, "SEARCH INDEX DDL")
+        return entry, t, snap, load_specs(props)
+
+    def _commit_index_specs(self, entry, t, specs, op: str) -> None:
+        from .search_index import INDEX_PROP, dump_specs
+
+        snap = t.snapshot()
+        props = dict(snap.properties or {})
+        if specs:
+            props[INDEX_PROP] = dump_specs(specs)
+        else:
+            props.pop(INDEX_PROP, None)
+        t._next_commit(
+            op,
+            [],
+            [],
+            metadata={"schema_ddl": snap.schema_ddl, "properties": props},
+        )
+        self._record(entry, t)
+
+    def _exec_create_search_index(self, stmt) -> None:
+        """CREATE SEARCH INDEX (engine/search_index.py — beyond the
+        reference): one corpus pass materializes the partition-pruned
+        index artifact under the table's own root; the spec + file-set
+        fingerprint land in the table properties."""
+        from .search_index import (
+            _METHODS,
+            IndexSpec,
+            build_index,
+            index_dir,
+            snapshot_fp,
+        )
+
+        f = stmt.fields
+        entry, t, snap, specs = self._search_index_target(f["table"])
+        if f["index"] in specs:
+            if f["if_not_exists"]:
+                return
+            raise ExecutionError(
+                f"search index {f['index']} already exists on {f['table']}"
+            )
+        if f["method"] not in _METHODS:
+            raise ExecutionError(
+                f"unknown index method {f['method']} (supported: BM25, LSH)"
+            )
+        schema = T.StructType.fromDDL(snap.schema_ddl)
+        names = {x.name for x in schema.fields}
+        col = f["column"]
+        if col not in names:
+            raise ExecutionError(f"column {col} not in {f['table']}")
+        if schema[col].dataType.simpleString() != "string":
+            raise ExecutionError(
+                f"search indexes require a STRING column ({col} is "
+                f"{schema[col].dataType.simpleString()})"
+            )
+        id_col = f["params"].get("id_col", "doc_id")
+        if id_col not in names:
+            raise ExecutionError(
+                f"id column {id_col!r} not in {f['table']} (set WITH "
+                "('id_col' = '<pk column>'))"
+            )
+        spec = IndexSpec(
+            f["index"],
+            f["method"],
+            col,
+            t.latest_version() + 1,  # the props commit below
+            dict(f["params"], id_col=id_col),
+            snapshot_fp(snap),
+        )
+        build_index(
+            t.to_df(_snap=snap),
+            index_dir(self.table_root(entry), f["index"]),
+            spec,
+        )
+        specs[f["index"]] = spec
+        self._commit_index_specs(entry, t, specs, "CREATE SEARCH INDEX")
+
+    def _exec_refresh_search_index(self, stmt) -> None:
+        """Full rebuild at the current snapshot (the index is a derived
+        artifact; staleness between refreshes is visible in
+        system.search_indexes — the matview freshness contract)."""
+        from .search_index import build_index, index_dir, snapshot_fp
+
+        f = stmt.fields
+        entry, t, snap, specs = self._search_index_target(f["table"])
+        spec = specs.get(f["index"])
+        if spec is None:
+            raise ExecutionError(
+                f"search index {f['index']} does not exist on {f['table']}"
+            )
+        build_index(
+            t.to_df(_snap=snap),
+            index_dir(self.table_root(entry), f["index"]),
+            spec,
+        )
+        spec.built_version = t.latest_version() + 1
+        spec.file_fp = snapshot_fp(snap)
+        self._commit_index_specs(entry, t, specs, "REFRESH SEARCH INDEX")
+
+    def _exec_drop_search_index(self, stmt) -> None:
+        import shutil
+
+        from .search_index import index_dir
+
+        f = stmt.fields
+        entry, t, _snap, specs = self._search_index_target(f["table"])
+        if f["index"] not in specs:
+            if f["if_exists"]:
+                return
+            raise ExecutionError(
+                f"search index {f['index']} does not exist on {f['table']}"
+            )
+        del specs[f["index"]]
+        shutil.rmtree(
+            index_dir(self.table_root(entry), f["index"]), ignore_errors=True
+        )
+        self._commit_index_specs(entry, t, specs, "DROP SEARCH INDEX")
+
+    _SEARCH_CALL = re.compile(
+        r"(?i)\bsearch_index\s*\(\s*"
+        r"'((?:[^']|'')*)'\s*,\s*"
+        r"'((?:[^']|'')*)'\s*,\s*"
+        r"'((?:[^']|'')*)'\s*,\s*(\d+)\s*\)"
+    )
+
+    def _expand_search_index_calls(self, sql: str) -> tuple[str, list[str]]:
+        """Rewrite ``search_index('tbl', 'idx', 'query', k)`` relations to
+        temp views holding the top-k lookup result (result_id, score,
+        rank). Lookup cost is proportional to the probed partitions —
+        the persisted-index serving shape in plain SQL."""
+        import uuid as _uuid
+
+        from .search_index import index_dir, load_specs, lookup
+
+        aliases: list[str] = []
+        # the CALL's own argument strings are part of the match, but a
+        # search_index(...) TEXT sitting inside an unrelated string
+        # literal must not rewrite — split on literals the way
+        # _rewrite_names does and only substitute outside them. The
+        # split sees the call's opening quote as a literal start, so
+        # matching runs on the REJOINED even/odd pairs: simplest correct
+        # approach is to scan the raw SQL but verify the match start is
+        # outside any literal (count unescaped quotes before it).
+
+        def _in_literal(pos: int) -> bool:
+            return sql.count("'", 0, pos) % 2 == 1
+
+        def repl(m: re.Match) -> str:
+            if _in_literal(m.start()):
+                return m.group(0)
+            tbl = m.group(1).replace("''", "'")
+            idx = m.group(2).replace("''", "'")
+            qtext = m.group(3).replace("''", "'")
+            k = int(m.group(4))
+            entry = self._resolve(tbl)
+            t = DeltaLiteTable(self.spark, self.table_root(entry))
+            specs = load_specs(t.snapshot().properties or {})
+            spec = specs.get(idx)
+            if spec is None:
+                raise ExecutionError(
+                    f"search index {idx} does not exist on {tbl} "
+                    f"(existing: {sorted(specs) or 'none'})"
+                )
+            df = lookup(
+                self.spark,
+                index_dir(self.table_root(entry), idx),
+                spec,
+                qtext,
+                k,
+            )
+            alias = f"__sfs_si_{len(aliases)}_{_uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(alias)
+            aliases.append(alias)
+            return f"`{alias}`"
+
+        return self._SEARCH_CALL.sub(repl, sql), aliases
 
     def _exec_create_external_table(self, stmt) -> None:
         from ..sources.external import read_external

