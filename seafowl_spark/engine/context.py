@@ -1654,10 +1654,18 @@ class SeafowlContext:
         col = f["column"]
         if col not in names:
             raise ExecutionError(f"column {col} not in {f['table']}")
-        if schema[col].dataType.simpleString() != "string":
+        col_type = schema[col].dataType.simpleString()
+        if f["method"] in ("BM25", "LSH") and col_type != "string":
             raise ExecutionError(
-                f"search indexes require a STRING column ({col} is "
-                f"{schema[col].dataType.simpleString()})"
+                f"{f['method']} indexes require a STRING column "
+                f"({col} is {col_type})"
+            )
+        if f["method"] == "IVFPQ" and col_type not in (
+            "array<float>", "array<double>"
+        ):
+            raise ExecutionError(
+                "IVFPQ indexes require an ARRAY<FLOAT|DOUBLE> column "
+                f"({col} is {col_type})"
             )
         id_col = f["params"].get("id_col", "doc_id")
         if id_col not in names:

@@ -39,7 +39,7 @@ import os
 from dataclasses import dataclass, field
 
 INDEX_PROP = "search_indexes"
-_METHODS = ("BM25", "LSH")
+_METHODS = ("BM25", "LSH", "IVFPQ")
 
 
 class SearchIndexError(Exception):
@@ -132,6 +132,34 @@ def build_index(df, path: str, spec: IndexSpec) -> None:
         if "bands" in p:
             kw["bands"] = int(p["bands"])
         write_lsh_index(df, path, **kw)
+    elif spec.method == "IVFPQ":
+        from pyspark.sql import functions as F
+
+        from ..operators.kmeans import fit_kmeans
+        from ..operators.pq import (
+            fit_pq_residual,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        emb = df.select(
+            F.col(p.get("id_col", "doc_id")).alias("vec_id"),
+            F.col(spec.column).cast("array<double>").alias("emb"),
+        )
+        cn = normalized(emb)
+        cents = fit_kmeans(
+            cn,
+            k=int(p.get("cells", 8)),
+            max_iter=int(p.get("kmeans_iters", 3)),
+        )
+        books = fit_pq_residual(
+            cn,
+            cents,
+            m=int(p.get("m", 8)),
+            ksub=int(p.get("ksub", 16)),
+            max_iter=int(p.get("pq_iters", 2)),
+        )
+        write_ivfpq_index(emb, path, cents, books)
     else:  # pragma: no cover — validated at CREATE
         raise SearchIndexError(f"unknown index method {spec.method!r}")
 
@@ -160,6 +188,33 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
         return out.select(
             F.col("doc_id").alias("result_id"),
             F.col("score").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    if spec.method == "IVFPQ":
+        from ..operators.pq import ivf_pq_topk_indexed
+
+        try:
+            vec = [float(x) for x in json.loads(query_text)]
+        except (ValueError, TypeError) as ex:
+            raise SearchIndexError(
+                "IVFPQ query text must be a JSON array of numbers "
+                f"(e.g. '[0.1, 0.2, ...]'): {ex}"
+            ) from ex
+        q = spark.createDataFrame(
+            [(0, vec)], "query_id bigint, emb array<double>"
+        )
+        p = spec.params
+        out = ivf_pq_topk_indexed(
+            spark,
+            path,
+            q,
+            k=k,
+            nprobe=int(p.get("nprobe", 2)),
+            shortlist=int(p.get("shortlist", max(25, 5 * k))),
+        )
+        return out.select(
+            F.col("vec_id").alias("result_id"),
+            F.col("cosine").cast("double").alias("score"),
             F.col("rank").cast("long").alias("rank"),
         )
     from ..operators.lsh_index import neardup_lookup

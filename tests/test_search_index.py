@@ -92,6 +92,56 @@ class TestSearchIndexLifecycle:
             ctx.execute("DROP SEARCH INDEX idx ON sd")
         ctx.execute("DROP SEARCH INDEX IF EXISTS idx ON sd")
 
+    def test_ivfpq_vector_index(self, ctx):
+        # vector ANN through the SQL plane: query vector as a JSON array
+        ctx.execute("CREATE TABLE ve (vec_id BIGINT, emb ARRAY<DOUBLE>)")
+        import math
+
+        vals = []
+        for i in range(40):
+            base = [math.sin(i * 0.7 + j) for j in range(8)]
+            vals.append(f"({i}, ARRAY({', '.join(f'{x:.6f}' for x in base)}))")
+        ctx.execute(f"INSERT INTO ve VALUES {', '.join(vals)}")
+        ctx.execute(
+            "CREATE SEARCH INDEX vi ON ve (emb) USING IVFPQ "
+            "WITH ('id_col' = 'vec_id', 'cells' = '4', 'm' = '4', "
+            "'ksub' = '8', 'nprobe' = '4')"
+        )
+        import json as _json
+
+        q = [math.sin(7 * 0.7 + j) for j in range(8)]  # == vector 7
+        got = rows(
+            ctx.execute(
+                "SELECT result_id, rank FROM "
+                f"search_index('ve', 'vi', '{_json.dumps(q)}', 3)"
+            )
+        )
+        assert len(got) == 3
+        assert got[0][0] == 7 or any(r[0] == 7 and r[1] == 1 for r in got)
+
+    def test_ivfpq_requires_array_column(self, ctx):
+        seed_docs(ctx)
+        with pytest.raises(ExecutionError, match="ARRAY"):
+            ctx.execute("CREATE SEARCH INDEX v ON sd (text) USING IVFPQ")
+
+    def test_ivfpq_bad_query_vector_errors(self, ctx):
+        ctx.execute("CREATE TABLE vq (vec_id BIGINT, emb ARRAY<DOUBLE>)")
+        ctx.execute(
+            "INSERT INTO vq VALUES (1, ARRAY(0.1D, 0.2D, 0.3D, 0.4D)), "
+            "(2, ARRAY(0.4D, 0.3D, 0.2D, 0.1D))"
+        )
+        ctx.execute(
+            "CREATE SEARCH INDEX v ON vq (emb) USING IVFPQ "
+            "WITH ('id_col' = 'vec_id', 'cells' = '2', 'm' = '2', "
+            "'ksub' = '2')"
+        )
+        from seafowl_spark.engine.search_index import SearchIndexError
+
+        with pytest.raises(SearchIndexError, match="JSON array"):
+            ctx.execute(
+                "SELECT * FROM search_index('vq', 'v', 'not json', 1)"
+            )
+
     def test_call_text_inside_string_literal_untouched(self, ctx):
         seed_docs(ctx)
         got = rows(
