@@ -1690,9 +1690,16 @@ class SeafowlContext:
         self._commit_index_specs(entry, t, specs, "CREATE SEARCH INDEX")
 
     def _exec_refresh_search_index(self, stmt) -> None:
-        """Full rebuild at the current snapshot (the index is a derived
-        artifact; staleness between refreshes is visible in
-        system.search_indexes — the matview freshness contract)."""
+        """Bring a search index up to date. BM25 refreshes INCREMENTALLY
+        when the table's file diff since the build is append-only: only
+        the ADDED files' documents are tokenized and their postings
+        append into the same term-hash partitions, with a mergeable
+        stats fragment (operators/bm25.append_bm25_index) — refresh cost
+        proportional to new data, the 100 TB ingest shape. Any rewrite/
+        delete in the diff (or a non-BM25 method) downgrades to the
+        always-correct full rebuild. A fingerprint-fresh index is a
+        no-op (no commit), the matview contract."""
+        from .matview import changed_files
         from .search_index import build_index, index_dir, snapshot_fp
 
         f = stmt.fields
@@ -1702,14 +1709,39 @@ class SeafowlContext:
             raise ExecutionError(
                 f"search index {f['index']} does not exist on {f['table']}"
             )
-        build_index(
-            t.to_df(_snap=snap),
-            index_dir(self.table_root(entry), f["index"]),
-            spec,
-        )
+        if spec.file_fp == snapshot_fp(snap):
+            return  # already current: no rebuild, no commit
+        path = index_dir(self.table_root(entry), f["index"])
+        incremental = False
+        if spec.method == "BM25":
+            try:
+                _so, only_old, _sn, only_new = changed_files(
+                    t, spec.built_version, t.latest_version()
+                )
+                if not only_old and only_new:
+                    from ..operators.bm25 import append_bm25_index
+
+                    schema = T.StructType.fromDDL(snap.schema_ddl)
+                    append_bm25_index(
+                        t._scan_files(only_new, schema),
+                        path,
+                        text_col=spec.column,
+                        id_col=spec.params.get("id_col", "doc_id"),
+                    )
+                    incremental = True
+            except Exception:  # noqa: BLE001 — vacuumed history etc.
+                incremental = False
+        if not incremental:
+            build_index(t.to_df(_snap=snap), path, spec)
         spec.built_version = t.latest_version() + 1
         spec.file_fp = snapshot_fp(snap)
-        self._commit_index_specs(entry, t, specs, "REFRESH SEARCH INDEX")
+        self._commit_index_specs(
+            entry,
+            t,
+            specs,
+            "REFRESH SEARCH INDEX"
+            + (" (INCREMENTAL)" if incremental else ""),
+        )
 
     def _exec_drop_search_index(self, stmt) -> None:
         import shutil

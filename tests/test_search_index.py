@@ -254,6 +254,67 @@ class TestSearchIndexFreshness:
         ctx.execute("CREATE SEARCH INDEX b ON sd (text) USING LSH")
         assert self._stale(ctx) == {"a": False, "b": False}
 
+    def _index_table(self, ctx, name="sd"):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def test_refresh_noop_when_fresh(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        t = self._index_table(ctx)
+        v = t.latest_version()
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._index_table(ctx).latest_version() == v  # no commit
+
+    def test_append_only_refresh_is_incremental(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute(
+            "INSERT INTO sd VALUES (10, 'incremental spark postings append')"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ops = [c.operation for c in self._index_table(ctx).history()]
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" in ops
+        assert self._stale(ctx) == {"idx": False}
+        # the appended doc serves, and scores equal the ad-hoc pipeline
+        got = rows(
+            ctx.execute(
+                "SELECT result_id, score FROM "
+                "search_index('sd', 'idx', 'incremental postings', 3)"
+            )
+        )
+        assert got[0][0] == 10 or any(r[0] == 10 for r in got)
+        from seafowl_spark.operators.bm25 import bm25_topk
+
+        docs = ctx.query("SELECT doc_id, text FROM sd")
+        q = ctx.spark.createDataFrame(
+            [(0, "incremental postings")], "query_id bigint, query_text string"
+        )
+        want = {
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(docs, q, k=3).collect()
+        }
+        assert set(got) == want
+
+    def test_rewrite_refresh_falls_back_to_full(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute(
+            "UPDATE sd SET text = 'rewritten spark text' WHERE doc_id = 2"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ops = [c.operation for c in self._index_table(ctx).history()]
+        assert "REFRESH SEARCH INDEX" in ops
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" not in ops
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'rewritten', 1)"
+            )
+        )
+        assert got == [(2,)]
+
     def test_refresh_missing_index_errors(self, ctx):
         seed_docs(ctx)
         with pytest.raises(ExecutionError, match="does not exist"):
