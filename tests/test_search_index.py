@@ -321,6 +321,58 @@ class TestSearchIndexFreshness:
             ctx.execute("REFRESH SEARCH INDEX nope ON sd")
 
 
+class TestStreamingIndexComposition:
+    def test_stream_append_then_incremental_refresh(self, ctx, tmp_path):
+        """The ingest-refresh-serve loop: a file stream appends documents
+        into the table via foreachBatch, REFRESH SEARCH INDEX runs per
+        batch and takes the INCREMENTAL path (append-only diff), and
+        queries see the streamed documents."""
+        import json as _json
+
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        seed_docs(ctx, "str_t")
+        ctx.execute("CREATE SEARCH INDEX idx ON str_t (text) USING BM25")
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "str_t")
+        )
+        src = tmp_path / "docfeed"
+        src.mkdir()
+        (src / "b0.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"doc_id": 100, "text": "streamed quantum retrieval doc"},
+                    {"doc_id": 101, "text": "another streamed quantum text"},
+                ]
+            )
+        )
+
+        def apply(batch_df, batch_id):
+            t = DeltaLiteTable(ctx.spark, root)
+            t.append(batch_df, operation="STREAM APPEND")
+            ctx.execute("REFRESH SEARCH INDEX idx ON str_t")
+
+        q = (
+            ctx.spark.readStream.schema("doc_id bigint, text string")
+            .json(str(src))
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", str(tmp_path / "ickpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        t = DeltaLiteTable(ctx.spark, root)
+        ops = [c.operation for c in t.history()]
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" in ops
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('str_t', 'idx', 'quantum', 2)"
+            )
+        )
+        assert {r[0] for r in got} == {100, 101}
+
+
 class TestSearchIndexShowCreate:
     def test_show_create_round_trips_index_ddl(self, ctx):
         seed_docs(ctx)
