@@ -287,6 +287,34 @@ class TestNewStatementsOverHttp:
         assert row["format"] == "deltalite" and row["num_rows"] == 2
 
 
+class TestSearchIndexOverHttp:
+    def test_index_ddl_and_lookup_round_trip(self, server):
+        """r9: SEARCH INDEX DDL + the search_index() relation ride the
+        same POST /q dispatch as every other statement."""
+        code, _b, _h = _post_q(
+            server.port,
+            "CREATE TABLE hd (doc_id bigint, text string); "
+            "INSERT INTO hd VALUES (1, 'spark engine tests'), "
+            "(2, 'http index lookup'); "
+            "CREATE SEARCH INDEX hi ON hd (text) USING BM25; "
+            "SELECT count(*) AS n FROM hd",
+        )
+        assert code == 200
+        code, body, _h = _post_q(
+            server.port,
+            "SELECT result_id FROM search_index('hd', 'hi', 'lookup', 1)",
+        )
+        assert code == 200
+        assert json.loads(body.strip().split("\n")[0])["result_id"] == 2
+        code, body, _h = _post_q(
+            server.port,
+            "SELECT index_name, is_stale FROM system.search_indexes",
+        )
+        assert code == 200
+        row = json.loads(body.strip().split("\n")[0])
+        assert row["index_name"] == "hi" and row["is_stale"] is False
+
+
 class TestErrorParity:
     """HTTP error behavior parity with the reference's frontend unit
     tests (src/frontend/http.rs:1131-1215): every client-side failure —
