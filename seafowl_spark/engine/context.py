@@ -1255,12 +1255,17 @@ class SeafowlContext:
             )
         # properties carry over (bucketing/blooms/constraints keep
         # working); a clone of a materialized view is a PLAIN table —
-        # its contents are now independent data, not a derived view.
+        # its contents are now independent data, not a derived view, and
+        # SEARCH INDEXES stay behind too (the artifact lives under the
+        # SOURCE's root — an inherited spec would point at files the
+        # clone does not own; re-create the index on the clone instead).
         # List-valued props re-stringify: create() re-normalizes them.
+        from .search_index import INDEX_PROP as _SI_PROP
+
         props = {
             k: (",".join(v) if isinstance(v, list) else v)
             for k, v in (snap.properties or {}).items()
-            if k != MATVIEW_PROP
+            if k not in (MATVIEW_PROP, _SI_PROP)
         }
         entry = self.catalog.create_table(db, schema, name, snap.schema_ddl)
         t = DeltaLiteTable.create(

@@ -151,6 +151,31 @@ class TestSearchIndexLifecycle:
         )
         assert got == [("use search_index('sd', 'i', 'q', 3) here",)]
 
+    def test_shallow_clone_does_not_inherit_index_spec(self, ctx):
+        # the artifact lives under the SOURCE's root: an inherited spec
+        # would point at files the clone does not own
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("CREATE TABLE sdc SHALLOW CLONE sd")
+        with pytest.raises(ExecutionError, match="does not exist"):
+            ctx.execute(
+                "SELECT * FROM search_index('sdc', 'idx', 'spark', 1)"
+            )
+        # the source's index is untouched, and the clone can build its own
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'vector', 1)"
+            )
+        )
+        assert got == [(4,)]
+        ctx.execute("CREATE SEARCH INDEX cidx ON sdc (text) USING BM25")
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sdc', 'cidx', 'vector', 1)"
+            )
+        )
+        assert got == [(4,)]
+
     def test_rename_keeps_index(self, ctx):
         seed_docs(ctx)
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
