@@ -1718,17 +1718,24 @@ class SeafowlContext:
             return  # already current: no rebuild, no commit
         path = index_dir(self.table_root(entry), f["index"])
         incremental = False
-        if spec.method == "BM25":
+        if spec.method in ("BM25", "LSH"):
             try:
                 _so, only_old, _sn, only_new = changed_files(
                     t, spec.built_version, t.latest_version()
                 )
                 if not only_old and only_new:
                     from ..operators.bm25 import append_bm25_index
+                    from ..operators.lsh_index import append_lsh_index
 
                     schema = T.StructType.fromDDL(snap.schema_ddl)
-                    append_bm25_index(
-                        t._scan_files(only_new, schema),
+                    new_rows = t._scan_files(only_new, schema)
+                    appender = (
+                        append_bm25_index
+                        if spec.method == "BM25"
+                        else append_lsh_index
+                    )
+                    appender(
+                        new_rows,
                         path,
                         text_col=spec.column,
                         id_col=spec.params.get("id_col", "doc_id"),
@@ -1811,6 +1818,17 @@ class SeafowlContext:
                 raise ExecutionError(
                     f"search index {idx} does not exist on {tbl} "
                     f"(existing: {sorted(specs) or 'none'})"
+                )
+            if not os.path.isdir(
+                index_dir(self.table_root(entry), idx)
+            ):
+                # a RESTORE past the index's DROP resurrects the spec
+                # without the artifact — fail with the remedy, not a
+                # parquet file-not-found
+                raise ExecutionError(
+                    f"search index {idx} on {tbl} has no artifact on disk "
+                    "(dropped or restored past it); DROP SEARCH INDEX and "
+                    "re-CREATE it"
                 )
             df = lookup(
                 self.spark,

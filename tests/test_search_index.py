@@ -345,6 +345,48 @@ class TestSearchIndexFreshness:
         with pytest.raises(ExecutionError, match="does not exist"):
             ctx.execute("REFRESH SEARCH INDEX nope ON sd")
 
+    def test_lsh_append_only_refresh_is_incremental(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX nd ON sd (text) USING LSH")
+        # an exact duplicate of doc 1: the incremental APPEND mechanics
+        # are under test here, not the similarity threshold (tiny texts
+        # make banded near-dup collisions unreliable)
+        ctx.execute(
+            "INSERT INTO sd VALUES (20, 'spark merge join window functions')"
+        )
+        ctx.execute("REFRESH SEARCH INDEX nd ON sd")
+        ops = [c.operation for c in self._index_table(ctx).history()]
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" in ops
+        # the appended duplicate of doc 1 is findable
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index"
+                "('sd', 'nd', 'spark merge join window functions', 5)"
+            )
+        )
+        assert 20 in {r[0] for r in got}
+
+    def test_restore_past_drop_gives_clean_error(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        t = self._index_table(ctx)
+        v_with_index = t.latest_version()
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute(f"RESTORE TABLE sd TO VERSION AS OF {v_with_index}")
+        # spec resurrected, artifact gone: the error names the remedy
+        with pytest.raises(ExecutionError, match="no artifact on disk"):
+            ctx.execute(
+                "SELECT * FROM search_index('sd', 'idx', 'spark', 1)"
+            )
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'vector', 1)"
+            )
+        )
+        assert got == [(4,)]
+
 
 class TestStreamingIndexComposition:
     def test_stream_append_then_incremental_refresh(self, ctx, tmp_path):
