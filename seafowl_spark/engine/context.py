@@ -2232,6 +2232,22 @@ class SeafowlContext:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
         t.vacuum(retention_ms=0)
+        # search-index artifacts not referenced by the current specs are
+        # orphans (a crashed CREATE's partial build, a RESTORE past the
+        # index's lifetime) — GC them with the same sweep
+        import shutil
+
+        from .search_index import load_specs
+
+        root = self.table_root(entry)
+        sdir = os.path.join(root, "_search")
+        if os.path.isdir(sdir):
+            live = set(load_specs(t.snapshot().properties or {}))
+            for name in os.listdir(sdir):
+                if name not in live:
+                    shutil.rmtree(
+                        os.path.join(sdir, name), ignore_errors=True
+                    )
         self.catalog.prune_versions(entry.uuid, t.latest_version())
 
     def _exec_vacuum_database(self, stmt) -> None:

@@ -366,6 +366,28 @@ class TestSearchIndexFreshness:
         )
         assert 20 in {r[0] for r in got}
 
+    def test_vacuum_collects_orphan_index_dirs(self, ctx):
+        import os
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "sd")
+        )
+        # a crashed CREATE leaves a partial artifact with no spec
+        orphan = os.path.join(root, "_search", "halfbuilt")
+        os.makedirs(orphan, exist_ok=True)
+        open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+        ctx.execute("VACUUM TABLE sd")
+        assert not os.path.exists(orphan)
+        # the live index survived the sweep
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'vector', 1)"
+            )
+        )
+        assert got == [(4,)]
+
     def test_restore_past_drop_gives_clean_error(self, ctx):
         seed_docs(ctx)
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
