@@ -300,7 +300,10 @@ class SeafowlContext:
                 continue
             if t is None:
                 t = DeltaLiteTable(self.spark, self.table_root(e))
-            cur_fp = _si_fp(t.snapshot())
+            try:
+                cur_fp = _si_fp(t.snapshot())
+            except Exception:  # noqa: BLE001 — broken storage: report stale
+                cur_fp = None
             for n, s in sorted(specs.items()):
                 si_rows.append(
                     Row(
