@@ -148,6 +148,9 @@ class SeafowlContext:
         # information_schema surface constraints without replaying every
         # table's log a second time per statement
         self._props_cache: dict = {}
+        # per-reload snapshot fingerprints for indexed tables (avoids a
+        # second full log replay per statement in system.search_indexes)
+        self._snap_fp_cache: dict = {}
         # python UDFs run arbitrary source via exec(); embedders get them by
         # default, network frontends must opt in explicitly (tools/serve.py)
         self.allow_python_udfs = allow_python_udfs
@@ -298,12 +301,14 @@ class SeafowlContext:
             specs = _si_load(props or {})
             if not specs:
                 continue
-            if t is None:
-                t = DeltaLiteTable(self.spark, self.table_root(e))
-            try:
-                cur_fp = _si_fp(t.snapshot())
-            except Exception:  # noqa: BLE001 — broken storage: report stale
-                cur_fp = None
+            cur_fp = self._snap_fp_cache.get(e.uuid)
+            if cur_fp is None:
+                if t is None:
+                    t = DeltaLiteTable(self.spark, self.table_root(e))
+                try:
+                    cur_fp = _si_fp(t.snapshot())
+                except Exception:  # noqa: BLE001 — broken storage: stale
+                    cur_fp = None
             for n, s in sorted(specs.items()):
                 si_rows.append(
                     Row(
@@ -436,6 +441,7 @@ class SeafowlContext:
         """
         mapping: dict[str, str] = {}
         self._props_cache = {}
+        self._snap_fp_cache = {}
         # logical views register AFTER every table/staging/system name is
         # in the mapping (their defining queries may reference any of
         # them); catalog order = creation order, so a view over an
@@ -461,6 +467,10 @@ class SeafowlContext:
             t = DeltaLiteTable(self.spark, self.table_root(e))
             snap = t.snapshot()
             self._props_cache[e.uuid] = snap.properties
+            if (snap.properties or {}).get("search_indexes"):
+                from .search_index import snapshot_fp as _sfp
+
+                self._snap_fp_cache[e.uuid] = _sfp(snap)
             view_sql = (snap.properties or {}).get(VIEW_PROP)
             mangled = _mangle(e.schema, e.name)
             if view_sql is None:
@@ -539,10 +549,16 @@ class SeafowlContext:
         # SUCCEED on the first statement after the rename — then fail on
         # the next. Text-based views must break deterministically when
         # their name no longer resolves.
+        # Spark's temp-view namespace is case-INSENSITIVE while the set
+        # diff here is case-sensitive: dropping stale 'Foo' when 'foo'
+        # was just registered would remove the NEW view. Compare folded.
         current = set(mapping.values()) | {
             e.name for e in entries if e.schema == self.search_schema
         }
-        for stale in self._registered_views - current:
+        current_fold = {c.lower() for c in current}
+        for stale in self._registered_views:
+            if stale.lower() in current_fold:
+                continue
             try:
                 self.spark.catalog.dropTempView(stale)
             except Exception:  # noqa: BLE001
@@ -599,8 +615,11 @@ class SeafowlContext:
         registered = set(mapping.values()) | {
             e.name for e in entries if e.schema == self.search_schema
         }
-        for stale in self._registered_views - registered:
-            self.spark.catalog.dropTempView(stale)
+        registered_fold = {r.lower() for r in registered}
+        for stale in self._registered_views:
+            # folded comparison: dropTempView resolves case-insensitively
+            if stale.lower() not in registered_fold:
+                self.spark.catalog.dropTempView(stale)
         self._registered_views = registered
         self._register_functions()
         return mapping
@@ -1146,9 +1165,11 @@ class SeafowlContext:
                 load_specs(snap.properties or {}).items()
             ):
                 # search indexes re-create as their own DDL (the artifact
-                # rebuilds; the JSON spec prop is internal bookkeeping)
+                # rebuilds; the JSON spec prop is internal bookkeeping);
+                # single quotes in values double so the DDL re-parses
                 with_items = [
-                    f"'{k}' = '{v}'" for k, v in sorted(ispec.params.items())
+                    f"""'{k}' = '{str(v).replace("'", "''")}'"""
+                    for k, v in sorted(ispec.params.items())
                 ]
                 ddl += (
                     f";\nCREATE SEARCH INDEX {iname} ON {qual} "
@@ -1655,7 +1676,8 @@ class SeafowlContext:
             )
         if f["method"] not in _METHODS:
             raise ExecutionError(
-                f"unknown index method {f['method']} (supported: BM25, LSH)"
+                f"unknown index method {f['method']} "
+                f"(supported: {', '.join(_METHODS)})"
             )
         schema = T.StructType.fromDDL(snap.schema_ddl)
         names = {x.name for x in schema.fields}
@@ -1720,8 +1742,15 @@ class SeafowlContext:
         if spec.file_fp == snapshot_fp(snap):
             return  # already current: no rebuild, no commit
         path = index_dir(self.table_root(entry), f["index"])
+        # crash-safety: the incremental append and the spec commit are
+        # not atomic — a crash between them would make the RETRY re-append
+        # the same documents (duplicated postings, doubled stats). The
+        # marker is written BEFORE appending and removed only AFTER the
+        # spec commit; a surviving marker forces the always-correct full
+        # rebuild (whose overwrite replaces the artifact wholesale).
+        marker = os.path.join(path, "_append_pending")
         incremental = False
-        if spec.method in ("BM25", "LSH"):
+        if spec.method in ("BM25", "LSH") and not os.path.exists(marker):
             try:
                 _so, only_old, _sn, only_new = changed_files(
                     t, spec.built_version, t.latest_version()
@@ -1737,6 +1766,8 @@ class SeafowlContext:
                         if spec.method == "BM25"
                         else append_lsh_index
                     )
+                    with open(marker, "w") as fh:
+                        fh.write(snapshot_fp(snap))
                     appender(
                         new_rows,
                         path,
@@ -1757,6 +1788,10 @@ class SeafowlContext:
             "REFRESH SEARCH INDEX"
             + (" (INCREMENTAL)" if incremental else ""),
         )
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
 
     def _exec_drop_search_index(self, stmt) -> None:
         import shutil
@@ -1845,7 +1880,17 @@ class SeafowlContext:
             aliases.append(alias)
             return f"`{alias}`"
 
-        return self._SEARCH_CALL.sub(repl, sql), aliases
+        try:
+            return self._SEARCH_CALL.sub(repl, sql), aliases
+        except Exception:
+            # a later call's failure must not leak the earlier calls'
+            # already-registered temp views
+            for alias in aliases:
+                try:
+                    self.spark.catalog.dropTempView(alias)
+                except Exception:  # noqa: BLE001
+                    pass
+            raise
 
     def _exec_create_external_table(self, stmt) -> None:
         from ..sources.external import read_external

@@ -156,6 +156,24 @@ def parse_mv_query(query: str) -> MvShape:
     if not gb:
         raise MatViewError("materialized views require GROUP BY")
     from_sql = q[m.start(): gb.start()].rstrip()
+    # a comma-form (implicit cross) join would slip past both the
+    # CROSS-join rejection and dimension version tracking — the dim
+    # would mutate with the view silently reporting fresh. Reject any
+    # top-level comma in the FROM clause (commas inside parens — USING
+    # lists, function args — are fine).
+    where_m = re.search(r"(?i)\bwhere\b", from_sql)
+    join_part = from_sql[: where_m.start()] if where_m else from_sql
+    depth = 0
+    for ch in join_part:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            raise MatViewError(
+                "materialized views require explicit JOIN ... ON syntax "
+                "(comma-form joins cannot be dimension-tracked)"
+            )
     dims = [
         dm.group(1)
         for dm in re.finditer(

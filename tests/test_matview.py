@@ -68,6 +68,24 @@ class TestMvSpecParsing:
                     f"SELECT a, SUM(x) FROM t {jk} u ON t.a = u.a GROUP BY a"
                 )
 
+    def test_comma_join_rejected(self):
+        # an implicit cross join would slip past dimension version
+        # tracking (review finding, r9): the dim could mutate with the
+        # view silently reporting fresh
+        with pytest.raises(MatViewError, match="explicit JOIN"):
+            parse_mv_select(
+                "SELECT r_name, SUM(amount) AS s FROM fact f, dim d "
+                "WHERE f.k = d.k GROUP BY r_name"
+            )
+        # commas inside parens (USING lists, function args) are fine
+        from seafowl_spark.engine.matview import parse_mv_query
+
+        shape = parse_mv_query(
+            "SELECT a, SUM(coalesce(x, y)) AS s FROM t "
+            "JOIN u USING (a, b) GROUP BY a"
+        )
+        assert shape.dims == ["u"]
+
     def test_parse_join_shape(self):
         from seafowl_spark.engine.matview import parse_mv_query
 

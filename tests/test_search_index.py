@@ -388,6 +388,53 @@ class TestSearchIndexFreshness:
         )
         assert got == [(4,)]
 
+    def test_pending_append_marker_forces_full_rebuild(self, ctx):
+        """Crash-safety (review finding, r9): a surviving _append_pending
+        marker means a previous incremental append may have partially
+        landed without its spec commit — the retry must take the full
+        rebuild, never re-append."""
+        import os
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "sd")
+        )
+        marker = os.path.join(root, "_search", "idx", "_append_pending")
+        open(marker, "w").write("crashed")
+        ctx.execute("INSERT INTO sd VALUES (30, 'marker spark document')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ops = [c.operation for c in self._index_table(ctx).history()]
+        assert "REFRESH SEARCH INDEX" in ops
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" not in ops
+        assert not os.path.exists(marker)  # cleared after the commit
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'marker', 1)"
+            )
+        )
+        assert got == [(30,)]
+
+    def test_failed_expansion_drops_registered_aliases(self, ctx):
+        # the FIRST call registers a temp view; the second call's failure
+        # must not leak it (review finding, r9)
+        from seafowl_spark.engine.context import ExecutionError
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        with pytest.raises(ExecutionError, match="does not exist"):
+            ctx.execute(
+                "SELECT * FROM search_index('sd', 'idx', 'spark', 1) a "
+                "JOIN search_index('sd', 'nope', 'spark', 1) b "
+                "ON a.result_id = b.result_id"
+            )
+        leaked = [
+            v.name
+            for v in ctx.spark.catalog.listTables()
+            if v.name.startswith("__sfs_si_")
+        ]
+        assert leaked == []
+
     def test_restore_past_drop_gives_clean_error(self, ctx):
         seed_docs(ctx)
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
@@ -463,6 +510,18 @@ class TestStreamingIndexComposition:
 
 
 class TestSearchIndexShowCreate:
+    def test_with_param_quotes_escape_in_show_create(self, ctx):
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX qi ON sd (text) USING BM25 "
+            "WITH ('note' = 'it''s fine')"
+        )
+        ddl = ctx.execute("SHOW CREATE TABLE sd").collect()[0][0]
+        assert "'note' = 'it''s fine'" in ddl  # re-parseable, not it's
+        ctx.execute("DROP TABLE sd")
+        for stmt in ddl.replace("public.sd", "sd").split(";"):
+            ctx.execute(stmt)  # round-trips without a parse error
+
     def test_show_create_round_trips_index_ddl(self, ctx):
         seed_docs(ctx)
         ctx.execute(

@@ -1250,6 +1250,19 @@ class TestPlainCharsetQuotedCase:
             ctx.execute('SELECT v FROM "CASED"')
         assert rows(ctx.execute('SELECT v FROM "cased"')) == [(2,)]
 
+    def test_case_variant_recreate_not_clobbered_by_stale_drop(self, ctx):
+        # dropTempView resolves case-INSENSITIVELY: after "CaseR" leaves
+        # the catalog and caser takes the folded name, the stale-view
+        # sweep must not drop the NEW registration (review finding, r9)
+        ctx.execute('CREATE TABLE "CaseR" (v int)')
+        ctx.execute('INSERT INTO "CaseR" VALUES (1)')
+        assert rows(ctx.execute("SELECT v FROM caser")) == [(1,)]
+        ctx.execute('ALTER TABLE "CaseR" RENAME TO case_gone')
+        ctx.execute("CREATE TABLE caser (v int)")
+        ctx.execute("INSERT INTO caser VALUES (2)")
+        assert rows(ctx.execute("SELECT v FROM caser")) == [(2,)]
+        assert rows(ctx.execute("SELECT v FROM caser")) == [(2,)]  # again
+
     def test_mixed_quoted_reference_folds_unquoted_schema(self, ctx):
         ctx.execute('CREATE TABLE "my-Table" (v int)')
         ctx.execute('INSERT INTO "my-Table" VALUES (3)')
