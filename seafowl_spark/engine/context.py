@@ -631,7 +631,10 @@ class SeafowlContext:
         loop re-scanned every statement N times — linear in catalog size
         per statement, exactly the serving-layer overhead a many-table
         deployment would feel."""
-        parts = re.split(r"('(?:[^']|'')*')", sql)  # keep literals intact
+        # keep literals intact — the parser's quote scanner, not a bare
+        # regex split, so an apostrophe inside a double-quoted identifier
+        # never opens a phantom string literal
+        parts = parser.split_on_string_literals(sql)
         if not mapping:
             return sql
         # Bare identifiers match case-insensitively (the engine's unquoted
@@ -1831,15 +1834,16 @@ class SeafowlContext:
         aliases: list[str] = []
         # the CALL's own argument strings are part of the match, but a
         # search_index(...) TEXT sitting inside an unrelated string
-        # literal must not rewrite — split on literals the way
-        # _rewrite_names does and only substitute outside them. The
-        # split sees the call's opening quote as a literal start, so
-        # matching runs on the REJOINED even/odd pairs: simplest correct
-        # approach is to scan the raw SQL but verify the match start is
-        # outside any literal (count unescaped quotes before it).
+        # literal (or quoted identifier) must not rewrite. The parser's
+        # quote scanner — the same tokenizer _rewrite_names splits with —
+        # yields every quoted span, so a match is legit iff its
+        # `search_index` token starts OUTSIDE all of them; quote-parity
+        # counting is gone (it misread an apostrophe inside a
+        # double-quoted identifier as a literal boundary).
+        _spans = parser.scan_quotes(sql)
 
         def _in_literal(pos: int) -> bool:
-            return sql.count("'", 0, pos) % 2 == 1
+            return any(a <= pos < b for _k, a, b in _spans)
 
         def repl(m: re.Match) -> str:
             if _in_literal(m.start()):

@@ -117,6 +117,60 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
+def scan_quotes(sql: str) -> list[tuple[str, int, int]]:
+    """Tokenize the quoted regions of a statement: (kind, start, end)
+    spans (end exclusive), kind in ``squote`` (single-quoted string
+    literal, '' doubling), ``dquote`` (ANSI double-quoted identifier,
+    "" doubling) or ``btick`` (Spark backtick identifier). ONE scanner
+    shared by ``_rewrite_names`` and the ``search_index()`` pre-parse,
+    so an apostrophe inside a double-quoted identifier can never be
+    mistaken for a string-literal boundary (the r9 self-review finding:
+    quote-parity counting skipped a ``search_index()`` call following
+    ``"we're"``). Unterminated quotes run to end of string."""
+    spans: list[tuple[str, int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:
+                        j += 2  # doubled quote: escape, keep scanning
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            spans.append(("squote" if ch == "'" else "dquote", i, end))
+            i = end
+        elif ch == "`":
+            j = sql.find("`", i + 1)
+            end = n if j == -1 else j + 1
+            spans.append(("btick", i, end))
+            i = end
+        else:
+            i += 1
+    return spans
+
+
+def split_on_string_literals(sql: str) -> list[str]:
+    """Split into alternating ``[code, literal, code, ...]`` parts (even
+    indexes = code) where ONLY true single-quoted string literals —
+    per :func:`scan_quotes`, not quote-parity — count as literals.
+    Double-quoted / backtick identifiers stay inside the code parts so
+    identifier rewriting still sees them."""
+    parts: list[str] = []
+    pos = 0
+    for kind, a, b in scan_quotes(sql):
+        if kind != "squote":
+            continue
+        parts.append(sql[pos:a])
+        parts.append(sql[a:b])
+        pos = b
+    parts.append(sql[pos:])
+    return parts
+
+
 def is_read_only(stmt: str) -> bool:
     """Read-only detection for the multi-statement / cached-GET rules
     (reference src/context/logical.rs:36-58)."""

@@ -151,6 +151,40 @@ class TestSearchIndexLifecycle:
         )
         assert got == [("use search_index('sd', 'i', 'q', 3) here",)]
 
+    def test_quoted_identifier_with_apostrophe_before_call(self, ctx):
+        # r10 regression (the r9 self-review finding): the old pre-parse
+        # counted quote PARITY, so the apostrophe inside the quoted
+        # identifier "we're" made every later search_index() call look
+        # like string-literal text and skip the rewrite (loud unresolved-
+        # relation failure). The shared parser.scan_quotes tokenizer
+        # knows the apostrophe is inside a double-quoted identifier.
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("CREATE TABLE \"we're\" (doc_id BIGINT)")
+        ctx.execute("INSERT INTO \"we're\" VALUES (1), (4)")
+        got = rows(
+            ctx.execute(
+                "SELECT s.result_id, s.rank FROM \"we're\" w "
+                "JOIN search_index('sd', 'idx', 'vector similarity', 1) s "
+                "ON s.result_id = w.doc_id"
+            )
+        )
+        assert got == [(4, 1)]
+
+    def test_apostrophe_identifier_then_qualified_name(self, ctx):
+        # same scanner shared with _rewrite_names: a qualified reference
+        # AFTER "we're" must still rewrite (the old literal split opened
+        # a phantom string at the apostrophe and hid everything after)
+        seed_docs(ctx)
+        ctx.execute("CREATE TABLE \"we're\" (doc_id BIGINT)")
+        ctx.execute("INSERT INTO \"we're\" VALUES (1)")
+        got = rows(
+            ctx.execute(
+                "SELECT count(*) AS c FROM \"we're\" CROSS JOIN public.sd"
+            )
+        )
+        assert got == [(5,)]
+
     def test_shallow_clone_does_not_inherit_index_spec(self, ctx):
         # the artifact lives under the SOURCE's root: an inherited spec
         # would point at files the clone does not own
