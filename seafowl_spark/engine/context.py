@@ -1345,10 +1345,33 @@ class SeafowlContext:
         if missing:
             raise ExecutionError(
                 f"group column(s) {missing} not in the view output "
-                f"{df.columns} (group columns must pass through unaliased)"
+                f"{df.columns} (group columns must pass through, bare "
+                "or as the GROUP BY expression's alias)"
+            )
+        from pyspark.sql import functions as F
+
+        # the group output columns are the MERGE PK: they must uniquely
+        # key the materialized rows. A duplicate means the parsed shape
+        # diverged from Spark's GROUP BY resolution (e.g. an alias
+        # shadowing the base column it is derived from) — fail at CREATE
+        # with the remedy, never silently corrupt a later refresh.
+        dup = (
+            df.groupBy(*group_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ExecutionError(
+                f"group column(s) {group_cols} do not uniquely key the "
+                "view output — rename the alias so it does not shadow a "
+                "grouped base column"
             )
         spec = MvSpec(
-            base, group_cols, stmt.query, base_version, dim_versions or None
+            base, group_cols, stmt.query, base_version,
+            dim_versions or None,
+            shape.group_exprs,
         )
         entry = self.catalog.create_table(
             db, schema, name,
@@ -1560,7 +1583,8 @@ class SeafowlContext:
             )
         else:
             vals = affected_group_values(
-                self.spark, base_t, spec.base_version, v_to, spec.group_cols
+                self.spark, base_t, spec.base_version, v_to,
+                spec.group_cols, spec.exprs(),
             )
         pinned = query_at_version(spec.query, spec.base, v_to)
         if vals is None:
@@ -1714,11 +1738,13 @@ class SeafowlContext:
             dict(f["params"], id_col=id_col),
             snapshot_fp(snap),
         )
-        build_index(
+        stats = build_index(
             t.to_df(_snap=snap),
             index_dir(self.table_root(entry), f["index"]),
             spec,
         )
+        if stats:
+            spec.params.update(stats)
         specs[f["index"]] = spec
         self._commit_index_specs(entry, t, specs, "CREATE SEARCH INDEX")
 
@@ -1753,35 +1779,82 @@ class SeafowlContext:
         # rebuild (whose overwrite replaces the artifact wholesale).
         marker = os.path.join(path, "_append_pending")
         incremental = False
-        if spec.method in ("BM25", "LSH") and not os.path.exists(marker):
+        if not os.path.exists(marker):
             try:
                 _so, only_old, _sn, only_new = changed_files(
                     t, spec.built_version, t.latest_version()
                 )
                 if not only_old and only_new:
-                    from ..operators.bm25 import append_bm25_index
-                    from ..operators.lsh_index import append_lsh_index
-
                     schema = T.StructType.fromDDL(snap.schema_ddl)
                     new_rows = t._scan_files(only_new, schema)
-                    appender = (
-                        append_bm25_index
-                        if spec.method == "BM25"
-                        else append_lsh_index
-                    )
+                    id_col = spec.params.get("id_col", "doc_id")
                     with open(marker, "w") as fh:
                         fh.write(snapshot_fp(snap))
-                    appender(
-                        new_rows,
-                        path,
-                        text_col=spec.column,
-                        id_col=spec.params.get("id_col", "doc_id"),
-                    )
-                    incremental = True
+                    if spec.method == "IVFPQ":
+                        # r10: append-only refresh encodes the NEW
+                        # vectors with the FROZEN codebooks into their
+                        # cells (one pass over added files, the
+                        # append_bm25_index shape). The drift gate
+                        # compares the batch's mean residual norm
+                        # against the build-time baseline; past
+                        # max_drift x baseline the frozen model no
+                        # longer fits and DriftExceeded downgrades to
+                        # the retraining full rebuild below.
+                        from pyspark.sql import functions as F
+
+                        from ..operators.pq import (
+                            DriftExceeded,
+                            append_ivfpq_index,
+                        )
+
+                        emb = new_rows.select(
+                            F.col(id_col),
+                            F.col(spec.column)
+                            .cast("array<double>")
+                            .alias(spec.column),
+                        )
+                        try:
+                            norm = append_ivfpq_index(
+                                emb,
+                                path,
+                                emb_col=spec.column,
+                                id_col=id_col,
+                                max_drift_ratio=float(
+                                    spec.params.get("max_drift", 1.5)
+                                ),
+                            )
+                        except DriftExceeded as ex:
+                            # observable reason for the rebuild
+                            spec.params["last_batch_resid_norm"] = round(
+                                ex.batch_norm, 9
+                            )
+                        else:
+                            spec.params["last_batch_resid_norm"] = round(
+                                norm, 9
+                            )
+                            incremental = True
+                    else:
+                        from ..operators.bm25 import append_bm25_index
+                        from ..operators.lsh_index import append_lsh_index
+
+                        appender = (
+                            append_bm25_index
+                            if spec.method == "BM25"
+                            else append_lsh_index
+                        )
+                        appender(
+                            new_rows,
+                            path,
+                            text_col=spec.column,
+                            id_col=id_col,
+                        )
+                        incremental = True
             except Exception:  # noqa: BLE001 — vacuumed history etc.
                 incremental = False
         if not incremental:
-            build_index(t.to_df(_snap=snap), path, spec)
+            stats = build_index(t.to_df(_snap=snap), path, spec)
+            if stats:
+                spec.params.update(stats)
         spec.built_version = t.latest_version() + 1
         spec.file_fp = snapshot_fp(snap)
         self._commit_index_specs(
@@ -2364,17 +2437,52 @@ class SeafowlContext:
         """SHA-256 over the (uuid, version) of every catalog table the query
         references — the reference hashes scanned Delta table URIs+versions
         (src/frontend/http.rs:63-105). Text-level reference detection is a
-        conservative superset of the plan walk."""
+        conservative superset of the plan walk.
+
+        r10: a query routed through ``search_index()`` additionally mixes
+        each referenced index's identity (built_version + artifact file
+        fingerprint) into the hash — the reference's cache-invalidation
+        contract extended to index artifacts, EXPLICITLY rather than via
+        the incidental fact that index DDL commits a table version: a
+        REFRESH SEARCH INDEX must flip cached GETs even though the
+        table's data files are untouched."""
         sql2, travels = parser.extract_time_travel(sql)
-        touched: list[tuple[str, int]] = []
+        touched: set[tuple[str, int]] = set()
         for e in self.catalog.tables(self.database):
             pats = [rf"\b{e.schema}\.{e.name}\b", rf"\b{e.database}\.{e.schema}\.{e.name}\b"]
             if e.schema == self.search_schema:
                 pats.append(rf"(?<![A-Za-z0-9_.]){e.name}(?![A-Za-z0-9_.])")
             if any(re.search(p, sql2, re.IGNORECASE) for p in pats):
                 t = DeltaLiteTable(self.spark, self.table_root(e))
-                touched.append((e.uuid, t.latest_version()))
+                touched.add((e.uuid, t.latest_version()))
+        touched_idx: set[tuple[str, str, int, str]] = set()
+        if "search_index" in sql2.lower():
+            from .search_index import load_specs as _si_load
+
+            spans = parser.scan_quotes(sql2)
+
+            def _in_quoted(pos: int) -> bool:
+                return any(a <= pos < b for _k, a, b in spans)
+
+            for m in self._SEARCH_CALL.finditer(sql2):
+                if _in_quoted(m.start()):
+                    continue
+                tbl = m.group(1).replace("''", "'")
+                idx = m.group(2).replace("''", "'")
+                try:
+                    entry = self._resolve(tbl)
+                    t = DeltaLiteTable(self.spark, self.table_root(entry))
+                    touched.add((entry.uuid, t.latest_version()))
+                    spec = _si_load(t.snapshot().properties or {}).get(idx)
+                except Exception:  # noqa: BLE001 — the query itself will
+                    continue  # surface the real unresolved-relation error
+                if spec is not None:
+                    touched_idx.add(
+                        (entry.uuid, idx, spec.built_version, spec.file_fp)
+                    )
         h = sha256()
         for u, v in sorted(touched):
             h.update(f"{u}@{v};".encode())
+        for u, i, bv, fp in sorted(touched_idx):
+            h.update(f"{u}:{i}@{bv}:{fp};".encode())
         return h.hexdigest()

@@ -109,8 +109,11 @@ def index_dir(table_root: str, name: str) -> str:
     return os.path.join(table_root, "_search", name)
 
 
-def build_index(df, path: str, spec: IndexSpec) -> None:
-    """One corpus pass: materialize the index artifact for ``spec``."""
+def build_index(df, path: str, spec: IndexSpec) -> dict | None:
+    """One corpus pass: materialize the index artifact for ``spec``.
+    Returns build statistics to merge into the spec params (IVFPQ: the
+    ``baseline_resid_norm`` the incremental-refresh drift gate compares
+    batches against), or None."""
     from ..operators.bm25 import write_bm25_index
     from ..operators.lsh_index import write_lsh_index
 
@@ -146,6 +149,15 @@ def build_index(df, path: str, spec: IndexSpec) -> None:
             F.col(p.get("id_col", "doc_id")).alias("vec_id"),
             F.col(spec.column).cast("array<double>").alias("emb"),
         )
+        if emb.isEmpty():
+            # kmeans/PQ codebooks need training rows; BM25/LSH build
+            # empty artifacts fine, but an untrained vector index would
+            # crash later in far-from-obvious ways — fail at CREATE with
+            # the remedy instead
+            raise SearchIndexError(
+                "IVFPQ indexes need a non-empty table to train the "
+                "codebooks on — INSERT rows first, then CREATE/REFRESH"
+            )
         cn = normalized(emb)
         cents = fit_kmeans(
             cn,
@@ -159,9 +171,11 @@ def build_index(df, path: str, spec: IndexSpec) -> None:
             ksub=int(p.get("ksub", 16)),
             max_iter=int(p.get("pq_iters", 2)),
         )
-        write_ivfpq_index(emb, path, cents, books)
+        baseline = write_ivfpq_index(emb, path, cents, books)
+        return {"baseline_resid_norm": round(baseline, 9)}
     else:  # pragma: no cover — validated at CREATE
         raise SearchIndexError(f"unknown index method {spec.method!r}")
+    return None
 
 
 def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
@@ -219,8 +233,13 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
         )
     from ..operators.lsh_index import neardup_lookup
 
+    # probe id -1: a SENTINEL below any real id. neardup_lookup's
+    # new_id != index_id guard exists for ingest dedup (a document must
+    # not match itself); a text lookup has no identity, and probe id 0
+    # would silently hide the corpus row whose id happens to BE 0 from
+    # every result (regression-tested in test_search_index.py).
     probe = spark.createDataFrame(
-        [(0, query_text)], f"doc_id bigint, {spec.column} string"
+        [(-1, query_text)], f"doc_id bigint, {spec.column} string"
     )
     thr = float(spec.params.get("threshold", 0.2))
     w = Window.orderBy(F.desc("est_jaccard"), "index_id")

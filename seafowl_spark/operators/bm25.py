@@ -232,27 +232,40 @@ def write_bm25_index(
     ONCE here; every query batch below reads only the partitions its
     terms hash into (partition pruning, no full-index scan)."""
     postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
-    (
-        postings.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-        )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+    # bucket cast to INT: the sidecar DDL must match what partition-dir
+    # inference always gave readers (an int), or every bucket filter in
+    # existing plan gates changes attribute type
+    bucketed = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
     )
     # stats persist as MERGEABLE sums (doc count + total tokens), not the
     # final average, so appends can combine them without a corpus rescan
-    _write_stats(docs, path, n_buckets, text_col, mode="overwrite")
+    _write_stats(
+        docs, path, n_buckets, text_col, mode="overwrite",
+        postings_ddl=_ddl(bucketed),
+    )
 
 
-def _write_stats(docs, path, n_buckets, text_col, mode):
+def _ddl(df) -> str:
+    """Schema as DDL text — persisted in the stats sidecar so the reader
+    can open an EMPTY postings dir (an index built over an empty table
+    writes no part files; schema inference would fail, r10 fuzz find)."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _write_stats(docs, path, n_buckets, text_col, mode, postings_ddl):
     toks = _tokens(F.col(text_col))
     docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("total_dl"),
-    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode(mode).parquet(
-        f"{path}/stats"
-    )
+    ).withColumn("n_buckets", F.lit(n_buckets)).withColumn(
+        "postings_ddl", F.lit(postings_ddl)
+    ).write.mode(mode).parquet(f"{path}/stats")
 
 
 def append_bm25_index(
@@ -272,15 +285,16 @@ def append_bm25_index(
         spark.read.parquet(f"{path}/stats").select("n_buckets").first()[0]
     )
     postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
-    (
-        postings.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-        )
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+    bucketed = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
-    _write_stats(docs, path, n_buckets, text_col, mode="append")
+    bucketed.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    _write_stats(
+        docs, path, n_buckets, text_col, mode="append",
+        postings_ddl=_ddl(bucketed),
+    )
 
 
 def bm25_topk_indexed(
@@ -300,11 +314,15 @@ def bm25_topk_indexed(
     batch, not the corpus."""
     # merge stats fragments (one per write/append) into corpus totals
     raw_stats = spark.read.parquet(f"{path}/stats")
-    merged = raw_stats.agg(
+    aggs = [
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_dl").alias("total_dl"),
         F.first("n_buckets").alias("n_buckets"),
-    ).collect()[0]
+    ]
+    has_ddl = "postings_ddl" in raw_stats.columns
+    if has_ddl:
+        aggs.append(F.first("postings_ddl").alias("postings_ddl"))
+    merged = raw_stats.agg(*aggs).collect()[0]
     n_buckets = merged["n_buckets"]
     stats = spark.createDataFrame(
         [
@@ -332,8 +350,13 @@ def bm25_topk_indexed(
     ]
     # an empty bucket list (no query terms) filters everything out but
     # keeps the REAL schema — no hardcoded empty-frame type that could
-    # drift from the non-empty path
-    postings = spark.read.parquet(f"{path}/postings").where(
+    # drift from the non-empty path. The explicit sidecar schema (when
+    # present) lets an EMPTY postings dir read cleanly — an index built
+    # over an empty table has no part files to infer from.
+    reader = spark.read
+    if has_ddl and merged["postings_ddl"]:
+        reader = reader.schema(merged["postings_ddl"])
+    postings = reader.parquet(f"{path}/postings").where(
         F.col("bucket").isin(q_buckets)
     )
     return _score_and_rank(

@@ -60,7 +60,11 @@ def _band_rows(
         "sigs",
         "band",
         "key",
-        F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets)).alias("bucket"),
+        # INT bucket: keeps the sidecar DDL identical to what partition
+        # inference gave readers before the DDL existed
+        F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
     )
 
 
@@ -79,7 +83,20 @@ def write_lsh_index(
     rows.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/bands"
     )
-    meta = json.dumps({"bands": bands, "n_buckets": n_buckets, "id_col": id_col})
+    # the bands schema rides in the meta sidecar so a lookup can open an
+    # EMPTY bands dir (index built over an empty/shingle-less corpus
+    # writes no part files; inference would fail — r10 fuzz find)
+    bands_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rows.schema.fields
+    )
+    meta = json.dumps(
+        {
+            "bands": bands,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "bands_ddl": bands_ddl,
+        }
+    )
     spark = docs.sparkSession
     spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
         "overwrite"
@@ -121,6 +138,13 @@ def neardup_lookup(
     ``threshold``. The index scan reads ONLY the partitions the new
     batch's band keys hash into."""
     meta = _read_meta(spark, path)
+
+    def _bands_reader():
+        r = spark.read
+        if meta.get("bands_ddl"):
+            r = r.schema(meta["bands_ddl"])
+        return r.parquet(f"{path}/bands")
+
     # materialize the probe band rows (batch x bands rows, bounded): they
     # feed the driver-side bucket collect AND the candidate join, and an
     # unpersisted subtree would re-tokenize/re-permute the batch per
@@ -143,9 +167,7 @@ def neardup_lookup(
         # break string-id callers' joins/unions
         new_t = probe.schema["new_id"].dataType.simpleString()
         idx_t = (
-            spark.read.parquet(f"{path}/bands")
-            .schema[meta["id_col"]]
-            .dataType.simpleString()
+            _bands_reader().schema[meta["id_col"]].dataType.simpleString()
         )
         return spark.createDataFrame(
             [],
@@ -153,7 +175,7 @@ def neardup_lookup(
             "n_equal_sigs int, est_jaccard double",
         )
     idx = (
-        spark.read.parquet(f"{path}/bands")
+        _bands_reader()
         .where(F.col("bucket").isin(buckets))
         .select(
             F.col(meta["id_col"]).alias("index_id"),

@@ -384,6 +384,42 @@ def ivf_pq_residual_topk(
 # Persisted IVF-PQ index: encode once, serve queries with cell pruning
 # --------------------------------------------------------------------------
 
+class DriftExceeded(Exception):
+    """An append batch's residual-norm statistic exceeded the allowed
+    ratio over the index's build-time baseline — the frozen codebooks no
+    longer describe the incoming distribution; callers should full-
+    rebuild (retrain) instead of appending."""
+
+    def __init__(self, batch_norm: float, baseline: float, ratio: float):
+        self.batch_norm, self.baseline, self.ratio = (
+            batch_norm, baseline, ratio,
+        )
+        super().__init__(
+            f"mean residual norm {batch_norm:.6f} exceeds "
+            f"{ratio:g} x baseline {baseline:.6f} — retrain the index"
+        )
+
+
+def _mean_resid_norm(resid_src: DataFrame) -> float:
+    """Mean L2 norm of the ``__resid`` column — the drift statistic. A
+    residual is what PQ quantizes; its typical magnitude under the FROZEN
+    centroids is exactly the quantity that grows when incoming vectors
+    drift away from the training distribution. One column-pruned
+    aggregate (map-side combined) per call."""
+    row = resid_src.agg(
+        F.avg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("__resid"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            )
+        ).alias("n")
+    ).first()
+    return float(row["n"]) if row and row["n"] is not None else 0.0
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -391,14 +427,19 @@ def write_ivfpq_index(
     codebooks,
     emb_col: str = "emb",
     id_col: str = "vec_id",
-) -> None:
+) -> float:
     """Materialize the ANN index: rows (id, emb, pq_code) land under
     ``{path}/vectors`` PARTITIONED BY their IVF cell; the codebook and
     centroids serialize to a JSON sidecar. Queries then read only the
     probed cells' partitions (partition pruning) and only (id, pq_code)
     for coarse scoring (column pruning) — the serving shape where query
     cost tracks probed-cell sizes, not the corpus. Residual encoding
-    (normalized space, fit_pq_residual) — the accurate variant."""
+    (normalized space, fit_pq_residual) — the accurate variant.
+
+    Returns the corpus's mean residual norm, also recorded in the meta
+    sidecar as ``baseline_resid_norm`` — the reference point
+    :func:`append_ivfpq_index` compares incoming batches against before
+    trusting the frozen codebooks with them (r10 incremental refresh)."""
     import json
 
     cn = normalized(corpus.select(F.col(id_col), F.col(emb_col)), emb_col)
@@ -424,11 +465,23 @@ def write_ivfpq_index(
         "pq_code",
     )
     enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
-    meta = {"centroids": centroids, "codebooks": codebooks}
+    baseline = _mean_resid_norm(enc_src)
+    meta = {
+        "centroids": centroids,
+        "codebooks": codebooks,
+        "baseline_resid_norm": baseline,
+        # reader schema for an empty vectors dir (no part files to infer
+        # from when the corpus was empty at build)
+        "vectors_ddl": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in enc.schema.fields
+        ),
+    }
     spark = corpus.sparkSession
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
+    return baseline
 
 
 def append_ivfpq_index(
@@ -436,7 +489,8 @@ def append_ivfpq_index(
     path: str,
     emb_col: str = "emb",
     id_col: str = "vec_id",
-) -> None:
+    max_drift_ratio: float | None = None,
+) -> float:
     """Incrementally add vectors to an existing IVF-PQ index: the NEW
     rows encode with the index's OWN centroids/codebooks (read from the
     JSON sidecar — the model is frozen at build time, the standard
@@ -444,10 +498,15 @@ def append_ivfpq_index(
     no existing partition is rewritten. Work is proportional to the new
     vectors only. The write-side twin of append_bm25_index.
 
-    Model-drift note: appended vectors quantize against the original
-    codebooks, so recall on the appended region degrades as its
-    distribution drifts from the training sample — rebuild when drift
-    matters, exactly as FAISS-style serving systems do."""
+    Returns the batch's mean residual norm. When ``max_drift_ratio`` is
+    set and the sidecar carries a build-time ``baseline_resid_norm``,
+    a batch whose statistic exceeds ``ratio x baseline`` raises
+    :class:`DriftExceeded` BEFORE writing anything — appended vectors
+    quantize against the original codebooks, so recall on the appended
+    region degrades as its distribution drifts from the training
+    sample; past the threshold the right move is a retrain (full
+    rebuild), exactly as FAISS-style serving systems do. The engine's
+    REFRESH SEARCH INDEX drives this contract (context.py)."""
     import json
 
     spark = corpus.sparkSession
@@ -470,6 +529,16 @@ def append_ivfpq_index(
             _residual(F.col(emb_col)).alias("__resid"),
         )
     )
+    # drift gate BEFORE the write (batch-sized aggregate): a drifted
+    # batch must not land half-encoded in the index
+    batch_norm = _mean_resid_norm(enc_src)
+    baseline = float(meta.get("baseline_resid_norm") or 0.0)
+    if (
+        max_drift_ratio is not None
+        and baseline > 0
+        and batch_norm > max_drift_ratio * baseline
+    ):
+        raise DriftExceeded(batch_norm, baseline, max_drift_ratio)
     enc = pq_encode(enc_src, codebooks, "__resid", normalize=False).select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("emb"),
@@ -477,6 +546,7 @@ def append_ivfpq_index(
         "pq_code",
     )
     enc.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    return batch_norm
 
 
 def ivf_pq_topk_indexed(
@@ -533,7 +603,10 @@ def ivf_pq_topk_indexed(
         )
     )
     probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
-    vectors = spark.read.parquet(f"{path}/vectors").where(
+    reader = spark.read
+    if meta.get("vectors_ddl"):
+        reader = reader.schema(meta["vectors_ddl"])
+    vectors = reader.parquet(f"{path}/vectors").where(
         F.col("cell").isin(probe_cells)
     )
     coarse = (

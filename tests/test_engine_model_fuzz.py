@@ -258,3 +258,175 @@ class TestEngineModelFuzz:
                 )
             )
             assert got == hs, (seed, "final-travel", hn, hv)
+
+
+# --------------------------------------------------------------------------
+# Search-index lifecycle fuzz (r10 — the r9 verdict's task #6): CREATE/
+# REFRESH/DROP SEARCH INDEX interleaved with INSERT/DELETE/RENAME/CLONE/
+# VACUUM. The r9 self-review found 7 lifecycle bugs by hand; this finds
+# the next ones mechanically. Invariants after EVERY step:
+#   * system.search_indexes lists exactly the model's indexes, and each
+#     is_stale flag matches the model (content-based: an index is stale
+#     iff a DML that actually CHANGED rows landed since its build —
+#     no-match DELETEs and metadata-only commits must not flag it);
+#   * a random search_index() lookup never crashes, and every result id
+#     is a member of the index's BUILD-TIME snapshot (an index serves
+#     its snapshot, never rows it has not indexed).
+# --------------------------------------------------------------------------
+
+SI_WORDS = [
+    "spark", "merge", "join", "window", "stream", "batch", "filter",
+    "vector", "table", "scan", "index", "query", "data", "shuffle",
+]
+
+
+class SiModel:
+    def __init__(self):
+        # name -> {k: text}; per-table data revision bumps only when a
+        # statement changes at least one row (the engine's staleness is
+        # file-fingerprint-based and no-match DML touches no files)
+        self.tables: dict[str, dict[int, str]] = {}
+        self.rev: dict[str, int] = {}
+        # table -> index name -> {"method", "built_rev", "visible"}
+        self.indexes: dict[str, dict[str, dict]] = {}
+        self.next_k = 0
+
+    def expected_board(self):
+        out = {}
+        for tname, idxs in self.indexes.items():
+            for iname, st in idxs.items():
+                out[(tname, iname)] = st["built_rev"] != self.rev[tname]
+        return out
+
+
+def _si_sentence(rng):
+    return " ".join(rng.choice(SI_WORDS) for _ in range(rng.randrange(3, 7)))
+
+
+def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
+    names = list(m.tables)
+    roll = rng.random()
+    if not names or (roll < 0.08 and len(names) < 3):
+        name = f"st{rng.randrange(1000)}"
+        while name in m.tables:
+            name = f"st{rng.randrange(1000)}"
+        ctx.execute(f"CREATE TABLE {name} (k BIGINT, t STRING)")
+        m.tables[name] = {}
+        m.rev[name] = 0
+        m.indexes[name] = {}
+        return f"create {name}"
+    name = rng.choice(names)
+    if roll < 0.12 and len(names) > 1:
+        ctx.execute(f"DROP TABLE {name}")
+        del m.tables[name], m.rev[name], m.indexes[name]
+        return f"drop {name}"
+    if roll < 0.40:
+        rows_new = []
+        for _ in range(rng.randrange(1, 5)):
+            k = m.next_k
+            m.next_k += 1
+            txt = _si_sentence(rng)
+            m.tables[name][k] = txt
+            rows_new.append((k, txt))
+        vals = ", ".join(f"({k}, '{t}')" for k, t in rows_new)
+        ctx.execute(f"INSERT INTO {name} VALUES {vals}")
+        m.rev[name] += 1  # insert always adds files
+        return f"insert {name} x{len(rows_new)}"
+    if roll < 0.52:
+        mod = rng.randrange(4)
+        matched = [k for k in m.tables[name] if k % 4 == mod]
+        ctx.execute(f"DELETE FROM {name} WHERE k % 4 = {mod}")
+        if matched:
+            for k in matched:
+                del m.tables[name][k]
+            m.rev[name] += 1
+        return f"delete {name} %4={mod} ({len(matched)})"
+    if roll < 0.58:
+        new = f"st{rng.randrange(1000)}"
+        while new in m.tables:
+            new = f"st{rng.randrange(1000)}"
+        ctx.execute(f"ALTER TABLE {name} RENAME TO {new}")
+        m.tables[new] = m.tables.pop(name)
+        m.rev[new] = m.rev.pop(name)
+        m.indexes[new] = m.indexes.pop(name)
+        return f"rename {name}->{new}"
+    if roll < 0.63 and len(names) < 3:
+        new = f"st{rng.randrange(1000)}"
+        while new in m.tables:
+            new = f"st{rng.randrange(1000)}"
+        ctx.execute(f"CREATE TABLE {new} SHALLOW CLONE {name}")
+        m.tables[new] = dict(m.tables[name])
+        m.rev[new] = 0
+        m.indexes[new] = {}  # clones never inherit index specs
+        return f"clone {name}->{new}"
+    if roll < 0.68:
+        ctx.execute(f"VACUUM TABLE {name}")
+        return f"vacuum {name}"
+    if roll < 0.80:
+        iname = f"ix{rng.randrange(100)}"
+        method = rng.choice(["BM25", "LSH"])
+        if iname in m.indexes[name]:
+            return f"noop (index {iname} exists)"
+        ctx.execute(
+            f"CREATE SEARCH INDEX {iname} ON {name} (t) USING {method} "
+            "WITH ('id_col' = 'k')"
+        )
+        m.indexes[name][iname] = {
+            "method": method,
+            "built_rev": m.rev[name],
+            "visible": set(m.tables[name]),
+        }
+        return f"index {name}.{iname} {method}"
+    if roll < 0.90:
+        if not m.indexes[name]:
+            return "noop (no index to refresh)"
+        iname = rng.choice(sorted(m.indexes[name]))
+        ctx.execute(f"REFRESH SEARCH INDEX {iname} ON {name}")
+        st = m.indexes[name][iname]
+        st["built_rev"] = m.rev[name]
+        st["visible"] = set(m.tables[name])
+        return f"refresh {name}.{iname}"
+    if not m.indexes[name]:
+        return "noop (no index to drop)"
+    iname = rng.choice(sorted(m.indexes[name]))
+    ctx.execute(f"DROP SEARCH INDEX {iname} ON {name}")
+    del m.indexes[name][iname]
+    return f"dropindex {name}.{iname}"
+
+
+class TestSearchIndexLifecycleFuzz:
+    @pytest.mark.parametrize("seed", [31, 97])
+    def test_lifecycle_matches_model(self, ctx, seed):
+        rng = random.Random(seed)
+        m = SiModel()
+        trace = []
+        for step in range(26):
+            trace.append(_si_step(ctx, m, rng))
+            got = {
+                (r["table_name"], r["index_name"]): r["is_stale"]
+                for r in ctx.execute(
+                    "SELECT table_name, index_name, is_stale "
+                    "FROM system.search_indexes"
+                ).collect()
+            }
+            assert got == m.expected_board(), (seed, step, trace[-3:])
+            # a random lookup must never crash, and must only surface
+            # ids the index actually indexed (its build-time snapshot)
+            cands = [
+                (tn, iname, st)
+                for tn, idxs in m.indexes.items()
+                for iname, st in idxs.items()
+            ]
+            if cands:
+                tn, iname, st = rng.choice(cands)
+                word = rng.choice(SI_WORDS)
+                got_ids = {
+                    r["result_id"]
+                    for r in ctx.execute(
+                        f"SELECT result_id FROM "
+                        f"search_index('{tn}', '{iname}', '{word}', 5)"
+                    ).collect()
+                }
+                assert got_ids <= st["visible"], (
+                    seed, step, tn, iname, got_ids - st["visible"],
+                )

@@ -108,6 +108,39 @@ class TestHttp:
         assert headers3["ETag"] != etag
         assert len(body3.strip().split("\n")) == 2
 
+    def test_etag_search_index_refresh_invalidates(self, server):
+        """r10 (the r9 verdict's task #7): a GET routed through
+        search_index() mixes the INDEX's identity (built_version +
+        artifact fingerprint) into the ETag — REFRESH SEARCH INDEX must
+        flip a cached 304 to 200 even though the query's table data is
+        untouched between the two GETs."""
+        _post_q(
+            server.port,
+            "CREATE TABLE sd (doc_id BIGINT, text STRING); "
+            "INSERT INTO sd VALUES (1, 'spark merge join'), "
+            "(2, 'stream batch filter')",
+        )
+        _post_q(server.port, "CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        q = "SELECT result_id FROM search_index('sd', 'idx', 'spark', 2)"
+        code, body, headers = _get_q(server.port, q)
+        assert code == 200
+        etag = headers["ETag"]
+        code2, _, _ = _get_q(server.port, q, etag=etag)
+        assert code2 == 304
+        # stale the index, then REFRESH; between the 304 above and the
+        # GET below no statement touches sd's data — only the index
+        _post_q(server.port, "INSERT INTO sd VALUES (3, 'spark vector scan')")
+        code3, _, headers3 = _get_q(server.port, q, etag=etag)
+        assert code3 == 200  # the INSERT already invalidated
+        etag3 = headers3["ETag"]
+        code4, _, _ = _get_q(server.port, q, etag=etag3)
+        assert code4 == 304
+        _post_q(server.port, "REFRESH SEARCH INDEX idx ON sd")
+        code5, body5, headers5 = _get_q(server.port, q, etag=etag3)
+        assert code5 == 200  # refresh flipped the cached entry
+        assert headers5["ETag"] != etag3
+        assert "3" in body5  # and the refreshed index serves doc 3
+
     def test_auth_policies(self, ctx):
         token = "secret-token"
         policy = AccessPolicy(read="any", write=sha256(token.encode()).hexdigest())

@@ -331,36 +331,61 @@ class TestRound6Graduates:
 
 
 class TestIndexServing:
-    """Registry-level pruning gates for the graded q_index_serving row
-    (r7): both persisted-index scans must carry partition filters — the
-    serving contract that query cost tracks probed partitions, not the
-    corpus. Operator-level twins live in test_bm25.py / test_pq.py; these
-    run against the REGISTRY row so the graded query itself can never
-    silently lose the pruning."""
+    """Pruning/plan gates for the index-serving shapes. The graded
+    q_index_serving row (SQL plane since r10: CREATE SEARCH INDEX +
+    the search_index() relation) must prune BOTH persisted-index scans;
+    the vector shapes (vector_serving_shapes — not a registry row, its
+    numpy-fit models have no SQL mirror) must prune on cell and serve
+    whitening through Arrow batches. Operator-level twins live in
+    test_bm25.py / test_pq.py; these run against the exact shapes the
+    graded row / the sweep exercise, so they can never silently lose
+    the pruning."""
 
-    def test_both_index_scans_partition_pruned(self, spark, registry):
+    def test_sql_plane_scans_partition_pruned(self, spark, registry):
         df = registry["q_index_serving"].fn(spark, SF)
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
         non_empty = [f for f in filters if f.strip()]
-        # BM25 postings AND the LSH bands dir both prune on bucket;
+        # 3 BM25 postings scans AND 3 LSH bands scans, all bucket-pruned
+        assert sum("bucket" in f for f in non_empty) >= 6, filters
+        assert "CartesianProduct" not in formatted
+        assert "BatchEvalPython" not in formatted
+
+    def test_vector_shapes_cell_pruned_and_arrow(self, spark):
+        from seafowl_spark.queries.similarity import vector_serving_shapes
+
+        df = vector_serving_shapes(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
+        non_empty = [f for f in filters if f.strip()]
         # IVF-PQ vectors prune on cell (two scans of the vectors dir:
         # coarse codes + shortlist rerank)
-        assert sum("bucket" in f for f in non_empty) >= 2, filters
         assert any("cell" in f for f in non_empty), filters
+        # whitening applies through the Arrow-batched UDF, never
+        # row-at-a-time Python
+        assert "ArrowEvalPython" in formatted
+        assert "BatchEvalPython" not in formatted
         assert "CartesianProduct" not in formatted
+
+    def test_lsh_cap_constant_in_lockstep(self):
+        # the graded oracle bakes the index-side bucket cap as a literal
+        # (importing lsh_index at module import would cycle); keep it
+        # equal to the operator's real cap
+        from seafowl_spark.operators.lsh_index import MAX_BUCKET_ROWS
+        from seafowl_spark.queries.similarity import _LSH_INDEX_CAP
+
+        assert _LSH_INDEX_CAP == MAX_BUCKET_ROWS
 
     def test_bm25_bucket_filter_bounded_by_query_terms(self, spark, registry):
         import glob
-        import tempfile
-        from hashlib import sha256
-        import os
 
-        from seafowl_spark.queries.similarity import _seed_serving_indexes
+        from seafowl_spark.queries.similarity import _seed_sql_serving
 
-        root = _seed_serving_indexes(spark, SF)
+        root = _seed_sql_serving(spark, SF)
         df = registry["q_index_serving"].fn(spark, SF)
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -370,11 +395,12 @@ class TestIndexServing:
         )
         assert m  # explicit IN-list from the query batch's term hashes
         n_probed = len((m.group(1) or m.group(2)).split(","))
-        n_all = len(glob.glob(f"{root}/bm25/postings/bucket=*"))
-        # 5 six-word queries -> at most 30 distinct terms; the seeded
+        n_all = len(
+            glob.glob(f"{root}/*/_search/bidx/postings/bucket=*")
+        )
+        # a four-word query -> at most 4 distinct terms; the engine
         # index has up to 64 buckets and the probe list must not cover it
         assert n_probed < max(n_all, 2), (n_probed, n_all)
-
 
 class TestRegistryWideHygiene:
     def test_no_cartesian_no_row_python_anywhere(self, spark, registry):
@@ -383,9 +409,18 @@ class TestRegistryWideHygiene:
         (BatchEvalPython) — the two plan shapes that do not survive a
         100x scale-up. Per-query gates above catch specific regressions;
         this net catches a violation introduced by ANY future row
-        without needing a bespoke gate first."""
+        without needing a bespoke gate first. Since r10 the sweep also
+        covers the NON-registry vector serving shapes (they left the
+        graded window because numpy-fit models have no SQL mirror — not
+        to escape the plan invariants)."""
+        from seafowl_spark.queries.similarity import vector_serving_shapes
+
+        swept = dict(registry)
+        swept["__vector_serving_shapes"] = type(
+            "E", (), {"fn": staticmethod(vector_serving_shapes)}
+        )
         offenders = {}
-        for name, ent in registry.items():
+        for name, ent in swept.items():
             p = (
                 ent.fn(spark, SF)
                 ._jdf.queryExecution()

@@ -151,6 +151,28 @@ class TestSearchIndexLifecycle:
         )
         assert got == [("use search_index('sd', 'i', 'q', 3) here",)]
 
+    def test_lsh_lookup_returns_doc_zero(self, ctx):
+        # r10 regression: the LSH lookup's synthetic probe id used to be
+        # 0, so the ingest-dedup self-exclusion (new_id != index_id)
+        # silently hid the corpus document whose id IS 0 from every
+        # SQL-plane lookup. The probe id is now the -1 sentinel.
+        ctx.execute("CREATE TABLE zd (doc_id BIGINT, text STRING)")
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        ctx.execute(
+            f"INSERT INTO zd VALUES (0, '{base}'), "
+            "(7, 'unrelated words about other topics entirely here now')"
+        )
+        ctx.execute(
+            "CREATE SEARCH INDEX lz ON zd (text) USING LSH "
+            "WITH ('threshold' = '0.5')"
+        )
+        got = rows(
+            ctx.execute(
+                f"SELECT result_id, rank FROM search_index('zd', 'lz', '{base}', 3)"
+            )
+        )
+        assert (0, 1) in got
+
     def test_quoted_identifier_with_apostrophe_before_call(self, ctx):
         # r10 regression (the r9 self-review finding): the old pre-parse
         # counted quote PARITY, so the apostrophe inside the quoted
@@ -356,6 +378,98 @@ class TestSearchIndexFreshness:
             for r in bm25_topk(docs, q, k=3).collect()
         }
         assert set(got) == want
+
+    def _seed_vectors(self, ctx, name="vr", n=40):
+        import math
+
+        ctx.execute(f"CREATE TABLE {name} (vec_id BIGINT, emb ARRAY<DOUBLE>)")
+        vals = []
+        for i in range(n):
+            v = [math.sin(i * 0.7 + j) for j in range(8)]
+            vals.append(
+                f"({i}, ARRAY({', '.join(f'{x:.6f}' for x in v)}))"
+            )
+        ctx.execute(f"INSERT INTO {name} VALUES {', '.join(vals)}")
+
+    def test_ivfpq_append_only_refresh_is_incremental(self, ctx):
+        # r10 (the r9 verdict's task #2): an append-only diff encodes the
+        # NEW vectors with the FROZEN codebooks into their cells — the
+        # commit says (INCREMENTAL), the drift statistic lands in the
+        # spec, and the appended vector is immediately servable.
+        import json as _json
+        import math
+
+        from seafowl_spark.engine.search_index import load_specs
+
+        self._seed_vectors(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX vi ON vr (emb) USING IVFPQ "
+            "WITH ('id_col' = 'vec_id', 'cells' = '4', 'm' = '4', "
+            "'ksub' = '8', 'nprobe' = '4')"
+        )
+        specs = load_specs(self._index_table(ctx, "vr").snapshot().properties)
+        assert specs["vi"].params.get("baseline_resid_norm", 0) > 0
+        # same distribution as the build: drift gate passes
+        new = [
+            (i, [math.sin(i * 0.7 + j) for j in range(8)])
+            for i in range(40, 48)
+        ]
+        vals = ", ".join(
+            f"({i}, ARRAY({', '.join(f'{x:.6f}' for x in v)}))"
+            for i, v in new
+        )
+        ctx.execute(f"INSERT INTO vr VALUES {vals}")
+        ctx.execute("REFRESH SEARCH INDEX vi ON vr")
+        ops = [c.operation for c in self._index_table(ctx, "vr").history()]
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" in ops
+        specs = load_specs(self._index_table(ctx, "vr").snapshot().properties)
+        assert specs["vi"].params.get("last_batch_resid_norm", 0) > 0
+        got = rows(
+            ctx.execute(
+                "SELECT result_id, rank FROM "
+                f"search_index('vr', 'vi', '{_json.dumps(new[3][1])}', 3)"
+            )
+        )
+        assert (43, 1) in got  # the appended vector serves at rank 1
+
+    def test_ivfpq_drift_downgrades_to_full_rebuild(self, ctx):
+        # a batch far outside the training distribution (alternating-sign
+        # spikes vs smooth sine waves) exceeds max_drift x baseline: the
+        # frozen codebooks would mis-encode it, so REFRESH retrains (full
+        # rebuild commit, no INCREMENTAL suffix) — and the drifted vector
+        # then serves correctly from the retrained model.
+        import json as _json
+
+        self._seed_vectors(ctx, name="vd")
+        ctx.execute(
+            "CREATE SEARCH INDEX vi ON vd (emb) USING IVFPQ "
+            "WITH ('id_col' = 'vec_id', 'cells' = '4', 'm' = '4', "
+            "'ksub' = '8', 'nprobe' = '4', 'max_drift' = '1.2')"
+        )
+        drifted = [
+            (100 + i, [(1.0 if (j + i) % 2 == 0 else -1.0) for j in range(8)])
+            for i in range(6)
+        ]
+        vals = ", ".join(
+            f"({i}, ARRAY({', '.join(f'{x:.1f}' for x in v)}))"
+            for i, v in drifted
+        )
+        ctx.execute(f"INSERT INTO vd VALUES {vals}")
+        ctx.execute("REFRESH SEARCH INDEX vi ON vd")
+        hist = self._index_table(ctx, "vd").history()
+        latest_refresh = next(
+            c.operation
+            for c in hist
+            if c.operation.startswith("REFRESH SEARCH INDEX")
+        )
+        assert latest_refresh == "REFRESH SEARCH INDEX"  # not INCREMENTAL
+        got = rows(
+            ctx.execute(
+                "SELECT result_id, rank FROM "
+                f"search_index('vd', 'vi', '{_json.dumps(drifted[0][1])}', 3)"
+            )
+        )
+        assert (100, 1) in got  # served from the retrained model
 
     def test_rewrite_refresh_falls_back_to_full(self, ctx):
         seed_docs(ctx)
