@@ -79,6 +79,15 @@ class MvSpec:
     # dimension tables (reference as written -> version at create/last
     # refresh); empty for single-table views — absent in pre-r9 specs
     dim_versions: dict[str, int] | None = None
+    # r10: the GROUP BY expression behind each output column (equals the
+    # column name for plain passthrough columns; differs for aliased
+    # expression groups — `substr(g,1,1) AS pfx`). The affected-groups
+    # scans evaluate these; the merge PK / group predicate keep using
+    # the OUTPUT names. Absent in pre-r10 specs -> defaults to the names.
+    group_exprs: list[str] | None = None
+
+    def exprs(self) -> list[str]:
+        return self.group_exprs or self.group_cols
 
     def to_json(self) -> str:
         d = {
@@ -89,6 +98,8 @@ class MvSpec:
         }
         if self.dim_versions:
             d["dims"] = self.dim_versions
+        if self.group_exprs and self.group_exprs != self.group_cols:
+            d["group_exprs"] = self.group_exprs
         return json.dumps(d)
 
     @staticmethod
@@ -100,6 +111,7 @@ class MvSpec:
             d["query"],
             int(d["base_version"]),
             {k: int(v) for k, v in d.get("dims", {}).items()} or None,
+            list(d["group_exprs"]) if d.get("group_exprs") else None,
         )
 
 
@@ -120,9 +132,12 @@ class MvShape:
     base: str                 # fact reference as written
     base_alias: str | None    # alias after the fact reference, if any
     dims: list[str]           # joined dimension references as written
-    group_cols: list[str]
+    group_cols: list[str]     # OUTPUT column names (merge PK / predicate)
     from_sql: str             # FROM ... [JOIN ...] [WHERE ...] clause text
     base_span: tuple[int, int]  # span of the fact reference WITHIN from_sql
+    # r10: expression behind each group output column (== the name for
+    # plain passthrough columns) — what the affected-groups scans evaluate
+    group_exprs: list[str] = None  # type: ignore[assignment]
 
 
 def parse_mv_query(query: str) -> MvShape:
@@ -181,23 +196,65 @@ def parse_mv_query(query: str) -> MvShape:
             from_sql,
         )
     ]
-    cols = [c.strip() for c in gb.group(1).split(",") if c.strip()]
-    bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
-    if bad:
-        raise MatViewError(
-            f"GROUP BY must list bare column names, got: {bad}"
-        )
+    from . import parser as _parser
+
+    items = _parser._split_top(gb.group(1))
     head = q[: m.start()]  # the select list
-    for c in cols:
-        # bare occurrence: not part of a longer name, not a function
-        # argument/name (paren-adjacent) — CREATE re-validates against
-        # the actual output schema, this is the early lint
-        if not re.search(
-            rf"(?i)(?<![A-Za-z0-9_.(]){re.escape(c)}(?![A-Za-z0-9_(])", head
-        ):
+    sel_m = re.search(r"(?i)\bselect\b", head)
+    select_items = _parser._split_top(head[sel_m.end():]) if sel_m else []
+    # (normalized expr -> alias, alias-lower -> (alias, expr)) over the
+    # select list: GROUP BY may repeat an aliased expression verbatim or
+    # name its alias (r10 — bare columns only before)
+    by_expr: dict[str, tuple[str, str]] = {}
+    by_alias: dict[str, tuple[str, str]] = {}
+    for it in select_items:
+        expr, alias = _split_alias(it)
+        if alias is None:
+            continue
+        by_expr[_norm_expr(expr)] = (alias, expr)
+        by_alias[alias.lower()] = (alias, expr)
+    cols: list[str] = []
+    exprs: list[str] = []
+    for item in items:
+        item = item.strip()
+        if not item:
+            continue
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", item):
+            hit = by_alias.get(item.lower())
+            if hit is not None:
+                # alias of an aliased select expression: group on the
+                # EXPRESSION, key the view on the alias
+                cols.append(hit[0])
+                exprs.append(hit[1])
+                continue
+            # bare passthrough column: must appear unaliased in the
+            # select list (not a longer name, not paren-adjacent) —
+            # CREATE re-validates against the actual output schema,
+            # this is the early lint
+            if not re.search(
+                rf"(?i)(?<![A-Za-z0-9_.(]){re.escape(item)}(?![A-Za-z0-9_(])",
+                head,
+            ):
+                raise MatViewError(
+                    f"group column {item!r} must appear (unaliased) in "
+                    "the select list"
+                )
+            cols.append(item)
+            exprs.append(item)
+            continue
+        hit = by_expr.get(_norm_expr(item))
+        if hit is None:
             raise MatViewError(
-                f"group column {c!r} must appear (unaliased) in the select list"
+                f"GROUP BY expression {item!r} must appear in the select "
+                "list with an alias (SELECT <expr> AS <name> ... "
+                "GROUP BY <expr>)"
             )
+        cols.append(hit[0])
+        exprs.append(hit[1])
+    if not cols:
+        raise MatViewError("materialized views require GROUP BY")
+    if len(set(c.lower() for c in cols)) != len(cols):
+        raise MatViewError(f"duplicate group columns: {cols}")
     return MvShape(
         base,
         base_alias,
@@ -205,7 +262,36 @@ def parse_mv_query(query: str) -> MvShape:
         cols,
         from_sql,
         (m.start(1) - m.start(), m.end(1) - m.start()),
+        exprs,
     )
+
+
+def _split_alias(item: str) -> tuple[str, str | None]:
+    """(expression, alias) for one select-list item — the alias is the
+    LAST top-level ``AS <name>`` (or trailing bare name), never one
+    inside parens (CAST(x AS INT) keeps its AS)."""
+    depth = 0
+    last_as = None
+    for mm in re.finditer(r"(?i)\(|\)|\bas\b", item):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            last_as = mm
+    if last_as is not None:
+        alias = item[last_as.end():].strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", alias):
+            return item[: last_as.start()].strip(), alias
+    return item.strip(), None
+
+
+def _norm_expr(e: str) -> str:
+    """Whitespace/case-insensitive comparison key for matching a GROUP BY
+    expression to a select-list expression (only ever used for equality
+    between two normalized forms)."""
+    return re.sub(r"\s+", "", e).lower()
 
 
 def parse_mv_select(query: str) -> tuple[str, list[str]]:
@@ -325,7 +411,11 @@ def affected_groups_via_query(
         if shape.base_alias is None:
             swap += f" AS `{_bare_alias(shape.base)}`"
         swapped = shape.from_sql[:a] + swap + shape.from_sql[b:]
-        sql = f"SELECT DISTINCT {', '.join(shape.group_cols)} {swapped}"
+        select = ", ".join(
+            c if e == c else f"{e} AS {c}"
+            for c, e in zip(shape.group_cols, shape.group_exprs)
+        )
+        sql = f"SELECT DISTINCT {select} {swapped}"
         rows = exec_query(sql).limit(MAX_INCREMENTAL_GROUPS + 1).collect()
     except Exception:  # noqa: BLE001 — vacuumed old files etc.: full refresh
         return None
@@ -343,13 +433,21 @@ def affected_groups_via_query(
 
 
 def affected_group_values(
-    spark, base_t, v_from: int, v_to: int, group_cols: list[str]
+    spark, base_t, v_from: int, v_to: int, group_cols: list[str],
+    group_exprs: list[str] | None = None,
 ) -> list[tuple] | None:
     """Distinct group values touched between the two snapshots, or None
     when an incremental refresh is not worthwhile/possible (too many
-    groups, NULL group values, old files no longer readable)."""
+    groups, NULL group values, old files no longer readable). When the
+    view groups by aliased EXPRESSIONS (r10), ``group_exprs`` carries
+    what to evaluate over the changed rows — the scan stays one
+    column-pruned pass either way."""
     from pyspark.sql import types as T
 
+    exprs = group_exprs or group_cols
+    sel = [
+        c if e == c else f"{e} AS {c}" for c, e in zip(group_cols, exprs)
+    ]
     _s_old, only_old, _s_new, only_new = changed_files(base_t, v_from, v_to)
     if not only_old and not only_new:
         return []
@@ -359,7 +457,7 @@ def affected_group_values(
             if files:
                 schema = T.StructType.fromDDL(snap.schema_ddl)
                 frames.append(
-                    base_t._scan_files(files, schema).select(*group_cols)
+                    base_t._scan_files(files, schema).selectExpr(*sel)
                 )
         df = frames[0]
         for f in frames[1:]:

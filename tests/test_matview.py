@@ -568,6 +568,15 @@ class TestMatViewFuzz:
             "SELECT g, SUM(v) AS s, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx "
             "FROM fz GROUP BY g"
         )
+        # r10: an expression-grouped sibling over the same base — the
+        # multi-column group expression exercises the affected-groups
+        # scan's expression evaluation under the same churn
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW fmv2 AS "
+            "SELECT concat(g, '-', CAST(pk % 2 AS STRING)) AS gk, "
+            "SUM(v) AS s, COUNT(*) AS n "
+            "FROM fz GROUP BY concat(g, '-', CAST(pk % 2 AS STRING))"
+        )
         for _ in range(8):
             rng.choice([ins, ins, upd, dele])()
             ctx.execute("REFRESH MATERIALIZED VIEW fmv")
@@ -583,6 +592,18 @@ class TestMatViewFuzz:
                 )
             )
             assert got == want
+            ctx.execute("REFRESH MATERIALIZED VIEW fmv2")
+            got2 = sorted(rows(ctx.execute("SELECT gk, s, n FROM fmv2")))
+            want2 = sorted(
+                rows(
+                    ctx.execute(
+                        "SELECT concat(g, '-', CAST(pk % 2 AS STRING)) "
+                        "AS gk, SUM(v) AS s, COUNT(*) AS n "
+                        "FROM fz GROUP BY gk"
+                    )
+                )
+            )
+            assert got2 == want2
 
 
     @pytest.mark.parametrize("seed", [29])
@@ -742,3 +763,102 @@ class TestNanGroupFallback:
         assert rows(
             ctx.execute("SELECT s FROM nmv ORDER BY s")
         ) == [(15,), (20,), (30,)]
+
+
+class TestMatViewExpressionGroups:
+    """r10 (the r9 verdict's task #4): GROUP BY expressions with aliases
+    — `SELECT <expr> AS name ... GROUP BY <expr>` (or GROUP BY name).
+    The view's output/merge PK is the alias; the affected-groups scans
+    evaluate the EXPRESSION over the changed rows."""
+
+    EXPR_MV = (
+        "CREATE MATERIALIZED VIEW emv AS "
+        "SELECT substr(region, 1, 1) AS pfx, SUM(amount) AS total, "
+        "COUNT(*) AS n FROM sales GROUP BY substr(region, 1, 1)"
+    )
+
+    def test_create_and_incremental_refresh(self, ctx):
+        seed_base(ctx)
+        ctx.execute(self.EXPR_MV)
+        got = rows(ctx.execute("SELECT pfx, total, n FROM emv"))
+        assert sorted(got) == [("e", 30, 2), ("n", 7, 1), ("w", 5, 1)]
+        mv = _mv_table(ctx, "emv")
+        v_created = mv.latest_version()
+        ctx.execute(
+            "INSERT INTO sales VALUES ('east', 100, 9), ('south', 1, 1)"
+        )
+        ctx.execute("REFRESH MATERIALIZED VIEW emv")
+        got = rows(ctx.execute("SELECT pfx, total, n FROM emv"))
+        assert sorted(got) == [
+            ("e", 130, 3), ("n", 7, 1), ("s", 1, 1), ("w", 5, 1),
+        ]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+
+    def test_group_by_alias_form(self, ctx):
+        seed_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW amv AS "
+            "SELECT substr(region, 1, 1) AS pfx, COUNT(*) AS n "
+            "FROM sales GROUP BY pfx"
+        )
+        ctx.execute("INSERT INTO sales VALUES ('nowhere', 1, 1)")
+        ctx.execute("REFRESH MATERIALIZED VIEW amv")
+        got = rows(ctx.execute("SELECT pfx, n FROM amv"))
+        assert sorted(got) == [("e", 2), ("n", 2), ("w", 1)]
+
+    def test_expression_grouped_join_view_merges(self, ctx):
+        # expression over a DIM attribute on a fact-to-dim join: the
+        # affected-groups swap scan must evaluate the expression too,
+        # and the refresh must stay a MERGE (never overwrite)
+        seed_join_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW ejmv AS "
+            "SELECT upper(r_name) AS big, SUM(amount) AS total "
+            "FROM fsales s JOIN fregion r ON s.rkey = r.r_key "
+            "GROUP BY upper(r_name)"
+        )
+        got = rows(ctx.execute("SELECT big, total FROM ejmv"))
+        assert sorted(got) == [("EAST", 30), ("NORTH", 7), ("WEST", 5)]
+        mv = _mv_table(ctx, "ejmv")
+        v_created = mv.latest_version()
+        ctx.execute("INSERT INTO fsales VALUES (2, 50)")
+        ctx.execute("REFRESH MATERIALIZED VIEW ejmv")
+        got = rows(ctx.execute("SELECT big, total FROM ejmv"))
+        assert sorted(got) == [("EAST", 30), ("NORTH", 7), ("WEST", 55)]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+        assert "REFRESH MATERIALIZED VIEW" not in ops
+
+    def test_vanished_expression_group_deleted(self, ctx):
+        seed_base(ctx)
+        ctx.execute(self.EXPR_MV)
+        ctx.execute("DELETE FROM sales WHERE region = 'north'")
+        ctx.execute("REFRESH MATERIALIZED VIEW emv")
+        got = rows(ctx.execute("SELECT pfx, total, n FROM emv"))
+        assert sorted(got) == [("e", 30, 2), ("w", 5, 1)]
+
+    def test_unmatched_group_expression_rejected(self, ctx):
+        seed_base(ctx)
+        with pytest.raises((ExecutionError, MatViewError), match="alias"):
+            ctx.execute(
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT region, COUNT(*) AS n "
+                "FROM sales GROUP BY substr(region, 1, 1)"
+            )
+
+    def test_alias_shadowing_base_column_rejected(self, ctx):
+        # Spark resolves GROUP BY region to the BASE column while the
+        # output carries the aliased substr — two base groups ('east',
+        # 'edge') collapse to one output key 'e', which can never be a
+        # merge PK. CREATE must fail loudly, not corrupt later refreshes.
+        ctx.execute("CREATE TABLE ssales (region string, amount bigint)")
+        ctx.execute(
+            "INSERT INTO ssales VALUES ('east', 1), ('edge', 2), ('west', 3)"
+        )
+        with pytest.raises(ExecutionError, match="uniquely"):
+            ctx.execute(
+                "CREATE MATERIALIZED VIEW smv AS "
+                "SELECT substr(region, 1, 1) AS region, COUNT(*) AS n "
+                "FROM ssales GROUP BY region"
+            )

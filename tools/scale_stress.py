@@ -80,10 +80,11 @@ DOCUMENTED_SUPERLINEAR = {
         "replica-generator shingle-saturation artifact (documented "
         "since r5): inflated docs share shingles with every replica"
     ),
-    "semdedup": (
+    "semdedup_exact": (
         "brute-force centroid ASSIGNMENT is n x k dot products with "
-        "k ~ n/64 — the honest baseline runner, not the ANN-assisted "
-        "production shape; measurement-noisy between runs (3.7x-11.3x)"
+        "k ~ n/64 — kept as the documented baseline-exception row; the "
+        "default `semdedup` row runs the hierarchical (two-level probe) "
+        "assignment, the production shape (r10)"
     ),
 }
 
@@ -396,17 +397,18 @@ def main() -> None:
         ).save()
         return round(time.perf_counter() - t0, 2)
 
-    def semdedup_stress(sf_dir: str) -> float:
-        """k scales WITH the corpus (clusters stay ~64 rows): per-cluster
-        pairwise work stays constant, but the brute-force ASSIGNMENT is
-        n x k dot products — with k ~ n/64 that is ~N^2 total work, so
-        this runner's growth is parallelism-dependent and noisy between
-        runs (measured 3.7x and 11.3x at 10x in r7). A FIXED k instead
-        grows the within-cluster pairwise verify quadratically until the
-        row cap bites (measured 8-12x at 10x with k=8). The true scale
-        path replaces brute-force argmin assignment with the ANN index
-        machinery (ivf_quantized_topk / ivf_pq) — this runner measures
-        the honest brute-force baseline, not that deployment."""
+    def _semdedup_timed(sf_dir: str, assign_mode: str) -> float:
+        """k scales WITH the corpus (clusters stay ~64 rows) so the
+        within-cluster pairwise verify stays constant-per-cluster; the
+        two rows differ only in ASSIGNMENT:
+
+        * ``hierarchical`` (the DEFAULT `semdedup` row since r10): the
+          two-level probe costs O(nprobe * sqrt(k)) scores per row — the
+          production shape when k grows with the corpus.
+        * ``exact`` (`semdedup_exact`, documented exception row): the
+          brute-force n x k argmin is ~N^2 total work with k ~ n/64 —
+          measured 3.7x-11.4x at 10x across r7-r9, parallelism-noisy.
+        """
         from seafowl_spark.operators.semdedup import semdedup
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
@@ -418,10 +420,16 @@ def main() -> None:
             [0.05 * ((c + d) % 9 - 4) for d in range(dim)] for c in range(ncell)
         ]
         t0 = time.perf_counter()
-        semdedup(emb, centroids=cents, threshold=0.3).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        semdedup(
+            emb, centroids=cents, threshold=0.3, assign_mode=assign_mode
+        ).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 2)
+
+    def semdedup_stress(sf_dir: str) -> float:
+        return _semdedup_timed(sf_dir, "hierarchical")
+
+    def semdedup_exact_stress(sf_dir: str) -> float:
+        return _semdedup_timed(sf_dir, "exact")
 
     def lsh_lookup_stress(sf_dir: str) -> float:
         """Persisted LSH dedup index: LOOKUP only (build excluded, it is
@@ -466,6 +474,7 @@ def main() -> None:
         ("index_serving", serving_stress),
         ("lsh_lookup", lsh_lookup_stress),
         ("semdedup", semdedup_stress),
+        ("semdedup_exact", semdedup_exact_stress),
         ("pagerank3", pagerank_stress),
     ]:
         t1, tn = fn(base), fn(out_dir)
