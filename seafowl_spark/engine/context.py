@@ -1338,9 +1338,34 @@ class SeafowlContext:
                     "stored data)"
                 )
             dim_versions[dim] = dim_t.latest_version()
+        # a bare GROUP BY name that matched a select ALIAS is resolved
+        # by Spark against the BASE/DIM columns FIRST — if such a column
+        # exists, the engine's parsed expression and Spark's grouping
+        # would disagree (and the collapsed output keys could not be a
+        # merge PK). Reject the shadow up front, data-independent.
+        if any(shape.group_via_alias or []):
+            avail: set[str] = set()
+            for ref in [base, *shape.dims]:
+                ddl = self.delta_table(ref).snapshot().schema_ddl
+                avail |= {
+                    f.name.lower()
+                    for f in T.StructType.fromDDL(ddl).fields
+                }
+            for c, flag in zip(group_cols, shape.group_via_alias):
+                if flag and c.lower() in avail:
+                    raise ExecutionError(
+                        f"GROUP BY {c} is ambiguous: {c!r} is both a "
+                        "select alias and a base/dimension column, and "
+                        "Spark groups by the COLUMN — rename the alias "
+                        "or group by the full expression"
+                    )
         base_version = base_t.latest_version()
         pinned = query_at_version(stmt.query, base, base_version)
-        df = self._exec_query(parser.Statement("query", pinned))
+        # one execution feeds BOTH the uniqueness check and the
+        # materialize below (the refresh path's recompute pattern)
+        df = self._exec_query(
+            parser.Statement("query", pinned)
+        ).localCheckpoint()
         missing = [c for c in group_cols if c not in df.columns]
         if missing:
             raise ExecutionError(
@@ -1351,14 +1376,16 @@ class SeafowlContext:
         from pyspark.sql import functions as F
 
         # the group output columns are the MERGE PK: they must uniquely
-        # key the materialized rows. A duplicate means the parsed shape
-        # diverged from Spark's GROUP BY resolution (e.g. an alias
-        # shadowing the base column it is derived from) — fail at CREATE
-        # with the remedy, never silently corrupt a later refresh.
+        # key the materialized rows — the backstop behind the
+        # alias-shadow rejection above (any remaining divergence between
+        # the parsed shape and Spark's GROUP BY resolution surfaces as a
+        # duplicate key here, at CREATE, never as a corrupted refresh).
+        # Aggregate under a reserved name: a group column named `count`
+        # must not collide with the check's own output.
         dup = (
             df.groupBy(*group_cols)
-            .count()
-            .where(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("__mv_cnt"))
+            .where(F.col("__mv_cnt") > 1)
             .limit(1)
             .count()
         )
@@ -1572,7 +1599,13 @@ class SeafowlContext:
             return  # already current
         if dims_changed:
             vals = None  # full refresh
-        elif spec.dim_versions:
+        elif spec.dim_versions or spec.exprs() != spec.group_cols:
+            # join views AND expression-grouped views go through the
+            # FROM-swap scan: it re-aliases the changed-files view under
+            # the fact's own alias, so group expressions qualified with
+            # that alias (substr(t.g,1,1)) still resolve — the plain
+            # selectExpr path below would throw and silently downgrade
+            # every refresh to a full overwrite
             vals = affected_groups_via_query(
                 self.spark,
                 base_t,

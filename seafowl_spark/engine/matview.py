@@ -138,6 +138,11 @@ class MvShape:
     # r10: expression behind each group output column (== the name for
     # plain passthrough columns) — what the affected-groups scans evaluate
     group_exprs: list[str] = None  # type: ignore[assignment]
+    # which group items were BARE NAMES resolved through a select alias
+    # (GROUP BY pfx) — CREATE cross-checks those against the base/dim
+    # schemas: Spark resolves a bare GROUP BY name to the BASE column
+    # first, so an alias shadowing a real column must be rejected
+    group_via_alias: list[bool] = None  # type: ignore[assignment]
 
 
 def parse_mv_query(query: str) -> MvShape:
@@ -215,17 +220,22 @@ def parse_mv_query(query: str) -> MvShape:
         by_alias[alias.lower()] = (alias, expr)
     cols: list[str] = []
     exprs: list[str] = []
+    via_alias: list[bool] = []
     for item in items:
         item = item.strip()
         if not item:
             continue
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", item):
             hit = by_alias.get(item.lower())
-            if hit is not None:
-                # alias of an aliased select expression: group on the
-                # EXPRESSION, key the view on the alias
+            if hit is not None and _norm_expr(hit[1]) != _norm_expr(item):
+                # bare name matching a select ALIAS of a different
+                # expression: group on the EXPRESSION, key the view on
+                # the alias. CREATE re-checks this against the base/dim
+                # schemas (Spark resolves GROUP BY to a real column
+                # first — a shadowing alias is rejected there).
                 cols.append(hit[0])
                 exprs.append(hit[1])
+                via_alias.append(True)
                 continue
             # bare passthrough column: must appear unaliased in the
             # select list (not a longer name, not paren-adjacent) —
@@ -241,6 +251,7 @@ def parse_mv_query(query: str) -> MvShape:
                 )
             cols.append(item)
             exprs.append(item)
+            via_alias.append(False)
             continue
         hit = by_expr.get(_norm_expr(item))
         if hit is None:
@@ -251,6 +262,7 @@ def parse_mv_query(query: str) -> MvShape:
             )
         cols.append(hit[0])
         exprs.append(hit[1])
+        via_alias.append(False)
     if not cols:
         raise MatViewError("materialized views require GROUP BY")
     if len(set(c.lower() for c in cols)) != len(cols):
@@ -263,13 +275,25 @@ def parse_mv_query(query: str) -> MvShape:
         from_sql,
         (m.start(1) - m.start(), m.end(1) - m.start()),
         exprs,
+        via_alias,
     )
+
+
+# words that can legitimately precede a trailing bare identifier
+# WITHOUT that identifier being an alias (SELECT DISTINCT region, ...)
+_NOT_ALIAS_PREFIX = {
+    "distinct", "all", "as", "case", "when", "then", "else", "end",
+    "and", "or", "not", "in", "like", "is", "between", "escape",
+}
 
 
 def _split_alias(item: str) -> tuple[str, str | None]:
     """(expression, alias) for one select-list item — the alias is the
-    LAST top-level ``AS <name>`` (or trailing bare name), never one
-    inside parens (CAST(x AS INT) keeps its AS)."""
+    LAST top-level ``AS <name>``, never one inside parens (CAST(x AS
+    INT) keeps its AS). The bare trailing-name form (``substr(g,1,1)
+    pfx``) is recognized when the preceding token cannot itself be the
+    tail of an expression needing the name (conservative: CASE...END
+    aliases still want explicit AS)."""
     depth = 0
     last_as = None
     for mm in re.finditer(r"(?i)\(|\)|\bas\b", item):
@@ -284,6 +308,18 @@ def _split_alias(item: str) -> tuple[str, str | None]:
         alias = item[last_as.end():].strip()
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", alias):
             return item[: last_as.start()].strip(), alias
+    # bare-alias form: `<expr> <name>` with <name> a plain identifier
+    # and the expression ending in `)`/quote/identifier that is not a
+    # connective keyword
+    m = re.fullmatch(r"(?s)(.*\S)\s+([A-Za-z_][A-Za-z0-9_]*)", item.strip())
+    if m and "(" not in m.group(2):
+        expr, alias = m.group(1), m.group(2)
+        last_tok = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\S", expr)[-1]
+        if (
+            last_tok.lower() not in _NOT_ALIAS_PREFIX
+            and not re.fullmatch(r"[-+*/%,<>=|&^~]", last_tok)
+        ):
+            return expr.strip(), alias
     return item.strip(), None
 
 

@@ -233,19 +233,24 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
         )
     from ..operators.lsh_index import neardup_lookup
 
-    # probe id -1: a SENTINEL below any real id. neardup_lookup's
-    # new_id != index_id guard exists for ingest dedup (a document must
-    # not match itself); a text lookup has no identity, and probe id 0
-    # would silently hide the corpus row whose id happens to BE 0 from
-    # every result (regression-tested in test_search_index.py).
+    # a text lookup has no identity: neardup_lookup's new_id != index_id
+    # guard exists for ingest dedup (a document must not match itself),
+    # and ANY synthetic probe id could collide with a real corpus id and
+    # silently hide that row (the r10 fuzz found exactly this with probe
+    # id 0) — so the self-exclusion is disabled outright.
     probe = spark.createDataFrame(
-        [(-1, query_text)], f"doc_id bigint, {spec.column} string"
+        [(0, query_text)], f"doc_id bigint, {spec.column} string"
     )
     thr = float(spec.params.get("threshold", 0.2))
     w = Window.orderBy(F.desc("est_jaccard"), "index_id")
     return (
         neardup_lookup(
-            spark, path, probe, threshold=thr, text_col=spec.column
+            spark,
+            path,
+            probe,
+            threshold=thr,
+            text_col=spec.column,
+            exclude_self=False,
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)

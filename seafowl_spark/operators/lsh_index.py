@@ -132,11 +132,17 @@ def neardup_lookup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_rows: int = MAX_BUCKET_ROWS,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """(new_id, index_id, n_equal_sigs, est_jaccard) for every indexed
     document whose estimated Jaccard with a new document reaches
     ``threshold``. The index scan reads ONLY the partitions the new
-    batch's band keys hash into."""
+    batch's band keys hash into.
+
+    ``exclude_self=False`` disables the ``new_id != index_id`` guard —
+    for IDENTITY-LESS probes (the SQL plane's text lookups, where the
+    probe id is synthetic) no sentinel value can be safe: any id chosen
+    could collide with a real corpus id and silently hide that row."""
     meta = _read_meta(spark, path)
 
     def _bands_reader():
@@ -188,12 +194,10 @@ def neardup_lookup(
     idx = idx.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") <= max_bucket_rows
     )
-    cand = (
-        probe.join(idx, ["band", "key"])
-        .where(F.col("new_id") != F.col("index_id"))
-        .select("new_id", "index_id", "sigs_n", "sigs_i")
-        .distinct()
-    )
+    cand = probe.join(idx, ["band", "key"])
+    if exclude_self:
+        cand = cand.where(F.col("new_id") != F.col("index_id"))
+    cand = cand.select("new_id", "index_id", "sigs_n", "sigs_i").distinct()
     n_eq = F.size(
         F.filter(
             F.zip_with(F.col("sigs_n"), F.col("sigs_i"), lambda a, b: a == b),

@@ -465,19 +465,35 @@ def write_ivfpq_index(
         "pq_code",
     )
     enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
-    baseline = _mean_resid_norm(enc_src)
+    # baseline from the WRITTEN index: emb is stored normalized and cell
+    # is stored, so the residual is one broadcast join + JVM fold over a
+    # column-pruned read-back — never a re-run of the assignment-UDF
+    # lineage (the repo's double-subtree trap; re-encoding the corpus
+    # for a statistic would double build cost)
+    vectors_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in enc.schema.fields
+    )
+    spark = corpus.sparkSession
+    stored = (
+        spark.read.schema(vectors_ddl)
+        .parquet(f"{path}/vectors")
+        .select("emb", "cell")
+        .join(F.broadcast(_centroids_df(corpus, centroids)), "cell")
+        .select(
+            F.zip_with(
+                F.col("emb"), F.col("__cent"), lambda x, c: x - c
+            ).alias("__resid")
+        )
+    )
+    baseline = _mean_resid_norm(stored)
     meta = {
         "centroids": centroids,
         "codebooks": codebooks,
         "baseline_resid_norm": baseline,
         # reader schema for an empty vectors dir (no part files to infer
         # from when the corpus was empty at build)
-        "vectors_ddl": ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in enc.schema.fields
-        ),
+        "vectors_ddl": vectors_ddl,
     }
-    spark = corpus.sparkSession
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
@@ -529,8 +545,9 @@ def append_ivfpq_index(
             _residual(F.col(emb_col)).alias("__resid"),
         )
     )
-    # drift gate BEFORE the write (batch-sized aggregate): a drifted
-    # batch must not land half-encoded in the index
+    # drift gate BEFORE the write (the statistic must precede the
+    # append, so this one extra assignment pass over the BATCH — never
+    # the corpus — is the price of refusing drifted data)
     batch_norm = _mean_resid_norm(enc_src)
     baseline = float(meta.get("baseline_resid_norm") or 0.0)
     if (

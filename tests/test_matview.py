@@ -849,16 +849,69 @@ class TestMatViewExpressionGroups:
 
     def test_alias_shadowing_base_column_rejected(self, ctx):
         # Spark resolves GROUP BY region to the BASE column while the
-        # output carries the aliased substr — two base groups ('east',
-        # 'edge') collapse to one output key 'e', which can never be a
-        # merge PK. CREATE must fail loudly, not corrupt later refreshes.
+        # parser would track the aliased substr — the two can collapse
+        # distinct groups onto one merge key. Rejection is DATA-
+        # INDEPENDENT (schema check at CREATE), so it fires even when
+        # the create-time rows happen not to collide.
         ctx.execute("CREATE TABLE ssales (region string, amount bigint)")
         ctx.execute(
-            "INSERT INTO ssales VALUES ('east', 1), ('edge', 2), ('west', 3)"
-        )
-        with pytest.raises(ExecutionError, match="uniquely"):
+            "INSERT INTO ssales VALUES ('east', 1), ('west', 3)"
+        )  # no substr collision at CREATE time — the guard must not
+        # depend on one
+        with pytest.raises(ExecutionError, match="ambiguous"):
             ctx.execute(
                 "CREATE MATERIALIZED VIEW smv AS "
                 "SELECT substr(region, 1, 1) AS region, COUNT(*) AS n "
                 "FROM ssales GROUP BY region"
             )
+
+    def test_bare_alias_form_accepted(self, ctx):
+        # `<expr> <name>` without AS is the same alias in Spark SQL
+        seed_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW bmv AS "
+            "SELECT substr(region, 1, 1) pfx, COUNT(*) AS n "
+            "FROM sales GROUP BY pfx"
+        )
+        mv = _mv_table(ctx, "bmv")
+        v_created = mv.latest_version()
+        ctx.execute("INSERT INTO sales VALUES ('everest', 2, 2)")
+        ctx.execute("REFRESH MATERIALIZED VIEW bmv")
+        got = rows(ctx.execute("SELECT pfx, n FROM bmv"))
+        assert sorted(got) == [("e", 3), ("n", 1), ("w", 1)]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+
+    def test_alias_qualified_expression_stays_incremental(self, ctx):
+        # group expression qualified with the FACT alias on a single-
+        # table view: the affected-groups scan must re-alias the
+        # changed-files view (the FROM-swap path), not silently
+        # downgrade every refresh to a full overwrite
+        seed_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW qmv AS "
+            "SELECT substr(t.region, 1, 1) AS pfx, COUNT(*) AS n "
+            "FROM sales t GROUP BY substr(t.region, 1, 1)"
+        )
+        mv = _mv_table(ctx, "qmv")
+        v_created = mv.latest_version()
+        ctx.execute("INSERT INTO sales VALUES ('everest', 2, 2)")
+        ctx.execute("REFRESH MATERIALIZED VIEW qmv")
+        got = rows(ctx.execute("SELECT pfx, n FROM qmv"))
+        assert sorted(got) == [("e", 3), ("n", 1), ("w", 1)]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+        assert "REFRESH MATERIALIZED VIEW" not in ops  # = full path
+
+    def test_group_column_named_count(self, ctx):
+        # the CREATE-time uniqueness check aggregates under a reserved
+        # name, so a group column literally named `count` cannot
+        # collide with the check's own output
+        ctx.execute("CREATE TABLE csales (count string, amount bigint)")
+        ctx.execute("INSERT INTO csales VALUES ('a', 1), ('b', 2)")
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW cmv AS "
+            "SELECT count, SUM(amount) AS s FROM csales GROUP BY count"
+        )
+        got = rows(ctx.execute("SELECT count, s FROM cmv"))
+        assert sorted(got) == [("a", 1), ("b", 2)]
