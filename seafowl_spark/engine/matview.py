@@ -51,8 +51,15 @@ groups).
 Restrictions (validated at CREATE): one FACT base table (the first
 FROM table) plus INNER/LEFT joined dimension tables; no RIGHT/FULL/
 CROSS joins (dim-driven rows have no fact files to diff); no set ops
-or subqueries; GROUP BY bare columns that appear unaliased in the
-select list.
+or subqueries. GROUP BY items may be bare passthrough columns,
+expressions repeated verbatim from an aliased select item, or the
+alias itself (r10) — the view is keyed on the OUTPUT alias and the
+affected-groups scans evaluate the expression; an alias that shadows
+a base/dim column is rejected (Spark would resolve GROUP BY to the
+column). HAVING is supported and needs no special machinery: the
+refresh recomputes affected groups through the full view query, so a
+group that newly satisfies HAVING appears (MERGE insert) and one that
+stops satisfying it is absent (vanished-group DELETE).
 """
 
 from __future__ import annotations

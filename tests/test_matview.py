@@ -915,3 +915,87 @@ class TestMatViewExpressionGroups:
         )
         got = rows(ctx.execute("SELECT count, s FROM cmv"))
         assert sorted(got) == [("a", 1), ("b", 2)]
+
+
+class TestMatViewHaving:
+    """HAVING falls out of the recompute design for free: the refresh
+    re-runs the view query (HAVING included) restricted to the affected
+    groups, so a group whose aggregate newly satisfies HAVING appears in
+    the recompute (MERGE insert) and a group that stops satisfying it is
+    absent (vanished-group DELETE) — no algebraic patching, same as
+    MIN/MAX. These tests pin that contract."""
+
+    def test_group_enters_having_incrementally(self, ctx):
+        seed_base(ctx)  # east n=2; west n=1; north n=1
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW hmv AS "
+            "SELECT region, COUNT(*) AS n, SUM(amount) AS total "
+            "FROM sales GROUP BY region HAVING COUNT(*) >= 2"
+        )
+        assert rows(ctx.execute("SELECT region, n, total FROM hmv")) == [
+            ("east", 2, 30)
+        ]
+        mv = _mv_table(ctx, "hmv")
+        v_created = mv.latest_version()
+        # west crosses the threshold; north stays below it
+        ctx.execute("INSERT INTO sales VALUES ('west', 11, 4)")
+        ctx.execute("REFRESH MATERIALIZED VIEW hmv")
+        got = rows(ctx.execute("SELECT region, n, total FROM hmv"))
+        assert sorted(got) == [("east", 2, 30), ("west", 2, 16)]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+
+    def test_group_leaves_having_via_vanished_delete(self, ctx):
+        seed_base(ctx)  # east total=30 (out); west 5, north 7 (in)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW hmv AS "
+            "SELECT region, SUM(amount) AS total "
+            "FROM sales GROUP BY region HAVING SUM(amount) < 25"
+        )
+        assert sorted(
+            rows(ctx.execute("SELECT region, total FROM hmv"))
+        ) == [("north", 7), ("west", 5)]
+        mv = _mv_table(ctx, "hmv")
+        v_created = mv.latest_version()
+        # west blows past the threshold: affected group present in the
+        # changed files but ABSENT from the HAVING-filtered recompute →
+        # the vanished-group DELETE arm, not a stale survivor
+        ctx.execute("INSERT INTO sales VALUES ('west', 100, 9)")
+        ctx.execute("REFRESH MATERIALIZED VIEW hmv")
+        assert rows(ctx.execute("SELECT region, total FROM hmv")) == [
+            ("north", 7)
+        ]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
+
+    def test_group_reenters_after_delete(self, ctx):
+        seed_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW hmv AS "
+            "SELECT region, SUM(amount) AS total "
+            "FROM sales GROUP BY region HAVING SUM(amount) < 25"
+        )
+        # east re-enters once its big row is DELETEd from the base (the
+        # CoW rewrite changes east's files → east is an affected group)
+        ctx.execute("DELETE FROM sales WHERE amount = 20")
+        ctx.execute("REFRESH MATERIALIZED VIEW hmv")
+        got = rows(ctx.execute("SELECT region, total FROM hmv"))
+        assert sorted(got) == [("east", 10), ("north", 7), ("west", 5)]
+
+    def test_having_on_expression_group(self, ctx):
+        seed_base(ctx)
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW hemv AS "
+            "SELECT substr(region, 1, 1) AS pfx, COUNT(*) AS n "
+            "FROM sales GROUP BY substr(region, 1, 1) "
+            "HAVING COUNT(*) >= 2"
+        )
+        assert rows(ctx.execute("SELECT pfx, n FROM hemv")) == [("e", 2)]
+        mv = _mv_table(ctx, "hemv")
+        v_created = mv.latest_version()
+        ctx.execute("INSERT INTO sales VALUES ('wilds', 3, 1)")
+        ctx.execute("REFRESH MATERIALIZED VIEW hemv")
+        got = rows(ctx.execute("SELECT pfx, n FROM hemv"))
+        assert sorted(got) == [("e", 2), ("w", 2)]
+        ops = [c.operation for c in mv.history() if c.version > v_created]
+        assert "MERGE" in ops and "OVERWRITE" not in ops
