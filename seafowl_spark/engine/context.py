@@ -256,14 +256,27 @@ class SeafowlContext:
                 continue
             spec = MvSpec.from_json(raw)
             try:
-                base_latest = self.delta_table(spec.base).latest_version()
+                b_entry = self._resolve(spec.base)
+                if spec.base_uuid and b_entry.uuid != spec.base_uuid:
+                    # the name points at a DIFFERENT table now (drop-and-
+                    # recreate): same board state as dropped — REFRESH
+                    # refuses it for the same reason
+                    base_latest = None
+                else:
+                    base_latest = DeltaLiteTable(
+                        self.spark, self.table_root(b_entry)
+                    ).latest_version()
             except ExecutionError:
                 base_latest = None  # base dropped: permanently stale
             # a changed dimension also makes the view stale (r9 joins)
             dims_stale = False
             for dname, dver in (spec.dim_versions or {}).items():
                 try:
-                    if self.delta_table(dname).latest_version() != dver:
+                    d_entry = self._resolve(dname)
+                    d_uuid = (spec.dim_uuids or {}).get(dname)
+                    if (d_uuid and d_entry.uuid != d_uuid) or DeltaLiteTable(
+                        self.spark, self.table_root(d_entry)
+                    ).latest_version() != dver:
                         dims_stale = True
                 except ExecutionError:
                     dims_stale = True  # dim dropped
@@ -1319,7 +1332,8 @@ class SeafowlContext:
             return
         shape = parse_mv_query(stmt.query)
         base, group_cols = shape.base, shape.group_cols
-        base_t = self.delta_table(base)  # must be a managed table
+        base_entry = self._resolve(base)  # must be a managed table
+        base_t = DeltaLiteTable(self.spark, self.table_root(base_entry))
         if (base_t.snapshot().properties or {}).get(VIEW_PROP):
             raise ExecutionError(
                 "materialized views must be defined over a base table, "
@@ -1329,8 +1343,10 @@ class SeafowlContext:
         # joined dimensions must also be managed tables (their versions
         # gate the incremental path: any dim change -> full refresh)
         dim_versions: dict[str, int] = {}
+        dim_uuids: dict[str, str] = {}
         for dim in shape.dims:
-            dim_t = self.delta_table(dim)
+            dim_entry = self._resolve(dim)
+            dim_t = DeltaLiteTable(self.spark, self.table_root(dim_entry))
             if (dim_t.snapshot().properties or {}).get(VIEW_PROP):
                 raise ExecutionError(
                     "materialized views may only join managed tables "
@@ -1338,6 +1354,7 @@ class SeafowlContext:
                     "stored data)"
                 )
             dim_versions[dim] = dim_t.latest_version()
+            dim_uuids[dim] = dim_entry.uuid
         # a bare GROUP BY name that matched a select ALIAS is resolved
         # by Spark against the BASE/DIM columns FIRST — if such a column
         # exists, the engine's parsed expression and Spark's grouping
@@ -1399,6 +1416,8 @@ class SeafowlContext:
             base, group_cols, stmt.query, base_version,
             dim_versions or None,
             shape.group_exprs,
+            base_entry.uuid,
+            dim_uuids or None,
         )
         entry = self.catalog.create_table(
             db, schema, name,
@@ -1582,7 +1601,26 @@ class SeafowlContext:
         spec = self._matview_spec(t)
         if spec is None:
             raise ExecutionError(f"{stmt.name} is not a materialized view")
-        base_t = self.delta_table(spec.base)
+
+        def _bind(name: str, expect_uuid: str | None) -> DeltaLiteTable:
+            # views bind by NAME (rename-back heals, like logical views)
+            # but a DIFFERENT table under the recorded name must fail
+            # loudly: its data is unrelated and its version history
+            # doesn't even contain spec's recorded versions — refreshing
+            # from it would silently corrupt the view. Pre-r10 specs
+            # carry no uuid and skip the check.
+            bound = self._resolve(name)
+            if expect_uuid and bound.uuid != expect_uuid:
+                raise ExecutionError(
+                    f"{stmt.name}: table {name} is not the table the "
+                    "view was created over (it was dropped or renamed "
+                    "and the name now points to a different table) — "
+                    "rename the original back, or DROP and re-CREATE "
+                    "the materialized view"
+                )
+            return DeltaLiteTable(self.spark, self.table_root(bound))
+
+        base_t = _bind(spec.base, spec.base_uuid)
         v_to = base_t.latest_version()
         # dimension versions gate the incremental path: the file-diff is
         # fact-only, so ANY dim change means the always-correct full
@@ -1591,7 +1629,7 @@ class SeafowlContext:
         dims_now: dict[str, int] = {}
         dims_changed = False
         for dname, dver in (spec.dim_versions or {}).items():
-            dv = self.delta_table(dname).latest_version()
+            dv = _bind(dname, (spec.dim_uuids or {}).get(dname)).latest_version()
             dims_now[dname] = dv
             if dv != dver:
                 dims_changed = True

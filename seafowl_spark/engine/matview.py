@@ -92,6 +92,15 @@ class MvSpec:
     # scans evaluate these; the merge PK / group predicate keep using
     # the OUTPUT names. Absent in pre-r10 specs -> defaults to the names.
     group_exprs: list[str] | None = None
+    # r10: catalog UUIDs of the base/dimension tables at CREATE time.
+    # Views bind by NAME (rename-back heals, like logical views), but
+    # the name alone cannot detect drop-and-recreate: a NEW table under
+    # the old name would silently feed the refresh with unrelated data
+    # (its version history doesn't even line up with base_version).
+    # REFRESH and system.matviews cross-check identity against these.
+    # Absent in pre-r10 specs -> identity checks are skipped.
+    base_uuid: str | None = None
+    dim_uuids: dict[str, str] | None = None
 
     def exprs(self) -> list[str]:
         return self.group_exprs or self.group_cols
@@ -107,6 +116,10 @@ class MvSpec:
             d["dims"] = self.dim_versions
         if self.group_exprs and self.group_exprs != self.group_cols:
             d["group_exprs"] = self.group_exprs
+        if self.base_uuid:
+            d["base_uuid"] = self.base_uuid
+        if self.dim_uuids:
+            d["dim_uuids"] = self.dim_uuids
         return json.dumps(d)
 
     @staticmethod
@@ -119,6 +132,8 @@ class MvSpec:
             int(d["base_version"]),
             {k: int(v) for k, v in d.get("dims", {}).items()} or None,
             list(d["group_exprs"]) if d.get("group_exprs") else None,
+            d.get("base_uuid"),
+            dict(d["dim_uuids"]) if d.get("dim_uuids") else None,
         )
 
 

@@ -266,6 +266,19 @@ _TT_VER = re.compile(
 )
 
 
+# tokens that can follow a table reference WITHOUT being its alias —
+# used to decide whether a time-travel rewrite must re-expose the
+# table's own name as the relation alias (standard SQL keeps `t`
+# addressable in `FROM t FOR VERSION AS OF 3 JOIN d ON t.k = d.k`)
+_POST_REF_KEYWORDS = {
+    "join", "inner", "left", "right", "full", "cross", "natural",
+    "anti", "semi", "on", "using", "where", "group", "having",
+    "order", "limit", "offset", "union", "intersect", "except",
+    "window", "qualify", "tablesample", "pivot", "unpivot", "lateral",
+    "fetch", "for",
+}
+
+
 def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
     """Rewrite `FROM t('<ts>')` references to sanitized versioned view
     aliases and return [(alias, table_name, timestamp)] so the executor can
@@ -283,7 +296,27 @@ def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
             # version travels carry a "version=<n>" spec; the executor
             # branches on the prefix (timestamps can't start with it)
             found.append((alias, name, f"version={val}" if kind == "v" else val))
-            return f"{m.group(1)} `{alias}`"
+            # standard SQL keeps the table's own name as the relation
+            # qualifier — re-expose it as the alias unless the user wrote
+            # an explicit alias right after (which then wins, unchanged).
+            # Only plain-identifier last segments are re-exposed: quoted
+            # names go through the engine's name mangling and would not
+            # round-trip as a bare alias.
+            tail = m.string[m.end():]
+            nxt = re.match(
+                r"(?is)\s*(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*)", tail
+            )
+            has_user_alias = bool(
+                nxt and nxt.group(1).lower() not in _POST_REF_KEYWORDS
+            )
+            last = name.split(".")[-1]
+            expose = (
+                f" AS {last}"
+                if not has_user_alias
+                and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", last)
+                else ""
+            )
+            return f"{m.group(1)} `{alias}`{expose}"
 
         return sub
 

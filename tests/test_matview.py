@@ -562,6 +562,25 @@ class TestMatViewFuzz:
             m = rng.choice([3, 5])
             ctx.execute(f"DELETE FROM fz WHERE pk % {m} = {rng.randrange(m)}")
 
+        def rename_churn():
+            # r10 identity contract under churn: a renamed-away base
+            # breaks refresh (name binding), a DECOY under the old name
+            # is refused by UUID (never silently refreshed from), and
+            # renaming back heals — the view itself stays untouched
+            ctx.execute("ALTER TABLE fz RENAME TO fz_hidden")
+            if rng.random() < 0.5:
+                ctx.execute(
+                    "CREATE TABLE fz (pk BIGINT, g STRING, v BIGINT)"
+                )
+                ctx.execute("INSERT INTO fz VALUES (0, 'a', 1)")
+                with pytest.raises(ExecutionError, match="different table"):
+                    ctx.execute("REFRESH MATERIALIZED VIEW fmv")
+                ctx.execute("DROP TABLE fz")
+            else:
+                with pytest.raises(ExecutionError, match="does not exist"):
+                    ctx.execute("REFRESH MATERIALIZED VIEW fmv")
+            ctx.execute("ALTER TABLE fz_hidden RENAME TO fz")
+
         ins()
         ctx.execute(
             "CREATE MATERIALIZED VIEW fmv AS "
@@ -578,7 +597,7 @@ class TestMatViewFuzz:
             "FROM fz GROUP BY concat(g, '-', CAST(pk % 2 AS STRING))"
         )
         for _ in range(8):
-            rng.choice([ins, ins, upd, dele])()
+            rng.choice([ins, ins, upd, dele, rename_churn])()
             ctx.execute("REFRESH MATERIALIZED VIEW fmv")
             got = sorted(
                 rows(ctx.execute("SELECT g, s, n, mn, mx FROM fmv"))
@@ -915,6 +934,70 @@ class TestMatViewExpressionGroups:
         )
         got = rows(ctx.execute("SELECT count, s FROM cmv"))
         assert sorted(got) == [("a", 1), ("b", 2)]
+
+
+class TestMatViewIdentity:
+    """Matviews bind their base/dims by NAME (rename-back heals, the
+    logical-view contract) but record catalog UUIDs at CREATE: a
+    DIFFERENT table under the recorded name (drop-and-recreate, or a
+    rename that frees the name for a new table) must fail REFRESH
+    loudly — its data is unrelated and its version history doesn't
+    contain the spec's recorded versions, so refreshing from it would
+    silently corrupt the view."""
+
+    def test_rename_base_breaks_rename_back_heals(self, ctx):
+        seed_base(ctx)
+        ctx.execute(MV_SQL)
+        ctx.execute("ALTER TABLE sales RENAME TO sales2")
+        with pytest.raises(ExecutionError, match="does not exist"):
+            ctx.execute("REFRESH MATERIALIZED VIEW mv")
+        ctx.execute("ALTER TABLE sales2 RENAME TO sales")
+        ctx.execute("INSERT INTO sales VALUES ('east', 5, 1)")
+        mv = _mv_table(ctx)
+        v0 = mv.latest_version()
+        ctx.execute("REFRESH MATERIALIZED VIEW mv")
+        got = rows(ctx.execute("SELECT region, total FROM mv"))
+        assert sorted(got) == [("east", 35), ("north", 7), ("west", 5)]
+        ops = [c.operation for c in mv.history() if c.version > v0]
+        assert "MERGE" in ops  # healed AND still incremental
+
+    def test_recreated_base_under_same_name_refused(self, ctx):
+        seed_base(ctx)
+        ctx.execute(MV_SQL)
+        ctx.execute("ALTER TABLE sales RENAME TO sales_archive")
+        ctx.execute(
+            "CREATE TABLE sales (region string, amount bigint, qty bigint)"
+        )
+        ctx.execute("INSERT INTO sales VALUES ('mars', 999, 9)")
+        with pytest.raises(ExecutionError, match="different table"):
+            ctx.execute("REFRESH MATERIALIZED VIEW mv")
+        # the view's contents are untouched by the refused refresh
+        got = rows(ctx.execute("SELECT region, total FROM mv"))
+        assert sorted(got) == [("east", 30), ("north", 7), ("west", 5)]
+        # the staleness board treats it like a dropped base
+        board = rows(
+            ctx.execute(
+                "SELECT base_latest_version, is_stale FROM system.matviews "
+                "WHERE view_name = 'mv'"
+            )
+        )
+        assert board == [(None, True)]
+
+    def test_recreated_dimension_refused(self, ctx):
+        ctx.execute("CREATE TABLE fact (k bigint, amount bigint)")
+        ctx.execute("CREATE TABLE dim (k bigint, grp string)")
+        ctx.execute("INSERT INTO fact VALUES (1, 10), (2, 20)")
+        ctx.execute("INSERT INTO dim VALUES (1, 'a'), (2, 'b')")
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW jmv AS "
+            "SELECT grp, SUM(amount) AS total FROM fact "
+            "JOIN dim ON fact.k = dim.k GROUP BY grp"
+        )
+        ctx.execute("DROP TABLE dim")
+        ctx.execute("CREATE TABLE dim (k bigint, grp string)")
+        ctx.execute("INSERT INTO dim VALUES (1, 'z')")
+        with pytest.raises(ExecutionError, match="different table"):
+            ctx.execute("REFRESH MATERIALIZED VIEW jmv")
 
 
 class TestMatViewHaving:

@@ -567,6 +567,32 @@ class TestTimeTravelStdSyntax:
         )
         assert rows(out) == [(3,)]
 
+    def test_table_name_stays_addressable_without_alias(self, ctx):
+        """Standard SQL keeps the table's own name as the relation
+        qualifier under time travel — the rewrite re-exposes it as the
+        alias (r10: a join matview over `FROM fact FOR VERSION AS OF n
+        JOIN dim ON fact.k = dim.k` hit exactly this)."""
+        seed(ctx)
+        ctx.execute("CREATE TABLE u (c_int int)")
+        ctx.execute("INSERT INTO u (c_int) VALUES (1)")
+        out = ctx.execute(
+            "SELECT count(*) AS n FROM t FOR VERSION AS OF 1 "
+            "JOIN u ON t.c_int = u.c_int"
+        )
+        assert rows(out) == [(1,)]
+        # qualified select-list reference too
+        out = ctx.execute(
+            "SELECT t.c_int AS v FROM t FOR VERSION AS OF 1 "
+            "WHERE t.c_int = 1"
+        )
+        assert rows(out) == [(1,)]
+        # an explicit user alias still wins (no double-alias injection)
+        out = ctx.execute(
+            "SELECT a.c_int AS v FROM t FOR VERSION AS OF 1 a "
+            "WHERE a.c_int = 1"
+        )
+        assert rows(out) == [(1,)]
+
 
 class TestConcurrency:
     """Optimistic concurrency: appends retry the commit race (their adds
