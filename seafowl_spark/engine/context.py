@@ -1780,21 +1780,50 @@ class SeafowlContext:
         schema = T.StructType.fromDDL(snap.schema_ddl)
         names = {x.name for x in schema.fields}
         col = f["column"]
-        if col not in names:
-            raise ExecutionError(f"column {col} not in {f['table']}")
-        col_type = schema[col].dataType.simpleString()
-        if f["method"] in ("BM25", "LSH") and col_type != "string":
+        cols = f.get("columns") or col.split(",")
+        if len(cols) > 1 and f["method"] != "BM25":
             raise ExecutionError(
-                f"{f['method']} indexes require a STRING column "
-                f"({col} is {col_type})"
+                f"multi-column indexes are BM25-only ({f['method']} "
+                "takes exactly one column)"
             )
-        if f["method"] == "IVFPQ" and col_type not in (
-            "array<float>", "array<double>"
-        ):
-            raise ExecutionError(
-                "IVFPQ indexes require an ARRAY<FLOAT|DOUBLE> column "
-                f"({col} is {col_type})"
-            )
+        if len(set(c.lower() for c in cols)) != len(cols):
+            raise ExecutionError("duplicate column in index column list")
+        for c in cols:
+            if c not in names:
+                raise ExecutionError(f"column {c} not in {f['table']}")
+            c_type = schema[c].dataType.simpleString()
+            if f["method"] in ("BM25", "LSH") and c_type != "string":
+                raise ExecutionError(
+                    f"{f['method']} indexes require a STRING column "
+                    f"({c} is {c_type})"
+                )
+            if f["method"] == "IVFPQ" and c_type not in (
+                "array<float>", "array<double>"
+            ):
+                raise ExecutionError(
+                    "IVFPQ indexes require an ARRAY<FLOAT|DOUBLE> column "
+                    f"({c} is {c_type})"
+                )
+        # BM25-only knobs: field weights (fielded scoring) + match mode
+        if "weights" in f["params"]:
+            if f["method"] != "BM25":
+                raise ExecutionError("weights is a BM25-only parameter")
+            try:
+                ws = [float(x) for x in str(f["params"]["weights"]).split(",")]
+            except ValueError as ex:
+                raise ExecutionError(
+                    "weights must be a comma-separated number list "
+                    f"(e.g. '2.0,1.0'): {ex}"
+                ) from ex
+            if len(ws) != len(cols):
+                raise ExecutionError(
+                    f"weights lists {len(ws)} values for {len(cols)} "
+                    "column(s)"
+                )
+        if str(f["params"].get("match", "any")).lower() not in ("any", "all"):
+            raise ExecutionError("match must be 'any' or 'all'")
+        if "match" in f["params"] and f["method"] != "BM25":
+            raise ExecutionError("match is a BM25-only parameter")
         id_col = f["params"].get("id_col", "doc_id")
         if id_col not in names:
             raise ExecutionError(

@@ -399,13 +399,14 @@ def parse_statement(sql: str) -> Statement:
 
     m = re.match(
         rf"(?i)^create\s+search\s+index\s+(if\s+not\s+exists\s+)?({_IDENT})\s+"
-        rf"on\s+({_QNAME})\s*\(\s*({_IDENT})\s*\)\s*"
+        rf"on\s+({_QNAME})\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*"
         rf"using\s+([A-Za-z0-9_]+)\s*"
         rf"(?:with\s*\((.*?)\)\s*)?$",
         s,
         re.DOTALL,
     )
     if m:
+        cols = [c.strip().strip('"') for c in m.group(4).split(",")]
         return Statement(
             "create_search_index",
             s,
@@ -413,7 +414,10 @@ def parse_statement(sql: str) -> Statement:
                 "if_not_exists": bool(m.group(1)),
                 "index": m.group(2).strip('"'),
                 "table": m.group(3),
-                "column": m.group(4).strip('"'),
+                # the spec's canonical form: comma-joined column list
+                # (single-column indexes keep their plain name)
+                "column": ",".join(cols),
+                "columns": cols,
                 "method": m.group(5).upper(),
                 "params": _parse_options(m.group(6)),
             },

@@ -6,8 +6,8 @@ whose partition-pruned lookups are gate-tested in test_plans.py).
 
 Surface:
 
-* ``CREATE SEARCH INDEX idx ON tbl (col) USING BM25|LSH [WITH (...)]``
-  builds the index from the table's CURRENT snapshot into
+* ``CREATE SEARCH INDEX idx ON tbl (col[, col...]) USING BM25|LSH|IVFPQ
+  [WITH (...)]`` builds the index from the table's CURRENT snapshot into
   ``<table_root>/_search/<idx>/`` (inside the table's UUID directory, so
   RENAME keeps it and DROP TABLE removes it; VACUUM's orphan scan is
   scoped to ``data/`` and never touches it) and records the spec in the
@@ -24,6 +24,11 @@ Surface:
   probed partitions, never the corpus).
 * ``system.search_indexes`` lists every index with built/current
   versions and an ``is_stale`` flag (the matview freshness pattern).
+* BM25 knobs (r10): a MULTI-column index scores under the weighted
+  field model (``WITH (weights = '2.0,1.0')``, defaults 1.0 each —
+  title/body boosts; operators/bm25.build_postings_fielded) and
+  ``WITH (match = 'all')`` switches lookups to AND semantics (only
+  documents containing every distinct query term rank).
 
 Scale: build cost is one corpus pass per index (amortized across all
 future query batches); lookups read only the term-hash / band-hash
@@ -109,6 +114,22 @@ def index_dir(table_root: str, name: str) -> str:
     return os.path.join(table_root, "_search", name)
 
 
+def bm25_fields(spec: IndexSpec) -> list[tuple[str, float]] | None:
+    """(column, weight) list for a MULTI-column BM25 spec (r10 fielded
+    scoring — title/body boosts); None for plain single-column specs.
+    Weights default to 1.0 each; counts are validated at CREATE."""
+    cols = spec.column.split(",")
+    if len(cols) == 1:
+        return None
+    raw = spec.params.get("weights")
+    ws = (
+        [float(x) for x in str(raw).split(",")]
+        if raw
+        else [1.0] * len(cols)
+    )
+    return list(zip(cols, ws))
+
+
 def build_index(df, path: str, spec: IndexSpec) -> dict | None:
     """One corpus pass: materialize the index artifact for ``spec``.
     Returns build statistics to merge into the spec params (IVFPQ: the
@@ -125,6 +146,7 @@ def build_index(df, path: str, spec: IndexSpec) -> dict | None:
             n_buckets=int(p.get("n_buckets", 64)),
             text_col=spec.column,
             id_col=p.get("id_col", "doc_id"),
+            fields=bm25_fields(spec),
         )
     elif spec.method == "LSH":
         kw = dict(
@@ -198,6 +220,7 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
             k=k,
             k1=float(p.get("k1", 1.2)),
             b=float(p.get("b", 0.75)),
+            match_all=str(p.get("match", "any")).lower() == "all",
         )
         return out.select(
             F.col("doc_id").alias("result_id"),

@@ -110,6 +110,166 @@ def build_postings(
     return postings, dfreq, stats
 
 
+def _field_tokens(fname: str) -> Column:
+    # a NULL field is an EMPTY field: without the coalesce one NULL
+    # column would NULL the whole document's weighted length and drop
+    # its other fields' postings on the floor
+    return F.coalesce(
+        _tokens(F.col(fname)), F.array().cast("array<string>")
+    )
+
+
+def _weighted_dl(fields: list[tuple[str, float]]) -> Column:
+    out = None
+    for fname, w in fields:
+        term = F.lit(float(w)) * F.size(_field_tokens(fname))
+        out = term if out is None else out + term
+    return out
+
+
+def build_postings_fielded(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """``(postings, stats)`` for a MULTI-FIELD corpus under the weighted
+    field model (simple BM25F: title/body style boosts).
+
+    Per document, each field contributes ``weight x tf`` to a combined
+    term frequency and ``weight x field_length`` to a combined document
+    length; scoring then runs the ordinary BM25 formula over the
+    combined (tfw, dlw) — so a title hit outranks the same hit buried in
+    the body, with ONE idf per term (a document counts toward df when
+    the term appears in ANY field).
+
+    Shape: exactly as row-local as the single-field build. Each field
+    runs the same staged sort + run-length projection into a
+    ``map<term, tf>``; the weighted merge walks the union of the maps'
+    key sets with ``try_element_at`` lookups (fields are few — 2-3 —
+    so the per-term merge cost is a handful of map probes). NO shuffle
+    anywhere before the explode; df/stats aggregate exactly like the
+    single-field path.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _weighted_dl(fields).alias("dlw"),
+        *[
+            F.array_sort(_field_tokens(fname)).alias(f"__srt{i}")
+            for i, (fname, _w) in enumerate(fields)
+        ],
+    )
+    # per-field run-length starts, staged (lambda bodies are not CSE'd).
+    # Closures come from factory functions: a `s=srt` default arg would
+    # count as a lambda PARAMETER and flip F.filter/F.zip_with into
+    # their higher-arity variants.
+    def _starts_pred(s):
+        return lambda j: (j == 0) | (
+            F.element_at(s, j + 1) != F.element_at(s, j)
+        )
+
+    def _run_pair(s):
+        return lambda a, e: F.struct(
+            F.element_at(s, a + 1).alias("term"), (e - a).alias("tf")
+        )
+
+    starts_cols = []
+    for i in range(len(fields)):
+        srt = F.col(f"__srt{i}")
+        starts_cols.append(
+            F.filter(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(srt), F.lit(1)) - 1,
+                ),
+                _starts_pred(srt),
+            ).alias(f"__starts{i}")
+        )
+    staged = staged.select("*", *starts_cols)
+    # per-field map<term, tf> from the run-length pairs
+    map_cols = []
+    for i in range(len(fields)):
+        srt, starts = F.col(f"__srt{i}"), F.col(f"__starts{i}")
+        pairs = F.zip_with(
+            starts,
+            F.concat(
+                F.slice(starts, 2, F.size(starts) - 1),
+                F.array(F.size(srt)),
+            ),
+            _run_pair(srt),
+        )
+        map_cols.append(
+            F.map_from_entries(
+                F.when(F.size(srt) > 0, pairs).otherwise(
+                    F.array().cast("array<struct<term:string,tf:int>>")
+                )
+            ).alias(f"__map{i}")
+        )
+    staged = staged.select("doc_id", "dlw", *map_cols)
+    # union of the fields' term sets, then the weighted merge
+    staged = staged.select(
+        "doc_id",
+        "dlw",
+        *[F.col(f"__map{i}") for i in range(len(fields))],
+        F.array_distinct(
+            F.concat(
+                *[F.map_keys(F.col(f"__map{i}")) for i in range(len(fields))]
+            )
+        ).alias("__terms"),
+    )
+
+    def _tfw(t: Column) -> Column:
+        out = None
+        for i, (_fname, w) in enumerate(fields):
+            term = F.lit(float(w)) * F.coalesce(
+                F.try_element_at(F.col(f"__map{i}"), t), F.lit(0)
+            )
+            out = term if out is None else out + term
+        return out
+
+    merged = F.transform(
+        F.col("__terms"),
+        lambda t: F.struct(t.alias("term"), _tfw(t).alias("tf")),
+    )
+    postings = staged.select(
+        "doc_id",
+        F.col("dlw").cast("double").alias("dl"),
+        F.explode(
+            F.when(F.size("__terms") > 0, merged).otherwise(
+                F.array().cast("array<struct<term:string,tf:double>>")
+            )
+        ).alias("p"),
+    ).select("p.term", "doc_id", F.col("p.tf").cast("double").alias("tf"), "dl")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(_weighted_dl(fields).cast("double")).alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_text_col: str = "query_text",
+    query_id_col: str = "query_id",
+    match_all: bool = False,
+) -> DataFrame:
+    """Top-k per query under weighted multi-field BM25 (see
+    :func:`build_postings_fielded`); same scoring tail as single-field,
+    so the formula/tie-break can never drift between the variants."""
+    postings, stats = build_postings_fielded(docs, fields, id_col)
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    return _score_and_rank(postings, qterms, stats, k, k1, b,
+                           df_via_window=True, match_all=match_all)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -120,12 +280,15 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_text_col: str = "query_text",
     query_id_col: str = "query_id",
+    match_all: bool = False,
 ) -> DataFrame:
     """Top-k ``(query_id, doc_id, score, rank)`` per query under BM25.
 
     The query side deduplicates to (query_id, term) before joining, so a
     term repeated inside one query counts once (standard bag-of-words
     query semantics; repeat weighting belongs in the query builder).
+    ``match_all=True`` ranks only documents containing EVERY distinct
+    query term (AND semantics — see :func:`_score_and_rank`).
     """
     postings, _dfreq, stats = build_postings(docs, text_col, id_col)
     qterms = queries.select(
@@ -134,7 +297,7 @@ def bm25_topk(
     ).distinct()
 
     return _score_and_rank(postings, qterms, stats, k, k1, b,
-                           df_via_window=True)
+                           df_via_window=True, match_all=match_all)
 
 
 def _score_and_rank(
@@ -145,6 +308,7 @@ def _score_and_rank(
     k1: float,
     b: float,
     df_via_window: bool = True,
+    match_all: bool = False,
 ) -> DataFrame:
     """The shared scoring tail of both retrieval variants: prune postings
     to query terms, compute df over the pruned set, BM25-score each
@@ -162,7 +326,15 @@ def _score_and_rank(
       from queries, as any posting-list system expects.
     * False (indexed default): aggregate + broadcast — two reads of the
       pruned index partitions (cheap: column-pruned parquet), zero term
-      skew."""
+      skew.
+
+    ``match_all`` switches OR semantics (any query term may contribute,
+    the BM25 default) to AND semantics: only documents containing EVERY
+    distinct term of the query are ranked. The filter is a per-(query,
+    doc) distinct-matched-term count compared to the query's own
+    distinct term count (broadcast, |queries| rows) — it composes with
+    the same pruned candidate set, so AND mode never reads more than OR
+    mode."""
     # prune the corpus to query terms before ANY per-term work; df over
     # the pruned postings still sees every doc containing the term
     cand = postings.join(
@@ -202,8 +374,19 @@ def _score_and_rank(
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("term_score").cast("decimal(25,6)"))
         .cast("double")
-        .alias("score")
+        .alias("score"),
+        # distinct terms are free to count here (postings carry one row
+        # per (term, doc)), and the column is dropped again below for
+        # OR mode
+        F.count(F.lit(1)).alias("__nterms"),
     )
+    if match_all:
+        qn = qterms.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("__qn")  # qterms is already distinct
+        )
+        per_doc = per_doc.join(F.broadcast(qn), "query_id").where(
+            F.col("__nterms") == F.col("__qn")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
@@ -224,14 +407,23 @@ def write_bm25_index(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fields: list[tuple[str, float]] | None = None,
 ) -> None:
     """Materialize the inverted index: postings land under
     ``{path}/postings`` partitioned by a term-hash bucket, corpus stats
     under ``{path}/stats``. This is the 100 TB serving shape the ad-hoc
     :func:`bm25_topk` docstring promises — the corpus-sized work happens
     ONCE here; every query batch below reads only the partitions its
-    terms hash into (partition pruning, no full-index scan)."""
-    postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
+    terms hash into (partition pruning, no full-index scan).
+
+    ``fields`` switches to the weighted multi-field build
+    (:func:`build_postings_fielded`); the field spec persists in the
+    stats sidecar so appends replay the same weighting without the
+    caller re-supplying it."""
+    if fields:
+        postings, _stats = build_postings_fielded(docs, fields, id_col)
+    else:
+        postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
     # bucket cast to INT: the sidecar DDL must match what partition-dir
     # inference always gave readers (an int), or every bucket filter in
     # existing plan gates changes attribute type
@@ -245,7 +437,7 @@ def write_bm25_index(
     # final average, so appends can combine them without a corpus rescan
     _write_stats(
         docs, path, n_buckets, text_col, mode="overwrite",
-        postings_ddl=_ddl(bucketed),
+        postings_ddl=_ddl(bucketed), fields=fields,
     )
 
 
@@ -258,14 +450,42 @@ def _ddl(df) -> str:
     )
 
 
-def _write_stats(docs, path, n_buckets, text_col, mode, postings_ddl):
-    toks = _tokens(F.col(text_col))
-    docs.agg(
+def _write_stats(docs, path, n_buckets, text_col, mode, postings_ddl,
+                 fields=None):
+    import json as _json
+
+    if fields:
+        # weighted document length; total_dl is DOUBLE in fielded
+        # indexes (fragments of one index are consistently typed)
+        dl = _weighted_dl(fields).cast("double")
+        fields_json = _json.dumps([[f, float(w)] for f, w in fields])
+    else:
+        dl = F.size(_tokens(F.col(text_col)))
+        fields_json = None
+    out = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_dl"),
+        F.sum(dl).alias("total_dl"),
     ).withColumn("n_buckets", F.lit(n_buckets)).withColumn(
         "postings_ddl", F.lit(postings_ddl)
-    ).write.mode(mode).parquet(f"{path}/stats")
+    )
+    if fields_json is not None:
+        # only fielded indexes carry the column: adding a NULL column to
+        # plain-index fragments would fork the sidecar schema across
+        # fragments of pre-existing indexes
+        out = out.withColumn("fields", F.lit(fields_json))
+    out.write.mode(mode).parquet(f"{path}/stats")
+
+
+def read_index_fields(spark, path: str) -> list[tuple[str, float]] | None:
+    """The field spec a persisted index was built with (None for plain
+    single-column indexes, including pre-fielded sidecars)."""
+    import json as _json
+
+    stats = spark.read.parquet(f"{path}/stats")
+    if "fields" not in stats.columns:
+        return None
+    raw = stats.select("fields").first()[0]
+    return [(f, float(w)) for f, w in _json.loads(raw)] if raw else None
 
 
 def append_bm25_index(
@@ -279,12 +499,20 @@ def append_bm25_index(
     parquet append only creates files in the buckets the new terms hash
     to) and a new stats fragment lands next to the existing ones; readers
     merge the fragments, so corpus-wide n_docs/avgdl stay exact. The
-    corpus-sized work is proportional to the NEW documents only."""
+    corpus-sized work is proportional to the NEW documents only.
+
+    A fielded index replays its OWN persisted field weighting (the
+    sidecar is authoritative; ``text_col`` is ignored) — appended
+    fragments can never mix weightings within one index."""
     spark = docs.sparkSession
     n_buckets = int(
         spark.read.parquet(f"{path}/stats").select("n_buckets").first()[0]
     )
-    postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
+    fields = read_index_fields(spark, path)
+    if fields:
+        postings, _stats = build_postings_fielded(docs, fields, id_col)
+    else:
+        postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
     bucketed = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
@@ -293,7 +521,7 @@ def append_bm25_index(
     )
     _write_stats(
         docs, path, n_buckets, text_col, mode="append",
-        postings_ddl=_ddl(bucketed),
+        postings_ddl=_ddl(bucketed), fields=fields,
     )
 
 
@@ -306,12 +534,14 @@ def bm25_topk_indexed(
     b: float = 0.75,
     query_text_col: str = "query_text",
     query_id_col: str = "query_id",
+    match_all: bool = False,
 ) -> DataFrame:
     """Top-k retrieval against a persisted index. The postings scan
     carries a ``bucket IN (...)`` partition filter computed from the
     query batch's terms, so only the matching term-hash partitions are
     read (gate-tested via inputFiles) — query cost scales with the query
-    batch, not the corpus."""
+    batch, not the corpus. ``match_all=True`` = AND semantics over the
+    same pruned partitions (see :func:`_score_and_rank`)."""
     # merge stats fragments (one per write/append) into corpus totals
     raw_stats = spark.read.parquet(f"{path}/stats")
     aggs = [
@@ -360,5 +590,6 @@ def bm25_topk_indexed(
         F.col("bucket").isin(q_buckets)
     )
     return _score_and_rank(
-        postings, qterms, stats, k, k1, b, df_via_window=False
+        postings, qterms, stats, k, k1, b, df_via_window=False,
+        match_all=match_all,
     )

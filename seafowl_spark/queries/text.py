@@ -706,6 +706,14 @@ _RRF_K = 60  # the Cormack et al. constant
 # even doc_id), so the anti-join genuinely removes interior ranks and the
 # survivor re-ranking is non-trivial
 _HN_POS_DEPTH = 5
+# fielded (BM25F-style) branch: a derived 'title' (the document's first
+# {_BM25F_TITLE_LEN} whitespace tokens) boosted over the full text as
+# 'body'. INTEGER-VALUED weights keep every weighted tf/dl sum exactly
+# representable (integer-valued doubles < 2^53 add exactly in any
+# order), so avgdl is bit-identical across engines with no decimal
+# scaffolding.
+_BM25F_TITLE_LEN = 5
+_BM25F_W_TITLE, _BM25F_W_BODY = 2.0, 1.0
 
 
 @register(
@@ -810,13 +818,95 @@ _HN_POS_DEPTH = 5
       FROM nover o
       WHERE NOT EXISTS (
         SELECT 1 FROM pos p
-        WHERE p.query_id = o.query_id AND p.doc_id = o.doc_id))
+        WHERE p.query_id = o.query_id AND p.doc_id = o.doc_id)),
+    qn AS (SELECT query_id, COUNT(*) AS n FROM qterms GROUP BY query_id),
+    pmatched AS (
+      SELECT qt.query_id, p.doc_id, COUNT(*) AS nterms
+      FROM postings p JOIN qterms qt USING (term)
+      WHERE p.term IN (SELECT term FROM qterms)
+      GROUP BY qt.query_id, p.doc_id),
+    alltop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT d.query_id, d.doc_id, d.score,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.score DESC, d.doc_id) AS rank
+        FROM per_doc d
+        JOIN pmatched m ON m.query_id = d.query_id AND m.doc_id = d.doc_id
+        JOIN qn ON qn.query_id = d.query_id
+        WHERE m.nterms = qn.n)
+      WHERE rank <= {_BM25_K}),
+    fdocs AS MATERIALIZED (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           t -> t <> '')[1:{_BM25F_TITLE_LEN}],
+               ' ') AS title,
+             text AS body
+      FROM documents),
+    ftf_t AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               lower(unnest(list_filter(regexp_split_to_array(title, '\s+'),
+                                        t -> t <> ''))) AS term
+        FROM fdocs) GROUP BY doc_id, term),
+    ftf_b AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               lower(unnest(list_filter(regexp_split_to_array(body, '\s+'),
+                                        t -> t <> ''))) AS term
+        FROM fdocs) GROUP BY doc_id, term),
+    fpost AS MATERIALIZED (
+      SELECT COALESCE(t.doc_id, b.doc_id) AS doc_id,
+             COALESCE(t.term, b.term) AS term,
+             {_BM25F_W_TITLE} * COALESCE(t.tf, 0)
+               + {_BM25F_W_BODY} * COALESCE(b.tf, 0) AS tf
+      FROM ftf_t t FULL JOIN ftf_b b USING (doc_id, term)),
+    fdls AS (
+      SELECT doc_id,
+             {_BM25F_W_TITLE} * len(list_filter(
+               regexp_split_to_array(lower(title), '\s+'), t -> t <> ''))
+             + {_BM25F_W_BODY} * len(list_filter(
+               regexp_split_to_array(lower(body), '\s+'), t -> t <> ''))
+               AS dl
+      FROM fdocs),
+    fstats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM fdls),
+    fdfreq AS (
+      SELECT term, COUNT(*) AS df FROM fpost
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+    fscored AS (
+      SELECT qt.query_id, p.doc_id,
+             ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+               * (CAST(p.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(p.tf AS DOUBLE)
+                  + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * CAST(d.dl AS DOUBLE) / s.avgdl))
+               AS term_score
+      FROM fpost p
+      JOIN fdls d USING (doc_id)
+      JOIN qterms qt USING (term)
+      JOIN fdfreq f USING (term)
+      CROSS JOIN fstats s),
+    fper_doc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM fscored GROUP BY query_id, doc_id),
+    bmftop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM fper_doc)
+      WHERE rank <= {_BM25_K})
     SELECT 'bm25' AS branch, query_id, doc_id, score, rank FROM bmtop
     UNION ALL
     SELECT 'rrf' AS branch, query_id, doc_id, score, rank FROM ftop
     UNION ALL
     SELECT 'hardneg' AS branch, query_id, doc_id, score, rank FROM nneg
     WHERE rank <= {_BM25_K}
+    UNION ALL
+    SELECT 'bm25_all' AS branch, query_id, doc_id, score, rank FROM alltop
+    UNION ALL
+    SELECT 'bm25f' AS branch, query_id, doc_id, score, rank FROM bmftop
     """,
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,6 +927,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       DECIMAL(25,6); the hybrid-serving combiner, graded with fused
       scores AND ranks value-checked.
 
+    r10 adds the retrieval surface's two mode axes, value-graded:
+
+    * ``branch='bm25_all'`` — AND semantics (``match_all=True``): only
+      documents containing EVERY distinct query term rank; survivors
+      keep their OR-mode scores (the filter is a per-(query, doc)
+      matched-term count against the query's term count — broadcast,
+      |queries| rows).
+    * ``branch='bm25f'`` — weighted multi-field scoring
+      (operators/bm25.bm25f_topk, the simple-BM25F title/body boost):
+      a derived title (first {_BM25F_TITLE_LEN} tokens, {_BM25F_W_TITLE}x)
+      over the full text as body ({_BM25F_W_BODY}x). Weighted tf and dl
+      stay integer-valued doubles, so the cross-engine sums are exact
+      without decimal scaffolding; the per-term scores quantize at
+      DECIMAL(25,6) as everywhere else.
+
     Since r9 a third family graduates in the same row:
 
     * ``branch='hardneg'`` — hard-negative mining
@@ -855,7 +960,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-small anti-join and one window over <= k + positives rows
     per query.
     """
-    from ..operators.bm25 import bm25_topk
+    from ..operators.bm25 import bm25_topk, bm25f_topk
     from ..operators.fusion import rank_topk, rrf_fuse, term_overlap_scores
     from ..operators.negatives import mine_hard_negatives
 
@@ -864,6 +969,35 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = bm25_topk(
         d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     ).withColumn("rank", F.col("rank").cast("long"))
+    # r10 'bm25_all': AND semantics — only documents containing every
+    # distinct query term rank; survivors keep their OR-mode scores
+    bm_all = bm25_topk(
+        d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B, match_all=True
+    )
+    # r10 'bm25f': weighted multi-field scoring over a derived title
+    # (first {_BM25F_TITLE_LEN} tokens) boosted {_BM25F_W_TITLE}x over
+    # the full text as body — integer-valued weights keep the weighted
+    # sums exact across engines (see the constant's comment)
+    fdocs = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+                1,
+                _BM25F_TITLE_LEN,
+            ),
+            " ",
+        ).alias("title"),
+        F.col("text").alias("body"),
+    )
+    bmf = bm25f_topk(
+        fdocs,
+        queries,
+        [("title", _BM25F_W_TITLE), ("body", _BM25F_W_BODY)],
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
     ovl = rank_topk(term_overlap_scores(d, queries), top_k=_BM25_K)
     fused = rrf_fuse([bm, ovl], topn=_BM25_K, rrf_k=_RRF_K)
     positives = bm.where(
@@ -888,7 +1022,26 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rank").cast("long").alias("rank"),
     )
-    return out_bm.unionByName(out_rrf).unionByName(out_neg)
+    out_all = bm_all.select(
+        F.lit("bm25_all").alias("branch"),
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    out_f = bmf.select(
+        F.lit("bm25f").alias("branch"),
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return (
+        out_bm.unionByName(out_rrf)
+        .unionByName(out_neg)
+        .unionByName(out_all)
+        .unionByName(out_f)
+    )
 
 
 # --------------------------------------------------------------------------

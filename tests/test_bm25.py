@@ -295,3 +295,188 @@ class TestPersistedIndex:
             for r in bm25_topk_indexed(spark, full, queries, k=10).collect()
         }
         assert got_inc == got_full and got_inc
+
+
+FDOCS = [
+    (1, "spark engine", "the spark analytics engine runs queries"),
+    (2, "index serving", "bm25 index serving with spark"),
+    (3, "empty body", ""),
+    (4, "", "spark spark spark engine engine"),
+    (5, None, None),
+    (6, "spark title only", None),
+]
+FIELDS = [("title", 2.0), ("body", 1.0)]
+FQUERIES = [(0, "spark engine"), (1, "bm25 serving"), (2, "zebra")]
+
+
+def _py_bm25f(docs, fields, queries, k1=1.2, b=0.75):
+    """Weighted multi-field reference: each field contributes
+    weight x tf to a combined term frequency and weight x length to a
+    combined document length; one idf per term (df = docs containing the
+    term in ANY field); same decimal(25,6) per-term quantization."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(x):
+        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    tfw, dlw = {}, {}
+    for row in docs:
+        d = row[0]
+        acc, wl = {}, 0.0
+        for (fname, w), val in zip(fields, row[1:]):
+            words = [x for x in (val or "").lower().split() if x]
+            wl += w * len(words)
+            for t in words:
+                acc[t] = acc.get(t, 0.0) + w
+        tfw[d], dlw[d] = acc, wl
+    n_docs = len(docs)
+    avgdl = sum(dlw.values()) / n_docs
+    df = {}
+    for acc in tfw.values():
+        for term in acc:
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in set(qtext.lower().split()):
+            if term not in df:
+                continue
+            idf = math.log(1 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            for d, acc in tfw.items():
+                tf = acc.get(term, 0.0)
+                if not tf:
+                    continue
+                s = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dlw[d] / avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + q6(s)
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+class TestMatchAll:
+    def test_and_semantics_filter(self, spark, frames):
+        """match_all keeps only documents containing EVERY distinct query
+        term; surviving docs keep the exact OR-mode scores."""
+        from seafowl_spark.operators.bm25 import bm25_topk
+
+        docs, queries = frames
+        got_any = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(docs, queries, k=10).collect()
+        }
+        got_all = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(docs, queries, k=10, match_all=True).collect()
+        }
+        # 'quick fox': docs 1, 2 have both; 3 (lazy dog only), 4 (quick
+        # only) drop. 'lazy dog': 1 and 3. 'zebra': nothing anywhere.
+        assert set(got_all) == {(100, 1), (100, 2), (200, 1), (200, 3)}
+        for key, score in got_all.items():
+            assert score == got_any[key]
+
+    def test_partially_matching_query_empty_in_all_mode(self, spark, frames):
+        """A query with one indexed and one absent term matches nothing
+        under AND semantics (nobody contains the absent term)."""
+        from seafowl_spark.operators.bm25 import bm25_topk
+
+        docs, _ = frames
+        q = spark.createDataFrame(
+            [(1, "quick zebra")], ["query_id", "query_text"]
+        )
+        assert bm25_topk(docs, q, k=10, match_all=True).count() == 0
+        assert bm25_topk(docs, q, k=10).count() > 0  # OR mode still ranks
+
+    def test_indexed_match_all(self, spark, frames, tmp_path):
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs, queries = frames
+        idx = str(tmp_path / "ma_idx")
+        write_bm25_index(docs, idx, n_buckets=8)
+        got = {
+            (r.query_id, r.doc_id)
+            for r in bm25_topk_indexed(
+                spark, idx, queries, k=10, match_all=True
+            ).collect()
+        }
+        assert got == {(100, 1), (100, 2), (200, 1), (200, 3)}
+
+
+class TestFieldedBm25:
+    @pytest.fixture()
+    def fframes(self, spark):
+        docs = spark.createDataFrame(FDOCS, ["doc_id", "title", "body"])
+        queries = spark.createDataFrame(
+            FQUERIES, ["query_id", "query_text"]
+        )
+        return docs, queries
+
+    def test_parity_with_reference_impl(self, spark, fframes):
+        from seafowl_spark.operators.bm25 import bm25f_topk
+
+        docs, queries = fframes
+        want = _py_bm25f(FDOCS, FIELDS, FQUERIES)
+        got = bm25f_topk(docs, queries, FIELDS, k=10).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+        for qid, expected in want.items():
+            rows_q = sorted(by_q.get(qid, []))
+            assert [d for _rk, d, _s in rows_q] == [d for d, _s in expected]
+            for (_rk, _d, s), (_d2, s2) in zip(rows_q, expected):
+                assert s == pytest.approx(s2, abs=1e-9)
+
+    def test_null_field_does_not_drop_document(self, spark, fframes):
+        from seafowl_spark.operators.bm25 import bm25f_topk
+
+        docs, _ = fframes
+        q = spark.createDataFrame([(0, "spark")], ["query_id", "query_text"])
+        ids = {
+            r.doc_id for r in bm25f_topk(docs, q, FIELDS, k=10).collect()
+        }
+        assert 6 in ids  # title-only doc (NULL body) still ranks
+
+    def test_fielded_build_has_no_shuffle(self, spark, fframes):
+        from seafowl_spark.operators.bm25 import build_postings_fielded
+
+        docs, _ = fframes
+        postings, _stats = build_postings_fielded(docs, FIELDS)
+        plan = postings._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_persisted_fielded_append_replays_weighting(
+        self, spark, fframes, tmp_path
+    ):
+        """Appending to a fielded index replays the SIDECAR's field spec
+        (the caller's text_col is ignored): half+append equals a
+        from-scratch fielded build."""
+        from seafowl_spark.operators.bm25 import (
+            append_bm25_index,
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs, queries = fframes
+        first = docs.where(F.col("doc_id") <= 3)
+        rest = docs.where(F.col("doc_id") > 3)
+
+        inc = str(tmp_path / "f_inc")
+        write_bm25_index(first, inc, n_buckets=8, fields=FIELDS)
+        append_bm25_index(rest, inc)
+
+        full = str(tmp_path / "f_full")
+        write_bm25_index(docs, full, n_buckets=8, fields=FIELDS)
+
+        got_inc = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, inc, queries, k=10).collect()
+        }
+        got_full = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, full, queries, k=10).collect()
+        }
+        assert got_inc == got_full and got_inc

@@ -694,3 +694,114 @@ class TestSearchIndexShowCreate:
             )
         )
         assert got == [(1,)]
+
+
+class TestFieldedAndMatchModes:
+    """r10: multi-column weighted BM25 indexes (title/body boosts) and
+    the match = 'any'|'all' mode parameter, through the full SQL plane."""
+
+    def _seed_fielded(self, ctx):
+        ctx.execute(
+            "CREATE TABLE fd (doc_id BIGINT, title STRING, body STRING)"
+        )
+        ctx.execute(
+            "INSERT INTO fd VALUES "
+            "(1, 'spark engine', 'analytics queries daily'), "
+            "(2, 'release notes', 'the spark engine runs analytics'), "
+            "(3, 'other title', 'spark spark engine engine engine'), "
+            "(4, 'spark title only', NULL)"
+        )
+
+    def test_title_boost_outranks_body_hit(self, ctx):
+        self._seed_fielded(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX fx ON fd (title, body) USING BM25 "
+            "WITH (weights = '3.0,1.0')"
+        )
+        got = rows(
+            ctx.execute(
+                "SELECT result_id, rank FROM "
+                "search_index('fd', 'fx', 'spark engine', 4)"
+            )
+        )
+        by_id = {r[0]: r[1] for r in got}
+        # doc 1 carries both terms in its boosted TITLE; doc 2 carries
+        # them only in the body — the boost must decide the order
+        assert by_id[1] < by_id[2]
+
+    def test_weights_default_to_ones(self, ctx):
+        self._seed_fielded(ctx)
+        ctx.execute("CREATE SEARCH INDEX fx ON fd (title, body) USING BM25")
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM "
+                "search_index('fd', 'fx', 'spark', 10)"
+            )
+        )
+        assert {r[0] for r in got} == {1, 2, 3, 4}
+
+    def test_fielded_incremental_refresh_replays_weighting(self, ctx):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        self._seed_fielded(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX fx ON fd (title, body) USING BM25 "
+            "WITH (weights = '3.0,1.0')"
+        )
+        ctx.execute(
+            "INSERT INTO fd VALUES (9, 'incremental spark', 'appended doc')"
+        )
+        ctx.execute("REFRESH SEARCH INDEX fx ON fd")
+        e = ctx.catalog.get_table("default", "public", "fd")
+        ops = [
+            c.operation
+            for c in DeltaLiteTable(ctx.spark, ctx.table_root(e)).history()
+        ]
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" in ops
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM "
+                "search_index('fd', 'fx', 'incremental', 2)"
+            )
+        )
+        assert got and got[0][0] == 9
+
+    def test_match_all_mode(self, ctx):
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX ax ON sd (text) USING BM25 "
+            "WITH (match = 'all')"
+        )
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM "
+                "search_index('sd', 'ax', 'spark window', 5)"
+            )
+        )
+        # only doc 3 contains BOTH terms (doc 1 has window+spark too)
+        assert {r[0] for r in got} == {1, 3}
+
+    def test_validation_errors(self, ctx):
+        self._seed_fielded(ctx)
+        with pytest.raises(ExecutionError, match="BM25-only"):
+            ctx.execute(
+                "CREATE SEARCH INDEX z ON fd (title, body) USING LSH"
+            )
+        with pytest.raises(ExecutionError, match="weights lists"):
+            ctx.execute(
+                "CREATE SEARCH INDEX z ON fd (title, body) USING BM25 "
+                "WITH (weights = '1.0')"
+            )
+        with pytest.raises(ExecutionError, match="match must"):
+            ctx.execute(
+                "CREATE SEARCH INDEX z ON fd (body) USING BM25 "
+                "WITH (match = 'phrase')"
+            )
+        with pytest.raises(ExecutionError, match="duplicate column"):
+            ctx.execute(
+                "CREATE SEARCH INDEX z ON fd (title, title) USING BM25"
+            )
+        with pytest.raises(ExecutionError, match="not in"):
+            ctx.execute(
+                "CREATE SEARCH INDEX z ON fd (title, missing) USING BM25"
+            )
