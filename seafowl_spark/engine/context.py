@@ -1881,16 +1881,34 @@ class SeafowlContext:
         incremental = False
         if not os.path.exists(marker):
             try:
+                from .search_index import (
+                    FullRebuildRequired,
+                    apply_incremental_delete,
+                    incremental_delta,
+                )
+
                 _so, only_old, _sn, only_new = changed_files(
                     t, spec.built_version, t.latest_version()
                 )
-                if not only_old and only_new:
+                if only_old or only_new:
                     schema = T.StructType.fromDDL(snap.schema_ddl)
-                    new_rows = t._scan_files(only_new, schema)
                     id_col = spec.params.get("id_col", "doc_id")
+                    # r10 delete-aware diff: removed rows tombstone (plus
+                    # a negative BM25 stats fragment), added rows append;
+                    # updates / re-inserts / cap overflows raise
+                    # FullRebuildRequired into the rebuild below (which
+                    # clears the mask)
+                    removed, new_rows = incremental_delta(
+                        t, schema, spec, only_old, only_new, path
+                    )
                     with open(marker, "w") as fh:
                         fh.write(snapshot_fp(snap))
-                    if spec.method == "IVFPQ":
+                    if removed is not None:
+                        apply_incremental_delete(spec, removed, path)
+                        incremental = True
+                    if new_rows is None:
+                        pass  # delete/compaction-only diff
+                    elif spec.method == "IVFPQ":
                         # r10: append-only refresh encodes the NEW
                         # vectors with the FROZEN codebooks into their
                         # cells (one pass over added files, the
@@ -1924,10 +1942,14 @@ class SeafowlContext:
                                 ),
                             )
                         except DriftExceeded as ex:
-                            # observable reason for the rebuild
+                            # observable reason for the rebuild. Forced
+                            # False even when a delete already applied:
+                            # the drifted batch must land via the
+                            # retraining rebuild, not be dropped
                             spec.params["last_batch_resid_norm"] = round(
                                 ex.batch_norm, 9
                             )
+                            incremental = False
                         else:
                             spec.params["last_batch_resid_norm"] = round(
                                 norm, 9
@@ -1949,9 +1971,17 @@ class SeafowlContext:
                             id_col=id_col,
                         )
                         incremental = True
+            except FullRebuildRequired as ex:
+                # observable reason on the spec (system.search_indexes
+                # surfaces params): update-in-diff, tombstoned re-insert,
+                # or tombstone cap — all correct via the rebuild below
+                spec.params["last_rebuild_reason"] = str(ex)
+                incremental = False
             except Exception:  # noqa: BLE001 — vacuumed history etc.
                 incremental = False
-        if not incremental:
+        if incremental:
+            spec.params.pop("last_rebuild_reason", None)  # stale reason
+        else:
             stats = build_index(t.to_df(_snap=snap), path, spec)
             if stats:
                 spec.params.update(stats)

@@ -114,6 +114,143 @@ def index_dir(table_root: str, name: str) -> str:
     return os.path.join(table_root, "_search", name)
 
 
+class FullRebuildRequired(Exception):
+    """An incremental refresh cannot represent this diff — the caller
+    downgrades to the always-correct full rebuild. Carries the reason
+    for the spec's observability params."""
+
+
+def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
+                      path: str):
+    """``(removed_rows, added_rows)`` for a delete-aware incremental
+    refresh, or raise :class:`FullRebuildRequired`.
+
+    The diff compares the ROWS of the changed files only (never the
+    corpus): ids that left are removals (tombstoned), ids that arrived
+    are appends, ids on both sides with identical content are
+    compaction noise (ignored). Three shapes the additive tombstone
+    model cannot represent force the rebuild:
+
+    * an in-place UPDATE (same id, changed content) — the old postings
+      must die while new ones land under the same id, and the mask is
+      id-keyed;
+    * RE-INSERTING a tombstoned id — scrubbing the mask would unmask
+      the dead old postings alongside the fresh ones;
+    * the mask outgrowing ``TOMBSTONE_CAP_RATIO`` of the live corpus —
+      correctness holds either way, but the broadcast should stay small
+      and the dead postings deserve reclaiming.
+    """
+    import functools
+    import operator as _op
+
+    from pyspark.sql import functions as F
+
+    from ..operators.index_tombstones import (
+        TOMBSTONE_CAP_FLOOR,
+        TOMBSTONE_CAP_RATIO,
+        read_tombstones,
+    )
+
+    spark = t.spark
+    id_col = spec.params.get("id_col", "doc_id")
+    cols = spec.column.split(",")
+    sel = [id_col, *cols]
+    new_rows = (
+        t._scan_files(only_new, schema).select(*sel).localCheckpoint()
+        if only_new
+        else None
+    )
+    ts = read_tombstones(spark, path)
+    if not only_old:
+        # pure append (the r9 path) — but a tombstoned id arriving in
+        # the appended files is still a RE-INSERT: its masked old
+        # postings would shadow the fresh ones, so the check below
+        # applies here too (the first cut returned early and the smoke
+        # test caught a re-inserted doc staying invisible)
+        if (
+            ts is not None
+            and new_rows is not None
+            and new_rows.join(
+                F.broadcast(ts), new_rows[id_col] == ts["id"], "inner"
+            )
+            .limit(1)
+            .count()
+        ):
+            raise FullRebuildRequired("re-insert of tombstoned id")
+        return None, new_rows
+    old_rows = t._scan_files(only_old, schema).select(*sel).localCheckpoint()
+    if new_rows is None:
+        removed, added = old_rows, None
+    else:
+        o, n = old_rows.alias("__o"), new_rows.alias("__n")
+        same = functools.reduce(
+            _op.and_,
+            [
+                F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+                for c in cols
+            ],
+        )
+        if (
+            o.join(n, F.col(f"__o.{id_col}") == F.col(f"__n.{id_col}"))
+            .where(~same)
+            .limit(1)
+            .count()
+        ):
+            raise FullRebuildRequired("in-place update in diff")
+        removed = old_rows.join(
+            new_rows.select(id_col), id_col, "left_anti"
+        ).localCheckpoint()
+        added = new_rows.join(
+            old_rows.select(id_col), id_col, "left_anti"
+        ).localCheckpoint()
+    if (
+        ts is not None
+        and added is not None
+        and added.join(
+            F.broadcast(ts), added[id_col] == ts["id"], "inner"
+        )
+        .limit(1)
+        .count()
+    ):
+        raise FullRebuildRequired("re-insert of tombstoned id")
+    n_removed = removed.count() if removed is not None else 0
+    if n_removed == 0:
+        removed = None  # pure compaction noise
+    else:
+        existing = 0 if ts is None else ts.count()
+        live = max(int(t.snapshot().num_rows), 1)
+        cap = max(
+            TOMBSTONE_CAP_RATIO * live,
+            float(spec.params.get("tombstone_cap", TOMBSTONE_CAP_FLOOR)),
+        )
+        if existing + n_removed > cap:
+            raise FullRebuildRequired("tombstone cap exceeded")
+    if added is not None and added.limit(1).count() == 0:
+        added = None
+    return removed, added
+
+
+def apply_incremental_delete(spec: IndexSpec, removed, path: str) -> None:
+    """Tombstone the removed rows in the method's artifact (BM25 also
+    writes the NEGATIVE stats fragment so merged n_docs/avgdl equal a
+    rebuild exactly)."""
+    id_col = spec.params.get("id_col", "doc_id")
+    if spec.method == "BM25":
+        from ..operators.bm25 import delete_from_bm25_index
+
+        delete_from_bm25_index(
+            removed, path, text_col=spec.column, id_col=id_col
+        )
+    elif spec.method == "LSH":
+        from ..operators.lsh_index import delete_from_lsh_index
+
+        delete_from_lsh_index(removed, path, id_col=id_col)
+    else:
+        from ..operators.pq import delete_from_ivfpq_index
+
+        delete_from_ivfpq_index(removed, path, id_col=id_col)
+
+
 def bm25_fields(spec: IndexSpec) -> list[tuple[str, float]] | None:
     """(column, weight) list for a MULTI-column BM25 spec (r10 fielded
     scoring — title/body boosts); None for plain single-column specs.

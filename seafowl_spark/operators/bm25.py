@@ -420,6 +420,9 @@ def write_bm25_index(
     (:func:`build_postings_fielded`); the field spec persists in the
     stats sidecar so appends replay the same weighting without the
     caller re-supplying it."""
+    from .index_tombstones import clear_tombstones
+
+    clear_tombstones(path)  # a full build masks nothing
     if fields:
         postings, _stats = build_postings_fielded(docs, fields, id_col)
     else:
@@ -525,6 +528,53 @@ def append_bm25_index(
     )
 
 
+def delete_from_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally REMOVE documents from an existing index (the
+    delete-aware half of the ingest shape; operators/index_tombstones.py
+    has the model): the removed ids append to the tombstone mask and a
+    NEGATIVE stats fragment lands next to the existing ones, so merged
+    n_docs/avgdl equal a from-scratch rebuild exactly. The artifact's
+    postings are untouched — lookups mask them out. A fielded index
+    replays its own persisted weighting for the dl sums, same as
+    :func:`append_bm25_index`."""
+    from .index_tombstones import write_tombstones
+
+    spark = docs.sparkSession
+    head = (
+        spark.read.parquet(f"{path}/stats")
+        .select("n_buckets", "postings_ddl")
+        .first()
+    )
+    n_buckets = int(head["n_buckets"])
+    fields = read_index_fields(spark, path)
+    if fields:
+        dl = _weighted_dl(fields).cast("double")
+    else:
+        dl = F.size(_tokens(F.col(text_col)))
+    neg = docs.agg(
+        (-F.count(F.lit(1))).alias("n_docs"),
+        (-F.coalesce(F.sum(dl), F.lit(0).cast("long"))).alias("total_dl"),
+    ).withColumn("n_buckets", F.lit(n_buckets)).withColumn(
+        # replicate the sidecar DDL so every fragment stays non-null and
+        # the reader's F.first never lands on a null
+        "postings_ddl", F.lit(head["postings_ddl"])
+    )
+    if fields:
+        import json as _json
+
+        neg = neg.withColumn(
+            "fields",
+            F.lit(_json.dumps([[f, float(w)] for f, w in fields])),
+        )
+    neg.write.mode("append").parquet(f"{path}/stats")
+    write_tombstones(docs, path, id_col)
+
+
 def bm25_topk_indexed(
     spark,
     path: str,
@@ -589,6 +639,13 @@ def bm25_topk_indexed(
     postings = reader.parquet(f"{path}/postings").where(
         F.col("bucket").isin(q_buckets)
     )
+    # delete-aware serving: mask tombstoned documents out of the PRUNED
+    # candidates BEFORE df derives, so document frequencies (and with
+    # the negative stats fragments, avgdl/n_docs) equal a from-scratch
+    # rebuild bit-for-bit (operators/index_tombstones.py)
+    from .index_tombstones import filter_tombstones
+
+    postings = filter_tombstones(spark, path, postings, "doc_id")
     return _score_and_rank(
         postings, qterms, stats, k, k1, b, df_via_window=False,
         match_all=match_all,

@@ -1,0 +1,95 @@
+"""Tombstones: delete-aware serving for persisted search indexes.
+
+A persisted index (BM25 postings, LSH bands, IVF-PQ cells) is built
+append-friendly: new documents land in new partition files without
+touching old ones. DELETEs have no such locality — a deleted document's
+postings are scattered across every term/band/cell partition it touched,
+so removing them in place would rewrite the whole artifact (exactly the
+full rebuild the incremental path exists to avoid).
+
+Tombstones make deletes as cheap as appends: REFRESH writes the removed
+ids under ``{index}/tombstones/`` (one small parquet per refresh) and
+every lookup anti-joins its PRUNED candidate set against them BEFORE any
+statistic derives. Because document frequency is computed at query time
+from the (pruned, tombstone-filtered) candidates, and the BM25 corpus
+stats merge a NEGATIVE fragment for the removed documents, a
+tombstone-filtered lookup returns BIT-IDENTICAL scores to a from-scratch
+rebuild — tested as strict equality, not approximately.
+
+Scale shape: the tombstone set is broadcast (it is bounded by the
+refresh-time cap — past ``TOMBSTONE_CAP_RATIO`` of the corpus the
+engine downgrades to a full rebuild, which clears the set), so the
+filter adds one broadcast-hash anti-join on the already-pruned
+candidates, never a shuffle of the index.
+
+The masking model is strictly additive between rebuilds: a tombstoned
+id's OLD postings still exist in the artifact, so re-inserting that id
+cannot be handled by scrubbing the tombstone (the unmasked old postings
+would double-count) — the engine detects re-insertion and downgrades to
+a full rebuild, which drops the tombstone directory wholesale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+TOMBSTONES = "tombstones"
+# past this fraction of the indexed corpus the engine full-rebuilds
+# instead of growing the mask (serving stays correct either way; this
+# bounds the broadcast and reclaims the dead postings). The absolute
+# floor keeps SMALL tables incremental — a sub-1024-id broadcast costs
+# nothing, and without it a 5-row table's first delete would always
+# trip the ratio
+TOMBSTONE_CAP_RATIO = 0.2
+TOMBSTONE_CAP_FLOOR = 1024
+
+
+def tombstone_dir(index_path: str) -> str:
+    return os.path.join(index_path, TOMBSTONES)
+
+
+def has_tombstones(index_path: str) -> bool:
+    return os.path.isdir(tombstone_dir(index_path))
+
+
+def write_tombstones(ids: DataFrame, index_path: str, id_col: str) -> None:
+    """Append one fragment of removed ids (BIGINT) to the mask."""
+    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+        "append"
+    ).parquet(tombstone_dir(index_path))
+
+
+def read_tombstones(spark, index_path: str) -> DataFrame | None:
+    if not has_tombstones(index_path):
+        return None
+    return spark.read.schema("id long").parquet(tombstone_dir(index_path))
+
+
+def clear_tombstones(index_path: str) -> None:
+    """Full rebuilds drop the mask (the artifact overwrite only replaces
+    postings/stats — the tombstone dir would otherwise survive and mask
+    re-inserted ids out of the FRESH artifact)."""
+    shutil.rmtree(tombstone_dir(index_path), ignore_errors=True)
+
+
+def filter_tombstones(
+    spark, index_path: str, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Anti-join the pruned candidate set against the mask (broadcast —
+    the refresh-time cap bounds it). No-op when the index has none."""
+    ts = read_tombstones(spark, index_path)
+    if ts is None:
+        return candidates
+    return candidates.join(
+        F.broadcast(ts),
+        candidates[id_col] == ts["id"],
+        "left_anti",
+    )
+
+
+def tombstone_count(spark, index_path: str) -> int:
+    ts = read_tombstones(spark, index_path)
+    return 0 if ts is None else ts.count()

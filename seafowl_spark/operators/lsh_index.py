@@ -77,8 +77,11 @@ def write_lsh_index(
     id_col: str = "doc_id",
 ) -> None:
     """Materialize the corpus's LSH band index under ``path``."""
+    from .index_tombstones import clear_tombstones
+
     if N_PERM % bands != 0:
         raise ValueError(f"bands must divide {N_PERM}")
+    clear_tombstones(path)  # a full build masks nothing
     rows = _band_rows(docs, bands, n_buckets, text_col, id_col)
     rows.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/bands"
@@ -122,6 +125,20 @@ def append_lsh_index(
         docs, meta["bands"], meta["n_buckets"], text_col, id_col
     )
     rows.write.mode("append").partitionBy("bucket").parquet(f"{path}/bands")
+
+
+def delete_from_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally REMOVE documents: their ids append to the tombstone
+    mask; the band rows stay on disk and lookups filter them out before
+    the bucket cap (operators/index_tombstones.py has the model — LSH
+    has no corpus stats to adjust, so this is the whole operation)."""
+    from .index_tombstones import write_tombstones
+
+    write_tombstones(docs, path, id_col)
 
 
 def neardup_lookup(
@@ -190,6 +207,12 @@ def neardup_lookup(
             "key",
         )
     )
+    # delete-aware serving: mask tombstoned documents BEFORE the bucket
+    # cap, so the cap selects exactly the rows a from-scratch rebuild
+    # would (operators/index_tombstones.py)
+    from .index_tombstones import filter_tombstones
+
+    idx = filter_tombstones(spark, path, idx, "index_id")
     w = Window.partitionBy("band", "key").orderBy("index_id")
     idx = idx.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") <= max_bucket_rows

@@ -442,6 +442,9 @@ def write_ivfpq_index(
     trusting the frozen codebooks with them (r10 incremental refresh)."""
     import json
 
+    from .index_tombstones import clear_tombstones
+
+    clear_tombstones(path)  # a full build masks nothing
     cn = normalized(corpus.select(F.col(id_col), F.col(emb_col)), emb_col)
     cents_df = _centroids_df(corpus, centroids)
     from .kmeans import assign_cells
@@ -498,6 +501,21 @@ def write_ivfpq_index(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
     return baseline
+
+
+def delete_from_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally REMOVE vectors: ids append to the tombstone mask;
+    the encoded rows stay in their cell partitions and lookups filter
+    them before ADC (operators/index_tombstones.py — IVF-PQ has no
+    corpus stats to adjust; the drift baseline describes the TRAINING
+    sample and deletes don't retrain)."""
+    from .index_tombstones import write_tombstones
+
+    write_tombstones(corpus, path, id_col)
 
 
 def append_ivfpq_index(
@@ -626,6 +644,11 @@ def ivf_pq_topk_indexed(
     vectors = reader.parquet(f"{path}/vectors").where(
         F.col("cell").isin(probe_cells)
     )
+    # delete-aware serving: mask tombstoned vectors out of the probed
+    # cells before ADC/shortlist/rerank (operators/index_tombstones.py)
+    from .index_tombstones import filter_tombstones
+
+    vectors = filter_tombstones(spark, path, vectors, "vec_id")
     coarse = (
         vectors.select("vec_id", "cell", "pq_code")
         .join(F.broadcast(q), "cell")

@@ -480,3 +480,89 @@ class TestFieldedBm25:
             for r in bm25_topk_indexed(spark, full, queries, k=10).collect()
         }
         assert got_inc == got_full and got_inc
+
+
+class TestDeleteTombstones:
+    def test_delete_matches_rebuild_exactly(self, spark, frames, tmp_path):
+        """delete_from_bm25_index + masked lookup == an index built over
+        the surviving corpus, bit-for-bit: df derives from the masked
+        candidates and the negative stats fragment fixes n_docs/avgdl."""
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            delete_from_bm25_index,
+            write_bm25_index,
+        )
+
+        docs, queries = frames
+        idx = str(tmp_path / "del_idx")
+        write_bm25_index(docs, idx, n_buckets=8)
+        removed = docs.where(F.col("doc_id").isin([1, 4]))
+        delete_from_bm25_index(removed, idx)
+
+        rebuilt = str(tmp_path / "rb_idx")
+        write_bm25_index(
+            docs.where(~F.col("doc_id").isin([1, 4])), rebuilt, n_buckets=8
+        )
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, idx, queries, k=10).collect()
+        }
+        want = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(
+                spark, rebuilt, queries, k=10
+            ).collect()
+        }
+        assert got == want and got
+        assert 1 not in {d for d, _s in got.values()}
+
+    def test_fielded_delete_replays_weighting(self, spark, tmp_path):
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            delete_from_bm25_index,
+            write_bm25_index,
+        )
+
+        docs = spark.createDataFrame(FDOCS, ["doc_id", "title", "body"])
+        queries = spark.createDataFrame(FQUERIES, ["query_id", "query_text"])
+        idx = str(tmp_path / "fdel_idx")
+        write_bm25_index(docs, idx, n_buckets=8, fields=FIELDS)
+        delete_from_bm25_index(docs.where(F.col("doc_id") == 1), idx)
+
+        rebuilt = str(tmp_path / "frb_idx")
+        write_bm25_index(
+            docs.where(F.col("doc_id") != 1), rebuilt, n_buckets=8,
+            fields=FIELDS,
+        )
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, idx, queries, k=10).collect()
+        }
+        want = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(
+                spark, rebuilt, queries, k=10
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_full_write_clears_mask(self, spark, frames, tmp_path):
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            delete_from_bm25_index,
+            write_bm25_index,
+        )
+        from seafowl_spark.operators.index_tombstones import has_tombstones
+
+        docs, queries = frames
+        idx = str(tmp_path / "cl_idx")
+        write_bm25_index(docs, idx, n_buckets=8)
+        delete_from_bm25_index(docs.where(F.col("doc_id") == 1), idx)
+        assert has_tombstones(idx)
+        write_bm25_index(docs, idx, n_buckets=8)  # full rebuild
+        assert not has_tombstones(idx)
+        got = {
+            r.doc_id
+            for r in bm25_topk_indexed(spark, idx, queries, k=10).collect()
+        }
+        assert 1 in got  # unmasked

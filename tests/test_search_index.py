@@ -805,3 +805,173 @@ class TestFieldedAndMatchModes:
             ctx.execute(
                 "CREATE SEARCH INDEX z ON fd (title, missing) USING BM25"
             )
+
+
+class TestDeleteAwareRefresh:
+    """r10 tombstones (operators/index_tombstones.py): DELETEs refresh
+    incrementally — removed ids mask at lookup time and BM25 merges a
+    negative stats fragment, so a tombstone-filtered lookup equals a
+    from-scratch rebuild BIT-FOR-BIT. Updates, re-inserts of tombstoned
+    ids, and cap overflows downgrade to the full rebuild (which clears
+    the mask) with the reason recorded on the spec."""
+
+    def _table(self, ctx, name="sd"):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def _last_op(self, ctx, name="sd"):
+        t = self._table(ctx, name)
+        return max(t.history(), key=lambda c: c.version).operation
+
+    def _spec(self, ctx, name="sd", idx="idx"):
+        from seafowl_spark.engine.search_index import load_specs
+
+        return load_specs(self._table(ctx, name).snapshot().properties)[idx]
+
+    def _serve(self, ctx, q="spark", k=10, idx="idx"):
+        return {
+            (r.result_id, r.score, r.rank)
+            for r in ctx.execute(
+                f"SELECT * FROM search_index('sd', '{idx}', '{q}', {k})"
+            ).collect()
+        }
+
+    def test_delete_refreshes_incrementally_with_exact_parity(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("DELETE FROM sd WHERE doc_id = 1")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        got = self._serve(ctx, "spark merge join")
+        assert 1 not in {r[0] for r in got}
+        # bit-exact vs a from-scratch rebuild: document frequencies and
+        # avgdl/n_docs all adjust (negative stats fragment + pre-df mask)
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert got == self._serve(ctx, "spark merge join")
+
+    def test_mixed_delete_insert_diff_incremental(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("DELETE FROM sd WHERE doc_id = 3")
+        ctx.execute("INSERT INTO sd VALUES (9, 'fresh spark document')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        ids = {r[0] for r in self._serve(ctx)}
+        assert 3 not in ids and 9 in ids
+
+    def test_update_forces_rebuild_with_reason(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute(
+            "UPDATE sd SET text = 'rewritten content' WHERE doc_id = 2"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX"  # full
+        assert (
+            self._spec(ctx).params["last_rebuild_reason"]
+            == "in-place update in diff"
+        )
+        ids = {r[0] for r in self._serve(ctx, "rewritten")}
+        assert ids == {2}
+
+    def test_reinsert_of_tombstoned_id_forces_rebuild(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("DELETE FROM sd WHERE doc_id = 3")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        # the masked old postings would shadow fresh ones — must rebuild
+        ctx.execute(
+            "INSERT INTO sd VALUES (3, 'spark window aggregation engine')"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX"
+        assert (
+            self._spec(ctx).params["last_rebuild_reason"]
+            == "re-insert of tombstoned id"
+        )
+        assert 3 in {r[0] for r in self._serve(ctx)}
+        # the rebuild cleared the mask: the NEXT delete is incremental
+        # again and the stale reason is dropped
+        ctx.execute("DELETE FROM sd WHERE doc_id = 5")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        assert "last_rebuild_reason" not in self._spec(ctx).params
+        assert 5 not in {r[0] for r in self._serve(ctx)}
+
+    def test_tombstone_cap_forces_rebuild(self, ctx):
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (tombstone_cap = '1')"
+        )
+        ctx.execute("DELETE FROM sd WHERE doc_id IN (1, 2)")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX"
+        assert (
+            self._spec(ctx).params["last_rebuild_reason"]
+            == "tombstone cap exceeded"
+        )
+        assert {r[0] for r in self._serve(ctx)} <= {3, 4, 5}
+
+    def test_lsh_delete_masks_neardup(self, ctx):
+        ctx.execute("CREATE TABLE sd (doc_id BIGINT, text STRING)")
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        ctx.execute(
+            f"INSERT INTO sd VALUES (1, '{base}'), (2, '{base} tail'), "
+            "(3, 'completely different content about databases')"
+        )
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING LSH "
+            "WITH (threshold = '0.2')"
+        )
+        before = {
+            r[0] for r in self._serve(ctx, base.replace("'", ""), k=5)
+        }
+        assert 1 in before
+        ctx.execute("DELETE FROM sd WHERE doc_id = 1")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        after = {r[0] for r in self._serve(ctx, base.replace("'", ""), k=5)}
+        assert 1 not in after and 2 in after
+
+    def test_ivfpq_delete_masks_vector(self, ctx):
+        import random
+
+        rng = random.Random(7)
+        vals = ", ".join(
+            f"({i}, array({', '.join(f'{rng.uniform(-1, 1):.4f}' for _ in range(8))}))"
+            for i in range(24)
+        )
+        ctx.execute("CREATE TABLE sd (doc_id BIGINT, emb ARRAY<DOUBLE>)")
+        ctx.execute(f"INSERT INTO sd VALUES {vals}")
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (emb) USING IVFPQ "
+            "WITH (cells = '2', m = '4', ksub = '4', nprobe = '2')"
+        )
+        probe = rows(ctx.execute("SELECT emb FROM sd WHERE doc_id = 0"))[0][0]
+        q = "[" + ", ".join(str(x) for x in probe) + "]"
+        before = {
+            r[0]
+            for r in rows(
+                ctx.execute(
+                    f"SELECT result_id FROM search_index('sd', 'idx', '{q}', 3)"
+                )
+            )
+        }
+        victim = sorted(before)[0]
+        ctx.execute(f"DELETE FROM sd WHERE doc_id = {victim}")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        after = {
+            r[0]
+            for r in rows(
+                ctx.execute(
+                    f"SELECT result_id FROM search_index('sd', 'idx', '{q}', 3)"
+                )
+            )
+        }
+        assert victim not in after and after
