@@ -1182,10 +1182,19 @@ class SeafowlContext:
             ):
                 # search indexes re-create as their own DDL (the artifact
                 # rebuilds; the JSON spec prop is internal bookkeeping);
-                # single quotes in values double so the DDL re-parses
+                # single quotes in values double so the DDL re-parses.
+                # Runtime observability stats are NOT user params — the
+                # re-executed CREATE would persist them as stale config
+                # (the build recomputes the real values)
+                _runtime = {
+                    "last_rebuild_reason",
+                    "last_batch_resid_norm",
+                    "baseline_resid_norm",
+                }
                 with_items = [
                     f"""'{k}' = '{str(v).replace("'", "''")}'"""
                     for k, v in sorted(ispec.params.items())
+                    if k not in _runtime
                 ]
                 ddl += (
                     f";\nCREATE SEARCH INDEX {iname} ON {qual} "
@@ -1994,6 +2003,46 @@ class SeafowlContext:
             "REFRESH SEARCH INDEX"
             + (" (INCREMENTAL)" if incremental else ""),
         )
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+
+    def _exec_optimize_search_index(self, stmt) -> None:
+        """OPTIMIZE SEARCH INDEX: fold the tombstone mask into the
+        artifact and collapse accumulated stats fragments — an IO-only
+        rewrite (engine/search_index.compact_index), never the corpus
+        re-tokenized. Serving is bit-identical before/after; cached
+        ETags stay valid (file_fp/built_version describe the CONTENT,
+        which doesn't change)."""
+        from .search_index import compact_index, index_dir
+
+        f = stmt.fields
+        entry, t, _snap, specs = self._search_index_target(f["table"])
+        spec = specs.get(f["index"])
+        if spec is None:
+            raise ExecutionError(
+                f"search index {f['index']} does not exist on {f['table']}"
+            )
+        path = index_dir(self.table_root(entry), f["index"])
+        if not os.path.isdir(path):
+            raise ExecutionError(
+                f"search index {f['index']} on {f['table']} has no "
+                "artifact on disk (dropped or restored past it); DROP "
+                "SEARCH INDEX and re-CREATE it"
+            )
+        marker = os.path.join(path, "_append_pending")
+        if os.path.exists(marker):
+            raise ExecutionError(
+                f"search index {f['index']} has an interrupted refresh "
+                "pending; run REFRESH SEARCH INDEX first"
+            )
+        # the rewrite-and-swap is not atomic: a crash mid-compaction
+        # leaves the marker, and the next REFRESH full-rebuilds
+        with open(marker, "w") as fh:
+            fh.write("optimize")
+        compact_index(self.spark, path, spec)
+        self._commit_index_specs(entry, t, specs, "OPTIMIZE SEARCH INDEX")
         try:
             os.remove(marker)
         except OSError:

@@ -611,6 +611,18 @@ def parse_statement(sql: str) -> Statement:
     if m:
         return Statement("truncate", s, {"name": m.group(1)})
 
+    # must precede OPTIMIZE TABLE: its _QNAME would swallow 'search'
+    m = re.match(
+        rf"(?i)^optimize\s+search\s+index\s+({_IDENT})\s+on\s+({_QNAME})\s*$",
+        s,
+    )
+    if m:
+        return Statement(
+            "optimize_search_index",
+            s,
+            {"index": m.group(1).strip('"'), "table": m.group(2)},
+        )
+
     m = re.match(
         rf"(?i)^optimize\s+(?:table\s+)?({_QNAME})"
         r"(?:\s+where\s+(.+?))?"

@@ -230,6 +230,52 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
     return removed, added
 
 
+def compact_index(spark, path: str, spec: IndexSpec) -> None:
+    """OPTIMIZE SEARCH INDEX: drop the tombstone mask into the artifact
+    (rewrite each partitioned dir minus the masked rows — IO only, no
+    re-tokenizing/hashing/encoding) and fold the BM25 stats fragments
+    into one row. Serving is bit-identical before and after; the mask
+    and its broadcast cost are gone and long-lived incremental indexes
+    shed their accumulated fragment files."""
+    from ..operators.index_tombstones import (
+        clear_tombstones,
+        compact_masked_dir,
+    )
+
+    if spec.method == "BM25":
+        from ..operators.bm25 import compact_bm25_stats
+
+        stats = spark.read.parquet(f"{path}/stats")
+        ddl = None
+        if "postings_ddl" in stats.columns:
+            row = stats.select("postings_ddl").first()
+            ddl = row[0] if row else None
+        # postings always alias the table's id column to doc_id
+        compact_masked_dir(spark, path, "postings", "bucket", "doc_id", ddl)
+        compact_bm25_stats(spark, path)
+    elif spec.method == "LSH":
+        import json as _json
+
+        meta = _json.loads(
+            spark.read.parquet(f"{path}/meta").first()["meta"]
+        )
+        compact_masked_dir(
+            spark, path, "bands", "bucket", meta["id_col"],
+            meta.get("bands_ddl"),
+        )
+    else:  # IVFPQ
+        import json as _json
+
+        meta = _json.loads(
+            spark.read.json(f"{path}/meta").first()["meta"]
+        )
+        compact_masked_dir(
+            spark, path, "vectors", "cell", "vec_id",
+            meta.get("vectors_ddl"),
+        )
+    clear_tombstones(path)
+
+
 def apply_incremental_delete(spec: IndexSpec, removed, path: str) -> None:
     """Tombstone the removed rows in the method's artifact (BM25 also
     writes the NEGATIVE stats fragment so merged n_docs/avgdl equal a

@@ -575,6 +575,33 @@ def delete_from_bm25_index(
     write_tombstones(docs, path, id_col)
 
 
+def compact_bm25_stats(spark, path: str) -> None:
+    """Collapse the per-write stats fragments (one per append/delete)
+    into a single row with the same merged sums. Every incremental
+    refresh adds a fragment file, so a long-lived index accumulates
+    thousands of tiny parquet files the reader must open per query —
+    OPTIMIZE folds them. Staged + swapped like the postings rewrite."""
+    import os
+    import shutil
+
+    src = f"{path}/stats"
+    raw = spark.read.parquet(src)
+    aggs = [
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+        F.first("n_buckets").alias("n_buckets"),
+        F.first("postings_ddl", ignorenulls=True).alias("postings_ddl"),
+    ]
+    if "fields" in raw.columns:
+        aggs.append(F.first("fields", ignorenulls=True).alias("fields"))
+    one = raw.agg(*aggs).coalesce(1)
+    tmp = src + ".__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    one.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(src)
+    os.rename(tmp, src)
+
+
 def bm25_topk_indexed(
     spark,
     path: str,

@@ -93,3 +93,32 @@ def filter_tombstones(
 def tombstone_count(spark, index_path: str) -> int:
     ts = read_tombstones(spark, index_path)
     return 0 if ts is None else ts.count()
+
+
+def compact_masked_dir(
+    spark,
+    index_path: str,
+    subdir: str,
+    part_col: str,
+    id_col: str,
+    ddl: str | None = None,
+) -> None:
+    """Rewrite one artifact directory with the tombstoned rows dropped
+    (and per-partition fragments coalesced by the overwrite) — the
+    IO-only half of OPTIMIZE SEARCH INDEX: no tokenizing, hashing, or
+    encoding re-runs, just a partition-preserving read → filter →
+    rewrite. Staged through a sibling ``.__compact`` dir and swapped, so
+    the source is never read and overwritten in one job; the caller's
+    crash marker covers the non-atomic swap window."""
+    src = os.path.join(index_path, subdir)
+    reader = spark.read
+    if ddl:
+        reader = reader.schema(ddl)
+    df = filter_tombstones(
+        spark, index_path, reader.parquet(src), id_col
+    )
+    tmp = src + ".__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    shutil.rmtree(src)
+    os.rename(tmp, src)

