@@ -332,12 +332,17 @@ class SeafowlContext:
                         column_name=s.column,
                         built_version=s.built_version,
                         is_stale=s.file_fp != cur_fp,
+                        # maintained by REFRESH (delete-aware diffs) and
+                        # zeroed by rebuilds/OPTIMIZE — read from the
+                        # spec, never the artifact (the board must stay
+                        # metadata-only)
+                        tombstones=int(s.params.get("tombstones", 0)),
                     )
                 )
         si_schema = T.StructType.fromDDL(
             "table_schema string, table_name string, index_name string, "
             "method string, column_name string, built_version bigint, "
-            "is_stale boolean"
+            "is_stale boolean, tombstones bigint"
         )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
@@ -1190,6 +1195,7 @@ class SeafowlContext:
                     "last_rebuild_reason",
                     "last_batch_resid_norm",
                     "baseline_resid_norm",
+                    "tombstones",
                 }
                 with_items = [
                     f"""'{k}' = '{str(v).replace("'", "''")}'"""
@@ -1914,6 +1920,13 @@ class SeafowlContext:
                         fh.write(snapshot_fp(snap))
                     if removed is not None:
                         apply_incremental_delete(spec, removed, path)
+                        from ..operators.index_tombstones import (
+                            tombstone_count,
+                        )
+
+                        spec.params["tombstones"] = tombstone_count(
+                            self.spark, path
+                        )
                         incremental = True
                     if new_rows is None:
                         pass  # delete/compaction-only diff
@@ -1994,6 +2007,7 @@ class SeafowlContext:
             stats = build_index(t.to_df(_snap=snap), path, spec)
             if stats:
                 spec.params.update(stats)
+            spec.params.pop("tombstones", None)  # rebuild cleared the mask
         spec.built_version = t.latest_version() + 1
         spec.file_fp = snapshot_fp(snap)
         self._commit_index_specs(
@@ -2042,6 +2056,7 @@ class SeafowlContext:
         with open(marker, "w") as fh:
             fh.write("optimize")
         compact_index(self.spark, path, spec)
+        spec.params.pop("tombstones", None)  # mask folded into artifact
         self._commit_index_specs(entry, t, specs, "OPTIMIZE SEARCH INDEX")
         try:
             os.remove(marker)

@@ -367,17 +367,24 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         method = rng.choice(["BM25", "LSH"])
         if iname in m.indexes[name]:
             return f"noop (index {iname} exists)"
+        # r10: sometimes create BM25 indexes in AND-semantics mode — the
+        # lookup invariant (results ⊆ build snapshot) holds either way
+        extra = (
+            ", 'match' = 'all'"
+            if method == "BM25" and rng.random() < 0.3
+            else ""
+        )
         ctx.execute(
             f"CREATE SEARCH INDEX {iname} ON {name} (t) USING {method} "
-            "WITH ('id_col' = 'k')"
+            f"WITH ('id_col' = 'k'{extra})"
         )
         m.indexes[name][iname] = {
             "method": method,
             "built_rev": m.rev[name],
             "visible": set(m.tables[name]),
         }
-        return f"index {name}.{iname} {method}"
-    if roll < 0.90:
+        return f"index {name}.{iname} {method}{extra and ' all'}"
+    if roll < 0.88:
         if not m.indexes[name]:
             return "noop (no index to refresh)"
         iname = rng.choice(sorted(m.indexes[name]))
@@ -386,6 +393,16 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         st["built_rev"] = m.rev[name]
         st["visible"] = set(m.tables[name])
         return f"refresh {name}.{iname}"
+    if roll < 0.94:
+        # r10: OPTIMIZE folds the tombstone mask + fragments into the
+        # artifact — serving must be unchanged (the step's board and
+        # lookup assertions run right after), staleness untouched
+        # (metadata commit, file fingerprint identical)
+        if not m.indexes[name]:
+            return "noop (no index to optimize)"
+        iname = rng.choice(sorted(m.indexes[name]))
+        ctx.execute(f"OPTIMIZE SEARCH INDEX {iname} ON {name}")
+        return f"optimize {name}.{iname}"
     if not m.indexes[name]:
         return "noop (no index to drop)"
     iname = rng.choice(sorted(m.indexes[name]))

@@ -954,6 +954,31 @@ class TestDeleteAwareRefresh:
         )
         assert {r[0] for r in self._serve(ctx)} <= {3, 4, 5}
 
+    def test_tombstone_count_on_board(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+
+        def board():
+            return rows(
+                ctx.execute(
+                    "SELECT tombstones FROM system.search_indexes "
+                    "WHERE index_name = 'idx'"
+                )
+            )[0][0]
+
+        assert board() == 0
+        ctx.execute("DELETE FROM sd WHERE doc_id IN (1, 2)")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert board() == 2
+        ctx.execute("DELETE FROM sd WHERE doc_id = 3")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert board() == 3
+        ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")
+        assert board() == 0
+        # the count is spec-tracked, never leaked into SHOW CREATE
+        ddl = ctx.execute("SHOW CREATE TABLE sd").collect()[0][0]
+        assert "tombstones" not in ddl
+
     def test_lsh_delete_masks_neardup(self, ctx):
         ctx.execute("CREATE TABLE sd (doc_id BIGINT, text STRING)")
         base = "the quick brown fox jumps over the lazy dog again and again"
