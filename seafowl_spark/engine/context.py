@@ -2026,9 +2026,11 @@ class SeafowlContext:
         """OPTIMIZE SEARCH INDEX: fold the tombstone mask into the
         artifact and collapse accumulated stats fragments — an IO-only
         rewrite (engine/search_index.compact_index), never the corpus
-        re-tokenized. Serving is bit-identical before/after; cached
-        ETags stay valid (file_fp/built_version describe the CONTENT,
-        which doesn't change)."""
+        re-tokenized. Serving is bit-identical before/after. The index
+        identity (built_version/file_fp) is unchanged, but the spec
+        commit below bumps the TABLE version, so cached GETs
+        re-validate once — harmless over-invalidation, same as every
+        index DDL."""
         from .search_index import compact_index, index_dir
 
         f = stmt.fields
