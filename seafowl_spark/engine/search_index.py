@@ -171,7 +171,9 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
             ts is not None
             and new_rows is not None
             and new_rows.join(
-                F.broadcast(ts), new_rows[id_col] == ts["id"], "inner"
+                F.broadcast(ts),
+                new_rows[id_col].cast("string") == ts["id"],
+                "inner",
             )
             .limit(1)
             .count()
@@ -207,7 +209,9 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
         ts is not None
         and added is not None
         and added.join(
-            F.broadcast(ts), added[id_col] == ts["id"], "inner"
+            F.broadcast(ts),
+            added[id_col].cast("string") == ts["id"],
+            "inner",
         )
         .limit(1)
         .count()

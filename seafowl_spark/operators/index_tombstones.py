@@ -56,8 +56,13 @@ def has_tombstones(index_path: str) -> bool:
 
 
 def write_tombstones(ids: DataFrame, index_path: str, id_col: str) -> None:
-    """Append one fragment of removed ids (BIGINT) to the mask."""
-    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+    """Append one fragment of removed ids to the mask. Ids store as
+    STRING: the index machinery supports string id columns (the LSH
+    lookup's empty-frame path is explicit about it), and a long cast
+    would turn those into NULLs — a mask that never matches anything,
+    silently serving deleted documents. String round-trips every id
+    type the engine stores losslessly."""
+    ids.select(F.col(id_col).cast("string").alias("id")).write.mode(
         "append"
     ).parquet(tombstone_dir(index_path))
 
@@ -65,7 +70,7 @@ def write_tombstones(ids: DataFrame, index_path: str, id_col: str) -> None:
 def read_tombstones(spark, index_path: str) -> DataFrame | None:
     if not has_tombstones(index_path):
         return None
-    return spark.read.schema("id long").parquet(tombstone_dir(index_path))
+    return spark.read.schema("id string").parquet(tombstone_dir(index_path))
 
 
 def clear_tombstones(index_path: str) -> None:
@@ -85,7 +90,7 @@ def filter_tombstones(
         return candidates
     return candidates.join(
         F.broadcast(ts),
-        candidates[id_col] == ts["id"],
+        candidates[id_col].cast("string") == ts["id"],
         "left_anti",
     )
 

@@ -273,3 +273,43 @@ class TestIngestSurvivorRule:
         # 20 and 30 are dups OF THE SURVIVOR 10 — never of each other
         # (20 is not entering the index, so (30, 20) must not appear)
         assert pairs == {(20, 10), (30, 10)}
+
+
+class TestStringIdTombstones:
+    def test_delete_masks_string_id_docs(self, spark, tmp_path):
+        """Tombstones store ids as STRING: a long-cast mask would turn
+        string ids into NULLs and silently serve deleted documents."""
+        from seafowl_spark.operators.lsh_index import (
+            delete_from_lsh_index,
+            neardup_lookup,
+            write_lsh_index,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [("alpha", base), ("beta", base + " tail"),
+             ("gamma", "entirely different words about other things here")],
+            ["doc_id", "text"],
+        )
+        idx = str(tmp_path / "sid_idx")
+        write_lsh_index(docs, idx, n_buckets=8)
+        probe = spark.createDataFrame(
+            [("probe", base + " extra")], ["doc_id", "text"]
+        )
+        before = {
+            r.index_id
+            for r in neardup_lookup(
+                spark, idx, probe, threshold=0.2, exclude_self=False
+            ).collect()
+        }
+        assert "alpha" in before
+        delete_from_lsh_index(
+            docs.where("doc_id = 'alpha'"), idx
+        )
+        after = {
+            r.index_id
+            for r in neardup_lookup(
+                spark, idx, probe, threshold=0.2, exclude_self=False
+            ).collect()
+        }
+        assert "alpha" not in after and "beta" in after
