@@ -63,6 +63,15 @@ HEADLINE = [
 
 N_RUNS = 3
 REGRESSION_GATE = 1.15
+# r11 (the r10 verdict's task #1): a drift-probe ratio above this means
+# the HOST is too contended for cross-round comparison to mean anything
+# (the sealed r10 run read 1.9x on code byte-identical to r9 and
+# published a false "regressed" — judge-arbitrated in
+# tools/bench_arbitrate_r10_flags.md). The probe retries once (transient
+# spikes pass on retry); if it still exceeds the gate every cross-round
+# verdict renders "environment-invalid", never "regressed", and later
+# rounds' prev_round_comparison skips this record as an anchor.
+DRIFT_INVALID_GATE = 1.5
 
 # Round-6 single-shot per-query seconds and probe ratio (BENCH_r06.json),
 # frozen here so the bench can self-compare. r6's probe ratio was 0.956
@@ -103,6 +112,48 @@ ABSORBED = {
 }
 
 
+def _reconstruct_from_tail(tail: str) -> dict:
+    """Best-effort recovery of the bench JSON line from a driver record
+    whose ``parsed`` is null and whose ``tail`` is FRONT-truncated (the
+    driver keeps the last ~2000 chars; r8/r9 records land mid-way inside
+    the ``queries`` dict). Purely mechanical — nothing is guessed:
+
+    * the stderr bench-note is split off;
+    * a tail that still starts with ``{`` parses directly;
+    * otherwise the partial first query entry (``ary": 1.435, ...``) is
+      re-keyed only when EXACTLY one headline name ends with the
+      surviving suffix, and the truncated header fields are restored
+      from invariants of the bench version that wrote the record
+      (``value`` = sum of the min-of-3 timings; ``protocol`` is
+      min-of-3 iff the min-of-3-era ``queries_single_shot`` field
+      survived)."""
+    body = tail.split("\nbench-note:")[0].strip()
+    if body.startswith("{"):
+        try:
+            return json.loads(body)
+        except json.JSONDecodeError:
+            return {}
+    m = re.match(
+        r'^([A-Za-z0-9_]*)"\s*:\s*([0-9.]+)\s*,\s*(.*)$', body, re.DOTALL
+    )
+    if not m:
+        return {}
+    suffix, val, rest = m.group(1), float(m.group(2)), m.group(3)
+    try:
+        rec = json.loads('{"queries": {' + rest)
+    except json.JSONDecodeError:
+        return {}
+    q = rec.get("queries") or {}
+    missing = [n for n in HEADLINE if n not in q and n.endswith(suffix)]
+    if len(missing) == 1:
+        q[missing[0]] = val
+    if "queries_single_shot" in rec:
+        rec.setdefault("protocol", f"min_of_{N_RUNS}")
+        rec.setdefault("value", round(sum(q.values()), 3))
+    rec["reconstructed_from_tail"] = True
+    return rec
+
+
 def _latest_recorded_bench(search_dir: str | None = None) -> tuple[int, dict] | None:
     """Newest driver-recorded BENCH_r{N}.json that carries min-of-3
     per-query timings AND a drift-probe ratio — the like-for-like anchor
@@ -122,12 +173,25 @@ def _latest_recorded_bench(search_dir: str | None = None) -> tuple[int, dict] | 
                 rec = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        # the driver wraps the bench's JSON line under "parsed"
+        # the driver wraps the bench's JSON line under "parsed"; when its
+        # parse failed (r8-r10: parsed = null, front-truncated tail) the
+        # data survives in "tail" — recover it rather than silently
+        # losing an anchor
+        outer = rec
         rec = rec.get("parsed", rec) or {}
+        if not rec and isinstance(outer.get("tail"), str):
+            rec = _reconstruct_from_tail(outer["tail"])
+        ratio = (rec.get("drift_probe") or {}).get("ratio")
         if (
             rec.get("protocol") == f"min_of_{N_RUNS}"
             and rec.get("queries")
-            and (rec.get("drift_probe") or {}).get("ratio")
+            and ratio
+            # environment-invalid records (contended host, probe above
+            # the gate) never anchor a comparison: single-probe
+            # normalization under-corrects for shuffle-heavy queries on
+            # a sick host (r10 arbitration)
+            and ratio <= DRIFT_INVALID_GATE
+            and not rec.get("environment_invalid")
             and rec.get("sf") == 0.1
             and (best is None or n > best[0])
         ):
@@ -180,7 +244,16 @@ def main() -> None:
     from tools.drift_probe import run_probe
 
     drift = run_probe(spark, sf_dir)
+    if (drift["ratio"] or 0) > DRIFT_INVALID_GATE:
+        # transient contention spikes pass on retry; sustained load does
+        # not — keep the better reading either way (min over both probes
+        # is still the same frozen query, same protocol)
+        retry = run_probe(spark, sf_dir)
+        if (retry["ratio"] or float("inf")) < (drift["ratio"] or float("inf")):
+            drift = retry
+        drift["retried"] = True
     ratio = drift["ratio"] or 1.0
+    env_invalid = ratio > DRIFT_INVALID_GATE
 
     total = round(sum(timings.values()), 3)
     total_ss = round(sum(first_run.values()), 3)
@@ -212,7 +285,12 @@ def main() -> None:
             "this_total_normalized": this_norm_ss,
             "moved_x": moved,
             "verdict": (
-                "regressed"
+                # a sick host can never publish "regressed" into the
+                # permanent record (r10 arbitration — single-probe
+                # normalization under-corrects on a contended machine)
+                "environment-invalid"
+                if env_invalid
+                else "regressed"
                 if moved > REGRESSION_GATE
                 else ("improved" if moved < 1 / REGRESSION_GATE else "flat")
             ),
@@ -254,8 +332,12 @@ def main() -> None:
             "moved_x": round(this_total / prev_total, 3)
             if prev_total
             else None,
-            "per_query_regressions": prev_regressions,
+            "per_query_regressions": {}
+            if env_invalid
+            else prev_regressions,
         }
+        if env_invalid:
+            prev_comparison["verdict"] = "environment-invalid"
     else:
         prev_comparison = {
             "verdict": "n/a",
@@ -276,6 +358,7 @@ def main() -> None:
                 "single_shot_total": total_ss,
                 "sf": sf,
                 "drift_probe": drift,
+                "environment_invalid": env_invalid,
                 "normalized_value": normalized,
                 "r6_comparison": r6_comparison,
                 "prev_round_comparison": prev_comparison,

@@ -1835,6 +1835,17 @@ class SeafowlContext:
                     f"weights lists {len(ws)} values for {len(cols)} "
                     "column(s)"
                 )
+            # float() accepts 'inf'/'nan'/negatives — all of which flow
+            # straight into the BM25F tf/dl sums and silently corrupt
+            # every score; reject at CREATE, the only place the user is
+            # listening
+            import math as _math
+
+            if any(not _math.isfinite(w) or w <= 0 for w in ws):
+                raise ExecutionError(
+                    "weights must be finite and positive "
+                    f"(got {f['params']['weights']!r})"
+                )
         if str(f["params"].get("match", "any")).lower() not in ("any", "all"):
             raise ExecutionError("match must be 'any' or 'all'")
         if "match" in f["params"] and f["method"] != "BM25":
@@ -1883,8 +1894,6 @@ class SeafowlContext:
             raise ExecutionError(
                 f"search index {f['index']} does not exist on {f['table']}"
             )
-        if spec.file_fp == snapshot_fp(snap):
-            return  # already current: no rebuild, no commit
         path = index_dir(self.table_root(entry), f["index"])
         # crash-safety: the incremental append and the spec commit are
         # not atomic — a crash between them would make the RETRY re-append
@@ -1893,8 +1902,20 @@ class SeafowlContext:
         # spec commit; a surviving marker forces the always-correct full
         # rebuild (whose overwrite replaces the artifact wholesale).
         marker = os.path.join(path, "_append_pending")
+        # the marker check must PRECEDE the fingerprint early-return: a
+        # crash mid-OPTIMIZE (which changes no table data) leaves a
+        # half-rewritten artifact behind a FRESH fingerprint — without
+        # this, REFRESH would no-op forever and every lookup fail until
+        # unrelated data changed (advisor find, r11)
+        if spec.file_fp == snapshot_fp(snap) and not os.path.exists(marker):
+            return  # already current: no rebuild, no commit
+        # the reason param describes THIS refresh only: pop the previous
+        # one up front, let each downgrade path record its own (stale
+        # reasons on the board were an advisor find, r11)
+        spec.params.pop("last_rebuild_reason", None)
+        had_marker = os.path.exists(marker)
         incremental = False
-        if not os.path.exists(marker):
+        if not had_marker:
             try:
                 from .search_index import (
                     FullRebuildRequired,
@@ -1918,6 +1939,13 @@ class SeafowlContext:
                     )
                     with open(marker, "w") as fh:
                         fh.write(snapshot_fp(snap))
+                    if removed is None and new_rows is None:
+                        # compaction-only base-table diff (OPTIMIZE /
+                        # ZORDER rewrote files, same rows): the index is
+                        # already exact — bump the fingerprint and commit
+                        # without touching the artifact, never a corpus
+                        # re-tokenize (advisor find, r11)
+                        incremental = True
                     if removed is not None:
                         apply_incremental_delete(spec, removed, path)
                         from ..operators.index_tombstones import (
@@ -1971,6 +1999,12 @@ class SeafowlContext:
                             spec.params["last_batch_resid_norm"] = round(
                                 ex.batch_norm, 9
                             )
+                            # without this a drift-triggered rebuild kept
+                            # showing whatever reason an EARLIER refresh
+                            # recorded (advisor find, r11)
+                            spec.params["last_rebuild_reason"] = (
+                                "drift exceeded"
+                            )
                             incremental = False
                         else:
                             spec.params["last_batch_resid_norm"] = round(
@@ -2000,10 +2034,14 @@ class SeafowlContext:
                 spec.params["last_rebuild_reason"] = str(ex)
                 incremental = False
             except Exception:  # noqa: BLE001 — vacuumed history etc.
+                spec.params["last_rebuild_reason"] = "diff unavailable"
                 incremental = False
-        if incremental:
-            spec.params.pop("last_rebuild_reason", None)  # stale reason
-        else:
+        if not incremental:
+            if had_marker:
+                spec.params["last_rebuild_reason"] = (
+                    "interrupted refresh recovered"
+                )
+            spec.params.setdefault("last_rebuild_reason", "full rebuild")
             stats = build_index(t.to_df(_snap=snap), path, spec)
             if stats:
                 spec.params.update(stats)

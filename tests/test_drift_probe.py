@@ -95,3 +95,92 @@ class TestLatestRecordedBench:
             },
         )
         assert _latest_recorded_bench(str(tmp_path)) is None
+
+
+class TestEnvironmentInvalidGate:
+    """r11 (the r10 verdict's task #1): a drift ratio above
+    DRIFT_INVALID_GATE makes a record ineligible as a prev-round anchor,
+    and front-truncated tails (r8/r9 driver records) reconstruct
+    mechanically so the newest CLEAN round still anchors."""
+
+    def _write(self, d, n, parsed=None, **extra):
+        import json
+
+        (d / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"n": n, "parsed": parsed, **extra})
+        )
+
+    def test_contended_host_record_never_anchors(self, tmp_path):
+        from bench import _latest_recorded_bench
+
+        ok = {
+            "protocol": "min_of_3",
+            "queries": {"q01_pricing_summary": 1.2},
+            "drift_probe": {"ratio": 0.9},
+            "sf": 0.1,
+        }
+        self._write(tmp_path, 9, ok)
+        # newer, but its own probe read 1.9x (the sealed-r10 shape)
+        self._write(
+            tmp_path, 10, dict(ok, drift_probe={"ratio": 1.9})
+        )
+        # and one explicitly stamped invalid
+        self._write(
+            tmp_path, 11, dict(ok, environment_invalid=True)
+        )
+        n, rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 9
+        assert rec["drift_probe"]["ratio"] == 0.9
+
+    def test_front_truncated_tail_reconstructs(self, tmp_path):
+        import json
+
+        from bench import _latest_recorded_bench
+
+        # the r9 record shape: parsed=null, tail cut mid-queries with a
+        # partial first entry whose suffix uniquely names q01, plus the
+        # stderr bench-note glued on
+        tail = (
+            'ary": 1.435, "q03_shipping_priority": 0.994}, '
+            '"queries_single_shot": {"q01_pricing_summary": 1.5, '
+            '"q03_shipping_priority": 1.1}, "single_shot_total": 2.6, '
+            '"sf": 0.1, "drift_probe": {"ratio": 0.95}, '
+            '"normalized_value": 2.557}'
+            "\nbench-note: min-of-3 per query; blah."
+        )
+        (tmp_path / "BENCH_r09.json").write_text(
+            json.dumps({"n": 9, "parsed": None, "tail": tail})
+        )
+        n, rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 9
+        assert rec["reconstructed_from_tail"] is True
+        assert rec["queries"]["q01_pricing_summary"] == 1.435
+        assert rec["queries"]["q03_shipping_priority"] == 0.994
+        assert rec["value"] == 2.429
+        assert rec["protocol"] == "min_of_3"
+
+    def test_truncated_tail_without_min_of_3_marker_excluded(self, tmp_path):
+        import json
+
+        from bench import _latest_recorded_bench
+
+        # a single-shot-era record (no queries_single_shot field) must
+        # not be mislabeled min-of-3 by reconstruction
+        tail = (
+            'ary": 1.435, "q03_shipping_priority": 0.994}, "sf": 0.1, '
+            '"drift_probe": {"ratio": 0.95}}'
+        )
+        (tmp_path / "BENCH_r05.json").write_text(
+            json.dumps({"n": 5, "parsed": None, "tail": tail})
+        )
+        assert _latest_recorded_bench(str(tmp_path)) is None
+
+    def test_real_repo_anchor_is_r9_not_r10(self):
+        from bench import _latest_recorded_bench
+
+        got = _latest_recorded_bench()
+        assert got is not None
+        n, rec = got
+        assert n == 9  # r10's probe read 1.9x -> environment-invalid
+        assert rec["drift_probe"]["ratio"] <= 1.5
+        assert len(rec["queries"]) == 16

@@ -1176,3 +1176,154 @@ class TestOptimizeSearchIndex:
             ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")
         os.remove(marker)
         ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")  # mask-less: fine
+
+
+class TestRefreshRecoveryAndHygiene:
+    """r11 advisor fixes: crash-mid-OPTIMIZE recovery, compaction-only
+    metadata refreshes, weight validation, and per-refresh rebuild
+    reasons that never go stale."""
+
+    def _table(self, ctx, name="sd"):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def _idx_path(self, ctx, name="sd", idx="idx"):
+        import os
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return os.path.join(ctx.table_root(e), "_search", idx)
+
+    def _spec(self, ctx, name="sd", idx="idx"):
+        from seafowl_spark.engine.search_index import load_specs
+
+        return load_specs(self._table(ctx, name).snapshot().properties)[idx]
+
+    def _serve(self, ctx, q="spark", k=10, idx="idx"):
+        return sorted(
+            rows(
+                ctx.execute(
+                    "SELECT result_id, score, rank FROM "
+                    f"search_index('sd', '{idx}', '{q}', {k})"
+                )
+            )
+        )
+
+    def test_crash_mid_optimize_recovers_via_refresh(self, ctx):
+        """A crash between compact's rmtree and rename leaves the marker
+        plus a missing postings dir — but NO table-data change, so the
+        fingerprint is fresh. REFRESH must still see the marker and full-
+        rebuild (the advisor's unrecoverable-index find)."""
+        import os
+        import shutil
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("DELETE FROM sd WHERE doc_id = 1")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        want = self._serve(ctx)
+        path = self._idx_path(ctx)
+        # simulate the crash window: marker present, artifact half-gone
+        with open(os.path.join(path, "_append_pending"), "w") as fh:
+            fh.write("optimize")
+        shutil.rmtree(os.path.join(path, "postings"))
+        # OPTIMIZE still refuses (pending marker) …
+        with pytest.raises(ExecutionError, match="interrupted refresh"):
+            ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")
+        # … and REFRESH recovers despite the fresh fingerprint
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        t = self._table(ctx)
+        assert (
+            max(t.history(), key=lambda c: c.version).operation
+            == "REFRESH SEARCH INDEX"
+        )
+        assert (
+            self._spec(ctx).params["last_rebuild_reason"]
+            == "interrupted refresh recovered"
+        )
+        assert not os.path.exists(os.path.join(path, "_append_pending"))
+        assert self._serve(ctx) == want  # bit-equal serving after recovery
+
+    def test_compaction_only_diff_is_metadata_refresh(self, ctx):
+        """OPTIMIZE TABLE rewrites files without changing rows: the index
+        is already exact, so REFRESH is a metadata-only fingerprint bump
+        — (INCREMENTAL) commit, no corpus re-tokenize (advisor find)."""
+        import seafowl_spark.engine.search_index as si
+
+        seed_docs(ctx)
+        # a second file, so OPTIMIZE has something to merge (a one-file
+        # table compacts to itself and the refresh would just no-op)
+        ctx.execute("INSERT INTO sd VALUES (6, 'spark compaction probe')")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        want = self._serve(ctx)
+        ctx.execute("OPTIMIZE sd")
+        assert self._spec(ctx).file_fp != __import__(
+            "seafowl_spark.engine.search_index", fromlist=["snapshot_fp"]
+        ).snapshot_fp(self._table(ctx).snapshot())  # files really changed
+        calls = []
+        orig = si.build_index
+        si.build_index = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        try:
+            ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        finally:
+            si.build_index = orig
+        assert calls == []  # never rebuilt
+        t = self._table(ctx)
+        assert (
+            max(t.history(), key=lambda c: c.version).operation
+            == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        )
+        spec = self._spec(ctx)
+        from seafowl_spark.engine.search_index import snapshot_fp
+
+        assert spec.file_fp == snapshot_fp(t.snapshot())  # fp bumped
+        assert self._serve(ctx) == want
+
+    def test_nonfinite_or_nonpositive_weights_rejected(self, ctx):
+        ctx.execute(
+            "CREATE TABLE fw (doc_id BIGINT, title STRING, body STRING)"
+        )
+        ctx.execute("INSERT INTO fw VALUES (1, 'a b', 'c d')")
+        for bad in ("-1.0,1.0", "0,1.0", "inf,1.0", "nan,1.0", "1.0,-inf"):
+            with pytest.raises(ExecutionError, match="finite and positive"):
+                ctx.execute(
+                    "CREATE SEARCH INDEX w ON fw (title, body) USING BM25 "
+                    f"WITH (weights = '{bad}')"
+                )
+        # the happy path still parses
+        ctx.execute(
+            "CREATE SEARCH INDEX w ON fw (title, body) USING BM25 "
+            "WITH (weights = '2.0,1.0')"
+        )
+
+    def test_drift_rebuild_overwrites_stale_reason(self, ctx):
+        """The reason param describes the LAST refresh only: a drift-
+        triggered retrain must not keep showing an earlier downgrade's
+        reason (advisor find)."""
+        import math
+
+        ctx.execute("CREATE TABLE vd2 (vec_id BIGINT, emb ARRAY<DOUBLE>)")
+        vals = ", ".join(
+            f"({i}, ARRAY({', '.join(f'{math.sin(i * 0.7 + j):.6f}' for j in range(8))}))"
+            for i in range(24)
+        )
+        ctx.execute(f"INSERT INTO vd2 VALUES {vals}")
+        ctx.execute(
+            "CREATE SEARCH INDEX vi ON vd2 (emb) USING IVFPQ "
+            "WITH ('id_col' = 'vec_id', 'cells' = '4', 'm' = '4', "
+            "'ksub' = '8', 'nprobe' = '4', 'max_drift' = '1.2')"
+        )
+        drifted = ", ".join(
+            f"({100 + i}, ARRAY({', '.join(('1.0' if (j + i) % 2 == 0 else '-1.0') for j in range(8))}))"
+            for i in range(6)
+        )
+        ctx.execute(f"INSERT INTO vd2 VALUES {drifted}")
+        ctx.execute("REFRESH SEARCH INDEX vi ON vd2")
+        from seafowl_spark.engine.search_index import load_specs
+
+        spec = load_specs(
+            self._table(ctx, "vd2").snapshot().properties
+        )["vi"]
+        assert spec.params["last_rebuild_reason"] == "drift exceeded"
+        assert spec.params.get("last_batch_resid_norm", 0) > 0
