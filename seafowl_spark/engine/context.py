@@ -337,12 +337,17 @@ class SeafowlContext:
                         # spec, never the artifact (the board must stay
                         # metadata-only)
                         tombstones=int(s.params.get("tombstones", 0)),
+                        # incremental write batches accumulated since the
+                        # last build/OPTIMIZE (r11): each one adds small
+                        # artifact/stats files readers must open — the
+                        # auto-compaction trigger's other axis
+                        fragments=int(s.params.get("fragments", 0)),
                     )
                 )
         si_schema = T.StructType.fromDDL(
             "table_schema string, table_name string, index_name string, "
             "method string, column_name string, built_version bigint, "
-            "is_stale boolean, tombstones bigint"
+            "is_stale boolean, tombstones bigint, fragments bigint"
         )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
@@ -1196,6 +1201,7 @@ class SeafowlContext:
                     "last_batch_resid_norm",
                     "baseline_resid_norm",
                     "tombstones",
+                    "epoch",
                 }
                 with_items = [
                     f"""'{k}' = '{str(v).replace("'", "''")}'"""
@@ -1850,6 +1856,19 @@ class SeafowlContext:
             raise ExecutionError("match must be 'any' or 'all'")
         if "match" in f["params"] and f["method"] != "BM25":
             raise ExecutionError("match is a BM25-only parameter")
+        if str(f["params"].get("auto_compact", "on")).lower() not in (
+            "on", "off",
+        ):
+            raise ExecutionError("auto_compact must be 'on' or 'off'")
+        if "auto_compact_fragments" in f["params"]:
+            try:
+                if int(f["params"]["auto_compact_fragments"]) < 1:
+                    raise ValueError("must be >= 1")
+            except ValueError as ex:
+                raise ExecutionError(
+                    "auto_compact_fragments must be a positive integer: "
+                    f"{ex}"
+                ) from ex
         id_col = f["params"].get("id_col", "doc_id")
         if id_col not in names:
             raise ExecutionError(
@@ -1915,6 +1934,12 @@ class SeafowlContext:
         spec.params.pop("last_rebuild_reason", None)
         had_marker = os.path.exists(marker)
         incremental = False
+        # epoch counter for the (id, epoch) tombstone model (r11):
+        # removals mask at the PRE-refresh epoch, appends land one epoch
+        # later — so updates and re-inserts of tombstoned ids stay
+        # incremental (engine/search_index.incremental_delta)
+        e_prev = int(spec.params.get("epoch", 0))
+        wrote_batches = 0  # artifact/stats fragments this refresh adds
         if not had_marker:
             try:
                 from .search_index import (
@@ -1929,11 +1954,12 @@ class SeafowlContext:
                 if only_old or only_new:
                     schema = T.StructType.fromDDL(snap.schema_ddl)
                     id_col = spec.params.get("id_col", "doc_id")
-                    # r10 delete-aware diff: removed rows tombstone (plus
-                    # a negative BM25 stats fragment), added rows append;
-                    # updates / re-inserts / cap overflows raise
-                    # FullRebuildRequired into the rebuild below (which
-                    # clears the mask)
+                    # delete/update-aware diff (r10 tombstones, r11
+                    # epochs): removed rows tombstone at e_prev (plus a
+                    # negative BM25 stats fragment), added/updated rows
+                    # append at e_prev + 1; duplicate-id diffs and cap
+                    # overflows raise FullRebuildRequired into the
+                    # rebuild below (which clears the mask)
                     removed, new_rows = incremental_delta(
                         t, schema, spec, only_old, only_new, path
                     )
@@ -1947,7 +1973,9 @@ class SeafowlContext:
                         # re-tokenize (advisor find, r11)
                         incremental = True
                     if removed is not None:
-                        apply_incremental_delete(spec, removed, path)
+                        apply_incremental_delete(
+                            spec, removed, path, epoch=e_prev
+                        )
                         from ..operators.index_tombstones import (
                             tombstone_count,
                         )
@@ -1955,6 +1983,7 @@ class SeafowlContext:
                         spec.params["tombstones"] = tombstone_count(
                             self.spark, path
                         )
+                        wrote_batches += 1
                         incremental = True
                     if new_rows is None:
                         pass  # delete/compaction-only diff
@@ -1990,6 +2019,7 @@ class SeafowlContext:
                                 max_drift_ratio=float(
                                     spec.params.get("max_drift", 1.5)
                                 ),
+                                epoch=e_prev + 1,
                             )
                         except DriftExceeded as ex:
                             # observable reason for the rebuild. Forced
@@ -2010,6 +2040,8 @@ class SeafowlContext:
                             spec.params["last_batch_resid_norm"] = round(
                                 norm, 9
                             )
+                            spec.params["epoch"] = e_prev + 1
+                            wrote_batches += 1
                             incremental = True
                     else:
                         from ..operators.bm25 import append_bm25_index
@@ -2025,7 +2057,10 @@ class SeafowlContext:
                             path,
                             text_col=spec.column,
                             id_col=id_col,
+                            epoch=e_prev + 1,
                         )
+                        spec.params["epoch"] = e_prev + 1
+                        wrote_batches += 1
                         incremental = True
             except FullRebuildRequired as ex:
                 # observable reason on the spec (system.search_indexes
@@ -2046,6 +2081,17 @@ class SeafowlContext:
             if stats:
                 spec.params.update(stats)
             spec.params.pop("tombstones", None)  # rebuild cleared the mask
+            spec.params.pop("epoch", None)  # rebuild rows are epoch 0
+            spec.params.pop("fragments", None)  # overwrite collapsed them
+        elif wrote_batches:
+            # each incremental write batch appends small artifact/stats
+            # files; the counter drives the auto-compaction below and
+            # surfaces on system.search_indexes (r11). Metadata-only
+            # refreshes (compaction-only diffs) write nothing and bump
+            # nothing.
+            spec.params["fragments"] = (
+                int(spec.params.get("fragments", 0)) + wrote_batches
+            )
         spec.built_version = t.latest_version() + 1
         spec.file_fp = snapshot_fp(snap)
         self._commit_index_specs(
@@ -2059,6 +2105,36 @@ class SeafowlContext:
             os.remove(marker)
         except OSError:
             pass
+        # r11 auto-compaction: a long-lived incremental index accrues
+        # stats fragments and tombstones until someone remembers to
+        # OPTIMIZE — REFRESH now fires the same IO-only compaction when
+        # fragments exceed the limit or the mask passes half its cap
+        # (serving is bit-identical across it; disable per-index with
+        # WITH ('auto_compact' = 'off'))
+        if (
+            incremental
+            and str(spec.params.get("auto_compact", "on")).lower() != "off"
+        ):
+            from ..operators.index_tombstones import (
+                TOMBSTONE_CAP_FLOOR,
+                TOMBSTONE_CAP_RATIO,
+            )
+
+            frags = int(spec.params.get("fragments", 0))
+            tomb = int(spec.params.get("tombstones", 0))
+            frag_limit = int(spec.params.get("auto_compact_fragments", 16))
+            live = max(int(snap.num_rows), 1)
+            cap = max(
+                TOMBSTONE_CAP_RATIO * live,
+                float(
+                    spec.params.get("tombstone_cap", TOMBSTONE_CAP_FLOOR)
+                ),
+            )
+            if frags > frag_limit or tomb > cap / 2:
+                self._compact_search_index(
+                    entry, t, specs, spec, path,
+                    "OPTIMIZE SEARCH INDEX (AUTO)",
+                )
 
     def _exec_optimize_search_index(self, stmt) -> None:
         """OPTIMIZE SEARCH INDEX: fold the tombstone mask into the
@@ -2069,7 +2145,7 @@ class SeafowlContext:
         commit below bumps the TABLE version, so cached GETs
         re-validate once — harmless over-invalidation, same as every
         index DDL."""
-        from .search_index import compact_index, index_dir
+        from .search_index import index_dir
 
         f = stmt.fields
         entry, t, _snap, specs = self._search_index_target(f["table"])
@@ -2091,13 +2167,28 @@ class SeafowlContext:
                 f"search index {f['index']} has an interrupted refresh "
                 "pending; run REFRESH SEARCH INDEX first"
             )
+        self._compact_search_index(
+            entry, t, specs, spec, path, "OPTIMIZE SEARCH INDEX"
+        )
+
+    def _compact_search_index(
+        self, entry, t, specs, spec, path: str, op: str
+    ) -> None:
+        """Shared body of manual OPTIMIZE SEARCH INDEX and the r11
+        auto-compaction REFRESH fires when fragments/tombstones pile up:
+        fold the mask + fragments into the artifact (IO-only), zero the
+        counters, commit the spec under ``op``."""
+        from .search_index import compact_index
+
+        marker = os.path.join(path, "_append_pending")
         # the rewrite-and-swap is not atomic: a crash mid-compaction
         # leaves the marker, and the next REFRESH full-rebuilds
         with open(marker, "w") as fh:
             fh.write("optimize")
         compact_index(self.spark, path, spec)
         spec.params.pop("tombstones", None)  # mask folded into artifact
-        self._commit_index_specs(entry, t, specs, "OPTIMIZE SEARCH INDEX")
+        spec.params.pop("fragments", None)  # fragments collapsed
+        self._commit_index_specs(entry, t, specs, op)
         try:
             os.remove(marker)
         except OSError:

@@ -13,10 +13,15 @@ Surface:
   scoped to ``data/`` and never touches it) and records the spec in the
   table properties under ``search_indexes`` with the table version it
   was built at.
-* ``REFRESH SEARCH INDEX idx ON tbl`` rebuilds at the current snapshot
-  (full rebuild — the index is a derived artifact; incremental postings
-  maintenance is the documented scale follow-up, and staleness is
-  always visible in system.search_indexes).
+* ``REFRESH SEARCH INDEX idx ON tbl`` brings the index to the current
+  snapshot INCREMENTALLY whenever the file diff allows it: appends
+  tokenize/encode only the new files, deletes append to an (id, epoch)
+  tombstone mask, and in-place updates are a masked delete plus an
+  append one epoch later (r11) — refresh cost proportional to changed
+  data, with bit-exact serving parity vs a from-scratch rebuild.
+  Duplicate-id diffs and mask-cap overflows downgrade to the
+  always-correct full rebuild; staleness is always visible in
+  system.search_indexes.
 * ``DROP SEARCH INDEX idx ON tbl`` removes the artifact + spec.
 * Queries reference an index through the ``search_index('tbl', 'idx',
   'query text', k)`` relation — rewritten before planning into a temp
@@ -122,20 +127,24 @@ class FullRebuildRequired(Exception):
 
 def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
                       path: str):
-    """``(removed_rows, added_rows)`` for a delete-aware incremental
-    refresh, or raise :class:`FullRebuildRequired`.
+    """``(removed_rows, added_rows)`` for a delete/update-aware
+    incremental refresh, or raise :class:`FullRebuildRequired`.
 
     The diff compares the ROWS of the changed files only (never the
-    corpus): ids that left are removals (tombstoned), ids that arrived
-    are appends, ids on both sides with identical content are
-    compaction noise (ignored). Three shapes the additive tombstone
-    model cannot represent force the rebuild:
+    corpus): ids that left are removals (tombstoned at the PRE-refresh
+    epoch), ids that arrived are appends (landing one epoch later), ids
+    on both sides with identical content are compaction noise (ignored),
+    and ids on both sides with CHANGED content are in-place updates —
+    classified as a removal plus an append, which the (id, epoch) mask
+    represents exactly (r11; index_tombstones.py has the model).
+    Re-inserting a previously tombstoned id is likewise just an append:
+    its mask is pinned to an earlier epoch. Two shapes still force the
+    always-correct rebuild:
 
-    * an in-place UPDATE (same id, changed content) — the old postings
-      must die while new ones land under the same id, and the mask is
-      id-keyed;
-    * RE-INSERTING a tombstoned id — scrubbing the mask would unmask
-      the dead old postings alongside the fresh ones;
+    * DUPLICATE ids inside the diff whose old/new row multisets differ —
+      an id-keyed tombstone masks ALL of an id's rows, so deleting one
+      of two same-id rows is unrepresentable (and identical-multiset
+      duplicates are plain compaction noise, advisor find r11);
     * the mask outgrowing ``TOMBSTONE_CAP_RATIO`` of the live corpus —
       correctness holds either way, but the broadcast should stay small
       and the dead postings deserve reclaiming.
@@ -160,30 +169,39 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
         if only_new
         else None
     )
-    ts = read_tombstones(spark, path)
     if not only_old:
-        # pure append (the r9 path) — but a tombstoned id arriving in
-        # the appended files is still a RE-INSERT: its masked old
-        # postings would shadow the fresh ones, so the check below
-        # applies here too (the first cut returned early and the smoke
-        # test caught a re-inserted doc staying invisible)
-        if (
-            ts is not None
-            and new_rows is not None
-            and new_rows.join(
-                F.broadcast(ts),
-                new_rows[id_col].cast("string") == ts["id"],
-                "inner",
-            )
-            .limit(1)
-            .count()
-        ):
-            raise FullRebuildRequired("re-insert of tombstoned id")
-        return None, new_rows
+        return None, new_rows  # pure append (the r9 path)
     old_rows = t._scan_files(only_old, schema).select(*sel).localCheckpoint()
     if new_rows is None:
         removed, added = old_rows, None
     else:
+        # ids with >1 row on either side of the diff: if their old/new
+        # row MULTISETS match they are pure compaction noise; otherwise
+        # the id-keyed mask cannot express the change (it would also
+        # hide the id's surviving duplicates) — rebuild
+        oc = old_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__oc"))
+        nc = new_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nc"))
+        dup_ids = (
+            oc.join(nc, id_col, "full_outer")
+            .where(
+                (F.coalesce("__oc", F.lit(0)) > 1)
+                | (F.coalesce("__nc", F.lit(0)) > 1)
+            )
+            .select(id_col)
+            .localCheckpoint()
+        )
+        if dup_ids.limit(1).count():
+            od = old_rows.join(dup_ids, id_col, "semi")
+            nd = new_rows.join(dup_ids, id_col, "semi")
+            if (
+                od.exceptAll(nd).limit(1).count()
+                or nd.exceptAll(od).limit(1).count()
+            ):
+                raise FullRebuildRequired("duplicate ids in diff")
+            old_rows = old_rows.join(dup_ids, id_col, "anti")
+            new_rows = new_rows.join(dup_ids, id_col, "anti")
+        # unique-id diff: full-outer on id classifies delete / insert /
+        # update / noise in one pass
         o, n = old_rows.alias("__o"), new_rows.alias("__n")
         same = functools.reduce(
             _op.and_,
@@ -192,43 +210,65 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
                 for c in cols
             ],
         )
-        if (
-            o.join(n, F.col(f"__o.{id_col}") == F.col(f"__n.{id_col}"))
-            .where(~same)
-            .limit(1)
-            .count()
-        ):
-            raise FullRebuildRequired("in-place update in diff")
-        removed = old_rows.join(
-            new_rows.select(id_col), id_col, "left_anti"
+        j = o.join(
+            n, F.col(f"__o.{id_col}") == F.col(f"__n.{id_col}"),
+            "full_outer",
         ).localCheckpoint()
-        added = new_rows.join(
-            old_rows.select(id_col), id_col, "left_anti"
-        ).localCheckpoint()
-    if (
-        ts is not None
-        and added is not None
-        and added.join(
-            F.broadcast(ts),
-            added[id_col].cast("string") == ts["id"],
-            "inner",
+        removed = (
+            j.where(
+                F.col(f"__o.{id_col}").isNotNull()
+                & (F.col(f"__n.{id_col}").isNull() | ~same)
+            )
+            .select(*[F.col(f"__o.{c}").alias(c) for c in sel])
+            .localCheckpoint()
         )
-        .limit(1)
-        .count()
-    ):
-        raise FullRebuildRequired("re-insert of tombstoned id")
+        added = (
+            j.where(
+                F.col(f"__n.{id_col}").isNotNull()
+                & (F.col(f"__o.{id_col}").isNull() | ~same)
+            )
+            .select(*[F.col(f"__n.{c}").alias(c) for c in sel])
+            .localCheckpoint()
+        )
     n_removed = removed.count() if removed is not None else 0
     if n_removed == 0:
         removed = None  # pure compaction noise
     else:
+        snap_now = t.snapshot()
+        ts = read_tombstones(spark, path)
         existing = 0 if ts is None else ts.count()
-        live = max(int(t.snapshot().num_rows), 1)
+        live = max(int(snap_now.num_rows), 1)
         cap = max(
             TOMBSTONE_CAP_RATIO * live,
             float(spec.params.get("tombstone_cap", TOMBSTONE_CAP_FLOOR)),
         )
         if existing + n_removed > cap:
             raise FullRebuildRequired("tombstone cap exceeded")
+        # a NULL id can never be masked (the mask joins on id equality),
+        # and a removed id with another live copy in an UNCHANGED file
+        # would have that copy masked too (the mask is id-scoped, the
+        # copy sits at epoch <= e_prev). Both are cross-file duplicate
+        # shapes the within-diff guard above cannot see — probe the
+        # unchanged files' id column with a broadcast semi-join (the
+        # removed-id set is bounded by the cap just enforced — the same
+        # bound the serve-time mask broadcast lives under; the scan is
+        # one column, no tokenize/encode)
+        if removed.where(F.col(id_col).isNull()).limit(1).count():
+            raise FullRebuildRequired("null id in diff")
+        new_paths = {f.path for f in (only_new or [])}
+        unchanged = [f for f in snap_now.files if f.path not in new_paths]
+        if unchanged and (
+            t._scan_files(unchanged, schema)
+            .select(id_col)
+            .join(
+                F.broadcast(removed.select(id_col).distinct()),
+                id_col,
+                "semi",
+            )
+            .limit(1)
+            .count()
+        ):
+            raise FullRebuildRequired("removed id still live")
     if added is not None and added.limit(1).count() == 0:
         added = None
     return removed, added
@@ -280,25 +320,29 @@ def compact_index(spark, path: str, spec: IndexSpec) -> None:
     clear_tombstones(path)
 
 
-def apply_incremental_delete(spec: IndexSpec, removed, path: str) -> None:
+def apply_incremental_delete(
+    spec: IndexSpec, removed, path: str, epoch: int = 0
+) -> None:
     """Tombstone the removed rows in the method's artifact (BM25 also
     writes the NEGATIVE stats fragment so merged n_docs/avgdl equal a
-    rebuild exactly)."""
+    rebuild exactly). ``epoch`` pins the mask's reach: it hides the
+    ids' rows written at or before that refresh epoch, so the SAME
+    refresh can re-append updated content one epoch later."""
     id_col = spec.params.get("id_col", "doc_id")
     if spec.method == "BM25":
         from ..operators.bm25 import delete_from_bm25_index
 
         delete_from_bm25_index(
-            removed, path, text_col=spec.column, id_col=id_col
+            removed, path, text_col=spec.column, id_col=id_col, epoch=epoch
         )
     elif spec.method == "LSH":
         from ..operators.lsh_index import delete_from_lsh_index
 
-        delete_from_lsh_index(removed, path, id_col=id_col)
+        delete_from_lsh_index(removed, path, id_col=id_col, epoch=epoch)
     else:
         from ..operators.pq import delete_from_ivfpq_index
 
-        delete_from_ivfpq_index(removed, path, id_col=id_col)
+        delete_from_ivfpq_index(removed, path, id_col=id_col, epoch=epoch)
 
 
 def bm25_fields(spec: IndexSpec) -> list[tuple[str, float]] | None:

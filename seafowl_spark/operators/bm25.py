@@ -432,6 +432,11 @@ def write_bm25_index(
     # existing plan gates changes attribute type
     bucketed = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        # build-time rows are epoch 0; incremental refreshes append at
+        # later epochs so (id, epoch) tombstones can mask updated /
+        # re-inserted documents' OLD rows only (index_tombstones.py)
+        "epoch", F.lit(0).cast("long")
     )
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
@@ -496,6 +501,7 @@ def append_bm25_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    epoch: int = 0,
 ) -> None:
     """Incrementally add documents to an existing index: new postings
     append into the same term-hash partitions (no old-partition rewrite —
@@ -518,7 +524,7 @@ def append_bm25_index(
         postings, _dfreq, _stats = build_postings(docs, text_col, id_col)
     bucketed = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-    )
+    ).withColumn("epoch", F.lit(int(epoch)).cast("long"))
     bucketed.write.mode("append").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
@@ -533,6 +539,7 @@ def delete_from_bm25_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    epoch: int = 0,
 ) -> None:
     """Incrementally REMOVE documents from an existing index (the
     delete-aware half of the ingest shape; operators/index_tombstones.py
@@ -572,7 +579,7 @@ def delete_from_bm25_index(
             F.lit(_json.dumps([[f, float(w)] for f, w in fields])),
         )
     neg.write.mode("append").parquet(f"{path}/stats")
-    write_tombstones(docs, path, id_col)
+    write_tombstones(docs, path, id_col, epoch=epoch)
 
 
 def compact_bm25_stats(spark, path: str) -> None:

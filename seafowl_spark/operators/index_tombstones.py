@@ -25,8 +25,16 @@ candidates, never a shuffle of the index.
 The masking model is strictly additive between rebuilds: a tombstoned
 id's OLD postings still exist in the artifact, so re-inserting that id
 cannot be handled by scrubbing the tombstone (the unmasked old postings
-would double-count) — the engine detects re-insertion and downgrades to
-a full rebuild, which drops the tombstone directory wholesale.
+would double-count). Epochs (r11) solve this without a rebuild: every
+artifact row carries the EPOCH of the refresh that wrote it (0 at
+build), and a tombstone is ``(id, epoch)`` — it masks that id's rows
+with ``row.epoch <= tombstone.epoch`` only. An UPDATE tombstones the id
+at the PRE-refresh epoch (masking everything written so far) and
+appends the new content one epoch later; a re-insert of a tombstoned id
+likewise lands at a later epoch than its mask. Dead old postings stay
+masked forever (until OPTIMIZE folds them out); fresh postings are
+never shadowed. The serving filter stays one broadcast anti-join — the
+mask aggregates to at most one ``(id, max_epoch)`` row per id.
 """
 
 from __future__ import annotations
@@ -55,22 +63,35 @@ def has_tombstones(index_path: str) -> bool:
     return os.path.isdir(tombstone_dir(index_path))
 
 
-def write_tombstones(ids: DataFrame, index_path: str, id_col: str) -> None:
+def write_tombstones(
+    ids: DataFrame, index_path: str, id_col: str, epoch: int = 0
+) -> None:
     """Append one fragment of removed ids to the mask. Ids store as
     STRING: the index machinery supports string id columns (the LSH
     lookup's empty-frame path is explicit about it), and a long cast
     would turn those into NULLs — a mask that never matches anything,
     silently serving deleted documents. String round-trips every id
-    type the engine stores losslessly."""
-    ids.select(F.col(id_col).cast("string").alias("id")).write.mode(
-        "append"
-    ).parquet(tombstone_dir(index_path))
+    type the engine stores losslessly.
+
+    ``epoch`` is the mask's reach: it hides the id's artifact rows
+    written at or before that refresh epoch, and nothing newer — so a
+    later re-insert/update of the same id serves cleanly from its
+    higher-epoch rows."""
+    ids.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.lit(int(epoch)).cast("long").alias("epoch"),
+    ).write.mode("append").parquet(tombstone_dir(index_path))
 
 
 def read_tombstones(spark, index_path: str) -> DataFrame | None:
     if not has_tombstones(index_path):
         return None
-    return spark.read.schema("id string").parquet(tombstone_dir(index_path))
+    # pre-epoch fragments read epoch as NULL -> coalesced to "mask every
+    # epoch" in the filter (the conservative reading: those masks were
+    # written when re-inserts forced rebuilds, so nothing newer exists)
+    return spark.read.schema("id string, epoch long").parquet(
+        tombstone_dir(index_path)
+    )
 
 
 def clear_tombstones(index_path: str) -> None:
@@ -84,13 +105,28 @@ def filter_tombstones(
     spark, index_path: str, candidates: DataFrame, id_col: str
 ) -> DataFrame:
     """Anti-join the pruned candidate set against the mask (broadcast —
-    the refresh-time cap bounds it). No-op when the index has none."""
+    the refresh-time cap bounds it). No-op when the index has none.
+
+    Epoch-aware: a candidate row survives unless its id is masked at an
+    epoch >= the row's own ``epoch`` column (rows without the column are
+    build-time rows, epoch 0). The mask collapses to one (id, max_epoch)
+    row per id before broadcasting."""
     ts = read_tombstones(spark, index_path)
     if ts is None:
         return candidates
+    mask = ts.groupBy("id").agg(
+        # NULL epoch = pre-epoch fragment: mask the id outright
+        F.max(F.coalesce(F.col("epoch"), F.lit(2**62))).alias("__ts_epoch")
+    )
+    cand_epoch = (
+        candidates["epoch"].cast("long")
+        if "epoch" in candidates.columns
+        else F.lit(0).cast("long")
+    )
     return candidates.join(
-        F.broadcast(ts),
-        candidates[id_col].cast("string") == ts["id"],
+        F.broadcast(mask),
+        (candidates[id_col].cast("string") == mask["id"])
+        & (cand_epoch <= mask["__ts_epoch"]),
         "left_anti",
     )
 

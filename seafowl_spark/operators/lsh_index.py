@@ -82,7 +82,12 @@ def write_lsh_index(
     if N_PERM % bands != 0:
         raise ValueError(f"bands must divide {N_PERM}")
     clear_tombstones(path)  # a full build masks nothing
-    rows = _band_rows(docs, bands, n_buckets, text_col, id_col)
+    rows = _band_rows(docs, bands, n_buckets, text_col, id_col).withColumn(
+        # build rows are epoch 0; incremental appends land at later
+        # epochs so (id, epoch) tombstones mask only OLD rows of an
+        # updated / re-inserted document (operators/index_tombstones.py)
+        "epoch", F.lit(0).cast("long")
+    )
     rows.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/bands"
     )
@@ -115,6 +120,7 @@ def append_lsh_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    epoch: int = 0,
 ) -> None:
     """Add documents incrementally: their band rows land in the same
     hash partitions (parquet append touches only those buckets), so
@@ -123,7 +129,7 @@ def append_lsh_index(
     meta = _read_meta(spark, path)
     rows = _band_rows(
         docs, meta["bands"], meta["n_buckets"], text_col, id_col
-    )
+    ).withColumn("epoch", F.lit(int(epoch)).cast("long"))
     rows.write.mode("append").partitionBy("bucket").parquet(f"{path}/bands")
 
 
@@ -131,6 +137,7 @@ def delete_from_lsh_index(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
+    epoch: int = 0,
 ) -> None:
     """Incrementally REMOVE documents: their ids append to the tombstone
     mask; the band rows stay on disk and lookups filter them out before
@@ -138,7 +145,7 @@ def delete_from_lsh_index(
     has no corpus stats to adjust, so this is the whole operation)."""
     from .index_tombstones import write_tombstones
 
-    write_tombstones(docs, path, id_col)
+    write_tombstones(docs, path, id_col, epoch=epoch)
 
 
 def neardup_lookup(
@@ -197,16 +204,18 @@ def neardup_lookup(
             f"new_id {new_t}, index_id {idx_t}, "
             "n_equal_sigs int, est_jaccard double",
         )
-    idx = (
-        _bands_reader()
-        .where(F.col("bucket").isin(buckets))
-        .select(
-            F.col(meta["id_col"]).alias("index_id"),
-            F.col("sigs").alias("sigs_i"),
-            "band",
-            "key",
-        )
-    )
+    pruned = _bands_reader().where(F.col("bucket").isin(buckets))
+    sel = [
+        F.col(meta["id_col"]).alias("index_id"),
+        F.col("sigs").alias("sigs_i"),
+        "band",
+        "key",
+    ]
+    if "epoch" in pruned.columns:
+        # carried only into the tombstone filter (epoch-scoped masks);
+        # pre-epoch artifacts simply lack the column
+        sel.append("epoch")
+    idx = pruned.select(*sel)
     # delete-aware serving: mask tombstoned documents BEFORE the bucket
     # cap, so the cap selects exactly the rows a from-scratch rebuild
     # would (operators/index_tombstones.py)

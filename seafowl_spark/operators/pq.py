@@ -466,6 +466,10 @@ def write_ivfpq_index(
         F.col(emb_col).alias("emb"),
         "cell",
         "pq_code",
+        # build rows are epoch 0; appends land at later epochs so
+        # (id, epoch) tombstones mask only OLD rows of an updated /
+        # re-inserted vector (operators/index_tombstones.py)
+        F.lit(0).cast("long").alias("epoch"),
     )
     enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
     # baseline from the WRITTEN index: emb is stored normalized and cell
@@ -507,6 +511,7 @@ def delete_from_ivfpq_index(
     corpus: DataFrame,
     path: str,
     id_col: str = "vec_id",
+    epoch: int = 0,
 ) -> None:
     """Incrementally REMOVE vectors: ids append to the tombstone mask;
     the encoded rows stay in their cell partitions and lookups filter
@@ -515,7 +520,7 @@ def delete_from_ivfpq_index(
     sample and deletes don't retrain)."""
     from .index_tombstones import write_tombstones
 
-    write_tombstones(corpus, path, id_col)
+    write_tombstones(corpus, path, id_col, epoch=epoch)
 
 
 def append_ivfpq_index(
@@ -524,6 +529,7 @@ def append_ivfpq_index(
     emb_col: str = "emb",
     id_col: str = "vec_id",
     max_drift_ratio: float | None = None,
+    epoch: int = 0,
 ) -> float:
     """Incrementally add vectors to an existing IVF-PQ index: the NEW
     rows encode with the index's OWN centroids/codebooks (read from the
@@ -579,6 +585,7 @@ def append_ivfpq_index(
         F.col(emb_col).alias("emb"),
         "cell",
         "pq_code",
+        F.lit(int(epoch)).cast("long").alias("epoch"),
     )
     enc.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
     return batch_norm

@@ -59,6 +59,7 @@ def semdedup(
     max_cluster_rows: int = MAX_CLUSTER_ROWS,
     persist_assignments: bool = False,
     assign_mode: str = "exact",
+    index_path: str | None = None,
 ) -> DataFrame:
     """(id, cell, centroid_sim, dup_of, is_kept) for every input row.
 
@@ -69,12 +70,36 @@ def semdedup(
     trains on the normalized input.
 
     ``assign_mode='hierarchical'`` routes assignment through the
-    two-level probe (O(sqrt(k)) scores per row) — the scale path when k
-    grows with the corpus, where brute-force n x k assignment is the
-    measured bottleneck of this operator's stress runner. Approximate
-    cell boundaries shift a few rows between clusters (cluster identity
-    is itself arbitrary — the paper's semantics survive); the graded
-    branch keeps the exact default."""
+    two-level probe (O(nprobe * sqrt(k)) scores per row) — the scale
+    path when k grows with the corpus, where brute-force n x k
+    assignment dominates. Approximate cell boundaries shift a few rows
+    between clusters (cluster identity is itself arbitrary — the
+    paper's semantics survive); the graded branch keeps the exact
+    default.
+
+    ``index_path`` (r11) rides a PERSISTED IVF-PQ index: the frozen
+    centroid codebook is read from the index's meta sidecar
+    (operators/pq.write_ivfpq_index), so clustering is fit ONCE at index
+    build time and every dedup run (and the ANN serving path) reuses
+    the same cells — no per-run kmeans, the amortization the 100 TB
+    shape needs. Combine with ``assign_mode='hierarchical'`` for
+    O(nprobe * sqrt(k)) assignment over the persisted codebook.
+
+    Scale note (r11 stress finding): with the cluster-size cap, the
+    within-cluster verify is O(cap^2) per cluster — bounded, but a
+    centroid set whose effective cardinality is much smaller than k
+    (duplicate/near-duplicate centroids) silently grows clusters toward
+    the cap and the verify toward its bound; keep centroids distinct
+    (a real kmeans fit is) so clusters track corpus/k."""
+    if centroids is None and index_path is not None:
+        import json as _json
+
+        meta = _json.loads(
+            df.sparkSession.read.json(f"{index_path}/meta")
+            .select("meta")
+            .first()[0]
+        )
+        centroids = meta["centroids"]
     norm = _with_l2_normalized(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, "__nv"
     )

@@ -1111,8 +1111,8 @@ def _seed_sql_serving(spark: SparkSession, sf_dir: str) -> str:
     from ..engine.context import SeafowlContext
 
     key = sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    # v2: int bucket DDL in the index sidecars
-    d = os.path.join(tempfile.gettempdir(), f"sfs_sqlidx_{key}v2")
+    # v3: + match-all index, fielded (BM25F) table/index, epoch column
+    d = os.path.join(tempfile.gettempdir(), f"sfs_sqlidx_{key}v3")
     marker = os.path.join(d, "_SEEDED")
     if not os.path.exists(marker):
         stage = f"{d}.stage{os.getpid()}"
@@ -1134,6 +1134,24 @@ def _seed_sql_serving(spark: SparkSession, sf_dir: str) -> str:
             "CREATE SEARCH INDEX lidx ON docs (text) USING LSH "
             f"WITH ('n_buckets' = '64', "
             f"'threshold' = '{_SERVE_LSH_THRESHOLD}')"
+        )
+        # r11 graded mode axes: AND-semantics lookups over the same
+        # corpus, and a weighted multi-field (BM25F) index whose title
+        # field is the text's first two tokens — derived, so the oracle
+        # can replay the field split exactly
+        ctx.execute(
+            "CREATE SEARCH INDEX aidx ON docs (text) USING BM25 "
+            "WITH ('n_buckets' = '64', 'match' = 'all')"
+        )
+        ctx.execute(
+            "CREATE TABLE docsf AS SELECT doc_id, "
+            "array_join(slice(filter(split(text, '\\\\s+'), "
+            "t -> t != ''), 1, 2), ' ') AS title, "
+            "text AS body FROM staging.docs_src"
+        )
+        ctx.execute(
+            "CREATE SEARCH INDEX fidx ON docsf (title, body) USING BM25 "
+            "WITH ('n_buckets' = '64', 'weights' = '2.0,1.0')"
         )
         open(os.path.join(stage, "_SEEDED"), "w").write("ok")
         shutil.rmtree(d, ignore_errors=True)
@@ -1201,6 +1219,80 @@ _SERVE_BM25_CTES = rf"""
       WHERE rank <= {_SERVE_BM25_K})
 """
 
+# r11 mode-axis oracles, graded through the SAME q_index_serving row:
+#
+# * match-all (AND semantics, `aidx`): identical scoring to bm25_sql,
+#   filtered to documents whose distinct matched-term count equals the
+#   query's own distinct term count (operators/bm25._score_and_rank,
+#   match_all=True) — re-ranked after the filter.
+# * BM25F (`fidx` on docsf(title, body), weights 2.0/1.0): title is the
+#   text's FIRST TWO tokens (derived at seed time), so every title term
+#   is also a body term — the fielded term set equals the plain one and
+#   df/idf carry over. Weighted tf' = tf + 2*tf_title and weighted
+#   dl' = dl + 2*min(dl, 2) are exact small-integer doubles, so the
+#   mirror is bit-stable; scoring then reuses the plain BM25 formula
+#   over (tf', dl') with avgdl' = SUM(dl')/n (bm25.build_postings_fielded).
+_SERVE_MODE_CTES = rf"""
+    aqn AS (
+      SELECT query_id, COUNT(*) AS qn FROM qterms GROUP BY query_id),
+    amt AS (
+      SELECT query_id, doc_id, COUNT(*) AS nt
+      FROM scored GROUP BY query_id, doc_id),
+    atop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT p.query_id, p.doc_id, p.score,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY p.score DESC, p.doc_id) AS rank
+        FROM per_doc p
+        JOIN amt USING (query_id, doc_id)
+        JOIN aqn USING (query_id)
+        WHERE amt.nt = aqn.qn)
+      WHERE rank <= {_SERVE_BM25_K}),
+    ttoks AS (
+      SELECT doc_id,
+             lower(unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> t <> '')[1:2])) AS term
+      FROM documents),
+    tpost AS (
+      SELECT doc_id, term, COUNT(*) AS tft FROM ttoks
+      GROUP BY doc_id, term),
+    fdls AS (
+      SELECT doc_id, CAST(dl + 2 * LEAST(dl, 2) AS DOUBLE) AS dlw
+      FROM dls),
+    fstats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dlw) AS DOUBLE) / COUNT(*) AS avgdl FROM fdls),
+    fpost AS (
+      SELECT p.term, p.doc_id,
+             CAST(p.tf AS DOUBLE) + 2.0 * COALESCE(t.tft, 0) AS tfw,
+             d.dlw
+      FROM postings p
+      LEFT JOIN tpost t ON p.doc_id = t.doc_id AND p.term = t.term
+      JOIN fdls d ON p.doc_id = d.doc_id),
+    fscored AS (
+      SELECT qt.query_id, p.doc_id,
+             ln(1.0 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+               * (p.tfw * ({_SERVE_K1} + 1.0))
+               / (p.tfw
+                  + {_SERVE_K1} * (1.0 - {_SERVE_B} + {_SERVE_B} * p.dlw / s.avgdl))
+               AS term_score
+      FROM fpost p
+      JOIN qterms qt USING (term)
+      JOIN dfreq f USING (term)
+      CROSS JOIN fstats s),
+    fper AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM fscored GROUP BY query_id, doc_id),
+    ftop AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM fper)
+      WHERE rank <= {_SERVE_BM25_K})
+"""
+
 # LSH branch oracle: mirrors operators/lsh_index.neardup_lookup over the
 # persisted band index — the index pipeline is cross_contamination.
 # minhash_signatures (\s+ tokenization, NO lowercasing, distinct 3-token
@@ -1261,11 +1353,21 @@ _SERVE_LSH_CTES = rf"""
     oracle="WITH"
     + _SERVE_BM25_CTES
     + ","
+    + _SERVE_MODE_CTES
+    + ","
     + _SERVE_LSH_CTES
     + f"""
     SELECT 'bm25_sql' AS method, CAST(query_id AS BIGINT) AS query_id,
            CAST(doc_id AS BIGINT) AS result_id, rank, score
     FROM bmtop
+    UNION ALL
+    SELECT 'bm25_all' AS method, CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS result_id, rank, score
+    FROM atop
+    UNION ALL
+    SELECT 'bm25f_sql' AS method, CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS result_id, rank, score
+    FROM ftop
     UNION ALL
     SELECT 'lsh_sql' AS method, CAST(new_id AS BIGINT) AS query_id,
            CAST(index_id AS BIGINT) AS result_id, rank, est AS score
@@ -1283,7 +1385,7 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     which has no index objects); every run then queries the
     `search_index()` relation exactly as an engine user would.
 
-    Two methods, one schema (method, query_id, result_id, rank, score):
+    Four methods, one schema (method, query_id, result_id, rank, score):
 
     * ``bm25_sql`` — the three fixed keyword queries against the
       term-hash-bucketed inverted index; each lookup's postings scan
@@ -1291,6 +1393,12 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
       terms (PartitionFilters gate in test_plans.py::TestIndexServing).
       Scores hash-match the oracle's BM25 mirror — the same pipeline
       q_bm25_search grades ad-hoc, served from the persisted index.
+    * ``bm25_all`` (r11) — the same queries against an AND-semantics
+      index (``WITH (match = 'all')``): only documents containing every
+      distinct query term rank, over the SAME pruned partitions.
+    * ``bm25f_sql`` (r11) — the same queries against a weighted
+      multi-field index (title = first two tokens at weight 2.0, body
+      at 1.0): the BM25F build/serve path value-graded end to end.
     * ``lsh_sql`` — three probe documents (doc_id < 3, texts passed as
       the relation's query literal) against the MinHash-LSH dedup
       index; the bands scan reads only the partitions the probes' band
@@ -1312,9 +1420,14 @@ def q_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _seed_sql_serving(spark, sf_dir)
     ctx = SeafowlContext(spark, root)
     parts = [
-        f"SELECT 'bm25_sql' AS method, CAST({qid} AS BIGINT) AS query_id, "
+        f"SELECT '{method}' AS method, CAST({qid} AS BIGINT) AS query_id, "
         f"CAST(result_id AS BIGINT) AS result_id, rank, score "
-        f"FROM search_index('docs', 'bidx', '{qtext}', {_SERVE_BM25_K})"
+        f"FROM search_index('{tbl}', '{idx}', '{qtext}', {_SERVE_BM25_K})"
+        for tbl, idx, method in (
+            ("docs", "bidx", "bm25_sql"),
+            ("docs", "aidx", "bm25_all"),
+            ("docsf", "fidx", "bm25f_sql"),
+        )
         for qid, qtext in _SERVE_QUERIES
     ]
     probes = (

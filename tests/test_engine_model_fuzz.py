@@ -320,7 +320,7 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         ctx.execute(f"DROP TABLE {name}")
         del m.tables[name], m.rev[name], m.indexes[name]
         return f"drop {name}"
-    if roll < 0.40:
+    if roll < 0.38:
         rows_new = []
         for _ in range(rng.randrange(1, 5)):
             k = m.next_k
@@ -332,6 +332,18 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         ctx.execute(f"INSERT INTO {name} VALUES {vals}")
         m.rev[name] += 1  # insert always adds files
         return f"insert {name} x{len(rows_new)}"
+    if roll < 0.46:
+        # r11: in-place UPDATE — the epoch-scoped tombstone model keeps
+        # the NEXT refresh incremental (asserted in the refresh step)
+        mod = rng.randrange(4)
+        matched = [k for k in m.tables[name] if k % 4 == mod]
+        txt = _si_sentence(rng)
+        ctx.execute(f"UPDATE {name} SET t = '{txt}' WHERE k % 4 = {mod}")
+        if matched:
+            for k in matched:
+                m.tables[name][k] = txt
+            m.rev[name] += 1
+        return f"update {name} %4={mod} ({len(matched)})"
     if roll < 0.52:
         mod = rng.randrange(4)
         matched = [k for k in m.tables[name] if k % 4 == mod]
@@ -361,6 +373,10 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         return f"clone {name}->{new}"
     if roll < 0.68:
         ctx.execute(f"VACUUM TABLE {name}")
+        # vacuum may GC the superseded files an incremental diff would
+        # read — the next refresh is allowed to downgrade to a rebuild
+        for st in m.indexes[name].values():
+            st["clean"] = False
         return f"vacuum {name}"
     if roll < 0.80:
         iname = f"ix{rng.randrange(100)}"
@@ -382,16 +398,36 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
             "method": method,
             "built_rev": m.rev[name],
             "visible": set(m.tables[name]),
+            "clean": True,
         }
         return f"index {name}.{iname} {method}{extra and ' all'}"
     if roll < 0.88:
         if not m.indexes[name]:
             return "noop (no index to refresh)"
         iname = rng.choice(sorted(m.indexes[name]))
-        ctx.execute(f"REFRESH SEARCH INDEX {iname} ON {name}")
         st = m.indexes[name][iname]
+        was_stale = st["built_rev"] != m.rev[name]
+        ctx.execute(f"REFRESH SEARCH INDEX {iname} ON {name}")
+        if was_stale and st.get("clean", True):
+            # r11 invariant: with unique ids and an un-vacuumed history,
+            # EVERY row-level DML diff (insert/delete/UPDATE, any mix)
+            # refreshes incrementally — the epoch-scoped mask leaves no
+            # common shape that forces a rebuild (the fuzz never nears
+            # the tombstone cap floor)
+            from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+            e = ctx.catalog.get_table("default", "public", name)
+            t = DeltaLiteTable(ctx.spark, ctx.table_root(e))
+            op = max(t.history(), key=lambda c: c.version).operation
+            # an auto-compaction commit may land right after the
+            # incremental refresh — both prove the incremental path ran
+            assert op in (
+                "REFRESH SEARCH INDEX (INCREMENTAL)",
+                "OPTIMIZE SEARCH INDEX (AUTO)",
+            ), (name, iname, op)
         st["built_rev"] = m.rev[name]
         st["visible"] = set(m.tables[name])
+        st["clean"] = True
         return f"refresh {name}.{iname}"
     if roll < 0.94:
         # r10: OPTIMIZE folds the tombstone mask + fragments into the
@@ -447,3 +483,231 @@ class TestSearchIndexLifecycleFuzz:
                 assert got_ids <= st["visible"], (
                     seed, step, tn, iname, got_ids - st["visible"],
                 )
+
+
+# --------------------------------------------------------------------------
+# Concurrent writers (r11 — the r10 verdict's task #7). The reference
+# commits through delta-rs optimistic concurrency (delta.rs:429-440);
+# deltalite's _write_commit claims each version with the store's atomic
+# put-if-absent. Three layers here:
+#   * deterministic OCC races through the REAL DML path (two handles,
+#     one blocked at its put-if-absent while the other commits):
+#     snapshot-based DML and appends both must raise
+#     ConcurrentCommitError, and a retry on a fresh snapshot must land
+#     BOTH effects — conflict detection, never a lost update;
+#   * a two-context interleaved fuzz on ONE root (shared sqlite
+#     metastore + deltalite logs): after every statement, table
+#     contents, matview contents, and the staleness boards — read
+#     through EITHER context — must match a serialized replay model.
+# --------------------------------------------------------------------------
+
+
+class _BlockingStore:
+    """Store proxy that parks put_if_absent on an event — lets a test
+    hold one writer BETWEEN plan time and commit time while the other
+    writer commits, the exact window OCC exists for."""
+
+    def __init__(self, inner, reached, release):
+        self._inner, self._reached, self._release = inner, reached, release
+
+    def put_if_absent(self, path, data):
+        self._reached.set()
+        assert self._release.wait(timeout=60)
+        return self._inner.put_if_absent(path, data)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+class TestConcurrentWriters:
+    def _seed(self, ctx, name="cw"):
+        ctx.execute(f"CREATE TABLE {name} (k BIGINT, v BIGINT)")
+        ctx.execute(
+            f"INSERT INTO {name} VALUES (1, 10), (2, 20), (3, 30), (4, 40)"
+        )
+        e = ctx.catalog.get_table("default", "public", name)
+        return ctx.table_root(e)
+
+    def _race(self, spark, root, loser_fn, winner_fn):
+        """Run loser_fn(t2) with its commit parked while winner_fn(t1)
+        commits, then release; returns the exception the loser hit."""
+        import threading
+
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        t1 = DeltaLiteTable(spark, root)
+        t2 = DeltaLiteTable(spark, root)
+        reached, release = threading.Event(), threading.Event()
+        t2.store = _BlockingStore(t2.store, reached, release)
+        holder = {}
+
+        def run():
+            try:
+                loser_fn(t2)
+            except Exception as ex:  # noqa: BLE001 — captured for assert
+                holder["err"] = ex
+
+        th = threading.Thread(target=run)
+        th.start()
+        assert reached.wait(timeout=120)  # loser planned, parked at commit
+        winner_fn(t1)  # winner claims the version
+        release.set()
+        th.join(timeout=120)
+        assert not th.is_alive()
+        return holder.get("err")
+
+    def test_snapshot_dml_conflict_detected_no_lost_update(self, ctx):
+        from seafowl_spark.engine.deltalite import (
+            ConcurrentCommitError,
+            DeltaLiteTable,
+        )
+
+        root = self._seed(ctx)
+        err = self._race(
+            ctx.spark,
+            root,
+            loser_fn=lambda t: t.delete("k % 2 = 0"),
+            winner_fn=lambda t: t.delete("k = 1"),
+        )
+        assert isinstance(err, ConcurrentCommitError)
+        # the winner's delete landed; the loser's did NOT (its removes
+        # were computed against a stale snapshot)
+        t = DeltaLiteTable(ctx.spark, root)
+        ks = {r["k"] for r in t.to_df().collect()}
+        assert ks == {2, 3, 4}
+        # loser retries on a fresh snapshot: both effects land, nothing
+        # lost, versions stay contiguous
+        t.delete("k % 2 = 0")
+        ks = {r["k"] for r in t.to_df().collect()}
+        assert ks == {3}
+        vs = t.versions()
+        assert vs == list(range(len(vs)))
+
+    def test_append_race_conflicts_then_lands_both(self, ctx):
+        from seafowl_spark.engine.deltalite import (
+            ConcurrentCommitError,
+            DeltaLiteTable,
+        )
+
+        root = self._seed(ctx, name="cwa")
+        spark = ctx.spark
+
+        def ins(t, k):
+            t.append(
+                spark.createDataFrame([(k, k * 10)], "k bigint, v bigint")
+            )
+
+        err = self._race(
+            spark,
+            root,
+            loser_fn=lambda t: ins(t, 100),
+            winner_fn=lambda t: ins(t, 200),
+        )
+        # an append's target version is latest+1 computed at commit
+        # time — the parked writer hit the winner's version, and
+        # append() RETRIES transparently (its adds remove nothing, so
+        # losing the race never invalidates the work): both rows land,
+        # no error surfaces, versions stay contiguous and unique
+        assert err is None
+        t = DeltaLiteTable(spark, root)
+        ks = {r["k"] for r in t.to_df().collect()}
+        assert {100, 200} <= ks
+        vs = t.versions()
+        assert vs == list(range(len(vs)))
+        # the RAW commit primitive (no retry loop) does conflict: that
+        # is what the append retry is absorbing
+        snap_v = t.latest_version()
+        t.append(spark.createDataFrame([(300, 0)], "k bigint, v bigint"))
+        with pytest.raises(ConcurrentCommitError):
+            t._next_commit("INSERT", [], [], base_version=snap_v)
+
+    @pytest.mark.parametrize("seed", [13, 71])
+    def test_two_context_interleaved_fuzz(self, spark, tmp_path, seed):
+        """Two SeafowlContexts, one root: interleaved DML + index DDL +
+        matview refresh. After EVERY statement, contents and the
+        staleness boards (read through the OTHER context as often as
+        the writer) must match the serialized replay model."""
+        from seafowl_spark.engine.context import SeafowlContext
+
+        root = str(tmp_path / "shared")
+        ctxs = [SeafowlContext(spark, root), SeafowlContext(spark, root)]
+        rng = random.Random(seed)
+        c0 = ctxs[0]
+        c0.execute("CREATE TABLE ti (k BIGINT, t STRING)")
+        c0.execute("CREATE TABLE tb (k BIGINT, g STRING, v BIGINT)")
+        c0.execute(
+            "CREATE SEARCH INDEX ix ON ti (t) USING BM25 "
+            "WITH ('id_col' = 'k')"
+        )
+        c0.execute(
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT g, SUM(v) AS s FROM tb GROUP BY g"
+        )
+        # model: ti rows, tb rows, index rev / built_rev, mv dirty flag
+        ti: dict[int, str] = {}
+        tb: dict[int, tuple[str, int]] = {}
+        mv_snapshot: dict[str, int] = {}
+        rev = {"ti": 0, "ix_built": 0}
+        mv_dirty = False
+        next_k = 0
+        for step in range(24):
+            ctx = ctxs[rng.randrange(2)]
+            other = ctxs[1 - ctxs.index(ctx)]
+            roll = rng.random()
+            if roll < 0.30:
+                k, next_k = next_k, next_k + 1
+                word = rng.choice(SI_WORDS)
+                ctx.execute(f"INSERT INTO ti VALUES ({k}, '{word} doc')")
+                ti[k] = f"{word} doc"
+                rev["ti"] += 1
+            elif roll < 0.45:
+                mod = rng.randrange(3)
+                matched = [k for k in ti if k % 3 == mod]
+                ctx.execute(f"DELETE FROM ti WHERE k % 3 = {mod}")
+                for k in matched:
+                    del ti[k]
+                if matched:
+                    rev["ti"] += 1
+            elif roll < 0.60:
+                ctx.execute("REFRESH SEARCH INDEX ix ON ti")
+                rev["ix_built"] = rev["ti"]
+            elif roll < 0.85:
+                k, next_k = next_k, next_k + 1
+                g = rng.choice(["a", "b"])
+                v = rng.randrange(100)
+                ctx.execute(f"INSERT INTO tb VALUES ({k}, '{g}', {v})")
+                tb[k] = (g, v)
+                mv_dirty = True
+            else:
+                ctx.execute("REFRESH MATERIALIZED VIEW mv")
+                mv_snapshot = {}
+                for _k, (g, v) in tb.items():
+                    mv_snapshot[g] = mv_snapshot.get(g, 0) + v
+                mv_dirty = False
+            # ---- invariants, read through the OTHER context ----
+            got_ti = {
+                (r["k"], r["t"])
+                for r in other.execute("SELECT * FROM ti").collect()
+            }
+            assert got_ti == set(ti.items()), (seed, step)
+            got_mv = {
+                (r["g"], r["s"])
+                for r in other.execute("SELECT * FROM mv").collect()
+            }
+            assert got_mv == set(mv_snapshot.items()), (seed, step)
+            board = {
+                r["index_name"]: r["is_stale"]
+                for r in other.execute(
+                    "SELECT index_name, is_stale FROM system.search_indexes"
+                ).collect()
+            }
+            assert board == {"ix": rev["ix_built"] != rev["ti"]}, (
+                seed, step,
+            )
+            mv_board = [
+                r["is_stale"]
+                for r in other.execute(
+                    "SELECT is_stale FROM system.matviews"
+                ).collect()
+            ]
+            assert mv_board == [mv_dirty], (seed, step)

@@ -348,8 +348,9 @@ class TestIndexServing:
         )
         filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
         non_empty = [f for f in filters if f.strip()]
-        # 3 BM25 postings scans AND 3 LSH bands scans, all bucket-pruned
-        assert sum("bucket" in f for f in non_empty) >= 6, filters
+        # 9 BM25 postings scans (3 queries x plain/match-all/fielded,
+        # r11) AND 3 LSH bands scans, all bucket-pruned
+        assert sum("bucket" in f for f in non_empty) >= 12, filters
         assert "CartesianProduct" not in formatted
         assert "BatchEvalPython" not in formatted
 

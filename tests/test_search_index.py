@@ -473,7 +473,9 @@ class TestSearchIndexFreshness:
         )
         assert (100, 1) in got  # served from the retrained model
 
-    def test_rewrite_refresh_falls_back_to_full(self, ctx):
+    def test_rewrite_refresh_stays_incremental(self, ctx):
+        """r11: an in-place UPDATE is a masked delete (id, epoch) plus an
+        append one epoch later — INCREMENTAL, never a corpus rebuild."""
         seed_docs(ctx)
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
         ctx.execute(
@@ -481,8 +483,7 @@ class TestSearchIndexFreshness:
         )
         ctx.execute("REFRESH SEARCH INDEX idx ON sd")
         ops = [c.operation for c in self._index_table(ctx).history()]
-        assert "REFRESH SEARCH INDEX" in ops
-        assert "REFRESH SEARCH INDEX (INCREMENTAL)" not in ops
+        assert "REFRESH SEARCH INDEX (INCREMENTAL)" in ops
         got = rows(
             ctx.execute(
                 "SELECT result_id FROM search_index('sd', 'idx', 'rewritten', 1)"
@@ -845,12 +846,14 @@ class TestFieldedAndMatchModes:
 
 
 class TestDeleteAwareRefresh:
-    """r10 tombstones (operators/index_tombstones.py): DELETEs refresh
-    incrementally — removed ids mask at lookup time and BM25 merges a
-    negative stats fragment, so a tombstone-filtered lookup equals a
-    from-scratch rebuild BIT-FOR-BIT. Updates, re-inserts of tombstoned
-    ids, and cap overflows downgrade to the full rebuild (which clears
-    the mask) with the reason recorded on the spec."""
+    """r10 tombstones + r11 epochs (operators/index_tombstones.py):
+    DELETEs refresh incrementally — removed ids mask at lookup time and
+    BM25 merges a negative stats fragment, so a tombstone-filtered
+    lookup equals a from-scratch rebuild BIT-FOR-BIT. UPDATEs and
+    re-inserts of tombstoned ids stay incremental too: the mask is
+    (id, epoch)-scoped, old rows stay hidden, fresh rows land one epoch
+    later. Duplicate-id diffs and cap overflows downgrade to the full
+    rebuild (which clears the mask) with the reason on the spec."""
 
     def _table(self, ctx, name="sd"):
         from seafowl_spark.engine.deltalite import DeltaLiteTable
@@ -899,45 +902,158 @@ class TestDeleteAwareRefresh:
         ids = {r[0] for r in self._serve(ctx)}
         assert 3 not in ids and 9 in ids
 
-    def test_update_forces_rebuild_with_reason(self, ctx):
+    def test_update_refreshes_incrementally_with_exact_parity(self, ctx):
+        """r11 epochs: an UPDATE tombstones the old row at the
+        pre-refresh epoch and appends the new content one epoch later —
+        INCREMENTAL, and serving is bit-equal to a from-scratch
+        rebuild (stats, df, scores)."""
         seed_docs(ctx)
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
         ctx.execute(
-            "UPDATE sd SET text = 'rewritten content' WHERE doc_id = 2"
+            "UPDATE sd SET text = 'rewritten spark content' WHERE doc_id = 2"
         )
         ctx.execute("REFRESH SEARCH INDEX idx ON sd")
-        assert self._last_op(ctx) == "REFRESH SEARCH INDEX"  # full
-        assert (
-            self._spec(ctx).params["last_rebuild_reason"]
-            == "in-place update in diff"
-        )
-        ids = {r[0] for r in self._serve(ctx, "rewritten")}
-        assert ids == {2}
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        assert "last_rebuild_reason" not in self._spec(ctx).params
+        got_new = self._serve(ctx, "rewritten")
+        assert {r[0] for r in got_new} == {2}
+        got_all = self._serve(ctx, "spark merge join rewritten")
+        # bit-exact vs a from-scratch rebuild across every doc
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert got_new == self._serve(ctx, "rewritten")
+        assert got_all == self._serve(ctx, "spark merge join rewritten")
 
-    def test_reinsert_of_tombstoned_id_forces_rebuild(self, ctx):
+    def test_reinsert_of_tombstoned_id_stays_incremental(self, ctx):
+        """r11 epochs: the delete's mask is pinned to the pre-refresh
+        epoch, so re-inserted content (landing one epoch later) serves
+        cleanly — no rebuild, and the dead old postings stay hidden."""
         seed_docs(ctx)
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
         ctx.execute("DELETE FROM sd WHERE doc_id = 3")
         ctx.execute("REFRESH SEARCH INDEX idx ON sd")
         assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
-        # the masked old postings would shadow fresh ones — must rebuild
         ctx.execute(
             "INSERT INTO sd VALUES (3, 'spark window aggregation engine')"
         )
         ctx.execute("REFRESH SEARCH INDEX idx ON sd")
-        assert self._last_op(ctx) == "REFRESH SEARCH INDEX"
-        assert (
-            self._spec(ctx).params["last_rebuild_reason"]
-            == "re-insert of tombstoned id"
-        )
-        assert 3 in {r[0] for r in self._serve(ctx)}
-        # the rebuild cleared the mask: the NEXT delete is incremental
-        # again and the stale reason is dropped
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        assert "last_rebuild_reason" not in self._spec(ctx).params
+        got = self._serve(ctx, "spark window aggregation")
+        assert 3 in {r[0] for r in got}
+        # the OLD (pre-delete) content of doc 3 must stay masked: its
+        # distinctive term no longer matches
+        seed_text_hits = {r[0] for r in self._serve(ctx, "columnar")}
+        assert 3 not in seed_text_hits
+        # bit-exact vs a from-scratch rebuild
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert got == self._serve(ctx, "spark window aggregation")
+        # a later delete keeps the incremental path (mask still additive)
         ctx.execute("DELETE FROM sd WHERE doc_id = 5")
         ctx.execute("REFRESH SEARCH INDEX idx ON sd")
         assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
-        assert "last_rebuild_reason" not in self._spec(ctx).params
         assert 5 not in {r[0] for r in self._serve(ctx)}
+
+    def test_duplicate_ids_in_diff_force_rebuild(self, ctx):
+        """An id-keyed mask cannot hide ONE of two same-id rows — a diff
+        whose duplicate-id multisets changed downgrades to the rebuild
+        (advisor find, r11); identical-multiset duplicates (compaction
+        noise) stay incremental."""
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        # two rows share doc_id 7 with different content
+        ctx.execute(
+            "INSERT INTO sd VALUES (7, 'duplicate alpha doc'), "
+            "(7, 'duplicate beta doc')"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")  # pure append: fine
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        # deleting ONE of them rewrites the file: old side has both
+        # rows, new side has one — unrepresentable by the id mask
+        ctx.execute("DELETE FROM sd WHERE text = 'duplicate beta doc'")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX"  # full
+        assert (
+            self._spec(ctx).params["last_rebuild_reason"]
+            == "duplicate ids in diff"
+        )
+        ids = {r[0] for r in self._serve(ctx, "duplicate alpha beta")}
+        assert ids == {7}
+        # and serving equals a rebuild by construction (it WAS a rebuild)
+
+    def test_update_parity_for_lsh_and_ivfpq(self, ctx):
+        """The epoch model holds for all three index types: UPDATE stays
+        incremental and masked serving equals a from-scratch rebuild."""
+        # LSH
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        ctx.execute("CREATE TABLE sd (doc_id BIGINT, text STRING)")
+        ctx.execute(
+            f"INSERT INTO sd VALUES (1, '{base}'), (2, '{base} tail'), "
+            "(3, 'completely different content about databases')"
+        )
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING LSH "
+            "WITH (threshold = '0.2')"
+        )
+        ctx.execute(
+            "UPDATE sd SET text = 'totally new unrelated words entirely "
+            "rewritten now' WHERE doc_id = 1"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        got = self._serve(ctx, base.replace("'", ""), k=5)
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING LSH "
+            "WITH (threshold = '0.2')"
+        )
+        assert got == self._serve(ctx, base.replace("'", ""), k=5)
+        assert 1 not in {r[0] for r in got} and 2 in {r[0] for r in got}
+        ctx.execute("DROP TABLE sd")
+        # IVFPQ
+        import random
+
+        rng = random.Random(11)
+        vals = ", ".join(
+            "({}, array({}))".format(
+                i, ", ".join(f"{rng.uniform(-1, 1):.4f}" for _ in range(8))
+            )
+            for i in range(24)
+        )
+        ctx.execute("CREATE TABLE sd (doc_id BIGINT, emb ARRAY<DOUBLE>)")
+        ctx.execute(f"INSERT INTO sd VALUES {vals}")
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (emb) USING IVFPQ "
+            "WITH (cells = '2', m = '4', ksub = '4', nprobe = '2')"
+        )
+        probe = rows(ctx.execute("SELECT emb FROM sd WHERE doc_id = 0"))[0][0]
+        q = "[" + ", ".join(str(x) for x in probe) + "]"
+        before = {
+            r[0]
+            for r in rows(
+                ctx.execute(
+                    f"SELECT result_id FROM search_index('sd', 'idx', '{q}', 3)"
+                )
+            )
+        }
+        victim = sorted(before)[0]
+        # move the victim far from the probe (opposite vector)
+        flipped = ", ".join(f"{-x:.4f}" for x in probe)
+        ctx.execute(
+            f"UPDATE sd SET emb = array({flipped}) WHERE doc_id = {victim}"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._last_op(ctx) == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        after = {
+            r[0]
+            for r in rows(
+                ctx.execute(
+                    f"SELECT result_id FROM search_index('sd', 'idx', '{q}', 3)"
+                )
+            )
+        }
+        assert victim not in after and after
 
     def test_tombstone_cap_forces_rebuild(self, ctx):
         seed_docs(ctx)
@@ -1327,3 +1443,162 @@ class TestRefreshRecoveryAndHygiene:
         )["vi"]
         assert spec.params["last_rebuild_reason"] == "drift exceeded"
         assert spec.params.get("last_batch_resid_norm", 0) > 0
+
+
+class TestAutoCompaction:
+    """r11 auto-compaction: REFRESH fires the IO-only OPTIMIZE when
+    incremental fragments exceed the limit or the tombstone mask passes
+    half its cap — a long-lived index never accumulates unbounded small
+    files or broadcast mask entries just because nobody ran OPTIMIZE.
+    Serving is bit-identical across the auto-compact."""
+
+    def _table(self, ctx, name="sd"):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def _board(self, ctx, col):
+        return [
+            r[0]
+            for r in ctx.execute(
+                f"SELECT {col} FROM system.search_indexes "
+                "WHERE index_name = 'idx'"
+            ).collect()
+        ][0]
+
+    def _serve(self, ctx, q="spark", k=10):
+        return {
+            (r.result_id, r.score, r.rank)
+            for r in ctx.execute(
+                f"SELECT * FROM search_index('sd', 'idx', '{q}', {k})"
+            ).collect()
+        }
+
+    def test_fragment_limit_triggers_auto_compact(self, ctx):
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (auto_compact_fragments = '2')"
+        )
+        assert self._board(ctx, "fragments") == 0
+        ctx.execute("INSERT INTO sd VALUES (10, 'spark alpha doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._board(ctx, "fragments") == 1
+        ctx.execute("INSERT INTO sd VALUES (11, 'spark beta doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert self._board(ctx, "fragments") == 2  # at the limit, not over
+        ctx.execute("INSERT INTO sd VALUES (12, 'spark gamma doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")  # 3 > 2: auto fires
+        ops = [c.operation for c in self._table(ctx).history()]
+        assert "OPTIMIZE SEARCH INDEX (AUTO)" in ops
+        assert self._board(ctx, "fragments") == 0
+        got = self._serve(ctx)
+        assert {10, 11, 12} <= {r[0] for r in got}
+        # bit-exact vs a from-scratch rebuild after the auto-compact
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert got == self._serve(ctx)
+
+    def test_tombstone_pressure_triggers_auto_compact(self, ctx):
+        from seafowl_spark.operators.index_tombstones import has_tombstones
+
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (tombstone_cap = '4')"
+        )
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "sd")
+        )
+        import os
+
+        path = os.path.join(root, "_search", "idx")
+        ctx.execute("DELETE FROM sd WHERE doc_id IN (1, 2, 3)")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        # 3 tombstones > cap/2 = 2 -> auto-compact folded the mask
+        ops = [c.operation for c in self._table(ctx).history()]
+        assert "OPTIMIZE SEARCH INDEX (AUTO)" in ops
+        assert self._board(ctx, "tombstones") == 0
+        assert not has_tombstones(path)
+        got = self._serve(ctx)
+        assert {r[0] for r in got} <= {4, 5}
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert got == self._serve(ctx)
+
+    def test_auto_compact_off_disables(self, ctx):
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (auto_compact_fragments = '1', auto_compact = 'off')"
+        )
+        ctx.execute("INSERT INTO sd VALUES (10, 'spark alpha doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ctx.execute("INSERT INTO sd VALUES (11, 'spark beta doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ops = [c.operation for c in self._table(ctx).history()]
+        assert "OPTIMIZE SEARCH INDEX (AUTO)" not in ops
+        assert self._board(ctx, "fragments") == 2
+
+    def test_validation(self, ctx):
+        seed_docs(ctx)
+        with pytest.raises(ExecutionError, match="auto_compact must"):
+            ctx.execute(
+                "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+                "WITH (auto_compact = 'sometimes')"
+            )
+        with pytest.raises(ExecutionError, match="positive integer"):
+            ctx.execute(
+                "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+                "WITH (auto_compact_fragments = '0')"
+            )
+        with pytest.raises(ExecutionError, match="positive integer"):
+            ctx.execute(
+                "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+                "WITH (auto_compact_fragments = 'many')"
+            )
+
+
+class TestCrossFileDuplicateGuard:
+    """r11 advisor find, generalized: a removed id whose OTHER copy
+    lives in an UNCHANGED file cannot be masked (the mask is id-scoped
+    and would hide the live copy) — REFRESH must detect it against the
+    unchanged files and downgrade to the rebuild."""
+
+    def _table(self, ctx, name="sd"):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", name)
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def _spec(self, ctx):
+        from seafowl_spark.engine.search_index import load_specs
+
+        return load_specs(self._table(ctx).snapshot().properties)["idx"]
+
+    def test_removed_id_still_live_forces_rebuild(self, ctx):
+        seed_docs(ctx)
+        # id 7 lands in TWO files (two separate inserts)
+        ctx.execute("INSERT INTO sd VALUES (7, 'copy one of seven')")
+        ctx.execute("INSERT INTO sd VALUES (7, 'copy two of seven')")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        # deletes only the second file's copy; the first file is
+        # untouched, so its id-7 rows must not be masked
+        ctx.execute("DELETE FROM sd WHERE text = 'copy two of seven'")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        op = max(
+            self._table(ctx).history(), key=lambda c: c.version
+        ).operation
+        assert op == "REFRESH SEARCH INDEX"  # full rebuild
+        assert (
+            self._spec(ctx).params["last_rebuild_reason"]
+            == "removed id still live"
+        )
+        got = {
+            r.result_id
+            for r in ctx.execute(
+                "SELECT * FROM search_index('sd', 'idx', 'seven', 5)"
+            ).collect()
+        }
+        assert got == {7}  # the surviving copy serves

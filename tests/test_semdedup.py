@@ -135,3 +135,53 @@ class TestPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "cell" in plan
+
+
+class TestIndexedAssignment:
+    """r11: assignment riding a PERSISTED IVF-PQ index — the centroid
+    codebook is fit once at index build time and reused by every dedup
+    run (and by the ANN serving path), so corpus-scale k never refits
+    per run. Same centroids => identical output to passing them
+    explicitly."""
+
+    def test_index_path_equals_explicit_centroids(self, spark, tmp_path):
+        import random
+
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.pq import (
+            fit_pq_residual,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        cn = normalized(df)
+        cents = fit_kmeans(cn, k=4, max_iter=2)
+        books = fit_pq_residual(cn, cents, m=4, ksub=4, max_iter=1)
+        path = str(tmp_path / "ivf")
+        write_ivfpq_index(df, path, cents, books)
+
+        via_index = semdedup(
+            df, index_path=path, threshold=0.8,
+            assign_mode="hierarchical",
+        ).collect()
+        explicit = semdedup(
+            df, centroids=cents, threshold=0.8,
+            assign_mode="hierarchical",
+        ).collect()
+        key = lambda r: r.vec_id  # noqa: E731
+        assert sorted(via_index, key=key) == sorted(explicit, key=key)
+
+    def test_explicit_centroids_take_precedence(self, spark, tmp_path):
+        # centroids= wins over index_path= (explicit beats persisted)
+        rows = [(i, [1.0, 0.0]) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        out = semdedup(
+            df, centroids=[[1.0, 0.0]], threshold=0.9,
+            index_path=str(tmp_path / "missing"),
+        ).collect()
+        assert len(out) == 4  # the missing index path was never read

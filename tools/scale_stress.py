@@ -408,7 +408,17 @@ def main() -> None:
         * ``exact`` (`semdedup_exact`, documented exception row): the
           brute-force n x k argmin is ~N^2 total work with k ~ n/64 —
           measured 3.7x-11.4x at 10x across r7-r9, parallelism-noisy.
-        """
+
+        r11 generator fix: the previous grid ``0.05*((c+d)%9-4)``
+        collapsed to NINE distinct centroid vectors (the pattern is
+        periodic in c), so clusters silently grew as n/9 instead of the
+        documented ~64 rows and the capped pairwise verify — 32M pairs
+        at 10x vs 0.4M at 1x — was what the row actually measured (the
+        r10 9.3x). The sin-phase grid below makes every centroid
+        distinct, restoring the scenario this runner documents; the cap
+        still bounds any genuinely hot cluster."""
+        import math
+
         from seafowl_spark.operators.semdedup import semdedup
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
@@ -417,7 +427,8 @@ def main() -> None:
         n = emb.count()
         dim, ncell = 64, max(8, n // 64)
         cents = [
-            [0.05 * ((c + d) % 9 - 4) for d in range(dim)] for c in range(ncell)
+            [math.sin(c * 0.7 + d * 0.35) * 0.3 for d in range(dim)]
+            for c in range(ncell)
         ]
         t0 = time.perf_counter()
         semdedup(
