@@ -257,6 +257,30 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
             raise FullRebuildRequired("null id in diff")
         new_paths = {f.path for f in (only_new or [])}
         unchanged = [f for f in snap_now.files if f.path not in new_paths]
+        # driver-side stats pruning first: a file whose id min/max range
+        # cannot contain any removed id needs no probe at all (the
+        # common unique-id case prunes the whole corpus away — refresh
+        # IO stays proportional to CHANGED data); the 2-scalar range
+        # aggregate is over the already-small removed set
+        if unchanged:
+            mm = removed.agg(
+                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+            ).first()
+            lo, hi = mm["lo"], mm["hi"]
+
+            def _may_hold(f) -> bool:
+                st = (f.stats or {}).get(id_col)
+                if (
+                    not st
+                    or st.get("min") is None
+                    or st.get("max") is None
+                ):
+                    return True  # no stats: conservative, probe it
+                try:
+                    return not (st["max"] < lo or st["min"] > hi)
+                except TypeError:
+                    return True  # mixed-type stats: probe it
+            unchanged = [f for f in unchanged if _may_hold(f)]
         if unchanged and (
             t._scan_files(unchanged, schema)
             .select(id_col)

@@ -1210,6 +1210,40 @@ class TestOptimizeSearchIndex:
             == "OPTIMIZE SEARCH INDEX"
         )
 
+    def test_optimize_after_update_folds_epoch_mask(self, ctx):
+        """r11: an UPDATE leaves the old row's postings epoch-masked;
+        OPTIMIZE must drop exactly those (old epoch <= mask epoch) and
+        keep the re-appended higher-epoch rows — serving bit-identical
+        before/after, and equal to a from-scratch rebuild."""
+        from seafowl_spark.operators.index_tombstones import has_tombstones
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute(
+            "UPDATE sd SET text = 'rewritten spark content' WHERE doc_id = 2"
+        )
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        p = self._idx_path(ctx)
+        assert has_tombstones(p)
+
+        def serve(q):
+            return sorted(
+                rows(
+                    ctx.execute(
+                        "SELECT result_id, score, rank FROM "
+                        f"search_index('sd', 'idx', '{q}', 10)"
+                    )
+                )
+            )
+
+        before = serve("spark merge rewritten")
+        ctx.execute("OPTIMIZE SEARCH INDEX idx ON sd")
+        assert not has_tombstones(p)
+        assert serve("spark merge rewritten") == before
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert serve("spark merge rewritten") == before
+
     def test_fielded_and_lsh_and_ivfpq_compaction(self, ctx):
         import random
 

@@ -169,6 +169,15 @@ def main() -> None:
             raise SystemExit("usage: scale_stress.py [N] [BASE] --out FILE")
         out_path = args[i + 1]
         del args[i : i + 2]
+    only: set[str] | None = None
+    if "--only" in args:
+        # r11 (verdict #6): run a named subset at a deeper factor (e.g.
+        # the serving/dedup rows at 30x) without paying the full matrix
+        i = args.index("--only")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: scale_stress.py [N] [BASE] --only a,b,c")
+        only = {x.strip() for x in args[i + 1].split(",") if x.strip()}
+        del args[i : i + 2]
     factor = int(args[0]) if len(args) > 0 else 10
     base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out_dir = f"/tmp/seafowl_spark_scale_{factor}x"
@@ -192,6 +201,8 @@ def main() -> None:
     run("t_exact_dedup", base)
     out: dict[str, dict] = {}
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         t1 = run(name, base)
         tn = run(name, out_dir)
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
@@ -222,10 +233,11 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
         return dt
 
-    t1 = zorder_rewrite(base)
-    tn = zorder_rewrite(out_dir)
-    out["zorder_optimize"] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
-    print(json.dumps({"zorder_optimize": out["zorder_optimize"]}), file=sys.stderr)
+    if only is None or "zorder_optimize" in only:
+        t1 = zorder_rewrite(base)
+        tn = zorder_rewrite(out_dir)
+        out["zorder_optimize"] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
+        print(json.dumps({"zorder_optimize": out["zorder_optimize"]}), file=sys.stderr)
 
     # ---- r6 non-registry operators: custom runners, growth should be ~N
     from pyspark.sql import functions as F
@@ -432,7 +444,16 @@ def main() -> None:
         ]
         t0 = time.perf_counter()
         semdedup(
-            emb, centroids=cents, threshold=0.3, assign_mode=assign_mode
+            emb,
+            centroids=cents,
+            threshold=0.3,
+            assign_mode=assign_mode,
+            # production shape at scale: the assignment subtree feeds
+            # three consumers (both self-join sides + the final output);
+            # persisting it is the stage-boundary discipline the e2e
+            # pipeline already uses — without it the normalize+assign
+            # math re-runs 3x over the corpus
+            persist_assignments=True,
         ).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 2)
 
@@ -488,6 +509,8 @@ def main() -> None:
         ("semdedup_exact", semdedup_exact_stress),
         ("pagerank3", pagerank_stress),
     ]:
+        if only is not None and name not in only:
+            continue
         t1, tn = fn(base), fn(out_dir)
         out[name] = {"t1": t1, "tN": tn, "growth": round(tn / max(t1, 1e-9), 1)}
         print(json.dumps({name: out[name]}), file=sys.stderr)
