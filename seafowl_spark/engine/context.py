@@ -2650,6 +2650,23 @@ class SeafowlContext:
         t = DeltaLiteTable(self.spark, self.table_root(entry))
         # matviews too: these rewrite derived contents / desync MvSpec
         self._guard_matview(t, "ALTER TABLE DROP COLUMN")
+        # a search index holds the column name in its spec: dropping it
+        # would leave lookups serving a column the table no longer has
+        # and crash the NEXT refresh deep inside the rebuild — reject at
+        # the DDL boundary instead (PG-style dependent-object error)
+        from .search_index import load_specs as _si_load
+
+        for iname, ispec in _si_load(
+            t.snapshot().properties or {}
+        ).items():
+            cols = set(ispec.column.split(","))
+            cols.add(ispec.params.get("id_col", "doc_id"))
+            if stmt.column in cols:
+                raise ExecutionError(
+                    f"column {stmt.column} is referenced by search index "
+                    f"{iname}; DROP SEARCH INDEX {iname} ON {stmt.name} "
+                    "first"
+                )
         t.drop_column(stmt.column)
         self.catalog.update_schema(entry.uuid, t.snapshot().schema_ddl)
         self._record(entry, t)

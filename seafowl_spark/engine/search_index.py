@@ -22,6 +22,12 @@ Surface:
   Duplicate-id diffs and mask-cap overflows downgrade to the
   always-correct full rebuild; staleness is always visible in
   system.search_indexes.
+* ``OPTIMIZE SEARCH INDEX idx ON tbl`` folds the tombstone mask and the
+  accumulated stats fragments into the artifact — IO-only, serving
+  bit-identical. REFRESH fires it automatically (committed as
+  ``OPTIMIZE SEARCH INDEX (AUTO)``) once incremental write batches
+  exceed ``auto_compact_fragments`` (default 16) or the mask passes
+  half its cap; disable per index with ``WITH (auto_compact='off')``.
 * ``DROP SEARCH INDEX idx ON tbl`` removes the artifact + spec.
 * Queries reference an index through the ``search_index('tbl', 'idx',
   'query text', k)`` relation — rewritten before planning into a temp

@@ -1636,3 +1636,35 @@ class TestCrossFileDuplicateGuard:
             ).collect()
         }
         assert got == {7}  # the surviving copy serves
+
+
+class TestIndexColumnDependency:
+    """r11: DROP COLUMN on a column a search index references (indexed
+    column OR id_col) is rejected at the DDL boundary — otherwise the
+    next REFRESH crashes deep inside the rebuild. Unreferenced columns
+    drop fine."""
+
+    def test_drop_indexed_column_rejected(self, ctx):
+        ctx.execute(
+            "CREATE TABLE dd (doc_id BIGINT, text STRING, extra STRING)"
+        )
+        ctx.execute("INSERT INTO dd VALUES (1, 'spark doc', 'x')")
+        ctx.execute("CREATE SEARCH INDEX idx ON dd (text) USING BM25")
+        with pytest.raises(ExecutionError, match="referenced by search"):
+            ctx.execute("ALTER TABLE dd DROP COLUMN text")
+        with pytest.raises(ExecutionError, match="referenced by search"):
+            ctx.execute("ALTER TABLE dd DROP COLUMN doc_id")  # id_col
+        ctx.execute("ALTER TABLE dd DROP COLUMN extra")  # unreferenced: ok
+        # the index still serves and refreshes after the allowed drop
+        ctx.execute("INSERT INTO dd VALUES (2, 'another spark doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON dd")
+        got = {
+            r.result_id
+            for r in ctx.execute(
+                "SELECT result_id FROM search_index('dd', 'idx', 'spark', 5)"
+            ).collect()
+        }
+        assert got == {1, 2}
+        # after DROP SEARCH INDEX the column drops cleanly
+        ctx.execute("DROP SEARCH INDEX idx ON dd")
+        ctx.execute("ALTER TABLE dd DROP COLUMN text")
