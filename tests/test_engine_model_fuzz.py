@@ -371,13 +371,32 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         m.rev[new] = 0
         m.indexes[new] = {}  # clones never inherit index specs
         return f"clone {name}->{new}"
-    if roll < 0.68:
+    if roll < 0.65:
         ctx.execute(f"VACUUM TABLE {name}")
         # vacuum may GC the superseded files an incremental diff would
         # read — the next refresh is allowed to downgrade to a rebuild
         for st in m.indexes[name].values():
             st["clean"] = False
         return f"vacuum {name}"
+    if roll < 0.68:
+        # r11: table compaction rewrites files without changing rows.
+        # The staleness fingerprint is FILE-set-based, so a real rewrite
+        # flips the board stale, and the next refresh must take the
+        # metadata-only incremental path (compaction-only diff, advisor
+        # find). Whether OPTIMIZE actually rewrites (>1 small file) is
+        # an implementation detail, so the model reads the file set
+        # around the call; the board/refresh/lookup invariants stay
+        # independently asserted.
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", name)
+        t = DeltaLiteTable(ctx.spark, ctx.table_root(e))
+        before = {f.path for f in t.snapshot().files}
+        ctx.execute(f"OPTIMIZE TABLE {name}")
+        after = {f.path for f in t.snapshot().files}
+        if before != after:
+            m.rev[name] += 1  # file set changed: content fingerprint moved
+        return f"optimize {name} ({'rewrote' if before != after else 'noop'})"
     if roll < 0.80:
         iname = f"ix{rng.randrange(100)}"
         method = rng.choice(["BM25", "LSH"])

@@ -1668,3 +1668,77 @@ class TestIndexColumnDependency:
         # after DROP SEARCH INDEX the column drops cleanly
         ctx.execute("DROP SEARCH INDEX idx ON dd")
         ctx.execute("ALTER TABLE dd DROP COLUMN text")
+
+
+class TestCdcSyncComposition:
+    """r11: the CDC sync path (streaming/sync.py — insert + in-place
+    update + delete squashed into one merge) composes with the
+    epoch-scoped incremental index refresh: the post-sync REFRESH stays
+    (INCREMENTAL) and serving is bit-equal to a from-scratch rebuild."""
+
+    def test_sync_batch_then_incremental_refresh(self, ctx):
+        import pandas as pd
+
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+        from seafowl_spark.streaming.sync import (
+            ColumnDescriptor as CD,
+            SyncSchema,
+            SyncWriter,
+        )
+
+        ctx.execute("CREATE TABLE sd (doc_id BIGINT, text STRING)")
+        ctx.execute(
+            "INSERT INTO sd VALUES (1, 'spark merge join'), "
+            "(2, 'stream batch window'), (3, 'columnar vector scan')"
+        )
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        schema = SyncSchema(
+            [
+                CD("old_pk", "old_pk", "doc_id"),
+                CD("new_pk", "new_pk", "doc_id"),
+                CD("text", "value", "text"),
+            ]
+        )
+        w = SyncWriter(ctx.spark, max_rows=10_000)
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "sd")
+        )
+        # one CDC batch: insert doc 4, rewrite doc 2 in place, delete 3
+        batch = pd.DataFrame(
+            {
+                "old_pk": [None, 2, 3],
+                "new_pk": [4, 2, None],
+                "text": [
+                    "fresh spark document",
+                    "rewritten stream content",
+                    None,
+                ],
+            }
+        )
+        w.enqueue(root, schema, batch, origin="o1", sequence=1)
+        w.flush(root)
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        t = DeltaLiteTable(ctx.spark, root)
+        op = max(t.history(), key=lambda c: c.version).operation
+        assert op == "REFRESH SEARCH INDEX (INCREMENTAL)"
+
+        def serve(q):
+            return sorted(
+                rows(
+                    ctx.execute(
+                        "SELECT result_id, score, rank FROM "
+                        f"search_index('sd', 'idx', '{q}', 10)"
+                    )
+                )
+            )
+
+        got = serve("spark stream rewritten columnar")
+        ids = {r[0] for r in got}
+        assert 4 in ids and 3 not in ids
+        assert {r[0] for r in serve("rewritten")} == {2}
+        # old content of doc 2 is masked; deleted doc 3 gone
+        assert 3 not in {r[0] for r in serve("columnar")}
+        # bit-equal to a from-scratch rebuild
+        ctx.execute("DROP SEARCH INDEX idx ON sd")
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        assert got == serve("spark stream rewritten columnar")
