@@ -184,3 +184,62 @@ class TestEnvironmentInvalidGate:
         assert n == 9  # r10's probe read 1.9x -> environment-invalid
         assert rec["drift_probe"]["ratio"] <= 1.5
         assert len(rec["queries"]) == 16
+
+
+class TestEnvironmentSuspectTier:
+    """r11 follow-up: contention BELOW the invalid gate (external load /
+    probe spread) marks a record environment-suspect — it never anchors
+    a prev-round comparison (its inflated normalized totals would make
+    the next round read 'improved'), and main() renders a would-be
+    'regressed' verdict as 'environment-suspect' (wired in bench.main;
+    anchor exclusion pinned here)."""
+
+    def _write(self, d, n, parsed=None, **extra):
+        import json
+
+        (d / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"n": n, "parsed": parsed, **extra})
+        )
+
+    def test_suspect_record_never_anchors(self, tmp_path):
+        from bench import _latest_recorded_bench
+
+        ok = {
+            "protocol": "min_of_3",
+            "queries": {"q01_pricing_summary": 1.2},
+            "drift_probe": {"ratio": 0.9},
+            "sf": 0.1,
+        }
+        self._write(tmp_path, 9, ok)
+        self._write(
+            tmp_path,
+            10,
+            dict(
+                ok,
+                environment={
+                    "load_pre": 4.8,
+                    "probe_spread": 0.05,
+                    "suspect": True,
+                },
+            ),
+        )
+        n, rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 9
+
+    def test_clean_environment_block_still_anchors(self, tmp_path):
+        from bench import _latest_recorded_bench
+
+        ok = {
+            "protocol": "min_of_3",
+            "queries": {"q01_pricing_summary": 1.2},
+            "drift_probe": {"ratio": 0.9},
+            "sf": 0.1,
+            "environment": {
+                "load_pre": 0.3,
+                "probe_spread": 0.02,
+                "suspect": False,
+            },
+        }
+        self._write(tmp_path, 12, ok)
+        n, _rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 12
