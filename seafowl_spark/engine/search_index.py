@@ -131,6 +131,42 @@ class FullRebuildRequired(Exception):
     for the spec's observability params."""
 
 
+def _artifact_has_epochs(spark, path: str, spec: IndexSpec) -> bool:
+    """True when the persisted artifact's row schema carries the r11
+    ``epoch`` column (checked via the sidecar DDL each method already
+    persists; a sidecar-less/unreadable artifact reports False and the
+    caller rebuilds — the always-correct recovery)."""
+    import json as _json
+
+    try:
+        if spec.method == "BM25":
+            stats = spark.read.parquet(f"{path}/stats")
+            if "postings_ddl" not in stats.columns:
+                return False
+            # EVERY fragment's DDL must be epoch-aware: a mixed
+            # legacy+new artifact reads under whichever DDL F.first
+            # picks, which is order-dependent (distinct list is bounded
+            # by the fragment count, which auto-compaction bounds)
+            ddls = [
+                r[0]
+                for r in stats.select("postings_ddl").distinct().collect()
+            ]
+            return bool(ddls) and all(d and "epoch" in d for d in ddls)
+        elif spec.method == "LSH":
+            meta = _json.loads(
+                spark.read.parquet(f"{path}/meta").first()["meta"]
+            )
+            ddl = meta.get("bands_ddl")
+        else:  # IVFPQ
+            meta = _json.loads(
+                spark.read.json(f"{path}/meta").first()["meta"]
+            )
+            ddl = meta.get("vectors_ddl")
+    except Exception:  # noqa: BLE001 — unreadable artifact: rebuild
+        return False
+    return bool(ddl) and "epoch" in ddl
+
+
 def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
                       path: str):
     """``(removed_rows, added_rows)`` for a delete/update-aware
@@ -167,6 +203,16 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
     )
 
     spark = t.spark
+    # pre-epoch artifact (built before r11): its rows carry no epoch
+    # column, so the reader treats them ALL as epoch 0 — and any rows a
+    # future incremental refresh appends at epoch >= 1 could be wrongly
+    # masked by a later (id, epoch>=1) tombstone whose reach should not
+    # include them... worse, with MIXED fragment DDLs the reader's
+    # schema pick is order-dependent. One migration rebuild moves the
+    # artifact to the epoch layout; every later refresh is incremental
+    # again.
+    if not _artifact_has_epochs(spark, path, spec):
+        raise FullRebuildRequired("pre-epoch artifact migrated")
     id_col = spec.params.get("id_col", "doc_id")
     cols = spec.column.split(",")
     sel = [id_col, *cols]

@@ -1742,3 +1742,69 @@ class TestCdcSyncComposition:
         ctx.execute("DROP SEARCH INDEX idx ON sd")
         ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
         assert got == serve("spark stream rewritten columnar")
+
+
+class TestPreEpochMigration:
+    """r11: an artifact built before the epoch layout (rows carry no
+    epoch column) must take ONE migration rebuild at its next refresh —
+    mixed legacy+epoch fragments would read under an order-dependent
+    schema pick and mis-mask re-inserted rows. After the rebuild the
+    index is epoch-aware and refreshes incrementally again."""
+
+    def _table(self, ctx):
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", "sd")
+        return DeltaLiteTable(ctx.spark, ctx.table_root(e))
+
+    def test_legacy_artifact_rebuilds_once_then_incremental(self, ctx):
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from seafowl_spark.engine.search_index import load_specs
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "sd")
+        )
+        p = os.path.join(root, "_search", "idx")
+        # forge a pre-epoch sidecar: strip the epoch column from the
+        # persisted postings DDL (the epoch-awareness check is DDL-based)
+        stats = ctx.spark.read.parquet(f"{p}/stats").withColumn(
+            "postings_ddl",
+            F.regexp_replace("postings_ddl", ", epoch bigint", ""),
+        )
+        tmp = f"{p}/stats.__forge"
+        stats.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{p}/stats")
+        os.rename(tmp, f"{p}/stats")
+
+        ctx.execute("INSERT INTO sd VALUES (9, 'legacy spark doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        t = self._table(ctx)
+        assert (
+            max(t.history(), key=lambda c: c.version).operation
+            == "REFRESH SEARCH INDEX"  # migration rebuild, not incremental
+        )
+        spec = load_specs(t.snapshot().properties)["idx"]
+        assert (
+            spec.params["last_rebuild_reason"]
+            == "pre-epoch artifact migrated"
+        )
+        got = {
+            r.result_id
+            for r in ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'legacy', 3)"
+            ).collect()
+        }
+        assert got == {9}
+        # rebuilt into the epoch layout: the next refresh is incremental
+        ctx.execute("INSERT INTO sd VALUES (10, 'modern spark doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        assert (
+            max(self._table(ctx).history(), key=lambda c: c.version).operation
+            == "REFRESH SEARCH INDEX (INCREMENTAL)"
+        )
