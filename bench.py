@@ -278,15 +278,24 @@ def main() -> None:
     if (drift["ratio"] or 0) > DRIFT_INVALID_GATE:
         # transient contention spikes pass on retry; sustained load does
         # not — keep the better reading either way (min over both probes
-        # is still the same frozen query, same protocol)
+        # is still the same frozen query, same protocol). The pre-retry
+        # reading is preserved: a probe that EVER exceeded the gate
+        # mid-window is contention evidence, and the suspect tier below
+        # must see it even when the retry passes (review find, r11)
+        pre_retry_sec = drift["sec"]
         retry = run_probe(spark, sf_dir)
         if (retry["ratio"] or float("inf")) < (drift["ratio"] or float("inf")):
             drift = retry
         drift["retried"] = True
+        drift["pre_retry_sec"] = pre_retry_sec
     ratio = drift["ratio"] or 1.0
     env_invalid = ratio > DRIFT_INVALID_GATE
+    # the spread considers the WORST probe reading of the window —
+    # including a pre-retry spike the retry replaced — so passing the
+    # invalid gate on retry cannot erase the contention evidence
+    worst_sec = max(drift["sec"], drift.get("pre_retry_sec", 0.0))
     spread = round(
-        max(probe_start["sec"], drift["sec"])
+        max(probe_start["sec"], worst_sec)
         / max(min(probe_start["sec"], drift["sec"]), 1e-9)
         - 1.0,
         3,
@@ -294,6 +303,7 @@ def main() -> None:
     env_suspect = not env_invalid and (
         (load_pre is not None and load_pre > LOAD_SUSPECT_GATE)
         or spread > PROBE_SPREAD_GATE
+        or bool(drift.get("retried"))
     )
     environment = {
         "load_pre": load_pre,

@@ -1202,6 +1202,7 @@ class SeafowlContext:
                     "baseline_resid_norm",
                     "tombstones",
                     "epoch",
+                    "fragments",
                 }
                 with_items = [
                     f"""'{k}' = '{str(v).replace("'", "''")}'"""

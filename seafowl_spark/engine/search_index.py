@@ -136,8 +136,6 @@ def _artifact_has_epochs(spark, path: str, spec: IndexSpec) -> bool:
     ``epoch`` column (checked via the sidecar DDL each method already
     persists; a sidecar-less/unreadable artifact reports False and the
     caller rebuilds — the always-correct recovery)."""
-    import json as _json
-
     try:
         if spec.method == "BM25":
             stats = spark.read.parquet(f"{path}/stats")
@@ -153,15 +151,13 @@ def _artifact_has_epochs(spark, path: str, spec: IndexSpec) -> bool:
             ]
             return bool(ddls) and all(d and "epoch" in d for d in ddls)
         elif spec.method == "LSH":
-            meta = _json.loads(
-                spark.read.parquet(f"{path}/meta").first()["meta"]
-            )
-            ddl = meta.get("bands_ddl")
+            from ..operators.lsh_index import _read_meta
+
+            ddl = _read_meta(spark, path).get("bands_ddl")
         else:  # IVFPQ
-            meta = _json.loads(
-                spark.read.json(f"{path}/meta").first()["meta"]
-            )
-            ddl = meta.get("vectors_ddl")
+            from ..operators.pq import read_ivfpq_meta
+
+            ddl = read_ivfpq_meta(spark, path).get("vectors_ddl")
     except Exception:  # noqa: BLE001 — unreadable artifact: rebuild
         return False
     return bool(ddl) and "epoch" in ddl
@@ -374,21 +370,17 @@ def compact_index(spark, path: str, spec: IndexSpec) -> None:
         compact_masked_dir(spark, path, "postings", "bucket", "doc_id", ddl)
         compact_bm25_stats(spark, path)
     elif spec.method == "LSH":
-        import json as _json
+        from ..operators.lsh_index import _read_meta
 
-        meta = _json.loads(
-            spark.read.parquet(f"{path}/meta").first()["meta"]
-        )
+        meta = _read_meta(spark, path)
         compact_masked_dir(
             spark, path, "bands", "bucket", meta["id_col"],
             meta.get("bands_ddl"),
         )
     else:  # IVFPQ
-        import json as _json
+        from ..operators.pq import read_ivfpq_meta
 
-        meta = _json.loads(
-            spark.read.json(f"{path}/meta").first()["meta"]
-        )
+        meta = read_ivfpq_meta(spark, path)
         compact_masked_dir(
             spark, path, "vectors", "cell", "vec_id",
             meta.get("vectors_ddl"),

@@ -507,6 +507,19 @@ def write_ivfpq_index(
     return baseline
 
 
+def read_ivfpq_meta(spark, path: str) -> dict:
+    """The JSON meta sidecar :func:`write_ivfpq_index` persists
+    (centroids, codebooks, baseline_resid_norm, vectors_ddl) — the ONE
+    reader every consumer shares (append/lookup here, the engine's
+    compaction + epoch check, semdedup's persisted-index assignment), so
+    a sidecar layout change has a single seam."""
+    import json
+
+    return json.loads(
+        spark.read.json(f"{path}/meta").select("meta").first()[0]
+    )
+
+
 def delete_from_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -547,12 +560,8 @@ def append_ivfpq_index(
     sample; past the threshold the right move is a retrain (full
     rebuild), exactly as FAISS-style serving systems do. The engine's
     REFRESH SEARCH INDEX drives this contract (context.py)."""
-    import json
-
     spark = corpus.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/meta").select("meta").first()[0]
-    )
+    meta = read_ivfpq_meta(spark, path)
     centroids, codebooks = meta["centroids"], meta["codebooks"]
 
     from .kmeans import assign_cells
@@ -606,13 +615,9 @@ def ivf_pq_topk_indexed(
     the coarse stage reads only (id, pq_code) columns; float embeddings
     are read back (same pruned partitions) only for the shortlist
     re-rank."""
-    import json
-
     from ..functions.vec import nearest_cells_udf, pq_lut_udf
 
-    meta = json.loads(
-        spark.read.json(f"{path}/meta").select("meta").first()[0]
-    )
+    meta = read_ivfpq_meta(spark, path)
     centroids, codebooks = meta["centroids"], meta["codebooks"]
 
     qn = normalized(

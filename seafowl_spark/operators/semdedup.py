@@ -92,14 +92,11 @@ def semdedup(
     the cap and the verify toward its bound; keep centroids distinct
     (a real kmeans fit is) so clusters track corpus/k."""
     if centroids is None and index_path is not None:
-        import json as _json
+        from .pq import read_ivfpq_meta
 
-        meta = _json.loads(
-            df.sparkSession.read.json(f"{index_path}/meta")
-            .select("meta")
-            .first()[0]
-        )
-        centroids = meta["centroids"]
+        centroids = read_ivfpq_meta(df.sparkSession, index_path)[
+            "centroids"
+        ]
     norm = _with_l2_normalized(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, "__nv"
     )

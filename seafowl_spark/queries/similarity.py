@@ -954,9 +954,18 @@ def _seed_serving_indexes(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"sfs_serving_{key}v4")
     marker = os.path.join(d, "_SEEDED")
     if not os.path.exists(marker):
+        import glob as _glob
         import json as _json
 
         from ..operators.whiten import fit_whitening
+
+        # sweep superseded seed versions (same leak as the sqlidx
+        # seeder — review find, r11)
+        for old in _glob.glob(
+            os.path.join(tempfile.gettempdir(), f"sfs_serving_{key}v*")
+        ):
+            if os.path.abspath(old) != os.path.abspath(d):
+                shutil.rmtree(old, ignore_errors=True)
 
         stage = f"{d}.stage{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
@@ -1115,6 +1124,16 @@ def _seed_sql_serving(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"sfs_sqlidx_{key}v3")
     marker = os.path.join(d, "_SEEDED")
     if not os.path.exists(marker):
+        # superseded seed versions leak a full corpus+artifact tree per
+        # sf_dir otherwise (v2 leaked v1's at the previous bump —
+        # review find, r11): sweep the older siblings before staging
+        import glob as _glob
+
+        for old in _glob.glob(
+            os.path.join(tempfile.gettempdir(), f"sfs_sqlidx_{key}v*")
+        ):
+            if os.path.abspath(old) != os.path.abspath(d):
+                shutil.rmtree(old, ignore_errors=True)
         stage = f"{d}.stage{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         ctx = SeafowlContext(spark, stage)
