@@ -1941,6 +1941,7 @@ class SeafowlContext:
         # incremental (engine/search_index.incremental_delta)
         e_prev = int(spec.params.get("epoch", 0))
         wrote_batches = 0  # artifact/stats fragments this refresh adds
+        marker_held = False  # True once THIS refresh created the mutex
         if not had_marker:
             try:
                 from .search_index import (
@@ -1964,8 +1965,21 @@ class SeafowlContext:
                     removed, new_rows = incremental_delta(
                         t, schema, spec, only_old, only_new, path
                     )
-                    with open(marker, "w") as fh:
-                        fh.write(snapshot_fp(snap))
+                    # two concurrent refreshers that both passed the entry
+                    # check would BOTH append (duplicated postings,
+                    # doubled stats) — the marker doubles as the mutex:
+                    # exclusive create, loser fails fast and clean (the
+                    # winner's marker is removed only after its commit)
+                    try:
+                        with open(marker, "x") as fh:
+                            fh.write(snapshot_fp(snap))
+                        marker_held = True
+                    except FileExistsError:
+                        raise ExecutionError(
+                            f"search index {f['index']} on {f['table']} "
+                            "has a refresh or optimize in flight; retry "
+                            "when it finishes"
+                        ) from None
                     if removed is None and new_rows is None:
                         # compaction-only base-table diff (OPTIMIZE /
                         # ZORDER rewrote files, same rows): the index is
@@ -2077,6 +2091,19 @@ class SeafowlContext:
                 spec.params["last_rebuild_reason"] = (
                     "interrupted refresh recovered"
                 )
+            elif not marker_held:
+                # rebuilds reached WITHOUT the mutex (diff classified
+                # before any artifact write) still need it: two
+                # concurrent overwrites of the same artifact dir corrupt
+                try:
+                    with open(marker, "x") as fh:
+                        fh.write("rebuild")
+                except FileExistsError:
+                    raise ExecutionError(
+                        f"search index {f['index']} on {f['table']} has "
+                        "a refresh or optimize in flight; retry when it "
+                        "finishes"
+                    ) from None
             spec.params.setdefault("last_rebuild_reason", "full rebuild")
             stats = build_index(t.to_df(_snap=snap), path, spec)
             if stats:
@@ -2183,9 +2210,18 @@ class SeafowlContext:
 
         marker = os.path.join(path, "_append_pending")
         # the rewrite-and-swap is not atomic: a crash mid-compaction
-        # leaves the marker, and the next REFRESH full-rebuilds
-        with open(marker, "w") as fh:
-            fh.write("optimize")
+        # leaves the marker, and the next REFRESH full-rebuilds. The
+        # exclusive create also serializes concurrent compactors (two
+        # racing __compact swaps would collide) — the pre-check in
+        # _exec_optimize_search_index is advisory, this is the mutex
+        try:
+            with open(marker, "x") as fh:
+                fh.write("optimize")
+        except FileExistsError:
+            raise ExecutionError(
+                "a refresh or optimize is already in flight on this "
+                "index; retry when it finishes"
+            ) from None
         compact_index(self.spark, path, spec)
         spec.params.pop("tombstones", None)  # mask folded into artifact
         spec.params.pop("fragments", None)  # fragments collapsed

@@ -1808,3 +1808,68 @@ class TestPreEpochMigration:
             max(self._table(ctx).history(), key=lambda c: c.version).operation
             == "REFRESH SEARCH INDEX (INCREMENTAL)"
         )
+
+
+class TestRefreshMutex:
+    """r11: the crash marker doubles as the refresh mutex (exclusive
+    create). A racer that claims it between the entry check and the
+    artifact write makes THIS refresh fail fast with a clean in-flight
+    error — never a double append (duplicated postings / doubled
+    stats) or a double rebuild (two overwrites of one artifact dir)."""
+
+    def _marker(self, ctx):
+        import os
+
+        root = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "sd")
+        )
+        return os.path.join(root, "_search", "idx", "_append_pending")
+
+    def test_incremental_path_fails_fast_when_marker_claimed(
+        self, ctx, monkeypatch
+    ):
+        import seafowl_spark.engine.search_index as si
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("INSERT INTO sd VALUES (9, 'raced spark doc')")
+        marker = self._marker(ctx)
+        orig = si.incremental_delta
+
+        def racer(*a, **kw):
+            out = orig(*a, **kw)
+            open(marker, "x").write("racer")  # interleaver wins the mutex
+            return out
+
+        monkeypatch.setattr(si, "incremental_delta", racer)
+        with pytest.raises(ExecutionError, match="in flight"):
+            ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        monkeypatch.setattr(si, "incremental_delta", orig)
+        # the racer's surviving marker routes the retry through the
+        # always-correct full rebuild; serving ends exact
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        got = {
+            r.result_id
+            for r in ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'raced', 3)"
+            ).collect()
+        }
+        assert got == {9}
+
+    def test_rebuild_path_fails_fast_when_marker_claimed(
+        self, ctx, monkeypatch
+    ):
+        import seafowl_spark.engine.search_index as si
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("INSERT INTO sd VALUES (9, 'raced spark doc')")
+        marker = self._marker(ctx)
+
+        def racer(*a, **kw):
+            open(marker, "x").write("racer")
+            raise si.FullRebuildRequired("forced by test")
+
+        monkeypatch.setattr(si, "incremental_delta", racer)
+        with pytest.raises(ExecutionError, match="in flight"):
+            ctx.execute("REFRESH SEARCH INDEX idx ON sd")
