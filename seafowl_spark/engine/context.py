@@ -2735,7 +2735,13 @@ class SeafowlContext:
     def _exec_vacuum_table(self, stmt) -> None:
         entry = self._resolve(stmt.name)
         t = DeltaLiteTable(self.spark, self.table_root(entry))
-        t.vacuum(retention_ms=0)
+        # retention 0 = reference parity; the opt-in table property keeps
+        # a CONCURRENT writer's in-flight files out of the orphan sweep
+        # (deltalite.vacuum docstring has the race)
+        grace = int(
+            (t.snapshot().properties or {}).get("vacuum_orphan_grace_ms", 0)
+        )
+        t.vacuum(retention_ms=0, orphan_grace_ms=grace)
         # search-index artifacts not referenced by the current specs are
         # orphans (a crashed CREATE's partial build, a RESTORE past the
         # index's lifetime) — GC them with the same sweep

@@ -714,10 +714,16 @@ class DeltaLiteTable:
                 blooms[c] = base64.b64encode(bytes(bits)).decode("ascii")
             a.blooms = blooms
 
-    def _write_data(self, df: DataFrame) -> list[AddFile]:
+    def _write_data(
+        self, df: DataFrame, _snap: Snapshot | None = None
+    ) -> list[AddFile]:
         txn = f"data/txn-{uuid.uuid4().hex}"
         out = os.path.join(self.root, txn)
-        snap = self.snapshot() if self.exists() else None
+        snap = (
+            _snap
+            if _snap is not None
+            else (self.snapshot() if self.exists() else None)
+        )
         props = snap.properties if snap else {}
         spec = snap.bucket_spec if snap else None
         if spec is not None:
@@ -872,8 +878,12 @@ class DeltaLiteTable:
         return t
 
     def append(self, df: DataFrame, operation: str = "INSERT", app_txn: dict | None = None) -> Commit:
-        df = self._enforce_constraints(self._align(df))
-        adds = self._write_data(df)
+        # one snapshot resolution for the whole statement: align,
+        # constraints, and the write all read the same metadata (each
+        # used to replay the log independently — review find, r11)
+        snap = self.snapshot() if self.exists() else None
+        df = self._enforce_constraints(self._align(df, _snap=snap), _snap=snap)
+        adds = self._write_data(df, _snap=snap)
         # appends remove nothing, so losing the version race never
         # invalidates the work: re-read the latest version and re-commit the
         # same adds (snapshot-based ops — UPDATE/DELETE/MERGE — must NOT
@@ -886,20 +896,26 @@ class DeltaLiteTable:
         raise ConcurrentCommitError("append lost the commit race 16 times")
 
     def overwrite(self, df: DataFrame, operation: str = "OVERWRITE") -> Commit:
-        df = self._enforce_constraints(self._align(df))
         snap = self.snapshot()
-        adds = self._write_data(df)
+        df = self._enforce_constraints(self._align(df, _snap=snap), _snap=snap)
+        adds = self._write_data(df, _snap=snap)
         # _retire, not bare paths: a replaced file's DV sidecar must enter
         # the remove list too, or vacuum can never GC the orphaned .bin
         return self._next_commit(
             operation, adds, self._retire(snap.files), base_version=snap.version
         )
 
-    def _align(self, df: DataFrame) -> DataFrame:
+    def _align(self, df: DataFrame, _snap: Snapshot | None = None) -> DataFrame:
         """byName projection: pad missing columns with NULL, reorder, cast —
         the reference does the same for INSERT (logical.rs:118-122,
-        tests/statements/dml.rs:3-46)."""
-        target = self.schema()
+        tests/statements/dml.rs:3-46). ``_snap`` reuses an
+        already-resolved snapshot (one INSERT used to replay the log four
+        times across align/constraints/write — review find, r11)."""
+        target = (
+            T.StructType.fromDDL(_snap.schema_ddl)
+            if _snap is not None
+            else self.schema()
+        )
         cols = []
         for f in target.fields:
             if f.name in df.columns:
@@ -971,19 +987,37 @@ class DeltaLiteTable:
         spec = snap.bucket_spec
         if spec is None or not predicate_sql:
             return None
-        if re.search(r"(?i)\b(or|not)\b", predicate_sql):
+        # mask string literals FIRST: the structural scans below must
+        # never match text INSIDE a literal (WHERE note = 'id = 5' used
+        # to pin the id bucket from the quoted text and silently skip
+        # matching rows in every other bucket — review find, r11). The
+        # literal pattern covers both '' and backslash escaping.
+        literals: list[str] = []
+
+        def _mask(m: "re.Match[str]") -> str:
+            literals.append(m.group(0))
+            return f"\x00{len(literals) - 1}\x00"
+
+        masked = re.sub(r"'(?:\\.|''|[^'\\])*'", _mask, predicate_sql)
+        if "'" in masked:
+            return None  # unterminated/unrecognized quoting: be safe
+        if re.search(r"(?i)\b(or|not)\b", masked):
             return None  # only plain conjunctions are safely narrowing
         cols, n = spec
         schema = T.StructType.fromDDL(snap.schema_ddl)
         lits = []
         for c in cols:
             m = re.search(
-                rf"(?i)(?<![\w.]){re.escape(c)}\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)",
-                predicate_sql,
+                rf"(?i)(?<![\w.]){re.escape(c)}\s*=\s*"
+                rf"(\x00\d+\x00|-?\d+(?:\.\d+)?)",
+                masked,
             )
             if m is None:
                 return None
-            lits.append(f"CAST({m.group(1)} AS {schema[c].dataType.simpleString()})")
+            raw = m.group(1)
+            if raw.startswith("\x00"):
+                raw = literals[int(raw.strip("\x00"))]
+            lits.append(f"CAST({raw} AS {schema[c].dataType.simpleString()})")
         row = (
             self.spark.range(1)
             .select(
@@ -1045,7 +1079,9 @@ class DeltaLiteTable:
                 for c in df.columns
             ]
         )
-        adds = self._write_data(self._enforce_constraints(projected))
+        adds = self._write_data(
+            self._enforce_constraints(projected, _snap=snap), _snap=snap
+        )
         return self._next_commit(
             "UPDATE", adds, self._retire(hit), base_version=snap.version
         )
@@ -1082,7 +1118,7 @@ class DeltaLiteTable:
         df = self._scan_files(hit, schema)
         predicate = F.expr(predicate_sql)
         kept = df.where(~predicate | predicate.isNull())
-        adds = self._write_data(kept)
+        adds = self._write_data(kept, _snap=snap)
         return self._next_commit(
             "DELETE", adds, self._retire(hit), base_version=snap.version
         )
@@ -1145,6 +1181,12 @@ class DeltaLiteTable:
                 AddFile(
                     f.path, f.rows, f.size_bytes, f.stats, f.bucket,
                     dv={"path": dv_rel, "cardinality": int(r["card"])},
+                    # physical per-file stats carry over like rows/stats:
+                    # a bloom hit on a DV-dead row is a conservative keep,
+                    # while DROPPING the bitmaps silently degraded every
+                    # later point-lookup prune to min/max only (review
+                    # find, r11)
+                    blooms=f.blooms,
                 )
             )
         return adds, removes
@@ -1209,7 +1251,9 @@ class DeltaLiteTable:
                 for c in schema.fieldNames()
             ]
         )
-        new_adds = self._write_data(self._enforce_constraints(updated))
+        new_adds = self._write_data(
+            self._enforce_constraints(updated, _snap=snap), _snap=snap
+        )
         dv_adds, removes = self._encode_dvs(
             hit, matched.select("__sfs_fp", "__sfs_pos")
         )
@@ -1279,6 +1323,18 @@ class DeltaLiteTable:
                 f"column {name!r} is a bucket column; the file layout "
                 "hashes on it — rewrite the table instead"
             )
+        # a CHECK constraint referencing the column would make the table
+        # UNWRITABLE after the drop (every later DML's _enforce_constraints
+        # hits an unresolved column) — reject with the constraint named,
+        # same dependent-object discipline as bucket columns (review
+        # find, r11). Word-boundary text match: conservative (a quoted
+        # string containing the name also blocks), never permissive.
+        for cname, cexpr in (snap.properties.get("constraints") or {}).items():
+            if re.search(rf"(?<![\w.`]){re.escape(name)}(?![\w`])", cexpr):
+                raise DeltaLiteError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({cexpr}); DROP CONSTRAINT first"
+                )
         zcols = snap.properties.get("zorder_by")
         zlist = (
             zcols.split(",") if isinstance(zcols, str) else list(zcols or [])
@@ -1444,17 +1500,22 @@ class DeltaLiteTable:
             base_version=snap.version,
         )
 
-    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+    def _enforce_constraints(
+        self, df: DataFrame, _snap: Snapshot | None = None
+    ) -> DataFrame:
         """Validate ``df`` against every table constraint; raises on the
         first violation (with a count). One filter+count job per
         constraint over the data being WRITTEN — rewrites of already-
         validated data (DELETE keeps, OPTIMIZE) skip this, so compaction
-        never re-pays it."""
-        cons = (
-            self.snapshot().properties.get("constraints")
-            if self.exists()
-            else None
-        ) or {}
+        never re-pays it. ``_snap`` reuses a resolved snapshot."""
+        if _snap is not None:
+            cons = _snap.properties.get("constraints") or {}
+        else:
+            cons = (
+                self.snapshot().properties.get("constraints")
+                if self.exists()
+                else None
+            ) or {}
         for name, expr_sql in sorted(cons.items()):
             bad = df.where(~F.coalesce(F.expr(expr_sql), F.lit(True))).count()
             if bad:
@@ -1571,11 +1632,30 @@ class DeltaLiteTable:
         )
         if len(rows) > FINE_GRAINED_MAX_PK_VALUES:
             return hit  # too many PKs to probe cheaply; keep coarse result
+        # change values must compare against FOOTER-STATS representations
+        # (dates/timestamps are isoformat STRINGS there, decimals widened
+        # floats, bytes decoded) — bisecting raw datetime objects against
+        # string bounds raised TypeError and aborted the whole merge for
+        # date/timestamp PKs (review find, r11). ISO strings order
+        # lexicographically == chronologically, so the probe stays exact.
+        from decimal import Decimal
+
+        def _stat_norm(v):
+            if hasattr(v, "isoformat"):
+                return v.isoformat()
+            if isinstance(v, Decimal):
+                return float(v)
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).decode()
+            return v
+
         vals: dict[str, list] = {}
         for c in pk_cols:
             try:
-                vals[c] = sorted({r[c] for r in rows if r[c] is not None})
-            except TypeError:
+                vals[c] = sorted(
+                    {_stat_norm(r[c]) for r in rows if r[c] is not None}
+                )
+            except (TypeError, UnicodeDecodeError):
                 vals[c] = []  # unorderable type: skip this column's probe
         # bloom probe prep: positions per change value, None when any
         # value is not bit-stably normalizable (conservative skip) or the
@@ -1711,6 +1791,20 @@ class DeltaLiteTable:
             base = self.spark.createDataFrame([], schema)
 
         ch = changes
+        # a NULL in ANY key column can never join (NULL-safe equality is
+        # deliberately NOT used — the reference keys on non-null PKs), so
+        # such a change row would survive the full-outer join unmatched
+        # and smuggle a NULL-keyed/all-NULL row into the table (review
+        # find, r11). Reject loudly; the caller owns key hygiene.
+        null_pk = None
+        for c in pk_cols:
+            p = F.col(c).isNull()
+            null_pk = p if null_pk is None else (null_pk | p)
+        if ch.where(null_pk).limit(1).count():
+            raise DeltaLiteError(
+                f"MERGE change set contains NULL in primary key column(s) "
+                f"{pk_cols}; primary keys must be non-null"
+            )
         if delete_col is None:
             delete_col = "__delete__"
             ch = ch.withColumn(delete_col, F.lit(False))
@@ -1744,7 +1838,9 @@ class DeltaLiteTable:
                 out_cols.append(F.col(f"b.{c}").alias(c))
         is_delete = has_change & F.coalesce(F.col(f"c.{delete_col}"), F.lit(False))
         result = joined.where(~is_delete).select(*out_cols)
-        adds = self._write_data(self._enforce_constraints(result))
+        adds = self._write_data(
+            self._enforce_constraints(result, _snap=snap), _snap=snap
+        )
         # record the merge PK as a table property on first merge (enables
         # diff()'s default key and documents the table's identity column
         # set); never overwrite an explicit WITH ('merge_pk' ...) choice
@@ -1926,12 +2022,27 @@ class DeltaLiteTable:
             base_version=snap.version,
         )
 
-    def vacuum(self, retention_ms: int = 0) -> list[str]:
+    def vacuum(
+        self, retention_ms: int = 0, orphan_grace_ms: int | None = None
+    ) -> list[str]:
         """A15: delete data files no longer referenced by the latest
         snapshot (retention on commit age), mirror of delta-rs
         VacuumBuilder with retention 0 (reference physical.rs:703-766).
         Also collects orphans — files a failed write left behind that no
-        commit ever referenced."""
+        commit ever referenced.
+
+        CAUTION (review find, r11): at retention 0 the orphan scan
+        cannot distinguish a failed write's leftovers from a CONCURRENT
+        writer's in-flight, not-yet-committed files — vacuuming while
+        another writer is mid-append can delete files its imminent
+        commit references (the reference has the same exposure; delta-rs
+        guards it with a minimum retention its callers here disable).
+        Deployments with concurrent writers should set the table
+        property ``vacuum_orphan_grace_ms`` (or pass ``orphan_grace_ms``)
+        to at least their longest expected write duration: orphans
+        younger than ``max(retention_ms, orphan_grace_ms)`` survive,
+        while snapshot-removed files keep honoring ``retention_ms``
+        alone (their commits prove no writer still needs them)."""
         history = self.history()
         snap_files = self.snapshot().files
         live = {f.path for f in snap_files} | {
@@ -1964,7 +2075,8 @@ class DeltaLiteTable:
                 continue
             # float math: int-ms truncation of `now` would make a
             # just-written orphan look newer than now and survive
-            if (time.time() - self.store.mtime(full)) * 1000 >= retention_ms:
+            orphan_floor = max(retention_ms, orphan_grace_ms or 0)
+            if (time.time() - self.store.mtime(full)) * 1000 >= orphan_floor:
                 self.store.delete(full)
                 dead.append(rel)
         # drop now-empty txn dirs (real directories only — local FS)

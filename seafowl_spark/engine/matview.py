@@ -198,13 +198,20 @@ def parse_mv_query(query: str) -> MvShape:
     if not gb:
         raise MatViewError("materialized views require GROUP BY")
     from_sql = q[m.start(): gb.start()].rstrip()
+    # every STRUCTURAL scan below runs over a literal-masked copy: the
+    # token 'join sales' (or a comma, or 'where') inside a WHERE string
+    # literal must never register as a dimension / comma-join / clause
+    # boundary (a phantom dim gets uuid-pinned and permanently forces
+    # full refreshes — review find, r11). from_sql itself stays verbatim
+    # for the FROM-swap machinery.
+    masked_from = re.sub(r"'(?:\\.|''|[^'\\])*'", "''", from_sql)
     # a comma-form (implicit cross) join would slip past both the
     # CROSS-join rejection and dimension version tracking — the dim
     # would mutate with the view silently reporting fresh. Reject any
     # top-level comma in the FROM clause (commas inside parens — USING
     # lists, function args — are fine).
-    where_m = re.search(r"(?i)\bwhere\b", from_sql)
-    join_part = from_sql[: where_m.start()] if where_m else from_sql
+    where_m = re.search(r"(?i)\bwhere\b", masked_from)
+    join_part = masked_from[: where_m.start()] if where_m else masked_from
     depth = 0
     for ch in join_part:
         if ch == "(":
@@ -220,7 +227,7 @@ def parse_mv_query(query: str) -> MvShape:
         dm.group(1)
         for dm in re.finditer(
             rf"(?i)\b(?:inner\s+|left\s+(?:outer\s+)?)?join\s+({_QNAME})",
-            from_sql,
+            join_part,
         )
     ]
     from . import parser as _parser
@@ -383,12 +390,23 @@ def _sql_literal(v) -> str:
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
+    if not isinstance(v, str):
+        # bytes/binary, Decimal, and anything else str() would mangle:
+        # str(b'x') emits Python repr text ("b'x'") that NEVER matches
+        # the column, so the vanished-group anti-join would DELETE a
+        # live group from the view (review find, r11); a Decimal literal
+        # round-trips through float/double in ways that can miss exact
+        # groups. Raising routes the caller to the always-correct full
+        # refresh, same as NULL/non-finite groups.
+        raise MatViewError(
+            f"group value type {type(v).__name__} has no exact SQL literal"
+        )
     # Spark SQL string literals process backslash escapes by default
     # (spark.sql.parser.escapedStringLiterals=false), so a bare backslash
     # in a group value (e.g. 'C:\new') would denote a DIFFERENT string and
     # the refresh would silently miss/delete that group. Escape backslashes
     # first, then double quotes.
-    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    s = v.replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 

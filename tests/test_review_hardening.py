@@ -1,0 +1,212 @@
+"""Regression pins for the r11 full-file review findings on
+deltalite.py / matview.py — each test is the exact failure scenario the
+review reported, fixed in the same round."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from seafowl_spark.engine.deltalite import DeltaLiteError, DeltaLiteTable
+from tests.conftest import rows
+
+
+class TestBucketHitLiteralMasking:
+    def test_literal_text_cannot_pin_the_bucket(self, ctx):
+        """DELETE ... WHERE note = 'id = 5' on a table bucketed by id
+        used to bucket-prune from the QUOTED text and silently skip
+        matching rows in other buckets."""
+        ctx.execute(
+            "CREATE TABLE bt (id BIGINT, note STRING) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '8')"
+        )
+        vals = ", ".join(f"({i}, 'id = 5')" for i in range(16))
+        ctx.execute(f"INSERT INTO bt VALUES {vals}")
+        ctx.execute("DELETE FROM bt WHERE note = 'id = 5'")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM bt")) == [(0,)]
+
+    def test_real_bucket_equality_still_prunes_and_works(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bt (id BIGINT, note STRING) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '8')"
+        )
+        vals = ", ".join(f"({i}, 'row {i}')" for i in range(16))
+        ctx.execute(f"INSERT INTO bt VALUES {vals}")
+        ctx.execute("DELETE FROM bt WHERE id = 5")
+        got = {r[0] for r in rows(ctx.execute("SELECT id FROM bt"))}
+        assert got == set(range(16)) - {5}
+
+    def test_escaped_quote_literal_does_not_crash(self, ctx):
+        ctx.execute(
+            "CREATE TABLE bt (id BIGINT, note STRING) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '4')"
+        )
+        ctx.execute("INSERT INTO bt VALUES (1, 'a''b'), (2, 'plain')")
+        # '' escaping inside the literal used to mis-terminate the regex
+        ctx.execute("DELETE FROM bt WHERE note = 'a''b'")
+        got = {r[0] for r in rows(ctx.execute("SELECT id FROM bt"))}
+        assert got == {2}
+
+
+class TestMergeNullPk:
+    def test_null_primary_key_rejected(self, ctx, tmp_path):
+        from pyspark.sql import types as T
+
+        t = DeltaLiteTable.create(
+            ctx.spark,
+            str(tmp_path / "m"),
+            T.StructType.fromDDL("pk bigint, v string"),
+        )
+        t.append(
+            ctx.spark.createDataFrame([(1, "one")], "pk bigint, v string")
+        )
+        ch = ctx.spark.createDataFrame(
+            [(None, "junk"), (2, "two")], "pk bigint, v string"
+        )
+        with pytest.raises(DeltaLiteError, match="NULL in primary key"):
+            t.merge(ch, ["pk"])
+        # nothing landed — the reject happened before any write
+        assert {r["pk"] for r in t.to_df().collect()} == {1}
+
+
+class TestDropColumnConstraintGuard:
+    def test_constrained_column_cannot_drop(self, ctx):
+        ctx.execute("CREATE TABLE ct (x INT, y INT)")
+        ctx.execute("ALTER TABLE ct ADD CONSTRAINT cpos CHECK (x > 0)")
+        from seafowl_spark.engine.context import ExecutionError
+
+        with pytest.raises(
+            (ExecutionError, DeltaLiteError), match="CHECK constraint"
+        ):
+            ctx.execute("ALTER TABLE ct DROP COLUMN x")
+        # the table stays writable (the old failure mode: drop succeeded
+        # and every later INSERT died on the unresolved column)
+        ctx.execute("INSERT INTO ct VALUES (1, 2)")
+        # dropping the constraint releases the column
+        ctx.execute("ALTER TABLE ct DROP CONSTRAINT cpos")
+        ctx.execute("ALTER TABLE ct DROP COLUMN x")
+        ctx.execute("INSERT INTO ct VALUES (7)")
+        assert rows(ctx.execute("SELECT count(*) AS n FROM ct")) == [(2,)]
+
+
+class TestVacuumOrphanGrace:
+    def test_grace_keeps_inflight_files(self, ctx):
+        """With the opt-in grace property, a just-written never-committed
+        file (a CONCURRENT writer's in-flight data) survives VACUUM; the
+        default (reference parity, retention 0) still collects it."""
+        ctx.execute(
+            "CREATE TABLE vg (k BIGINT) "
+            "WITH ('vacuum_orphan_grace_ms' = '3600000')"
+        )
+        ctx.execute("INSERT INTO vg VALUES (1)")
+        e = ctx.catalog.get_table("default", "public", "vg")
+        root = ctx.table_root(e)
+        inflight = os.path.join(root, "data", "txn-inflight")
+        os.makedirs(inflight)
+        f = os.path.join(inflight, "part.parquet")
+        open(f, "wb").write(b"inflight bytes")
+        ctx.execute("VACUUM TABLE vg")
+        assert os.path.exists(f)  # younger than the grace: kept
+        # default table: same file would be collected immediately
+        ctx.execute("CREATE TABLE vg0 (k BIGINT)")
+        ctx.execute("INSERT INTO vg0 VALUES (1)")
+        root0 = ctx.table_root(
+            ctx.catalog.get_table("default", "public", "vg0")
+        )
+        d0 = os.path.join(root0, "data", "txn-orphan")
+        os.makedirs(d0)
+        f0 = os.path.join(d0, "stray.parquet")
+        open(f0, "wb").write(b"junk")
+        ctx.execute("VACUUM TABLE vg0")
+        assert not os.path.exists(f0)
+
+
+class TestFinePruneTemporalPk:
+    def test_date_pk_merge_does_not_crash(self, ctx, tmp_path):
+        """Footer stats store date/timestamp bounds as ISO strings; the
+        fine-prune bisect used to compare datetime objects against them
+        and abort the merge with TypeError."""
+        from pyspark.sql import types as T
+
+        t = DeltaLiteTable.create(
+            ctx.spark,
+            str(tmp_path / "dt"),
+            T.StructType.fromDDL("d date, v bigint"),
+        )
+        base = [
+            (datetime.date(2024, 1, 1 + i), i) for i in range(5)
+        ]
+        t.append(ctx.spark.createDataFrame(base, "d date, v bigint"))
+        ch = ctx.spark.createDataFrame(
+            [(datetime.date(2024, 1, 2), 200)], "d date, v bigint"
+        )
+        # fine_grained_rows=0 forces the fine-prune probe
+        t.merge(ch, ["d"], fine_grained_rows=0)
+        got = {
+            (r["d"], r["v"]) for r in t.to_df().collect()
+        }
+        assert (datetime.date(2024, 1, 2), 200) in got
+        assert len(got) == 5  # update in place, nothing dropped
+
+
+class TestMorKeepsBlooms:
+    def test_dv_delete_preserves_bloom_bitmaps(self, ctx, tmp_path):
+        from pyspark.sql import types as T
+
+        t = DeltaLiteTable.create(
+            ctx.spark,
+            str(tmp_path / "bl"),
+            T.StructType.fromDDL("id bigint, v string"),
+            properties={"bloom_by": "id", "delete_mode": "mor"},
+        )
+        t.append(
+            ctx.spark.createDataFrame(
+                [(i, f"v{i}") for i in range(50)], "id bigint, v string"
+            )
+        )
+        assert all(f.blooms for f in t.snapshot().files)
+        t.delete("id = 7")
+        files = t.snapshot().files
+        assert any(f.dv for f in files)  # MoR delete landed
+        # the re-added file kept its bitmaps (they are physical stats)
+        assert all(f.blooms for f in files)
+
+
+class TestMatviewLiteralHygiene:
+    def test_where_literal_join_is_not_a_dimension(self, ctx):
+        ctx.execute("CREATE TABLE mt (g STRING, note STRING, v BIGINT)")
+        ctx.execute(
+            "INSERT INTO mt VALUES ('a', 'join sales', 1), ('b', 'x', 2)"
+        )
+        # no table named `sales` exists: a phantom dim would fail CREATE
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mvh AS "
+            "SELECT g, SUM(v) AS s FROM mt WHERE note = 'join sales' "
+            "GROUP BY g"
+        )
+        assert rows(ctx.execute("SELECT * FROM mvh")) == [("a", 1)]
+        ctx.execute("INSERT INTO mt VALUES ('a', 'join sales', 10)")
+        ctx.execute("REFRESH MATERIALIZED VIEW mvh")
+        assert rows(ctx.execute("SELECT * FROM mvh")) == [("a", 11)]
+
+    def test_binary_group_column_full_refreshes_correctly(self, ctx):
+        """A binary group key has no exact SQL literal — the refresh must
+        downgrade to the full overwrite, never delete a live group."""
+        ctx.execute("CREATE TABLE bt2 (g BINARY, v BIGINT)")
+        ctx.execute(
+            "INSERT INTO bt2 VALUES (CAST('abc' AS BINARY), 1), "
+            "(CAST('def' AS BINARY), 2)"
+        )
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mvb AS "
+            "SELECT g, SUM(v) AS s FROM bt2 GROUP BY g"
+        )
+        ctx.execute("INSERT INTO bt2 VALUES (CAST('abc' AS BINARY), 10)")
+        ctx.execute("REFRESH MATERIALIZED VIEW mvb")
+        got = {
+            (bytes(r["g"]), r["s"])
+            for r in ctx.execute("SELECT * FROM mvb").collect()
+        }
+        assert got == {(b"abc", 11), (b"def", 2)}
