@@ -530,9 +530,17 @@ class DeltaLiteTable:
         schema = T.StructType.fromDDL(snap.schema_ddl)
         files = snap.files
         if predicate_sql:
-            # stats + bloom file skipping for reads — the same conservative
-            # path UPDATE/DELETE rewrites use (_prune)
+            # stats + bloom + bucket file skipping for reads — the same
+            # conservative path UPDATE/DELETE rewrites use. Bucket
+            # membership matters most here: min/max is powerless on a
+            # hashed layout, so without it a point lookup on the bucket
+            # key scanned every bucket (review find, r11)
             files = self._prune(snap, predicate_sql)
+            hot = self._bucket_hits(snap, predicate_sql)
+            if hot is not None:
+                files = [
+                    f for f in files if f.bucket is None or f.bucket in hot
+                ]
         if not files:
             return self.spark.createDataFrame([], schema)
         return self._scan_files(files, schema)

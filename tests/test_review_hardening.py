@@ -210,3 +210,25 @@ class TestMatviewLiteralHygiene:
             for r in ctx.execute("SELECT * FROM mvb").collect()
         }
         assert got == {(b"abc", 11), (b"def", 2)}
+
+
+class TestReadPathBucketPruning:
+    def test_point_lookup_scans_one_bucket(self, ctx):
+        """Reads prune by bucket membership too (review find, r11): on a
+        hashed layout min/max stats are powerless, so a point lookup on
+        the bucket key used to scan every bucket's files even though
+        UPDATE/DELETE already pruned to one."""
+        ctx.execute(
+            "CREATE TABLE br (id BIGINT, v STRING) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '8')"
+        )
+        vals = ", ".join(f"({i}, 'v{i}')" for i in range(64))
+        ctx.execute(f"INSERT INTO br VALUES {vals}")
+        all_files = len(
+            ctx.execute("SELECT * FROM br").inputFiles()
+        )
+        out = ctx.execute("SELECT id, v FROM br WHERE id = 5")
+        assert rows(out) == [(5, "v5")]
+        pruned_files = len(out.inputFiles())
+        assert pruned_files < all_files
+        assert pruned_files <= max(1, all_files // 8 + 1)
