@@ -63,6 +63,29 @@ HEADLINE = [
 
 N_RUNS = 3
 REGRESSION_GATE = 1.15
+# r12 (the r11 verdict's task #1): the probe's frozen R6_BASELINE_SEC
+# (1.14 s) is stale for the current host era — two judge benches on an
+# idle 0.05-load machine read the probe at 1.24-1.41x, tripping the
+# suspect tier on clean runs. The QUERY stays frozen (tools/
+# drift_probe.py is byte-identical); this constant re-freezes only the
+# HOST-ERA expectation: min over a 9-run census on the r12 driver host
+# (idle, load < 0.3), recorded below. Two ratios now coexist:
+#   * drift_probe["ratio"]  = sec / R6_BASELINE_SEC — UNCHANGED, the
+#     cross-round normalization scale every recorded BENCH_r*.json
+#     already uses (normalized_value stays comparable r6->now);
+#   * drift_probe["era_ratio"] = sec / ERA_BASELINE_SEC — what the
+#     environment tiers (invalid / suspect / retry) judge against,
+#     so an idle current-era host reads ~1.0 and renders non-suspect.
+#
+# r12 census (2026-08-16, this driver host, verified 100% idle via
+# vmstat — zero steal, load_1m ~0): three run_probe(n=3) batches after
+# the bench's own warm-up discipline read 1.410 / 1.368 / 1.435 s
+# (min-of-9 = 1.368); the judge's two rested-host benches read 1.418 /
+# 1.607 s. Frozen at the census min. For historical ratios:
+# ERA_BASELINE_SEC / R6_BASELINE_SEC = 1.20 — this host era is ~1.2x
+# slower on the probe than round 6's was.
+ERA_BASELINE_SEC = 1.368
+ERA = "r12"
 # r11 (the r10 verdict's task #1): a drift-probe ratio above this means
 # the HOST is too contended for cross-round comparison to mean anything
 # (the sealed r10 run read 1.9x on code byte-identical to r9 and
@@ -85,6 +108,19 @@ DRIFT_INVALID_GATE = 1.5
 # but never a regression verdict.
 LOAD_SUSPECT_GATE = 2.0
 PROBE_SPREAD_GATE = 0.25
+# r12: the most common contamination shape in practice is the bench
+# launched MINUTES after a heavy run (the judge's first r11 bench read
+# 24.1 normalized right after a 58-minute pytest suite; this round's
+# first verify bench tripped the spread gate the same way — start probe
+# 2.3 s vs end probe 1.44 s, load decaying from an oracle run). The
+# bench now SETTLES before measuring: wait (bounded) for the 1-minute
+# load to decay below the gate, and retry a contended start probe once.
+# This measures the code instead of the scheduler's memory of the
+# previous job — genuine mid-window contention still trips the spread/
+# load gates.
+SETTLE_LOAD_GATE = 1.5
+SETTLE_MAX_SEC = 300
+PROBE_START_RETRY_GATE = 1.25
 
 # Round-6 single-shot per-query seconds and probe ratio (BENCH_r06.json),
 # frozen here so the bench can self-compare. r6's probe ratio was 0.956
@@ -195,6 +231,9 @@ def _latest_recorded_bench(search_dir: str | None = None) -> tuple[int, dict] | 
         if not rec and isinstance(outer.get("tail"), str):
             rec = _reconstruct_from_tail(outer["tail"])
         ratio = (rec.get("drift_probe") or {}).get("ratio")
+        # era_ratio exists from r12 on; older records are judged by the
+        # r6 ratio they carry (the gate value is the same)
+        gate_ratio = (rec.get("drift_probe") or {}).get("era_ratio") or ratio
         if (
             rec.get("protocol") == f"min_of_{N_RUNS}"
             and rec.get("queries")
@@ -203,17 +242,76 @@ def _latest_recorded_bench(search_dir: str | None = None) -> tuple[int, dict] | 
             # the gate) never anchor a comparison: single-probe
             # normalization under-corrects for shuffle-heavy queries on
             # a sick host (r10 arbitration)
-            and ratio <= DRIFT_INVALID_GATE
+            and gate_ratio <= DRIFT_INVALID_GATE
             and not rec.get("environment_invalid")
-            # suspect records (r11: contended-but-under-gate host) also
-            # never anchor — their inflated normalized totals would make
-            # the NEXT round read "improved" and mask real regressions
-            and not (rec.get("environment") or {}).get("suspect")
             and rec.get("sf") == 0.1
             and (best is None or n > best[0])
         ):
+            # r12 (the r11 verdict's task #1): suspect records MAY
+            # anchor — with the stale r6 probe baseline every recent
+            # clean run tripped the suspect tier, which starved the
+            # comparison of anchors and routed it through 20-40%
+            # correction factors. The suspect flag travels with the
+            # anchor (prev_round_comparison.anchor_environment_suspect)
+            # so a reader knows the anchor's totals may be inflated —
+            # i.e. an "improved" against it is weak evidence, a
+            # "regressed" against it is strong.
             best = (n, rec)
     return best
+
+
+def steal_pct(interval: float = 1.0) -> float | None:
+    """Hypervisor CPU steal over a short sample window, from /proc/stat
+    (r12): the one direct signal for a noisy neighbor on a shared box —
+    this round's verify benches caught a 3% steal phase that inflated
+    JVM-heavy queries 1.3-3.7x while the 1-minute load read 0.1 and the
+    short probe under-registered it."""
+    def read():
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        except (OSError, ValueError, IndexError):
+            return None
+    a = read()
+    if a is None:
+        return None
+    time.sleep(interval)
+    b = read()
+    if b is None or b[0] == a[0]:
+        return None
+    return round(100.0 * (b[1] - a[1]) / (b[0] - a[0]), 2)
+
+
+STEAL_SUSPECT_GATE = 2.0  # percent
+
+
+def env_flags(
+    era_ratio: float | None,
+    load_pre: float | None,
+    spread: float,
+    retried: bool,
+    steal: float | None = None,
+) -> tuple[bool, bool]:
+    """The environment state machine (r12, pinned in
+    tests/test_drift_probe.py): judged against the CURRENT era's probe
+    baseline, never the historical r6 one.
+
+    * invalid — the probe itself reads > DRIFT_INVALID_GATE vs this
+      era: the host is too sick for any cross-round verdict;
+    * suspect — under the invalid gate but measurably contended
+      (external load before Spark started, probe spread across the
+      bench window, or a mid-window probe spike that forced a retry):
+      improvements may publish, a regression verdict may not.
+    """
+    invalid = (era_ratio or 0) > DRIFT_INVALID_GATE
+    suspect = not invalid and (
+        (load_pre is not None and load_pre > LOAD_SUSPECT_GATE)
+        or spread > PROBE_SPREAD_GATE
+        or retried
+        or (steal is not None and steal > STEAL_SUSPECT_GATE)
+    )
+    return invalid, suspect
 
 
 def main() -> None:
@@ -221,13 +319,28 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    # sampled before ANY Spark work: at this point the load is other
-    # tenants' (plus decay from whatever just exited) — the external-
-    # contention signal the probe alone cannot see
+    # settle (r12): if the 1-minute load is still decaying from a
+    # previous job, wait — bounded — before measuring anything
+    settle_wait = 0
+    try:
+        load_at_launch = round(os.getloadavg()[0], 2)
+        while (
+            os.getloadavg()[0] > SETTLE_LOAD_GATE
+            and settle_wait < SETTLE_MAX_SEC
+        ):
+            time.sleep(10)
+            settle_wait += 10
+    except (AttributeError, OSError):
+        load_at_launch = None
+
+    # sampled before ANY Spark work (post-settle): at this point the
+    # load is other tenants' — the external-contention signal the probe
+    # alone cannot see
     try:
         load_pre = round(os.getloadavg()[0], 2)
     except (AttributeError, OSError):
         load_pre = None
+    steal_pre = steal_pct()
 
     registry = load_all()
     spark = build_session("seafowl_spark_bench")
@@ -255,12 +368,43 @@ def main() -> None:
     # measures whether the host was stable ACROSS the bench window
     from tools.drift_probe import run_probe as _run_probe
 
-    probe_start = _run_probe(spark, sf_dir)
+    def _probe(*a, **k):
+        # annotate every probe reading with the era ratio the
+        # environment tiers judge against (r12 — the r6 ratio stays for
+        # cross-round normalization; see ERA_BASELINE_SEC above)
+        out = _run_probe(*a, **k)
+        out["era_baseline_sec"] = ERA_BASELINE_SEC
+        out["era"] = ERA
+        out["era_ratio"] = round(out["sec"] / ERA_BASELINE_SEC, 3)
+        return out
+
+    probe_start = _probe(spark, sf_dir)
+    if probe_start["era_ratio"] > PROBE_START_RETRY_GATE:
+        # a contended start probe poisons the spread gate for the whole
+        # record even when the host recovers seconds later (r12: first
+        # verify bench read start 2.3 s / end 1.44 s with load decaying
+        # from the run before) — give it one settled retry, keep the
+        # better reading, and preserve the first so the spread gate
+        # still sees genuine sustained contention via retried flag
+        time.sleep(15)
+        retry_start = _probe(spark, sf_dir)
+        if retry_start["era_ratio"] < probe_start["era_ratio"]:
+            retry_start["pre_retry_sec"] = probe_start["sec"]
+            retry_start["retried"] = True
+            probe_start = retry_start
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
+        # r12 (the r11 verdict's task #1): one UNCOUNTED warm run per
+        # query absorbs the first-shot JIT/codegen/broadcast outlier
+        # (judge observed s_simhash first-run 18-31 s vs 0.9 s warm) —
+        # the timed runs measure the query, not one-time compilation.
+        # queries_single_shot is therefore the first WARM run from r12
+        # on (the r6 single-shot anchors were cold; that comparison is
+        # annotated legacy below).
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -270,12 +414,12 @@ def main() -> None:
         first_run[name] = round(runs[0], 3)
 
     # host-drift probe: a frozen r1 query (tools/drift_probe.py, never
-    # edited) timed min-of-3 on the same hot session — ratio > 1 means this
-    # host is slower than round 6's, so cross-round totals divide by it.
-    from tools.drift_probe import run_probe
-
-    drift = run_probe(spark, sf_dir)
-    if (drift["ratio"] or 0) > DRIFT_INVALID_GATE:
+    # edited) timed min-of-3 on the same hot session — `ratio` > 1 means
+    # this host is slower than round 6's (cross-round totals divide by
+    # it); `era_ratio` > 1 means slower than the CURRENT era census (the
+    # environment tiers' yardstick, r12).
+    drift = _probe(spark, sf_dir)
+    if (drift["era_ratio"] or 0) > DRIFT_INVALID_GATE:
         # transient contention spikes pass on retry; sustained load does
         # not — keep the better reading either way (min over both probes
         # is still the same frozen query, same protocol). The pre-retry
@@ -283,13 +427,15 @@ def main() -> None:
         # mid-window is contention evidence, and the suspect tier below
         # must see it even when the retry passes (review find, r11)
         pre_retry_sec = drift["sec"]
-        retry = run_probe(spark, sf_dir)
-        if (retry["ratio"] or float("inf")) < (drift["ratio"] or float("inf")):
+        retry = _probe(spark, sf_dir)
+        if (retry["era_ratio"] or float("inf")) < (
+            drift["era_ratio"] or float("inf")
+        ):
             drift = retry
         drift["retried"] = True
         drift["pre_retry_sec"] = pre_retry_sec
     ratio = drift["ratio"] or 1.0
-    env_invalid = ratio > DRIFT_INVALID_GATE
+    era_ratio = drift["era_ratio"] or 1.0
     # the spread considers the WORST probe reading of the window —
     # including a pre-retry spike the retry replaced — so passing the
     # invalid gate on retry cannot erase the contention evidence
@@ -300,16 +446,32 @@ def main() -> None:
         - 1.0,
         3,
     )
-    env_suspect = not env_invalid and (
-        (load_pre is not None and load_pre > LOAD_SUSPECT_GATE)
-        or spread > PROBE_SPREAD_GATE
-        or bool(drift.get("retried"))
+    # steal sampled AGAIN at the end: a neighbor active during EITHER
+    # endpoint of the window taints the record
+    steal_post = steal_pct()
+    steal_worst = max(
+        (s for s in (steal_pre, steal_post) if s is not None),
+        default=None,
+    )
+    env_invalid, env_suspect = env_flags(
+        era_ratio,
+        load_pre,
+        spread,
+        bool(drift.get("retried")),
+        steal_worst,
     )
     environment = {
+        "load_at_launch": load_at_launch,
+        "settle_wait_sec": settle_wait,
         "load_pre": load_pre,
+        "steal_pct_pre": steal_pre,
+        "steal_pct_post": steal_post,
         "probe_start_sec": probe_start["sec"],
+        "probe_start_retried": bool(probe_start.get("retried")),
         "probe_end_sec": drift["sec"],
         "probe_spread": spread,
+        "era": ERA,
+        "era_ratio": era_ratio,
         "suspect": env_suspect,
     }
 
@@ -339,6 +501,13 @@ def main() -> None:
     r6_comparison = (
         {
             "protocol": "single_shot_normalized",
+            # r12: queries_single_shot is now the first WARM run (an
+            # uncounted warm-up precedes it); the r6 anchors were cold
+            # first runs, so this comparison is biased toward
+            # "improved" and is kept only for historical continuity —
+            # prev_round_comparison (min-of-3 vs min-of-3) is the
+            # authoritative cross-round signal
+            "legacy_warm_bias": True,
             "r6_total_normalized": r6_norm,
             "this_total_normalized": this_norm_ss,
             "moved_x": moved,
@@ -399,10 +568,28 @@ def main() -> None:
             if env_invalid
             else prev_regressions,
         }
+        # subtotal caveat + full-total comparison (r12): a tail-
+        # reconstructed anchor may carry only a few per-query timings
+        # (the driver keeps the last ~2000 chars), so the subtotal above
+        # can cover a subset — but the anchor's sealed normalized_value
+        # always survives at the tail's end. Compare full totals too.
+        prev_comparison["queries_compared"] = len(prev_norm_by_q)
+        prev_full = prev_rec.get("normalized_value")
+        if prev_full:
+            prev_comparison["prev_normalized_value"] = prev_full
+            prev_comparison["this_normalized_value"] = normalized
+            prev_comparison["moved_x_full_total"] = round(
+                normalized / prev_full, 3
+            )
         if env_suspect:
             # context for readers of per-query flags: a contended host
             # inflates parallel-heavy queries superlinearly vs the probe
             prev_comparison["environment_suspect"] = True
+        if (prev_rec.get("environment") or {}).get("suspect"):
+            # the ANCHOR ran on a contended host: its totals may be
+            # inflated, so "improved" vs it is weak evidence and
+            # "regressed" vs it is strong (r12)
+            prev_comparison["anchor_environment_suspect"] = True
         if env_invalid:
             prev_comparison["verdict"] = "environment-invalid"
         elif env_suspect and (prev_comparison["moved_x"] or 0) > REGRESSION_GATE:

@@ -342,12 +342,20 @@ class SeafowlContext:
                         # artifact/stats files readers must open — the
                         # auto-compaction trigger's other axis
                         fragments=int(s.params.get("fragments", 0)),
+                        # why the last compaction ran (r12): the auto
+                        # trigger with its numbers ("auto: fragments 17
+                        # > 16") or "manual OPTIMIZE" — evidence for
+                        # tuning auto_compact_fragments
+                        last_compact_reason=s.params.get(
+                            "last_compact_reason"
+                        ),
                     )
                 )
         si_schema = T.StructType.fromDDL(
             "table_schema string, table_name string, index_name string, "
             "method string, column_name string, built_version bigint, "
-            "is_stale boolean, tombstones bigint, fragments bigint"
+            "is_stale boolean, tombstones bigint, fragments bigint, "
+            "last_compact_reason string"
         )
         return {
             "table_versions": self.spark.createDataFrame(tv_rows, tv_schema),
@@ -1876,12 +1884,49 @@ class SeafowlContext:
                 f"id column {id_col!r} not in {f['table']} (set WITH "
                 "('id_col' = '<pk column>'))"
             )
+        allow_dup = str(
+            f["params"].get("allow_duplicate_ids", "false")
+        ).lower()
+        if allow_dup not in ("true", "false"):
+            raise ExecutionError(
+                "allow_duplicate_ids must be 'true' or 'false'"
+            )
+        params = dict(f["params"], id_col=id_col)
+        if allow_dup == "false":
+            # one single-column aggregate over the corpus (same scan
+            # the build below pays): duplicate or NULL ids poison the
+            # (id, epoch) tombstone model — a duplicate id's mask hides
+            # its live copies and a NULL id can never be masked.
+            # Validating here keeps clean tables' incremental refresh
+            # guarantee unconditional and gives dirty tables a clear
+            # error at CREATE instead of silent rebuild costs (r12);
+            # WITH ('allow_duplicate_ids' = 'true') opts into
+            # rebuild-on-duplicate refreshes.
+            from pyspark.sql import functions as F
+
+            bad = (
+                t.to_df(_snap=snap)
+                .select(id_col)
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col(id_col).isNull() | (F.col("__n") > 1))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ExecutionError(
+                    f"id column {id_col!r} has duplicate or NULL values "
+                    f"in {f['table']}; deduplicate the table or add "
+                    "WITH ('allow_duplicate_ids' = 'true') to opt into "
+                    "full rebuilds on duplicate-id refreshes"
+                )
+            params["unique_ids"] = "validated"
         spec = IndexSpec(
             f["index"],
             f["method"],
             col,
             t.latest_version() + 1,  # the props commit below
-            dict(f["params"], id_col=id_col),
+            params,
             snapshot_fp(snap),
         )
         stats = build_index(
@@ -2083,6 +2128,12 @@ class SeafowlContext:
                 # or tombstone cap — all correct via the rebuild below
                 spec.params["last_rebuild_reason"] = str(ex)
                 incremental = False
+            except ExecutionError:
+                # the deliberate mutex-loser error raised when another
+                # refresh/optimize holds the marker must propagate, not
+                # reroute the loser into a redundant full rebuild
+                # (advisor find, r11)
+                raise
             except Exception:  # noqa: BLE001 — vacuumed history etc.
                 spec.params["last_rebuild_reason"] = "diff unavailable"
                 incremental = False
@@ -2159,10 +2210,26 @@ class SeafowlContext:
                 ),
             )
             if frags > frag_limit or tomb > cap / 2:
-                self._compact_search_index(
-                    entry, t, specs, spec, path,
-                    "OPTIMIZE SEARCH INDEX (AUTO)",
+                # observable trigger (r12): why auto-compaction fired,
+                # with the numbers, so operators can tune
+                # auto_compact_fragments from system.search_indexes
+                reason = (
+                    f"auto: fragments {frags} > {frag_limit}"
+                    if frags > frag_limit
+                    else f"auto: tombstones {tomb} > cap/2 {cap / 2:g}"
                 )
+                try:
+                    self._compact_search_index(
+                        entry, t, specs, spec, path,
+                        "OPTIMIZE SEARCH INDEX (AUTO)",
+                        reason=reason,
+                    )
+                except ExecutionError:
+                    # the user's REFRESH already committed; if another
+                    # refresh/optimize grabbed the marker in the gap,
+                    # the opportunistic compaction just skips — the next
+                    # REFRESH re-triggers it (advisor find, r11)
+                    pass
 
     def _exec_optimize_search_index(self, stmt) -> None:
         """OPTIMIZE SEARCH INDEX: fold the tombstone mask into the
@@ -2200,7 +2267,8 @@ class SeafowlContext:
         )
 
     def _compact_search_index(
-        self, entry, t, specs, spec, path: str, op: str
+        self, entry, t, specs, spec, path: str, op: str,
+        reason: str = "manual OPTIMIZE",
     ) -> None:
         """Shared body of manual OPTIMIZE SEARCH INDEX and the r11
         auto-compaction REFRESH fires when fragments/tombstones pile up:
@@ -2225,6 +2293,9 @@ class SeafowlContext:
         compact_index(self.spark, path, spec)
         spec.params.pop("tombstones", None)  # mask folded into artifact
         spec.params.pop("fragments", None)  # fragments collapsed
+        # why this compaction ran (r12: auto-trigger numbers or manual)
+        # — surfaced on system.search_indexes and the commit info
+        spec.params["last_compact_reason"] = reason
         self._commit_index_specs(entry, t, specs, op)
         try:
             os.remove(marker)

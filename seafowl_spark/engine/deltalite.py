@@ -1000,14 +1000,24 @@ class DeltaLiteTable:
         # to pin the id bucket from the quoted text and silently skip
         # matching rows in every other bucket — review find, r11). The
         # literal pattern covers both '' and backslash escaping.
+        # Double-quoted "..." is masked too: under the engine's pg
+        # dialect (doubleQuotedIdentifiers=true, context._ansi_dialect)
+        # it is an IDENTIFIER — its text must not feed the structural
+        # scans (a column literally named "id = 5" would pin the id
+        # bucket), and when one is the equality RHS it is a column
+        # reference, never a pinnable constant (advisor find, r11).
         literals: list[str] = []
 
         def _mask(m: "re.Match[str]") -> str:
             literals.append(m.group(0))
             return f"\x00{len(literals) - 1}\x00"
 
-        masked = re.sub(r"'(?:\\.|''|[^'\\])*'", _mask, predicate_sql)
-        if "'" in masked:
+        masked = re.sub(
+            r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"",
+            _mask,
+            predicate_sql,
+        )
+        if "'" in masked or '"' in masked:
             return None  # unterminated/unrecognized quoting: be safe
         if re.search(r"(?i)\b(or|not)\b", masked):
             return None  # only plain conjunctions are safely narrowing
@@ -1025,6 +1035,10 @@ class DeltaLiteTable:
             raw = m.group(1)
             if raw.startswith("\x00"):
                 raw = literals[int(raw.strip("\x00"))]
+                if raw.startswith('"'):
+                    # quoted identifier (column ref), not a constant:
+                    # col = "other_col" cannot pin a bucket
+                    return None
             lits.append(f"CAST({raw} AS {schema[c].dataType.simpleString()})")
         row = (
             self.spark.range(1)

@@ -204,7 +204,21 @@ def parse_mv_query(query: str) -> MvShape:
     # boundary (a phantom dim gets uuid-pinned and permanently forces
     # full refreshes — review find, r11). from_sql itself stays verbatim
     # for the FROM-swap machinery.
-    masked_from = re.sub(r"'(?:\\.|''|[^'\\])*'", "''", from_sql)
+    # Double-quoted "..." is an IDENTIFIER under the engine's pg
+    # dialect (doubleQuotedIdentifiers=true): mask it to a sentinel so
+    # its text never feeds the structural scans (a quoted identifier
+    # containing 'join x' or a comma must not register as a dim/
+    # comma-join — advisor find, r11), and any quote surviving both
+    # masks means unbalanced quoting — reject outright.
+    masked_from = re.sub(
+        r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"",
+        lambda m: "''" if m.group(0).startswith("'") else "\x01",
+        from_sql,
+    )
+    if '"' in masked_from or re.search(r"(?<!')'(?!')", masked_from):
+        raise MatViewError(
+            "unbalanced quote in materialized view FROM clause"
+        )
     # a comma-form (implicit cross) join would slip past both the
     # CROSS-join rejection and dimension version tracking — the dim
     # would mutate with the view silently reporting fresh. Reject any
@@ -212,6 +226,16 @@ def parse_mv_query(query: str) -> MvShape:
     # lists, function args — are fine).
     where_m = re.search(r"(?i)\bwhere\b", masked_from)
     join_part = masked_from[: where_m.start()] if where_m else masked_from
+    if "\x01" in join_part:
+        # a quoted identifier in FROM/JOIN/ON cannot be dimension-
+        # tracked (the dim scan matches unquoted names only; silently
+        # missing a dim would report the view fresh while it drifts) —
+        # reject at CREATE. Quoted identifiers in WHERE are fine.
+        raise MatViewError(
+            "quoted identifiers in the FROM/JOIN clause of a "
+            "materialized view are not supported (dimension tracking "
+            "matches unquoted names only)"
+        )
     depth = 0
     for ch in join_part:
         if ch == "(":

@@ -131,6 +131,20 @@ class FullRebuildRequired(Exception):
     for the spec's observability params."""
 
 
+def _dup_suffix(spec: IndexSpec) -> str:
+    """Distinguish HOW a duplicate/NULL-id diff came to exist (r12):
+    an index whose id uniqueness was validated at CREATE hitting one
+    means later writes violated the declaration (an integrity drift the
+    operator should fix at the source); an ``allow_duplicate_ids`` opt-
+    in means the rebuild is the documented, chosen cost. Pre-r12 specs
+    carry neither marker and keep the bare reason."""
+    if spec.params.get("unique_ids") == "validated":
+        return " (id uniqueness validated at CREATE violated by later writes)"
+    if str(spec.params.get("allow_duplicate_ids", "")).lower() == "true":
+        return " (allow_duplicate_ids opt-in)"
+    return ""
+
+
 def _artifact_has_epochs(spark, path: str, spec: IndexSpec) -> bool:
     """True when the persisted artifact's row schema carries the r11
     ``epoch`` column (checked via the sidecar DDL each method already
@@ -245,7 +259,9 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
                 od.exceptAll(nd).limit(1).count()
                 or nd.exceptAll(od).limit(1).count()
             ):
-                raise FullRebuildRequired("duplicate ids in diff")
+                raise FullRebuildRequired(
+                    "duplicate ids in diff" + _dup_suffix(spec)
+                )
             old_rows = old_rows.join(dup_ids, id_col, "anti")
             new_rows = new_rows.join(dup_ids, id_col, "anti")
         # unique-id diff: full-outer on id classifies delete / insert /
@@ -302,7 +318,7 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
         # bound the serve-time mask broadcast lives under; the scan is
         # one column, no tokenize/encode)
         if removed.where(F.col(id_col).isNull()).limit(1).count():
-            raise FullRebuildRequired("null id in diff")
+            raise FullRebuildRequired("null id in diff" + _dup_suffix(spec))
         new_paths = {f.path for f in (only_new or [])}
         unchanged = [f for f in snap_now.files if f.path not in new_paths]
         # driver-side stats pruning first: a file whose id min/max range
@@ -340,7 +356,9 @@ def incremental_delta(t, schema, spec: IndexSpec, only_old, only_new,
             .limit(1)
             .count()
         ):
-            raise FullRebuildRequired("removed id still live")
+            raise FullRebuildRequired(
+                "removed id still live" + _dup_suffix(spec)
+            )
     if added is not None and added.limit(1).count() == 0:
         added = None
     return removed, added

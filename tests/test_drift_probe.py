@@ -175,24 +175,33 @@ class TestEnvironmentInvalidGate:
         )
         assert _latest_recorded_bench(str(tmp_path)) is None
 
-    def test_real_repo_anchor_is_r9_not_r10(self):
+    def test_real_repo_anchor_is_r11(self):
         from bench import _latest_recorded_bench
 
         got = _latest_recorded_bench()
         assert got is not None
         n, rec = got
-        assert n == 9  # r10's probe read 1.9x -> environment-invalid
+        # r10's probe read 1.9x -> environment-invalid, skipped; r11 is
+        # suspect (load_pre 7.89) but anchors WITH the flag from r12 on
+        # (the r11 verdict's task #1 — suspect starvation routed every
+        # comparison through correction factors)
+        assert n == 11
         assert rec["drift_probe"]["ratio"] <= 1.5
-        assert len(rec["queries"]) == 16
+        assert rec["normalized_value"] == 12.8
+        # the r11 tail reconstruction preserves a query SUBSET (the
+        # driver truncates to ~2000 chars); the full-total comparison
+        # in main() uses the sealed normalized_value instead
+        assert len(rec["queries"]) >= 5
 
 
 class TestEnvironmentSuspectTier:
-    """r11 follow-up: contention BELOW the invalid gate (external load /
-    probe spread) marks a record environment-suspect — it never anchors
-    a prev-round comparison (its inflated normalized totals would make
-    the next round read 'improved'), and main() renders a would-be
-    'regressed' verdict as 'environment-suspect' (wired in bench.main;
-    anchor exclusion pinned here)."""
+    """r11 introduced the suspect tier; r12 softened its ANCHOR rule:
+    with the stale r6 probe baseline every recent clean run tripped
+    suspect, starving prev_round_comparison of anchors. A suspect (but
+    not invalid) record now anchors WITH the flag
+    (anchor_environment_suspect) so readers weigh it; main() still
+    renders a would-be 'regressed' verdict on a suspect HOST as
+    'environment-suspect'."""
 
     def _write(self, d, n, parsed=None, **extra):
         import json
@@ -201,7 +210,7 @@ class TestEnvironmentSuspectTier:
             json.dumps({"n": n, "parsed": parsed, **extra})
         )
 
-    def test_suspect_record_never_anchors(self, tmp_path):
+    def test_suspect_record_anchors_newest_first(self, tmp_path):
         from bench import _latest_recorded_bench
 
         ok = {
@@ -224,7 +233,78 @@ class TestEnvironmentSuspectTier:
             ),
         )
         n, rec = _latest_recorded_bench(str(tmp_path))
-        assert n == 9
+        assert n == 10  # newest valid wins; the suspect flag travels
+        assert (rec.get("environment") or {}).get("suspect") is True
+
+    def test_era_gate_prefers_era_ratio(self, tmp_path):
+        """From r12 records carry era_ratio: a record whose r6 ratio is
+        1.6 (over the gate) but whose era_ratio is 1.05 is a HEALTHY
+        current-era host and must anchor; conversely era_ratio 1.6 is
+        invalid regardless of the r6 number."""
+        from bench import _latest_recorded_bench
+
+        ok = {
+            "protocol": "min_of_3",
+            "queries": {"q01_pricing_summary": 1.2},
+            "sf": 0.1,
+        }
+        self._write(
+            tmp_path, 12,
+            dict(ok, drift_probe={"ratio": 1.6, "era_ratio": 1.05}),
+        )
+        n, _rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 12
+        self._write(
+            tmp_path, 13,
+            dict(ok, drift_probe={"ratio": 1.2, "era_ratio": 1.6}),
+        )
+        n, _rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 12  # 13's era_ratio is over the invalid gate
+
+
+class TestEnvFlagsStateMachine:
+    """r12 (the r11 verdict's task #1): the environment tiers judge the
+    probe against the CURRENT era baseline — an idle current-era host
+    reads era_ratio ~1.0 and renders non-suspect, ending the stale-
+    baseline false-suspect era (judge observed 1.24-1.41x vs the r6
+    baseline on a 0.05-load machine)."""
+
+    def test_idle_current_era_host_is_clean(self):
+        from bench import env_flags
+
+        assert env_flags(1.0, 0.05, 0.05, False) == (False, False)
+        # the exact readings the judge observed on an idle host, once
+        # re-based to the era baseline, stay clean
+        assert env_flags(1.02, 0.05, 0.1, False) == (False, False)
+
+    def test_sick_host_is_invalid(self):
+        from bench import env_flags
+
+        assert env_flags(1.6, 0.05, 0.0, False) == (True, False)
+
+    def test_contended_tiers_are_suspect(self):
+        from bench import env_flags
+
+        assert env_flags(1.0, 5.0, 0.0, False) == (False, True)  # load
+        assert env_flags(1.0, 0.1, 0.3, False) == (False, True)  # spread
+        assert env_flags(1.0, 0.1, 0.0, True) == (False, True)  # retry
+        # hypervisor steal (r12): the direct noisy-neighbor signal —
+        # this round caught a 3% steal phase inflating JVM queries
+        # 1.3-3.7x while loadavg read 0.1
+        assert env_flags(1.0, 0.1, 0.0, False, 3.0) == (False, True)
+        assert env_flags(1.0, 0.1, 0.0, False, 0.5) == (False, False)
+
+    def test_invalid_dominates_suspect(self):
+        from bench import env_flags
+
+        assert env_flags(2.0, 9.0, 0.9, True) == (True, False)
+
+    def _write(self, d, n, parsed=None):
+        import json
+
+        (d / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"n": n, "parsed": parsed})
+        )
 
     def test_clean_environment_block_still_anchors(self, tmp_path):
         from bench import _latest_recorded_bench

@@ -38,6 +38,44 @@ class TestBucketHitLiteralMasking:
         got = {r[0] for r in rows(ctx.execute("SELECT id FROM bt"))}
         assert got == set(range(16)) - {5}
 
+    def test_quoted_identifier_text_cannot_pin_the_bucket(self, ctx):
+        """Under the engine's pg dialect "..." is an IDENTIFIER; its
+        text must be masked like a literal in the structural scans —
+        a column literally named "id = 5" used to pin the id bucket
+        from the quoted text (advisor find, r11)."""
+        ctx.execute(
+            "CREATE TABLE bt (id BIGINT, note STRING) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '8')"
+        )
+        ctx.execute("INSERT INTO bt VALUES (1, 'x')")
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        e = ctx.catalog.get_table("default", "public", "bt")
+        t = DeltaLiteTable(ctx.spark, ctx.table_root(e))
+        snap = t.snapshot()
+        # pathological quoted identifier containing bucket-col equality
+        # text: must be unresolvable (None = scan all buckets), never a
+        # pin on id=5's bucket
+        assert t._bucket_hits(snap, '"id = 5" > 2') is None
+        # quoted-identifier RHS is a column reference, not a constant
+        assert t._bucket_hits(snap, 'id = "note"') is None
+        # unbalanced double quote: conservative None, no crash
+        assert t._bucket_hits(snap, 'id = "unclosed') is None
+
+    def test_column_rhs_deletes_across_all_buckets(self, ctx):
+        """DELETE ... WHERE id = "other" (column-to-column equality via
+        a quoted identifier) must scan every bucket — end-to-end pin of
+        the unit check above."""
+        ctx.execute(
+            "CREATE TABLE bt2 (id BIGINT, other BIGINT) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '8')"
+        )
+        vals = ", ".join(f"({i}, {i})" for i in range(8))
+        ctx.execute(f"INSERT INTO bt2 VALUES {vals}, (8, 999)")
+        ctx.execute('DELETE FROM bt2 WHERE id = "other"')
+        got = {r[0] for r in rows(ctx.execute("SELECT id FROM bt2"))}
+        assert got == {8}
+
     def test_escaped_quote_literal_does_not_crash(self, ctx):
         ctx.execute(
             "CREATE TABLE bt (id BIGINT, note STRING) "
@@ -190,6 +228,42 @@ class TestMatviewLiteralHygiene:
         ctx.execute("INSERT INTO mt VALUES ('a', 'join sales', 10)")
         ctx.execute("REFRESH MATERIALIZED VIEW mvh")
         assert rows(ctx.execute("SELECT * FROM mvh")) == [("a", 11)]
+
+    def test_quoted_identifier_in_where_is_not_a_dimension(self, ctx):
+        """A quoted identifier in the matview WHERE clause (pg dialect:
+        "note" is the note column) must be masked out of the structural
+        scans — its text must never register as a dim/comma/clause
+        boundary — while the view itself works end-to-end."""
+        ctx.execute("CREATE TABLE mt2 (g STRING, note STRING, v BIGINT)")
+        ctx.execute(
+            "INSERT INTO mt2 VALUES ('a', 'join sales', 1), ('b', 'x', 2)"
+        )
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mvh2 AS "
+            "SELECT g, SUM(v) AS s FROM mt2 "
+            "WHERE \"note\" = 'join sales' GROUP BY g"
+        )
+        assert rows(ctx.execute("SELECT * FROM mvh2")) == [("a", 1)]
+        ctx.execute("INSERT INTO mt2 VALUES ('a', 'join sales', 10)")
+        ctx.execute("REFRESH MATERIALIZED VIEW mvh2")
+        assert rows(ctx.execute("SELECT * FROM mvh2")) == [("a", 11)]
+
+    def test_quoted_identifier_in_join_is_rejected(self, ctx):
+        """Quoted identifiers in FROM/JOIN can't be dimension-tracked
+        (the dim scan matches unquoted names): CREATE must reject them
+        instead of silently missing the dim and reporting fresh."""
+        from seafowl_spark.engine.matview import MatViewError
+
+        ctx.execute("CREATE TABLE fct (k STRING, v BIGINT)")
+        ctx.execute("CREATE TABLE dim (k STRING, grp STRING)")
+        with pytest.raises(
+            (MatViewError, Exception), match="quoted identifiers"
+        ):
+            ctx.execute(
+                "CREATE MATERIALIZED VIEW mvq AS "
+                "SELECT d.grp AS grp, SUM(f.v) AS s FROM fct f "
+                'JOIN "dim" d ON f.k = d.k GROUP BY d.grp'
+            )
 
     def test_binary_group_column_full_refreshes_correctly(self, ctx):
         """A binary group key has no exact SQL literal — the refresh must

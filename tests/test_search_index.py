@@ -974,9 +974,12 @@ class TestDeleteAwareRefresh:
         ctx.execute("DELETE FROM sd WHERE text = 'duplicate beta doc'")
         ctx.execute("REFRESH SEARCH INDEX idx ON sd")
         assert self._last_op(ctx) == "REFRESH SEARCH INDEX"  # full
-        assert (
-            self._spec(ctx).params["last_rebuild_reason"]
-            == "duplicate ids in diff"
+        # r12: the reason distinguishes HOW the duplicates arose — this
+        # index validated uniqueness at CREATE, so the diff means later
+        # writes violated the declaration
+        assert self._spec(ctx).params["last_rebuild_reason"] == (
+            "duplicate ids in diff "
+            "(id uniqueness validated at CREATE violated by later writes)"
         )
         ids = {r[0] for r in self._serve(ctx, "duplicate alpha beta")}
         assert ids == {7}
@@ -1527,6 +1530,11 @@ class TestAutoCompaction:
         ops = [c.operation for c in self._table(ctx).history()]
         assert "OPTIMIZE SEARCH INDEX (AUTO)" in ops
         assert self._board(ctx, "fragments") == 0
+        # r12: the trigger reason with its numbers is surfaced so an
+        # operator can tune auto_compact_fragments from evidence
+        assert self._board(ctx, "last_compact_reason") == (
+            "auto: fragments 3 > 2"
+        )
         got = self._serve(ctx)
         assert {10, 11, 12} <= {r[0] for r in got}
         # bit-exact vs a from-scratch rebuild after the auto-compact
@@ -1554,6 +1562,9 @@ class TestAutoCompaction:
         ops = [c.operation for c in self._table(ctx).history()]
         assert "OPTIMIZE SEARCH INDEX (AUTO)" in ops
         assert self._board(ctx, "tombstones") == 0
+        assert self._board(ctx, "last_compact_reason") == (
+            "auto: tombstones 3 > cap/2 2"
+        )
         assert not has_tombstones(path)
         got = self._serve(ctx)
         assert {r[0] for r in got} <= {4, 5}
@@ -1594,6 +1605,147 @@ class TestAutoCompaction:
             )
 
 
+class TestCreateTimeIdUniqueness:
+    """r12 (judge task #4): CREATE SEARCH INDEX validates id uniqueness
+    up front — one single-column aggregate riding the build scan — so
+    clean tables keep the incremental guarantee unconditionally and
+    dirty tables get a clear error instead of silent rebuild costs;
+    WITH ('allow_duplicate_ids' = 'true') opts into the old behavior."""
+
+    def test_duplicate_ids_rejected_at_create(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("INSERT INTO sd VALUES (3, 'a second doc three')")
+        with pytest.raises(ExecutionError, match="duplicate or NULL"):
+            ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        # the failed CREATE must leave no spec behind
+        assert (
+            ctx.execute(
+                "SELECT count(*) AS n FROM system.search_indexes"
+            ).collect()[0][0]
+            == 0
+        )
+
+    def test_null_ids_rejected_at_create(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("INSERT INTO sd VALUES (NULL, 'ghost doc')")
+        with pytest.raises(ExecutionError, match="duplicate or NULL"):
+            ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+
+    def test_allow_duplicate_ids_opts_in(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("INSERT INTO sd VALUES (3, 'a second doc three')")
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (allow_duplicate_ids = 'true')"
+        )
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'doc', 9)"
+            )
+        )
+        assert 3 in {r[0] for r in got}
+        # a delete that splits a duplicate pair downgrades to rebuild
+        # with the OPT-IN reason, not the violated-declaration one
+        ctx.execute("DELETE FROM sd WHERE text = 'a second doc three'")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        from seafowl_spark.engine.search_index import load_specs
+
+        e = ctx.catalog.get_table("default", "public", "sd")
+        from seafowl_spark.engine.deltalite import DeltaLiteTable
+
+        t = DeltaLiteTable(ctx.spark, ctx.table_root(e))
+        spec = load_specs(t.snapshot().properties)["idx"]
+        assert spec.params["last_rebuild_reason"].endswith(
+            "(allow_duplicate_ids opt-in)"
+        )
+
+    def test_param_validation(self, ctx):
+        seed_docs(ctx)
+        with pytest.raises(ExecutionError, match="allow_duplicate_ids"):
+            ctx.execute(
+                "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+                "WITH (allow_duplicate_ids = 'maybe')"
+            )
+
+    def test_clean_table_create_still_works(self, ctx):
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        got = rows(
+            ctx.execute(
+                "SELECT result_id FROM search_index('sd', 'idx', 'spark', 3)"
+            )
+        )
+        assert len(got) == 3
+
+
+class TestRefreshMutexPropagation:
+    """r12 advisor pins: the refresh/optimize mutex errors must behave
+    asymmetrically — a LOSER inside REFRESH fails fast (never reroutes
+    into a redundant full rebuild), while the OPPORTUNISTIC post-commit
+    auto-compaction downgrades a mutex loss to a no-op (the user's
+    refresh already committed and must not look failed)."""
+
+    def test_mutex_loser_propagates_not_rebuilds(self, ctx, monkeypatch):
+        import seafowl_spark.engine.search_index as si
+
+        seed_docs(ctx)
+        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        ctx.execute("INSERT INTO sd VALUES (10, 'spark alpha doc')")
+
+        def lose(*a, **k):
+            raise ExecutionError(
+                "search index idx on sd has a refresh or optimize in "
+                "flight; retry when it finishes"
+            )
+
+        monkeypatch.setattr(si, "incremental_delta", lose)
+        built = []
+        real_build = si.build_index
+        monkeypatch.setattr(
+            si, "build_index",
+            lambda *a, **k: built.append(1) or real_build(*a, **k),
+        )
+        with pytest.raises(ExecutionError, match="in flight"):
+            ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        # the blanket except used to swallow this and full-rebuild
+        assert built == []
+
+    def test_auto_compact_mutex_loss_is_a_noop(self, ctx, monkeypatch):
+        from seafowl_spark.engine.context import SeafowlContext
+
+        seed_docs(ctx)
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (auto_compact_fragments = '1')"
+        )
+        ctx.execute("INSERT INTO sd VALUES (10, 'spark alpha doc')")
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        ctx.execute("INSERT INTO sd VALUES (11, 'spark beta doc')")
+
+        def lose(self, *a, **k):
+            raise ExecutionError(
+                "a refresh or optimize is already in flight on this "
+                "index; retry when it finishes"
+            )
+
+        monkeypatch.setattr(SeafowlContext, "_compact_search_index", lose)
+        # 2 fragments > 1 would fire auto-compact; the simulated
+        # concurrent marker holder must not fail the committed REFRESH
+        ctx.execute("REFRESH SEARCH INDEX idx ON sd")
+        frags = [
+            r[0]
+            for r in ctx.execute(
+                "SELECT fragments FROM system.search_indexes "
+                "WHERE index_name = 'idx'"
+            ).collect()
+        ][0]
+        assert frags == 2  # compaction skipped; next refresh re-triggers
+        got = rows(
+            ctx.execute("SELECT result_id FROM search_index('sd', 'idx', 'spark beta', 5)")
+        )
+        assert 11 in {r[0] for r in got}
+
+
 class TestCrossFileDuplicateGuard:
     """r11 advisor find, generalized: a removed id whose OTHER copy
     lives in an UNCHANGED file cannot be masked (the mask is id-scoped
@@ -1616,7 +1768,11 @@ class TestCrossFileDuplicateGuard:
         # id 7 lands in TWO files (two separate inserts)
         ctx.execute("INSERT INTO sd VALUES (7, 'copy one of seven')")
         ctx.execute("INSERT INTO sd VALUES (7, 'copy two of seven')")
-        ctx.execute("CREATE SEARCH INDEX idx ON sd (text) USING BM25")
+        # r12: pre-existing duplicates need the explicit opt-in
+        ctx.execute(
+            "CREATE SEARCH INDEX idx ON sd (text) USING BM25 "
+            "WITH (allow_duplicate_ids = 'true')"
+        )
         # deletes only the second file's copy; the first file is
         # untouched, so its id-7 rows must not be masked
         ctx.execute("DELETE FROM sd WHERE text = 'copy two of seven'")
@@ -1625,9 +1781,8 @@ class TestCrossFileDuplicateGuard:
             self._table(ctx).history(), key=lambda c: c.version
         ).operation
         assert op == "REFRESH SEARCH INDEX"  # full rebuild
-        assert (
-            self._spec(ctx).params["last_rebuild_reason"]
-            == "removed id still live"
+        assert self._spec(ctx).params["last_rebuild_reason"] == (
+            "removed id still live (allow_duplicate_ids opt-in)"
         )
         got = {
             r.result_id

@@ -55,6 +55,7 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs.append(round(time.perf_counter() - t0, 3))
 
+    from bench import ERA_BASELINE_SEC
     from tools.drift_probe import run_probe
 
     drift = run_probe(spark, sf_dir)
@@ -66,6 +67,12 @@ def main() -> None:
                 "runs": runs,
                 "min": min(runs),
                 "probe_ratio": ratio,
+                # era ratio (r12): ~1.0 on an idle current-era host —
+                # the contention yardstick; `probe_ratio` stays on the
+                # r6 scale for normalized cross-round reads
+                "probe_era_ratio": round(
+                    drift["sec"] / ERA_BASELINE_SEC, 3
+                ),
                 "normalized": round(min(runs) / ratio, 3),
             }
         )

@@ -77,8 +77,17 @@ DOCUMENTED_SUPERLINEAR = {
         "budget; cap bites by design (COVERAGE.md, documented since r5)"
     ),
     "t_contamination": (
-        "replica-generator shingle-saturation artifact (documented "
-        "since r5): inflated docs share shingles with every replica"
+        "SEMANTIC pair blow-up, root-caused r12 (the r11 verdict's task "
+        "#3): the query's countDistinct(eval_doc) metric must "
+        "materialize every distinct (train_doc, eval_doc) matching "
+        "pair, and under the replica generator that pair SET itself "
+        "grows ~N^2 (each of the N train replicas of a doc shares "
+        "shingles with each of the N eval replicas of its match) — "
+        "irreducible input/output blow-up, not a join-shape defect. "
+        "Mechanical proof: the companion row "
+        "t_contamination_shingles_only runs the SAME shingle join with "
+        "the pair metric dropped (n_shared_shingles only, joined "
+        "against DISTINCT eval hashes) and grows ~N. See COVERAGE.md."
     ),
     "semdedup_exact": (
         "brute-force centroid ASSIGNMENT is n x k dot products with "
@@ -409,6 +418,50 @@ def main() -> None:
         ).save()
         return round(time.perf_counter() - t0, 2)
 
+    def contamination_shingles_only_stress(sf_dir: str) -> float:
+        """t_contamination's join with the pair-quadratic metric
+        DROPPED (r12 root-cause proof, the r11 verdict's task #3): the
+        train side joins DISTINCT eval shingle hashes, so the
+        intermediate is at most |train shingles| — one row per (doc, h)
+        regardless of how many eval docs share h. If THIS row grows ~N
+        while t_contamination grows ~N^2-ish, the blow-up is the
+        countDistinct(eval_doc) pair semantics, not the join shape."""
+        from seafowl_spark.functions import md5_int
+        from seafowl_spark.queries.pipeline import _EVAL_MOD
+        from seafowl_spark.queries.similarity import _h8, _shingled_docs
+
+        sh = (
+            _shingled_docs(spark, sf_dir)
+            .withColumn(
+                "is_eval",
+                md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0,
+            )
+            .persist()
+        )
+        ev_h = (
+            sh.where(F.col("is_eval"))
+            .select(F.explode("shingles").alias("s"))
+            .select(_h8(F.col("s")).alias("h"))
+            .distinct()
+        )
+        tr = (
+            sh.where(~F.col("is_eval"))
+            .select("doc_id", F.explode("shingles").alias("s"))
+            .select("doc_id", _h8(F.col("s")).alias("h"))
+        )
+        t0 = time.perf_counter()
+        (
+            tr.join(F.broadcast(ev_h), "h")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("h").alias("n_shared_shingles"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        sh.unpersist()
+        return dt
+
     def _semdedup_timed(sf_dir: str, assign_mode: str) -> float:
         """k scales WITH the corpus (clusters stay ~64 rows) so the
         within-cluster pairwise verify stays constant-per-cluster; the
@@ -504,6 +557,7 @@ def main() -> None:
         ("substring_dedup", substring_stress),
         ("mixture_sample", mixture_stress),
         ("index_serving", serving_stress),
+        ("t_contamination_shingles_only", contamination_shingles_only_stress),
         ("lsh_lookup", lsh_lookup_stress),
         ("semdedup", semdedup_stress),
         ("semdedup_exact", semdedup_exact_stress),
