@@ -1,0 +1,268 @@
+"""Minimal pure-Python PostgreSQL wire-protocol client (DB-API subset).
+
+The remote-tables source (sources/remote.py — reference
+datafusion_remote_tables/src/provider.rs:121-171, which federates via
+connector-x) prefers psycopg2, but this environment ships no PostgreSQL
+Python driver. The v3 frontend/backend protocol is small and public
+(PostgreSQL docs, "Frontend/Backend Protocol"): startup + simple-query
+is all a read-only federation scan needs, so this module implements
+exactly that — the same protocol surface our OWN pg wire server
+(engine/pgwire.py) speaks from the other side.
+
+Scope (deliberately minimal):
+* auth: trust, cleartext password, MD5 (SCRAM raises a clear error —
+  the live-test server runs trust);
+* simple query ('Q') with text-format results; RowDescription typed by
+  OID into Python values (int/float/Decimal/bool/str/bytes/date/
+  datetime) so remote.py's `_cell` coercions see the same shapes the
+  real drivers produce;
+* DB-API-ish: connect().cursor().execute(sql); cursor.description,
+  fetchone/fetchall/iteration; connection.close().
+
+NOT a general driver: no extended protocol, no COPY, no transactions
+beyond what a single autocommit query does, no TLS.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import socket
+import struct
+from decimal import Decimal
+from typing import Any
+
+
+class PgClientError(Exception):
+    """Connection/protocol/server error, message carried verbatim."""
+
+
+# text-format decoders by pg_type OID (public catalog numbers)
+def _bool(v: str) -> bool:
+    return v == "t"
+
+
+def _bytea(v: str) -> bytes:
+    if v.startswith("\\x"):
+        return bytes.fromhex(v[2:])
+    return v.encode()  # legacy escape format: close enough for tests
+
+
+def _ts(v: str) -> _dt.datetime:
+    # '2024-01-02 03:04:05.123456' (+ optional tz offset for timestamptz)
+    return _dt.datetime.fromisoformat(v)
+
+
+_DECODERS = {
+    16: _bool,
+    20: int, 21: int, 23: int, 26: int,
+    700: float, 701: float,
+    1700: Decimal,
+    17: _bytea,
+    1082: _dt.date.fromisoformat,
+    1114: _ts, 1184: _ts,
+}
+
+
+class _Cursor:
+    def __init__(self, conn: "PgWireConnection"):
+        self._conn = conn
+        self.description: list[tuple] | None = None
+        self._rows: list[tuple] = []
+        self._pos = 0
+        self.rowcount = -1
+
+    def execute(self, sql: str) -> "_Cursor":
+        self.description, self._rows = self._conn._simple_query(sql)
+        self._pos = 0
+        self.rowcount = len(self._rows)
+        return self
+
+    def fetchone(self):
+        if self._pos >= len(self._rows):
+            return None
+        row = self._rows[self._pos]
+        self._pos += 1
+        return row
+
+    def fetchall(self):
+        rows = self._rows[self._pos:]
+        self._pos = len(self._rows)
+        return rows
+
+    def fetchmany(self, size: int = 1):
+        rows = self._rows[self._pos:self._pos + size]
+        self._pos += len(rows)
+        return rows
+
+    def __iter__(self):
+        while True:
+            r = self.fetchone()
+            if r is None:
+                return
+            yield r
+
+    def close(self) -> None:
+        self._rows = []
+
+
+class PgWireConnection:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 5432,
+        user: str = "postgres",
+        dbname: str = "postgres",
+        password: str | None = None,
+        timeout: float = 30.0,
+    ):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        self._user, self._password = user, password
+        params = f"user\0{user}\0database\0{dbname}\0\0".encode()
+        payload = struct.pack("!ii", 8 + len(params), 196608) + params
+        self._sock.sendall(payload)
+        self._auth_loop()
+
+    # ---------------------------------------------------------- plumbing
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        while len(self._buf) < 5:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise PgClientError("server closed the connection")
+            self._buf += chunk
+        mtype = self._buf[0:1]
+        (mlen,) = struct.unpack("!i", self._buf[1:5])
+        need = 1 + mlen
+        while len(self._buf) < need:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise PgClientError("server closed mid-message")
+            self._buf += chunk
+        body = self._buf[5:need]
+        self._buf = self._buf[need:]
+        return mtype, body
+
+    def _send(self, mtype: bytes, body: bytes) -> None:
+        self._sock.sendall(mtype + struct.pack("!i", 4 + len(body)) + body)
+
+    @staticmethod
+    def _error_text(body: bytes) -> str:
+        parts = {}
+        for field in body.split(b"\0"):
+            if field:
+                parts[chr(field[0])] = field[1:].decode("utf-8", "replace")
+        return parts.get("M", "unknown server error")
+
+    def _auth_loop(self) -> None:
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"R":
+                (code,) = struct.unpack("!i", body[:4])
+                if code == 0:
+                    continue  # AuthenticationOk
+                if code == 3:  # cleartext password
+                    if self._password is None:
+                        raise PgClientError("server wants a password")
+                    self._send(b"p", self._password.encode() + b"\0")
+                elif code == 5:  # md5(md5(password + user) + salt)
+                    if self._password is None:
+                        raise PgClientError("server wants a password")
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        (self._password + self._user).encode()
+                    ).hexdigest()
+                    outer = hashlib.md5(
+                        inner.encode() + salt
+                    ).hexdigest()
+                    self._send(b"p", b"md5" + outer.encode() + b"\0")
+                else:
+                    raise PgClientError(
+                        f"unsupported auth method {code} (this minimal "
+                        "client speaks trust/cleartext/md5 only)"
+                    )
+            elif mtype in (b"S", b"K", b"N"):
+                continue  # ParameterStatus / BackendKeyData / Notice
+            elif mtype == b"Z":
+                return  # ReadyForQuery
+            elif mtype == b"E":
+                raise PgClientError(self._error_text(body))
+            else:
+                raise PgClientError(
+                    f"unexpected message {mtype!r} during startup"
+                )
+
+    # ------------------------------------------------------------- query
+
+    def _simple_query(self, sql: str) -> tuple[list[tuple] | None, list]:
+        self._send(b"Q", sql.encode() + b"\0")
+        description: list[tuple] | None = None
+        decoders: list = []
+        rows: list[tuple] = []
+        error: str | None = None
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"T":  # RowDescription
+                (nfields,) = struct.unpack("!h", body[:2])
+                off = 2
+                description, decoders = [], []
+                for _ in range(nfields):
+                    end = body.index(b"\0", off)
+                    name = body[off:end].decode()
+                    off = end + 1
+                    _tbl, _att, oid, _len, typmod, _fmt = struct.unpack(
+                        "!ihihih", body[off:off + 18]
+                    )
+                    off += 18
+                    description.append(
+                        (name, oid, None, None, None, typmod, None)
+                    )
+                    decoders.append(_DECODERS.get(oid, str))
+            elif mtype == b"D":  # DataRow
+                (ncols,) = struct.unpack("!h", body[:2])
+                off = 2
+                row = []
+                for i in range(ncols):
+                    (vlen,) = struct.unpack("!i", body[off:off + 4])
+                    off += 4
+                    if vlen == -1:
+                        row.append(None)
+                    else:
+                        text = body[off:off + vlen].decode()
+                        off += vlen
+                        row.append(decoders[i](text))
+                rows.append(tuple(row))
+            elif mtype in (b"C", b"I", b"N", b"S"):
+                continue  # CommandComplete / Empty / Notice / ParamStatus
+            elif mtype == b"E":
+                error = self._error_text(body)
+            elif mtype == b"Z":  # ReadyForQuery: statement finished
+                if error is not None:
+                    raise PgClientError(error)
+                return description, rows
+            else:
+                raise PgClientError(f"unexpected message {mtype!r}")
+
+    def cursor(self) -> _Cursor:
+        return _Cursor(self)
+
+    def close(self) -> None:
+        try:
+            self._send(b"X", b"")  # Terminate
+        except OSError:
+            pass
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def connect(
+    host: str = "127.0.0.1",
+    port: int = 5432,
+    user: str = "postgres",
+    dbname: str = "postgres",
+    password: str | None = None,
+) -> PgWireConnection:
+    return PgWireConnection(host, port, user, dbname, password)

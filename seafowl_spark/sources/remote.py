@@ -94,12 +94,26 @@ def _connect(dsn: str):
     if kind == "postgresql":
         try:
             import psycopg2  # type: ignore[import-not-found]
-        except ImportError as exc:
-            raise RemoteTableError(
-                "remote backend 'postgresql' needs the psycopg2 client "
-                "driver, which is not installed in this environment"
-            ) from exc
-        return psycopg2.connect(dsn)
+
+            return psycopg2.connect(dsn)
+        except ImportError:
+            # r12: fall back to the bundled pure-Python wire client
+            # (sources/pgclient.py) — trust/cleartext/md5 auth, simple
+            # query protocol; enough for read-only federation and what
+            # makes the live-server tests runnable in an environment
+            # with no PostgreSQL Python driver
+            from urllib.parse import urlparse
+
+            from .pgclient import connect as _pg_connect
+
+            u = urlparse(dsn)
+            return _pg_connect(
+                host=u.hostname or "localhost",
+                port=u.port or 5432,
+                user=u.username or "postgres",
+                dbname=(u.path or "/postgres").lstrip("/") or "postgres",
+                password=u.password,
+            )
     if kind == "mysql":
         try:
             import pymysql  # type: ignore[import-not-found]

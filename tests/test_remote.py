@@ -63,8 +63,10 @@ class TestIntrospection:
             introspect_schema(f"sqlite://{db}", "nope")
 
     def test_unsupported_backend(self):
+        # postgres no longer raises a driver error (the bundled wire
+        # client connects for real, r12) — mysql is the driver-gated one
         with pytest.raises(RemoteTableError, match="driver"):
-            introspect_schema("postgresql://localhost/db", "t")
+            introspect_schema("mysql://localhost/db", "t")
 
 
 class TestFilterSql:
@@ -222,12 +224,13 @@ class TestDialects:
     def test_pg_mysql_connect_gated(self):
         from seafowl_spark.sources.remote import RemoteTableError, _connect
 
-        for dsn, frag in (
-            ("postgresql://h/db", "psycopg2"),
-            ("mysql://u:p@h/db", "pymysql"),
-        ):
-            with pytest.raises(RemoteTableError, match=frag):
-                _connect(dsn)
+        # mysql still needs pymysql; postgres now falls back to the
+        # bundled pure-Python wire client (r12), so an unreachable host
+        # surfaces as a connection error, never a missing-driver error
+        with pytest.raises(RemoteTableError, match="pymysql"):
+            _connect("mysql://u:p@h/db")
+        with pytest.raises(OSError):
+            _connect("postgresql://127.0.0.1:1/db")  # nothing listens
 
     def test_dialect_for_dispatch(self):
         from seafowl_spark.sources.remote import dialect_for
