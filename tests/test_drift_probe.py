@@ -159,6 +159,37 @@ class TestEnvironmentInvalidGate:
         assert rec["value"] == 2.429
         assert rec["protocol"] == "min_of_3"
 
+    def test_r12_format_front_cut_reconstructs_fully(self, tmp_path):
+        """r12 reorders the bench JSON so the critical fields live at
+        the line's END: a front-truncated tail re-opens into a complete
+        record at the first intact key — full per-query map, probe, and
+        normalized total all survive (r11's old-order tail preserved
+        only 5 of 16 queries)."""
+        import json
+
+        from bench import _latest_recorded_bench
+
+        tail = (
+            'ized": 3.1, "moved_x": 0.9}, '
+            '"value": 13.87, "protocol": "min_of_3", '
+            '"queries": {"q01_pricing_summary": 1.2, '
+            '"q03_shipping_priority": 1.0}, "sf": 0.1, '
+            '"drift_probe": {"ratio": 1.26, "era_ratio": 1.05}, '
+            '"environment": {"load_pre": 0.1, "suspect": false}, '
+            '"environment_invalid": false, "normalized_value": 11.0}'
+            "\nbench-note: min-of-3 per query; blah."
+        )
+        (tmp_path / "BENCH_r12.json").write_text(
+            json.dumps({"n": 12, "parsed": None, "tail": tail})
+        )
+        n, rec = _latest_recorded_bench(str(tmp_path))
+        assert n == 12
+        assert rec["reconstructed_from_tail"] is True
+        assert len(rec["queries"]) == 2
+        assert rec["value"] == 13.87
+        assert rec["normalized_value"] == 11.0
+        assert rec["drift_probe"]["era_ratio"] == 1.05
+
     def test_truncated_tail_without_min_of_3_marker_excluded(self, tmp_path):
         import json
 
