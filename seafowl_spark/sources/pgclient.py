@@ -247,6 +247,13 @@ class PgWireConnection:
     def cursor(self) -> _Cursor:
         return _Cursor(self)
 
+    def commit(self) -> None:
+        """DB-API no-op: simple-query statements outside an explicit
+        transaction block autocommit server-side."""
+
+    def rollback(self) -> None:
+        """DB-API no-op (see commit)."""
+
     def close(self) -> None:
         try:
             self._send(b"X", b"")  # Terminate
