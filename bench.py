@@ -119,8 +119,30 @@ PROBE_SPREAD_GATE = 0.25
 # previous job — genuine mid-window contention still trips the spread/
 # load gates.
 SETTLE_LOAD_GATE = 1.5
-SETTLE_MAX_SEC = 300
-PROBE_START_RETRY_GATE = 1.25
+# r13 (the r12 verdict's task #2): the settle loop also waits on the
+# 5-MINUTE load average — the r12 census documented a host with 1-min
+# ~0.6 but 5-min ~3 reading the probe 4.4x high (the scheduler is
+# still unwinding the previous job even after the 1-min average
+# decays). Bounded: the 5-min average takes minutes to drain, so the
+# cap rises to 8 minutes — a once-per-round cost that buys a clean
+# seal.
+SETTLE_LOAD_GATE_5M = 2.0
+SETTLE_MAX_SEC = 480
+# r13 (the r12 verdict's task #2): the old start-probe retry gate
+# (1.25 era) was inconsistent with the spread gate — a start probe in
+# era 1.13..1.25 could NOT retry yet was guaranteed to trip the 0.25
+# spread gate against a clean end probe, sealing the record suspect
+# (r12 sealed exactly this: start era 1.196, no retry; end era 0.927;
+# spread 0.29). The retry threshold must be the spread gate applied to
+# the END-of-window EXPECTATION — a rested host's observed probe floor
+# (0.927 era in the sealed r12 record; frozen conservatively at 0.9) —
+# so any start reading that would trip the spread against a clean end
+# gets retried while the previous job's scheduler memory decays.
+PROBE_CLEAN_ERA_FLOOR = 0.9
+PROBE_START_RETRY_GATE = round(
+    (1 + PROBE_SPREAD_GATE) * PROBE_CLEAN_ERA_FLOOR, 3
+)  # 1.125
+PROBE_START_MAX_RETRIES = 3
 
 # Round-6 single-shot per-query seconds and probe ratio (BENCH_r06.json),
 # frozen here so the bench can self-compare. r6's probe ratio was 0.956
@@ -343,8 +365,11 @@ def main() -> None:
         load_at_launch = round(os.getloadavg()[0], 2)
         while (
             os.getloadavg()[0] > SETTLE_LOAD_GATE
-            and settle_wait < SETTLE_MAX_SEC
-        ):
+            # r13: the 5-minute average too — 1-min 0.6 with 5-min ~3
+            # read the probe 4.4x high in the r12 census (the host is
+            # still draining the previous job)
+            or os.getloadavg()[1] > SETTLE_LOAD_GATE_5M
+        ) and settle_wait < SETTLE_MAX_SEC:
             time.sleep(10)
             settle_wait += 10
     except (AttributeError, OSError):
@@ -396,19 +421,43 @@ def main() -> None:
         return out
 
     probe_start = _probe(spark, sf_dir)
-    if probe_start["era_ratio"] > PROBE_START_RETRY_GATE:
+    start_retries = 0
+    while (
+        probe_start["era_ratio"] > PROBE_START_RETRY_GATE
+        and start_retries < PROBE_START_MAX_RETRIES
+    ):
         # a contended start probe poisons the spread gate for the whole
-        # record even when the host recovers seconds later (r12: first
-        # verify bench read start 2.3 s / end 1.44 s with load decaying
-        # from the run before) — give it one settled retry, keep the
-        # better reading, and preserve the first so the spread gate
-        # still sees genuine sustained contention via retried flag
-        time.sleep(15)
+        # record even when the host recovers seconds later (r12: the
+        # sealed record's start probe read era 1.196 — under the OLD
+        # 1.25 retry gate — against an end probe of 0.927, a guaranteed
+        # spread trip). Retry while the previous job's scheduler memory
+        # decays: wait for the 1-minute load to drop again (bounded),
+        # re-probe, keep the better reading. A start probe that never
+        # improves is genuine sustained contention — the spread/load
+        # gates still see it through the reading itself.
+        waited = 0
+        try:
+            while os.getloadavg()[0] > SETTLE_LOAD_GATE and waited < 60:
+                time.sleep(10)
+                waited += 10
+        except (AttributeError, OSError):
+            pass
+        if waited == 0:
+            time.sleep(15)
         retry_start = _probe(spark, sf_dir)
+        start_retries += 1
         if retry_start["era_ratio"] < probe_start["era_ratio"]:
-            retry_start["pre_retry_sec"] = probe_start["sec"]
+            retry_start["pre_retry_sec"] = max(
+                probe_start["sec"],
+                probe_start.get("pre_retry_sec", 0.0),
+            )
             retry_start["retried"] = True
             probe_start = retry_start
+        else:
+            # not improving: stop burning the window; the contended
+            # reading stands and the gates judge it
+            probe_start["retried"] = True
+            break
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
@@ -485,6 +534,7 @@ def main() -> None:
         "steal_pct_post": steal_post,
         "probe_start_sec": probe_start["sec"],
         "probe_start_retried": bool(probe_start.get("retried")),
+        "probe_start_retries": start_retries,
         "probe_end_sec": drift["sec"],
         "probe_spread": spread,
         "era": ERA,

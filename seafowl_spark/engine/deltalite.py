@@ -1006,6 +1006,12 @@ class DeltaLiteTable:
         # scans (a column literally named "id = 5" would pin the id
         # bucket), and when one is the equality RHS it is a column
         # reference, never a pinnable constant (advisor find, r11).
+        # Inside double quotes the ONLY escape is a doubled quote ("")
+        # — backslash is a literal character in pg identifiers. Using
+        # \\. here mis-tokenized identifiers ending in a backslash
+        # ("a\" = one char a-backslash, then the quote CLOSES) so a
+        # following top-level OR could be swallowed into a masked span
+        # and the OR/NOT rejection bypassed (advisor find, r12).
         literals: list[str] = []
 
         def _mask(m: "re.Match[str]") -> str:
@@ -1013,7 +1019,7 @@ class DeltaLiteTable:
             return f"\x00{len(literals) - 1}\x00"
 
         masked = re.sub(
-            r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"",
+            r"'(?:\\.|''|[^'\\])*'|\"(?:\"\"|[^\"])*\"",
             _mask,
             predicate_sql,
         )

@@ -209,13 +209,20 @@ def parse_mv_query(query: str) -> MvShape:
     # its text never feeds the structural scans (a quoted identifier
     # containing 'join x' or a comma must not register as a dim/
     # comma-join — advisor find, r11), and any quote surviving both
-    # masks means unbalanced quoting — reject outright.
+    # masks means unbalanced quoting — reject outright. Both literal
+    # kinds mask to quote-FREE sentinels so the leftover-quote check is
+    # a plain membership test: masking single literals to '' let ''' (a
+    # genuinely unterminated quote whose neighbours are all quotes)
+    # slip past the old lookaround heuristic (advisor find, r12). The
+    # double-quote alternation allows only the doubled-quote escape —
+    # backslash is a literal character in pg identifiers, so "a\" ends
+    # at the quote (advisor find, r12).
     masked_from = re.sub(
-        r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"",
-        lambda m: "''" if m.group(0).startswith("'") else "\x01",
+        r"'(?:\\.|''|[^'\\])*'|\"(?:\"\"|[^\"])*\"",
+        lambda m: "\x02" if m.group(0).startswith("'") else "\x01",
         from_sql,
     )
-    if '"' in masked_from or re.search(r"(?<!')'(?!')", masked_from):
+    if '"' in masked_from or "'" in masked_from:
         raise MatViewError(
             "unbalanced quote in materialized view FROM clause"
         )

@@ -206,23 +206,73 @@ class TestEnvironmentInvalidGate:
         )
         assert _latest_recorded_bench(str(tmp_path)) is None
 
-    def test_real_repo_anchor_is_r11(self):
-        from bench import _latest_recorded_bench
+    def test_real_repo_anchor_invariants(self):
+        """Round-INDEPENDENT invariants on the live repo's anchor. The
+        old version pinned `n == 11`, which the driver's own sealed
+        BENCH_r12.json flipped the moment the round closed — every
+        absolute-round assertion on the live repo is one sealed record
+        away from red (r12 verdict #1). Absolute-round pins belong on
+        tmp_path fixtures (the sibling tests above); here we assert
+        only what must hold for EVERY future sealed record."""
+        from bench import DRIFT_INVALID_GATE, _latest_recorded_bench
 
         got = _latest_recorded_bench()
         assert got is not None
         n, rec = got
-        # r10's probe read 1.9x -> environment-invalid, skipped; r11 is
-        # suspect (load_pre 7.89) but anchors WITH the flag from r12 on
-        # (the r11 verdict's task #1 — suspect starvation routed every
-        # comparison through correction factors)
-        assert n == 11
-        assert rec["drift_probe"]["ratio"] <= 1.5
-        assert rec["normalized_value"] == 12.8
-        # the r11 tail reconstruction preserves a query SUBSET (the
-        # driver truncates to ~2000 chars); the full-total comparison
-        # in main() uses the sealed normalized_value instead
+        # r10 and earlier can never anchor (r10 probe 1.9x = invalid;
+        # <= r6 single-shot); the floor is round-independent
+        assert n >= 11
+        # the returned record actually passes the loader's own gates
+        gate_ratio = (
+            rec["drift_probe"].get("era_ratio") or rec["drift_probe"]["ratio"]
+        )
+        assert gate_ratio <= DRIFT_INVALID_GATE
+        assert not rec.get("environment_invalid")
+        assert rec.get("sf") == 0.1
+        # the full-total comparison in main() needs the sealed
+        # normalized_value (tail reconstruction keeps only a ~2000-char
+        # query subset) plus enough per-query rows to flag regressions
+        assert rec.get("normalized_value") is not None
         assert len(rec["queries"]) >= 5
+
+    def test_real_repo_newest_valid_wins_and_invalid_never_anchors(
+        self, tmp_path
+    ):
+        """Newest-valid-wins / invalid-never-anchors, exercised ON TOP
+        of the live repo's sealed records (copied to tmp_path so no
+        future driver artifact can flip the assertion): a newer valid
+        record must take the anchor; a newer INVALID one must not."""
+        import glob
+        import json as _json
+        import os
+        import shutil
+
+        import bench
+        from bench import _latest_recorded_bench
+
+        here = os.path.dirname(os.path.abspath(bench.__file__))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            shutil.copy(p, tmp_path / os.path.basename(p))
+        base = _latest_recorded_bench(str(tmp_path))
+        assert base is not None and base[0] >= 11
+        ok = {
+            "protocol": "min_of_3",
+            "queries": {"q01_pricing_summary": 1.0},
+            "drift_probe": {"ratio": 0.9, "era_ratio": 0.95},
+            "sf": 0.1,
+            "normalized_value": 10.0,
+        }
+        (tmp_path / "BENCH_r99.json").write_text(
+            _json.dumps({"n": 99, "parsed": ok})
+        )
+        got = _latest_recorded_bench(str(tmp_path))
+        assert got is not None and got[0] == 99
+        bad = dict(ok, drift_probe={"ratio": 2.4, "era_ratio": 2.4})
+        (tmp_path / "BENCH_r100.json").write_text(
+            _json.dumps({"n": 100, "parsed": bad})
+        )
+        got = _latest_recorded_bench(str(tmp_path))
+        assert got is not None and got[0] == 99  # invalid never anchors
 
 
 class TestEnvironmentSuspectTier:
@@ -299,6 +349,33 @@ class TestEnvFlagsStateMachine:
     reads era_ratio ~1.0 and renders non-suspect, ending the stale-
     baseline false-suspect era (judge observed 1.24-1.41x vs the r6
     baseline on a 0.05-load machine)."""
+
+    def test_start_retry_gate_is_consistent_with_spread_gate(self):
+        """r13 (the r12 verdict's task #2): any start-probe reading the
+        retry gate lets STAND must be unable to trip the spread gate
+        against a clean end probe at the rested-host floor. The old
+        gate (1.25) left a no-retry window (era 1.13..1.25) that
+        GUARANTEED a suspect seal whenever the end probe came in clean
+        — the exact shape of the r12 record (start 1.196 / end 0.927,
+        spread 0.29)."""
+        from bench import (
+            PROBE_CLEAN_ERA_FLOOR,
+            PROBE_SPREAD_GATE,
+            PROBE_START_RETRY_GATE,
+        )
+
+        # a start probe at the retry gate vs a clean end probe at the
+        # floor produces spread exactly AT (never above) the gate
+        worst_standing_spread = (
+            PROBE_START_RETRY_GATE / PROBE_CLEAN_ERA_FLOOR - 1.0
+        )
+        assert worst_standing_spread <= PROBE_SPREAD_GATE + 1e-9
+        # the sealed r12 readings: the start probe must now be
+        # retry-eligible
+        assert 1.196 > PROBE_START_RETRY_GATE
+        # and the observed rested-host end probe sits above the frozen
+        # floor (the floor is conservative, not aspirational)
+        assert 0.927 >= PROBE_CLEAN_ERA_FLOOR
 
     def test_idle_current_era_host_is_clean(self):
         from bench import env_flags

@@ -289,10 +289,16 @@ class SiModel:
         self.rev: dict[str, int] = {}
         # table -> index name -> {"method", "built_rev", "visible"}
         self.indexes: dict[str, dict[str, dict]] = {}
-        # table -> ever held duplicate ids (sticky: rebuild downgrades
-        # are allowed on such tables, and index CREATE needs the
-        # allow_duplicate_ids opt-in — r12)
-        self.dups: dict[str, bool] = {}
+        # table -> ids that CURRENTLY have >1 physical row. Drives the
+        # index-CREATE rejection assertion — a DELETE whose modulus
+        # covers the duplicated key makes the table unique again, and
+        # the engine then rightly ACCEPTS a plain CREATE (r12 advisor
+        # find: the old sticky bool demanded rejection forever).
+        self.dups: dict[str, set[int]] = {}
+        # table -> EVER held duplicate ids (sticky). Rebuild downgrades
+        # on refresh stay allowed for such tables even after the dups
+        # are deleted (the engine may conservatively detect drift).
+        self.dups_ever: dict[str, bool] = {}
         self.next_k = 0
 
     def expected_board(self):
@@ -318,13 +324,15 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         m.tables[name] = {}
         m.rev[name] = 0
         m.indexes[name] = {}
-        m.dups[name] = False
+        m.dups[name] = set()
+        m.dups_ever[name] = False
         return f"create {name}"
     name = rng.choice(names)
     if roll < 0.12 and len(names) > 1:
         ctx.execute(f"DROP TABLE {name}")
         del m.tables[name], m.rev[name], m.indexes[name]
         m.dups.pop(name, None)
+        m.dups_ever.pop(name, None)
         return f"drop {name}"
     if roll < 0.38:
         rows_new = []
@@ -344,7 +352,8 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
             dtxt = _si_sentence(rng)
             ctx.execute(f"INSERT INTO {name} VALUES ({dk}, '{dtxt}')")
             m.tables[name][dk] = dtxt
-            m.dups[name] = True
+            m.dups.setdefault(name, set()).add(dk)
+            m.dups_ever[name] = True
             m.rev[name] += 1
             return f"insert {name} x{len(rows_new)} +dup {dk}"
         return f"insert {name} x{len(rows_new)}"
@@ -364,6 +373,12 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         mod = rng.randrange(4)
         matched = [k for k in m.tables[name] if k % 4 == mod]
         ctx.execute(f"DELETE FROM {name} WHERE k % 4 = {mod}")
+        # the DELETE removes EVERY physical copy of a matching id — an
+        # id that was duplicated and matches the modulus is unique-zero
+        # now, not duplicated (r12 advisor find)
+        m.dups[name] = {
+            k for k in m.dups.get(name, set()) if k % 4 != mod
+        }
         if matched:
             for k in matched:
                 del m.tables[name][k]
@@ -377,7 +392,8 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         m.tables[new] = m.tables.pop(name)
         m.rev[new] = m.rev.pop(name)
         m.indexes[new] = m.indexes.pop(name)
-        m.dups[new] = m.dups.pop(name, False)
+        m.dups[new] = m.dups.pop(name, set())
+        m.dups_ever[new] = m.dups_ever.pop(name, False)
         return f"rename {name}->{new}"
     if roll < 0.63 and len(names) < 3:
         new = f"st{rng.randrange(1000)}"
@@ -387,7 +403,8 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         m.tables[new] = dict(m.tables[name])
         m.rev[new] = 0
         m.indexes[new] = {}  # clones never inherit index specs
-        m.dups[new] = m.dups.get(name, False)
+        m.dups[new] = set(m.dups.get(name, set()))
+        m.dups_ever[new] = m.dups_ever.get(name, False)
         return f"clone {name}->{new}"
     if roll < 0.65:
         ctx.execute(f"VACUUM TABLE {name}")
@@ -460,7 +477,7 @@ def _si_step(ctx, m: SiModel, rng: random.Random) -> str:
         st = m.indexes[name][iname]
         was_stale = st["built_rev"] != m.rev[name]
         ctx.execute(f"REFRESH SEARCH INDEX {iname} ON {name}")
-        if was_stale and st.get("clean", True) and not m.dups.get(name):
+        if was_stale and st.get("clean", True) and not m.dups_ever.get(name):
             # r11 invariant: with unique ids and an un-vacuumed history,
             # EVERY row-level DML diff (insert/delete/UPDATE, any mix)
             # refreshes incrementally — the epoch-scoped mask leaves no

@@ -76,6 +76,28 @@ class TestBucketHitLiteralMasking:
         got = {r[0] for r in rows(ctx.execute("SELECT id FROM bt2"))}
         assert got == {8}
 
+    def test_backslash_identifier_cannot_swallow_an_or(self, ctx):
+        """r12 advisor find: the double-quote masking branch treated
+        backslash as an escape, but in the engine's pg dialect quoted
+        identifiers escape only via doubled quotes — backslash is a
+        literal char. `"x\\" OR \\"y" AND id = 5` (identifier x\\, a real
+        top-level OR, then \\, then identifier y) used to mask as ONE
+        span with no leftover quote, hiding the OR from the rejection
+        scan and pinning id=5's bucket — DELETE/UPDATE would then skip
+        matching rows in every other bucket."""
+        ctx.execute(
+            "CREATE TABLE btbs (id BIGINT, x BIGINT) "
+            "WITH ('bucket_by' = 'id', 'buckets' = '8')"
+        )
+        ctx.execute("INSERT INTO btbs VALUES (1, 1)")
+        e = ctx.catalog.get_table("default", "public", "btbs")
+        t = DeltaLiteTable(ctx.spark, ctx.table_root(e))
+        snap = t.snapshot()
+        assert t._bucket_hits(snap, '"x\\" OR \\"y" AND id = 5') is None
+        # identifier genuinely ending in a backslash, conjunctive-only:
+        # still unresolvable (quoted RHS = column ref), never a crash
+        assert t._bucket_hits(snap, 'id = "x\\"') is None
+
     def test_escaped_quote_literal_does_not_crash(self, ctx):
         ctx.execute(
             "CREATE TABLE bt (id BIGINT, note STRING) "
@@ -263,6 +285,24 @@ class TestMatviewLiteralHygiene:
                 "CREATE MATERIALIZED VIEW mvq AS "
                 "SELECT d.grp AS grp, SUM(f.v) AS s FROM fct f "
                 'JOIN "dim" d ON f.k = d.k GROUP BY d.grp'
+            )
+
+    def test_triple_quote_is_rejected_as_unbalanced(self, ctx):
+        """r12 advisor find: masking single-quoted literals to '' let
+        ''' (an empty literal + a genuinely unterminated stray quote)
+        slip past the lookaround heuristic — every quote in ''' has a
+        quote neighbour. Literals now mask to a quote-free sentinel and
+        ANY surviving quote rejects at CREATE."""
+        from seafowl_spark.engine.matview import MatViewError
+
+        ctx.execute("CREATE TABLE mtq (g STRING, note STRING, v BIGINT)")
+        with pytest.raises(
+            (MatViewError, Exception), match="unbalanced quote"
+        ):
+            ctx.execute(
+                "CREATE MATERIALIZED VIEW mvtq AS "
+                "SELECT g, SUM(v) AS s FROM mtq WHERE note = ''' "
+                "GROUP BY g"
             )
 
     def test_binary_group_column_full_refreshes_correctly(self, ctx):
