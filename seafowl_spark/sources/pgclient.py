@@ -10,8 +10,12 @@ exactly that — the same protocol surface our OWN pg wire server
 (engine/pgwire.py) speaks from the other side.
 
 Scope (deliberately minimal):
-* auth: trust, cleartext password, MD5 (SCRAM raises a clear error —
-  the live-test server runs trust);
+* auth: trust, cleartext password, MD5, and SCRAM-SHA-256 (RFC 5802/
+  7677 client-side over PostgreSQL's SASL messages — the DEFAULT
+  password_encryption since PostgreSQL 14, so real-world federation
+  targets work, not just trust-auth test servers); channel binding
+  (SCRAM-SHA-256-PLUS) is not offered because the client speaks no
+  TLS;
 * simple query ('Q') with text-format results; RowDescription typed by
   OID into Python values (int/float/Decimal/bool/str/bytes/date/
   datetime) so remote.py's `_cell` coercions see the same shapes the
@@ -25,8 +29,12 @@ beyond what a single autocommit query does, no TLS.
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import hashlib
+import hmac
+import re as _re
+import secrets
 import socket
 import struct
 from decimal import Decimal
@@ -45,7 +53,24 @@ def _bool(v: str) -> bool:
 def _bytea(v: str) -> bytes:
     if v.startswith("\\x"):
         return bytes.fromhex(v[2:])
-    return v.encode()  # legacy escape format: close enough for tests
+    # legacy escape format (bytea_output = 'escape'): \\ is a literal
+    # backslash, \ooo is an octal byte, everything else is itself
+    out = bytearray()
+    i, n = 0, len(v)
+    while i < n:
+        ch = v[i]
+        if ch != "\\":
+            out.append(ord(ch))
+            i += 1
+        elif v.startswith("\\\\", i):
+            out.append(0x5C)
+            i += 2
+        elif _re.match(r"\\[0-3][0-7][0-7]", v[i:i + 4]):
+            out.append(int(v[i + 1:i + 4], 8))
+            i += 4
+        else:
+            raise PgClientError(f"malformed bytea escape at offset {i}")
+    return bytes(out)
 
 
 def _ts(v: str) -> _dt.datetime:
@@ -156,6 +181,7 @@ class PgWireConnection:
         return parts.get("M", "unknown server error")
 
     def _auth_loop(self) -> None:
+        scram: dict[str, Any] = {}
         while True:
             mtype, body = self._recv_msg()
             if mtype == b"R":
@@ -177,10 +203,55 @@ class PgWireConnection:
                         inner.encode() + salt
                     ).hexdigest()
                     self._send(b"p", b"md5" + outer.encode() + b"\0")
+                elif code == 10:  # AuthenticationSASL: mechanism list
+                    if self._password is None:
+                        raise PgClientError("server wants a password")
+                    mechs = [
+                        m.decode()
+                        for m in body[4:].split(b"\0")
+                        if m
+                    ]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise PgClientError(
+                            "server offers no mutually supported SASL "
+                            f"mechanism (offered {mechs}; this client "
+                            "speaks SCRAM-SHA-256 — the -PLUS variant "
+                            "needs TLS channel binding)"
+                        )
+                    # RFC 5802: gs2 header 'n,,' = no channel binding;
+                    # the username comes from the startup packet so the
+                    # n= attribute stays empty (PostgreSQL convention)
+                    nonce = base64.b64encode(secrets.token_bytes(18))
+                    scram["client_first_bare"] = b"n=,r=" + nonce
+                    scram["nonce"] = nonce
+                    first = b"n,," + scram["client_first_bare"]
+                    self._send(
+                        b"p",
+                        b"SCRAM-SHA-256\0"
+                        + struct.pack("!i", len(first))
+                        + first,
+                    )
+                elif code == 11:  # AuthenticationSASLContinue
+                    self._send(b"p", self._scram_final(scram, body[4:]))
+                elif code == 12:  # AuthenticationSASLFinal: verify v=
+                    attrs = dict(
+                        kv.split(b"=", 1)
+                        for kv in body[4:].split(b",")
+                        if b"=" in kv
+                    )
+                    if attrs.get(b"v") != base64.b64encode(
+                        scram["server_sig"]
+                    ):
+                        raise PgClientError(
+                            "SCRAM server signature mismatch — the "
+                            "server does not know the password it "
+                            "verified (possible MITM); aborting"
+                        )
                 else:
                     raise PgClientError(
                         f"unsupported auth method {code} (this minimal "
-                        "client speaks trust/cleartext/md5 only)"
+                        "client speaks trust/cleartext/md5/"
+                        "SCRAM-SHA-256 only)"
                     )
             elif mtype in (b"S", b"K", b"N"):
                 continue  # ParameterStatus / BackendKeyData / Notice
@@ -192,6 +263,47 @@ class PgWireConnection:
                 raise PgClientError(
                     f"unexpected message {mtype!r} during startup"
                 )
+
+    def _scram_final(self, scram: dict, server_first: bytes) -> bytes:
+        """RFC 5802 client-final-message for the SCRAM-SHA-256 exchange
+        (RFC 7677 parameters). Pure hashlib/hmac — PBKDF2 for the salted
+        password, two HMAC chains for proof and server signature."""
+        attrs = dict(
+            kv.split(b"=", 1)
+            for kv in server_first.split(b",")
+            if b"=" in kv
+        )
+        try:
+            srv_nonce = attrs[b"r"]
+            salt = base64.b64decode(attrs[b"s"])
+            iterations = int(attrs[b"i"])
+        except (KeyError, ValueError) as exc:
+            raise PgClientError(
+                f"malformed SCRAM server-first message: {server_first!r}"
+            ) from exc
+        if not srv_nonce.startswith(scram["nonce"]):
+            raise PgClientError(
+                "SCRAM server nonce does not extend the client nonce "
+                "(possible replay); aborting"
+            )
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password.encode(), salt, iterations
+        )
+        client_key = hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        # c=biws is base64('n,,') — the gs2 header echoed per the RFC
+        final_bare = b"c=biws,r=" + srv_nonce
+        auth_message = (
+            scram["client_first_bare"] + b"," + server_first + b","
+            + final_bare
+        )
+        client_sig = hmac.digest(stored_key, auth_message, "sha256")
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = hmac.digest(salted, b"Server Key", "sha256")
+        scram["server_sig"] = hmac.digest(
+            server_key, auth_message, "sha256"
+        )
+        return final_bare + b",p=" + base64.b64encode(proof)
 
     # ------------------------------------------------------------- query
 

@@ -98,22 +98,39 @@ def _connect(dsn: str):
             return psycopg2.connect(dsn)
         except ImportError:
             # r12: fall back to the bundled pure-Python wire client
-            # (sources/pgclient.py) — trust/cleartext/md5 auth, simple
-            # query protocol; enough for read-only federation and what
-            # makes the live-server tests runnable in an environment
-            # with no PostgreSQL Python driver
+            # (sources/pgclient.py) — trust/cleartext/md5/SCRAM-SHA-256
+            # auth, simple query protocol; enough for read-only
+            # federation and what makes the live-server tests runnable
+            # in an environment with no PostgreSQL Python driver
             from urllib.parse import urlparse
 
+            from .pgclient import PgClientError
             from .pgclient import connect as _pg_connect
 
             u = urlparse(dsn)
-            return _pg_connect(
-                host=u.hostname or "localhost",
-                port=u.port or 5432,
-                user=u.username or "postgres",
-                dbname=(u.path or "/postgres").lstrip("/") or "postgres",
-                password=u.password,
-            )
+            try:
+                return _pg_connect(
+                    host=u.hostname or "localhost",
+                    port=u.port or 5432,
+                    user=u.username or "postgres",
+                    dbname=(u.path or "/postgres").lstrip("/")
+                    or "postgres",
+                    password=u.password,
+                )
+            except (OSError, PgClientError) as exc:
+                # r13 (advisor find): keep the error CONTRACT of the
+                # psycopg2 path — callers match RemoteTableError, not
+                # raw socket tracebacks — and say which client ran and
+                # what it cannot do (no TLS; DSN query params such as
+                # sslmode are ignored by the fallback)
+                raise RemoteTableError(
+                    f"cannot connect to {u.hostname or 'localhost'}:"
+                    f"{u.port or 5432} as {u.username or 'postgres'} "
+                    f"via the bundled pure-Python pg client (psycopg2 "
+                    f"is not installed; the fallback speaks trust/"
+                    f"cleartext/md5/SCRAM-SHA-256 without TLS and "
+                    f"ignores DSN query parameters like sslmode): {exc}"
+                ) from exc
     if kind == "mysql":
         try:
             import pymysql  # type: ignore[import-not-found]
