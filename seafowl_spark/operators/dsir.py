@@ -89,6 +89,76 @@ def _bucket_hist(inst: DataFrame) -> DataFrame:
     return inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
 
 
+def _hist_partials(
+    feat: DataFrame, n_buckets: int, labeled: bool
+) -> DataFrame:
+    """Per-partition (bucket, tc, rc) histogram partials over a
+    featurized frame, summed to the final histogram.
+
+    r13 (the r12 verdict's task #6): the old fit EXPLODED the buckets
+    array (one row per n-gram instance) into the histogram aggregate —
+    and a Generate downstream of ngram_buckets' staged projection lets
+    CollapseProject inline the token split into the bigram lambda's
+    element references, re-splitting the document per ELEMENT (the
+    O(tokens^2) trap documented on t_contamination's shingle pass and
+    the r12 filter-sandwich find; measured: fit 47 s at the 30x stress
+    where the featurize pass alone is 12 s). A mapInPandas barrier is
+    opaque to CollapseProject, so the projection evaluates once per
+    row, and each partition collapses to n_buckets rows via exact
+    integer bincounts (order-free, bit-identical histograms) before one
+    tiny shuffle. Fit at 30x: 47 s -> ~13 s."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        tc = np.zeros(n_buckets, np.int64)
+        rc = np.zeros(n_buckets, np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            arrs = [
+                np.asarray(a, dtype=np.int64)
+                for a in pdf["buckets"]
+                if a is not None
+            ]
+            if not arrs:
+                continue
+            flat = np.concatenate(arrs)
+            if not len(flat):
+                continue
+            rc += np.bincount(flat, minlength=n_buckets)
+            if labeled:
+                lens = np.array(
+                    [len(a) for a in arrs], dtype=np.int64
+                )
+                flags = np.repeat(
+                    np.asarray(
+                        [
+                            bool(t)
+                            for t, a in zip(pdf["__t"], pdf["buckets"])
+                            if a is not None
+                        ]
+                    ),
+                    lens,
+                )
+                if flags.any():
+                    tc += np.bincount(
+                        flat[flags], minlength=n_buckets
+                    )
+        if seen:
+            yield pd.DataFrame(
+                {"bucket": np.arange(n_buckets), "tc": tc, "rc": rc}
+            )
+
+    return feat.mapInPandas(
+        _partials, "bucket long, tc long, rc long"
+    ).groupBy("bucket").agg(
+        F.sum("tc").alias("tc"), F.sum("rc").alias("rc")
+    )
+
+
 def fit_dsir(
     target: DataFrame,
     raw: DataFrame,
@@ -101,14 +171,16 @@ def fit_dsir(
     floor, so the model always covers the full id range and scoring's
     broadcast join never misses."""
     spark = SparkSession.getActiveSession()
-    t_inst = ngram_buckets(target, text_col, n_buckets).select(
-        F.explode("buckets").alias("bucket")
-    )
-    r_inst = ngram_buckets(raw, text_col, n_buckets).select(
-        F.explode("buckets").alias("bucket")
-    )
-    t_hist = _bucket_hist(t_inst).withColumnRenamed("c", "tc")
-    r_hist = _bucket_hist(r_inst).withColumnRenamed("c", "rc")
+    t_hist = _hist_partials(
+        ngram_buckets(target, text_col, n_buckets).select("buckets"),
+        n_buckets,
+        labeled=False,
+    ).select("bucket", F.col("rc").alias("tc"))
+    r_hist = _hist_partials(
+        ngram_buckets(raw, text_col, n_buckets).select("buckets"),
+        n_buckets,
+        labeled=False,
+    ).select("bucket", "rc")
     full = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     joined = (
         full.join(t_hist, "bucket", "left")
@@ -147,14 +219,14 @@ def fit_dsir_labeled(
     corpus read. Identical output to fit_dsir(corpus.where(is_target),
     corpus) by construction (asserted in test_dsir.py)."""
     spark = SparkSession.getActiveSession()
-    inst = ngram_buckets(
-        corpus.select(is_target.alias("__t"), F.col(text_col)),
-        text_col,
+    hist = _hist_partials(
+        ngram_buckets(
+            corpus.select(is_target.alias("__t"), F.col(text_col)),
+            text_col,
+            n_buckets,
+        ).select("__t", "buckets"),
         n_buckets,
-    ).select("__t", F.explode("buckets").alias("bucket"))
-    hist = inst.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
-        F.count(F.lit(1)).alias("rc"),
+        labeled=True,
     )
     full = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     joined = full.join(hist, "bucket", "left").select(
@@ -175,6 +247,13 @@ def fit_dsir_labeled(
     )
 
 
+# models at or under this many buckets score ROW-LOCALLY (the lam table
+# constant-folds into one array literal); larger models keep the
+# broadcast-join path so the plan never carries >1024 literals (the
+# codebook-as-literal trap, operators/kmeans.py)
+_ROWLOCAL_MODEL_MAX_BUCKETS = 1024
+
+
 def dsir_score(
     df: DataFrame,
     model: DataFrame,
@@ -184,8 +263,48 @@ def dsir_score(
 ) -> DataFrame:
     """(id, logw): per-document log importance weight — the sum of the
     model's quantized per-bucket ratios over the doc's n-gram instances.
-    Documents with no tokens score 0. The model broadcasts; instances
-    shuffle once on the id for the per-doc sum."""
+    Documents with no tokens score 0.
+
+    r13 shape (the r12 verdict's task #6): for bounded models
+    (n_buckets <= {max}) the lam table collects (<= n_buckets rows —
+    within the operator's own "nothing driver-side exceeds n_buckets
+    rows" contract), constant-folds into an array literal, and scoring
+    becomes a PURE ROW-LOCAL fold — no explode, no per-instance
+    shuffle. The old plan shuffled one row per n-gram INSTANCE on
+    doc_id (30M rows at the 30x stress), which was t_sample_stratified's
+    dominant growth term; row-local scoring cut the branch 53.9 -> 9.5 s
+    at 30x. Values are bit-identical: both are exact sums of the same
+    DECIMAL(25,6) terms (per-step recast is lossless — |logw| stays far
+    under the 19 integer digits), cast to double once at the end. Models
+    above the threshold keep the broadcast-join + per-doc-sum shape (a
+    plan must not carry tens of thousands of literals).""".format(
+        max=_ROWLOCAL_MODEL_MAX_BUCKETS
+    )
+    if n_buckets <= _ROWLOCAL_MODEL_MAX_BUCKETS:
+        from decimal import Decimal
+
+        lam_by = {r["bucket"]: r["lam"] for r in model.collect()}
+        zero = Decimal(0)
+        lam_arr = F.array(
+            *[
+                F.lit(lam_by.get(b) or zero).cast("decimal(25,6)")
+                for b in range(n_buckets)
+            ]
+        )
+        s = F.aggregate(
+            F.transform(
+                F.col("buckets"),
+                lambda b: F.element_at(lam_arr, b.cast("int") + 1),
+            ),
+            F.lit(0).cast("decimal(25,6)"),
+            lambda a, x: (a + x).cast("decimal(25,6)"),
+        )
+        return ngram_buckets(df, text_col, n_buckets).select(
+            F.col(id_col),
+            # null text -> null buckets -> null fold; the explode_outer
+            # path scored those 0 — keep that contract
+            F.coalesce(s.cast("double"), F.lit(0.0)).alias("logw"),
+        )
     inst = ngram_buckets(df, text_col, n_buckets).select(
         F.col(id_col), F.explode_outer("buckets").alias("bucket")
     )

@@ -97,6 +97,40 @@ def fit_kmeans(
     magnitudes sit far below 1e-6."""
     if k <= 0:
         raise ValueError("k must be positive")
+    # r13 (the r12 verdict's task #4): the fit frame is re-executed by
+    # EVERY Lloyd job (init collect + 2 jobs/iteration, x m subspaces
+    # through fit_pq), and a fit SAMPLE often arrives parallelism-
+    # collapsed — df.sample() of a single-file table inherits the
+    # file's split count, and an unsplittable layout (one parquet row
+    # group) makes every one of those jobs a single task (the 100x
+    # stress straggler: 200k rows x 8 subspaces serialized through one
+    # core). Spread the sample across the cluster once and persist it
+    # for the fit's duration; results are bit-identical by construction
+    # (deterministic orderBy init, order-independent decimal means),
+    # pinned in test_kmeans.py.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    df = df.persist()
+    try:
+        return _fit_kmeans_loop(
+            df, vec_col, id_col, k, max_iter, tol, mean_prec, mean_scale
+        )
+    finally:
+        df.unpersist()
+
+
+def _fit_kmeans_loop(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    max_iter: int,
+    tol: float,
+    mean_prec: int,
+    mean_scale: int,
+) -> list[list[float]]:
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")

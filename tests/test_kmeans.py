@@ -55,6 +55,29 @@ class TestFitKmeans:
         cells = {r["cell"] for r in assign_cells(df, cents).collect()}
         assert len(cells) == 2  # the far blob separates
 
+    def test_fit_is_partition_parallel_and_layout_invariant(self, spark, clustered):
+        """r13 (the r12 verdict's task #4): the fit must (a) spread a
+        parallelism-collapsed sample — coalesce(1) models a single-row-
+        group parquet, which is unsplittable — and (b) produce the SAME
+        codebook regardless of the input's partition layout (decimal
+        means are order-independent; init is a deterministic
+        orderBy+limit)."""
+        wide = fit_kmeans(clustered, k=3, max_iter=4)
+        narrow = fit_kmeans(clustered.coalesce(1), k=3, max_iter=4)
+        shuffled = fit_kmeans(clustered.repartition(7), k=3, max_iter=4)
+        assert wide == narrow == shuffled
+        # and the fit frame actually spreads: the operator repartitions
+        # a collapsed input up to the cluster's parallelism
+        from seafowl_spark.operators.pq import fit_pq
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 5), float(i % 3), 1.0, 0.5]) for i in range(64)],
+            "vec_id long, emb array<double>",
+        )
+        b_wide = fit_pq(emb, m=2, ksub=4, max_iter=2)
+        b_narrow = fit_pq(emb.coalesce(1), m=2, ksub=4, max_iter=2)
+        assert b_wide == b_narrow
+
     def test_k_validation(self, clustered):
         with pytest.raises(ValueError):
             fit_kmeans(clustered, k=0)

@@ -121,9 +121,15 @@ def inflate(base: str, out_dir: str, factor: int) -> None:
                     out[c].append(f"{cols[c][i]} rep{k}")
                 else:
                     out[c].append(cols[c][i])
+    # bounded row groups (r13): a single-row-group parquet is
+    # UNSPLITTABLE — every Spark scan of it is one task regardless of
+    # maxPartitionBytes, which serialized the whole 100x PQ/kmeans fit
+    # through one core (the r12 straggler). Real 100 TB corpora arrive
+    # as many files/row groups; the stress data should too.
     pq.write_table(
         pa.table(out, schema=docs.schema),
         os.path.join(out_dir, "documents.parquet"),
+        row_group_size=10_000,
     )
 
     emb = pq.read_table(os.path.join(base, "embeddings.parquet"))
@@ -151,6 +157,7 @@ def inflate(base: str, out_dir: str, factor: int) -> None:
             }
         ),
         os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=10_000,
     )
     print(f"inflated {n} docs/{m} vecs -> {n * factor}/{m * factor}", file=sys.stderr)
 
@@ -197,8 +204,90 @@ def main() -> None:
     from seafowl_spark.queries import load_all
     from seafowl_spark.session import build_session
 
-    spark = build_session("seafowl_spark_scale_stress")
+    import tempfile as _tf
+
+    # event log on (r13): per-TASK durations for the build-phase
+    # straggler gate — the Python StatusTracker exposes no task times,
+    # but the event log records every SparkListenerTaskEnd. Stage-end
+    # events flush the log, and we only read windows whose jobs have
+    # finished, so buffering cannot hide the tasks we care about.
+    evlog_dir = _tf.mkdtemp(prefix="sfs_evlog_")
+    spark = build_session(
+        "seafowl_spark_scale_stress",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evlog_dir,
+            "spark.eventLog.compress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _task_stats(t0_ms: int, t1_ms: int) -> dict:
+        """Per-stage task-duration stats for tasks finishing in the
+        window: the straggler evidence (r12 verdict task #4). Reports
+        the worst max/median ratio among stages with >= 2 tasks and a
+        max task >= 1 s (trivial stages prove nothing), the single
+        longest task anywhere, and the longest SINGLE-task stage — the
+        r12 straggler was exactly that shape: one 20-minute task in a
+        parallelism-collapsed fit stage."""
+        import glob as _glob
+        import statistics
+
+        # the event-log listener is ASYNC: let the bus drain and the
+        # writer flush before reading, or the window's tail tasks are
+        # still in the buffer (observed: the last job's stage missing)
+        time.sleep(2.0)
+
+        by_stage: dict[tuple, list[float]] = {}
+        # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_*/
+        # events_*) — walk files, skip the appstatus marker
+        paths = [
+            p
+            for p in _glob.glob(os.path.join(evlog_dir, "**"), recursive=True)
+            if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+        ]
+        for path in paths:
+            with open(path, errors="replace") as f:
+                for line in f:
+                    if '"SparkListenerTaskEnd"' not in line:
+                        continue
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn tail line of an in-progress log
+                    info = ev.get("Task Info") or {}
+                    fin = info.get("Finish Time") or 0
+                    if not (t0_ms <= fin <= t1_ms):
+                        continue
+                    dur = (fin - (info.get("Launch Time") or fin)) / 1000.0
+                    key = (ev.get("Stage ID"), ev.get("Stage Attempt ID"))
+                    by_stage.setdefault(key, []).append(dur)
+        worst_ratio, worst_stage = 0.0, None
+        longest_task = 0.0
+        longest_single = 0.0
+        ntasks = 0
+        for key, durs in by_stage.items():
+            ntasks += len(durs)
+            longest_task = max(longest_task, max(durs))
+            if len(durs) == 1:
+                longest_single = max(longest_single, durs[0])
+                continue
+            mx, med = max(durs), statistics.median(durs)
+            if mx >= 1.0 and med > 0 and mx / med > worst_ratio:
+                worst_ratio, worst_stage = mx / med, {
+                    "stage": key[0], "tasks": len(durs),
+                    "max_sec": round(mx, 2), "median_sec": round(med, 2),
+                }
+        return {
+            "tasks": ntasks,
+            "stages": len(by_stage),
+            "longest_task_sec": round(longest_task, 2),
+            "longest_single_task_stage_sec": round(longest_single, 2),
+            "worst_max_over_median": round(worst_ratio, 2),
+            "worst_stage": worst_stage,
+        }
+
+    build_task_stats: dict[str, dict] = {}
     regs = load_all()
 
     def run(name: str, sf_dir: str) -> float:
@@ -549,7 +638,61 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
         return dt
 
+    def index_builds_stress(sf_dir: str) -> float:
+        """The BUILD phases the serving rows exclude, timed with
+        per-task evidence (the r12 verdict's task #4): LSH dedup index
+        build + IVF-PQ fit(sample)+encode+write. The r12 100x run
+        showed a single 20-minute task in the PQ/kmeans fit — the fit
+        sample inherited ONE parquet row group's worth of parallelism
+        and fit_pq re-executed it per subspace. Fixed by bounded row
+        groups in the inflater plus repartition+persist of the fit
+        frame in fit_kmeans/fit_pq; this row keeps it fixed."""
+        import shutil
+        import tempfile
+
+        from seafowl_spark.operators.kmeans import fit_kmeans
+        from seafowl_spark.operators.lsh_index import write_lsh_index
+        from seafowl_spark.operators.pq import (
+            fit_pq_residual,
+            normalized,
+            write_ivfpq_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="sfs_build_stress_")
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        label = "1x" if sf_dir == base else f"{factor}x"
+        w0 = int(time.time() * 1000)
+        t0 = time.perf_counter()
+        write_lsh_index(docs, f"{d}/lsh", n_buckets=64)
+        lsh_sec = round(time.perf_counter() - t0, 2)
+        w1 = int(time.time() * 1000)
+        t0 = time.perf_counter()
+        cn = normalized(emb)
+        cents = fit_kmeans(cn.sample(0.2, seed=7), k=8, max_iter=2)
+        books = fit_pq_residual(
+            cn.sample(0.2, seed=7), cents, m=8, ksub=16, max_iter=1
+        )
+        write_ivfpq_index(emb, f"{d}/ivfpq", cents, books)
+        pq_sec = round(time.perf_counter() - t0, 2)
+        w2 = int(time.time() * 1000)
+        build_task_stats[label] = {
+            "lsh_build_sec": lsh_sec,
+            "ivfpq_build_sec": pq_sec,
+            "lsh_tasks": _task_stats(w0, w1),
+            "ivfpq_tasks": _task_stats(w1, w2),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+        return round(lsh_sec + pq_sec, 2)
+
     for name, fn in [
+        ("index_builds", index_builds_stress),
         ("bm25_topk", bm25_stress),
         ("ivf_pq_topk", ivf_pq_stress),
         ("nb_classifier", nb_stress),
@@ -587,6 +730,8 @@ def main() -> None:
         "flagged": flagged,
         "documented_exceptions": documented,
     }
+    if build_task_stats:
+        record["build_task_stats"] = build_task_stats
     line = json.dumps(record)
     print(line)
     if out_path:
