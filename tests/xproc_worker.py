@@ -7,10 +7,13 @@ but the refresh mutex (`_append_pending` exclusive create) and the
 commit protocol (store put-if-absent) CLAIM cross-process safety — this
 worker is what actually crosses the process boundary.
 
-Protocol: argv = [root, tag, go_file, ready_file]. The worker opens a
-SeafowlContext on `root`, touches `ready_file`, busy-waits for
-`go_file`, then fires INSERT + REFRESH back-to-back and prints ONE JSON
-line {tag, insert_ok, insert_err, refresh_ok, refresh_err} on stdout.
+Protocol: argv = [root, tag, go_file, ready_file, ops?]. The worker
+opens a SeafowlContext on `root`, touches `ready_file`, busy-waits for
+`go_file`, then fires the comma-separated `ops` (default
+"insert,refresh"; r13 adds optimize / vacuum for the REFRESH-vs-
+OPTIMIZE and INSERT-vs-VACUUM scenarios — the r12 verdict's task #7)
+back-to-back and prints ONE JSON line
+{tag, <op>_ok, <op>_err...} on stdout.
 """
 
 from __future__ import annotations
@@ -48,18 +51,20 @@ def main() -> None:
             return
         time.sleep(0.005)
     k = 100 if tag == "a" else 200
-    try:
-        ctx.execute(f"INSERT INTO xd VALUES ({k}, 'xproc {tag} doc')")
-        out["insert_ok"] = True
-    except Exception as ex:  # noqa: BLE001 — reported to the parent
-        out["insert_ok"] = False
-        out["insert_err"] = f"{type(ex).__name__}: {ex}"
-    try:
-        ctx.execute("REFRESH SEARCH INDEX ix ON xd")
-        out["refresh_ok"] = True
-    except Exception as ex:  # noqa: BLE001 — reported to the parent
-        out["refresh_ok"] = False
-        out["refresh_err"] = f"{type(ex).__name__}: {ex}"
+    ops = (sys.argv[5] if len(sys.argv) > 5 else "insert,refresh").split(",")
+    sql_of = {
+        "insert": f"INSERT INTO xd VALUES ({k}, 'xproc {tag} doc')",
+        "refresh": "REFRESH SEARCH INDEX ix ON xd",
+        "optimize": "OPTIMIZE SEARCH INDEX ix ON xd",
+        "vacuum": "VACUUM TABLE xd",
+    }
+    for op in ops:
+        try:
+            ctx.execute(sql_of[op])
+            out[f"{op}_ok"] = True
+        except Exception as ex:  # noqa: BLE001 — reported to the parent
+            out[f"{op}_ok"] = False
+            out[f"{op}_err"] = f"{type(ex).__name__}: {ex}"
     print(json.dumps(out))
     spark.stop()
 

@@ -551,6 +551,53 @@ def main() -> None:
         sh.unpersist()
         return dt
 
+    def contamination_bounded_stress(sf_dir: str) -> float:
+        """The r12 verdict's task #5: t_contamination's SAME split and
+        shingle hashing, but counted through
+        operators/cross_contamination.contamination_counts_bounded —
+        the eval side pre-aggregates per-h HLL sketches (one row per
+        distinct h), the join output is |distinct train (doc,h)|, and
+        per-doc eval counts come from sketch union. NOTHING in the plan
+        is pair-shaped, so where the graded pair mode grows ~N^2 under
+        the replica generator this row must grow ~N — the bounded
+        reporting mode for corpora whose hot eval docs would OOM the
+        exact distinct."""
+        from seafowl_spark.functions import md5_int
+        from seafowl_spark.operators.cross_contamination import (
+            contamination_counts_bounded,
+        )
+        from seafowl_spark.queries.pipeline import _EVAL_MOD
+        from seafowl_spark.queries.similarity import _h8, _shingled_docs
+
+        sh = (
+            _shingled_docs(spark, sf_dir)
+            .withColumn(
+                "is_eval",
+                md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0,
+            )
+            .persist()
+        )
+        ev = (
+            sh.where(F.col("is_eval"))
+            .select(
+                F.col("doc_id").alias("eval_doc"),
+                F.explode("shingles").alias("s"),
+            )
+            .select("eval_doc", _h8(F.col("s")).alias("h"))
+        )
+        tr = (
+            sh.where(~F.col("is_eval"))
+            .select("doc_id", F.explode("shingles").alias("s"))
+            .select("doc_id", _h8(F.col("s")).alias("h"))
+        )
+        t0 = time.perf_counter()
+        contamination_counts_bounded(tr, ev).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = round(time.perf_counter() - t0, 2)
+        sh.unpersist()
+        return dt
+
     def _semdedup_timed(sf_dir: str, assign_mode: str) -> float:
         """k scales WITH the corpus (clusters stay ~64 rows) so the
         within-cluster pairwise verify stays constant-per-cluster; the
@@ -701,6 +748,7 @@ def main() -> None:
         ("mixture_sample", mixture_stress),
         ("index_serving", serving_stress),
         ("t_contamination_shingles_only", contamination_shingles_only_stress),
+        ("t_contamination_bounded", contamination_bounded_stress),
         ("lsh_lookup", lsh_lookup_stress),
         ("semdedup", semdedup_stress),
         ("semdedup_exact", semdedup_exact_stress),
