@@ -24,7 +24,14 @@ Scope (deliberately minimal):
   fetchone/fetchall/iteration; connection.close().
 
 NOT a general driver: no extended protocol, no COPY, no transactions
-beyond what a single autocommit query does, no TLS.
+beyond what a single autocommit query does. TLS (r13): the SSLRequest
+negotiation + an ssl-wrapped socket behind ``sslmode`` with libpq's
+three common levels — ``disable`` / ``prefer`` (default, falls back to
+plaintext when the server declines) / ``require`` (fails without TLS).
+Like libpq's ``require``, the server certificate is NOT verified (that
+is verify-ca/verify-full territory, which needs a root-cert story);
+``require`` defends against passive snooping, not active MITM — said
+here so nobody mistakes it for more.
 """
 
 from __future__ import annotations
@@ -140,14 +147,47 @@ class PgWireConnection:
         dbname: str = "postgres",
         password: str | None = None,
         timeout: float = 30.0,
+        sslmode: str = "prefer",
     ):
+        if sslmode not in ("disable", "prefer", "require"):
+            raise PgClientError(
+                f"unsupported sslmode {sslmode!r} (this client speaks "
+                "disable/prefer/require; verify-ca/verify-full need a "
+                "root-certificate story it does not have)"
+            )
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._user, self._password = user, password
+        if sslmode != "disable":
+            self._negotiate_tls(host, required=sslmode == "require")
         params = f"user\0{user}\0database\0{dbname}\0\0".encode()
         payload = struct.pack("!ii", 8 + len(params), 196608) + params
         self._sock.sendall(payload)
         self._auth_loop()
+
+    def _negotiate_tls(self, host: str, required: bool) -> None:
+        """SSLRequest (the 80877103 magic) then, on 'S', wrap the socket.
+        'N' means the server declines TLS: error under require, continue
+        in the clear under prefer (libpq's fallback)."""
+        import ssl
+
+        self._sock.sendall(struct.pack("!ii", 8, 80877103))
+        resp = self._sock.recv(1)
+        if resp == b"S":
+            ctx = ssl.create_default_context()
+            # libpq sslmode=require semantics: encrypt, don't verify
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
+        elif resp == b"N":
+            if required:
+                raise PgClientError(
+                    "server declined TLS but sslmode=require"
+                )
+        else:
+            raise PgClientError(
+                f"unexpected SSLRequest response {resp!r}"
+            )
 
     # ---------------------------------------------------------- plumbing
 
@@ -383,5 +423,8 @@ def connect(
     user: str = "postgres",
     dbname: str = "postgres",
     password: str | None = None,
+    sslmode: str = "prefer",
 ) -> PgWireConnection:
-    return PgWireConnection(host, port, user, dbname, password)
+    return PgWireConnection(
+        host, port, user, dbname, password, sslmode=sslmode
+    )

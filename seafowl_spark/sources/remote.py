@@ -102,12 +102,20 @@ def _connect(dsn: str):
             # auth, simple query protocol; enough for read-only
             # federation and what makes the live-server tests runnable
             # in an environment with no PostgreSQL Python driver
-            from urllib.parse import urlparse
+            from urllib.parse import parse_qs, urlparse
 
             from .pgclient import PgClientError
             from .pgclient import connect as _pg_connect
 
             u = urlparse(dsn)
+            # honor sslmode from the DSN query string (r13); other
+            # libpq params (connect_timeout, application_name, ...) are
+            # not interpreted by the fallback
+            sslmode = (
+                parse_qs(u.query).get("sslmode", ["prefer"])[0]
+                if u.query
+                else "prefer"
+            )
             try:
                 return _pg_connect(
                     host=u.hostname or "localhost",
@@ -116,20 +124,23 @@ def _connect(dsn: str):
                     dbname=(u.path or "/postgres").lstrip("/")
                     or "postgres",
                     password=u.password,
+                    sslmode=sslmode,
                 )
             except (OSError, PgClientError) as exc:
                 # r13 (advisor find): keep the error CONTRACT of the
                 # psycopg2 path — callers match RemoteTableError, not
                 # raw socket tracebacks — and say which client ran and
-                # what it cannot do (no TLS; DSN query params such as
-                # sslmode are ignored by the fallback)
+                # what it can't do (TLS without certificate
+                # verification; libpq params other than sslmode are not
+                # interpreted)
                 raise RemoteTableError(
                     f"cannot connect to {u.hostname or 'localhost'}:"
                     f"{u.port or 5432} as {u.username or 'postgres'} "
                     f"via the bundled pure-Python pg client (psycopg2 "
                     f"is not installed; the fallback speaks trust/"
-                    f"cleartext/md5/SCRAM-SHA-256 without TLS and "
-                    f"ignores DSN query parameters like sslmode): {exc}"
+                    f"cleartext/md5/SCRAM-SHA-256 with sslmode="
+                    f"disable/prefer/require, no certificate "
+                    f"verification): {exc}"
                 ) from exc
     if kind == "mysql":
         try:
