@@ -239,3 +239,32 @@ class TestLabeledFit:
             ).collect()
         }
         assert one == two
+
+
+class TestDualScoringPaths:
+    def test_rowlocal_and_join_paths_agree(self, spark, docs_df):
+        """r13: bounded models (<= 1024 buckets) score row-locally
+        (constant-folded lam array + exact decimal fold); larger models
+        keep the broadcast-join + per-doc-sum path. Both are exact sums
+        of the same DECIMAL(25,6) terms, so they must agree to the last
+        bit — this guards the two implementations against diverging."""
+        from seafowl_spark.operators import dsir as dsir_mod
+
+        model = fit_dsir(
+            docs_df.where(F.col("lang") == "en"), docs_df, n_buckets=B
+        )
+        rowlocal = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_score(docs_df, model, n_buckets=B).collect()
+        }
+        orig = dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS
+        dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = 0  # force the join path
+        try:
+            joined = {
+                r["doc_id"]: r["logw"]
+                for r in dsir_score(docs_df, model, n_buckets=B).collect()
+            }
+        finally:
+            dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = orig
+        assert rowlocal == joined
+        assert rowlocal[5] == 0.0  # empty doc scores zero on both paths
