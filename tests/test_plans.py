@@ -144,16 +144,21 @@ class TestPipelineOpPlans:
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p
 
-    def test_dsir_model_broadcasts_no_cartesian_no_python(
+    def test_dsir_scoring_rowlocal_and_join_plans(
         self, spark, registry
     ):
-        # DSIR scoring: the n_buckets-row model must BROADCAST into the
-        # instance join (never shuffle the corpus on bucket), nothing may
-        # fall back to a cartesian product, and the whole featurize/score
-        # path stays in JVM codegen (no Python UDFs)
+        # DSIR scoring, r13: bounded models (<= 1024 buckets) score
+        # ROW-LOCALLY — the lam table constant-folds into an array
+        # literal, so the plan has NO join, NO exchange and NO Python:
+        # a pure scan + projection (the per-instance explode + shuffle
+        # was t_sample_stratified's dominant stress growth term). Models
+        # above the threshold keep the broadcast-join shape — the model
+        # must BROADCAST (never shuffle the corpus on bucket) and never
+        # fall back to a cartesian product.
         import pyspark.sql.functions as F
 
         from seafowl_spark.io import table
+        from seafowl_spark.operators import dsir as dsir_mod
         from seafowl_spark.operators.dsir import dsir_score, fit_dsir
 
         d = table(spark, SF, "documents").select("doc_id", "text", "lang")
@@ -166,9 +171,24 @@ class TestPipelineOpPlans:
             .executedPlan()
             .toString()
         )
-        assert "BroadcastHashJoin" in p
-        assert "CartesianProduct" not in p
+        assert "Join" not in p
+        assert "Exchange" not in p
         assert "Python" not in p
+        # the large-model path keeps the broadcast-join discipline
+        orig = dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS
+        dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = 0
+        try:
+            pj = (
+                dsir_score(d, model, n_buckets=64)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = orig
+        assert "BroadcastHashJoin" in pj
+        assert "CartesianProduct" not in pj
+        assert "Python" not in pj
         # and the full graded row: Gumbel top-k fuses into
         # TakeOrderedAndProject (no global sort materialized), still no
         # cartesian products or Python anywhere

@@ -226,10 +226,12 @@ class TestDialects:
 
         # mysql still needs pymysql; postgres now falls back to the
         # bundled pure-Python wire client (r12), so an unreachable host
-        # surfaces as a connection error, never a missing-driver error
+        # surfaces as a connection error, never a missing-driver error —
+        # and r13 (advisor find) wraps it in RemoteTableError with the
+        # DSN context instead of a raw socket traceback
         with pytest.raises(RemoteTableError, match="pymysql"):
             _connect("mysql://u:p@h/db")
-        with pytest.raises(OSError):
+        with pytest.raises(RemoteTableError, match="127.0.0.1:1"):
             _connect("postgresql://127.0.0.1:1/db")  # nothing listens
 
     def test_dialect_for_dispatch(self):
