@@ -322,6 +322,29 @@ def steal_pct(interval: float = 1.0) -> float | None:
     return round(100.0 * (b[1] - a[1]) / (b[0] - a[0]), 2)
 
 
+def steal_counters() -> tuple[int, int] | None:
+    """Cumulative (total_jiffies, steal_jiffies) from /proc/stat — two
+    readings bracketing the bench window integrate steal over the WHOLE
+    window (r13): a single 1-second endpoint sample can read 4%+ off
+    one scheduling blip (~40 ms stolen) and taint a record whose actual
+    window-average steal is well under the gate — the r13 rehearsal
+    sealed suspect on exactly that (endpoint 4.22%, window 7 minutes)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_window_pct(
+    start: tuple[int, int] | None, end: tuple[int, int] | None
+) -> float | None:
+    if start is None or end is None or end[0] == start[0]:
+        return None
+    return round(100.0 * (end[1] - start[1]) / (end[0] - start[0]), 2)
+
+
 STEAL_SUSPECT_GATE = 2.0  # percent
 
 
@@ -383,6 +406,7 @@ def main() -> None:
     except (AttributeError, OSError):
         load_pre = None
     steal_pre = steal_pct()
+    steal_t0 = steal_counters()
 
     registry = load_all()
     spark = build_session("seafowl_spark_bench")
@@ -512,19 +536,27 @@ def main() -> None:
         - 1.0,
         3,
     )
-    # steal sampled AGAIN at the end: a neighbor active during EITHER
-    # endpoint of the window taints the record
+    # steal sampled AGAIN at the end, plus the WINDOW INTEGRAL (r13):
+    # the suspect gate judges the whole-window average steal — a 1 s
+    # endpoint instant can read 4%+ off one scheduling blip and taint a
+    # record whose 7-minute window averaged well under the gate (the
+    # r13 rehearsal). Endpoint instants still record for forensics and
+    # remain the fallback when /proc/stat is unreadable.
     steal_post = steal_pct()
-    steal_worst = max(
+    steal_win = steal_window_pct(steal_t0, steal_counters())
+    steal_endpoints = max(
         (s for s in (steal_pre, steal_post) if s is not None),
         default=None,
+    )
+    steal_gate_value = (
+        steal_win if steal_win is not None else steal_endpoints
     )
     env_invalid, env_suspect = env_flags(
         era_ratio,
         load_pre,
         spread,
         bool(drift.get("retried")),
-        steal_worst,
+        steal_gate_value,
     )
     environment = {
         "load_at_launch": load_at_launch,
@@ -532,6 +564,7 @@ def main() -> None:
         "load_pre": load_pre,
         "steal_pct_pre": steal_pre,
         "steal_pct_post": steal_post,
+        "steal_pct_window": steal_win,
         "probe_start_sec": probe_start["sec"],
         "probe_start_retried": bool(probe_start.get("retried")),
         "probe_start_retries": start_retries,

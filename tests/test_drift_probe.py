@@ -377,6 +377,30 @@ class TestEnvFlagsStateMachine:
         # floor (the floor is conservative, not aspirational)
         assert 0.927 >= PROBE_CLEAN_ERA_FLOOR
 
+    def test_steal_window_integral(self):
+        """r13: the suspect gate judges the WINDOW-average steal, not a
+        1-second endpoint instant (one ~40 ms scheduling blip reads 4%+
+        in a 1 s sample yet is noise over a 7-minute window — the r13
+        rehearsal sealed suspect on exactly that)."""
+        from bench import steal_counters, steal_window_pct
+
+        assert steal_window_pct((1000, 10), (2000, 30)) == 2.0
+        assert steal_window_pct(None, (2000, 30)) is None
+        assert steal_window_pct((1000, 10), (1000, 10)) is None
+        # live read works on this platform and is monotone-consistent
+        a = steal_counters()
+        assert a is not None and a[0] > 0 and a[1] >= 0
+        # a 4.2% endpoint blip with a clean window average must NOT
+        # taint the record (gate takes the window value)
+        from bench import STEAL_SUSPECT_GATE, env_flags
+
+        window_avg = 0.3
+        assert window_avg < STEAL_SUSPECT_GATE < 4.22
+        assert env_flags(1.0, 0.1, 0.05, False, window_avg) == (
+            False,
+            False,
+        )
+
     def test_idle_current_era_host_is_clean(self):
         from bench import env_flags
 
