@@ -14,8 +14,9 @@ Scope (deliberately minimal):
   7677 client-side over PostgreSQL's SASL messages — the DEFAULT
   password_encryption since PostgreSQL 14, so real-world federation
   targets work, not just trust-auth test servers); channel binding
-  (SCRAM-SHA-256-PLUS) is not offered because the client speaks no
-  TLS;
+  (SCRAM-SHA-256-PLUS) is not offered — the gs2 header stays 'n,,'
+  even over TLS (binding needs the server cert's signature fed into
+  the SCRAM exchange, which plain SCRAM-SHA-256 servers don't expect);
 * simple query ('Q') with text-format results; RowDescription typed by
   OID into Python values (int/float/Decimal/bool/str/bytes/date/
   datetime) so remote.py's `_cell` coercions see the same shapes the
@@ -26,12 +27,11 @@ Scope (deliberately minimal):
 NOT a general driver: no extended protocol, no COPY, no transactions
 beyond what a single autocommit query does. TLS (r13): the SSLRequest
 negotiation + an ssl-wrapped socket behind ``sslmode`` with libpq's
-three common levels — ``disable`` / ``prefer`` (default, falls back to
-plaintext when the server declines) / ``require`` (fails without TLS).
-Like libpq's ``require``, the server certificate is NOT verified (that
-is verify-ca/verify-full territory, which needs a root-cert story);
-``require`` defends against passive snooping, not active MITM — said
-here so nobody mistakes it for more.
+five levels — ``disable`` / ``prefer`` (default, falls back to
+plaintext when the server declines) / ``require`` (TLS, certificate
+NOT verified — like libpq it defends against passive snooping, not
+active MITM) / ``verify-ca`` (chain verified against ``sslrootcert``)
+/ ``verify-full`` (chain + hostname).
 """
 
 from __future__ import annotations
@@ -148,41 +148,81 @@ class PgWireConnection:
         password: str | None = None,
         timeout: float = 30.0,
         sslmode: str = "prefer",
+        sslrootcert: str | None = None,
     ):
-        if sslmode not in ("disable", "prefer", "require"):
+        if sslmode not in (
+            "disable", "prefer", "require", "verify-ca", "verify-full"
+        ):
             raise PgClientError(
                 f"unsupported sslmode {sslmode!r} (this client speaks "
-                "disable/prefer/require; verify-ca/verify-full need a "
-                "root-certificate story it does not have)"
+                "disable/prefer/require/verify-ca/verify-full)"
+            )
+        if sslmode.startswith("verify") and not sslrootcert:
+            raise PgClientError(
+                f"sslmode={sslmode} needs sslrootcert (the CA bundle "
+                "to verify the server certificate against)"
             )
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._user, self._password = user, password
         if sslmode != "disable":
-            self._negotiate_tls(host, required=sslmode == "require")
+            self._negotiate_tls(
+                host,
+                required=sslmode != "prefer",
+                verify=sslmode.startswith("verify"),
+                verify_hostname=sslmode == "verify-full",
+                rootcert=sslrootcert,
+            )
         params = f"user\0{user}\0database\0{dbname}\0\0".encode()
         payload = struct.pack("!ii", 8 + len(params), 196608) + params
         self._sock.sendall(payload)
         self._auth_loop()
 
-    def _negotiate_tls(self, host: str, required: bool) -> None:
+    def _negotiate_tls(
+        self,
+        host: str,
+        required: bool,
+        verify: bool = False,
+        verify_hostname: bool = False,
+        rootcert: str | None = None,
+    ) -> None:
         """SSLRequest (the 80877103 magic) then, on 'S', wrap the socket.
-        'N' means the server declines TLS: error under require, continue
-        in the clear under prefer (libpq's fallback)."""
+        'N' means the server declines TLS: error when TLS is required,
+        continue in the clear under prefer (libpq's fallback). The
+        verify levels match libpq: verify-ca checks the chain against
+        ``rootcert``, verify-full additionally matches the hostname."""
         import ssl
 
         self._sock.sendall(struct.pack("!ii", 8, 80877103))
         resp = self._sock.recv(1)
         if resp == b"S":
-            ctx = ssl.create_default_context()
-            # libpq sslmode=require semantics: encrypt, don't verify
-            ctx.check_hostname = False
-            ctx.verify_mode = ssl.CERT_NONE
-            self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
+            if verify:
+                try:
+                    ctx = ssl.create_default_context(cafile=rootcert)
+                except (OSError, ssl.SSLError) as exc:
+                    raise PgClientError(
+                        f"cannot load sslrootcert {rootcert!r}: {exc}"
+                    ) from exc
+                ctx.check_hostname = verify_hostname
+                ctx.verify_mode = ssl.CERT_REQUIRED
+            else:
+                # libpq sslmode=require semantics: encrypt, don't verify
+                ctx = ssl.create_default_context()
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            try:
+                self._sock = ctx.wrap_socket(
+                    self._sock, server_hostname=host
+                )
+            except ssl.SSLError as exc:
+                raise PgClientError(
+                    f"TLS handshake failed ({exc.__class__.__name__}): "
+                    f"{exc}"
+                ) from exc
         elif resp == b"N":
             if required:
                 raise PgClientError(
-                    "server declined TLS but sslmode=require"
+                    "server declined TLS but sslmode requires it"
                 )
         else:
             raise PgClientError(
@@ -424,7 +464,9 @@ def connect(
     dbname: str = "postgres",
     password: str | None = None,
     sslmode: str = "prefer",
+    sslrootcert: str | None = None,
 ) -> PgWireConnection:
     return PgWireConnection(
-        host, port, user, dbname, password, sslmode=sslmode
+        host, port, user, dbname, password,
+        sslmode=sslmode, sslrootcert=sslrootcert,
     )

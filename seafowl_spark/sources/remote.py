@@ -108,14 +108,13 @@ def _connect(dsn: str):
             from .pgclient import connect as _pg_connect
 
             u = urlparse(dsn)
-            # honor sslmode from the DSN query string (r13); other
-            # libpq params (connect_timeout, application_name, ...) are
-            # not interpreted by the fallback
-            sslmode = (
-                parse_qs(u.query).get("sslmode", ["prefer"])[0]
-                if u.query
-                else "prefer"
-            )
+            # honor sslmode/sslrootcert from the DSN query string
+            # (r13); other libpq params (connect_timeout,
+            # application_name, ...) are not interpreted by the
+            # fallback
+            q = parse_qs(u.query) if u.query else {}
+            sslmode = q.get("sslmode", ["prefer"])[0]
+            sslrootcert = q.get("sslrootcert", [None])[0]
             try:
                 return _pg_connect(
                     host=u.hostname or "localhost",
@@ -125,6 +124,7 @@ def _connect(dsn: str):
                     or "postgres",
                     password=u.password,
                     sslmode=sslmode,
+                    sslrootcert=sslrootcert,
                 )
             except (OSError, PgClientError) as exc:
                 # r13 (advisor find): keep the error CONTRACT of the
@@ -139,8 +139,8 @@ def _connect(dsn: str):
                     f"via the bundled pure-Python pg client (psycopg2 "
                     f"is not installed; the fallback speaks trust/"
                     f"cleartext/md5/SCRAM-SHA-256 with sslmode="
-                    f"disable/prefer/require, no certificate "
-                    f"verification): {exc}"
+                    f"disable/prefer/require/verify-ca/verify-full "
+                    f"+ sslrootcert): {exc}"
                 ) from exc
     if kind == "mysql":
         try:
