@@ -305,21 +305,11 @@ def steal_pct(interval: float = 1.0) -> float | None:
     this round's verify benches caught a 3% steal phase that inflated
     JVM-heavy queries 1.3-3.7x while the 1-minute load read 0.1 and the
     short probe under-registered it."""
-    def read():
-        try:
-            with open("/proc/stat") as f:
-                vals = [int(x) for x in f.readline().split()[1:]]
-            return sum(vals), (vals[7] if len(vals) > 7 else 0)
-        except (OSError, ValueError, IndexError):
-            return None
-    a = read()
+    a = steal_counters()
     if a is None:
         return None
     time.sleep(interval)
-    b = read()
-    if b is None or b[0] == a[0]:
-        return None
-    return round(100.0 * (b[1] - a[1]) / (b[0] - a[0]), 2)
+    return steal_window_pct(a, steal_counters())
 
 
 def steal_counters() -> tuple[int, int] | None:
@@ -568,6 +558,12 @@ def main() -> None:
         "probe_start_sec": probe_start["sec"],
         "probe_start_retried": bool(probe_start.get("retried")),
         "probe_start_retries": start_retries,
+        # forensics only: the worst PRE-bench reading a start retry
+        # replaced. Deliberately NOT in the spread — the start retry
+        # exists because pre-window contention that cleared before the
+        # timings is not window evidence (unlike drift's pre_retry_sec,
+        # which the spread does count: that spike was mid-window)
+        "probe_start_pre_retry_sec": probe_start.get("pre_retry_sec"),
         "probe_end_sec": drift["sec"],
         "probe_spread": spread,
         "era": ERA,

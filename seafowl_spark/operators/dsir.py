@@ -84,11 +84,6 @@ def ngram_buckets(
     return staged.withColumn(out_col, F.concat(unigrams, bigrams)).drop(toks)
 
 
-def _bucket_hist(inst: DataFrame) -> DataFrame:
-    """(bucket, c) histogram of one corpus's n-gram instances."""
-    return inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-
-
 def _hist_partials(
     feat: DataFrame, n_buckets: int, labeled: bool
 ) -> DataFrame:
@@ -266,7 +261,8 @@ def dsir_score(
     Documents with no tokens score 0.
 
     r13 shape (the r12 verdict's task #6): for bounded models
-    (n_buckets <= {max}) the lam table collects (<= n_buckets rows —
+    (n_buckets <= _ROWLOCAL_MODEL_MAX_BUCKETS, 1024) the lam table
+    collects (<= n_buckets rows —
     within the operator's own "nothing driver-side exceeds n_buckets
     rows" contract), constant-folds into an array literal, and scoring
     becomes a PURE ROW-LOCAL fold — no explode, no per-instance
@@ -277,9 +273,7 @@ def dsir_score(
     DECIMAL(25,6) terms (per-step recast is lossless — |logw| stays far
     under the 19 integer digits), cast to double once at the end. Models
     above the threshold keep the broadcast-join + per-doc-sum shape (a
-    plan must not carry tens of thousands of literals).""".format(
-        max=_ROWLOCAL_MODEL_MAX_BUCKETS
-    )
+    plan must not carry tens of thousands of literals)."""
     if n_buckets <= _ROWLOCAL_MODEL_MAX_BUCKETS:
         from decimal import Decimal
 
@@ -299,11 +293,21 @@ def dsir_score(
             F.lit(0).cast("decimal(25,6)"),
             lambda a, x: (a + x).cast("decimal(25,6)"),
         )
-        return ngram_buckets(df, text_col, n_buckets).select(
-            F.col(id_col),
-            # null text -> null buckets -> null fold; the explode_outer
-            # path scored those 0 — keep that contract
-            F.coalesce(s.cast("double"), F.lit(0.0)).alias("logw"),
+        # Aggregate per id so duplicate ids sum exactly like the join
+        # path's groupBy (one decimal row per DOC shuffles — map-side
+        # combined; the point of this branch is no per-INSTANCE
+        # shuffle, and that still holds). null text -> null fold, which
+        # F.sum skips — matching the join path, where explode_outer's
+        # null bucket coalesces to a 0 term.
+        return (
+            ngram_buckets(df, text_col, n_buckets)
+            .select(F.col(id_col), s.alias("__logw_dec"))
+            .groupBy(id_col)
+            .agg(
+                F.coalesce(
+                    F.sum("__logw_dec").cast("double"), F.lit(0.0)
+                ).alias("logw")
+            )
         )
     inst = ngram_buckets(df, text_col, n_buckets).select(
         F.col(id_col), F.explode_outer("buckets").alias("bucket")

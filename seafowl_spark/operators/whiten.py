@@ -74,15 +74,32 @@ def moment_sums(df: DataFrame, col: str, dim: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf[col].tolist(), dtype=np.float64)
+            # Replicate the exploded plan's element_at semantics (the
+            # bit-equality contract in test_whiten.py covers well-formed
+            # rows; these branches cover what the old plan TOLERATED):
+            # a NULL row or NULL cell yields null products that F.sum
+            # skipped; a short row nulls out-of-range coordinates; a
+            # long row ignores the extras. numpy maps None cells to nan
+            # but raises on null/ragged ROWS, so normalize those first.
+            vals = pdf[col][pdf[col].notna()]
+            if not len(vals):
+                continue
+            lens = vals.map(len)
+            if not (lens == dim).all():
+                vals = vals.map(
+                    lambda r: list(r[:dim])
+                    + [None] * max(0, dim - len(r))
+                )
+            X = np.array(vals.tolist(), dtype=np.float64)
             # chunk the outer products: B x d x d float64 at full batch
             # size would be hundreds of MB; 1024-row chunks cap it ~33MB
             for s in range(0, len(X), 1024):
                 C = X[s:s + 1024]
+                P = (C[:, :, None] * C[:, None, :]) * float(SCALE)
+                # null/NaN products contribute 0, exactly as the JVM
+                # plan (F.sum skips null; floor(NaN) casts to 0)
                 fx = (
-                    np.floor(
-                        (C[:, :, None] * C[:, None, :]) * float(SCALE)
-                    )
+                    np.where(np.isnan(P), 0.0, np.floor(P))
                     .astype(np.int64)
                     .sum(axis=0)
                 )

@@ -13,7 +13,10 @@ Scope (deliberately minimal):
 * auth: trust, cleartext password, MD5, and SCRAM-SHA-256 (RFC 5802/
   7677 client-side over PostgreSQL's SASL messages — the DEFAULT
   password_encryption since PostgreSQL 14, so real-world federation
-  targets work, not just trust-auth test servers); channel binding
+  targets work, not just trust-auth test servers; passwords are
+  SASLprep'd with pg_saslprep's fall-back-to-raw-on-prohibited
+  behavior so non-ASCII passwords derive the server's verifier);
+  channel binding
   (SCRAM-SHA-256-PLUS) is not offered — the gs2 header stays 'n,,'
   even over TLS (binding needs the server cert's signature fed into
   the SCRAM exchange, which plain SCRAM-SHA-256 servers don't expect);
@@ -28,7 +31,8 @@ NOT a general driver: no extended protocol, no COPY, no transactions
 beyond what a single autocommit query does. TLS (r13): the SSLRequest
 negotiation + an ssl-wrapped socket behind ``sslmode`` with libpq's
 five levels — ``disable`` / ``prefer`` (default, falls back to
-plaintext when the server declines) / ``require`` (TLS, certificate
+plaintext when the server declines TLS — and, like libpq, when the
+server accepts but the handshake then fails) / ``require`` (TLS, certificate
 NOT verified — like libpq it defends against passive snooping, not
 active MITM) / ``verify-ca`` (chain verified against ``sslrootcert``)
 / ``verify-full`` (chain + hostname).
@@ -50,6 +54,54 @@ from typing import Any
 
 class PgClientError(Exception):
     """Connection/protocol/server error, message carried verbatim."""
+
+
+def _saslprep(pw: str) -> str:
+    """RFC 4013 SASLprep, applied the way PostgreSQL's pg_saslprep
+    does: map non-ASCII spaces to space, drop the commonly-mapped-to-
+    nothing characters, NFKC-normalize — and on any PROHIBITED output
+    (controls, surrogates, bidi violations, unassigned code points)
+    fall back to the RAW password, exactly as the server did when it
+    stored the verifier, so both sides always derive the same salted
+    key. Printable ASCII is a fixed point; ASCII with control chars is
+    prohibited, which on both sides means fallback-to-raw."""
+    if pw.isascii():
+        return pw
+    import stringprep
+    import unicodedata
+
+    mapped = []
+    for ch in pw:
+        if stringprep.in_table_c12(ch):
+            mapped.append(" ")
+        elif not stringprep.in_table_b1(ch):
+            mapped.append(ch)
+    s = unicodedata.normalize("NFKC", "".join(mapped))
+    if not s:
+        return pw
+    for ch in s:
+        if (
+            stringprep.in_table_c12(ch)
+            or stringprep.in_table_c21_c22(ch)
+            or stringprep.in_table_c3(ch)
+            or stringprep.in_table_c4(ch)
+            or stringprep.in_table_c5(ch)
+            or stringprep.in_table_c6(ch)
+            or stringprep.in_table_c7(ch)
+            or stringprep.in_table_c8(ch)
+            or stringprep.in_table_c9(ch)
+            or stringprep.in_table_a1(ch)
+        ):
+            return pw
+    # bidi (RFC 3454 §6): RandALCat must not mix with LCat, and a
+    # RandALCat string must both start and end with RandALCat
+    randal = [stringprep.in_table_d1(ch) for ch in s]
+    if any(randal):
+        if any(stringprep.in_table_d2(ch) for ch in s) or not (
+            randal[0] and randal[-1]
+        ):
+            return pw
+    return s
 
 
 # text-format decoders by pg_type OID (public catalog numbers)
@@ -162,6 +214,7 @@ class PgWireConnection:
                 f"sslmode={sslmode} needs sslrootcert (the CA bundle "
                 "to verify the server certificate against)"
             )
+        self._addr, self._timeout = (host, port), timeout
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._user, self._password = user, password
@@ -215,6 +268,21 @@ class PgWireConnection:
                     self._sock, server_hostname=host
                 )
             except ssl.SSLError as exc:
+                if not required:
+                    # libpq sslmode=prefer: a server that ACCEPTS the
+                    # SSLRequest but fails the handshake (protocol
+                    # version mismatch, broken cert chain) falls back
+                    # to a fresh plaintext connection rather than
+                    # failing a DSN that worked before TLS support
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+                    self._sock = socket.create_connection(
+                        self._addr, timeout=self._timeout
+                    )
+                    self._buf = b""
+                    return
                 raise PgClientError(
                     f"TLS handshake failed ({exc.__class__.__name__}): "
                     f"{exc}"
@@ -312,8 +380,18 @@ class PgWireConnection:
                         + first,
                     )
                 elif code == 11:  # AuthenticationSASLContinue
+                    if "nonce" not in scram:
+                        raise PgClientError(
+                            "SASLContinue before AuthenticationSASL — "
+                            "out-of-order SCRAM exchange; aborting"
+                        )
                     self._send(b"p", self._scram_final(scram, body[4:]))
                 elif code == 12:  # AuthenticationSASLFinal: verify v=
+                    if "server_sig" not in scram:
+                        raise PgClientError(
+                            "SASLFinal before the client proof was sent "
+                            "— out-of-order SCRAM exchange; aborting"
+                        )
                     attrs = dict(
                         kv.split(b"=", 1)
                         for kv in body[4:].split(b",")
@@ -367,7 +445,7 @@ class PgWireConnection:
                 "(possible replay); aborting"
             )
         salted = hashlib.pbkdf2_hmac(
-            "sha256", self._password.encode(), salt, iterations
+            "sha256", _saslprep(self._password).encode(), salt, iterations
         )
         client_key = hmac.digest(salted, b"Client Key", "sha256")
         stored_key = hashlib.sha256(client_key).digest()

@@ -268,3 +268,56 @@ class TestDualScoringPaths:
             dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = orig
         assert rowlocal == joined
         assert rowlocal[5] == 0.0  # empty doc scores zero on both paths
+
+    def test_paths_agree_on_duplicate_ids_and_null_text(self, spark):
+        """Duplicate ids (raw crawls re-emit documents) must aggregate
+        identically on both paths: the join path has always summed per
+        id via its groupBy, so the row-local path must too — one row
+        per id, logw = the exact decimal sum over ALL rows carrying
+        that id. A null-text row adds nothing (explode_outer's null
+        bucket coalesces to a 0 term on the join path; the null fold is
+        skipped by F.sum on the row-local path)."""
+        from seafowl_spark.operators import dsir as dsir_mod
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat", "en"),
+                (1, "the dog ran", "en"),  # duplicate id -> one row, summed
+                (2, "der hund", "de"),
+                (2, None, "de"),  # null text adds nothing to id 2
+                (3, None, "en"),  # only-null id still scores 0.0
+            ],
+            "doc_id int, text string, lang string",
+        )
+        model = fit_dsir(
+            docs.where(F.col("lang") == "en"), docs, n_buckets=B
+        )
+        rowlocal = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_score(docs, model, n_buckets=B).collect()
+        }
+        orig = dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS
+        dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = 0  # force the join path
+        try:
+            joined = {
+                r["doc_id"]: r["logw"]
+                for r in dsir_score(docs, model, n_buckets=B).collect()
+            }
+        finally:
+            dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = orig
+        assert len(rowlocal) == 3  # one row per id on both paths
+        assert rowlocal == joined
+        # the duplicate id's weight is the sum of its two rows
+        solo = {
+            r["doc_id"]: r["logw"]
+            for r in dsir_score(
+                spark.createDataFrame(
+                    [(10, "the cat sat"), (11, "the dog ran")],
+                    "doc_id int, text string",
+                ),
+                model,
+                n_buckets=B,
+            ).collect()
+        }
+        assert rowlocal[1] == pytest.approx(solo[10] + solo[11], abs=1e-9)
+        assert rowlocal[3] == 0.0

@@ -287,6 +287,149 @@ class TestScramUnit:
         with _pytest.raises(PgClientError, match="malformed SCRAM"):
             conn._scram_final(scram, b"r=abcdef,s=YWJjZA==")  # no i=
 
+    def test_out_of_order_sasl_messages_are_clean_errors(self):
+        """SASLContinue (code 11) or SASLFinal (code 12) before
+        AuthenticationSASL must raise the client's own error type, not
+        a bare KeyError escaping remote.py's RemoteTableError wrap."""
+        import struct as _struct
+
+        from seafowl_spark.sources.pgclient import (
+            PgClientError,
+            PgWireConnection,
+        )
+        import pytest as _pytest
+
+        for code in (11, 12):
+            conn = object.__new__(PgWireConnection)
+            conn._password = "pw"
+            conn._sock = None  # must not be touched before the error
+            body = _struct.pack("!i", code) + b"r=x,s=QUFBQQ==,i=1"
+            conn._buf = b"R" + _struct.pack("!i", 4 + len(body)) + body
+            with _pytest.raises(PgClientError, match="out-of-order"):
+                conn._auth_loop()
+
+    def test_saslprep_matches_pg_saslprep(self):
+        """RFC 4013 as PostgreSQL applies it: NFKC (composed and
+        decomposed 'café' derive the SAME salted key), non-ASCII
+        spaces map to space, soft hyphen maps to nothing, printable
+        ASCII is untouched, and prohibited output (bidi override)
+        falls back to the RAW password like pg_saslprep does."""
+        from seafowl_spark.sources.pgclient import _saslprep
+
+        assert _saslprep("pencil") == "pencil"  # ASCII fixed point
+        composed, decomposed = "café", "café"
+        assert _saslprep(composed) == _saslprep(decomposed) == composed
+        assert _saslprep("a b") == "a b"  # NBSP -> space
+        assert _saslprep("pa­ss") == "pass"  # soft hyphen dropped
+        rlo = "ab‮cd"  # C.8 bidi override: prohibited -> raw
+        assert _saslprep(rlo) == rlo
+
+    def test_scram_salted_key_uses_saslprep(self):
+        """The PBKDF2 input is the SASLprep'd password: composed and
+        decomposed spellings of the same password produce the same
+        client proof."""
+        finals = []
+        for pw in ("café", "café"):
+            conn = self._conn(password=pw)
+            scram = {"client_first_bare": b"n=,r=abc", "nonce": b"abc"}
+            finals.append(
+                conn._scram_final(scram, b"r=abcdef,s=QUFBQQ==,i=128")
+            )
+        assert finals[0] == finals[1]
+
+
+class TestPreferTlsFallback:
+    """sslmode=prefer must fall back to plaintext not only when the
+    server DECLINES the SSLRequest ('N') but also — like libpq — when
+    the server ACCEPTS ('S') and the handshake then fails; require and
+    above must not."""
+
+    @staticmethod
+    def _serve(results):
+        import socket as _socket
+        import struct as _struct
+        import threading as _threading
+
+        srv = _socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(4)
+        results["port"] = srv.getsockname()[1]
+        results["ready"].set()
+
+        def run():
+            # connection 1: accept the SSLRequest, then die mid-handshake
+            c1, _ = srv.accept()
+            c1.recv(8)
+            c1.sendall(b"S")
+            c1.close()
+            # connection 2 (the fallback): plaintext startup, trust auth
+            c2, _ = srv.accept()
+            raw = c2.recv(4)
+            (n,) = _struct.unpack("!i", raw)
+            while len(raw) < n:
+                raw += c2.recv(n - len(raw))
+            c2.sendall(
+                b"R" + _struct.pack("!ii", 8, 0)  # AuthenticationOk
+                + b"Z" + _struct.pack("!i", 5) + b"I"  # ReadyForQuery
+            )
+            results["startup_seen"].set()
+            c2.recv(65536)  # whatever comes next (Terminate/close)
+            c2.close()
+            srv.close()
+
+        t = _threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
+
+    def test_prefer_falls_back_on_handshake_failure(self):
+        import threading as _threading
+
+        from seafowl_spark.sources.pgclient import PgWireConnection
+
+        results = {
+            "ready": _threading.Event(),
+            "startup_seen": _threading.Event(),
+        }
+        self._serve(results)
+        assert results["ready"].wait(5)
+        conn = PgWireConnection(
+            host="127.0.0.1",
+            port=results["port"],
+            timeout=5,
+            sslmode="prefer",
+        )
+        assert results["startup_seen"].is_set()
+        conn.close()
+
+    def test_require_does_not_fall_back(self):
+        import socket as _socket
+        import struct as _struct
+        import threading as _threading
+
+        from seafowl_spark.sources.pgclient import (
+            PgClientError,
+            PgWireConnection,
+        )
+        import pytest as _pytest
+
+        srv = _socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def run():
+            c1, _ = srv.accept()
+            c1.recv(8)
+            c1.sendall(b"S")
+            c1.close()
+            srv.close()
+
+        _threading.Thread(target=run, daemon=True).start()
+        with _pytest.raises(PgClientError, match="TLS handshake failed"):
+            PgWireConnection(
+                host="127.0.0.1", port=port, timeout=5, sslmode="require"
+            )
+
 
 class TestByteaEscapeFormat:
     def test_hex_format(self):

@@ -54,6 +54,42 @@ class TestMoments:
             want = int(sum(np.floor(x[:, r["i"]] * SCALE)))
             assert r["sum_fx"] == want
 
+    def test_malformed_rows_match_exploded_plan_semantics(self, spark, vecs):
+        """r13's mapInPandas partials must TOLERATE what the old
+        exploded plan tolerated (a raw crawl's embedding column is not
+        guaranteed clean): a NULL row, a NULL cell, a short row, and a
+        long row. element_at semantics: every product a malformed row
+        cannot form is a null term F.sum skipped — so the expected
+        sums are the clean corpus's sums plus only the products the
+        malformed rows CAN form."""
+        df, x = vecs
+        dirty = df.unionByName(
+            spark.createDataFrame(
+                [
+                    (1000, None),  # null row: contributes nothing
+                    (1001, [2.0, None] + [1.0] * (DIM - 2)),  # null cell
+                    (1002, [3.0, 4.0]),  # short: only cells i,j < 2
+                    (1003, [1.0] * (DIM + 3)),  # long: extras ignored
+                ],
+                "vec_id long, emb array<double>",
+            )
+        )
+        got = {
+            (r["i"], r["j"]): r["sum_fx"]
+            for r in moment_sums(dirty, "emb", DIM).collect()
+        }
+        assert len(got) == DIM * (DIM + 1) // 2
+        pads = [
+            [2.0, np.nan] + [1.0] * (DIM - 2),
+            [3.0, 4.0] + [np.nan] * (DIM - 2),
+            [1.0] * DIM,
+        ]
+        xx = np.vstack([x, np.array(pads)])
+        for (i, j), fx in got.items():
+            prods = np.floor(xx[:, i] * xx[:, j] * SCALE)
+            want = int(np.nansum(prods))
+            assert fx == want, (i, j)
+
     def test_partitioning_invariance(self, spark, vecs):
         df, _ = vecs
         a = sorted(

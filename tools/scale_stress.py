@@ -231,12 +231,20 @@ def main() -> None:
         r12 straggler was exactly that shape: one 20-minute task in a
         parallelism-collapsed fit stage."""
         import glob as _glob
+        import re as _re
         import statistics
 
         # the event-log listener is ASYNC: let the bus drain and the
         # writer flush before reading, or the window's tail tasks are
         # still in the buffer (observed: the last job's stage missing)
         time.sleep(2.0)
+
+        # cheap pre-parse window filter: the log holds the WHOLE run's
+        # TaskEnds and both window calls happen after the run, so most
+        # matching lines are out-of-window — extract Finish Time with a
+        # regex before paying json.loads (offset tracking would be
+        # wrong here: call 1 reads past call 2's events)
+        ft_re = _re.compile(r'"Finish Time":\s*(\d+)')
 
         by_stage: dict[tuple, list[float]] = {}
         # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_*/
@@ -250,6 +258,9 @@ def main() -> None:
             with open(path, errors="replace") as f:
                 for line in f:
                     if '"SparkListenerTaskEnd"' not in line:
+                        continue
+                    m = ft_re.search(line)
+                    if m and not (t0_ms <= int(m.group(1)) <= t1_ms):
                         continue
                     try:
                         ev = json.loads(line)
@@ -785,6 +796,11 @@ def main() -> None:
     if out_path:
         with open(out_path, "w") as f:
             f.write(line + "\n")
+    # the event log served its purpose (build_task_stats) — a 30-100x
+    # run's uncompressed log is large and mkdtemp never self-cleans
+    import shutil as _sh
+
+    _sh.rmtree(evlog_dir, ignore_errors=True)
     if flagged:
         print(
             f"GATE FAILED: undocumented super-linear growth (> {gate}x "
