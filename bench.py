@@ -86,6 +86,24 @@ REGRESSION_GATE = 1.15
 # slower on the probe than round 6's was.
 ERA_BASELINE_SEC = 1.368
 ERA = "r12"
+# r13: the END-position probe baseline. The era census above was taken
+# at START-probe warmth (fresh session + the bench's noop warm-up);
+# after the full 16-query headline suite the SAME frozen query reads
+# structurally faster — shared whole-stage-codegen and JIT state the
+# census never reached. Measured on a verified-idle window (load 0.03,
+# window steal integral 0.06%): start 1.48 s / end 1.17 s — a 1.26x
+# structural gap; the sealed r12 record shows the same shape (1.636 /
+# 1.268 = 1.29x) and so does every prior round. Comparing the two
+# probes RAW therefore reads ~0.26 "spread" on a perfectly clean host
+# — the spread gate (0.25) tripped on structure, not contention, which
+# is exactly how the cleanest rehearsal ever taken still sealed
+# suspect. Each probe is now normalized by its own position's baseline
+# before the spread compares them. n=1 idle calibration, frozen at the
+# observed clean reading (min convention, like the era census),
+# cross-checked: r12's sealed end probe lands at 1.084 under it
+# (rested-but-post-settle host), today's two steal-phase ends at
+# 1.31-1.43 (correctly elevated).
+ERA_BASELINE_END_SEC = 1.17
 # r11 (the r10 verdict's task #1): a drift-probe ratio above this means
 # the HOST is too contended for cross-round comparison to mean anything
 # (the sealed r10 run read 1.9x on code byte-identical to r9 and
@@ -134,10 +152,12 @@ SETTLE_MAX_SEC = 480
 # spread gate against a clean end probe, sealing the record suspect
 # (r12 sealed exactly this: start era 1.196, no retry; end era 0.927;
 # spread 0.29). The retry threshold must be the spread gate applied to
-# the END-of-window EXPECTATION — a rested host's observed probe floor
-# (0.927 era in the sealed r12 record; frozen conservatively at 0.9) —
-# so any start reading that would trip the spread against a clean end
-# gets retried while the previous job's scheduler memory decays.
+# the END-of-window EXPECTATION — a rested host's probe floor, in the
+# end-POSITION-normalized units the r13 spread compares (a clean end
+# reads ~1.0 against ERA_BASELINE_END_SEC; frozen conservatively at
+# 0.9) — so any start reading that would trip the spread against a
+# clean end gets retried while the previous job's scheduler memory
+# decays.
 PROBE_CLEAN_ERA_FLOOR = 0.9
 PROBE_START_RETRY_GATE = round(
     (1 + PROBE_SPREAD_GATE) * PROBE_CLEAN_ERA_FLOOR, 3
@@ -338,6 +358,26 @@ def steal_window_pct(
 STEAL_SUSPECT_GATE = 2.0  # percent
 
 
+def probe_spread_norm(
+    start_sec: float, end_sec: float, worst_end_sec: float | None = None
+) -> float:
+    """Window spread between the start and end probes, each normalized
+    by its POSITION's baseline (start = census warmth, end = post-
+    suite warmth) so warm-up structure cancels and only host
+    instability remains — see ERA_BASELINE_END_SEC. ``worst_end_sec``
+    carries a mid-window pre-retry spike so a passing retry cannot
+    erase contention evidence."""
+    start_n = start_sec / ERA_BASELINE_SEC
+    end_n = end_sec / ERA_BASELINE_END_SEC
+    worst_end_n = (
+        max(end_sec, worst_end_sec or 0.0) / ERA_BASELINE_END_SEC
+    )
+    return round(
+        max(start_n, worst_end_n) / max(min(start_n, end_n), 1e-9) - 1.0,
+        3,
+    )
+
+
 def env_flags(
     era_ratio: float | None,
     load_pre: float | None,
@@ -387,6 +427,20 @@ def main() -> None:
             settle_wait += 10
     except (AttributeError, OSError):
         load_at_launch = None
+
+    # r13: also wait out a hypervisor steal WAVE (same bounded budget).
+    # This host shows recurring multi-minute steal phases (measured
+    # 3.6-5.2% window integrals with loadavg ~0.3) that taint the whole
+    # record; a 20 s pre-sample above half the suspect gate means a
+    # wave is in progress — launching now seals suspect with near-
+    # certainty, and the waves pass in minutes
+    while settle_wait < SETTLE_MAX_SEC:
+        s = steal_pct(20.0)
+        settle_wait += 20
+        if s is None or s <= STEAL_SUSPECT_GATE / 2:
+            break
+        time.sleep(20)
+        settle_wait += 20
 
     # sampled before ANY Spark work (post-settle): at this point the
     # load is other tenants' — the external-contention signal the probe
@@ -518,13 +572,16 @@ def main() -> None:
     era_ratio = drift["era_ratio"] or 1.0
     # the spread considers the WORST probe reading of the window —
     # including a pre-retry spike the retry replaced — so passing the
-    # invalid gate on retry cannot erase the contention evidence
-    worst_sec = max(drift["sec"], drift.get("pre_retry_sec", 0.0))
-    spread = round(
-        max(probe_start["sec"], worst_sec)
-        / max(min(probe_start["sec"], drift["sec"]), 1e-9)
-        - 1.0,
-        3,
+    # invalid gate on retry cannot erase the contention evidence.
+    # r13: each probe is normalized by its POSITION's baseline first
+    # (start = census warmth, end = post-suite warmth — see
+    # ERA_BASELINE_END_SEC): the raw readings differ ~1.26x on a
+    # verified-idle host purely from JIT state, and the gate must
+    # measure host instability, not warm-up structure.
+    start_n = probe_start["sec"] / ERA_BASELINE_SEC
+    end_n = drift["sec"] / ERA_BASELINE_END_SEC
+    spread = probe_spread_norm(
+        probe_start["sec"], drift["sec"], drift.get("pre_retry_sec")
     )
     # steal sampled AGAIN at the end, plus the WINDOW INTEGRAL (r13):
     # the suspect gate judges the whole-window average steal — a 1 s
@@ -565,6 +622,9 @@ def main() -> None:
         # which the spread does count: that spike was mid-window)
         "probe_start_pre_retry_sec": probe_start.get("pre_retry_sec"),
         "probe_end_sec": drift["sec"],
+        # position-normalized readings the spread actually compares
+        "probe_start_norm": round(start_n, 3),
+        "probe_end_norm": round(end_n, 3),
         "probe_spread": spread,
         "era": ERA,
         "era_ratio": era_ratio,
