@@ -149,9 +149,12 @@ class TestPipelineOpPlans:
     ):
         # DSIR scoring, r13: bounded models (<= 1024 buckets) score
         # ROW-LOCALLY — the lam table constant-folds into an array
-        # literal, so the plan has NO join, NO exchange and NO Python:
-        # a pure scan + projection (the per-instance explode + shuffle
-        # was t_sample_stratified's dominant stress growth term). Models
+        # literal, so the plan has NO join, NO Python and NO
+        # per-instance Generate (the explode + per-INSTANCE shuffle was
+        # t_sample_stratified's dominant stress growth term). The one
+        # allowed shuffle is the per-DOC hash aggregate (review fix:
+        # duplicate ids must sum exactly like the join path's groupBy —
+        # rows = docs, one decimal column, map-side combined). Models
         # above the threshold keep the broadcast-join shape — the model
         # must BROADCAST (never shuffle the corpus on bucket) and never
         # fall back to a cartesian product.
@@ -172,8 +175,12 @@ class TestPipelineOpPlans:
             .toString()
         )
         assert "Join" not in p
-        assert "Exchange" not in p
         assert "Python" not in p
+        assert "Generate" not in p  # no per-instance explode
+        # every shuffle in the plan is the per-doc aggregate, keyed on
+        # the id — nothing per-instance ever hits the wire
+        ex_lines = [ln for ln in p.splitlines() if "Exchange" in ln]
+        assert ex_lines and all("doc_id" in ln for ln in ex_lines)
         # the large-model path keeps the broadcast-join discipline
         orig = dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS
         dsir_mod._ROWLOCAL_MODEL_MAX_BUCKETS = 0
