@@ -148,16 +148,26 @@ def simhash64_udf():
     def simhash64(text: pd.Series) -> pd.DataFrame:
         md5 = hashlib.md5
         n = len(text)
-        # flatten: token hashes for all docs, contiguous per doc
+        # flatten: token hashes for all docs, contiguous per doc. md5 is
+        # memoized per batch (r13): natural text repeats tokens heavily,
+        # so the hash count drops to the batch's unique-token count.
+        memo: dict = {}
         offsets, lo_flat, hi_flat, doc_pos = [], [], [], []
         for i, t in enumerate(text):
             toks = t.split(" ") if t is not None else []
             k0 = len(lo_flat)
             for x in toks:
                 if x:
-                    d = md5(x.encode()).digest()
-                    lo_flat.append(int.from_bytes(d[0:4], "big"))
-                    hi_flat.append(int.from_bytes(d[4:8], "big"))
+                    hs = memo.get(x)
+                    if hs is None:
+                        d = md5(x.encode()).digest()
+                        hs = (
+                            int.from_bytes(d[0:4], "big"),
+                            int.from_bytes(d[4:8], "big"),
+                        )
+                        memo[x] = hs
+                    lo_flat.append(hs[0])
+                    hi_flat.append(hs[1])
             if len(lo_flat) > k0:
                 offsets.append(k0)
                 doc_pos.append(i)
@@ -181,6 +191,143 @@ def simhash64_udf():
         )
 
     return simhash64
+
+
+def minhash_sigs_udf(
+    perm_a,
+    perm_b,
+    prime: int,
+    n_shingle: int = 3,
+    split: str = "space",
+    empty: str = "nulls",
+):
+    """string -> array<long> MinHash signature, bit-identical to the JVM
+    expression chain it replaces (r13, guide §4.2):
+
+        toks     = filter(split(text, ' '), t -> t <> '')
+        shingles = distinct 3-token windows joined with ' '   (n >= 3 else [])
+        h        = conv(substr(md5(shingle), 1, 8), 16, 10)   (< 2^32)
+        sig[i]   = min over shingles of (a_i * h + b_i) % prime
+
+    Every step is exact integer arithmetic: Python md5 hex == Spark md5,
+    int64 products stay below 2^62 (a < 2^30, h < 2^32), so the numpy
+    path cannot diverge from the SQL fold. Shingle hashes are memoized
+    per batch (natural text repeats shingles heavily) and the per-doc
+    minima run as one reduceat per permutation over the batch-flat hash
+    array — the tiny-array-per-doc overhead, not md5, dominates
+    otherwise. Docs with no shingles yield an all-NULL signature, same
+    as array_min over an empty array.
+
+    Why a UDF at all: Spark's higher-order functions (transform /
+    array_min) execute interpreted per element — profiling the previous
+    chain showed 16 s of task CPU at sf0.1 (5k docs); this path is ~10x
+    cheaper and frees the plan of a 16-lambda projection.
+
+    ``split`` selects the tokenizer: "space" = the engine's literal
+    single-space split (queries/similarity.py), "ascii_ws" = the
+    cross-corpus operator's \\s+ regex split — Java's \\s is the ASCII
+    class [ \\t\\n\\x0B\\f\\r] (no Unicode whitespace), matched here with
+    an explicit class, NOT Python's Unicode-aware \\s. ``empty`` selects
+    what a doc with no shingles yields: "nulls" = an all-NULL signature
+    (array_min over an empty array), "drop" = a NULL row the caller
+    filters — the twin of filtering size(toks) >= 3 before signing.
+    """
+    import hashlib
+    import re
+
+    A = [int(a) for a in perm_a]
+    B = [int(b) for b in perm_b]
+    P = int(prime)
+    nperm = len(A)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+") if split == "ascii_ws" else None
+
+    @pandas_udf("array<long>")
+    def sigs_of(text: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        memo: dict = {}
+        flat: list = []
+        offs: list = []
+        doc_pos: list = []
+        n = len(text)
+        for i, t in enumerate(text):
+            if t is None:
+                toks = []
+            elif ws_re is not None:
+                toks = [x for x in ws_re.split(t) if x]
+            else:
+                toks = [x for x in t.split(" ") if x]
+            if len(toks) < n_shingle:
+                continue
+            seen = set()
+            k0 = len(flat)
+            for j in range(len(toks) - n_shingle + 1):
+                s = " ".join(toks[j : j + n_shingle])
+                if s in seen:
+                    continue
+                seen.add(s)
+                h = memo.get(s)
+                if h is None:
+                    h = int.from_bytes(md5(s.encode()).digest()[:4], "big")
+                    memo[s] = h
+                flat.append(h)
+            if len(flat) > k0:
+                offs.append(k0)
+                doc_pos.append(i)
+        out = [None] * n
+        if doc_pos:
+            H = np.asarray(flat, dtype=np.int64)
+            offs_a = np.asarray(offs, dtype=np.intp)
+            mins = np.empty((nperm, len(offs_a)), dtype=np.int64)
+            for p in range(nperm):
+                mins[p] = np.minimum.reduceat((A[p] * H + B[p]) % P, offs_a)
+            for col, i in enumerate(doc_pos):
+                out[i] = mins[:, col].tolist()
+        if empty == "drop":
+            return pd.Series(out)
+        nulls = [None] * nperm
+        return pd.Series([v if v is not None else list(nulls) for v in out])
+
+    return sigs_of
+
+
+def shingle_hashes_udf(n_shingle: int = 3):
+    """string -> array<long>: md5-int hashes of the doc's DISTINCT 3-token
+    shingles — the Arrow-batched twin of
+    list_transform(shingles, s -> conv(substr(md5(s),1,8),16,10)) over the
+    staged shingle projection (r13, guide §4.2). Shingles are deduplicated
+    as STRINGS (exactly array_distinct's semantics — two distinct shingles
+    colliding to one 32-bit hash still emit two equal array elements), md5
+    is memoized per batch, and docs with < 3 tokens yield an empty array
+    (explode drops them, same as before). Tokenization is the engine's
+    literal single-space split with empties filtered."""
+    import hashlib
+
+    @pandas_udf("array<long>")
+    def hashes_of(text: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        memo: dict = {}
+        out = []
+        for t in text:
+            toks = [x for x in t.split(" ") if x] if t is not None else []
+            if len(toks) < n_shingle:
+                out.append([])
+                continue
+            seen = set()
+            hh = []
+            for j in range(len(toks) - n_shingle + 1):
+                s = " ".join(toks[j : j + n_shingle])
+                if s in seen:
+                    continue
+                seen.add(s)
+                h = memo.get(s)
+                if h is None:
+                    h = int.from_bytes(md5(s.encode()).digest()[:4], "big")
+                    memo[s] = h
+                hh.append(h)
+            out.append(hh)
+        return pd.Series(out)
+
+    return hashes_of
 
 
 def pq_encode_udf(codebooks):

@@ -28,7 +28,23 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+# r13 (guide §1/§5 — the driver does almost no data work): one
+# spark.read.parquet costs ~100 ms of driver time (fresh InMemoryFileIndex
+# + footer schema read, uncached across calls), and table() ~190 ms with
+# the conf checks; queries call it 1-7 times PER INVOCATION, so a 6-table
+# join paid ~1 s of pure plan-construction overhead per run. The memo
+# reuses the immutable DataFrame HANDLE (a logical plan — no data, no
+# results; every execution still scans parquet) per (application, dir,
+# table), exactly the hot catalog a long-lived server session keeps. Keyed
+# on applicationId so a new session never sees a stale plan.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # timestamp semantics must match the DuckDB oracle's naive-UTC reads
     # even when the hosting session (e.g. the driver's) wasn't built by us
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
@@ -52,7 +68,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
+
+
+def widen(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a parallelism-collapsed scan across the cluster (r13, guide
+    §2.5 "input skew ... one huge unsplittable file: repartition
+    immediately after the read").
+
+    The local testdata tables are single parquet files with ONE row group
+    — unsplittable, so the scan and every narrow operator above it (the
+    whole stage up to the first exchange: filters, projections, partial
+    aggregation, UDF evaluation) runs as one task regardless of
+    maxPartitionBytes. Queries whose map-side work dominates call this
+    right after projecting down to the columns they need; when the scan
+    already yields at least the session's parallelism (any real multi-file
+    / multi-row-group table — i.e. every 100 TB layout), it is a no-op, so
+    no extra exchange ever appears at scale.
+
+    Pass a unique-ish key so the spread is a deterministic hash
+    partitioning: keyless round-robin repartition pays a per-task local
+    sort (spark.sql.execution.sortBeforeRepartition) to stay
+    retry-deterministic; hashing an existing key needs neither the sort
+    nor the determinism caveat.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    if keys:
+        return df.repartition(par, *[F.col(k) for k in keys])
+    return df.repartition(par)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -36,15 +36,10 @@ from ..queries.similarity import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
-    _h8,
 )
 
 N_PERM = len(MINHASH_A)
 MAX_BUCKET_TRAIN_ROWS = 1000
-
-
-def _tokens(col):
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
 def minhash_signatures(
@@ -53,50 +48,29 @@ def minhash_signatures(
     """(id, sigs array<long>[16]) — DataFrame-level twin of the graded
     in-corpus signature pipeline (same shingles, same permutations).
 
-    Plan-shape constraint (r12, measured 12x end-to-end): the short-doc
-    filter runs EARLY, on the cheap token count — never on a derived
-    array (`size(hh) > 0` used to sit between the projections). A
-    Filter sandwiched between Projects lets Catalyst's scan-collapse
-    substitute the aliased expression into every reference, and `hh`
-    (the md5-per-shingle transform) is referenced by all 16 permutation
-    expressions — the whole tokenize+shingle+md5 chain re-evaluated 16x
-    per row (50k docs: 109 s with the late filter, 9 s without).
-    CollapseProject's multiple-reference guard protects plain
-    Project-over-Project chains, so with the filter below the heavy
-    projections each stage evaluates once. Docs with >= 3 tokens always
-    produce >= 1 shingle, so the early filter is semantically identical
-    to the old `size(hh) > 0`."""
-    toked = df.select(
-        F.col(id_col).alias("__id"), _tokens(F.col(text_col)).alias("toks")
-    ).where(F.size("toks") >= 3)
-    toks = F.col("toks")
-    n = F.size(toks)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
-    )
-    # stage shingles, then hash each once; permutations run on longs
-    hashed = toked.select(
-        "__id", shingles.alias("__sh")
-    ).select("__id", F.transform(F.col("__sh"), _h8).alias("hh"))
+    r13 (guide §4.2): signatures come from ONE Arrow-batched pass
+    (functions/vec.minhash_sigs_udf with the operator's \\s+ tokenizer) —
+    tokenize, shingle, md5 (memoized per batch) and the 16 affine minima
+    in numpy, bit-identical to the former expression chain (exact integer
+    arithmetic end to end; signature values pinned in
+    test_cross_contamination.py). The former chain ran Spark's
+    higher-order functions interpreted per element, ~10x the CPU; it also
+    needed the r12 filter-sandwich discipline (a Filter between the
+    Projects let CollapseProject re-evaluate the md5 transform inside all
+    16 permutation expressions — 1201 s -> 117 s at 100x when fixed).
+    A UDF is an optimizer barrier by construction, so that trap is closed
+    structurally now; `empty="drop"` + the NULL filter reproduces the
+    early size(toks) >= 3 filter exactly (docs with < 3 tokens emit no
+    signature row)."""
+    from ..functions.vec import minhash_sigs_udf
 
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(F.col("hh"), _perm(a, b)))
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
+    sig_of = minhash_sigs_udf(
+        MINHASH_A, MINHASH_B, MINHASH_P, split="ascii_ws", empty="drop"
     )
-    return hashed.select(F.col("__id").alias(id_col), sigs.alias("sigs"))
+    return (
+        df.select(F.col(id_col), sig_of(F.col(text_col)).alias("sigs"))
+        .where(F.col("sigs").isNotNull())
+    )
 
 
 def _banded(sigs_df: DataFrame, id_col: str, bands: int) -> DataFrame:

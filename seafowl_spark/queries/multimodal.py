@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import table
+from ..io import table, widen
 from ..sources.multimodal import (
     decode_image,
     extract_metadata,
@@ -27,6 +27,10 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is oracle-checked through m_payload_pipeline's 'frames'
     branch (this row's slot was donated to q_quality_classifier in r8);
     frame bytes themselves are binary and covered in tests."""
+    # r13: widening this scan was measured and REJECTED (0.97 s -> 3.58 s
+    # min-of-4): the mapInPandas CPU here is well under a second, so a
+    # 32-way spread pays more in per-task Python overhead than it saves —
+    # the widen() rule of thumb is heavy per-row work only (guide §4.1).
     d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", "payload"
     )
@@ -84,6 +88,10 @@ def m_payload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-frames via the same mapInPandas shape, frame fan-out
     arithmetic oracle-checked. Text payloads sniff as octet-stream; real
     container formats and raw frame bytes are covered in tests."""
+    # r13: widening this scan was measured and REJECTED (0.97 s -> 3.58 s
+    # min-of-4): the mapInPandas CPU here is well under a second, so a
+    # 32-way spread pays more in per-task Python overhead than it saves —
+    # the widen() rule of thumb is heavy per-row work only (guide §4.1).
     d = with_text_payload(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", "payload"
     )

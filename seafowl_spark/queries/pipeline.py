@@ -372,13 +372,22 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark-decontamination pass every LLM corpus build runs (shingle
     hashes, not raw text, cross the wire).
     """
-    # persist: (a) both split branches read the shingle table, and (b) a
-    # Generate (explode) downstream lets CollapseProject inline the shingle
-    # lambda into per-element evaluation, re-splitting the document for
-    # every shingle — O(tokens^2) per doc, measured 14x slower at sf0.1.
-    # The barrier pins one row-local shingle pass.
+    # r13 (guide §4.2): the shingle table is one Arrow-batched pass
+    # (functions/vec.shingle_hashes_udf) — tokenize, shingle, dedupe and
+    # md5 (memoized per batch) in Python, emitting int64 hash arrays
+    # directly. Bit-identical to the former staged shingle projection +
+    # per-element md5 transform (string-level dedupe, same md5-int), and
+    # the UDF is an optimizer barrier by construction, so the old
+    # CollapseProject O(tokens^2) trap cannot re-open. The explode now
+    # fans out longs, never shingle strings. widen() spreads the
+    # single-row-group local scan (no-op at scale); persist because both
+    # split branches read the shingle table.
+    from ..functions.vec import shingle_hashes_udf
+    from ..io import widen
+
     sh = (
-        _shingled_docs(spark, sf_dir)
+        widen(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+        .select("doc_id", shingle_hashes_udf()("text").alias("hh"))
         .withColumn(
             "is_eval", md5_int(F.col("doc_id").cast("string")) % _EVAL_MOD == 0
         )
@@ -386,13 +395,11 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         sh.where(F.col("is_eval"))
-        .select(F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("s"))
-        .select("eval_doc", _h8(F.col("s")).alias("h"))
+        .select(F.col("doc_id").alias("eval_doc"), F.explode("hh").alias("h"))
     )
     tr = (
         sh.where(~F.col("is_eval"))
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", _h8(F.col("s")).alias("h"))
+        .select("doc_id", F.explode("hh").alias("h"))
     )
     if _source_bytes(sf_dir, "documents") <= _BROADCAST_EVAL_MAX_SOURCE_BYTES:
         ev = F.broadcast(ev)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dec_avg, dec_sum
-from ..io import table
+from ..io import table, widen
 from . import register
 
 _D = "decimal(25,6)"
@@ -60,8 +60,24 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PushedFilters / ReadSchema); partial aggregation happens map-side so the
     shuffle carries only |returnflag x linestatus| rows per partition.
     """
-    l = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    # r13: the partial aggregate (9 decimal/count functions over 600k rows
+    # at sf0.1) runs inside the scan stage, and the local single-row-group
+    # file collapses that stage to ONE task (profiled: 1.28 s of a 1.8 s
+    # wall in one task). Project to the six needed columns, then spread on
+    # the fact key — no-op at scale, where the scan is already parallel.
+    l = widen(
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+        ),
+        "l_orderkey",
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
@@ -219,21 +235,34 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle exchange is orders<->lineitem on orderkey. Join order is
     declared smallest-first but Catalyst/AQE may reorder freely.
     """
-    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
-    c = F.broadcast(_t(spark, sf_dir, "customer"))
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    # r13 (guide §3.1): the four dimension tables used to broadcast
+    # SEPARATELY — four broadcast-build jobs and four probe passes per run
+    # (profiled: 13 AQE stages, ~1 s of driver/stage latency on a 0.55 s
+    # task-time query). region⋈nation⋈customer is dim⋈dim⋈dim (tiny on
+    # every side), so pre-join them into ONE broadcast (r_name filter
+    # applied first, columns projected to the two keys + n_name) and keep
+    # supplier as the second. Inner-join associativity keeps the result
+    # identical; the fact side now sees two probes instead of four.
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     l = _t(spark, sf_dir, "lineitem")
     return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
+        dims.join(o, o.o_custkey == F.col("c_custkey"))
         .join(l, l.l_orderkey == o.o_orderkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
         .groupBy("n_name")
         .agg(
             dec_sum(
@@ -1131,7 +1160,15 @@ def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the native JSON path function (get_json_object), the oracle mirrors
     it with a regexp since DuckDB's json extension may not be loadable
     offline — same value either way for this payload shape."""
-    e = _t(spark, sf_dir, "events")
+    # r13: JSON extraction + the partial aggregate ran as one task on the
+    # single-row-group local file (profiled: 0.48 s single task); spread on
+    # the unique event key before the heavy projection — no-op at scale.
+    e = widen(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "props", "user_id", "value"
+        ),
+        "event_id",
+    )
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         e.groupBy(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import table, widen
 from . import register
 
 # ---------------------------------------------------------------- constants
@@ -162,31 +162,22 @@ def _sql_h8(expr: str, start: int = 1) -> str:
 # ==========================================================================
 
 def _minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hash every shingle ONCE (md5 dominates; the 16 affine permutations then
-    # run over a plain array<long> — ~16x fewer md5 evaluations). Same two
-    # local-mode accommodations as _simhash_df: widen a too-narrow scan so
-    # the md5 work parallelizes, persist the (doc_id, sigs) result because
-    # the banding self-join evaluates its input subtree twice.
-    shingled = _shingled_docs(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if shingled.rdd.getNumPartitions() < par:
-        shingled = shingled.repartition(par)
-    hashed = shingled.select(
-        "doc_id", F.transform(F.col("shingles"), _h8).alias("hh")
-    )
+    # r13 (guide §4.2): signatures come from ONE Arrow-batched pass
+    # (functions/vec.minhash_sigs_udf) — tokenize, shingle, md5 (memoized
+    # per batch) and the 16 affine minima in numpy, bit-identical to the
+    # former shingle->transform->array_min expression chain (exact integer
+    # arithmetic end to end; pinned in test_pipeline.py's signature-value
+    # test and the oracle). The JVM chain ran Spark's higher-order
+    # functions interpreted per element: 16 s of task CPU at sf0.1 vs
+    # ~1.5 s for this path. widen() spreads the single-row-group local
+    # scan (no-op at scale); persist because the banding self-join
+    # evaluates its input subtree twice — at cluster scale the cached
+    # table is doc_id + 16 longs, the cheapest possible thing to cache.
+    from ..functions.vec import minhash_sigs_udf
 
-    def _perm(a: int, b: int):
-        # single-arg closure (extra default args would confuse Spark's
-        # higher-order-function arity detection)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(F.col("hh"), _perm(a, b)))
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
-    )
-    return hashed.select("doc_id", sigs.alias("sigs")).persist()
+    sig_of = minhash_sigs_udf(MINHASH_A, MINHASH_B, MINHASH_P)
+    d = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    return d.select("doc_id", sig_of("text").alias("sigs")).persist()
 
 
 _SQL_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
@@ -324,10 +315,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     possible thing to cache."""
     from ..functions.vec import simhash64_udf
 
-    d = table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    d = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return (
         d.select("doc_id", simhash64_udf()("text").alias("s"))
         .select("doc_id", "s.simhash_lo", "s.simhash_hi")
@@ -474,16 +462,20 @@ def s_ann_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-query top-k is a WindowGroupLimit. This is the exact
     baseline the LSH variant (s_ann_lsh_topk) approximates.
     """
-    v = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("emb"),
-        )
-        .withColumn("nrm", F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x))))
+    # r13: the broadcast probe (n_queries x n_vectors JVM array folds) runs
+    # in the scan stage, which the single-row-group local file collapses to
+    # one task; spread the corpus side on vec_id before the fold-heavy
+    # projection (no-op at scale). The tiny query side is built from the
+    # bare scan so its broadcast job never pays the spread exchange.
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    nrm = F.sqrt(_fold_sum(F.transform(F.col("emb"), lambda x: x * x)))
+    v = widen(base, "vec_id").withColumn("nrm", nrm)
     q = F.broadcast(
-        v.where(F.col("vec_id").isin(list(ANN_QUERY_IDS))).select(
+        base.withColumn("nrm", nrm)
+        .where(F.col("vec_id").isin(list(ANN_QUERY_IDS)))
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
             F.col("nrm").alias("q_nrm"),
@@ -560,6 +552,10 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_of = norm_exact_udf()
     dot_exact = dot_exact_udf()
     wb = Window.partitionBy("bucket").orderBy("vec_id")
+    # r13: widening this scan was measured and REJECTED (1.21 s -> 2.11 s
+    # min-of-4): the per-row UDF work on 2k vectors is far smaller than
+    # 32 tasks' worth of Python per-task overhead — widen() is for
+    # heavy per-row work only.
     v = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import table
+from ..io import table, widen
 from . import register
 
 # language marker words for the n-gram/stopword language-ID heuristic
@@ -58,9 +58,14 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, type/token ratio,
     plus BPE-ish regex tokenization (word pieces + standalone punctuation)
     — the pre-tokenizer counts used for corpus sizing."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", "text", _tokens(F.col("text")).alias("toks")
-    )
+    # r13: three regexp_extract_all passes + two tokenizations per document
+    # ran as one task on the single-row-group local file (profiled: 0.41 s
+    # of a 0.61 s wall in one task); spread on doc_id first — no-op at
+    # scale, where the scan is already parallel.
+    d = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text"),
+        "doc_id",
+    ).select("doc_id", "n_chars", "text", _tokens(F.col("text")).alias("toks"))
     toks = F.col("toks")
     return d.select(
         "doc_id",

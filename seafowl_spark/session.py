@@ -54,6 +54,20 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (guide §2.2/§2.5): AQE's coalescing already sizes post-shuffle
+        # partitions to the cluster's parallelism (coalescePartitions.
+        # parallelismFirst=true, the default), but it never goes below
+        # minPartitionSize, whose 1 MiB default collapses every MB-scale
+        # shuffle to a handful of tasks (measured: q_window_topk's window
+        # stage ran 4 tasks on 32 cores, q_asof_join's union+window 5).
+        # Lowering the FLOOR is scale-neutral: at 100 TB no post-shuffle
+        # partition is near 64 KiB, so the setting never binds there — it
+        # only stops tiny-input stages from losing the cluster. Env-
+        # overridable for deployments that want the stock floor back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
