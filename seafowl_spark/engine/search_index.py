@@ -526,8 +526,17 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
     if spec.method == "BM25":
         from ..operators.bm25 import bm25_topk_indexed
 
-        q = spark.createDataFrame(
-            [(0, query_text)], "query_id bigint, query_text string"
+        # r13: a LOCAL one-row relation, not createDataFrame — PySpark's
+        # createDataFrame parallelizes a pickled RDD, and every scan of it
+        # in the scoring plan spawned defaultParallelism tasks each paying
+        # a Python-worker round trip (measured: three 32-task stages per
+        # lookup, ~10 s task time each, <0.3 s of it CPU). Parameterized
+        # SQL binds the text without escaping hazards and plans as
+        # OneRowRelation — zero tasks, zero Python.
+        q = spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS query_id, "
+            "CAST(:qt AS STRING) AS query_text",
+            args={"qt": query_text},
         )
         p = spec.params
         out = bm25_topk_indexed(
@@ -554,8 +563,12 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
                 "IVFPQ query text must be a JSON array of numbers "
                 f"(e.g. '[0.1, 0.2, ...]'): {ex}"
             ) from ex
-        q = spark.createDataFrame(
-            [(0, vec)], "query_id bigint, emb array<double>"
+        # r13: local one-row relation (see the BM25 branch). from_json
+        # round-trips doubles exactly (shortest-repr JSON -> IEEE double).
+        q = spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS query_id, "
+            "from_json(:js, 'array<double>') AS emb",
+            args={"js": json.dumps(vec)},
         )
         p = spec.params
         out = ivf_pq_topk_indexed(
@@ -578,8 +591,12 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
     # and ANY synthetic probe id could collide with a real corpus id and
     # silently hide that row (the r10 fuzz found exactly this with probe
     # id 0) — so the self-exclusion is disabled outright.
-    probe = spark.createDataFrame(
-        [(0, query_text)], f"doc_id bigint, {spec.column} string"
+    # r13: local one-row relation (see the BM25 branch); the column name
+    # is an identifier, quoted with doubled backticks
+    col_q = spec.column.replace("`", "``")
+    probe = spark.sql(
+        f"SELECT CAST(0 AS BIGINT) AS doc_id, CAST(:qt AS STRING) AS `{col_q}`",
+        args={"qt": query_text},
     )
     thr = float(spec.params.get("threshold", 0.2))
     w = Window.orderBy(F.desc("est_jaccard"), "index_id")

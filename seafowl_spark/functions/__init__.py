@@ -61,6 +61,55 @@ def oracle_md5_int(expr: str, nhex: int = 8, start: int = 1) -> str:
     return f"CAST(('0x' || substr(md5({expr}), {start}, {nhex})) AS BIGINT)"
 
 
+# ---------------------------------------------------------- local frames
+
+def local_df(spark, rows, schema: str):
+    """Small driver-side rows -> a LocalRelation DataFrame (r13).
+
+    ``spark.createDataFrame(list, ...)`` parallelizes a PICKLED RDD: the
+    plan scans an ExistingRDD, and every scan of it spawns
+    defaultParallelism tasks that each pay a Python-worker round trip —
+    measured at three 32-task / ~10 s-task-time stages per index lookup
+    with <0.3 s of actual CPU. This helper binds the same rows through
+    parameterized SQL VALUES instead, which constant-folds to a
+    LocalRelation: zero tasks, zero Python workers, and broadcast/join
+    planning sees exact row counts. Strings bind without escaping
+    hazards; floats bind as exact IEEE doubles; array columns round-trip
+    through from_json (shortest-repr JSON -> bit-identical doubles).
+
+    ``schema`` is a DDL string: "name type, name2 type2". Only for
+    driver-bounded row sets (query batches, probe lists, codebooks).
+    """
+    import json as _json
+
+    cols = []
+    for part in schema.split(","):
+        nm, tp = part.strip().split(None, 1)
+        cols.append((nm.strip("`"), tp.strip()))
+    if not rows:
+        sel = ", ".join(
+            f"CAST(NULL AS {tp}) AS `{nm}`" for nm, tp in cols
+        )
+        return spark.sql(f"SELECT {sel}").where("1=0")
+    args: dict = {}
+    row_sql = []
+    for i, row in enumerate(rows):
+        items = []
+        for j, ((nm, tp), v) in enumerate(zip(cols, row)):
+            key = f"p{i}_{j}"
+            if tp.lower().startswith("array"):
+                args[key] = _json.dumps(v)
+                items.append(f"from_json(:{key}, '{tp}')")
+            else:
+                args[key] = v
+                items.append(f"CAST(:{key} AS {tp})")
+        row_sql.append("(" + ", ".join(items) + ")")
+    names = ", ".join(f"`{nm}`" for nm, _ in cols)
+    return spark.sql(
+        f"SELECT * FROM VALUES {', '.join(row_sql)} AS t({names})", args=args
+    )
+
+
 # ---------------------------------------------------------------- vectors
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -101,6 +101,54 @@ def widen(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(par)
 
 
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata when the table is a
+    local file/directory — a driver-side metadata read, no Spark job
+    (r13, guide §5: the count previously cost one full job per query
+    invocation just to parameterize planes_for_corpus). Falls back to a
+    Spark count (itself footer-served under parquet aggregate pushdown)
+    for layouts the local reader cannot see. Recomputed per call —
+    nothing is cached."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            if total:
+                return total
+    except Exception:  # noqa: BLE001 - any reader gap routes to the Spark path
+        pass
+    return table(spark, sf_dir, name).count()
+
+
+def read_small_parquet(path: str) -> list[dict] | None:
+    """Driver-side read of a TINY parquet sidecar (index stats/meta —
+    bounded by construction: one row per write) as a list of dicts, or
+    None when the path isn't visible to the local reader (remote stores
+    fall back to the Spark path). Saves one Spark job + its stages per
+    serving lookup (r13, guide §5 — driver metadata work should not be a
+    cluster job). Re-read on every call; nothing is cached."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if not (os.path.isfile(path) or os.path.isdir(path)):
+            return None
+        return pq.read_table(path).to_pylist()
+    except Exception:  # noqa: BLE001 - any local-reader gap -> Spark path
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so spark.sql() queries can refer to bare names.
 

@@ -626,28 +626,54 @@ def bm25_topk_indexed(
     read (gate-tested via inputFiles) — query cost scales with the query
     batch, not the corpus. ``match_all=True`` = AND semantics over the
     same pruned partitions (see :func:`_score_and_rank`)."""
-    # merge stats fragments (one per write/append) into corpus totals
-    raw_stats = spark.read.parquet(f"{path}/stats")
-    aggs = [
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("total_dl").alias("total_dl"),
-        F.first("n_buckets").alias("n_buckets"),
-    ]
-    has_ddl = "postings_ddl" in raw_stats.columns
-    if has_ddl:
-        aggs.append(F.first("postings_ddl").alias("postings_ddl"))
-    merged = raw_stats.agg(*aggs).collect()[0]
-    n_buckets = merged["n_buckets"]
-    stats = spark.createDataFrame(
-        [
-            (
-                merged["n_docs"],
-                float(merged["total_dl"]) / merged["n_docs"]
-                if merged["n_docs"]
-                else 0.0,
+    # merge stats fragments (one per write/append) into corpus totals.
+    # r13: the sidecar is bounded (one row per write), so the merge is a
+    # driver-side pyarrow read when the store is locally visible — the
+    # Spark agg+collect cost one job (3 stages) per lookup; the Spark
+    # path remains the fallback for remote stores.
+    from ..io import read_small_parquet
+
+    local_rows = read_small_parquet(f"{path}/stats")
+    if local_rows is not None:
+        merged = {
+            "n_docs": sum(r["n_docs"] or 0 for r in local_rows),
+            "total_dl": sum(r["total_dl"] or 0 for r in local_rows),
+            "n_buckets": local_rows[0]["n_buckets"] if local_rows else None,
+        }
+        has_ddl = any("postings_ddl" in r for r in local_rows)
+        if has_ddl:
+            merged["postings_ddl"] = next(
+                (
+                    r["postings_ddl"]
+                    for r in local_rows
+                    if r.get("postings_ddl")
+                ),
+                None,
             )
-        ],
-        "n_docs long, avgdl double",
+    else:
+        raw_stats = spark.read.parquet(f"{path}/stats")
+        aggs = [
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+            F.first("n_buckets").alias("n_buckets"),
+        ]
+        has_ddl = "postings_ddl" in raw_stats.columns
+        if has_ddl:
+            aggs.append(F.first("postings_ddl").alias("postings_ddl"))
+        merged = raw_stats.agg(*aggs).collect()[0]
+    n_buckets = merged["n_buckets"]
+    # r13: local one-row relation — createDataFrame builds a pickled-RDD
+    # plan whose every scan spawns Python-worker tasks (see
+    # engine/search_index.py lookup()); parameterized SQL plans as
+    # OneRowRelation with exact double binding
+    stats = spark.sql(
+        "SELECT CAST(:n AS BIGINT) AS n_docs, CAST(:a AS DOUBLE) AS avgdl",
+        args={
+            "n": int(merged["n_docs"] or 0),
+            "a": float(merged["total_dl"]) / merged["n_docs"]
+            if merged["n_docs"]
+            else 0.0,
+        },
     )
 
     qterms = queries.select(

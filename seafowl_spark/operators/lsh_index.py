@@ -112,6 +112,14 @@ def write_lsh_index(
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
+    # r13: the meta sidecar is one coalesced row — read it driver-side
+    # when locally visible (saves one Spark job per lookup); Spark path
+    # stays the remote-store fallback
+    from ..io import read_small_parquet
+
+    rows = read_small_parquet(f"{path}/meta")
+    if rows:
+        return json.loads(rows[0]["meta"])
     return json.loads(spark.read.parquet(f"{path}/meta").first()["meta"])
 
 
@@ -199,7 +207,10 @@ def neardup_lookup(
         idx_t = (
             _bands_reader().schema[meta["id_col"]].dataType.simpleString()
         )
-        return spark.createDataFrame(
+        from ..functions import local_df
+
+        return local_df(
+            spark,
             [],
             f"new_id {new_t}, index_id {idx_t}, "
             "n_equal_sigs int, est_jaccard double",

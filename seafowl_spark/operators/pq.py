@@ -277,7 +277,9 @@ def normalized(df: DataFrame, vec_col: str = "emb") -> DataFrame:
 
 def _centroids_df(df: DataFrame, centroids) -> DataFrame:
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    return df.sparkSession.createDataFrame(rows, "cell int, __cent array<double>")
+    from ..functions import local_df
+
+    return local_df(df.sparkSession, rows, "cell int, __cent array<double>")
 
 
 def _residual(vec_col: Column) -> Column:
@@ -531,8 +533,22 @@ def read_ivfpq_meta(spark, path: str) -> dict:
     reader every consumer shares (append/lookup here, the engine's
     compaction + epoch check, semdedup's persisted-index assignment), so
     a sidecar layout change has a single seam."""
+    import glob
     import json
+    import os
 
+    # r13: the sidecar is one coalesced JSON-lines row — read it driver-
+    # side when locally visible (the Spark read paid a schema-inference
+    # job + a first() job per lookup); Spark stays the remote fallback
+    try:
+        for f in sorted(glob.glob(os.path.join(path, "meta", "part-*.json"))):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        return json.loads(json.loads(line)["meta"])
+    except (OSError, ValueError, KeyError):
+        pass
     return json.loads(
         spark.read.json(f"{path}/meta").select("meta").first()[0]
     )

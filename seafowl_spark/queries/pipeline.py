@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import md5_int, oracle_md5_int
+from ..functions import local_df, md5_int, oracle_md5_int
 from ..io import table
 from . import REGISTRY, register
 from . import similarity  # noqa: F401 — registers s_minhash_lsh_pairs
@@ -1500,7 +1500,8 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         losses, ref_losses=_DRM_REF, iters=_DRM_ITERS, lr=_DRM_LR
     )
     doms = sorted(losses)
-    doremi = spark.createDataFrame(
+    doremi = local_df(
+        spark,
         [("dloss", i, losses[dm]) for i, dm in enumerate(doms)]
         + [("dweight", i, wts[dm]) for i, dm in enumerate(doms)],
         "branch string, key bigint, metric double",

@@ -449,8 +449,11 @@ def q_join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
       scans via DataFusion; src/context/logical.rs:408-409).
     """
     p = _t(spark, sf_dir, "part")
+    from ..functions import local_df
+
     b = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [("small", 0, 17), ("medium", 17, 34), ("large", 34, 51)],
             "bucket string, lo int, hi int",
         )
@@ -1160,15 +1163,10 @@ def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the native JSON path function (get_json_object), the oracle mirrors
     it with a regexp since DuckDB's json extension may not be loadable
     offline — same value either way for this payload shape."""
-    # r13: JSON extraction + the partial aggregate ran as one task on the
-    # single-row-group local file (profiled: 0.48 s single task); spread on
-    # the unique event key before the heavy projection — no-op at scale.
-    e = widen(
-        _t(spark, sf_dir, "events").select(
-            "event_id", "ts", "event_type", "props", "user_id", "value"
-        ),
-        "event_id",
-    )
+    # r13: widening this scan was measured as a wash (interleaved min-of-6:
+    # 0.946 s vs 0.939 s) — the countDistinct's two exchanges dominate, so
+    # the JSON-parse spread cancels against the extra exchange. Left alone.
+    e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         e.groupBy(

@@ -546,7 +546,11 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.vec import dot_exact_udf, hyperplane_bucket_udf, norm_exact_udf
 
-    n_corpus = table(spark, sf_dir, "embeddings").count()
+    # r13: footer-metadata row count (io.table_rows) — the Spark count()
+    # here cost one whole job per invocation just to size the plane count
+    from ..io import table_rows
+
+    n_corpus = table_rows(spark, sf_dir, "embeddings")
     hp = hyperplanes(planes_for_corpus(n_corpus))
     bucket_of = hyperplane_bucket_udf(hp)
     norm_of = norm_exact_udf()
@@ -712,12 +716,18 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.neardup import embedding_neardup
     from ..operators.semdedup import semdedup
 
+    from ..io import table_rows
+
     emb_raw = table(spark, sf_dir, "embeddings")
     lsh = embedding_neardup(
         emb_raw,
         id_col="vec_id",
         emb_col="embedding",
         threshold=NEARDUP_TAU,
+        # r13: size the plane count from footer metadata (io.table_rows)
+        # instead of the operator's fallback df.count() — one less Spark
+        # job per invocation, same value
+        n_planes=planes_for_corpus(table_rows(spark, sf_dir, "embeddings")),
     ).select(F.lit("lsh").alias("kind"), "vec_id", "dup_of")
     sem = semdedup(
         emb_raw.select(

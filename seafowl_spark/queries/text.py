@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import local_df
 from ..io import table, widen
 from . import register
 
@@ -970,7 +971,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.negatives import mine_hard_negatives
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    queries = local_df(spark, _BM25_QUERIES, "query_id bigint, query_text string")
     bm = bm25_topk(
         d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     ).withColumn("rank", F.col("rank").cast("long"))
@@ -1307,7 +1308,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = learn_bpe(docs, n_merges=_BPE_MERGES)
-    merge_rows = spark.createDataFrame(
+    merge_rows = local_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank bigint, left string, right string",
     ).select(F.lit("merge").alias("kind"), "rank", "left", "right",
@@ -1425,7 +1427,7 @@ def t_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("token"),
         F.col("cnt").cast("long").alias("cnt"),
     )
-    q = spark.createDataFrame([(t,) for t in _CM_PROBES], "token string")
+    q = local_df(spark, [(t,) for t in _CM_PROBES], "token string")
     est = count_min_estimate(sketch, q, "token", width=_CM_W, depth=_CM_D).select(
         F.lit("est").alias("kind"),
         F.lit(None).cast("int").alias("d"),

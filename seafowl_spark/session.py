@@ -68,6 +68,16 @@ def build_session(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         )
+        # r13 (guide §6): listing a partitioned dir with more than this
+        # many paths runs as a SPARK JOB — the 64-bucket search-index
+        # artifacts tripped the stock threshold (32) and every index
+        # lookup paid a 64-task listing job at plan time. A driver lists
+        # a few hundred local/posix dirs in microseconds; genuinely huge
+        # object-store layouts still parallelize above the raised bound.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PARALLEL_LISTING_THRESHOLD", "256"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
