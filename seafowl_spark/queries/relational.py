@@ -63,13 +63,15 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: the partial aggregate (9 decimal/count functions over 600k rows
     # at sf0.1) runs inside the scan stage, and the local single-row-group
     # file collapses that stage to ONE task (profiled: 1.28 s of a 1.8 s
-    # wall in one task). Project to the six needed columns, then spread on
-    # the fact key — no-op at scale, where the scan is already parallel.
+    # wall in one task; widen measured 1.09 -> 0.52 s min-of-5). Project
+    # to the six needed columns, then spread on l_extendedprice — a
+    # high-cardinality column the query already reads, so the spread adds
+    # NO column to the scan (ReadSchema stays 7 columns) — no-op at
+    # scale, where the scan is already parallel.
     l = widen(
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .select(
-            "l_orderkey",
             "l_quantity",
             "l_extendedprice",
             "l_discount",
@@ -77,7 +79,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
         ),
-        "l_orderkey",
+        "l_extendedprice",
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
