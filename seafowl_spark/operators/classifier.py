@@ -58,24 +58,46 @@ def fit_nb(
     vocabulary. All aggregates partial-combine map-side; driver-side
     state is two scalar counts (vocab size, corpus size) — the model
     itself stays in DataFrames."""
+    from ..functions import local_df
+
+    spark = df.sparkSession
     toks = df.select(
         F.col(label_col).alias("label"),
         F.explode(_tokens(F.col(text_col), lowercase)).alias("token"),
     )
-    vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= min_count)
-        .orderBy(F.desc("n"), "token")
-        .limit(vocab_size)
-        .select("token")
-    )
-    v_plus = vocab.count() + 1  # +1: the shared OOV bucket
+    # The model tables are driver-bounded by construction (vocab_size
+    # tokens; vocab_size x n_labels count rows), but as lazy plans each
+    # downstream broadcast re-executes their full corpus tokenize+count
+    # subtree — the r13 "before" capture shows 16 parquet scans of the
+    # corpus in one scoring plan. Collect each ONCE and rebind as a
+    # LocalRelation (guide §5): v_plus falls out of the collected length
+    # (no separate count() pass), and scoring runs one corpus scan. All
+    # floats (ll, log_prior) are still computed by the same JVM
+    # expressions over the exact collected integers.
+    vocab_rows = [
+        r.token
+        for r in (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_count)
+            .orderBy(F.desc("n"), "token")
+            .limit(vocab_size)
+            .select("token")
+        ).collect()
+    ]
+    vocab = local_df(spark, [(t,) for t in vocab_rows], "token string")
+    v_plus = len(vocab_rows) + 1  # +1: the shared OOV bucket
 
-    counts = (
+    label_tp = df.schema[label_col].dataType.simpleString()
+    count_rows = (
         toks.join(F.broadcast(vocab), "token")
         .groupBy("label", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+    ).collect()
+    counts = local_df(
+        spark,
+        [(r.label, r.token, r.c) for r in count_rows],
+        f"label {label_tp}, token string, c bigint",
     )
     totals = counts.groupBy("label").agg(F.sum("c").alias("tot"))
     n_total = df.count()

@@ -325,6 +325,15 @@ def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is O(n) not O(n^2) — this query is the verify stage of that
     pipeline. The cap window partitions on the join key, so Spark reuses
     one exchange for both.
+
+    The per-pair intersection is ``array_intersect`` (codegen'd hash-set
+    build, O(|A|+|B|) per pair) rather than a ``filter(a, s ->
+    array_contains(b, s))`` higher-order function — HOF lambdas execute
+    interpreted per element, making the verify stage O(|A|*|B|)
+    interpreted string compares per candidate pair. Shingle arrays are
+    array_distinct'd, so the intersection size equals the filter count
+    exactly; the intersection is projected once and reused for both
+    n_inter and the jaccard denominator.
     """
     wb = Window.partitionBy("lang").orderBy("doc_id")
     d = (
@@ -355,9 +364,7 @@ def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(
-        F.filter(
-            F.col("a.shingles"), lambda s: F.array_contains(F.col("b.shingles"), s)
-        )
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
     ).cast("long")
     return (
         a.join(
@@ -368,12 +375,15 @@ def t_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             inter.alias("n_inter"),
-            (
-                inter
-                / (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter)
-            ).alias("jaccard"),
+            (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))).alias("__sz"),
         )
         .where(F.col("n_inter") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_inter") / (F.col("__sz") - F.col("n_inter"))).alias("jaccard"),
+        )
     )
 
 
@@ -677,6 +687,7 @@ def t_vocab_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-gated in test_plans.py); scoring is one scan + one per-doc
     aggregate per model.
     """
+    from ..functions import local_df
     from ..operators.vocab import (
         bigram_logprob,
         build_vocab,
@@ -685,7 +696,22 @@ def t_vocab_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    vocab = build_vocab(d, top_k=512, min_count=2)
+    # The capped vocabulary is referenced ~8 times downstream (the total
+    # aggregate, the unigram scoring join, two UNK-map joins in bigram
+    # fitting, two in bigram scoring, the unigram-smoothing join, the
+    # stats aggregate). Each reference re-executes the full corpus
+    # tokenize+count+sort subtree when vocab stays a lazy plan — the r13
+    # "before" capture shows 22 parquet scans of documents with zero
+    # exchange reuse. Collecting the <=512 (token, n) rows once and
+    # rebinding them as a LocalRelation (guide §5: the vocabulary IS
+    # driver-bounded by the top_k cap) leaves one corpus pass per model
+    # stage. Values are exact: strings and int64 counts round-trip
+    # bit-identically, and every float is still computed by the same JVM
+    # expressions downstream.
+    vocab_rows = build_vocab(d, top_k=512, min_count=2).collect()
+    vocab = local_df(
+        spark, [(r.token, r.n) for r in vocab_rows], "token string, n bigint"
+    )
     uni = unigram_logprob(d, vocab)
     _v, bigrams = fit_bigram_lm(d, vocab=vocab)
     bi = bigram_logprob(d, vocab, bigrams, lam=_LM_LAM).select(
