@@ -300,20 +300,24 @@ def bm25_topk(
                            df_via_window=True, match_all=match_all)
 
 
-def _score_and_rank(
+def score_per_doc(
     postings: DataFrame,
     qterms: DataFrame,
     stats: DataFrame,
-    k: int,
     k1: float,
     b: float,
     df_via_window: bool = True,
-    match_all: bool = False,
 ) -> DataFrame:
-    """The shared scoring tail of both retrieval variants: prune postings
-    to query terms, compute df over the pruned set, BM25-score each
-    (query, doc, term), decimal-sum per doc, rank top-k. One definition —
-    the formula/tie-break can never drift between ad-hoc and indexed.
+    """The scoring HALF of :func:`_score_and_rank`: prune postings to
+    query terms, compute df over the pruned set, BM25-score each
+    (query, doc, term), decimal-sum per doc. Returns
+    ``(query_id, doc_id, score, __nterms)`` — __nterms is the distinct
+    matched-term count (postings carry one row per (term, doc), so a
+    plain COUNT is the distinct count). Split out (r13) so a caller
+    ranking the SAME corpus/query batch several ways (plain, AND-mode,
+    term-overlap, over-fetched negative mining — q_bm25_search does all
+    four) can compute the per-doc scores ONCE instead of once per
+    ranking; :func:`rank_and_cut` is the other half.
 
     ``df_via_window`` picks how per-term document frequency derives:
 
@@ -327,14 +331,7 @@ def _score_and_rank(
     * False (indexed default): aggregate + broadcast — two reads of the
       pruned index partitions (cheap: column-pruned parquet), zero term
       skew.
-
-    ``match_all`` switches OR semantics (any query term may contribute,
-    the BM25 default) to AND semantics: only documents containing EVERY
-    distinct term of the query are ranked. The filter is a per-(query,
-    doc) distinct-matched-term count compared to the query's own
-    distinct term count (broadcast, |queries| rows) — it composes with
-    the same pruned candidate set, so AND mode never reads more than OR
-    mode."""
+    """
     # prune the corpus to query terms before ANY per-term work; df over
     # the pruned postings still sees every doc containing the term
     cand = postings.join(
@@ -371,16 +368,36 @@ def _score_and_rank(
             ).alias("term_score"),
         )
     )
-    per_doc = scored.groupBy("query_id", "doc_id").agg(
+    return scored.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("term_score").cast("decimal(25,6)"))
         .cast("double")
         .alias("score"),
         # distinct terms are free to count here (postings carry one row
-        # per (term, doc)), and the column is dropped again below for
-        # OR mode
+        # per (term, doc)), and the column is dropped again in
+        # rank_and_cut for OR mode
         F.count(F.lit(1)).alias("__nterms"),
     )
+
+
+def rank_and_cut(
+    per_doc: DataFrame,
+    k: int,
+    match_all: bool = False,
+    qterms: DataFrame | None = None,
+) -> DataFrame:
+    """The ranking HALF of :func:`_score_and_rank`: optional AND-mode
+    filter, deterministic (score DESC, doc_id) window rank, cut at k.
+
+    ``match_all`` switches OR semantics (any query term may contribute,
+    the BM25 default) to AND semantics: only documents containing EVERY
+    distinct term of the query are ranked (requires ``qterms``). The
+    filter is a per-(query, doc) distinct-matched-term count compared to
+    the query's own distinct term count (broadcast, |queries| rows) —
+    it composes with the same pruned candidate set, so AND mode never
+    reads more than OR mode."""
     if match_all:
+        if qterms is None:
+            raise ValueError("match_all ranking needs the qterms frame")
         qn = qterms.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("__qn")  # qterms is already distinct
         )
@@ -395,6 +412,25 @@ def _score_and_rank(
             "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def _score_and_rank(
+    postings: DataFrame,
+    qterms: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    df_via_window: bool = True,
+    match_all: bool = False,
+) -> DataFrame:
+    """The shared scoring tail of both retrieval variants — the
+    composition of :func:`score_per_doc` and :func:`rank_and_cut`. One
+    definition: the formula/tie-break can never drift between ad-hoc
+    and indexed (or, since the r13 split, between the one-per_doc
+    multi-ranking branches of q_bm25_search)."""
+    per_doc = score_per_doc(postings, qterms, stats, k1, b, df_via_window)
+    return rank_and_cut(per_doc, k, match_all=match_all, qterms=qterms)
 
 
 # --------------------------------------------------------------------------

@@ -74,6 +74,22 @@ def mine_hard_negatives(
         "score",
         "rank",
     )
+    return rerank_negatives(hits, positives, k, query_id_col, id_col)
+
+
+def rerank_negatives(
+    hits: DataFrame,
+    positives: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The positives-removal + re-rank tail of
+    :func:`mine_hard_negatives`, split out (r13) so a caller that
+    already holds the over-fetched retrieval list (q_bm25_search shares
+    one per-doc score table across its ranking branches) reuses the
+    exact anti-join/re-rank — the negative-mining semantics can never
+    drift between the composed and the shared-scores path."""
     pos = positives.select(
         F.col(query_id_col).alias("__p_qid"), F.col(id_col).alias("__p_did")
     ).distinct()

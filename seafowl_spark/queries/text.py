@@ -992,20 +992,44 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-small anti-join and one window over <= k + positives rows
     per query.
     """
-    from ..operators.bm25 import bm25_topk, bm25f_topk
-    from ..operators.fusion import rank_topk, rrf_fuse, term_overlap_scores
-    from ..operators.negatives import mine_hard_negatives
+    from ..operators.bm25 import (
+        _tokens,
+        bm25f_topk,
+        build_postings,
+        rank_and_cut,
+        score_per_doc,
+    )
+    from ..operators.fusion import rank_topk, rrf_fuse
+    from ..operators.negatives import rerank_negatives
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     queries = local_df(spark, _BM25_QUERIES, "query_id bigint, query_text string")
-    bm = bm25_topk(
-        d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
-    ).withColumn("rank", F.col("rank").cast("long"))
+    # r13 (guide §1.2 "don't compute things twice"): the bm25, bm25_all,
+    # rrf-overlap and hardneg branches all rank THE SAME per-(query,doc)
+    # score table — before, each branch re-derived it from the corpus
+    # (bm25_topk x3 + term_overlap_scores: the formatted plan carried 13
+    # `Scan parquet documents` nodes, i.e. 13 full corpus passes at
+    # 100 TB). Compute it once via the same operator pieces
+    # (score_per_doc == bm25_topk's scoring half, so values are
+    # bit-identical) and materialize WITHIN this invocation
+    # (localCheckpoint, the house idiom from d_dedup/q_pagerank —
+    # recomputed from parquet on every run, nothing persists across
+    # runs). per_doc is query-batch-bounded: |queries| x docs-matching-
+    # any-query-term rows of 4 scalar columns, the same data the rank
+    # windows must hold anyway.
+    postings, _dfreq, stats = build_postings(d)
+    qterms = queries.select(
+        "query_id", F.explode(_tokens(F.col("query_text"))).alias("term")
+    ).distinct()
+    per_doc = score_per_doc(
+        postings, qterms, stats, k1=_BM25_K1, b=_BM25_B
+    ).localCheckpoint()
+    bm = rank_and_cut(per_doc, _BM25_K).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
     # r10 'bm25_all': AND semantics — only documents containing every
     # distinct query term rank; survivors keep their OR-mode scores
-    bm_all = bm25_topk(
-        d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B, match_all=True
-    )
+    bm_all = rank_and_cut(per_doc, _BM25_K, match_all=True, qterms=qterms)
     # r10 'bm25f': weighted multi-field scoring over a derived title
     # (first {_BM25F_TITLE_LEN} tokens) boosted {_BM25F_W_TITLE}x over
     # the full text as body — integer-valued weights keep the weighted
@@ -1030,13 +1054,32 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
-    ovl = rank_topk(term_overlap_scores(d, queries), top_k=_BM25_K)
+    # the overlap list's score IS per_doc's matched-term count:
+    # term_overlap_scores' COUNT(DISTINCT term) over query-pruned token
+    # instances equals __nterms (postings carry one row per (term, doc))
+    # cast to double — same candidate set, same tie-break, zero extra
+    # corpus passes (the operator twin is equality-tested in
+    # test_fusion.py)
+    ovl = rank_topk(
+        per_doc.select(
+            "query_id", "doc_id", F.col("__nterms").cast("double").alias("score")
+        ),
+        top_k=_BM25_K,
+    )
     fused = rrf_fuse([bm, ovl], topn=_BM25_K, rrf_k=_RRF_K)
     positives = bm.where(
         (F.col("rank") <= _HN_POS_DEPTH) & (F.col("doc_id") % 2 == 0)
     ).select("query_id", "doc_id")
-    neg = mine_hard_negatives(
-        d, queries, positives, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    # hard negatives from the SAME per_doc: over-fetch by the largest
+    # per-query positive count (mine_hard_negatives' default, computed
+    # identically), rank via the same rank_and_cut, then the operator's
+    # own anti-join/re-rank tail
+    _pn = positives.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    _pmax = _pn.agg(F.max("n")).collect()[0][0]  # 1-row scalar
+    neg = rerank_negatives(
+        rank_and_cut(per_doc, _BM25_K + int(_pmax or 0)),
+        positives,
+        k=_BM25_K,
     )
     cols = ["query_id", "doc_id", "score", "rank"]
     out_bm = bm.select(F.lit("bm25").alias("branch"), *cols)

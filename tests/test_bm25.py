@@ -592,3 +592,107 @@ class TestIndexedFieldedParity:
             for r in bm25f_topk(docs, queries, FIELDS, k=10).collect()
         }
         assert got == want and got
+
+
+class TestSharedPerDoc:
+    """r13: q_bm25_search computes ONE per-(query,doc) score table
+    (score_per_doc + localCheckpoint) and derives every ranking branch
+    from it. These pins guarantee the shared table is value-identical
+    to each branch's original operator composition."""
+
+    def test_split_composition_equals_bm25_topk(self, spark, frames):
+        from seafowl_spark.operators.bm25 import (
+            _tokens,
+            rank_and_cut,
+            score_per_doc,
+        )
+
+        docs, queries = frames
+        postings, _dfreq, stats = build_postings(docs)
+        qterms = queries.select(
+            "query_id", F.explode(_tokens(F.col("query_text"))).alias("term")
+        ).distinct()
+        per_doc = score_per_doc(postings, qterms, stats, k1=1.2, b=0.75)
+        for match_all in (False, True):
+            got = {
+                (r.query_id, r.rank): (r.doc_id, r.score)
+                for r in rank_and_cut(
+                    per_doc, 10, match_all=match_all, qterms=qterms
+                ).collect()
+            }
+            want = {
+                (r.query_id, r.rank): (r.doc_id, r.score)
+                for r in bm25_topk(
+                    docs, queries, k=10, match_all=match_all
+                ).collect()
+            }
+            assert got == want and got
+
+    def test_nterms_equals_term_overlap_scores(self, spark, frames):
+        # the rrf overlap list's score is per_doc.__nterms cast to
+        # double — must equal the operator it replaces (COUNT(DISTINCT
+        # matched term) per (query, doc)) on every row
+        from seafowl_spark.operators.bm25 import _tokens, score_per_doc
+        from seafowl_spark.operators.fusion import term_overlap_scores
+
+        docs, queries = frames
+        postings, _dfreq, stats = build_postings(docs)
+        qterms = queries.select(
+            "query_id", F.explode(_tokens(F.col("query_text"))).alias("term")
+        ).distinct()
+        per_doc = score_per_doc(postings, qterms, stats, k1=1.2, b=0.75)
+        got = {
+            (r.query_id, r.doc_id): r.score
+            for r in per_doc.select(
+                "query_id",
+                "doc_id",
+                F.col("__nterms").cast("double").alias("score"),
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.doc_id): r.score
+            for r in term_overlap_scores(docs, queries).collect()
+        }
+        assert got == want and got
+
+    def test_shared_hardneg_equals_operator(self, spark, frames):
+        from seafowl_spark.operators.bm25 import (
+            _tokens,
+            rank_and_cut,
+            score_per_doc,
+        )
+        from seafowl_spark.operators.negatives import (
+            mine_hard_negatives,
+            rerank_negatives,
+        )
+
+        docs, queries = frames
+        k = 3
+        postings, _dfreq, stats = build_postings(docs)
+        qterms = queries.select(
+            "query_id", F.explode(_tokens(F.col("query_text"))).alias("term")
+        ).distinct()
+        per_doc = score_per_doc(postings, qterms, stats, k1=1.2, b=0.75)
+        bm = rank_and_cut(per_doc, k)
+        positives = bm.where(
+            (F.col("rank") <= 2) & (F.col("doc_id") % 2 == 0)
+        ).select("query_id", "doc_id")
+        pmax = (
+            positives.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in rerank_negatives(
+                rank_and_cut(per_doc, k + int(pmax or 0)), positives, k=k
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in mine_hard_negatives(
+                docs, queries, positives, k=k
+            ).collect()
+        }
+        assert got == want and got

@@ -332,6 +332,21 @@ class TestRound6Graduates:
         assert "BroadcastHashJoin" in p
         assert "Python" not in p
 
+    def test_bm25_shares_one_per_doc_scan(self, spark, registry):
+        # r13: the bm25/bm25_all/rrf-overlap/hardneg branches rank ONE
+        # materialized per-doc score table (localCheckpoint inside the
+        # invocation). The declared plan may scan the corpus only for
+        # the fielded branch (postings + stats = 2 scans); the before
+        # plan carried 13 — each a full corpus pass at 100 TB.
+        df = registry["q_bm25_search"].fn(spark, SF)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        n_corpus = formatted.count("documents.parquet]")
+        assert n_corpus <= 2, f"corpus rescans crept back in: {n_corpus}"
+        # the shared table is re-read, not recomputed, by the branches
+        assert "Scan ExistingRDD" in formatted
+
     def test_nb_model_broadcasts_into_scoring(self, spark, registry):
         # the vocab-capped model must join scoring as broadcast hash joins;
         # a sort-merge join would shuffle every token instance by token
