@@ -591,20 +591,17 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
     # and ANY synthetic probe id could collide with a real corpus id and
     # silently hide that row (the r10 fuzz found exactly this with probe
     # id 0) — so the self-exclusion is disabled outright.
-    # r13: local one-row relation (see the BM25 branch); the column name
-    # is an identifier, quoted with doubled backticks
-    col_q = spec.column.replace("`", "``")
-    probe = spark.sql(
-        f"SELECT CAST(0 AS BIGINT) AS doc_id, CAST(:qt AS STRING) AS `{col_q}`",
-        args={"qt": query_text},
-    )
+    # r13: the probe rides as a driver-local [(id, text)] list —
+    # neardup_lookup's local fast path computes its signature with the
+    # SAME python the Arrow UDF runs and binds the band rows as a
+    # LocalRelation: zero cluster jobs on the probe side.
     thr = float(spec.params.get("threshold", 0.2))
     w = Window.orderBy(F.desc("est_jaccard"), "index_id")
     return (
         neardup_lookup(
             spark,
             path,
-            probe,
+            [(0, query_text)],
             threshold=thr,
             text_col=spec.column,
             exclude_self=False,

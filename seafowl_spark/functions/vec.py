@@ -193,6 +193,66 @@ def simhash64_udf():
     return simhash64
 
 
+def minhash_sigs_py(
+    texts, perm_a, perm_b, prime: int, n_shingle: int = 3, split: str = "space"
+):
+    """list[str|None] -> list[list[int] | None] MinHash signatures — THE
+    Python body :func:`minhash_sigs_udf` maps over Arrow batches, callable
+    driver-side for driver-bounded probe batches (the LSH index serving
+    fast path): one code path, so a driver-computed probe signature is
+    bit-identical to the executor-computed corpus signatures by
+    construction. Docs with fewer than ``n_shingle`` tokens yield None.
+    """
+    import hashlib
+    import re
+
+    A = [int(a) for a in perm_a]
+    B = [int(b) for b in perm_b]
+    P = int(prime)
+    nperm = len(A)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+") if split == "ascii_ws" else None
+    md5 = hashlib.md5
+    memo: dict = {}
+    flat: list = []
+    offs: list = []
+    doc_pos: list = []
+    n = len(texts)
+    for i, t in enumerate(texts):
+        if t is None:
+            toks = []
+        elif ws_re is not None:
+            toks = [x for x in ws_re.split(t) if x]
+        else:
+            toks = [x for x in t.split(" ") if x]
+        if len(toks) < n_shingle:
+            continue
+        seen = set()
+        k0 = len(flat)
+        for j in range(len(toks) - n_shingle + 1):
+            s = " ".join(toks[j : j + n_shingle])
+            if s in seen:
+                continue
+            seen.add(s)
+            h = memo.get(s)
+            if h is None:
+                h = int.from_bytes(md5(s.encode()).digest()[:4], "big")
+                memo[s] = h
+            flat.append(h)
+        if len(flat) > k0:
+            offs.append(k0)
+            doc_pos.append(i)
+    out: list = [None] * n
+    if doc_pos:
+        H = np.asarray(flat, dtype=np.int64)
+        offs_a = np.asarray(offs, dtype=np.intp)
+        mins = np.empty((nperm, len(offs_a)), dtype=np.int64)
+        for p in range(nperm):
+            mins[p] = np.minimum.reduceat((A[p] * H + B[p]) % P, offs_a)
+        for col, i in enumerate(doc_pos):
+            out[i] = mins[:, col].tolist()
+    return out
+
+
 def minhash_sigs_udf(
     perm_a,
     perm_b,
@@ -232,56 +292,13 @@ def minhash_sigs_udf(
     (array_min over an empty array), "drop" = a NULL row the caller
     filters — the twin of filtering size(toks) >= 3 before signing.
     """
-    import hashlib
-    import re
-
-    A = [int(a) for a in perm_a]
-    B = [int(b) for b in perm_b]
-    P = int(prime)
-    nperm = len(A)
-    ws_re = re.compile(r"[ \t\n\x0b\f\r]+") if split == "ascii_ws" else None
+    nperm = len(perm_a)
 
     @pandas_udf("array<long>")
     def sigs_of(text: pd.Series) -> pd.Series:
-        md5 = hashlib.md5
-        memo: dict = {}
-        flat: list = []
-        offs: list = []
-        doc_pos: list = []
-        n = len(text)
-        for i, t in enumerate(text):
-            if t is None:
-                toks = []
-            elif ws_re is not None:
-                toks = [x for x in ws_re.split(t) if x]
-            else:
-                toks = [x for x in t.split(" ") if x]
-            if len(toks) < n_shingle:
-                continue
-            seen = set()
-            k0 = len(flat)
-            for j in range(len(toks) - n_shingle + 1):
-                s = " ".join(toks[j : j + n_shingle])
-                if s in seen:
-                    continue
-                seen.add(s)
-                h = memo.get(s)
-                if h is None:
-                    h = int.from_bytes(md5(s.encode()).digest()[:4], "big")
-                    memo[s] = h
-                flat.append(h)
-            if len(flat) > k0:
-                offs.append(k0)
-                doc_pos.append(i)
-        out = [None] * n
-        if doc_pos:
-            H = np.asarray(flat, dtype=np.int64)
-            offs_a = np.asarray(offs, dtype=np.intp)
-            mins = np.empty((nperm, len(offs_a)), dtype=np.int64)
-            for p in range(nperm):
-                mins[p] = np.minimum.reduceat((A[p] * H + B[p]) % P, offs_a)
-            for col, i in enumerate(doc_pos):
-                out[i] = mins[:, col].tolist()
+        out = minhash_sigs_py(
+            list(text), perm_a, perm_b, prime, n_shingle, split
+        )
         if empty == "drop":
             return pd.Series(out)
         nulls = [None] * nperm

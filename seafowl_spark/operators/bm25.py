@@ -716,14 +716,21 @@ def bm25_topk_indexed(
         F.col(query_id_col).alias("query_id"),
         F.explode(_tokens(F.col(query_text_col))).alias("term"),
     ).distinct()
-    q_buckets = [
-        r["bucket"]
-        for r in qterms.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
-        )
-        .distinct()
-        .collect()
-    ]
+    # bucket list straight off the query rows (r13): a per-row
+    # transform+array_distinct Project folds driver-side when the batch
+    # is a LocalRelation (the serving path), where the old
+    # explode+distinct aggregate over qterms forced a cluster job per
+    # lookup. Driver set-union dedups across rows; the bucket SET is
+    # identical (same terms, same pmod(xxhash64)).
+    bucket_rows = queries.select(
+        F.array_distinct(
+            F.transform(
+                _tokens(F.col(query_text_col)),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)),
+            )
+        ).alias("b")
+    ).collect()
+    q_buckets = sorted({int(x) for r in bucket_rows for x in (r["b"] or [])})
     # an empty bucket list (no query terms) filters everything out but
     # keeps the REAL schema — no hardcoded empty-frame type that could
     # drift from the non-empty path. The explicit sidecar schema (when

@@ -68,6 +68,43 @@ def _band_rows(
     )
 
 
+def _probe_band_rows_local(spark: SparkSession, rows, meta: dict) -> DataFrame:
+    """Driver-local twin of :func:`_band_rows` for a probe given as a
+    bounded ``[(id, text)]`` list (r13, guide §4/§5): signatures via
+    :func:`~..functions.vec.minhash_sigs_py` — the SAME Python the Arrow
+    UDF maps over executor batches, so probe signatures are bit-identical
+    to corpus signatures by construction — and band keys via the same
+    decimal join ``concat_ws`` produces for longs. The rows bind through
+    :func:`~..functions.local_df` (a LocalRelation), so a lookup's probe
+    side costs ZERO cluster jobs; only the bucket expression stays a JVM
+    projection, identical to :func:`_band_rows`'s."""
+    from ..functions import local_df
+    from ..functions.vec import minhash_sigs_py
+    from ..queries.similarity import MINHASH_A, MINHASH_B, MINHASH_P
+
+    sigs = minhash_sigs_py(
+        [t for _i, t in rows], MINHASH_A, MINHASH_B, MINHASH_P,
+        split="ascii_ws",
+    )
+    bands = int(meta["bands"])
+    rpb = N_PERM // bands
+    id_t = "string" if any(isinstance(i, str) for i, _t in rows) else "bigint"
+    data = []
+    for (i, _t), s in zip(rows, sigs):
+        if s is None:
+            continue
+        for b in range(bands):
+            key = "_".join(str(x) for x in s[b * rpb : (b + 1) * rpb])
+            data.append((i, s, b, key))
+    probe = local_df(
+        spark, data, f"new_id {id_t}, sigs_n array<bigint>, band int, key string"
+    )
+    return probe.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("band", "key"), F.lit(meta["n_buckets"])).cast("int"),
+    )
+
+
 def write_lsh_index(
     docs: DataFrame,
     path: str,
@@ -159,7 +196,7 @@ def delete_from_lsh_index(
 def neardup_lookup(
     spark: SparkSession,
     path: str,
-    new_docs: DataFrame,
+    new_docs,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -170,6 +207,12 @@ def neardup_lookup(
     document whose estimated Jaccard with a new document reaches
     ``threshold``. The index scan reads ONLY the partitions the new
     batch's band keys hash into.
+
+    ``new_docs`` is a DataFrame, or — for driver-bounded probe batches
+    like the SQL plane's per-query lookups — a ``[(id, text)]`` list,
+    which skips the cluster entirely on the probe side
+    (:func:`_probe_band_rows_local`): no tokenize stage, no checkpoint,
+    no bucket-collect job.
 
     ``exclude_self=False`` disables the ``new_id != index_id`` guard —
     for IDENTITY-LESS probes (the SQL plane's text lookups, where the
@@ -183,22 +226,27 @@ def neardup_lookup(
             r = r.schema(meta["bands_ddl"])
         return r.parquet(f"{path}/bands")
 
-    # materialize the probe band rows (batch x bands rows, bounded): they
-    # feed the driver-side bucket collect AND the candidate join, and an
-    # unpersisted subtree would re-tokenize/re-permute the batch per
-    # reference (the repo's double-subtree trap)
-    probe = _band_rows(
-        new_docs, meta["bands"], meta["n_buckets"], text_col, id_col
-    ).select(
-        F.col(id_col).alias("new_id"),
-        F.col("sigs").alias("sigs_n"),
-        "band",
-        "key",
-        "bucket",
-    ).localCheckpoint()
+    if isinstance(new_docs, list):
+        probe = _probe_band_rows_local(spark, new_docs, meta)
+    else:
+        # materialize the probe band rows (batch x bands rows, bounded):
+        # they feed the driver-side bucket collect AND the candidate
+        # join, and an unpersisted subtree would re-tokenize/re-permute
+        # the batch per reference (the repo's double-subtree trap)
+        probe = _band_rows(
+            new_docs, meta["bands"], meta["n_buckets"], text_col, id_col
+        ).select(
+            F.col(id_col).alias("new_id"),
+            F.col("sigs").alias("sigs_n"),
+            "band",
+            "key",
+            "bucket",
+        ).localCheckpoint()
     # bounded driver state: <= new_docs x bands bucket ids (the same
-    # contract as bm25_topk_indexed's query-term bucket list)
-    buckets = [r["bucket"] for r in probe.select("bucket").distinct().collect()]
+    # contract as bm25_topk_indexed's query-term bucket list). Deduped
+    # driver-side: an Aggregate over a LocalRelation would force a
+    # cluster job, while Project-over-LocalRelation folds driver-side.
+    buckets = sorted({r["bucket"] for r in probe.select("bucket").collect()})
     if not buckets:
         # empty frame with the REAL id types (probe side for new_id, the
         # persisted index's schema for index_id) — a hardcoded long would

@@ -155,6 +155,60 @@ class TestLshIndex:
         q2.awaitTermination(120)
         assert accepted_ids == [11]  # 12 rejected as dup of 11
 
+    def test_local_probe_list_matches_dataframe_path(
+        self, spark, tmp_path, corpus
+    ):
+        """The serving fast path (r13: probe passed as a driver-local
+        [(id, text)] list — signatures via the SAME python the Arrow UDF
+        runs, band/bucket via the SAME JVM expressions over a
+        LocalRelation) must return exactly what the DataFrame path
+        returns, including for a probe with < 3 tokens (no shingles)."""
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        probes = NEW + [(12, "too short")]
+        df_probe = spark.createDataFrame(probes, ["doc_id", "text"])
+        via_df = sorted(
+            tuple(r) for r in neardup_lookup(
+                spark, idx, df_probe, threshold=0.0
+            ).collect()
+        )
+        via_list = sorted(
+            tuple(r) for r in neardup_lookup(
+                spark, idx, list(probes), threshold=0.0
+            ).collect()
+        )
+        assert via_list == via_df
+        assert via_list  # non-degenerate: the near-dup pair is present
+
+    def test_local_probe_list_string_ids(self, spark, tmp_path):
+        sbase = [(f"d{i}", t) for i, t in BASE]
+        snew = [(f"n{i}", t) for i, t in NEW]
+        corpus = spark.createDataFrame(sbase, ["doc_id", "text"])
+        idx = str(tmp_path / "lsh_s")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        via_df = sorted(
+            tuple(r) for r in neardup_lookup(
+                spark, idx, spark.createDataFrame(snew, ["doc_id", "text"]),
+                threshold=0.5,
+            ).collect()
+        )
+        via_list = sorted(
+            tuple(r) for r in neardup_lookup(
+                spark, idx, snew, threshold=0.5
+            ).collect()
+        )
+        assert via_list == via_df
+
+    def test_local_probe_empty_and_shingleless(self, spark, tmp_path, corpus):
+        idx = str(tmp_path / "lsh")
+        write_lsh_index(corpus, idx, n_buckets=16)
+        # every probe shingle-less -> empty frame with the right schema
+        out = neardup_lookup(spark, idx, [(7, "one two")], threshold=0.0)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "new_id", "index_id", "n_equal_sigs", "est_jaccard",
+        ]
+
 
 class TestCompaction:
     def test_compact_preserves_rows_and_prunes_files(
