@@ -63,6 +63,24 @@ HEADLINE = [
 
 N_RUNS = 3
 REGRESSION_GATE = 1.15
+# r14 (the r13 verdict's task #2 — bench hygiene, not an operator change):
+# two headline queries persist() a signature frame INSIDE one invocation
+# (queries/similarity._minhash_sigs_df / _simhash_df — legitimately, the
+# banding self-join evaluates its input twice within the query). Spark's
+# CacheManager canonicalizes EQUAL plans across invocations, so without
+# intervention bench runs 2-3 of min-of-3 served the signature stage from
+# run 1's cache: min-of-3 measured a warm cache, not the query. The timed
+# loop now calls spark.catalog.clearCache() before every timed rep
+# (OUTSIDE the perf_counter window), so each rep recomputes from parquet —
+# `queries` is cold-cache min-of-3 from r14 on and the record carries
+# `cache_cleared: true`. Transition bookkeeping so cross-round
+# comparability survives (the verdict's "both protocols" requirement):
+# the two affected queries are ALSO timed under the legacy warm protocol
+# (`queries_legacy_warm`), and prev_round_comparison substitutes those
+# warm numbers when the anchor record predates the change (no
+# cache_cleared flag), so a protocol change can never read as a
+# per-query regression.
+CACHE_AFFECTED = ("s_minhash_lsh_pairs", "s_simhash_candidates")
 # r12 (the r11 verdict's task #1): the probe's frozen R6_BASELINE_SEC
 # (1.14 s) is stale for the current host era — two judge benches on an
 # idle 0.05-load machine read the probe at 1.24-1.41x, tripping the
@@ -541,11 +559,34 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs = []
         for _ in range(N_RUNS):
+            # cold-cache rep (r14): drop cross-invocation CacheManager
+            # hits so the rep recomputes from parquet; outside the timed
+            # window. localCheckpoints are unaffected (per-invocation by
+            # construction).
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         first_run[name] = round(runs[0], 3)
+
+    # legacy warm protocol for the cache-affected queries (transition
+    # evidence + the like-for-like values pre-r14 comparisons use): the
+    # cache left by each rep is deliberately KEPT between these reps,
+    # reproducing the old protocol exactly.
+    legacy_warm: dict[str, float] = {}
+    for name in CACHE_AFFECTED:
+        if name not in timings:
+            continue
+        fn = registry[name].fn
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        legacy_warm[name] = round(min(runs), 3)
+    spark.catalog.clearCache()
 
     # host-drift probe: a frozen r1 query (tools/drift_probe.py, never
     # edited) timed min-of-3 on the same hot session — `ratio` > 1 means
@@ -697,20 +738,31 @@ def main() -> None:
     if prev:
         prev_n, prev_rec = prev
         prev_ratio = prev_rec["drift_probe"]["ratio"] or 1.0
+        # like-for-like across the r14 cache-protocol change: when the
+        # anchor record predates cache_cleared, its numbers for the
+        # cache-affected queries were warm-cache — compare them against
+        # THIS run's legacy-warm timings, never cold-vs-warm
+        timings_cmp = dict(timings)
+        protocol_subst: list[str] = []
+        if not prev_rec.get("cache_cleared"):
+            for k, v in legacy_warm.items():
+                if k in timings_cmp:
+                    timings_cmp[k] = v
+                    protocol_subst.append(k)
         prev_norm_by_q = {
             k: v / prev_ratio
             for k, v in prev_rec["queries"].items()
-            if k in timings
+            if k in timings_cmp
         }
         prev_regressions = {
-            k: round((timings[k] / ratio) / pv, 3)
+            k: round((timings_cmp[k] / ratio) / pv, 3)
             for k, pv in prev_norm_by_q.items()
-            if (timings[k] / ratio) / pv > REGRESSION_GATE
+            if (timings_cmp[k] / ratio) / pv > REGRESSION_GATE
             and k not in ABSORBED
         }
         prev_total = round(sum(prev_norm_by_q.values()), 3)
         this_total = round(
-            sum(timings[k] / ratio for k in prev_norm_by_q), 3
+            sum(timings_cmp[k] / ratio for k in prev_norm_by_q), 3
         )
         prev_comparison = {
             "vs_round": prev_n,
@@ -730,12 +782,20 @@ def main() -> None:
         # can cover a subset — but the anchor's sealed normalized_value
         # always survives at the tail's end. Compare full totals too.
         prev_comparison["queries_compared"] = len(prev_norm_by_q)
+        if protocol_subst:
+            # recorded so a reader knows which entries of this comparison
+            # used the legacy-warm timing (anchor predates cache_cleared)
+            prev_comparison["cache_protocol_substituted"] = protocol_subst
         prev_full = prev_rec.get("normalized_value")
         if prev_full:
+            # full-total like-for-like under the same substitution
+            normalized_cmp = round(
+                sum(timings_cmp.values()) / ratio, 3
+            )
             prev_comparison["prev_normalized_value"] = prev_full
-            prev_comparison["this_normalized_value"] = normalized
+            prev_comparison["this_normalized_value"] = normalized_cmp
             prev_comparison["moved_x_full_total"] = round(
-                normalized / prev_full, 3
+                normalized_cmp / prev_full, 3
             )
         if env_suspect:
             # context for readers of per-query flags: a contended host
@@ -792,6 +852,12 @@ def main() -> None:
                 "single_shot_total": total_ss,
                 "r6_comparison": r6_comparison,
                 "prev_round_comparison": prev_comparison,
+                # r14: `queries` is COLD-cache min-of-3 (clearCache before
+                # every timed rep); queries_legacy_warm re-times the two
+                # persist()-bearing queries under the old warm protocol
+                # for cross-round comparability (see CACHE_AFFECTED)
+                "cache_cleared": True,
+                "queries_legacy_warm": legacy_warm,
                 "value": total,
                 "protocol": f"min_of_{N_RUNS}",
                 "queries": timings,

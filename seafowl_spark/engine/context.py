@@ -1711,9 +1711,19 @@ class SeafowlContext:
                     "query", f"SELECT * FROM ({pinned}) __mv WHERE {pred}"
                 )
             ).localCheckpoint()
-            affected = self.spark.createDataFrame(
-                vals, recompute.select(*spec.group_cols).schema
+            # the affected-group list is driver-bounded (capped at
+            # MAX_INCREMENTAL_GROUPS) — bind it as a LocalRelation
+            # (r14; createDataFrame parallelizes a pickled RDD whose
+            # every scan spawns Python-worker tasks, the r13 serving
+            # finding applied to the refresh's vanished-group anti-join)
+            from ..functions import local_df
+
+            g_schema = recompute.select(*spec.group_cols).schema
+            g_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in g_schema.fields
             )
+            affected = local_df(self.spark, [tuple(v) for v in vals], g_ddl)
             vanished = affected.join(
                 recompute.select(*spec.group_cols), spec.group_cols, "left_anti"
             )
@@ -2332,12 +2342,20 @@ class SeafowlContext:
         """Rewrite ``search_index('tbl', 'idx', 'query', k)`` relations to
         temp views holding the top-k lookup result (result_id, score,
         rank). Lookup cost is proportional to the probed partitions —
-        the persisted-index serving shape in plain SQL."""
+        the persisted-index serving shape in plain SQL.
+
+        r14 (guide §5): calls sharing one (table, index, k) BATCH into a
+        single multi-probe plan (search_index.lookup_many) — one snapshot
+        replay, one sidecar read and one partition-pruned probe join for
+        the whole group instead of per call; each call's rows (bounded at
+        k by construction) re-bind as a LocalRelation temp view, so the
+        outer query's references are LocalTableScans. A statement fanning
+        N queries over one index (the q_index_serving shape: 12 calls
+        over 4 indexes) runs 4 probe plans, not 12."""
         import uuid as _uuid
 
-        from .search_index import index_dir, load_specs, lookup
+        from .search_index import index_dir, load_specs, lookup, lookup_many
 
-        aliases: list[str] = []
         # the CALL's own argument strings are part of the match, but a
         # search_index(...) TEXT sitting inside an unrelated string
         # literal (or quoted identifier) must not rewrite. The parser's
@@ -2351,46 +2369,72 @@ class SeafowlContext:
         def _in_literal(pos: int) -> bool:
             return any(a <= pos < b for _k, a, b in _spans)
 
-        def repl(m: re.Match) -> str:
+        # pass 1: collect legit calls, grouped by (table, index, k)
+        calls: list[tuple[int, str, str, str, int]] = []  # (start, ...)
+        for m in self._SEARCH_CALL.finditer(sql):
             if _in_literal(m.start()):
-                return m.group(0)
-            tbl = m.group(1).replace("''", "'")
-            idx = m.group(2).replace("''", "'")
-            qtext = m.group(3).replace("''", "'")
-            k = int(m.group(4))
-            entry = self._resolve(tbl)
-            t = DeltaLiteTable(self.spark, self.table_root(entry))
-            specs = load_specs(t.snapshot().properties or {})
-            spec = specs.get(idx)
-            if spec is None:
-                raise ExecutionError(
-                    f"search index {idx} does not exist on {tbl} "
-                    f"(existing: {sorted(specs) or 'none'})"
+                continue
+            calls.append(
+                (
+                    m.start(),
+                    m.group(1).replace("''", "'"),
+                    m.group(2).replace("''", "'"),
+                    m.group(3).replace("''", "'"),
+                    int(m.group(4)),
                 )
-            if not os.path.isdir(
-                index_dir(self.table_root(entry), idx)
-            ):
-                # a RESTORE past the index's DROP resurrects the spec
-                # without the artifact — fail with the remedy, not a
-                # parquet file-not-found
-                raise ExecutionError(
-                    f"search index {idx} on {tbl} has no artifact on disk "
-                    "(dropped or restored past it); DROP SEARCH INDEX and "
-                    "re-CREATE it"
-                )
-            df = lookup(
-                self.spark,
-                index_dir(self.table_root(entry), idx),
-                spec,
-                qtext,
-                k,
             )
+        groups: dict[tuple[str, str, int], list[int]] = {}
+        for ci, (_s, tbl, idx, _q, k) in enumerate(calls):
+            groups.setdefault((tbl, idx, k), []).append(ci)
+
+        aliases: list[str] = []
+        view_at: dict[int, str] = {}  # match start -> alias
+
+        def _bind(df, start: int) -> None:
             alias = f"__sfs_si_{len(aliases)}_{_uuid.uuid4().hex[:8]}"
             df.createOrReplaceTempView(alias)
             aliases.append(alias)
-            return f"`{alias}`"
+            view_at[start] = alias
 
         try:
+            for (tbl, idx, k), cis in groups.items():
+                entry = self._resolve(tbl)
+                t = DeltaLiteTable(self.spark, self.table_root(entry))
+                specs = load_specs(t.snapshot().properties or {})
+                spec = specs.get(idx)
+                if spec is None:
+                    raise ExecutionError(
+                        f"search index {idx} does not exist on {tbl} "
+                        f"(existing: {sorted(specs) or 'none'})"
+                    )
+                path = index_dir(self.table_root(entry), idx)
+                if not os.path.isdir(path):
+                    # a RESTORE past the index's DROP resurrects the spec
+                    # without the artifact — fail with the remedy, not a
+                    # parquet file-not-found
+                    raise ExecutionError(
+                        f"search index {idx} on {tbl} has no artifact on "
+                        "disk (dropped or restored past it); DROP SEARCH "
+                        "INDEX and re-CREATE it"
+                    )
+                if len(cis) == 1:
+                    start, _t, _i, qtext, _k = calls[cis[0]]
+                    _bind(lookup(self.spark, path, spec, qtext, k), start)
+                else:
+                    per_slot = lookup_many(
+                        self.spark,
+                        path,
+                        spec,
+                        [(slot, calls[ci][3]) for slot, ci in enumerate(cis)],
+                        k,
+                    )
+                    for slot, ci in enumerate(cis):
+                        _bind(per_slot[slot], calls[ci][0])
+
+            def repl(m: re.Match) -> str:
+                alias = view_at.get(m.start())
+                return f"`{alias}`" if alias else m.group(0)
+
             return self._SEARCH_CALL.sub(repl, sql), aliases
         except Exception:
             # a later call's failure must not leak the earlier calls'

@@ -1774,12 +1774,50 @@ class DeltaLiteTable:
         """
         snap = self.snapshot()
         schema = T.StructType.fromDDL(snap.schema_ddl)
-        # coarse prune: min/max qualifier over the change-set PKs
-        # (reference planner.rs:552-628 does coarse + fine-grained)
-        bounds = changes.agg(
+        # ONE aggregate job over the change set computes everything the
+        # driver needs before the join (r14, guide §1/§5 — each action
+        # re-executes the caller's change-derivation subtree, e.g. the
+        # CDC micro-batch's dedup window, so three separate jobs here
+        # tripled that work): the coarse min/max PK bounds (reference
+        # planner.rs:552-628), the NULL-PK violation flag (previously its
+        # own limit(1).count() scan), and for bucketed tables the exact
+        # hot-bucket set (previously a distinct().collect() job; bounded
+        # by the table's bucket count).
+        null_pk_any = None
+        for c in pk_cols:
+            p = F.col(c).isNull()
+            null_pk_any = p if null_pk_any is None else (null_pk_any | p)
+        aggs = [
             *[F.min(c).alias(f"min_{c}") for c in pk_cols],
             *[F.max(c).alias(f"max_{c}") for c in pk_cols],
-        ).collect()[0]
+            F.max(null_pk_any).alias("__null_pk"),
+        ]
+        spec = snap.bucket_spec
+        probe_buckets = spec is not None and all(
+            c in changes.columns for c in spec[0]
+        )
+        if probe_buckets:
+            # exact bucket membership: hashing spreads PKs across each
+            # file's full range, so min/max is powerless here — but every
+            # file belongs to one bucket, and only buckets the change set
+            # hashes into can contain matching rows
+            bcols, n = spec
+            aggs.append(
+                F.collect_set(
+                    F.pmod(
+                        F.xxhash64(
+                            *[F.col(c).cast(schema[c].dataType) for c in bcols]
+                        ),
+                        F.lit(n),
+                    ).cast("int")
+                ).alias("__hot_buckets")
+            )
+        bounds = changes.agg(*aggs).collect()[0]
+        if bounds["__null_pk"]:
+            raise DeltaLiteError(
+                f"MERGE change set contains NULL in primary key column(s) "
+                f"{pk_cols}; primary keys must be non-null"
+            )
         parts = []
         for c in pk_cols:
             mn, mx = bounds[f"min_{c}"], bounds[f"max_{c}"]
@@ -1787,28 +1825,8 @@ class DeltaLiteTable:
                 continue
             parts.append(f"{c} >= {mn} AND {c} <= {mx}")
         hit = self._prune(snap, " AND ".join(parts) if parts else None)
-        spec = snap.bucket_spec
-        if hit and spec is not None and all(c in changes.columns for c in spec[0]):
-            # exact bucket membership: hashing spreads PKs across each
-            # file's full range, so min/max is powerless here — but every
-            # file belongs to one bucket, and only buckets the change set
-            # hashes into can contain matching rows
-            bcols, n = spec
-            hot = {
-                r["b"]
-                for r in changes.select(
-                    F.pmod(
-                        F.xxhash64(
-                            *[F.col(c).cast(schema[c].dataType) for c in bcols]
-                        ),
-                        F.lit(n),
-                    )
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            }
+        if hit and probe_buckets:
+            hot = set(bounds["__hot_buckets"] or [])
             hit = [f for f in hit if f.bucket is None or f.bucket in hot]
         if hit and sum(f.rows for f in hit) > fine_grained_rows:
             hit = self._fine_prune(hit, changes, pk_cols, snap=snap)
@@ -1818,21 +1836,14 @@ class DeltaLiteTable:
         else:
             base = self.spark.createDataFrame([], schema)
 
+        # NULL-in-PK rejection (review find, r11): a NULL in ANY key
+        # column can never join (NULL-safe equality is deliberately NOT
+        # used — the reference keys on non-null PKs), so such a change
+        # row would survive the full-outer join unmatched and smuggle a
+        # NULL-keyed/all-NULL row into the table. The check rides the
+        # combined aggregate above (__null_pk) — same raise, one fewer
+        # job.
         ch = changes
-        # a NULL in ANY key column can never join (NULL-safe equality is
-        # deliberately NOT used — the reference keys on non-null PKs), so
-        # such a change row would survive the full-outer join unmatched
-        # and smuggle a NULL-keyed/all-NULL row into the table (review
-        # find, r11). Reject loudly; the caller owns key hygiene.
-        null_pk = None
-        for c in pk_cols:
-            p = F.col(c).isNull()
-            null_pk = p if null_pk is None else (null_pk | p)
-        if ch.where(null_pk).limit(1).count():
-            raise DeltaLiteError(
-                f"MERGE change set contains NULL in primary key column(s) "
-                f"{pk_cols}; primary keys must be non-null"
-            )
         if delete_col is None:
             delete_col = "__delete__"
             ch = ch.withColumn(delete_col, F.lit(False))

@@ -614,3 +614,120 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
             "rank",
         )
     )
+
+def lookup_many(spark, path: str, spec: IndexSpec, queries, k: int) -> dict:
+    """Batched :func:`lookup` (r14, guide §5): ``queries`` is a bounded
+    ``[(slot, query_text)]`` list sharing one (index, k); returns
+    ``{slot: DataFrame}`` with the single-lookup schema (result_id,
+    score, rank).
+
+    The whole batch runs as ONE plan — one stats/meta sidecar read, one
+    partition-pruned probe join over the UNION of the batch's buckets,
+    one ranking window partitioned by query slot — instead of one plan
+    (with its own parse, snapshot replay, sidecar read and probe join)
+    per lookup. Per-query results are unchanged by batching: BM25's
+    per-term df is computed over the term's FULL pruned posting list
+    (independent of which other queries share the batch — the exact
+    property q_bm25_search grades against the oracle for a 3-query
+    batch), and LSH/IVFPQ candidates join on the probe's own band keys /
+    cells. The batch result is bounded at k rows per query by
+    construction, so it collects once and each slot re-binds as a
+    LocalRelation — the outer query's UNION branches become
+    LocalTableScans instead of re-executed probe joins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions import local_df
+
+    p = spec.params
+    if spec.method == "BM25":
+        from ..operators.bm25 import bm25_topk_indexed
+
+        q = local_df(
+            spark,
+            [(int(s), t) for s, t in queries],
+            "query_id bigint, query_text string",
+        )
+        out = bm25_topk_indexed(
+            spark,
+            path,
+            q,
+            k=k,
+            k1=float(p.get("k1", 1.2)),
+            b=float(p.get("b", 0.75)),
+            match_all=str(p.get("match", "any")).lower() == "all",
+        )
+        batched = out.select(
+            "query_id",
+            F.col("doc_id").alias("result_id"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    elif spec.method == "IVFPQ":
+        rows = []
+        for s, t in queries:
+            try:
+                vec = [float(x) for x in json.loads(t)]
+            except (ValueError, TypeError) as ex:
+                raise SearchIndexError(
+                    "IVFPQ query text must be a JSON array of numbers "
+                    f"(e.g. '[0.1, 0.2, ...]'): {ex}"
+                ) from ex
+            rows.append((int(s), vec))
+        from ..operators.pq import ivf_pq_topk_indexed
+
+        q = local_df(spark, rows, "query_id bigint, emb array<double>")
+        out = ivf_pq_topk_indexed(
+            spark,
+            path,
+            q,
+            k=k,
+            nprobe=int(p.get("nprobe", 2)),
+            shortlist=int(p.get("shortlist", max(25, 5 * k))),
+        )
+        batched = out.select(
+            "query_id",
+            F.col("vec_id").alias("result_id"),
+            F.col("cosine").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    else:  # LSH — neardup_lookup takes the probe list directly
+        from ..operators.lsh_index import neardup_lookup
+
+        thr = float(p.get("threshold", 0.2))
+        w = Window.partitionBy("new_id").orderBy(
+            F.desc("est_jaccard"), "index_id"
+        )
+        batched = (
+            neardup_lookup(
+                spark,
+                path,
+                [(int(s), t) for s, t in queries],
+                threshold=thr,
+                text_col=spec.column,
+                exclude_self=False,
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("new_id").alias("query_id"),
+                F.col("index_id").alias("result_id"),
+                F.col("est_jaccard").cast("double").alias("score"),
+                "rank",
+            )
+        )
+    rid_t = batched.schema["result_id"].dataType.simpleString()
+    ddl = f"result_id {rid_t}, score double, rank bigint"
+    by_slot: dict[int, list] = {}
+    for r in batched.collect():
+        by_slot.setdefault(int(r["query_id"]), []).append(
+            (r["result_id"], r["score"], r["rank"])
+        )
+    return {
+        int(s): local_df(
+            spark,
+            sorted(by_slot.get(int(s), []), key=lambda x: x[2]),
+            ddl,
+        )
+        for s, _t in queries
+    }

@@ -83,7 +83,22 @@ def local_df(spark, rows, schema: str):
     import json as _json
 
     cols = []
-    for part in schema.split(","):
+    # top-level comma split: parameterized types (decimal(25,6),
+    # array<struct<...>>) carry commas of their own (r14)
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for part in parts:
         nm, tp = part.strip().split(None, 1)
         cols.append((nm.strip("`"), tp.strip()))
     if not rows:

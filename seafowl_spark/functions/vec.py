@@ -468,3 +468,51 @@ def hierarchical_nearest_centroid_udf(
         return pd.Series(best_cell)
 
     return cell_of
+
+def span_hashes_udf(span_tokens: int, stride: int = 1, nhex: int = 15):
+    """string -> array<struct<pos:int, span_hash:long>>: positional
+    md5-int hashes of every ``span_tokens``-token window (r14, guide
+    §4.2) — the Arrow-batched twin of
+
+        transform(sequence(0, size(toks) - span, stride),
+                  s -> struct(s, conv(substr(md5(join(slice(...))),1,nhex),16,10)))
+
+    which Spark executes interpreted per element: the span join + md5
+    per window was the hottest stage of t_substring_dedup (14 s of task
+    CPU at sf0.1). Values are bit-identical: the window string is the
+    same ' '-joined token slice, Python md5 hex == Spark md5, and the
+    first ``nhex`` hex digits read as an int equal conv(...,16,10)
+    (60 bits at the default 15 — the caller's collision-safety bound).
+    Tokenization is the operator's \\s+ split — Java's \\s is the ASCII
+    class [ \\t\\n\\x0B\\f\\r], matched here explicitly, NOT Python's
+    Unicode-aware \\s. Docs with fewer than ``span_tokens`` tokens yield
+    an empty array (explode drops them, exactly the size(toks) >= span
+    pre-filter)."""
+    import hashlib
+    import re
+
+    shift = 4 * (32 - nhex)  # md5 digest is 32 hex digits
+
+    @pandas_udf(f"array<struct<pos:int, span_hash:long>>")
+    def spans_of(text: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+        memo: dict = {}
+        out = []
+        for t in text:
+            toks = [x for x in ws_re.split(t) if x] if t is not None else []
+            if len(toks) < span_tokens:
+                out.append([])
+                continue
+            rows = []
+            for s in range(0, len(toks) - span_tokens + 1, stride):
+                w = " ".join(toks[s : s + span_tokens])
+                h = memo.get(w)
+                if h is None:
+                    h = int.from_bytes(md5(w.encode()).digest(), "big") >> shift
+                    memo[w] = h
+                rows.append((s, h))
+            out.append(rows)
+        return pd.Series(out)
+
+    return spans_of

@@ -698,6 +698,14 @@ def bm25_topk_indexed(
             aggs.append(F.first("postings_ddl").alias("postings_ddl"))
         merged = raw_stats.agg(*aggs).collect()[0]
     n_buckets = merged["n_buckets"]
+    if n_buckets is None:
+        # empty/corrupt stats sidecar: pmod(x, NULL) would yield NULL
+        # buckets and int(None) a TypeError below (advisor find, r13) —
+        # fail with the artifact named, like the missing-artifact path
+        raise ValueError(
+            f"BM25 index at {path} has no usable stats sidecar "
+            "(n_buckets missing) — rebuild the index"
+        )
     # r13: local one-row relation — createDataFrame builds a pickled-RDD
     # plan whose every scan spawns Python-worker tasks (see
     # engine/search_index.py lookup()); parameterized SQL plans as

@@ -74,11 +74,28 @@ def fit_nb(
     # (no separate count() pass), and scoring runs one corpus scan. All
     # floats (ll, log_prior) are still computed by the same JVM
     # expressions over the exact collected integers.
+    #
+    # r14 (the r13 verdict's task #6, guide §4.2/§8): training now
+    # tokenizes the corpus ONCE. The (label, token) count table — the
+    # natural partial-aggregate of both fit passes, bounded by distinct
+    # (label, token) pairs, never corpus-sized — materializes via
+    # localCheckpoint; the vocab count derives from it by a second
+    # (tiny) aggregate (SUM of per-label counts == the global count,
+    # exact integers), and the per-class counts are a join over it
+    # instead of a second corpus tokenize. The per-label doc counts
+    # (bounded by the class count) also collect once, which removes the
+    # separate df.count() pass — n_total is their exact integer sum —
+    # and takes the priors' corpus scan out of the scoring plan.
+    lt = (
+        toks.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     vocab_rows = [
         r.token
         for r in (
-            toks.groupBy("token")
-            .agg(F.count(F.lit(1)).alias("n"))
+            lt.groupBy("token")
+            .agg(F.sum("c").alias("n"))
             .where(F.col("n") >= min_count)
             .orderBy(F.desc("n"), "token")
             .limit(vocab_size)
@@ -89,21 +106,25 @@ def fit_nb(
     v_plus = len(vocab_rows) + 1  # +1: the shared OOV bucket
 
     label_tp = df.schema[label_col].dataType.simpleString()
-    count_rows = (
-        toks.join(F.broadcast(vocab), "token")
-        .groupBy("label", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    ).collect()
+    count_rows = lt.join(F.broadcast(vocab), "token").collect()
     counts = local_df(
         spark,
         [(r.label, r.token, r.c) for r in count_rows],
         f"label {label_tp}, token string, c bigint",
     )
     totals = counts.groupBy("label").agg(F.sum("c").alias("tot"))
-    n_total = df.count()
-    priors = (
+    label_rows = (
         df.groupBy(F.col(label_col).alias("label"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    n_total = sum(r.n_docs for r in label_rows)
+    priors = (
+        local_df(
+            spark,
+            [(r.label, r.n_docs) for r in label_rows],
+            f"label {label_tp}, n_docs bigint",
+        )
         .join(F.broadcast(totals), "label", "left")
         .select(
             "label",

@@ -40,6 +40,13 @@ from ..queries.similarity import (
 
 N_PERM = len(MINHASH_A)
 MAX_BUCKET_TRAIN_ROWS = 1000
+# corpus tokenizer mode and band-key separator, shared by the
+# executor-side pipeline below (minhash_signatures/_banded) and the
+# driver-local probe twin (lsh_index._probe_band_rows_local) — one
+# definition, so a future change to either cannot silently break
+# probe/corpus parity (advisor find, r13)
+SIG_SPLIT_MODE = "ascii_ws"
+BAND_KEY_SEP = "_"
 
 
 def minhash_signatures(
@@ -65,7 +72,7 @@ def minhash_signatures(
     from ..functions.vec import minhash_sigs_udf
 
     sig_of = minhash_sigs_udf(
-        MINHASH_A, MINHASH_B, MINHASH_P, split="ascii_ws", empty="drop"
+        MINHASH_A, MINHASH_B, MINHASH_P, split=SIG_SPLIT_MODE, empty="drop"
     )
     return (
         df.select(F.col(id_col), sig_of(F.col(text_col)).alias("sigs"))
@@ -84,7 +91,7 @@ def _banded(sigs_df: DataFrame, id_col: str, bands: int) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            "_",
+                            BAND_KEY_SEP,
                             *[
                                 F.element_at("sigs", b * rows_per_band + i + 1)
                                 for i in range(rows_per_band)

@@ -110,6 +110,14 @@ def _iterate(vertices, links, deg, ranks, n, base, damping, max_iter, tol):
             )
             .localCheckpoint()
         )
+        if tol <= 0.0:
+            # fixed-iteration mode (the graded q_pagerank row runs
+            # tol=0.0): delta < tol can never break the loop, so the
+            # per-round convergence join + aggregate job is pure
+            # overhead — skip it (r14, guide §5; one fewer job and one
+            # fewer pass over the rank table per iteration)
+            ranks = new_ranks
+            continue
         delta = (
             new_ranks.join(
                 ranks.select("vertex", F.col("rank").alias("old")), "vertex"

@@ -39,9 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .cross_contamination import _banded, minhash_signatures
-
-N_PERM = 16
+from .cross_contamination import (
+    BAND_KEY_SEP,
+    N_PERM,
+    SIG_SPLIT_MODE,
+    _banded,
+    minhash_signatures,
+)
 DEFAULT_BANDS = 4
 DEFAULT_BUCKETS = 64
 MAX_BUCKET_ROWS = 1000
@@ -84,7 +88,7 @@ def _probe_band_rows_local(spark: SparkSession, rows, meta: dict) -> DataFrame:
 
     sigs = minhash_sigs_py(
         [t for _i, t in rows], MINHASH_A, MINHASH_B, MINHASH_P,
-        split="ascii_ws",
+        split=SIG_SPLIT_MODE,
     )
     bands = int(meta["bands"])
     rpb = N_PERM // bands
@@ -94,7 +98,7 @@ def _probe_band_rows_local(spark: SparkSession, rows, meta: dict) -> DataFrame:
         if s is None:
             continue
         for b in range(bands):
-            key = "_".join(str(x) for x in s[b * rpb : (b + 1) * rpb])
+            key = BAND_KEY_SEP.join(str(x) for x in s[b * rpb : (b + 1) * rpb])
             data.append((i, s, b, key))
     probe = local_df(
         spark, data, f"new_id {id_t}, sigs_n array<bigint>, band int, key string"
@@ -243,10 +247,16 @@ def neardup_lookup(
             "bucket",
         ).localCheckpoint()
     # bounded driver state: <= new_docs x bands bucket ids (the same
-    # contract as bm25_topk_indexed's query-term bucket list). Deduped
-    # driver-side: an Aggregate over a LocalRelation would force a
-    # cluster job, while Project-over-LocalRelation folds driver-side.
-    buckets = sorted({r["bucket"] for r in probe.select("bucket").collect()})
+    # contract as bm25_topk_indexed's query-term bucket list). The LIST
+    # path dedups driver-side only (an Aggregate over a LocalRelation
+    # would force a cluster job, while Project-over-LocalRelation folds
+    # driver-side); the DataFrame path keeps distinct() so a large
+    # ingest batch ships <= n_buckets ids to the driver, not batch x
+    # bands rows (advisor find, r13).
+    bucket_col = probe.select("bucket")
+    if not isinstance(new_docs, list):
+        bucket_col = bucket_col.distinct()
+    buckets = sorted({r["bucket"] for r in bucket_col.collect()})
     if not buckets:
         # empty frame with the REAL id types (probe side for new_id, the
         # persisted index's schema for index_id) — a hardcoded long would

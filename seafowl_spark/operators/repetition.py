@@ -2,32 +2,86 @@
 (duplicate-line fraction, duplicate n-gram fraction, top-n-gram mass) used
 to drop template/boilerplate/spam documents from training corpora.
 
-All pure `pyspark.sql.functions` column expressions over the token array —
-no shuffle, no Python; one projection pass computes every metric, so this
-composes with the other per-doc text operators at scan cost.
+One Arrow-batched pass per document computes every metric (r14, guide
+§4.2). The r4-r13 implementation was pure JVM column expressions — but
+all of them were higher-order functions (transform / filter /
+array_distinct / two aggregate folds carrying structs), which Spark
+executes INTERPRETED per element, with each output column re-evaluating
+the shared token/ngram arrays (no codegen, no subexpression elimination
+across interpreted projections). Profiled at sf0.1: 53 s of task CPU in
+the one projection stage — the whole cost of the operator at 100 TB.
+The Arrow pass tokenizes once and computes all four metrics with Python
+sets/Counter over the batch; the same trade the r13 minhash rewrite
+made (~10x task CPU there).
+
+Exactness contract (the t_repetition oracle hash-grades this): every
+metric is an integer ratio — num/den division of exact ints is the same
+IEEE-754 operation in the JVM and Python — and the tokenizer is the
+same literal-space split with trailing empties kept then filtered
+(Java split(text, " ", -1) == Python text.split(' ')).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(col: Column) -> Column:
-    return F.filter(F.split(col, " "), lambda t: t != "")
+def _metrics_udf(ngram_n: int):
+    from pyspark.sql.pandas.functions import pandas_udf
 
+    @pandas_udf(
+        "dup_token_frac double, dup_ngram_frac double, "
+        "top_ngram_frac double, max_run_len bigint"
+    )
+    def metrics(texts):
+        from collections import Counter
 
-def _ngrams(toks: Column, n: int) -> Column:
-    size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(0), size - n),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, n)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        import pandas as pd
+
+        dtf, dnf, tnf, mrl = [], [], [], []
+        for t in texts:
+            if t is None or (isinstance(t, float) and t != t):
+                # NULL text: size(NULL)/aggregate(NULL) semantics of the
+                # old expressions — fractions take the otherwise(0.0)
+                # branch, the run fold yields NULL
+                dtf.append(0.0)
+                dnf.append(0.0)
+                tnf.append(0.0)
+                mrl.append(None)
+                continue
+            toks = [x for x in t.split(" ") if x != ""]
+            n = len(toks)
+            dtf.append((n - len(set(toks))) / n if n > 0 else 0.0)
+            if n >= ngram_n:
+                ng_counts = Counter(
+                    " ".join(toks[i : i + ngram_n])
+                    for i in range(n - ngram_n + 1)
+                )
+                m = n - ngram_n + 1
+                dnf.append((m - len(ng_counts)) / m)
+                tnf.append(max(ng_counts.values()) / m)
+            else:
+                dnf.append(0.0)
+                tnf.append(0.0)
+            best = run = 0
+            prev = None
+            for x in toks:
+                run = run + 1 if x == prev else 1
+                prev = x
+                if run > best:
+                    best = run
+            mrl.append(best)
+        return pd.DataFrame(
+            {
+                "dup_token_frac": dtf,
+                "dup_ngram_frac": dnf,
+                "top_ngram_frac": tnf,
+                "max_run_len": pd.array(mrl, dtype="Int64"),
+            }
+        )
+
+    return metrics
 
 
 def repetition_metrics(
@@ -46,63 +100,17 @@ def repetition_metrics(
     Thresholding these (e.g. drop docs with dup_ngram_frac > 0.3) is the
     standard repetition gate in corpus quality pipelines.
 
-    Cost note: ``top_ngram_frac`` is O(distinct x instances) per document
-    (JVM array ops, still row-local) — cap document length upstream (every
-    real corpus pipeline truncates pathological documents first) so a
-    single 10M-token doc can't dominate a task.
+    One ArrowEvalPython projection over just the text column — row-local,
+    no shuffle; tokenization happens once per document and all four
+    metrics come out of the same pass (see the module docstring for the
+    interpreted-HOF history and the exactness contract).
     """
-    toks = _tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    ng = _ngrams(toks, ngram_n)
-    n_ng = F.size(ng)
-    n_ng_distinct = F.size(F.array_distinct(ng))
-    # most frequent n-gram's count: sort the grams, then one linear fold
-    # counting the longest run of equal neighbors — O(n log n) per doc
-    # (the r4 formulation scanned the full instance list once per DISTINCT
-    # gram, O(distinct x instances) ≈ quadratic in document length; same
-    # value, ~40 ms/doc at sf0.1 — this fold is the 100 TB-safe shape)
-    top_count = F.aggregate(
-        F.array_sort(ng),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    # longest consecutive same-token run: fold carrying (prev, run, best)
-    run = F.aggregate(
-        toks,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(  # noqa: E731
-        F.lit(0.0)
-    )
-    return df.select(
-        "*",
-        safe(n_tok - F.size(F.array_distinct(toks)), n_tok).alias("dup_token_frac"),
-        safe(n_ng - n_ng_distinct, n_ng).alias("dup_ngram_frac"),
-        safe(top_count, n_ng).alias("top_ngram_frac"),
-        run.cast("long").alias("max_run_len"),
+    m = _metrics_udf(ngram_n)(F.col(text_col))
+    out = df.select("*", m.alias("__sfs_rep"))
+    return out.select(
+        *[c for c in df.columns],
+        F.col("__sfs_rep.dup_token_frac").alias("dup_token_frac"),
+        F.col("__sfs_rep.dup_ngram_frac").alias("dup_ngram_frac"),
+        F.col("__sfs_rep.top_ngram_frac").alias("top_ngram_frac"),
+        F.col("__sfs_rep.max_run_len").alias("max_run_len"),
     )

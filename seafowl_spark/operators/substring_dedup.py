@@ -34,9 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_int
-
-
 def _tokens(col):
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
@@ -52,29 +49,20 @@ def find_repeated_spans(
     """(span_hash, doc_id, pos, n_occurrences, keep) — every occurrence
     of every token span appearing >= min_dups times corpus-wide; the
     first occurrence (lowest (doc_id, pos)) is flagged ``keep``."""
-    toks = _tokens(F.col(text_col))
-    # stage the token array as a column: inlining it into the transform
-    # lambda would re-split the text once per span position (lambda
-    # bodies are not common-subexpression eliminated — the O(n^2) trap
-    # the 10x stress run caught in the BM25 postings build)
-    staged = df.where(F.size(toks) >= span_tokens).select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
-    )
-    tcol = F.col("__toks")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.size(tcol) - span_tokens, F.lit(stride)),
-        lambda s: F.struct(
-            s.alias("pos"),
-            # 15 hex digits = 60 bits: collision-safe for any real
-            # corpus while staying inside a signed 64-bit long (16 digits
-            # can overflow the ANSI cast)
-            md5_int(
-                F.array_join(F.slice(tcol, s + 1, span_tokens), " "), 15
-            ).alias("span_hash"),
-        ),
-    )
-    occ = staged.select(
-        "doc_id", F.explode(spans).alias("sp")
+    # span hashing in ONE Arrow pass (r14, guide §4.2): the former JVM
+    # transform lambda (slice + array_join + md5 per window) executed
+    # interpreted per span — 14 s of task CPU at sf0.1, the operator's
+    # hottest stage. Values are bit-identical (functions/vec.span_hashes_udf
+    # docstring has the proof); 15 hex digits = 60 bits, collision-safe
+    # for any real corpus while staying inside a signed 64-bit long.
+    # The < span_tokens pre-filter lives inside the UDF (empty array,
+    # dropped by explode).
+    from ..functions.vec import span_hashes_udf
+
+    spans_of = span_hashes_udf(span_tokens, stride, nhex=15)
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(spans_of(F.col(text_col))).alias("sp"),
     ).select("sp.span_hash", "doc_id", "sp.pos")
     w_cnt = Window.partitionBy("span_hash")
     w_rank = Window.partitionBy("span_hash").orderBy("doc_id", "pos")

@@ -36,14 +36,30 @@ def build_vocab(
     top_k: int | None = None,
     min_count: int = 1,
     lowercase: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """``(token, n)`` corpus counts, descending; ties break on token so
-    the result is deterministic. ``top_k`` truncates after ordering."""
-    tok = F.explode(_tokens(F.col(text_col))).alias("token")
+    the result is deterministic. ``top_k`` truncates after ordering.
+
+    ``tokens_col`` (r14, guide §4.2 pass fusion): name of a column
+    already holding the tokenized (and, when ``lowercase``, lowercased)
+    token array — callers that tokenize once and feed several model
+    stages pass it so this stage re-reads the shared pass instead of
+    re-splitting the corpus. lower(token-of-split) == token-of-split on
+    pre-lowered arrays by construction (the caller owns that contract).
+    """
+    if tokens_col is not None:
+        toks = df.select(F.explode(F.col(tokens_col)).alias("token"))
+    else:
+        toks = df.select(
+            F.explode(_tokens(F.col(text_col))).alias("token")
+        ).select(
+            F.lower(F.col("token")).alias("token")
+            if lowercase
+            else F.col("token")
+        )
     counts = (
-        df.select(tok)
-        .select(F.lower(F.col("token")).alias("token") if lowercase else F.col("token"))
-        .groupBy("token")
+        toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
         .orderBy(F.desc("n"), "token")
@@ -57,6 +73,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score each document by mean -ln p(token) under the unigram model
     defined by ``vocab`` (`(token, n)` as from :func:`build_vocab`).
@@ -71,10 +88,17 @@ def unigram_logprob(
     engines (the t_vocab_unigram oracle mirrors the same cast).
     """
     total = vocab.agg(F.sum("n").alias("total"))
-    tok_col = F.explode(_tokens(F.col(text_col))).alias("token")
-    toks = df.select(F.col(id_col), tok_col)
-    if lowercase:
-        toks = toks.select(id_col, F.lower(F.col("token")).alias("token"))
+    if tokens_col is not None:
+        # shared-pass fusion (r14): the caller tokenized (and lowered)
+        # once for every model stage — see build_vocab's contract
+        toks = df.select(
+            F.col(id_col), F.explode(F.col(tokens_col)).alias("token")
+        )
+    else:
+        tok_col = F.explode(_tokens(F.col(text_col))).alias("token")
+        toks = df.select(F.col(id_col), tok_col)
+        if lowercase:
+            toks = toks.select(id_col, F.lower(F.col("token")).alias("token"))
     scored = (
         toks.join(vocab, "token", "left")
         .crossJoin(F.broadcast(total))
@@ -105,13 +129,19 @@ BOS = "<s>"
 UNK = "<unk>"
 
 
-def _pairs(text_col, lowercase: bool):
+def _pairs(text_col, lowercase: bool, tokens_col: str | None = None):
     """Row-local (prev, cur) adjacent-token pairs incl. a <s> start pair —
     zip of the token array with its own tail, NO shuffle and no per-token
     join for pair formation (the doc-keyed window alternative shuffles the
-    whole token stream by document)."""
-    base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    toks = F.filter(F.split(base, r"\s+"), lambda t: t != "")
+    whole token stream by document). ``tokens_col`` (r14): a column
+    already holding filter(split(lower(text), '\\s+')) — the shared-pass
+    contract (the array must be the lower-then-split form this function
+    would otherwise compute)."""
+    if tokens_col is not None:
+        toks = F.col(tokens_col)
+    else:
+        base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        toks = F.filter(F.split(base, r"\s+"), lambda t: t != "")
     n = F.size(toks)
     body = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
@@ -158,6 +188,7 @@ def fit_bigram_lm(
     min_count: int = 1,
     lowercase: bool = True,
     vocab: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the model: returns ``(vocab, bigrams)`` where vocab is
     build_vocab's (token, n) capped at ``vocab_size`` and bigrams is
@@ -177,7 +208,9 @@ def fit_bigram_lm(
             lowercase=lowercase,
         )
     pairs = _with_unk_mapped(
-        df.select(F.explode(_pairs(text_col, lowercase)).alias("p")).select(
+        df.select(
+            F.explode(_pairs(text_col, lowercase, tokens_col)).alias("p")
+        ).select(
             F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
         ),
         vocab,
@@ -204,6 +237,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     lam: float = 0.8,
     lowercase: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean -ln p(cur | prev) under the interpolated bigram
     model: ``p = lam * c(prev,cur)/c_ctx(prev) + (1-lam) * p_uni(cur)``
@@ -221,7 +255,8 @@ def bigram_logprob(
     )
     mapped = _with_unk_mapped(
         df.select(
-            F.col(id_col), F.explode(_pairs(text_col, lowercase)).alias("p")
+            F.col(id_col),
+            F.explode(_pairs(text_col, lowercase, tokens_col)).alias("p"),
         ).select(
             id_col,
             F.col("p.prev").alias("prev"),

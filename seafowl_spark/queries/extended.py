@@ -228,9 +228,14 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = fit_kmeans(v, k=16, max_iter=1)
     dot_exact = dot_exact_udf()
 
+    # materialize the assignment once (r14, guide §5): the cell-join
+    # references `assigned` on BOTH sides, and each side re-executed the
+    # scan + nearest-centroid UDF pass — at 100 TB that is a second full
+    # corpus assignment for no new information. Per-invocation by
+    # construction (a fresh fn() call checkpoints afresh).
     assigned = assign_cells(v, cents, metric="l2").select(
         "vec_id", "emb", F.col("cell").cast("long").alias("cell")
-    )
+    ).localCheckpoint()
     a = assigned.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_a"), "cell"
     )

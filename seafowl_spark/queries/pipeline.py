@@ -170,10 +170,17 @@ def d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never straddle splits — the property is hash-checked because the
     oracle carves the same component key with the same boundary doubles.
     """
+    # materialize the near-dup pairs ONCE (r14, guide §5): the symmetric
+    # edge union references `pairs` twice, and each branch re-executed
+    # the whole banding self-join + verify subtree (profiled: four ~5 s
+    # band-explode stages instead of two at sf0.1). The pair list is the
+    # dedup graph's edge set — orders of magnitude smaller than the
+    # corpus by construction.
     pairs = (
         s_minhash_lsh_pairs(spark, sf_dir)
         .where(F.col("n_equal_sigs") >= COMPONENT_MIN_EQUAL_SIGS)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -653,7 +660,14 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     stratified = _stratified_rate_branch(d)
-    corpus = d.select("doc_id", "text", "lang")
+    # r14 (guide §2.5): the DSIR fit and scoring passes tokenize+hash
+    # n-gram features over the corpus, and the single-row-group local
+    # file collapsed each pass to ONE task (profiled: two 1-task ~1 s
+    # stages of a 4 s wall). widen() is a no-op on any multi-split
+    # layout, i.e. at scale.
+    from ..io import widen
+
+    corpus = widen(d.select("doc_id", "text", "lang"), "doc_id")
     # one-pass fit: the target is a labeled subset of the corpus, so the
     # target histogram is a conditional sum in the same aggregate
     model = fit_dsir_labeled(

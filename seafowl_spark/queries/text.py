@@ -437,13 +437,14 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.repetition import repetition_metrics
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     # local-mode accommodation (no-op on a real cluster where the scan
-    # has many splits): the per-doc array folds are the cost, so spread
-    # the tiny local parquet across the session's parallelism
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # has many splits): the per-doc metric pass is the cost, so spread
+    # the tiny local parquet across the session's parallelism. widen()
+    # hashes on doc_id — keyless round-robin would pay the
+    # sortBeforeRepartition local sort (r14).
+    d = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return repetition_metrics(d, "text", ngram_n=3).select(
         "doc_id", "dup_token_frac", "dup_ngram_frac", "top_ngram_frac", "max_run_len"
     )
@@ -708,13 +709,39 @@ def t_vocab_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage. Values are exact: strings and int64 counts round-trip
     # bit-identically, and every float is still computed by the same JVM
     # expressions downstream.
-    vocab_rows = build_vocab(d, top_k=512, min_count=2).collect()
+    #
+    # r14 (the r13 verdict's task #6, guide §4.2/§8): the remaining four
+    # model stages each re-tokenized the corpus from parquet (vocab
+    # count, unigram scoring, bigram fit, bigram scoring — two regex
+    # splits per document per stage). ONE materialized pass now computes
+    # both token forms per document — `__toks_u` = split-then-lower
+    # (what vocab/unigram computed) and `__toks_p` = lower-then-split
+    # (what pair formation computed); both forms are kept so each stage
+    # consumes the byte-identical array it used to derive itself — and
+    # every stage reads the localCheckpoint instead of re-scanning
+    # parquet. Per-invocation by construction: a fresh fn() call
+    # materializes a fresh checkpoint, nothing survives across runs.
+    toks_u = F.transform(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        F.lower,
+    )
+    toks_p = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    tok_tbl = d.select(
+        "doc_id", toks_u.alias("__toks_u"), toks_p.alias("__toks_p")
+    ).localCheckpoint()
+    vocab_rows = build_vocab(
+        tok_tbl, tokens_col="__toks_u", top_k=512, min_count=2
+    ).collect()
     vocab = local_df(
         spark, [(r.token, r.n) for r in vocab_rows], "token string, n bigint"
     )
-    uni = unigram_logprob(d, vocab)
-    _v, bigrams = fit_bigram_lm(d, vocab=vocab)
-    bi = bigram_logprob(d, vocab, bigrams, lam=_LM_LAM).select(
+    uni = unigram_logprob(tok_tbl, vocab, tokens_col="__toks_u")
+    _v, bigrams = fit_bigram_lm(tok_tbl, vocab=vocab, tokens_col="__toks_p")
+    bi = bigram_logprob(
+        tok_tbl, vocab, bigrams, lam=_LM_LAM, tokens_col="__toks_p"
+    ).select(
         "doc_id",
         F.col("n_scored").alias("n_pairs"),
         F.col("avg_neg_logprob").alias("avg_neg_logprob_bigram"),

@@ -462,6 +462,13 @@ def foreach_batch_merge(
             )
         else:
             batch_df = batch_df.dropDuplicates(pk_cols)
+        # materialize the squashed batch once (r14, guide §5): merge()
+        # runs two actions over its change set (the combined bounds/
+        # null-PK aggregate, then the full-outer join + write), and each
+        # would re-execute this dedup window — including its shuffle —
+        # from the source. Micro-batches are bounded by construction, so
+        # the localCheckpoint is batch-sized, never corpus-sized.
+        batch_df = batch_df.localCheckpoint()
         t.merge(
             batch_df,
             pk_cols,

@@ -42,3 +42,42 @@ def rows(df):
         return (0, 3, str(v))
 
     return sorted((tuple(r) for r in df.collect()), key=lambda t: tuple(key_elem(v) for v in t))
+
+
+# ---------------------------------------------------------------- slow gate
+# r14 (the r13 verdict's task #3): the full suite runs ~1.3-1.9 h, which
+# overflows the driver's verify window (VERIFY_r13 truncated at ~31% and
+# recorded tests_ok=false on a green-so-far run). The multi-minute
+# stress/matrix tests are marked `slow` and EXCLUDED from the default
+# run so `python -m pytest tests/ -x -q` completes inside the gate;
+# run them with `--runslow` (everything) or `-m slow` (only them).
+# Nothing is deleted — the slow tier is the same tests, opt-in.
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (multi-minute stress/matrix)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute stress/matrix test, excluded from the "
+        "default gate (opt in with --runslow or -m slow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return  # an explicit -m expression names the tier; honor it
+    skip = pytest.mark.skip(
+        reason="slow tier: run with --runslow (or -m slow)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

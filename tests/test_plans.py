@@ -214,8 +214,10 @@ class TestRound5Graduates:
     """Plan gates for the r5-graduated registry rows."""
 
     def test_repetition_no_shuffle_no_python(self, spark, registry):
-        # every metric is a row-local JVM array expression: no
-        # data-dependent shuffle (hash/range) and zero Python workers.
+        # every metric comes out of ONE Arrow-vectorized projection (r14,
+        # guide §4.2 — the old JVM higher-order-function folds executed
+        # interpreted per element: 53 s of task CPU at sf0.1): no
+        # data-dependent shuffle (hash/range) and no row-pickling Python.
         # (The graded query adds one round-robin repartition as a
         # local-mode split-widening accommodation — key-free, so it
         # carries no aggregation/join semantics.)
@@ -223,7 +225,8 @@ class TestRound5Graduates:
         assert "Exchange hashpartitioning" not in p
         assert "Exchange rangepartitioning" not in p
         assert "Exchange SinglePartition" not in p
-        assert "Python" not in p
+        assert "BatchEvalPython" not in p
+        assert p.count("ArrowEvalPython") == 1
 
     def test_quantize_reference_vector_broadcasts(self, spark, registry):
         # the 1-row min-vec_id reference joins as a broadcast; the corpus
@@ -359,12 +362,15 @@ class TestRound6Graduates:
     def test_substring_dedup_single_corpus_shuffle_no_python(
         self, spark, registry
     ):
-        # span hashing is row-local; the hash-keyed windows are the one
-        # corpus-sized shuffle (plus the doc-keyed removal join); nothing
-        # crosses into Python and nothing goes cartesian
+        # span hashing is row-local — one Arrow-vectorized pass per
+        # branch since r14 (guide §4.2; the JVM transform lambda ran
+        # interpreted per window: 14 s task CPU at sf0.1); the
+        # hash-keyed windows are the one corpus-sized shuffle (plus the
+        # doc-keyed removal join); no row-pickling Python and nothing
+        # cartesian
         p = plan_of(spark, registry, "t_substring_dedup")
         assert "CartesianProduct" not in p
-        assert "Python" not in p
+        assert "BatchEvalPython" not in p
         assert len(re.findall(r"Exchange hashpartitioning\(span_hash", p)) == 1
 
     def test_mixture_sample_is_pure_filter(self, spark, registry):

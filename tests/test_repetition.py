@@ -46,6 +46,10 @@ class TestRepetitionMetrics:
         ).collect()[0]
         assert 0.0 <= rows[1] <= rows[0] <= 1.0
         assert rows[2] >= 1
-        # no Python UDFs, no exchanges in the plan
+        # one Arrow-vectorized projection (r14, guide §4.2 — the old JVM
+        # higher-order-function folds executed interpreted per element),
+        # still no row-pickling Python and no exchanges
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan and "Python" not in plan
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == 1
