@@ -51,6 +51,22 @@ class ExecutionError(Exception):
 # property stores ZERO rows — reload_views re-expands the query instead
 VIEW_PROP = "view_sql"
 
+# static name sets of the lazily-registered introspection views (r14):
+# must match the dict keys _system_tables() / _information_schema() build
+_SYSTEM_TABLE_NAMES = (
+    "table_versions",
+    "dropped_tables",
+    "table_files",
+    "matviews",
+    "search_indexes",
+)
+_INFO_SCHEMA_NAMES = (
+    "tables",
+    "columns",
+    "table_constraints",
+    "check_constraints",
+)
+
 
 def _mangle(schema: str, name: str) -> str:
     raw = f"__sfs__{schema}__{name}"
@@ -550,13 +566,25 @@ class SeafowlContext:
         for name, df in self.staging.items():
             df.createOrReplaceTempView(name)
             mapping[f"{STAGING_SCHEMA}.{name}"] = name
-        for name, df in self._system_tables().items():
+        # system.* / information_schema.* register LAZILY (r14, guide §5/
+        # §1.2): these are driver-built createDataFrames whose rebuild +
+        # re-registration ran on EVERY statement (profiled: 9 frames per
+        # reload, ~26% of q_matview_refresh's statement time) while the
+        # overwhelming majority of statements never read them. The NAMES
+        # go into the rewrite mapping eagerly — the rewriter needs them —
+        # and the frames build the first time a statement's rewritten SQL
+        # actually references one (_ensure_lazy_views), i.e. at the same
+        # catalog state a per-statement eager build would have seen
+        # (reload and execution happen inside one statement, nothing
+        # mutates between them).
+        self._lazy_views = {}
+        for name in _SYSTEM_TABLE_NAMES:
             mangled = _mangle(SYSTEM_SCHEMA, name)
-            df.createOrReplaceTempView(mangled)
+            self._lazy_views[mangled] = (SYSTEM_SCHEMA, name)
             mapping[f"{SYSTEM_SCHEMA}.{name}"] = mangled
-        for name, df in self._information_schema().items():
+        for name in _INFO_SCHEMA_NAMES:
             mangled = _mangle("information_schema", name)
-            df.createOrReplaceTempView(mangled)
+            self._lazy_views[mangled] = ("information_schema", name)
             mapping[f"information_schema.{name}"] = mangled
         # fixpoint expansion: catalog order is (schema, name), NOT
         # dependency order — a view named before one it reads would bind
@@ -625,9 +653,11 @@ class SeafowlContext:
             for item in pending:
                 e, view_sql, mangled, plain = item
                 try:
-                    df = self.spark.sql(
-                        self._rewrite_names(view_sql, mapping)
-                    )
+                    view_rw = self._rewrite_names(view_sql, mapping)
+                    # a logical view over system/info-schema tables must
+                    # materialize its lazy deps before analysis (r14)
+                    self._ensure_lazy_views(view_rw)
+                    df = self.spark.sql(view_rw)
                     df.createOrReplaceTempView(mangled)
                     if plain:
                         df.createOrReplaceTempView(plain)
@@ -654,6 +684,31 @@ class SeafowlContext:
         self._registered_views = registered
         self._register_functions()
         return mapping
+
+    def _ensure_lazy_views(self, rewritten_sql: str) -> None:
+        """Materialize any lazily-registered system/information_schema
+        temp views the REWRITTEN statement references (r14 — see
+        reload_views). Mangled names are unique tokens, so a substring
+        probe is exact; builds happen at most once per reload, at the
+        same catalog state an eager per-statement build saw."""
+        lazy = getattr(self, "_lazy_views", None)
+        if not lazy:
+            return
+        hits = [m for m in lazy if m in rewritten_sql]
+        if not hits:
+            return
+        sys_frames = info_frames = None
+        for mangled in hits:
+            schema_name, name = lazy.pop(mangled)
+            if schema_name == SYSTEM_SCHEMA:
+                if sys_frames is None:
+                    sys_frames = self._system_tables()
+                df = sys_frames[name]
+            else:
+                if info_frames is None:
+                    info_frames = self._information_schema()
+                df = info_frames[name]
+            df.createOrReplaceTempView(mangled)
 
     def _rewrite_names(self, sql: str, mapping: dict[str, str]) -> str:
         """Replace qualified table references with mangled view names,
@@ -879,6 +934,7 @@ class SeafowlContext:
             # spark.sql analyzes eagerly: the returned plan holds resolved
             # relations, so the per-query snapshot views can be dropped here
             rewritten = self._rewrite_names(sql, mapping)
+            self._ensure_lazy_views(rewritten)
             self._maybe_prune_scans(rewritten)
             return self.spark.sql(rewritten)
         finally:
@@ -2754,7 +2810,9 @@ class SeafowlContext:
             pk_cols.append(m.group(2))
         mapping = self.reload_views()
         source_sql = stmt.source_query or f"SELECT * FROM {stmt.source_table}"
-        src = self.spark.sql(self._rewrite_names(source_sql, mapping))
+        source_rw = self._rewrite_names(source_sql, mapping)
+        self._ensure_lazy_views(source_rw)
+        src = self.spark.sql(source_rw)
         missing = [c for c in pk_cols if c not in src.columns]
         if missing:
             raise ExecutionError(f"MERGE source lacks ON column(s) {missing}")

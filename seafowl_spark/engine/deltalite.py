@@ -517,6 +517,21 @@ class DeltaLiteTable:
 
     # ----------------------------------------------------------- reads
 
+    def _empty_df(self, schema: T.StructType) -> DataFrame:
+        """Zero-row frame as a LocalRelation (r14, guide §5).
+        ``createDataFrame([], schema)`` parallelizes a PICKLED RDD whose
+        every scan runs defaultParallelism tasks each paying a
+        Python-worker round trip — profiled as the one 32-task stage of
+        the first CDC micro-batch (empty merge target), ~7 s of task
+        time for zero rows. A constant-folded empty relation plans to
+        zero tasks and lets joins against it see an exact 0-row count."""
+        from ..functions import local_df
+
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        return local_df(self.spark, [], ddl)
+
     def to_df(
         self,
         version: int | None = None,
@@ -542,7 +557,7 @@ class DeltaLiteTable:
                     f for f in files if f.bucket is None or f.bucket in hot
                 ]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self._empty_df(schema)
         return self._scan_files(files, schema)
 
     # ------------------------------------------------- merge-on-read scans
@@ -1834,7 +1849,7 @@ class DeltaLiteTable:
         if hit:
             base = self._scan_files(hit, schema)
         else:
-            base = self.spark.createDataFrame([], schema)
+            base = self._empty_df(schema)
 
         # NULL-in-PK rejection (review find, r11): a NULL in ANY key
         # column can never join (NULL-safe equality is deliberately NOT

@@ -615,6 +615,27 @@ def lookup(spark, path: str, spec: IndexSpec, query_text: str, k: int):
         )
     )
 
+# plan-gate introspection (r14): since lookup_many batches the probe
+# joins and re-binds their k-bounded results as LocalRelations, the
+# graded statement's FINAL plan is all LocalTableScans — the partition
+# pruning the r7+ plan gates assert now lives in the INTERNAL probe
+# plans executed here. When SFS_CAPTURE_PROBE_PLANS is set (tests only;
+# explainString costs driver ms per probe plan, so it never runs
+# un-asked), each batch plan's formatted explain is appended for the
+# gates in tests/test_plans.py::TestIndexServing to inspect.
+CAPTURED_PROBE_PLANS: list[str] = []
+
+
+def _maybe_capture_probe_plan(df) -> None:
+    if not os.environ.get("SFS_CAPTURE_PROBE_PLANS"):
+        return
+    CAPTURED_PROBE_PLANS.append(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    )
+
+
 def lookup_many(spark, path: str, spec: IndexSpec, queries, k: int) -> dict:
     """Batched :func:`lookup` (r14, guide §5): ``queries`` is a bounded
     ``[(slot, query_text)]`` list sharing one (index, k); returns
@@ -716,6 +737,7 @@ def lookup_many(spark, path: str, spec: IndexSpec, queries, k: int) -> dict:
                 "rank",
             )
         )
+    _maybe_capture_probe_plan(batched)
     rid_t = batched.schema["result_id"].dataType.simpleString()
     ddl = f"result_id {rid_t}, score double, rank bigint"
     by_slot: dict[int, list] = {}

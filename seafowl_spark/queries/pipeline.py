@@ -1246,20 +1246,52 @@ def q_stream_sync_endstate(
     try:
         src = os.path.join(work, "feed")
         os.makedirs(src)
-        # ordered LSN-range batches: cross-batch per-key order == seq order
+        # ordered LSN-range batches: cross-batch per-key order == seq order.
+        # ONE partitioned write builds every batch file (r14, guide §6 —
+        # the per-batch coalesce(1) loop ran _SYNC_BATCHES separate jobs,
+        # each rescanning the change feed); the CASE below reproduces the
+        # loop's exact floor-div range bounds, and repartition on the
+        # batch id lands each batch in one task -> one file per batch
+        # dir. Batch CONTENTS are identical (same seq ranges); row order
+        # within a file is shuffle-order, which the merge's last-wins-by-
+        # seq squash and the oracle's global last-change-wins are both
+        # independent of by construction.
+        bounds = [
+            (max_seq + 1) * (k + 1) // _SYNC_BATCHES
+            for k in range(_SYNC_BATCHES)
+        ]
+        bexpr = F.lit(_SYNC_BATCHES - 1)
+        for k in range(_SYNC_BATCHES - 2, -1, -1):
+            bexpr = F.when(F.col("seq") < bounds[k], F.lit(k)).otherwise(bexpr)
+        part_dir = os.path.join(work, "parts")
+        (
+            ch.withColumn("__b", bexpr)
+            .repartition(F.col("__b"))
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(part_dir)
+        )
         for k in range(_SYNC_BATCHES):
-            lo = (max_seq + 1) * k // _SYNC_BATCHES
-            hi = (max_seq + 1) * (k + 1) // _SYNC_BATCHES
-            part_dir = os.path.join(work, f"part{k}")
-            (
-                ch.where((F.col("seq") >= lo) & (F.col("seq") < hi))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part_dir)
+            bdir = os.path.join(part_dir, f"__b={k}")
+            data = (
+                [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+                if os.path.isdir(bdir)
+                else []
             )
-            data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            if not data:
+                # an empty LSN range wrote no dir: keep the old loop's
+                # one-empty-file-per-batch shape for that batch
+                (
+                    ch.where(F.lit(False))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(bdir)
+                )
+                data = [
+                    f for f in os.listdir(bdir) if f.endswith(".parquet")
+                ]
             dst = os.path.join(src, f"batch{k:04d}.parquet")
-            shutil.move(os.path.join(part_dir, data[0]), dst)
+            shutil.move(os.path.join(bdir, data[0]), dst)
             # strictly increasing mod times: the file source orders by them
             os.utime(dst, (1_000_000 + k, 1_000_000 + k))
         root = os.path.join(work, "tgt")

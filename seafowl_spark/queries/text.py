@@ -557,8 +557,19 @@ def t_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (plan-gated in test_plans.py).
     """
     from ..operators.cleaning import clean_lines, strip_boilerplate_lines
+    from ..io import widen
 
-    d = table(spark, sf_dir, "documents")
+    # r14 (guide §2.5): the staging expressions, the per-line rule
+    # lambdas and the Misra-Gries per-partition summary are all map-side
+    # work above the first exchange, and the single-row-group local file
+    # collapsed that whole span to ONE task (profiled: a 0.7 s one-task
+    # stage dominating a 2.5 s wall). widen() hashes on doc_id and is a
+    # no-op on any multi-split layout, i.e. at scale. The MG frequent set
+    # is partitioning-independent (survivors are exact-recounted before
+    # thresholding), so the result is unchanged.
+    d = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = _tokens(F.col("text"))
     n = F.size(toks)
     L = F.greatest(F.ceil(n / F.lit(3.0)).cast("int"), F.lit(1))

@@ -30,6 +30,11 @@ DOCS = [
 ]
 
 
+# slow tier (r14, the r13 verdict's task #3): DSIR fit/score numeric verification -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 def _md5_int(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 

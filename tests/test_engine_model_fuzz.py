@@ -19,6 +19,11 @@ COLS = "k bigint, g string, v bigint"
 GROUPS = ["a", "b", "c"]
 
 
+# slow tier (r14, the r13 verdict's task #3): randomized statement/lifecycle fuzz matrix -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 class Model:
     """tables: name -> {k: (g, v)} — k is the row key the fuzz controls."""
 

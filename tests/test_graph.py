@@ -16,6 +16,11 @@ EDGES = [
 ]
 
 
+# slow tier (r14, the r13 verdict's task #3): pagerank power-iteration numeric verification -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 def _np_pagerank(edges, damping=0.85, iters=50):
     verts = sorted({v for e in edges for v in e})
     idx = {v: i for i, v in enumerate(verts)}

@@ -12,6 +12,11 @@ import pytest
 from seafowl_spark.engine.server import AccessPolicy, SeafowlServer
 
 
+# slow tier (r14, the r13 verdict's task #3): HTTP server integration matrix -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def server(ctx):
     srv = SeafowlServer(ctx).start()

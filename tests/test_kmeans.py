@@ -11,6 +11,11 @@ from seafowl_spark.operators.kmeans import assign_cells, fit_kmeans, ivf_topk
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# slow tier (r14, the r13 verdict's task #3): codebook-scaling numeric matrix -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def clustered(spark):
     """Three well-separated clusters in 4-d; ids interleaved so the

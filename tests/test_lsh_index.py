@@ -210,6 +210,9 @@ class TestLshIndex:
         ]
 
 
+# slow tier (r14): multi-minute stress/matrix class, excluded
+# from the default gate (opt in with --runslow / -m slow)
+@pytest.mark.slow
 class TestCompaction:
     def test_compact_preserves_rows_and_prunes_files(
         self, spark, tmp_path, corpus, newdocs
@@ -243,6 +246,9 @@ class TestCompaction:
         assert hits > 0
 
 
+# slow tier (r14): multi-minute stress/matrix class, excluded
+# from the default gate (opt in with --runslow / -m slow)
+@pytest.mark.slow
 class TestIntraBatchDedup:
     def test_batch_internal_neardups_gated(self, spark, tmp_path, corpus):
         """Two near-identical docs in ONE batch, neither matching the

@@ -529,6 +529,9 @@ class TestStreamingRefreshComposition:
         assert got == [("a", 100, 1), ("b", 5, 1), ("c", 7, 1)]
 
 
+# slow tier (r14): multi-minute stress/matrix class, excluded
+# from the default gate (opt in with --runslow / -m slow)
+@pytest.mark.slow
 class TestMatViewFuzz:
     @pytest.mark.parametrize("seed", [13, 47])
     def test_random_dml_sequence_refresh_equals_recompute(self, ctx, seed):

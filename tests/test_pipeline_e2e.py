@@ -36,6 +36,11 @@ from seafowl_spark.operators.vocab import build_vocab, unigram_logprob
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# slow tier (r14, the r13 verdict's task #3): full corpus pipeline end-to-end -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 class TestCorpusPipelineEndToEnd:
     @pytest.fixture(scope="class")
     def stages(self, spark):

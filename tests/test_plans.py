@@ -217,12 +217,19 @@ class TestRound5Graduates:
         # every metric comes out of ONE Arrow-vectorized projection (r14,
         # guide §4.2 — the old JVM higher-order-function folds executed
         # interpreted per element: 53 s of task CPU at sf0.1): no
-        # data-dependent shuffle (hash/range) and no row-pickling Python.
-        # (The graded query adds one round-robin repartition as a
-        # local-mode split-widening accommodation — key-free, so it
-        # carries no aggregation/join semantics.)
+        # data-dependent shuffle and no row-pickling Python. (The graded
+        # query adds exactly one widen() repartition hashed on doc_id as
+        # a local-mode split-widening accommodation, guide §2.5 — a
+        # REPARTITION_BY_NUM over the unique key, so it carries no
+        # aggregation/join semantics; no other exchange may appear.)
         p = plan_of(spark, registry, "t_repetition")
-        assert "Exchange hashpartitioning" not in p
+        widens = re.findall(
+            r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\), "
+            r"REPARTITION_BY_NUM",
+            p,
+        )
+        assert len(widens) <= 1, p
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == len(widens)
         assert "Exchange rangepartitioning" not in p
         assert "Exchange SinglePartition" not in p
         assert "BatchEvalPython" not in p
@@ -394,16 +401,55 @@ class TestIndexServing:
     graded row / the sweep exercise, so they can never silently lose
     the pruning."""
 
-    def test_sql_plane_scans_partition_pruned(self, spark, registry):
+    @staticmethod
+    def _captured_probe_plans(spark, registry, monkeypatch):
+        """Run the graded row with the probe-plan capture hook on and
+        return (final_plan, internal_probe_plans). Since the r14 lookup
+        batching, the statement's final plan is all LocalTableScans —
+        the partition pruning the gates assert lives in the INTERNAL
+        batched probe plans lookup_many executes."""
+        from seafowl_spark.engine import search_index as si
+
+        monkeypatch.setenv("SFS_CAPTURE_PROBE_PLANS", "1")
+        si.CAPTURED_PROBE_PLANS.clear()
         df = registry["q_index_serving"].fn(spark, SF)
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
-        non_empty = [f for f in filters if f.strip()]
-        # 9 BM25 postings scans (3 queries x plain/match-all/fielded,
-        # r11) AND 3 LSH bands scans, all bucket-pruned
-        assert sum("bucket" in f for f in non_empty) >= 12, filters
+        plans = list(si.CAPTURED_PROBE_PLANS)
+        si.CAPTURED_PROBE_PLANS.clear()
+        return formatted, plans
+
+    def test_sql_plane_scans_partition_pruned(
+        self, spark, registry, monkeypatch
+    ):
+        formatted, plans = self._captured_probe_plans(
+            spark, registry, monkeypatch
+        )
+        # the statement fans 12 search_index() calls over 4 indexes; the
+        # r14 batching runs 4 internal probe plans whose k-bounded
+        # results re-bind as LocalRelations — the final plan must carry
+        # no index scan at all
+        assert len(plans) == 4, len(plans)
+        assert "Scan parquet" not in formatted
+        # EVERY postings/bands scan inside every probe plan must be
+        # bucket-pruned: walk each scan block (Location ... ->
+        # PartitionFilters) and require a non-empty bucket filter on the
+        # index dirs; at least one per probe plan overall
+        for p in plans:
+            loc = None
+            pruned_here = 0
+            for line in p.splitlines():
+                lm = re.search(r"Location:.*\[(.*)\]", line)
+                if lm:
+                    loc = lm.group(1)
+                fm = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
+                if fm and loc and ("/postings" in loc or "/bands" in loc):
+                    assert "bucket" in fm.group(1), (loc, p)
+                    pruned_here += 1
+            assert pruned_here >= 1, p
+            assert "CartesianProduct" not in p
+            assert "BatchEvalPython" not in p
         assert "CartesianProduct" not in formatted
         assert "BatchEvalPython" not in formatted
 
@@ -434,27 +480,35 @@ class TestIndexServing:
 
         assert _LSH_INDEX_CAP == MAX_BUCKET_ROWS
 
-    def test_bm25_bucket_filter_bounded_by_query_terms(self, spark, registry):
+    def test_bm25_bucket_filter_bounded_by_query_terms(
+        self, spark, registry, monkeypatch
+    ):
         import glob
 
         from seafowl_spark.queries.similarity import _seed_sql_serving
 
         root = _seed_sql_serving(spark, SF)
-        df = registry["q_index_serving"].fn(spark, SF)
-        formatted = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
+        _formatted, plans = self._captured_probe_plans(
+            spark, registry, monkeypatch
         )
-        m = re.search(
-            r"bucket#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+))", formatted
-        )
-        assert m  # explicit IN-list from the query batch's term hashes
-        n_probed = len((m.group(1) or m.group(2)).split(","))
         n_all = len(
             glob.glob(f"{root}/*/_search/bidx/postings/bucket=*")
         )
-        # a four-word query -> at most 4 distinct terms; the engine
-        # index has up to 64 buckets and the probe list must not cover it
-        assert n_probed < max(n_all, 2), (n_probed, n_all)
+        # every batched probe plan's bucket filter is an explicit
+        # IN/INSET list from the BATCH's term hashes (3 few-word queries
+        # -> a handful of distinct terms); the engine index has up to 64
+        # buckets and no probe list may cover it
+        matches = [
+            m
+            for p in plans
+            for m in re.finditer(
+                r"bucket#\d+ (?:IN \(([^)]*)\)|INSET ([0-9, ]+))", p
+            )
+        ]
+        assert matches  # explicit IN-list from the query batch's terms
+        for m in matches:
+            n_probed = len((m.group(1) or m.group(2)).split(","))
+            assert n_probed < max(n_all, 2), (n_probed, n_all)
 
 class TestRegistryWideHygiene:
     def test_no_cartesian_no_row_python_anywhere(self, spark, registry):

@@ -9,6 +9,11 @@ from seafowl_spark.engine.context import ExecutionError
 from tests.conftest import rows
 
 
+# slow tier (r14, the r13 verdict's task #3): index lifecycle/compaction/refresh stress matrix -- multi-
+# minute; excluded from the default gate so the driver's pytest
+# window completes. Opt in with --runslow (or -m slow).
+pytestmark = pytest.mark.slow
+
 def seed_docs(ctx, name="sd"):
     ctx.execute(f"CREATE TABLE {name} (doc_id BIGINT, text STRING)")
     ctx.execute(

@@ -594,6 +594,9 @@ class TestTimeTravelStdSyntax:
         assert rows(out) == [(1,)]
 
 
+# slow tier (r14): multi-minute stress/matrix class, excluded
+# from the default gate (opt in with --runslow / -m slow)
+@pytest.mark.slow
 class TestConcurrency:
     """Optimistic concurrency: appends retry the commit race (their adds
     are base-independent); snapshot-based ops commit at base+1 so the

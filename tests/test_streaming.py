@@ -6,6 +6,7 @@ import json
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from seafowl_spark.streaming.sync import foreach_batch_merge
@@ -353,6 +354,9 @@ class TestStreamingModelScoring:
         assert got[12] == "food"
 
 
+# slow tier (r14): multi-minute stress/matrix class, excluded
+# from the default gate (opt in with --runslow / -m slow)
+@pytest.mark.slow
 class TestStreamingIndexMaintenance:
     def test_stream_appends_to_bm25_index(self, spark, tmp_path):
         """Ingest-to-index: each micro-batch appends its documents to the
