@@ -286,9 +286,19 @@ class TestRound6Graduates:
         # Since the r7 double-subtree fix the finder materializes behind
         # localCheckpoints, so the COMPOSED plan shows only the strip:
         # one corpus scan, the 1-row frequent-set broadcast (BNLJ), and
-        # NO hash exchange of corpus text at all.
+        # no DATA-DEPENDENT hash exchange of corpus text. (Since r14 the
+        # graded query adds exactly one widen() repartition hashed on
+        # doc_id right after the scan — a local-mode split-widening
+        # REPARTITION_BY_NUM over the unique key, guide §2.5, carrying
+        # no aggregation/join semantics; nothing else may shuffle.)
         p = plan_of(spark, registry, "t_clean_lines")
-        assert "Exchange hashpartitioning" not in p
+        widens = re.findall(
+            r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\), "
+            r"REPARTITION_BY_NUM",
+            p,
+        )
+        assert len(widens) <= 1, p
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == len(widens)
         assert "BroadcastNestedLoopJoin" in p
         assert "CartesianProduct" not in p
         assert "SortMergeJoin" not in p
